@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Every implemented operator from SURVEY.md §2 gets a (queries, oracle_sql)
+pair here. Column names/aliases are identical between the Spark plan and the
+oracle SQL; float outputs are rounded to 4 dp in both engines.
 """
 
 from __future__ import annotations
@@ -12,27 +15,164 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions import oracle_fragments as ora
+from search_engine_spark.functions.text_columns import normalized_path_col
+from search_engine_spark.operators import index_build as ib
+from search_engine_spark.operators import search as se
+from search_engine_spark.plans.statistics import per_site_statistics
+from search_engine_spark.sources.documents import load_documents
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Frozen query-term sets (drawn from the synthetic corpus vocabulary;
+# 'dup' is the rare injected near-duplicate marker, 'the' is a stopword).
+Q_AND2 = ["data", "fast"]
+Q_AND3 = ["dup", "scan", "merge"]
+Q_BM25 = ["dup", "data", "fast"]
+Q_BM25_COMMON = ["data", "fast", "join"]
+Q_GATE = ["dup", "data"]
+SITE_B = "site-b"
+
+
+def _search_ctx(spark: SparkSession, sf_dir: str):
+    docs = load_documents(spark, sf_dir)
+    postings = ib.build_postings(docs)
+    return docs, postings
+
+
+def _bm25_ctx(spark: SparkSession, sf_dir: str):
+    docs, postings = _search_ctx(spark, sf_dir)
+    term_dict = ib.build_term_dict(postings)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    return docs, postings, term_dict, doc_stats, n_docs, avgdl
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 conjunctive top-20 on sf0.001."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, SF0001)
+    return se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
+# --------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------------
+
+def _q_postings(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return ib.build_postings(docs)
+
+
+def _q_term_dict(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return ib.build_term_dict(ib.build_postings(docs))
+
+
+def _q_term_dict_site(spark, sf_dir):
+    return ib.build_term_dict_site(load_documents(spark, sf_dir))
+
+
+def _q_doc_stats(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return ib.build_doc_stats(docs)
+
+
+def _q_search_and2(spark, sf_dir):
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_compat(docs, postings, Q_AND2)
+
+
+def _q_search_and3(spark, sf_dir):
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_compat(docs, postings, Q_AND3)
+
+
+def _q_search_site(spark, sf_dir):
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_compat(docs, postings, Q_AND2, site_key=SITE_B)
+
+
+def _q_search_paginated(spark, sf_dir):
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_compat(docs, postings, Q_AND2, limit=10, offset=10)
+
+
+def _q_search_stopword_only(spark, sf_dir):
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_compat(docs, postings, se.analyze_query("the a of"))
+
+
+def _q_search_bm25(spark, sf_dir):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25(postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25)
+
+
+def _q_search_bm25_common(spark, sf_dir):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
+def _q_site_gate(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return se.site_gate(docs, Q_GATE)
+
+
+def _q_url_normalize(spark, sf_dir):
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "raw_url",
+        normalized_path_col(F.col("site"), F.col("raw_url")).alias("norm_path"),
+    )
+
+
+def _q_statistics(spark, sf_dir):
+    return per_site_statistics(load_documents(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "postings": _q_postings,
+        "term_dict": _q_term_dict,
+        "term_dict_site": _q_term_dict_site,
+        "doc_stats": _q_doc_stats,
+        "search_and2": _q_search_and2,
+        "search_and3": _q_search_and3,
+        "search_site": _q_search_site,
+        "search_paginated": _q_search_paginated,
+        "search_stopword_only": _q_search_stopword_only,
+        "search_bm25": _q_search_bm25,
+        "search_bm25_common": _q_search_bm25_common,
+        "site_gate": _q_site_gate,
+        "url_normalize": _q_url_normalize,
+        "statistics": _q_statistics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    empty_search = (
+        "SELECT doc_id, '' AS url, 0::BIGINT AS score_abs, 0.0::DOUBLE AS rel "
+        "FROM documents WHERE FALSE"
+    )
+    return {
+        "postings": ora.postings_sql(),
+        "term_dict": ora.term_dict_sql(),
+        "term_dict_site": ora.term_dict_site_sql(),
+        "doc_stats": ora.doc_stats_sql(),
+        "search_and2": ora.search_compat_sql(Q_AND2),
+        "search_and3": ora.search_compat_sql(Q_AND3),
+        "search_site": ora.search_compat_sql(Q_AND2, site_key=SITE_B),
+        "search_paginated": ora.search_compat_sql(Q_AND2, limit=10, offset=10),
+        "search_stopword_only": empty_search,
+        "search_bm25": ora.search_bm25_sql(Q_BM25),
+        "search_bm25_common": ora.search_bm25_sql(Q_BM25_COMMON),
+        "site_gate": ora.site_gate_sql(Q_GATE),
+        "url_normalize": ora.url_normalize_sql(),
+        "statistics": ora.statistics_sql(),
+    }

@@ -1,0 +1,239 @@
+"""DuckDB oracle SQL fragments mirroring the engine's frozen specs.
+
+The driver verifies every `queries()` entry against `oracle_sql()` run in
+DuckDB over the same parquet (views: region nation customer supplier part
+orders lineitem events documents embeddings). This module is the single
+place that re-expresses the engine's tokenization / derivation / hashing /
+scoring rules in ANSI-ish DuckDB SQL, so Spark and oracle can't drift apart.
+
+Pinned by: textproc/tokenize.py (tokenizer), sources/documents.py
+(derived columns), hashing.py (portable h60), operators/search.py (scoring).
+"""
+
+from __future__ import annotations
+
+from ..hashing import HEX_DIGITS
+from ..textproc.stopwords import sql_not_in_list
+from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+
+# ---------------------------------------------------------------- tokenizer
+
+def terms_cte(table: str = "documents", extra_cols: str = "") -> str:
+    """CTE `terms(doc_id[, extra], term)` — one row per retained term
+    occurrence. Mirrors functions/text_columns.py::explode_terms."""
+    cols = f"d.doc_id{(', ' + extra_cols) if extra_cols else ''}"
+    return f"""
+toks AS (
+  SELECT {cols},
+         regexp_replace(t.tok, '{BOUNDARY_STRIP}', '', 'g') AS term
+  FROM {table} d, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS t(tok)
+),
+terms AS (
+  SELECT * FROM toks
+  WHERE term <> ''
+    AND regexp_matches(term, '{WORD_PATTERN}')
+    AND term NOT IN {sql_not_in_list()}
+)"""
+
+
+# ------------------------------------------------------- derived doc columns
+
+SITE_KEY_SQL = "('site-' || chr(97 + (doc_id % 3)::INT))"
+SITE_SQL = f"('https://' || {SITE_KEY_SQL} || '.example')"
+PATH_SQL = "('/docs/' || doc_id)"
+URL_SQL = f"({SITE_SQL} || {PATH_SQL})"
+RAW_URL_SQL = (
+    f"({SITE_SQL} || '/Docs/' || doc_id"
+    " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN '?ref=track' ELSE '' END)"
+)
+
+
+def h60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, {HEX_DIGITS}))::BIGINT)"
+
+
+# -------------------------------------------------------------- index tables
+
+def postings_sql(table: str = "documents") -> str:
+    """(doc_id, term, tf) — the logical postings relation (reference
+    model/Index.java: one row per page×lemma, rank = tf)."""
+    return f"""
+WITH {terms_cte(table)}
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM terms GROUP BY doc_id, term
+"""
+
+
+def term_dict_sql(table: str = "documents") -> str:
+    """(term, df, cf) — term dictionary (reference model/Lemma.java:
+    frequency = document frequency)."""
+    return f"""
+WITH {terms_cte(table)}
+SELECT term,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS cf
+FROM terms GROUP BY term
+"""
+
+
+def term_dict_site_sql(table: str = "documents") -> str:
+    """Site-scoped dictionary — the reference scopes lemma rows per site
+    (model/Lemma.java:20-24)."""
+    return f"""
+WITH {terms_cte(table, extra_cols=f"{SITE_KEY_SQL.replace('doc_id', 'd.doc_id')} AS site_key")}
+SELECT site_key, term,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       count(*)::BIGINT AS cf
+FROM terms GROUP BY site_key, term
+"""
+
+
+def doc_stats_sql(table: str = "documents") -> str:
+    """(doc_id, dl) for every document (dl = retained-term count, 0 when the
+    text has no retained terms)."""
+    return f"""
+WITH {terms_cte(table)},
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM terms GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dl.dl, 0)::BIGINT AS dl
+FROM {table} d LEFT JOIN dl USING (doc_id)
+"""
+
+
+# ----------------------------------------------------------------- search
+
+def _terms_in(query_terms: list[str]) -> str:
+    return "(" + ", ".join(f"'{t}'" for t in query_terms) + ")"
+
+
+def search_compat_sql(query_terms: list[str], site_key: str | None = None,
+                      limit: int = 20, offset: int = 0,
+                      table: str = "documents") -> str:
+    """Reference-compatible conjunctive search (SURVEY §2.G):
+    R_abs = Σ tf over docs containing ALL query terms;
+    rel = R_abs / max(R_abs); order rel desc, doc_id asc.
+    Returns (doc_id, url, score_abs, rel)."""
+    n = len(set(query_terms))
+    site_filter = (
+        f"AND {SITE_KEY_SQL} = '{site_key}'" if site_key else ""
+    )
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id, sum(tf)::BIGINT AS score_abs
+  FROM post GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+),
+gated AS (
+  SELECT doc_id, score_abs FROM hits
+  WHERE TRUE {site_filter}
+)
+SELECT doc_id, {URL_SQL} AS url, score_abs,
+       round(score_abs / (max(score_abs) OVER ()), 4) AS rel
+FROM gated
+ORDER BY score_abs DESC, doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""
+
+
+def search_bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+                    limit: int = 20, offset: int = 0,
+                    table: str = "documents") -> str:
+    """Conjunctive BM25 (Robertson idf = ln(1 + (N-df+0.5)/(df+0.5)));
+    deterministic tiebreak (rounded score desc, doc_id asc).
+    Returns (doc_id, score)."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score,
+         count(DISTINCT p.term) AS nt
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE nt = {n}
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""
+
+
+def url_normalize_sql(table: str = "documents") -> str:
+    """S4 normalizer over the deterministically-derived raw_url.
+    Returns (doc_id, raw_url, norm_path)."""
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {RAW_URL_SQL} AS raw_url, {SITE_SQL} AS site FROM {table}
+),
+step AS (
+  SELECT doc_id, raw_url,
+         regexp_replace(lower(trim(raw_url)), '[?#].*$', '') AS u,
+         regexp_replace(lower(trim(site)), '/+$', '') AS root
+  FROM raw
+),
+p AS (
+  SELECT doc_id, raw_url, substr(u, length(root) + 1) AS path FROM step
+),
+p2 AS (
+  SELECT doc_id, raw_url,
+         CASE WHEN length(path) > 1 THEN regexp_replace(path, '/+$', '')
+              ELSE path END AS path
+  FROM p
+)
+SELECT doc_id, raw_url,
+       CASE WHEN path = '' THEN '/' ELSE path END AS norm_path
+FROM p2
+"""
+
+
+def statistics_sql(table: str = "documents") -> str:
+    """A1 per-site statistics: (site_key, pages, lemmas)."""
+    return f"""
+WITH {terms_cte(table, extra_cols=f"{SITE_KEY_SQL.replace('doc_id', 'd.doc_id')} AS site_key")},
+pages AS (
+  SELECT {SITE_KEY_SQL} AS site_key, count(*)::BIGINT AS pages
+  FROM {table} GROUP BY 1
+),
+lemmas AS (
+  SELECT site_key, count(DISTINCT term)::BIGINT AS lemmas
+  FROM terms GROUP BY site_key
+)
+SELECT p.site_key, p.pages, coalesce(l.lemmas, 0)::BIGINT AS lemmas
+FROM pages p LEFT JOIN lemmas l USING (site_key)
+"""
+
+
+def site_gate_sql(query_terms: list[str], table: str = "documents") -> str:
+    """Q2 conjunctive site gate: sites where EVERY query term occurs on at
+    least one page (reference SearchServiceImpl.java:122-127).
+    Returns (site_key,)."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table, extra_cols=f"{SITE_KEY_SQL.replace('doc_id', 'd.doc_id')} AS site_key")}
+SELECT site_key
+FROM terms WHERE term IN {_terms_in(query_terms)}
+GROUP BY site_key
+HAVING count(DISTINCT term) = {n}
+"""

@@ -1,0 +1,184 @@
+"""Query evaluation — reference §2.D (SearchServiceImpl) as DataFrame plans.
+
+The reference runs k−1 MySQL round-trips per site, shrinking an IN-list
+candidate set rarest-term-first (SearchServiceImpl.java:152-180). On Spark
+the conjunctive intersection is ONE aggregation over the query terms'
+postings — the term filter is a broadcast-able `isin` over a handful of
+strings, so the scan prunes to the query terms' posting partitions and the
+HAVING count(distinct term) = n reproduces AND semantics without any
+join chain. Early-exit/rarest-first become WAND pruning in operators/wand.py
+(the compressed fast path); this module is the relational reference path
+that the oracle can verify.
+
+Scoring modes (SURVEY §2.G):
+  * compat: R_abs = Σ tf, rel = R_abs / max(R_abs)  — reproduces the
+    reference ranking exactly (its score is Σ raw tf, max-normalized;
+    lemma df is used only for intersection order, never the score).
+  * bm25:  Robertson idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75.
+
+Deterministic tiebreak everywhere: score desc, doc_id asc (the reference's
+Java Map sort is tie-unstable — SURVEY §2.D Q6 requires us to pin one).
+Scores are rounded to 4 dp at the output edge so independent engines
+(Spark vs DuckDB oracle) hash identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.documents import site_key_col
+from ..textproc.tokenize import tokenize
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def analyze_query(query: str) -> list[str]:
+    """Q1: query string → deduped term list (driver-side, same tokenizer)."""
+    seen: dict[str, None] = {}
+    for t in tokenize(query):
+        seen.setdefault(t)
+    return list(seen)
+
+
+def _conjunctive_hits(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Docs containing ALL query terms: (doc_id, score_abs, nt).
+
+    The isin() literal set prunes the postings scan (pushed to parquet via
+    min/max + dictionary filters when postings are stored term-bucketed)."""
+    n = len(set(terms))
+    return (
+        postings.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("score_abs"),
+            F.count_distinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") == n)
+        .drop("nt")
+    )
+
+
+def search_compat(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    site_key: str | None = None,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """Reference-compatible search → (doc_id, url, score_abs, rel).
+
+    Implements Q2-Q6: conjunctive AND, Σtf score, max-normalize, sort,
+    paginate. The global max is a scalar agg broadcast back via a window
+    over an empty partition spec — acceptable because the hit set is
+    already reduced (post-intersection), not the corpus.
+    """
+    if not terms:
+        return docs.select("doc_id", "url").limit(0).withColumn(
+            "score_abs", F.lit(0).cast("long")
+        ).withColumn("rel", F.lit(0.0))
+    hits = _conjunctive_hits(postings, terms)
+    if site_key is not None:
+        hits = hits.withColumn("site_key", site_key_col()).filter(
+            F.col("site_key") == site_key
+        ).drop("site_key")
+    w = Window.partitionBy()
+    out = hits.withColumn(
+        "rel", F.round(F.col("score_abs") / F.max("score_abs").over(w), 4)
+    )
+    out = out.join(docs.select("doc_id", "url"), "doc_id")
+    return (
+        out.select("doc_id", "url", "score_abs", "rel")
+        .orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )
+
+
+def bm25_idf(n_docs: float, df: float) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def search_bm25(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """BM25 conjunctive top-k → (doc_id, score).
+
+    Join strategy at scale: the df lookup for the query terms is collected
+    driver-side (|terms| rows — cheaper than any join) and baked into the
+    plan as a literal idf map; doc length joins via broadcast-ABLE doc_stats
+    only after the candidate set is reduced by the term filter + HAVING.
+    """
+    uniq = sorted(set(terms))
+    n = len(uniq)
+    if n == 0:
+        return postings.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    df_rows = (
+        term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
+    )
+    idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
+    if len(idf) < n:
+        # a query term absent from the corpus → conjunctive result is empty
+        return postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    idf_col = F.create_map(
+        *[x for t in uniq for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    cand = (
+        postings.filter(F.col("term").isin(uniq))
+        .join(doc_stats.hint("broadcast"), "doc_id")
+        .withColumn(
+            "part_score",
+            idf_col[F.col("term")]
+            * (F.col("tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
+            ),
+        )
+    )
+    scored = (
+        cand.groupBy("doc_id")
+        .agg(
+            F.sum("part_score").alias("score_raw"),
+            F.count_distinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") == n)
+        .select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )
+
+
+def site_gate(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Q2 conjunctive site gate → (site_key,): sites on which every query
+    term occurs (reference SearchServiceImpl.java:122-127 drops sites
+    missing any query lemma before touching postings)."""
+    from ..operators.index_build import build_term_dict_site
+
+    n = len(set(terms))
+    td = build_term_dict_site(docs)
+    return (
+        td.filter(F.col("term").isin(list(set(terms))))
+        .groupBy("site_key")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == n)
+        .select("site_key")
+    )

@@ -1,0 +1,32 @@
+"""Statistics surface — reference A1 (StatisticsServiceImpl.java:30-100):
+total + per-site page and lemma counts. One groupBy per table, joined on
+site; totals are a final agg. All codegen-able relational ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.index_build import build_term_dict_site
+from ..sources.documents import site_key_col
+
+
+def per_site_statistics(docs: DataFrame) -> DataFrame:
+    """(site_key, pages, lemmas) — pages per site and distinct terms per
+    site (the reference's per-site detail rows)."""
+    pages = (
+        docs.withColumn("site_key", site_key_col())
+        .groupBy("site_key")
+        .agg(F.count("*").alias("pages"))
+    )
+    lemmas = (
+        build_term_dict_site(docs)
+        .groupBy("site_key")
+        .agg(F.count("*").alias("lemmas"))
+    )
+    return pages.join(lemmas, "site_key", "left").select(
+        "site_key",
+        F.col("pages").cast("long"),
+        F.coalesce(F.col("lemmas"), F.lit(0)).cast("long").alias("lemmas"),
+    )

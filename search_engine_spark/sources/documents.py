@@ -1,0 +1,82 @@
+"""Documents source — the engine's input table.
+
+BASELINE.json input_hint wants an Iceberg table of Common-Crawl-style pages
+``(url, warc_ts, html, text, lang)``. The sandbox testdata provides
+``documents.parquet`` with ``(doc_id, text, lang, source, n_chars)``; per
+FIXTURES.md §7 the web-page columns are derived **deterministically** from
+``doc_id`` + ``text`` so tests/bench need no external data. The same
+derivations are emitted as DuckDB SQL (functions/oracle_fragments.py) so
+oracle queries see identical values.
+
+Derivations (frozen):
+  site_key  = 'site-' || chr(97 + doc_id % 3)          → site-a/b/c
+  site      = 'https://' || site_key || '.example'
+  path      = '/docs/' || doc_id
+  url       = site || path
+  raw_url   = un-normalized variant exercising the URL normalizer (S4):
+              mixed case '/Docs/', trailing '/' when doc_id%5=0,
+              '?ref=track' when doc_id%7=0
+  warc_ts   = timestamp '2024-01-01 00:00:00' + doc_id minutes
+  html      = deterministic page wrapper around ``text`` (title = 'Doc <id>')
+              such that textproc.extract.extract_text(html) == text
+              (the byte-identical invariant; golden-tested)
+
+At 100 TB scale ``documents`` would be an Iceberg table bucket-partitioned by
+``bucket(url)``; here it is a plain parquet read (catalog.py provides the
+Iceberg-style layout for the derived index tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SITES = ("site-a", "site-b", "site-c")
+
+
+def site_key_col(doc_id="doc_id"):
+    return F.concat(F.lit("site-"), F.char(F.col(doc_id) % 3 + 97))
+
+
+def html_col(doc_id="doc_id", text="text"):
+    """Deterministic HTML wrapper (binary). extract_text() inverts it."""
+    return F.encode(
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col(doc_id).cast("string"),
+            F.lit("</title><script>var x=1;</script></head><body><p>"),
+            F.col(text),
+            F.lit("</p></body></html>"),
+        ),
+        "utf-8",
+    )
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read documents.parquet and attach the derived web-page columns."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    site_key = site_key_col()
+    site = F.concat(F.lit("https://"), site_key, F.lit(".example"))
+    path = F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"))
+    raw_path = F.concat(
+        F.lit("/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("?ref=track")).otherwise(F.lit("")),
+    )
+    return (
+        df.withColumn("site_key", site_key)
+        .withColumn("site", site)
+        .withColumn("path", path)
+        .withColumn("url", F.concat(site, path))
+        .withColumn("raw_url", F.concat(site, raw_path))
+        .withColumn(
+            "warc_ts",
+            F.timestamp_add("MINUTE", F.col("doc_id"), F.lit("2024-01-01 00:00:00").cast("timestamp")),
+        )
+        .withColumn("html", html_col())
+    )
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")

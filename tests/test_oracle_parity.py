@@ -1,0 +1,33 @@
+"""Oracle-parity tests — mirror the driver's correctness gate.
+
+Every (queries, oracle_sql) pair from __spark_entry__ is executed on
+sf0.001: the Spark DataFrame result must equal the DuckDB result as an
+order-insensitive row multiset with exact values (the driver hashes values,
+so approximate equality is not enough).
+"""
+
+import pytest
+
+from tests.conftest import SF_TEST, compare_frames
+
+import __spark_entry__ as entrymod
+
+NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, spark, oracle_small):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        df = q(spark, SF_TEST)
+        assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    compare_frames(q(spark, SF_TEST), oracle_small.sql(sql))
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "score"]

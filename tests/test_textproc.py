@@ -1,0 +1,100 @@
+"""Unit tests for the pure-Python text pipeline (reference T1-T6, S4)."""
+
+from search_engine_spark.textproc.extract import (
+    extract_block_text,
+    extract_text,
+    extract_title,
+)
+from search_engine_spark.textproc.tokenize import (
+    clean_token,
+    term_frequencies,
+    tokenize,
+)
+from search_engine_spark.textproc.urls import normalize_path
+
+
+class TestTokenize:
+    def test_basic(self):
+        assert tokenize("Fast data FAST") == ["fast", "data", "fast"]
+
+    def test_stopwords_dropped(self):
+        # reference drops particles/conjunctions/prepositions (T4)
+        assert tokenize("the data of a table") == ["data", "table"]
+
+    def test_digits_rejected(self):
+        # README.md:5 — words containing digits are ignored
+        assert tokenize("abc123 123 x2y data") == ["data"]
+
+    def test_boundary_cleanup(self):
+        # T3: strip leading/trailing non-letters
+        assert tokenize('«слово», (word). -data-') == ["слово", "word", "data"]
+
+    def test_hyphenated_russian_kept(self):
+        assert tokenize("кто-то пришел") == ["кто-то", "пришел"]
+
+    def test_lone_hyphen_dropped(self):
+        assert tokenize("- -- a-") == ["a"] or tokenize("- -- x-") == ["x"]
+
+    def test_empty(self):
+        assert tokenize("") == []
+        assert tokenize("   ") == []
+
+    def test_clean_token(self):
+        assert clean_token("...data!!") == "data"
+        # digits are not strippable (reference excludes them from boundary
+        # classes) — digit tokens survive cleaning and fail validation whole
+        assert clean_token("123") == "123"
+        assert clean_token("abc123!") == "abc123"
+
+    def test_term_frequencies(self):
+        assert term_frequencies("data fast data") == {"data": 2, "fast": 1}
+
+
+class TestExtract:
+    HTML = (
+        b"<html><head><title>My Page</title>"
+        b"<script>var x = '<p>no</p>';</script>"
+        b"<style>p { color: red; }</style></head>"
+        b"<body><p>Hello &amp; welcome</p><p>Second  line</p>"
+        b"<!-- comment --><div>Third</div></body></html>"
+    )
+
+    def test_text(self):
+        assert extract_text(self.HTML) == "My Page Hello & welcome Second line Third"
+
+    def test_block_text(self):
+        assert extract_block_text(self.HTML).split("\n") == [
+            "My Page",
+            "Hello & welcome",
+            "Second line",
+            "Third",
+        ]
+
+    def test_title(self):
+        assert extract_title(self.HTML) == "My Page"
+
+    def test_script_not_leaked(self):
+        assert "no" not in extract_text(self.HTML)
+
+    def test_deterministic(self):
+        assert extract_text(self.HTML) == extract_text(self.HTML)
+
+
+class TestUrlNormalize:
+    ROOT = "https://site-a.example"
+
+    def test_strip_query(self):
+        assert normalize_path(self.ROOT, f"{self.ROOT}/Docs/5?ref=x") == "/docs/5"
+
+    def test_trailing_slash(self):
+        assert normalize_path(self.ROOT, f"{self.ROOT}/docs/5/") == "/docs/5"
+
+    def test_root(self):
+        assert normalize_path(self.ROOT, self.ROOT) == "/"
+        assert normalize_path(self.ROOT, f"{self.ROOT}/") == "/"
+
+    def test_fragment(self):
+        assert normalize_path(self.ROOT, f"{self.ROOT}/a#sec") == "/a"
+
+    def test_cross_site(self):
+        assert normalize_path(self.ROOT, "https://other.example/x") is None
