@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+  * full index build into compressed document-sharded posting blocks
+    (materialized; docs/sec reported)
+  * a warm query suite: BM25 common/rare terms, reference-compat scoring,
+    site-filtered, paginated
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., plus informational extras}.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+scripts/scaling_bench.py which invokes this module's run() at two
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench[{cpus}]",
+        parallelism=cpus,
+        shuffle_partitions=cpus,
+    )
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    t0 = time.perf_counter()
+    eng = SearchEngine(spark, sf_dir, n_buckets=max(cpus, 16))
+    eng.build()
+    n_blocks = eng.blocks.count()  # materialize the cached index
+    build_sec = time.perf_counter() - t0
+    n_docs = eng.n_docs
+
+    queries = {
+        "bm25_common": lambda: eng.search("data fast join", limit=20),
+        "bm25_rare": lambda: eng.search("dup scan merge", limit=20),
+        "compat": lambda: eng.search("data fast", mode="compat", limit=20),
+        "site_filtered": lambda: eng.search("data fast", site_key="site-b", limit=20),
+        "paginated": lambda: eng.search("data fast join", limit=10, offset=10),
+    }
+    # warm-up (JIT, code paths, caches)
+    queries["bm25_common"]().collect()
+
+    q_times: dict[str, float] = {}
+    for name, fn in queries.items():
+        t = time.perf_counter()
+        fn().collect()
+        q_times[name] = round(time.perf_counter() - t, 4)
+
+    total = round(build_sec + sum(q_times.values()), 4)
+    result = {
+        "metric": "index_build_plus_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": {"build": round(build_sec, 4), **q_times},
+        "sf": float(sf),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 2),
+        "posting_blocks": n_blocks,
+        "cpus": cpus,
+    }
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

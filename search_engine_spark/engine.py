@@ -1,0 +1,181 @@
+"""Engine facade — the reference's service surface (A2) as a Python API.
+
+    eng = SearchEngine(spark, sf_dir)
+    eng.build()                      # index build (blocks + dict + norms)
+    eng.search("fast data")         # BM25 top-k over compressed blocks
+    eng.search("fast data", mode="compat")   # reference-identical ranking
+    eng.statistics()
+
+Build is one job with a single shuffle into document-sharded compressed
+blocks; queries are shuffle-free block scans (operators/wand.py). The
+DataFrame reference path (operators/search.py) remains available via
+mode='*_df' for cross-checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import index_build as ib
+from .operators import search as se
+from .operators import wand
+from .operators.blocks import N_BUCKETS_DEFAULT, build_posting_blocks, write_blocks
+from .sources.documents import load_documents
+
+
+class SearchEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str | None = None,
+        docs: DataFrame | None = None,
+        n_buckets: int = N_BUCKETS_DEFAULT,
+        index_dir: str | None = None,
+    ):
+        if docs is None:
+            if sf_dir is None:
+                raise ValueError("need sf_dir or docs")
+            docs = load_documents(spark, sf_dir)
+        self.spark = spark
+        self.docs = docs
+        self.n_buckets = n_buckets
+        self.index_dir = index_dir
+        self._built = False
+
+    # ------------------------------------------------------------- build
+    def build(self, persist: bool = False) -> "SearchEngine":
+        """Full index build (reference startIndexing, I9 — but a pure batch
+        job: no locks, no mutable status rows)."""
+        # one explode+agg pass feeds blocks, dictionary and norms — cache it
+        # (at cluster scale this is the stage-boundary shuffle output reuse)
+        postings = ib.build_postings(self.docs).cache()
+        blocks = build_posting_blocks(postings, self.n_buckets)
+        if persist and self.index_dir:
+            write_blocks(blocks, f"{self.index_dir}/postings_blocks")
+            blocks = self.spark.read.parquet(f"{self.index_dir}/postings_blocks")
+        else:
+            blocks = blocks.cache()
+        self.blocks = blocks
+        self.term_dict = ib.build_term_dict(postings).cache()
+        doc_stats = ib.build_doc_stats(self.docs, postings)
+        self.doc_stats = doc_stats.withColumn(
+            "doc_bucket", (F.col("doc_id") % self.n_buckets).cast("int")
+        ).cache()
+        self.n_docs, self.avgdl = ib.corpus_stats(self.docs, self.doc_stats)
+        # materialize the cached index eagerly (build is the expensive job;
+        # queries must hit warm caches), then drop the intermediate postings
+        self.blocks.count()
+        self.term_dict.count()
+        postings.unpersist()
+        self._built = True
+        return self
+
+    def _require_built(self):
+        if not self._built:
+            self.build()
+
+    # ------------------------------------------------------------- query
+    def search(
+        self,
+        query: str,
+        mode: str = "bm25",
+        site_key: str | None = None,
+        limit: int = 20,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Top-k search over compressed blocks. Returns (doc_id, score[,rel])."""
+        self._require_built()
+        empty_schema = (
+            "doc_id long, score_abs long, rel double"
+            if mode.startswith("compat")
+            else "doc_id long, score double"
+        )
+        terms = se.analyze_query(query)
+        if not terms:
+            return self.spark.createDataFrame([], empty_schema)
+        uniq = sorted(set(terms))
+        df_rows = (
+            self.term_dict.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+            .collect()
+        )
+        if len(df_rows) < len(uniq):
+            return self.spark.createDataFrame([], empty_schema)
+        idf = {
+            r["term"]: se.bm25_idf(float(self.n_docs), float(r["df"]))
+            for r in df_rows
+        }
+        norms = self.doc_stats.select("doc_bucket", "doc_id", "dl")
+        restrict = site_key is not None
+        if restrict:
+            # norms are co-partitioned with blocks; pre-filtering them to the
+            # site and restricting candidates inside the scorer implements
+            # per-site search without a second shuffle
+            from .sources.documents import site_key_col
+
+            norms = norms.withColumn("site_key", site_key_col()).filter(
+                F.col("site_key") == site_key
+            ).drop("site_key")
+        compat = mode.startswith("compat")
+        # fetch top (offset+limit) so compat normalization sees the global
+        # max (the reference normalizes BEFORE pagination, Q5 then Q6)
+        out = wand.topk_blocks(
+            self.blocks,
+            norms,
+            uniq,
+            mode="compat" if compat else "bm25",
+            idf=idf,
+            avgdl=self.avgdl,
+            limit=limit + offset,
+            offset=0,
+            restrict_to_norms=restrict,
+        )
+        if compat:
+            w = Window.partitionBy()
+            out = out.select(
+                "doc_id", F.col("score").cast("long").alias("score_abs")
+            ).withColumn(
+                "rel", F.round(F.col("score_abs") / F.max("score_abs").over(w), 4)
+            )
+            return (
+                out.orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+                .offset(offset)
+                .limit(limit)
+            )
+        return (
+            out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .offset(offset)
+            .limit(limit)
+        )
+
+    # --------------------------------------------------------------- admin
+    def statistics(self) -> dict:
+        """Reference GET /api/statistics envelope (A1/A2)."""
+        from .plans.statistics import per_site_statistics
+
+        rows = per_site_statistics(self.docs).collect()
+        total_pages = sum(r["pages"] for r in rows)
+        total_lemmas = sum(r["lemmas"] for r in rows)
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(rows),
+                    "pages": total_pages,
+                    "lemmas": total_lemmas,
+                    "indexing": False,
+                },
+                "detailed": [
+                    {
+                        "url": f"https://{r['site_key']}.example",
+                        "name": r["site_key"],
+                        "status": "INDEXED" if self._built else "FAILED",
+                        "pages": r["pages"],
+                        "lemmas": r["lemmas"],
+                        "error": None,
+                    }
+                    for r in rows
+                ],
+            },
+        }

@@ -1,0 +1,93 @@
+"""Compressed posting-block build — document-sharded index layout.
+
+Layout decision (the 100 TB story): blocks are **document-sharded** —
+partition key = doc_bucket = doc_id mod N_BUCKETS — not term-sharded.
+
+* Build: one shuffle (groupBy doc_bucket+term) → applyInPandas encodes each
+  (bucket, term) posting run into delta+varbyte blocks. Head-term skew
+  (a term in 80% of all docs — FIXTURES.md injects one) is bounded by the
+  bucket size: the hottest (bucket, term) group holds ≤ |bucket| postings,
+  so bucketing IS the salt (SURVEY §7 step 5). No group ever sees more than
+  ~N/N_BUCKETS rows regardless of term popularity.
+* Query: each bucket holds ALL terms for its doc subset, so conjunctive
+  AND / top-k scoring is embarrassingly parallel per bucket with NO query-
+  time shuffle — per-bucket top-k heaps merge at the driver (the classic
+  document-partitioned web-search design; per-term ordering/early-exit from
+  the reference, SearchServiceImpl.java:152-180, happens inside each bucket).
+* Storage: written partitionBy("doc_bucket") so a term filter + bucket scan
+  prunes files; doc_ids within a bucket stay globally sorted because we sort
+  by doc_id before encoding.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .codec import encode_blocks
+
+N_BUCKETS_DEFAULT = 32
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_bucket", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("doc_bytes", T.BinaryType(), False),
+        T.StructField("tf_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (doc_bucket, term) posting run → encoded block rows."""
+    pdf = pdf.sort_values("doc_id")
+    bucket = int(pdf["doc_bucket"].iloc[0])
+    term = pdf["term"].iloc[0]
+    rows = []
+    for blk in encode_blocks(pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy()):
+        rows.append(
+            {
+                "doc_bucket": bucket,
+                "term": term,
+                **blk,
+            }
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[f.name for f in BLOCKS_SCHEMA.fields],
+    )
+
+
+def build_posting_blocks(
+    postings: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT
+) -> DataFrame:
+    """(doc_id, term, tf) → compressed block rows.
+
+    The groupBy key includes doc_bucket so Arrow batches stay small and
+    skew-free; applyInPandas receives each (bucket, term) run whole.
+    """
+    with_bucket = postings.withColumn(
+        "doc_bucket", (F.col("doc_id") % n_buckets).cast("int")
+    )
+    return with_bucket.groupBy("doc_bucket", "term").applyInPandas(
+        _encode_group, schema=BLOCKS_SCHEMA
+    )
+
+
+def write_blocks(blocks: DataFrame, path: str) -> None:
+    """Persist partitioned by doc_bucket (file-level pruning on bucket;
+    min/max column stats prune on term within each bucket)."""
+    (
+        blocks.repartition("doc_bucket")
+        .sortWithinPartitions("term", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    )

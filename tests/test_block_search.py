@@ -1,0 +1,85 @@
+"""Block-path equivalence: the compressed-block scorer must reproduce the
+relational DataFrame scorer (which itself is oracle-verified) exactly."""
+
+import pytest
+
+from tests.conftest import SF_TEST
+
+from search_engine_spark.engine import SearchEngine
+from search_engine_spark.operators import index_build as ib
+from search_engine_spark.operators import search as se
+from search_engine_spark.sources.documents import load_documents
+
+TERM_SETS = [
+    ["data", "fast"],
+    ["dup", "scan", "merge"],
+    ["dup"],
+    ["data", "fast", "join", "batch"],
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SearchEngine(spark, SF_TEST, n_buckets=8).build()
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    docs = load_documents(spark, SF_TEST)
+    postings = ib.build_postings(docs).cache()
+    term_dict = ib.build_term_dict(postings).cache()
+    doc_stats = ib.build_doc_stats(docs, postings).cache()
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    return docs, postings, term_dict, doc_stats, n_docs, avgdl
+
+
+@pytest.mark.parametrize("terms", TERM_SETS, ids=["-".join(t) for t in TERM_SETS])
+def test_bm25_block_equals_dataframe(engine, ctx, terms):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    want = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms, limit=50
+    ).collect()
+    got = engine.search(" ".join(terms), mode="bm25", limit=50).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+@pytest.mark.parametrize("terms", TERM_SETS[:2], ids=["-".join(t) for t in TERM_SETS[:2]])
+def test_compat_block_equals_dataframe(engine, ctx, terms):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    want = se.search_compat(docs, postings, terms, limit=50).collect()
+    got = engine.search(" ".join(terms), mode="compat", limit=50).collect()
+    assert [(r["doc_id"], r["score_abs"], r["rel"]) for r in got] == [
+        (r["doc_id"], r["score_abs"], r["rel"]) for r in want
+    ]
+
+
+def test_compat_site_filter(engine, ctx):
+    docs, postings, *_ = ctx
+    want = se.search_compat(docs, postings, ["data", "fast"], site_key="site-b").collect()
+    got = engine.search("data fast", mode="compat", site_key="site-b").collect()
+    assert [(r["doc_id"], r["score_abs"], r["rel"]) for r in got] == [
+        (r["doc_id"], r["score_abs"], r["rel"]) for r in want
+    ]
+
+
+def test_pagination_consistency(engine):
+    full = engine.search("data fast", limit=30).collect()
+    p1 = engine.search("data fast", limit=10).collect()
+    p2 = engine.search("data fast", limit=10, offset=10).collect()
+    p3 = engine.search("data fast", limit=10, offset=20).collect()
+    assert [r["doc_id"] for r in p1 + p2 + p3] == [r["doc_id"] for r in full]
+
+
+def test_absent_and_empty(engine):
+    assert engine.search("zebra data").count() == 0
+    assert engine.search("the of a").count() == 0
+    assert engine.search("").count() == 0
+
+
+def test_statistics(engine):
+    s = engine.statistics()
+    assert s["result"] is True
+    assert s["statistics"]["total"]["sites"] == 3
+    assert s["statistics"]["total"]["pages"] == 500

@@ -1,0 +1,79 @@
+"""Property + unit tests for the posting-block codec (delta+varbyte)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.operators.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    delta_decode,
+    delta_encode,
+    encode_blocks,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**50), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(values):
+    arr = np.array(values, dtype=np.int64)
+    assert varbyte_decode(varbyte_encode(arr), len(arr)).tolist() == values
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400)
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert delta_decode(delta_encode(arr)).tolist() == arr.tolist()
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=600),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=50, deadline=None)
+def test_blocks_roundtrip(ids, tf_seed):
+    doc_ids = np.array(sorted(ids), dtype=np.int64)
+    rng = np.random.default_rng(tf_seed)
+    tfs = rng.integers(1, 10_000, size=doc_ids.size).astype(np.int64)
+    blocks = encode_blocks(doc_ids, tfs)
+    got_ids, got_tfs = [], []
+    for b in blocks:
+        assert b["count"] <= BLOCK_SIZE
+        i, t = decode_block(b["doc_bytes"], b["tf_bytes"], b["count"])
+        assert b["first_doc"] == i[0] and b["last_doc"] == i[-1]
+        assert b["max_tf"] == t.max()
+        got_ids.extend(i.tolist())
+        got_tfs.extend(t.tolist())
+    assert got_ids == doc_ids.tolist()
+    assert got_tfs == tfs.tolist()
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.array([], dtype=np.int64)) == b""
+    assert varbyte_decode(b"", 0).tolist() == []
+
+
+def test_varbyte_zero_and_boundaries():
+    vals = [0, 1, 127, 128, 16383, 16384, 2**31, 2**50]
+    arr = np.array(vals, dtype=np.int64)
+    enc = varbyte_encode(arr)
+    assert varbyte_decode(enc, len(vals)).tolist() == vals
+    # 0 and 1..127 take one byte each
+    assert len(varbyte_encode(np.array([0], dtype=np.int64))) == 1
+    assert len(varbyte_encode(np.array([127], dtype=np.int64))) == 1
+    assert len(varbyte_encode(np.array([128], dtype=np.int64))) == 2
+
+
+def test_compression_wins():
+    # dense doc ids → ~1 byte per posting vs 8 raw
+    ids = np.arange(0, 100_000, 3, dtype=np.int64)
+    tfs = np.ones(ids.size, dtype=np.int64)
+    total = sum(
+        len(b["doc_bytes"]) + len(b["tf_bytes"]) for b in encode_blocks(ids, tfs)
+    )
+    assert total < ids.size * 3  # ≥ 5x smaller than raw 16B/posting
