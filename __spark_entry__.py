@@ -136,6 +136,22 @@ def _q_statistics(spark, sf_dir):
     return per_site_statistics(load_documents(spark, sf_dir))
 
 
+def _q_titles(spark, sf_dir):
+    from search_engine_spark.operators.presentation import titles
+
+    return titles(load_documents(spark, sf_dir))
+
+
+def _q_search_results(spark, sf_dir):
+    """Presented top-k (Q7 title + Q8 snippet). Snippet generation is not
+    SQL-expressible — rows-only driver check; semantics pinned by
+    tests/test_snippet.py goldens."""
+    from search_engine_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, sf_dir).build()
+    return eng.search_results("data fast", mode="compat", limit=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -152,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_gate": _q_site_gate,
         "url_normalize": _q_url_normalize,
         "statistics": _q_statistics,
+        "titles": _q_titles,
+        "search_results": _q_search_results,
     }
 
 
@@ -175,4 +193,9 @@ def oracle_sql() -> dict[str, str]:
         "site_gate": ora.site_gate_sql(Q_GATE),
         "url_normalize": ora.url_normalize_sql(),
         "statistics": ora.statistics_sql(),
+        # title extraction runs the real regex extractor over html; the
+        # oracle knows the fixture titles are 'Doc <id>' by construction
+        "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
+        # search_results intentionally has no oracle (snippet strings are
+        # pinned by pure-Python goldens in tests/test_snippet.py)
     }

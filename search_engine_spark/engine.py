@@ -119,7 +119,8 @@ class SearchEngine:
             ).drop("site_key")
         compat = mode.startswith("compat")
         # fetch top (offset+limit) so compat normalization sees the global
-        # max (the reference normalizes BEFORE pagination, Q5 then Q6)
+        # max (the reference normalizes BEFORE pagination, Q5 then Q6);
+        # limit=None = all hits (pre-pagination count path)
         out = wand.topk_blocks(
             self.blocks,
             norms,
@@ -127,7 +128,7 @@ class SearchEngine:
             mode="compat" if compat else "bm25",
             idf=idf,
             avgdl=self.avgdl,
-            limit=limit + offset,
+            limit=None if limit is None else limit + offset,
             offset=0,
             restrict_to_norms=restrict,
         )
@@ -137,17 +138,63 @@ class SearchEngine:
                 "doc_id", F.col("score").cast("long").alias("score_abs")
             ).withColumn(
                 "rel", F.round(F.col("score_abs") / F.max("score_abs").over(w), 4)
-            )
-            return (
-                out.orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
-                .offset(offset)
-                .limit(limit)
-            )
-        return (
-            out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .offset(offset)
-            .limit(limit)
-        )
+            ).orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+        if limit is None:
+            return out
+        return out.offset(offset).limit(limit)
+
+    def search_results(
+        self,
+        query: str,
+        mode: str = "bm25",
+        site_key: str | None = None,
+        limit: int = 20,
+        offset: int = 0,
+    ) -> DataFrame:
+        """Top-k with presentation columns (reference SearchData rows:
+        site, site_name, uri, title, snippet, relevance — Q7/Q8)."""
+        from .operators.presentation import present_results
+        from .operators.search import analyze_query
+
+        hits = self.search(query, mode=mode, site_key=site_key,
+                           limit=limit, offset=offset)
+        rel_col = "rel" if mode.startswith("compat") else "score"
+        lemmas = set(analyze_query(query))
+        out = present_results(self.docs, hits, lemmas, relevance_col=rel_col)
+        return out.orderBy(F.col("relevance").desc(), F.col("doc_id").asc())
+
+    def search_page(
+        self,
+        query: str,
+        mode: str = "bm25",
+        site_key: str | None = None,
+        limit: int = 20,
+        offset: int = 0,
+    ) -> dict:
+        """Reference GET /api/search envelope (A2, README.md:244-270):
+        {result, count, data[]} — count is the PRE-pagination match total
+        (SearchServiceImpl.java:105)."""
+        terms = se.analyze_query(query)
+        if not terms:
+            return {"result": False, "error": "Задан пустой поисковый запрос",
+                    "count": 0, "data": []}
+        full = self.search(query, mode=mode, site_key=site_key, limit=None)
+        count = full.count()
+        rows = self.search_results(
+            query, mode=mode, site_key=site_key, limit=limit, offset=offset
+        ).collect()
+        data = [
+            {
+                "site": r["site"],
+                "siteName": r["site_name"],
+                "uri": r["uri"],
+                "title": r["title"],
+                "snippet": r["snippet"],
+                "relevance": r["relevance"],
+            }
+            for r in rows
+        ]
+        return {"result": True, "count": count, "data": data}
 
     # --------------------------------------------------------------- admin
     def statistics(self) -> dict:

@@ -13,15 +13,19 @@ Pinned by: textproc/tokenize.py (tokenizer), sources/documents.py
 from __future__ import annotations
 
 from ..hashing import HEX_DIGITS
+from ..textproc.lemmas import lemma_case_sql
 from ..textproc.stopwords import sql_not_in_list
 from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
 
 # ---------------------------------------------------------------- tokenizer
 
-def terms_cte(table: str = "documents", extra_cols: str = "") -> str:
+def terms_cte(table: str = "documents", extra_cols: str = "",
+              lemmatize: bool = True) -> str:
     """CTE `terms(doc_id[, extra], term)` — one row per retained term
-    occurrence. Mirrors functions/text_columns.py::explode_terms."""
+    occurrence (normal form when lemmatize). Mirrors
+    functions/text_columns.py::explode_terms."""
     cols = f"d.doc_id{(', ' + extra_cols) if extra_cols else ''}"
+    term_expr = lemma_case_sql("term") if lemmatize else "term"
     return f"""
 toks AS (
   SELECT {cols},
@@ -29,7 +33,7 @@ toks AS (
   FROM {table} d, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS t(tok)
 ),
 terms AS (
-  SELECT * FROM toks
+  SELECT * REPLACE ({term_expr} AS term) FROM toks
   WHERE term <> ''
     AND regexp_matches(term, '{WORD_PATTERN}')
     AND term NOT IN {sql_not_in_list()}

@@ -23,21 +23,32 @@ from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
 _STOPWORD_LIST = sorted(STOPWORDS)
 
 
-def explode_terms(df: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
+def explode_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    keep: list[str] | None = None,
+    lemmatize: bool = True,
+) -> DataFrame:
     """documents → one row per retained term occurrence: (*keep, term).
 
     keep defaults to ["doc_id"]. Duplicate occurrences are preserved (tf is
-    aggregated downstream)."""
+    aggregated downstream). ``lemmatize`` applies the frozen normal-form
+    dictionary (T5) as a literal-map lookup — still whole-stage codegen."""
+    from ..textproc.lemmas import lemma_col
+
     keep = keep or ["doc_id"]
     tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
     out = df.select(*keep, tok)
     term = F.regexp_replace(F.col("tok"), BOUNDARY_STRIP, "")
     out = out.withColumn("term", term).drop("tok")
-    return out.filter(
+    out = out.filter(
         (F.col("term") != "")
         & F.col("term").rlike(WORD_PATTERN)
         & ~F.col("term").isin(_STOPWORD_LIST)
     )
+    if lemmatize:
+        out = out.withColumn("term", lemma_col(F.col("term")))
+    return out
 
 
 def normalized_path_col(site_col: Column, url_col: Column) -> Column:

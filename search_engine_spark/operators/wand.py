@@ -125,7 +125,7 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
             for t in sorted(aligned):  # fixed order → deterministic fp sum
                 tf = aligned[t].astype(np.float64)
                 s += idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        if ids.size > k:
+        if k is not None and ids.size > k:
             # keep the SAME top-k the global merge would pick: score desc,
             # doc_id asc — a bare argpartition could drop a tied doc that
             # wins the global doc_id tiebreak
@@ -145,7 +145,7 @@ def topk_blocks(
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
     avgdl: float = 1.0,
-    limit: int = 20,
+    limit: int | None = 20,
     offset: int = 0,
     restrict_to_norms: bool = False,
 ) -> DataFrame:
@@ -154,10 +154,12 @@ def topk_blocks(
     blocks: the compressed block table (doc_bucket, term, ..., bytes).
     doc_stats_bucketed: (doc_bucket, doc_id, dl) — co-partitioned norms
     (pre-filter it to implement site-scoped search).
+    limit=None returns ALL hits (used for pre-pagination match counts,
+    reference SearchServiceImpl.java:105 — per-bucket truncation is skipped).
     Returns (doc_id, score) rounded to 4 dp, tie-broken by doc_id.
     """
     uniq = sorted(set(terms))
-    k = limit + offset
+    k = None if limit is None else limit + offset
     cand = blocks.filter(F.col("term").isin(uniq))
     scorer = make_conjunctive_scorer(
         uniq, mode, idf, k1, b, avgdl, k, restrict_to_norms=restrict_to_norms
@@ -169,9 +171,7 @@ def topk_blocks(
     )
     out = per_bucket.select(
         "doc_id", F.round(F.col("score_raw"), 4).alias("score")
-    )
-    return (
-        out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .offset(offset)
-        .limit(limit)
-    )
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    if limit is None:
+        return out
+    return out.offset(offset).limit(limit)

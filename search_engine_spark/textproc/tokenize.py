@@ -51,9 +51,15 @@ def raw_tokens(text: str) -> list[str]:
     return [t for t in WS_RE.split(text.lower().strip()) if t]
 
 
-def tokenize(text: str, *, drop_stopwords: bool = True) -> list[str]:
-    """Full fast-analyzer pipeline (rules 1-5). Order-preserving with
-    duplicates — term frequency is computed downstream."""
+def tokenize(
+    text: str, *, drop_stopwords: bool = True, lemmatize: bool = True
+) -> list[str]:
+    """Full analyzer pipeline (rules 1-5 + normal-form lookup, T5).
+    Order-preserving with duplicates — term frequency is computed
+    downstream. ``lemmatize=False`` gives the raw surface tokens (rules
+    1-5 only)."""
+    from .lemmas import lemma  # local import: avoid cycle at module load
+
     out: list[str] = []
     for tok in raw_tokens(text):
         tok = clean_token(tok)
@@ -61,14 +67,14 @@ def tokenize(text: str, *, drop_stopwords: bool = True) -> list[str]:
             continue
         if drop_stopwords and tok in STOPWORDS:
             continue
-        out.append(tok)
+        out.append(lemma(tok) if lemmatize else tok)
     return out
 
 
-def term_frequencies(text: str) -> dict[str, int]:
+def term_frequencies(text: str, *, lemmatize: bool = True) -> dict[str, int]:
     """Reference findLemmas() analogue (LemmasFinder.java:31-46):
-    term → occurrence count within one document."""
+    normal-form term → occurrence count within one document."""
     tf: dict[str, int] = {}
-    for t in tokenize(text):
+    for t in tokenize(text, lemmatize=lemmatize):
         tf[t] = tf.get(t, 0) + 1
     return tf
