@@ -136,6 +136,33 @@ def _q_statistics(spark, sf_dir):
     return per_site_statistics(load_documents(spark, sf_dir))
 
 
+def _q_postings_roundtrip(spark, sf_dir):
+    """Compressed block codec round-trip: postings → delta+varbyte blocks →
+    decode. Oracle = the plain postings relation, so any codec corruption
+    breaks value-hash parity."""
+    from search_engine_spark.operators.blocks import (
+        build_posting_blocks,
+        decode_blocks,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    blocks = build_posting_blocks(ib.build_postings(docs), 16)
+    return decode_blocks(blocks).drop("doc_bucket")
+
+
+def _q_term_dict_blocks(spark, sf_dir):
+    """(term, df, cf) derived from block METADATA alone (resume path) —
+    must equal the relational term_dict."""
+    from search_engine_spark.operators.blocks import (
+        build_posting_blocks,
+        term_dict_from_blocks,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    blocks = build_posting_blocks(ib.build_postings(docs), 16)
+    return term_dict_from_blocks(blocks)
+
+
 def _q_titles(spark, sf_dir):
     from search_engine_spark.operators.presentation import titles
 
@@ -170,6 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
+        "postings_roundtrip": _q_postings_roundtrip,
+        "term_dict_blocks": _q_term_dict_blocks,
     }
 
 
@@ -196,6 +225,8 @@ def oracle_sql() -> dict[str, str]:
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
+        "postings_roundtrip": ora.postings_sql(),
+        "term_dict_blocks": ora.term_dict_sql(),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

@@ -44,6 +44,53 @@ class SearchEngine:
         self._built = False
 
     # ------------------------------------------------------------- build
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        docs: DataFrame | None = None,
+        sf_dir: str | None = None,
+    ) -> "SearchEngine":
+        """Attach to a persisted index (catalog.IndexStore layout) without
+        rebuilding. ``docs`` (or sf_dir) is only needed for presentation /
+        statistics paths."""
+        from .catalog import IndexStore
+
+        probe = IndexStore(spark, index_dir)
+        stats = probe.read_corpus_stats()
+        store = IndexStore(spark, index_dir, n_buckets=stats["n_buckets"])
+        if docs is None and sf_dir is not None:
+            docs = load_documents(spark, sf_dir)
+        eng = cls.__new__(cls)
+        eng.spark = spark
+        eng.docs = docs
+        eng.n_buckets = store.n_buckets
+        eng.index_dir = index_dir
+        eng.store = store
+        eng.blocks = store.read_blocks()
+        eng.term_dict = store.read_term_dict()
+        eng.doc_stats = store.read_doc_stats()
+        eng.n_docs = stats["n_docs"]
+        eng.avgdl = stats["avgdl"]
+        eng._built = True
+        return eng
+
+    def build_persistent(self, index_dir: str | None = None,
+                         groups: int = 1) -> "SearchEngine":
+        """Checkpoint-resumable build through the persistent store
+        (catalog.build_persistent); reopens the committed index."""
+        from . import catalog
+
+        index_dir = index_dir or self.index_dir
+        if not index_dir:
+            raise ValueError("need index_dir")
+        store = catalog.IndexStore(self.spark, index_dir, self.n_buckets)
+        catalog.build_persistent(self.docs, store, groups=groups)
+        fresh = SearchEngine.open(self.spark, index_dir, docs=self.docs)
+        self.__dict__.update(fresh.__dict__)
+        return self
+
     def build(self, persist: bool = False) -> "SearchEngine":
         """Full index build (reference startIndexing, I9 — but a pure batch
         job: no locks, no mutable status rows)."""

@@ -39,6 +39,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("max_tf", T.LongType(), False),
+        T.StructField("sum_tf", T.LongType(), False),
         T.StructField("doc_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),
     ]
@@ -78,6 +79,57 @@ def build_posting_blocks(
     )
     return with_bucket.groupBy("doc_bucket", "term").applyInPandas(
         _encode_group, schema=BLOCKS_SCHEMA
+    )
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Inverse of build_posting_blocks: block rows → logical postings
+    (doc_bucket, term, doc_id, tf). Vectorized numpy decode per Arrow batch;
+    used by the incremental-reindex path to reconstruct a bucket's postings
+    without re-reading the corpus."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_bucket", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.LongType(), False),
+        ]
+    )
+
+    def _decode(batches):
+        from .codec import decode_block
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buckets, terms, ids_parts, tf_parts = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
+                ids_parts.append(ids)
+                tf_parts.append(tfs)
+                buckets.append(np.full(ids.size, row.doc_bucket, dtype=np.int32))
+                terms.extend([row.term] * ids.size)
+            yield pd.DataFrame(
+                {
+                    "doc_bucket": np.concatenate(buckets),
+                    "term": terms,
+                    "doc_id": np.concatenate(ids_parts),
+                    "tf": np.concatenate(tf_parts),
+                }
+            )
+
+    cols = ["doc_bucket", "term", "count", "doc_bytes", "tf_bytes"]
+    return blocks.select(*cols).mapInPandas(_decode, schema=out_schema)
+
+
+def term_dict_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(term, df, cf) from block metadata alone — exact (df = Σ count,
+    cf = Σ sum_tf), no decode, no corpus re-read. Equals
+    index_build.build_term_dict(postings) by construction."""
+    return blocks.groupBy("term").agg(
+        F.sum("count").alias("df"), F.sum("sum_tf").alias("cf")
     )
 
 

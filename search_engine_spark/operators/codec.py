@@ -116,6 +116,10 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
                 "first_doc": int(ids[0]),
                 "last_doc": int(ids[-1]),
                 "max_tf": int(t.max()),
+                # sum_tf lets term_dict (df=Σcount, cf=Σsum_tf) re-derive
+                # from stored blocks alone — no raw-corpus re-read on
+                # resume/incremental paths
+                "sum_tf": int(t.sum()),
                 "doc_bytes": varbyte_encode(delta_encode(ids)),
                 "tf_bytes": varbyte_encode(t),
             }

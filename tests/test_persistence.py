@@ -1,0 +1,180 @@
+"""Persistent store: checkpoint-resume (I9) + incremental reindex (I5-I8).
+
+The north_rule requires the build to be resumable from checkpoint with
+per-partition lineage, and the incremental path to converge to a
+from-scratch rebuild (FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import catalog
+from search_engine_spark.engine import SearchEngine
+from search_engine_spark.operators.blocks import decode_blocks
+from search_engine_spark.operators.incremental import reindex_docs
+from search_engine_spark.sources.documents import load_documents
+
+from tests.conftest import SF_TEST
+
+N_BUCKETS = 8
+
+
+def _store(spark, tmp_path, name):
+    return catalog.IndexStore(spark, str(tmp_path / name), n_buckets=N_BUCKETS)
+
+
+def _logical_postings(store):
+    return {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_blocks(store.read_blocks()).collect()
+    }
+
+
+def _term_dict(store):
+    return {
+        (r["term"], r["df"], r["cf"]) for r in store.read_term_dict().collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF_TEST)
+
+
+def test_build_open_roundtrip(spark, docs, tmp_path):
+    store = _store(spark, tmp_path, "idx")
+    report = catalog.build_persistent(docs, store)
+    assert sorted(report["built_buckets"]) == list(range(N_BUCKETS))
+    eng = SearchEngine.open(spark, store.dir, docs=docs)
+    mem = SearchEngine(spark, docs=docs, n_buckets=N_BUCKETS).build()
+    got = [(r["doc_id"], r["score"]) for r in eng.search("data fast join").collect()]
+    want = [(r["doc_id"], r["score"]) for r in mem.search("data fast join").collect()]
+    assert got == want and len(got) > 0
+
+
+def test_rebuild_same_input_skips_everything(spark, docs, tmp_path):
+    store = _store(spark, tmp_path, "idx2")
+    r1 = catalog.build_persistent(docs, store)
+    r2 = catalog.build_persistent(docs, store)
+    assert r2["built_buckets"] == []
+    assert sorted(r2["skipped"]) == list(range(N_BUCKETS))
+    # lineage: every bucket's blocks row still carries the FIRST build_id
+    rows = store.manifest().filter(F.col("phase") == "blocks").collect()
+    assert {r["build_id"] for r in rows} == {r1["build_id"]}
+
+
+def test_resume_after_simulated_kill(spark, docs, tmp_path):
+    ref_store = _store(spark, tmp_path, "ref")
+    catalog.build_persistent(docs, ref_store)
+
+    store = _store(spark, tmp_path, "killed")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        catalog.build_persistent(docs, store, groups=4, fail_after_groups=2)
+    committed_before = store.committed_buckets(catalog.fingerprint_docs(docs))
+    assert 0 < len(committed_before) < N_BUCKETS  # partial progress persisted
+
+    report = catalog.build_persistent(docs, store, groups=4)
+    assert set(report["skipped"]) == committed_before
+    assert set(report["built_buckets"]) == set(range(N_BUCKETS)) - committed_before
+    # resumed index is identical to a clean one
+    assert _logical_postings(store) == _logical_postings(ref_store)
+    assert _term_dict(store) == _term_dict(ref_store)
+    # lineage: committed buckets keep their original build_id
+    rows = store.manifest().filter(F.col("phase") == "blocks").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["doc_bucket"], set()).add(r["build_id"])
+    assert all(len(v) == 1 for v in by_bucket.values())
+    assert len({next(iter(v)) for v in by_bucket.values()}) == 2  # two builds
+
+
+def test_manifest_counters(spark, docs, tmp_path):
+    store = _store(spark, tmp_path, "counted")
+    catalog.build_persistent(docs, store)
+    rows = store.manifest().filter(F.col("phase") == "blocks").collect()
+    post = decode_blocks(store.read_blocks())
+    truth = {
+        r["doc_bucket"]: (r["nd"], r["np"])
+        for r in post.groupBy("doc_bucket")
+        .agg(F.count_distinct("doc_id").alias("nd"), F.count("*").alias("np"))
+        .collect()
+    }
+    for r in rows:
+        nd, np_ = truth.get(r["doc_bucket"], (0, 0))
+        assert (r["n_docs"], r["n_postings"]) == (nd, np_)
+
+
+# ----------------------------------------------------------- incremental
+
+CHANGED_ID = 7
+NEW_TEXT = "fresh merge merge testing tables dup"
+
+
+def _modified_docs(docs):
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == CHANGED_ID, F.lit(NEW_TEXT)).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def test_incremental_reindex_converges_to_rebuild(spark, docs, tmp_path):
+    # index v1, then incrementally apply the v2 change of one document
+    inc_store = _store(spark, tmp_path, "inc")
+    catalog.build_persistent(docs, inc_store)
+    changed = _modified_docs(docs).filter(F.col("doc_id") == CHANGED_ID)
+    result = reindex_docs(inc_store, changed)
+    assert result["touched_buckets"] == [CHANGED_ID % N_BUCKETS]
+
+    # from-scratch rebuild of v2 = the golden
+    ref_store = _store(spark, tmp_path, "inc_ref")
+    catalog.build_persistent(_modified_docs(docs), ref_store)
+
+    assert _logical_postings(inc_store) == _logical_postings(ref_store)
+    assert _term_dict(inc_store) == _term_dict(ref_store)
+    ds_inc = {
+        (r["doc_id"], r["dl"]) for r in inc_store.read_doc_stats().collect()
+    }
+    ds_ref = {
+        (r["doc_id"], r["dl"]) for r in ref_store.read_doc_stats().collect()
+    }
+    assert ds_inc == ds_ref
+
+
+def test_incremental_delete(spark, docs, tmp_path):
+    inc_store = _store(spark, tmp_path, "del")
+    catalog.build_persistent(docs, inc_store)
+    empty = docs.filter(F.lit(False))
+    reindex_docs(inc_store, empty, delete_ids=[CHANGED_ID])
+
+    ref_store = _store(spark, tmp_path, "del_ref")
+    catalog.build_persistent(
+        docs.filter(F.col("doc_id") != CHANGED_ID), ref_store
+    )
+    assert _logical_postings(inc_store) == _logical_postings(ref_store)
+    assert _term_dict(inc_store) == _term_dict(ref_store)
+
+
+def test_df_decrement_and_delete_at_zero(spark, docs, tmp_path):
+    """I6 semantics: removing the only page containing a term deletes the
+    dictionary row; removing one of many decrements df."""
+    store = _store(spark, tmp_path, "df")
+    catalog.build_persistent(docs, store)
+    td_before = {r["term"]: r["df"] for r in store.read_term_dict().collect()}
+
+    # give doc CHANGED_ID a unique term, then take it away again
+    unique = "zzuniqueterm"
+    with_unique = docs.filter(F.col("doc_id") == CHANGED_ID).withColumn(
+        "text", F.concat(F.col("text"), F.lit(f" {unique}"))
+    )
+    reindex_docs(store, with_unique)
+    td_mid = {r["term"]: r["df"] for r in store.read_term_dict().collect()}
+    assert td_mid[unique] == 1
+
+    reindex_docs(store, docs.filter(F.col("doc_id") == CHANGED_ID))
+    td_after = {r["term"]: r["df"] for r in store.read_term_dict().collect()}
+    assert unique not in td_after  # deleted at df == 0
+    assert td_after == td_before
