@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions import oracle_fragments as ora
+from search_engine_spark.functions import oracle_pipeline as pipe
 from search_engine_spark.functions.text_columns import normalized_path_col
 from search_engine_spark.operators import index_build as ib
 from search_engine_spark.operators import search as se
@@ -179,6 +180,118 @@ def _q_search_results(spark, sf_dir):
     return eng.search_results("data fast", mode="compat", limit=10)
 
 
+# ---------------------------------------------------------------- pipeline
+# Training-data pipeline operators (textstats / dedup / similarity /
+# multimodal) — each Spark plan mirrored by a DuckDB oracle fragment in
+# functions/oracle_pipeline.py.
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+EMB_NEAR_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.5
+
+
+def _q_lang_id(spark, sf_dir):
+    from search_engine_spark.operators.textstats import language_id
+
+    return language_id(load_documents(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    from search_engine_spark.operators.textstats import token_counts
+
+    return token_counts(load_documents(spark, sf_dir))
+
+
+def _q_quality_scores(spark, sf_dir):
+    from search_engine_spark.operators.textstats import quality_scores
+
+    return quality_scores(load_documents(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from search_engine_spark.operators.textstats import fingerprints
+
+    return fingerprints(load_documents(spark, sf_dir))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from search_engine_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(load_documents(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    from search_engine_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(load_documents(spark, sf_dir))
+
+
+def _q_dedup_lsh_pairs(spark, sf_dir):
+    from search_engine_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(load_documents(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from search_engine_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def _q_simhash(spark, sf_dir):
+    from search_engine_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(load_documents(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from search_engine_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(load_documents(spark, sf_dir))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from search_engine_spark.operators.dedup import embedding_near_pairs
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return embedding_near_pairs(
+        load_embeddings(spark, sf_dir), EMB_NEAR_THRESHOLD
+    )
+
+
+def _q_ann_bruteforce(spark, sf_dir):
+    from search_engine_spark.operators.similarity import ann_bruteforce
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return ann_bruteforce(load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
+
+
+def _q_ann_lsh_buckets(spark, sf_dir):
+    from search_engine_spark.operators.similarity import lsh_buckets
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return lsh_buckets(load_embeddings(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from search_engine_spark.operators.similarity import ann_lsh
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return ann_lsh(load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
+
+
+def _q_media_stats(spark, sf_dir):
+    from search_engine_spark.operators.multimodal import media_stats
+
+    return media_stats(load_documents(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    from search_engine_spark.operators.multimodal import media_features
+
+    return media_features(load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -199,6 +312,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_results": _q_search_results,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_dict_blocks": _q_term_dict_blocks,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "fingerprints": _q_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "minhash": _q_minhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "ann_lsh": _q_ann_lsh,
+        "media_stats": _q_media_stats,
+        "media_features": _q_media_features,
     }
 
 
@@ -227,6 +356,24 @@ def oracle_sql() -> dict[str, str]:
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
         "postings_roundtrip": ora.postings_sql(),
         "term_dict_blocks": ora.term_dict_sql(),
+        "lang_id": pipe.language_id_sql(),
+        "token_counts": pipe.token_counts_sql(),
+        "quality_scores": pipe.quality_scores_sql(),
+        "fingerprints": pipe.fingerprints_sql(),
+        "dedup_exact": pipe.exact_duplicates_sql(),
+        "minhash": pipe.minhash_sql(),
+        "dedup_lsh_pairs": pipe.lsh_pairs_sql(),
+        "dedup_jaccard": pipe.jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
+        "simhash": pipe.simhash_sql(),
+        "simhash_pairs": pipe.simhash_near_pairs_sql(),
+        "embedding_neardup": pipe.embedding_near_pairs_sql(
+            threshold=EMB_NEAR_THRESHOLD
+        ),
+        "ann_bruteforce": pipe.ann_bruteforce_sql(ANN_QUERY_IDS),
+        "ann_lsh_buckets": pipe.lsh_buckets_sql(),
+        "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
+        "media_stats": pipe.media_stats_sql(),
+        "media_features": pipe.media_features_sql(),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

@@ -1,0 +1,334 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators
+(operators/textstats.py, dedup.py, similarity.py, multimodal.py).
+
+Same contract as oracle_fragments.py: every frozen constant / hash /
+threshold here imports from the single Python source of truth, so Spark and
+oracle cannot drift. All hashing goes through the portable h60
+(md5-derived; hashing.py)."""
+
+from __future__ import annotations
+
+from ..hashing import h60_sql
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import textstats as ts
+from ..textproc.stopwords import sql_not_in_list
+from .oracle_fragments import terms_cte
+
+# --------------------------------------------------------------- textstats
+
+def language_id_sql(table: str = "documents") -> str:
+    c, l = ts.CYRILLIC_CLASS, ts.LATIN_CLASS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(lower(text)) - length(regexp_replace(lower(text), '[{c}]', '', 'g')) AS cyr,
+         length(lower(text)) - length(regexp_replace(lower(text), '[{l}]', '', 'g')) AS lat
+  FROM {table}
+)
+SELECT doc_id, cyr::BIGINT AS cyr, lat::BIGINT AS lat,
+       CASE WHEN cyr + lat = 0 THEN 'unknown'
+            WHEN cyr / (cyr + lat) >= {ts.LANG_RU_MIN_RATIO} THEN 'ru'
+            WHEN lat / (cyr + lat) >= {ts.LANG_EN_MIN_RATIO} THEN 'en'
+            ELSE 'mixed' END AS lang_pred
+FROM base
+"""
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+WITH {terms_cte(table)},
+t AS (
+  SELECT doc_id, count(*)::BIGINT AS n_terms,
+         count(DISTINCT term)::BIGINT AS n_unique_terms
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       (CASE WHEN trim(d.text) = '' THEN 0
+             ELSE len(string_split_regex(trim(d.text), '\\s+')) END)::BIGINT
+         AS n_ws_tokens,
+       coalesce(t.n_terms, 0)::BIGINT AS n_terms,
+       coalesce(t.n_unique_terms, 0)::BIGINT AS n_unique_terms
+FROM {table} d LEFT JOIN t USING (doc_id)
+"""
+
+
+def quality_scores_sql(table: str = "documents") -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(trim(text)) AS t,
+         length(lower(trim(text))) AS n_chars,
+         CASE WHEN lower(trim(text)) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tok,
+         CASE WHEN lower(trim(text)) = '' THEN 0
+              ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x IN {sql_not_in_list()})) END AS stop_hits,
+         length(lower(trim(text)))
+           - length(regexp_replace(lower(trim(text)), '[0-9]', '', 'g')) AS digits,
+         length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS non_ws
+  FROM {table}
+),
+ratios AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE stop_hits / n_tok END AS stop_ratio,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE non_ws / n_tok END AS mean_wl,
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE digits / n_chars END AS digit_ratio
+  FROM base
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(mean_wl, 4) AS mean_word_len,
+       round(digit_ratio, 4) AS digit_ratio,
+       round(
+         CASE WHEN n_chars = 0 THEN 0.0 ELSE
+         (CASE WHEN stop_ratio >= {ts.QUALITY_STOPWORD_LO}
+                AND stop_ratio <= {ts.QUALITY_STOPWORD_HI} THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mean_wl >= {ts.QUALITY_MEAN_WORD_LO}
+                  AND mean_wl <= {ts.QUALITY_MEAN_WORD_HI} THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN digit_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN n_chars > 0 THEN 0.1 ELSE 0.0 END)
+         END, 4) AS quality
+FROM ratios
+"""
+
+
+FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    return f"SELECT doc_id, {FP_SQL} AS fp FROM {table}"
+
+
+# ------------------------------------------------------------------- dedup
+
+def exact_duplicates_sql(table: str = "documents") -> str:
+    return f"""
+WITH fp AS (SELECT doc_id, {FP_SQL} AS fp FROM {table}),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+         count(*) OVER (PARTITION BY fp) AS group_size
+  FROM fp
+)
+SELECT doc_id, canonical_id, group_size::BIGINT AS group_size
+FROM g WHERE group_size >= 2
+"""
+
+
+def _shingles_cte(table: str = "documents", k: int = dd.SHINGLE_K) -> str:
+    return f"""
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM {table} WHERE trim(text) <> ''
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(toks) <= {k} THEN array_to_string(toks, ' ')
+              ELSE array_to_string(list_slice(toks, i + 1, i + {k}), ' ') END AS shingle
+  FROM norm,
+       unnest(CASE WHEN len(toks) <= {k} THEN [0]
+                   ELSE range(0, len(toks) - {k} + 1) END) AS u(i)
+)"""
+
+
+def minhash_sql(table: str = "documents") -> str:
+    h = h60_sql("(perm::VARCHAR || ':' || shingle)")
+    return f"""
+WITH {_shingles_cte(table)}
+SELECT doc_id, perm::INT AS perm, min({h}) AS minhash
+FROM shingles, unnest(range(0, {dd.N_PERM})) AS p(perm)
+GROUP BY doc_id, perm
+"""
+
+
+def lsh_pairs_sql(table: str = "documents") -> str:
+    h = h60_sql("(perm::VARCHAR || ':' || shingle)")
+    return f"""
+WITH {_shingles_cte(table)},
+sig AS (
+  SELECT doc_id, perm::INT AS perm, min({h}) AS minhash
+  FROM shingles, unnest(range(0, {dd.N_PERM})) AS p(perm)
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, (perm // {dd.PERM_BAND}) AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    return f"""
+WITH {_shingles_cte(table)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+"""
+
+
+def simhash_sql(table: str = "documents") -> str:
+    h = h60_sql("term")
+    return f"""
+WITH {terms_cte(table)},
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, {h} AS h
+  FROM terms GROUP BY doc_id, term
+),
+per_bit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM tf, unnest(range(0, {dd.SIMHASH_BITS})) AS b(bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+def simhash_near_pairs_sql(table: str = "documents", max_hamming: int = 8) -> str:
+    band_w = dd.SIMHASH_BITS // 4
+    mask = (1 << band_w) - 1
+    return f"""
+WITH sig AS ({simhash_sql(table)}),
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {band_w})) & {mask} AS key
+  FROM sig, unnest([0, 1, 2, 3]) AS b(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming
+FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+"""
+
+
+# -------------------------------------------------------------- embeddings
+
+COS_SQL = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def embedding_near_pairs_sql(threshold: float = 0.95,
+                             table: str = "embeddings") -> str:
+    cos = COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 4) AS cos
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {threshold}
+"""
+
+
+def _ids_in(ids: list[int]) -> str:
+    return "(" + ", ".join(str(i) for i in ids) + ")"
+
+
+def ann_bruteforce_sql(query_ids: list[int], k: int = 5,
+                       table: str = "embeddings") -> str:
+    cos = COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM {table}
+           WHERE vec_id IN {_ids_in(query_ids)}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({cos}, 4) AS cos
+  FROM q JOIN {table} c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _plane_literal(j: int) -> str:
+    vals = ", ".join(repr(v) for v in sim.hyperplane(j))
+    return f"[{vals}]::DOUBLE[]"
+
+
+def _sig_sql(col: str) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product({col}::DOUBLE[], {_plane_literal(j)}) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for j in range(sim.N_PLANES)
+    )
+    return f"({bits})"
+
+
+def lsh_buckets_sql(table: str = "embeddings") -> str:
+    return f"SELECT vec_id, {_sig_sql('embedding')} AS sig FROM {table}"
+
+
+def ann_lsh_sql(query_ids: list[int], k: int = 5,
+                table: str = "embeddings") -> str:
+    cos = COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM {table}
+),
+q AS (SELECT vec_id AS query_id, embedding, sig AS qsig FROM sigs
+      WHERE vec_id IN {_ids_in(query_ids)}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({cos}, 4) AS cos
+  FROM q JOIN sigs c ON c.sig = q.qsig AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# -------------------------------------------------------------- multimodal
+
+HTML_SQL = (
+    "('<html><head><title>Doc ' || doc_id || "
+    "'</title><script>var x=1;</script></head><body><p>' || text || "
+    "'</p></body></html>')"
+)
+
+
+def media_stats_sql(table: str = "documents") -> str:
+    return f"""
+WITH m AS (SELECT doc_id, {HTML_SQL} AS s FROM {table})
+SELECT doc_id,
+       octet_length(encode(s))::BIGINT AS n_bytes,
+       lower(substr(hex(encode(s)), 1, 8)) AS magic,
+       md5(s) AS content_md5
+FROM m
+"""
+
+
+def media_features_sql(table: str = "documents") -> str:
+    return f"""
+WITH m AS (SELECT doc_id, {HTML_SQL} AS s FROM {table}),
+d AS (SELECT doc_id, octet_length(encode(s)) AS n_bytes, md5(s) AS digest FROM m)
+SELECT doc_id, n_bytes::BIGINT AS n_bytes, digest AS feat_hash,
+       ('0x' || substr(digest, 1, 8))::BIGINT AS feat0,
+       ('0x' || substr(digest, 9, 8))::BIGINT AS feat1
+FROM d
+"""

@@ -1,0 +1,314 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine. The training-data-pipeline surface a 100 TB corpus needs
+before indexing (none exist in the reference; they are first-class here).
+
+Everything is built from the portable h60 hash (hashing.py: md5-derived
+60-bit int, identical in Spark / DuckDB / Python), so the driver's DuckDB
+oracle reproduces every signature bit-for-bit. All plans are pure
+DataFrame ops — explode/groupBy/join — no UDFs.
+
+Scale notes per operator:
+
+* exact_duplicates — one groupBy on a 16-byte hash; the canonical-id
+  min() is a map-side-combinable agg. At 100 TB this is THE cheap first
+  pass; shuffle moves one short row per doc.
+* minhash signatures — explode(shingles) → groupBy(doc, perm).min(hash):
+  shuffle is |docs|·|perms| small rows; perms explode via a literal
+  array so the fan-out is in-task, not a join.
+* LSH bands — signatures → (band, band_key) → self-join inside buckets.
+  Bucket sizes are bounded because band keys concatenate PERM_BAND
+  min-hashes; the classic (b bands × r rows) S-curve tunes recall.
+* simhash — explode(term bits) via a 60-element literal bit array;
+  groupBy(doc).sum(signed tf) per bit → 60-bit signature; near-dups =
+  signatures at Hamming distance ≤ d over band-join candidates.
+* ngram_jaccard — word n-gram shingle explode + pair self-join +
+  |∩|/|∪|; exact but quadratic in shared-shingle pairs — the verification
+  stage AFTER LSH candidate generation, never the corpus-wide pass.
+* embedding near-dup — brute pairwise cosine on candidate pairs;
+  corpus-wide pairs only at test scale (similarity.py has the ANN path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..hashing import h60_col
+from .textstats import fingerprints
+
+N_PERM = 12  # minhash permutations
+PERM_BAND = 3  # rows per band  → 4 bands
+N_BANDS = N_PERM // PERM_BAND
+SHINGLE_K = 3  # word shingle width
+SIMHASH_BITS = 60
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id, group_size) for docs whose normalized text
+    collides exactly; canonical = min doc_id of the group. Unique docs are
+    excluded (group_size ≥ 2)."""
+    fp = fingerprints(docs)
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") >= 2)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# ----------------------------------------------------------------- shingles
+
+def word_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams of the normalized text.
+    Docs shorter than k words contribute their full text as one shingle."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    n = F.size(toks)
+    grams = F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+    return (
+        docs.filter(F.trim("text") != "")
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, perm, minhash) — classic MinHash: the i-th 'permutation'
+    re-hashes each shingle with an i-prefixed portable h60 and takes the
+    min per doc (hashing.py explains why re-hashing replaces a*h+b)."""
+    sh = word_shingles(docs)
+    perms = F.explode(
+        F.array(*[F.lit(i) for i in range(n_perm)])
+    ).alias("perm")
+    exploded = sh.select("doc_id", "shingle", perms)
+    h = h60_col(
+        F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle"))
+    )
+    return (
+        exploded.withColumn("h", h)
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_perm: int = N_PERM, band_rows: int = PERM_BAND
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing at least one
+    LSH band (band key = concat of the band's min-hashes)."""
+    sig = minhash_signatures(docs, n_perm)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("perm", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ jaccard
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact word-shingle Jaccard similarity for
+    pairs sharing ≥1 shingle (or only the given candidate pairs), kept at
+    jaccard ≥ threshold. This is the LSH verification stage."""
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over retained terms: bit j
+    of the signature is 1 iff Σ_terms tf·(±1 by bit j of h60(term)) > 0."""
+    from ..functions.text_columns import explode_terms
+
+    tf = (
+        explode_terms(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", h60_col(F.col("term")))
+    )
+    bit = F.explode(
+        F.array(*[F.lit(j) for j in range(bits)])
+    ).alias("bit")
+    contrib = tf.select("doc_id", "tf", "h", bit).withColumn(
+        "signed",
+        F.when(
+            F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")
+        ).otherwise(-F.col("tf")),
+    )
+    per_bit = contrib.groupBy("doc_id", "bit").agg(
+        F.sum("signed").alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — pairs whose SimHash signatures differ in
+    ≤ max_hamming of the 60 bits. Candidate generation joins on 4 15-bit
+    sub-bands (pigeonhole: ≤8 differing bits can corrupt at most 8 of the
+    4 bands... at least one band intact when hamming ≤ 3·(bands-1); for
+    the general case the band join is a recall-tuned candidate filter,
+    verified by the exact popcount)."""
+    sig = simhash_signatures(docs, bits)
+    band_w = bits // 4
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_w)
+                        .bitwiseAND(F.lit((1 << band_w) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# -------------------------------------------------------------- embeddings
+
+def cosine_expr(a, b):
+    """Exact cosine over two float array columns, computed in float64."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    nb = F.sqrt(
+        F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — embedding pairs with cosine ≥ threshold.
+    Brute-force pairwise at oracle scale; similarity.lsh_topk is the
+    bucketed scale path."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns — brute-force cosine top-k
+baseline + random-hyperplane-LSH bucketed variant (the scale path).
+
+The embeddings table (vec_id, embedding: array<float>, label) models the
+training-pipeline ANN workload. Both operators are pure DataFrame plans:
+
+* brute-force — query set (small, broadcast) × corpus, exact cosine in
+  float64 via zip_with/aggregate, per-query top-k with a window. At 100 TB
+  the corpus side streams (narrow scan), the query side broadcasts, and
+  the window is per-query (bounded k·|queries| state) — no corpus shuffle.
+* LSH — H deterministic hyperplanes derived from the portable h60 hash
+  (frozen pseudo-random components baked into the plan as literal arrays),
+  signature = sign-bit string of the H dot products. Vectors sharing a
+  signature bucket are candidates; exact cosine re-ranks inside buckets.
+  Trades recall for a |bucket|² join instead of |corpus|² — the classic
+  SimHash-for-vectors design.
+
+The same hyperplanes are emitted as SQL literal lists so the DuckDB oracle
+(list_dot_product / list_cosine_similarity) reproduces buckets and scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..hashing import h60_py
+from .dedup import cosine_expr
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def hyperplane(j: int, dim: int = EMB_DIM) -> list[float]:
+    """The j-th frozen pseudo-random hyperplane: components in [-1, 1)
+    derived from h60('plane:<j>:<i>') — deterministic, identical in the
+    oracle SQL (emitted as a literal list)."""
+    return [
+        h60_py(f"plane:{j}:{i}") / float(2**59) - 1.0 for i in range(dim)
+    ]
+
+
+def _dot_literal(col, plane: list[float]):
+    """Dot product of an array<float> column with a literal plane, in
+    float64 with left-to-right accumulation (same order as the oracle)."""
+    arr = F.transform(col, lambda x: x.cast("double"))
+    lit = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(arr, lit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_signature_col(col, n_planes: int = N_PLANES, dim: int = EMB_DIM):
+    """Bit-string signature: '1' where dot(v, plane_j) > 0."""
+    bits = [
+        F.when(_dot_literal(col, hyperplane(j, dim)) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for j in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def ann_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — exact cosine top-k neighbors of each
+    query vector (self excluded). Deterministic tiebreak: cos desc, vec_id
+    asc."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.select("vec_id", "embedding")
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine_expr(F.col("qe"), F.col("embedding")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, sig) — hyperplane-LSH bucket assignment for every vector."""
+    return embeddings.select(
+        "vec_id", lsh_signature_col(F.col("embedding"), n_planes).alias("sig")
+    )
+
+
+def ann_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — approximate top-k: candidates share
+    the query's LSH bucket; exact cosine ranks within the bucket. Queries
+    whose bucket holds < k neighbors simply return fewer rows (recall
+    tradeoff — measured against ann_bruteforce in tests)."""
+    with_sig = embeddings.select(
+        "vec_id", "embedding", lsh_signature_col(F.col("embedding"), n_planes).alias("sig")
+    )
+    q = with_sig.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    scored = (
+        with_sig.join(
+            F.broadcast(q),
+            (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos", F.round(cosine_expr(F.col("qe"), F.col("embedding")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

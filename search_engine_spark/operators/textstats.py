@@ -1,0 +1,153 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These go beyond the reference's operator set (it has no corpus-analysis
+surface) but are first-class for a web-scale ingestion engine feeding
+training pipelines. All four are pure column-expression plans — JVM-side,
+whole-stage codegen, zero UDFs — and every rule is mirrored in DuckDB SQL
+(functions/oracle_fragments.py::textstats fragments) for the driver's
+value-hash gate.
+
+Scale notes: each operator is a single narrow scan projection (no shuffle,
+no join); they pushdown-prune to (doc_id, text) columns only, so at 100 TB
+they read exactly two parquet columns and stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..textproc.stopwords import STOPWORDS
+
+# frozen constants — mirrored in oracle SQL
+CYRILLIC_CLASS = "а-яё"
+LATIN_CLASS = "a-z"
+LANG_RU_MIN_RATIO = 0.6  # ≥60% of letters Cyrillic → ru
+LANG_EN_MIN_RATIO = 0.6
+QUALITY_STOPWORD_LO = 0.05  # natural prose has SOME function words
+QUALITY_STOPWORD_HI = 0.6
+QUALITY_MEAN_WORD_LO = 2.0
+QUALITY_MEAN_WORD_HI = 12.0
+
+_STOP_LIST = sorted(STOPWORDS)
+
+
+def _nchars(col, char_class: str):
+    """Count of characters in a regex class: len - len(after removing
+    exactly those characters)."""
+    return F.length(col) - F.length(
+        F.regexp_replace(col, f"[{char_class}]", "")
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, cyr, lat, lang_pred) — n-gram-free script heuristic:
+    classify by the Cyrillic/Latin letter ratio (deterministic, frozen
+    thresholds). 'mixed' when neither script dominates."""
+    t = F.lower(F.col("text"))
+    cyr = _nchars(t, CYRILLIC_CLASS)
+    lat = _nchars(t, LATIN_CLASS)
+    letters = cyr + lat
+    pred = (
+        F.when(letters == 0, F.lit("unknown"))
+        .when(cyr / letters >= LANG_RU_MIN_RATIO, F.lit("ru"))
+        .when(lat / letters >= LANG_EN_MIN_RATIO, F.lit("en"))
+        .otherwise(F.lit("mixed"))
+    )
+    return docs.select(
+        "doc_id",
+        cyr.cast("long").alias("cyr"),
+        lat.cast("long").alias("lat"),
+        pred.alias("lang_pred"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_terms, n_unique_terms) — whitespace token
+    count plus retained-term counts after the full analyzer (tokenizer T2-T5
+    applied via the shared explode; aggregated back per doc)."""
+    from ..functions.text_columns import explode_terms
+
+    ws = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+    terms = (
+        explode_terms(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.count_distinct("term").alias("n_unique_terms"),
+        )
+    )
+    return (
+        ws.join(terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            F.coalesce("n_unique_terms", F.lit(0))
+            .cast("long")
+            .alias("n_unique_terms"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, stopword_ratio, mean_word_len, digit_ratio,
+    quality) — frozen heuristic quality score in [0,1]:
+
+      * stopword_ratio within [0.05, 0.6]  (+0.4) — prose-like
+      * mean word length within [2, 12]    (+0.3) — no gibberish runs
+      * digit_ratio ≤ 0.2                  (+0.2) — not a number dump
+      * non-empty                          (+0.1)
+
+    Everything is exact integer/decimal arithmetic until the final rounded
+    ratio columns (4 dp) so the oracle hashes identically."""
+    t = F.lower(F.trim(F.col("text")))
+    n_chars = F.length(t)
+    toks = F.split(t, r"\s+")
+    n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOP_LIST)))
+    digits = _nchars(t, "0-9")
+    # mean word length = non-whitespace chars / token count (robust to
+    # repeated separators; mirrored exactly in the oracle SQL)
+    non_ws = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(non_ws / n_tok)
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits / n_tok)
+    digit_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(digits / n_chars)
+    quality_sum = (
+        F.when(
+            (stop_ratio >= QUALITY_STOPWORD_LO)
+            & (stop_ratio <= QUALITY_STOPWORD_HI),
+            0.4,
+        ).otherwise(0.0)
+        + F.when(
+            (mean_wl >= QUALITY_MEAN_WORD_LO) & (mean_wl <= QUALITY_MEAN_WORD_HI),
+            0.3,
+        ).otherwise(0.0)
+        + F.when(digit_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.when(n_chars > 0, 0.1).otherwise(0.0)
+    )
+    # an empty document is never "quality" — checks that pass vacuously
+    # (digit ratio 0) must not score it
+    quality = F.when(n_chars == 0, F.lit(0.0)).otherwise(quality_sum)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — deterministic content fingerprint: md5 of the
+    whitespace-normalized lowercase text. The exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

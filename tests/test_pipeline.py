@@ -1,0 +1,172 @@
+"""Training-data pipeline operators: dedup family, ANN, text stats,
+multimodal stubs — unit behavior on crafted inputs (the sf-corpus parity is
+covered by the driver-contract oracle pairs in __spark_entry__)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    rows = [
+        (0, "big data fast scan merge join table"),
+        (1, "big data fast scan merge join table"),          # exact dup of 0
+        (2, "Big  data fast scan merge join   table"),       # ws/case variant
+        (3, "big data fast scan merge join table extra tail words here"),
+        (4, "совершенно другой русский текст про таблицы и запросы"),
+        (5, "unrelated totally different content about nothing shared"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, mini_docs):
+    got = {
+        (r["doc_id"], r["canonical_id"], r["group_size"])
+        for r in dedup.exact_duplicates(mini_docs).collect()
+    }
+    # 0,1,2 normalize to the same fingerprint (lower + ws collapse)
+    assert got == {(0, 0, 3), (1, 0, 3), (2, 0, 3)}
+
+
+def test_jaccard_near_dup_ranks_overlap(spark, mini_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(mini_docs, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical shingle sets
+    assert pairs[(0, 2)] == 1.0  # normalization removes the difference
+    assert 0.1 <= pairs[(0, 3)] < 1.0  # prefix overlap
+    assert (0, 5) not in pairs  # disjoint vocab
+
+
+def test_lsh_candidates_cover_true_near_dups(spark, mini_docs):
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(mini_docs).collect()
+    }
+    # identical docs always share every band
+    assert (0, 1) in cand and (0, 2) in cand
+    # disjoint docs never collide on all three band rows
+    assert (4, 5) not in cand
+
+
+def test_minhash_identical_docs_identical_signatures(spark, mini_docs):
+    sig = dedup.minhash_signatures(mini_docs).collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["minhash"]
+    assert by_doc[0] == by_doc[1] == by_doc[2]
+    assert by_doc[0] != by_doc[5]
+    assert len(by_doc[0]) == dedup.N_PERM
+
+
+def test_simhash_properties(spark, mini_docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(mini_docs).collect()}
+    assert sig[0] == sig[1] == sig[2]
+    assert 6 not in sig  # empty doc has no terms → no signature
+    ham = bin(sig[0] ^ sig[3]).count("1")
+    ham_far = bin(sig[0] ^ sig[5]).count("1")
+    assert ham < ham_far  # near-dup closer in Hamming space than unrelated
+
+
+def test_simhash_near_pairs_finds_variants(spark, mini_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(mini_docs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def mini_vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),    # between 0 and 2
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_bruteforce_exact_ranks(spark, mini_vecs):
+    got = [
+        (r["vec_id"], r["rank"], r["cos"])
+        for r in similarity.ann_bruteforce(mini_vecs, [0], k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [g[0] for g in got] == [1, 4, 2, 3]
+    assert got[0][2] == pytest.approx(0.995, abs=1e-3)
+    assert got[-1][2] == -1.0
+
+
+def test_embedding_near_pairs(spark, mini_vecs):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in dedup.embedding_near_pairs(mini_vecs, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 3) not in pairs
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, mini_vecs):
+    # identical-direction vectors land in the same bucket → rank 1 retained
+    exact = similarity.ann_bruteforce(mini_vecs, [0], k=1).collect()
+    approx = similarity.ann_lsh(mini_vecs, [0], k=1).collect()
+    if approx:  # bucket non-empty → top-1 must agree with exact
+        assert approx[0]["vec_id"] == exact[0]["vec_id"]
+
+
+def test_lang_id_heuristic(spark, mini_docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(mini_docs).collect()}
+    assert got[0] == "en"
+    assert got[4] == "ru"
+    assert got[6] == "unknown"
+
+
+def test_quality_scores_bounds(spark, mini_docs):
+    rows = textstats.quality_scores(mini_docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[6]["quality"] == 0.0  # empty doc
+    assert by_doc[6]["n_chars"] == 0
+
+
+def test_token_counts_empty_doc(spark, mini_docs):
+    by_doc = {r["doc_id"]: r for r in textstats.token_counts(mini_docs).collect()}
+    assert by_doc[6]["n_ws_tokens"] == 0 and by_doc[6]["n_terms"] == 0
+    assert by_doc[0]["n_ws_tokens"] == 7
+
+
+def test_media_stats_and_features(spark, mini_docs):
+    docs = mini_docs.withColumn(
+        "html", F.encode(F.concat(F.lit("<x>"), F.col("text")), "utf-8")
+    )
+    stats = {r["doc_id"]: r for r in multimodal.media_stats(docs).collect()}
+    assert stats[0]["magic"] == "3c783e62"  # '<x>b'
+    feats = {r["doc_id"]: r for r in multimodal.media_features(docs).collect()}
+    assert feats[0]["feat_hash"] == stats[0]["content_md5"]
+    assert feats[0]["n_bytes"] == stats[0]["n_bytes"]
+    # deterministic: identical bytes → identical features
+    assert feats[0]["feat0"] == feats[1]["feat0"]
+
+
+def test_decode_image_raises_without_pillow(spark, mini_docs):
+    docs = mini_docs.limit(1).withColumn(
+        "image", F.encode(F.col("text"), "utf-8")
+    )
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow present; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="pillow|NotImplemented"):
+        multimodal.decode_image(docs).collect()
