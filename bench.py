@@ -25,10 +25,11 @@ import sys
 import time
 
 
-def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+def run(sf_dir: str, cpus: int, quiet: bool = True, multiply: int = 1) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from search_engine_spark.engine import SearchEngine
     from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.documents import load_documents
 
     spark = get_spark(
         app_name=f"bench[{cpus}]",
@@ -36,9 +37,11 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         shuffle_partitions=cpus,
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    docs = load_documents(spark, sf_dir, multiply=multiply)
+    docs.count()  # warm the scan so build_sec measures the build, not JVM init
 
     t0 = time.perf_counter()
-    eng = SearchEngine(spark, sf_dir, n_buckets=max(cpus, 16))
+    eng = SearchEngine(spark, docs=docs, n_buckets=max(cpus, 16))
     eng.build()
     n_blocks = eng.blocks.count()  # materialize the cached index
     build_sec = time.perf_counter() - t0
@@ -78,7 +81,8 @@ def run(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run(sf_dir, cpus)))
+    multiply = int(os.environ.get("SPARK_GRAFT_MULTIPLY", "1"))
+    print(json.dumps(run(sf_dir, cpus, multiply=multiply)))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+The rule's "throughput scaling efficiency ≥0.8 from N to 4N executors"
+cannot use a real cluster in this sandbox, so it is evidenced exactly as
+SURVEY.md §6 prescribes: the IDENTICAL job (bench.run — full index build +
+query suite) at local[N] and local[4N] on the SAME input, each in a fresh
+JVM (subprocess) so neither run inherits warm caches or a sized executor.
+
+    python scripts/scaling_bench.py [--n 8] [--multiply 8] [--sf-dir DIR]
+
+Writes BENCH/BASELINE.md with both throughputs and
+efficiency = throughput_4N / (4 · throughput_N)  (= T_N / (4 · T_4N)).
+
+The corpus is scaled up via SPARK_GRAFT_MULTIPLY (shifted copies of the
+deterministic generator output, sources/documents.py) until the build is
+compute-bound; at the raw sf0.1 size, fixed scheduling overheads (~4 s)
+would dominate an 11 s job and measure Spark's constant costs, not the
+engine's scalability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, sf_dir: str, multiply: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_MULTIPLY=str(multiply),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        check=True,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2, help="small parallelism N (large = 4N)")
+    # multiply=512 (≈2.6M docs) makes the job compute-bound: measured fixed
+    # per-run overhead is ~19 s (cache counts, small-shuffle AQE floors,
+    # python worker spin-up), so smaller inputs measure Spark's constants,
+    # not the engine's scalability
+    ap.add_argument("--multiply", type=int, default=512)
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    small = run_level(n, args.sf_dir, args.multiply)
+    large = run_level(n4, args.sf_dir, args.multiply)
+
+    tput_n = small["docs_per_sec"]
+    tput_4n = large["docs_per_sec"]
+    eff = tput_4n / (4.0 * tput_n)
+
+    def qsec(r):
+        qs = {k: v for k, v in r["queries"].items() if k != "build"}
+        vals = sorted(qs.values())
+        return vals[len(vals) // 2]
+
+    md = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}])
+
+Same job (full index build into compressed posting blocks + warm BM25/compat
+query suite, `bench.run`), same input ({small['docs']} docs =
+sf{small['sf']} × multiply={args.multiply}), fresh JVM per level.
+
+| parallelism | build sec | docs/sec | query p50 sec | total sec |
+|---|---|---|---|---|
+| local[{n}] (N) | {small['queries']['build']} | {tput_n} | {qsec(small)} | {small['value']} |
+| local[{n4}] (4N) | {large['queries']['build']} | {tput_4n} | {qsec(large)} | {large['value']} |
+
+**Scaling efficiency (N → 4N) = throughput_4N / (4 · throughput_N) =
+{eff:.3f}** (target ≥ 0.8, BASELINE.json north_rule).
+
+Raw JSON:
+
+```json
+{json.dumps(small)}
+{json.dumps(large)}
+```
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(md)
+    print(f"written: {out_path}")
+
+
+if __name__ == "__main__":
+    main()

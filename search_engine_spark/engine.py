@@ -68,9 +68,19 @@ class SearchEngine:
         eng.n_buckets = store.n_buckets
         eng.index_dir = index_dir
         eng.store = store
-        eng.blocks = store.read_blocks()
+        # same co-partitioned cache layout as build() (lazy — first query
+        # materializes)
+        eng.blocks = (
+            store.read_blocks()
+            .repartition(store.n_buckets, "doc_bucket")
+            .cache()
+        )
         eng.term_dict = store.read_term_dict()
-        eng.doc_stats = store.read_doc_stats()
+        eng.doc_stats = (
+            store.read_doc_stats()
+            .repartition(store.n_buckets, "doc_bucket")
+            .cache()
+        )
         eng.n_docs = stats["n_docs"]
         eng.avgdl = stats["avgdl"]
         eng._built = True
@@ -93,27 +103,39 @@ class SearchEngine:
 
     def build(self, persist: bool = False) -> "SearchEngine":
         """Full index build (reference startIndexing, I9 — but a pure batch
-        job: no locks, no mutable status rows)."""
-        # one explode+agg pass feeds blocks, dictionary and norms — cache it
-        # (at cluster scale this is the stage-boundary shuffle output reuse)
+        job: no locks, no mutable status rows).
+
+        Materialization order matters: postings first (the Arrow tokenizer
+        pass — every later table derives from its cache), then blocks; the
+        dictionary re-derives from block METADATA (term_dict_from_blocks)
+        so the corpus is never re-tokenized, and norms/corpus stats are one
+        cheap cached-postings aggregation each."""
+        from .operators.blocks import term_dict_from_blocks
+
         postings = ib.build_postings(self.docs).cache()
+        postings.count()
         blocks = build_posting_blocks(postings, self.n_buckets)
         if persist and self.index_dir:
             write_blocks(blocks, f"{self.index_dir}/postings_blocks")
             blocks = self.spark.read.parquet(f"{self.index_dir}/postings_blocks")
-        else:
-            blocks = blocks.cache()
-        self.blocks = blocks
-        self.term_dict = ib.build_term_dict(postings).cache()
-        doc_stats = ib.build_doc_stats(self.docs, postings)
-        self.doc_stats = doc_stats.withColumn(
-            "doc_bucket", (F.col("doc_id") % self.n_buckets).cast("int")
-        ).cache()
-        self.n_docs, self.avgdl = ib.corpus_stats(self.docs, self.doc_stats)
-        # materialize the cached index eagerly (build is the expensive job;
-        # queries must hit warm caches), then drop the intermediate postings
+        # cache blocks and norms ALREADY hash-partitioned on doc_bucket:
+        # the per-query cogroup requires ClusteredDistribution(doc_bucket),
+        # so a matching cached partitioning removes both per-query
+        # exchanges — queries become shuffle-free scans of the cached
+        # index (the whole point of the document-sharded layout)
+        self.blocks = blocks.repartition(self.n_buckets, "doc_bucket").cache()
         self.blocks.count()
+        self.term_dict = term_dict_from_blocks(self.blocks).cache()
         self.term_dict.count()
+        doc_stats = ib.build_doc_stats(self.docs, postings)
+        self.doc_stats = (
+            doc_stats.withColumn(
+                "doc_bucket", (F.col("doc_id") % self.n_buckets).cast("int")
+            )
+            .repartition(self.n_buckets, "doc_bucket")
+            .cache()
+        )
+        self.n_docs, self.avgdl = ib.corpus_stats(self.docs, self.doc_stats)
         postings.unpersist()
         self._built = True
         return self

@@ -23,6 +23,34 @@ from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
 _STOPWORD_LIST = sorted(STOPWORDS)
 
 
+def terms_array_col(text_col=None, lemmatize: bool = True):
+    """Array column of retained (optionally lemmatized) terms for one text.
+
+    The whole tokenizer runs at ARRAY level (transform/filter lambdas)
+    before the explode: with the naive explode-then-filter formulation,
+    Catalyst's projection collapse inlines the regexp_replace into every
+    downstream reference (filter predicates + aggregate key), evaluating
+    the regex 4-5× per token — measured 2.3× slower end-to-end at
+    sf0.1×32. Array lambdas evaluate each token exactly once and stay in
+    whole-stage codegen."""
+    from ..textproc.lemmas import lemma_col
+
+    col = F.col("text") if text_col is None else (
+        F.col(text_col) if isinstance(text_col, str) else text_col
+    )
+    arr = F.split(F.lower(F.trim(col)), r"\s+")
+    cleaned = F.transform(arr, lambda t: F.regexp_replace(t, BOUNDARY_STRIP, ""))
+    kept = F.filter(
+        cleaned,
+        lambda t: (t != "")
+        & t.rlike(WORD_PATTERN)
+        & ~t.isin(_STOPWORD_LIST),
+    )
+    if lemmatize:
+        kept = F.transform(kept, lambda t: lemma_col(t))
+    return kept
+
+
 def explode_terms(
     df: DataFrame,
     text_col: str = "text",
@@ -34,21 +62,10 @@ def explode_terms(
     keep defaults to ["doc_id"]. Duplicate occurrences are preserved (tf is
     aggregated downstream). ``lemmatize`` applies the frozen normal-form
     dictionary (T5) as a literal-map lookup — still whole-stage codegen."""
-    from ..textproc.lemmas import lemma_col
-
     keep = keep or ["doc_id"]
-    tok = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
-    out = df.select(*keep, tok)
-    term = F.regexp_replace(F.col("tok"), BOUNDARY_STRIP, "")
-    out = out.withColumn("term", term).drop("tok")
-    out = out.filter(
-        (F.col("term") != "")
-        & F.col("term").rlike(WORD_PATTERN)
-        & ~F.col("term").isin(_STOPWORD_LIST)
+    return df.select(
+        *keep, F.explode(terms_array_col(text_col, lemmatize)).alias("term")
     )
-    if lemmatize:
-        out = out.withColumn("term", lemma_col(F.col("term")))
-    return out
 
 
 def normalized_path_col(site_col: Column, url_col: Column) -> Column:

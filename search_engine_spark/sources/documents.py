@@ -52,9 +52,25 @@ def html_col(doc_id="doc_id", text="text"):
     )
 
 
-def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read documents.parquet and attach the derived web-page columns."""
+def load_documents(
+    spark: SparkSession, sf_dir: str, multiply: int = 1
+) -> DataFrame:
+    """Read documents.parquet and attach the derived web-page columns.
+
+    ``multiply`` unions k shifted copies of the corpus (doc_id offset by
+    i·10^7 per copy, derived columns recomputed) — the bench harness uses
+    it to scale the SAME input generator up until the build is
+    compute-bound, which is what the N-vs-4N scaling measurement needs
+    (fixed session/scheduling overheads would otherwise dominate)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if multiply > 1:
+        from functools import reduce
+
+        copies = [
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+            for i in range(multiply)
+        ]
+        df = reduce(lambda a, b: a.unionByName(b), copies)
     site_key = site_key_col()
     site = F.concat(F.lit("https://"), site_key, F.lit(".example"))
     path = F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"))

@@ -1,0 +1,67 @@
+"""Structured Streaming ingestion: two landed batches converge to the same
+index a one-shot batch build produces."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import catalog
+from search_engine_spark.operators.blocks import decode_blocks
+from search_engine_spark.sources.documents import load_documents
+from search_engine_spark.streaming import (
+    run_incremental_indexing,
+    stream_documents,
+)
+
+from tests.conftest import SF_TEST
+
+N_BUCKETS = 8
+STREAM_COLS = ["doc_id", "url", "warc_ts", "html", "text", "lang"]
+
+
+def test_streamed_batches_equal_batch_build(spark, tmp_path):
+    docs = load_documents(spark, SF_TEST).filter(F.col("doc_id") < 120)
+    landing = str(tmp_path / "landing")
+    # two files land at different times → two micro-batches
+    docs.filter(F.col("doc_id") < 60).select(*STREAM_COLS).coalesce(1).write.parquet(
+        landing + "/part1"
+    )
+    docs.filter(F.col("doc_id") >= 60).select(*STREAM_COLS).coalesce(1).write.parquet(
+        landing + "/part2"
+    )
+
+    store = catalog.IndexStore(spark, str(tmp_path / "sidx"), n_buckets=N_BUCKETS)
+    stream = stream_documents(spark, landing + "/part*")
+    # maxFilesPerTrigger=8 would merge both files into one batch — force
+    # file-by-file batches to exercise the incremental branch
+    stream = (
+        spark.readStream.schema(stream.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/part*")
+    )
+    run_incremental_indexing(stream, store, str(tmp_path / "ckpt"))
+
+    ref_store = catalog.IndexStore(spark, str(tmp_path / "bidx"), n_buckets=N_BUCKETS)
+    catalog.build_persistent(docs, ref_store)
+
+    def postings(s):
+        return {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in decode_blocks(s.read_blocks()).collect()
+        }
+
+    assert postings(store) == postings(ref_store)
+    td = {
+        (r["term"], r["df"], r["cf"]) for r in store.read_term_dict().collect()
+    }
+    td_ref = {
+        (r["term"], r["df"], r["cf"])
+        for r in ref_store.read_term_dict().collect()
+    }
+    assert td == td_ref
+    # streamed manifest shows both phases: initial build + incremental batch
+    phases = {
+        r["phase"] for r in store.manifest().select("phase").distinct().collect()
+    }
+    assert "blocks" in phases and "reindex" in phases
