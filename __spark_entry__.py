@@ -32,6 +32,7 @@ SF0001 = "/root/testdata/sf0.001"
 Q_AND2 = ["data", "fast"]
 Q_AND3 = ["dup", "scan", "merge"]
 Q_BM25 = ["dup", "data", "fast"]
+Q_OR = ["dup", "merge", "zzabsent"]  # absent term drops out in OR mode
 Q_BM25_COMMON = ["data", "fast", "join"]
 Q_GATE = ["dup", "data"]
 SITE_B = "site-b"
@@ -116,6 +117,13 @@ def _q_search_bm25_common(spark, sf_dir):
     docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
     return se.search_bm25(
         postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
+def _q_search_bm25_or(spark, sf_dir):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_OR, conjunctive=False
     )
 
 
@@ -305,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stopword_only": _q_search_stopword_only,
         "search_bm25": _q_search_bm25,
         "search_bm25_common": _q_search_bm25_common,
+        "search_bm25_or": _q_search_bm25_or,
         "site_gate": _q_site_gate,
         "url_normalize": _q_url_normalize,
         "statistics": _q_statistics,
@@ -348,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "search_stopword_only": empty_search,
         "search_bm25": ora.search_bm25_sql(Q_BM25),
         "search_bm25_common": ora.search_bm25_sql(Q_BM25_COMMON),
+        "search_bm25_or": ora.search_bm25_sql(Q_OR, conjunctive=False),
         "site_gate": ora.site_gate_sql(Q_GATE),
         "url_normalize": ora.url_normalize_sql(),
         "statistics": ora.statistics_sql(),

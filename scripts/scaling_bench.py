@@ -31,18 +31,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, sf_dir: str, multiply: int) -> dict:
+    """One bench run hard-capped to `cpus` PHYSICAL cores via taskset.
+
+    local[N] alone does NOT model an N-core executor: Spark's python
+    workers (the Arrow tokenizer / block-encoder / scorer processes) run
+    OUTSIDE the N JVM task slots, so an unpinned local[2] silently borrows
+    extra cores and the N-vs-4N ratio under-measures true scaling. CPU
+    affinity makes each level a faithful fixed-size machine."""
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_MULTIPLY=str(multiply),
+        SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"),
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3600,
         check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -52,10 +63,10 @@ def run_level(cpus: int, sf_dir: str, multiply: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2, help="small parallelism N (large = 4N)")
-    # multiply=512 (≈2.6M docs) makes the job compute-bound: measured fixed
-    # per-run overhead is ~19 s (cache counts, small-shuffle AQE floors,
-    # python worker spin-up), so smaller inputs measure Spark's constants,
-    # not the engine's scalability
+    # multiply=512 (≈2.6M docs) keeps each pinned level compute-bound:
+    # the measured per-run serial term (driver bookkeeping, python worker
+    # spin-up, cache count floors) is ~20-30 s, so much smaller inputs
+    # would measure Spark's constants, not the engine's scalability
     ap.add_argument("--multiply", type=int, default=512)
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

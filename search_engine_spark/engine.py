@@ -152,9 +152,15 @@ class SearchEngine:
         site_key: str | None = None,
         limit: int = 20,
         offset: int = 0,
+        op: str = "and",
     ) -> DataFrame:
-        """Top-k search over compressed blocks. Returns (doc_id, score[,rel])."""
+        """Top-k search over compressed blocks. Returns (doc_id, score[,rel]).
+
+        op='and' (default) = the reference's conjunctive semantics; a query
+        term absent from the corpus empties the result (Q2 gate).
+        op='or' = disjunctive BM25 top-k; absent terms just drop out."""
         self._require_built()
+        conjunctive = op != "or"
         empty_schema = (
             "doc_id long, score_abs long, rel double"
             if mode.startswith("compat")
@@ -169,8 +175,11 @@ class SearchEngine:
             .select("term", "df")
             .collect()
         )
-        if len(df_rows) < len(uniq):
+        if conjunctive and len(df_rows) < len(uniq):
             return self.spark.createDataFrame([], empty_schema)
+        if not df_rows:
+            return self.spark.createDataFrame([], empty_schema)
+        uniq = sorted(r["term"] for r in df_rows)
         idf = {
             r["term"]: se.bm25_idf(float(self.n_docs), float(r["df"]))
             for r in df_rows
@@ -200,6 +209,7 @@ class SearchEngine:
             limit=None if limit is None else limit + offset,
             offset=0,
             restrict_to_norms=restrict,
+            conjunctive=conjunctive,
         )
         if compat:
             w = Window.partitionBy()

@@ -146,11 +146,13 @@ LIMIT {limit} OFFSET {offset}
 
 def search_bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75,
                     limit: int = 20, offset: int = 0,
-                    table: str = "documents") -> str:
-    """Conjunctive BM25 (Robertson idf = ln(1 + (N-df+0.5)/(df+0.5)));
-    deterministic tiebreak (rounded score desc, doc_id asc).
-    Returns (doc_id, score)."""
+                    table: str = "documents",
+                    conjunctive: bool = True) -> str:
+    """BM25 (Robertson idf = ln(1 + (N-df+0.5)/(df+0.5))); conjunctive AND
+    by default, disjunctive OR with conjunctive=False; deterministic
+    tiebreak (rounded score desc, doc_id asc). Returns (doc_id, score)."""
     n = len(set(query_terms))
+    nt_filter = f"WHERE nt = {n}" if conjunctive else ""
     return f"""
 WITH {terms_cte(table)},
 post AS (
@@ -178,7 +180,7 @@ scored AS (
   GROUP BY p.doc_id
 )
 SELECT doc_id, round(score, 4) AS score
-FROM scored WHERE nt = {n}
+FROM scored {nt_filter}
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {limit} OFFSET {offset}
 """

@@ -114,8 +114,12 @@ def search_bm25(
     b: float = B_DEFAULT,
     limit: int = 20,
     offset: int = 0,
+    conjunctive: bool = True,
 ) -> DataFrame:
-    """BM25 conjunctive top-k → (doc_id, score).
+    """BM25 top-k → (doc_id, score). conjunctive=True is the reference's
+    AND semantics (docs must contain every query term; an absent term
+    empties the result); conjunctive=False is disjunctive OR top-k
+    (absent terms drop out of the query).
 
     Join strategy at scale: the df lookup for the query terms is collected
     driver-side (|terms| rows — cheaper than any join) and baked into the
@@ -132,9 +136,13 @@ def search_bm25(
         term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
     )
     idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
-    if len(idf) < n:
+    if conjunctive and len(idf) < n:
         # a query term absent from the corpus → conjunctive result is empty
         return postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    if not idf:
+        return postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    uniq = sorted(idf)
+    n = len(uniq)
     idf_col = F.create_map(
         *[x for t in uniq for x in (F.lit(t), F.lit(idf[t]))]
     )
@@ -151,14 +159,14 @@ def search_bm25(
             ),
         )
     )
-    scored = (
-        cand.groupBy("doc_id")
-        .agg(
-            F.sum("part_score").alias("score_raw"),
-            F.count_distinct("term").alias("nt"),
-        )
-        .filter(F.col("nt") == n)
-        .select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+    scored = cand.groupBy("doc_id").agg(
+        F.sum("part_score").alias("score_raw"),
+        F.count_distinct("term").alias("nt"),
+    )
+    if conjunctive:
+        scored = scored.filter(F.col("nt") == n)
+    scored = scored.select(
+        "doc_id", F.round(F.col("score_raw"), 4).alias("score")
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -80,13 +80,41 @@ def _conjunctive_bucket(groups: dict[str, pd.DataFrame]) -> tuple[np.ndarray, di
     return ids, aligned
 
 
+def _disjunctive_bucket(groups: dict[str, pd.DataFrame]):
+    """OR semantics: decode every query term present in the bucket and
+    accumulate per-doc (vectorized union-merge via np.unique)."""
+    ids_parts, tf_parts, term_idx = [], [], []
+    order = sorted(groups)
+    for ti, term in enumerate(order):
+        ids, tfs = _decode_term(groups[term])
+        ids_parts.append(ids)
+        tf_parts.append(tfs)
+        term_idx.append(np.full(ids.size, ti, dtype=np.int64))
+    all_ids = np.concatenate(ids_parts)
+    if all_ids.size == 0:
+        return all_ids, {}, None
+    uniq, inverse = np.unique(all_ids, return_inverse=True)
+    return uniq, {
+        "order": order,
+        "tf": np.concatenate(tf_parts),
+        "term_idx": np.concatenate(term_idx),
+        "inverse": inverse,
+    }, None
+
+
 def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] | None,
                             k1: float, b: float, avgdl: float, k: int,
-                            restrict_to_norms: bool = False):
+                            restrict_to_norms: bool = False,
+                            conjunctive: bool = True):
     """Build the cogroup scorer fn: (blocks_pdf, norms_pdf) → top-k rows.
 
     mode='compat': score = Σ tf (exact, reference §2.G).
     mode='bm25':  Robertson BM25 with broadcast idf + co-partitioned dl.
+    conjunctive=False: disjunctive (OR) top-k — every doc containing ANY
+    query term scores on the terms it has (exhaustive vectorized
+    union-merge; the block-max metadata still bounds conjunctive-path
+    skipping, and at cluster scale would drive threshold-based block
+    skipping once per-bucket k-th-score thresholds stabilize).
     restrict_to_norms: drop candidate docs absent from the norms frame —
     used for site-filtered search (norms pre-filtered to the site; the
     reference's per-site search, SearchServiceImpl.java:30-52).
@@ -102,29 +130,57 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
         if blocks.empty:
             return _empty()
         groups = {t: g for t, g in blocks.groupby("term")}
-        if len(groups) < n_terms:  # some query term absent from this bucket
-            return _empty()
-        ids, aligned = _conjunctive_bucket(groups)
-        if ids.size == 0:
-            return _empty()
-        if restrict_to_norms:
-            allowed = norms["doc_id"].to_numpy(dtype=np.int64)
-            mask = np.isin(ids, allowed, assume_unique=True)
-            ids = ids[mask]
-            aligned = {t: v[mask] for t, v in aligned.items()}
+        if conjunctive:
+            if len(groups) < n_terms:  # some query term absent from bucket
+                return _empty()
+            ids, aligned = _conjunctive_bucket(groups)
             if ids.size == 0:
                 return _empty()
-        if mode == "compat":
-            s = np.zeros(ids.size, dtype=np.float64)
-            for t in aligned:
-                s += aligned[t]
+            if restrict_to_norms:
+                allowed = norms["doc_id"].to_numpy(dtype=np.int64)
+                mask = np.isin(ids, allowed, assume_unique=True)
+                ids = ids[mask]
+                aligned = {t: v[mask] for t, v in aligned.items()}
+                if ids.size == 0:
+                    return _empty()
+            if mode == "compat":
+                s = np.zeros(ids.size, dtype=np.float64)
+                for t in aligned:
+                    s += aligned[t]
+            else:
+                dl_map = norms.set_index("doc_id")["dl"]
+                dl = dl_map.reindex(ids).to_numpy(dtype=np.float64)
+                s = np.zeros(ids.size, dtype=np.float64)
+                for t in sorted(aligned):  # fixed order → deterministic sum
+                    tf = aligned[t].astype(np.float64)
+                    s += idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         else:
-            dl_map = norms.set_index("doc_id")["dl"]
-            dl = dl_map.reindex(ids).to_numpy(dtype=np.float64)
+            ids, parts, _ = _disjunctive_bucket(groups)
+            if ids.size == 0:
+                return _empty()
+            tf = parts["tf"].astype(np.float64)
+            if mode == "compat":
+                contrib = tf
+            else:
+                idf_arr = np.array(
+                    [idf[t] for t in parts["order"]], dtype=np.float64
+                )
+                dl_map = norms.set_index("doc_id")["dl"]
+                dl_uniq = dl_map.reindex(ids).to_numpy(dtype=np.float64)
+                dl_row = dl_uniq[parts["inverse"]]
+                contrib = (
+                    idf_arr[parts["term_idx"]]
+                    * tf * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl_row / avgdl))
+                )
             s = np.zeros(ids.size, dtype=np.float64)
-            for t in sorted(aligned):  # fixed order → deterministic fp sum
-                tf = aligned[t].astype(np.float64)
-                s += idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            np.add.at(s, parts["inverse"], contrib)
+            if restrict_to_norms:
+                allowed = norms["doc_id"].to_numpy(dtype=np.int64)
+                mask = np.isin(ids, allowed, assume_unique=True)
+                ids, s = ids[mask], s[mask]
+                if ids.size == 0:
+                    return _empty()
         if k is not None and ids.size > k:
             # keep the SAME top-k the global merge would pick: score desc,
             # doc_id asc — a bare argpartition could drop a tied doc that
@@ -148,6 +204,7 @@ def topk_blocks(
     limit: int | None = 20,
     offset: int = 0,
     restrict_to_norms: bool = False,
+    conjunctive: bool = True,
 ) -> DataFrame:
     """Distributed conjunctive top-k over posting blocks.
 
@@ -162,7 +219,8 @@ def topk_blocks(
     k = None if limit is None else limit + offset
     cand = blocks.filter(F.col("term").isin(uniq))
     scorer = make_conjunctive_scorer(
-        uniq, mode, idf, k1, b, avgdl, k, restrict_to_norms=restrict_to_norms
+        uniq, mode, idf, k1, b, avgdl, k,
+        restrict_to_norms=restrict_to_norms, conjunctive=conjunctive,
     )
     per_bucket = (
         cand.groupby("doc_bucket")

@@ -83,3 +83,35 @@ def test_statistics(engine):
     assert s["result"] is True
     assert s["statistics"]["total"]["sites"] == 3
     assert s["statistics"]["total"]["pages"] == 500
+
+
+def test_disjunctive_or_mode_blocks_vs_relational(spark):
+    """engine.search(op='or') over compressed blocks == the relational
+    disjunctive BM25 plan, including an absent term dropping out."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators import search as se
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    eng = SearchEngine(spark, docs=docs, n_buckets=8).build()
+    got = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("dup merge zzabsent", op="or", limit=15).collect()
+    ]
+    postings = ib.build_postings(docs)
+    td = ib.build_term_dict(postings)
+    ds = ib.build_doc_stats(docs, postings)
+    n_docs, avgdl = ib.corpus_stats(docs, ds)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in se.search_bm25(
+            postings, td, ds, n_docs, avgdl,
+            ["dup", "merge", "zzabsent"], conjunctive=False, limit=15,
+        ).collect()
+    ]
+    assert got == want and len(got) == 15
+    # OR hits ⊇ AND hits; absent term empties AND but not OR
+    assert eng.search("dup merge zzabsent", limit=15).count() == 0

@@ -1,0 +1,78 @@
+"""Head-term skew bounds (SURVEY §7 step 5 — bucketing IS the salt) and
+spark-submit entry-point smoke tests."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_head_term_skew_bounded_by_bucket(spark):
+    """A term occurring in 90% of documents may not produce any
+    applyInPandas group larger than its bucket's doc count: the document
+    shard is the salt, so the hottest (bucket, term) group is bounded by
+    |bucket|, not by the term's global df."""
+    n_docs, n_buckets = 1000, 16
+    rows = [
+        (i, "head common words" if i % 10 else "rare tail words")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from search_engine_spark.operators.blocks import build_posting_blocks
+    from search_engine_spark.operators.index_build import build_postings
+
+    postings = build_postings(docs)
+    blocks = build_posting_blocks(postings, n_buckets)
+    per_group = (
+        blocks.groupBy("doc_bucket", "term")
+        .agg(F.sum("count").alias("n_postings"))
+        .collect()
+    )
+    bucket_cap = math.ceil(n_docs / n_buckets)
+    worst = max(r["n_postings"] for r in per_group)
+    assert worst <= bucket_cap
+    # the head term exists in (almost) every bucket — spread, not hot-spotted
+    head_buckets = {r["doc_bucket"] for r in per_group if r["term"] == "head"}
+    assert len(head_buckets) == n_buckets
+
+
+@pytest.mark.slow
+def test_build_and_search_cli_end_to_end(tmp_path):
+    """scripts/build_index.py then scripts/search_cli.py in fresh
+    interpreters (the spark-submit surface, run with plain python)."""
+    idx = str(tmp_path / "cli_idx")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "build_index.py"),
+            "--input", "/root/testdata/sf0.001", "--index-dir", idx,
+            "--n-buckets", "8", "--groups", "2",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, check=True,
+    )
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["n_docs"] == 500 and len(report["built_buckets"]) == 8
+
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "search_cli.py"),
+            "--index-dir", idx, "--input", "/root/testdata/sf0.001",
+            "--query", "data fast", "--mode", "compat", "--limit", "5",
+            "--presented",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, check=True,
+    )
+    page = json.loads(out.stdout.strip().splitlines()[-1])
+    assert page["result"] is True and page["count"] > 0
+    assert 0 < len(page["data"]) <= 5
+    hit = page["data"][0]
+    assert hit["relevance"] == 1.0
+    assert "<b>" in hit["snippet"]
