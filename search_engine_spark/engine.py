@@ -105,16 +105,20 @@ class SearchEngine:
         """Full index build (reference startIndexing, I9 — but a pure batch
         job: no locks, no mutable status rows).
 
-        Materialization order matters: postings first (the Arrow tokenizer
-        pass — every later table derives from its cache), then blocks; the
-        dictionary re-derives from block METADATA (term_dict_from_blocks)
-        so the corpus is never re-tokenized, and norms/corpus stats are one
-        cheap cached-postings aggregation each."""
+        Pipeline = the fused two-phase pack/merge build
+        (operators/fused_build.py): one python stage tokenizes + packs each
+        input partition's postings into binary runs (shuffle moves ~100×
+        fewer rows than row-per-posting), a second merges runs per
+        (doc_bucket, term) into compressed blocks. The dictionary
+        re-derives from block METADATA (term_dict_from_blocks) and norms
+        unpack from the same packed rows — the corpus is read exactly
+        once."""
+        from .operators import fused_build as fb
         from .operators.blocks import term_dict_from_blocks
 
-        postings = ib.build_postings(self.docs).cache()
-        postings.count()
-        blocks = build_posting_blocks(postings, self.n_buckets)
+        packed = fb.pack_documents(self.docs, self.n_buckets).cache()
+        packed.count()
+        blocks = fb.blocks_from_packed(packed)
         if persist and self.index_dir:
             write_blocks(blocks, f"{self.index_dir}/postings_blocks")
             blocks = self.spark.read.parquet(f"{self.index_dir}/postings_blocks")
@@ -127,16 +131,17 @@ class SearchEngine:
         self.blocks.count()
         self.term_dict = term_dict_from_blocks(self.blocks).cache()
         self.term_dict.count()
-        doc_stats = ib.build_doc_stats(self.docs, postings)
         self.doc_stats = (
-            doc_stats.withColumn(
-                "doc_bucket", (F.col("doc_id") % self.n_buckets).cast("int")
-            )
+            fb.doc_stats_from_packed(packed)
             .repartition(self.n_buckets, "doc_bucket")
             .cache()
         )
-        self.n_docs, self.avgdl = ib.corpus_stats(self.docs, self.doc_stats)
-        postings.unpersist()
+        # corpus stats: avgdl counts term-less docs as dl=0 (same value the
+        # relational build_doc_stats join produces, without the docs join)
+        self.n_docs = self.docs.count()
+        sum_dl = self.doc_stats.agg(F.sum("dl")).collect()[0][0] or 0
+        self.avgdl = float(sum_dl) / self.n_docs if self.n_docs else 0.0
+        packed.unpersist()
         self._built = True
         return self
 
@@ -229,14 +234,17 @@ class SearchEngine:
         site_key: str | None = None,
         limit: int = 20,
         offset: int = 0,
+        hits: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k with presentation columns (reference SearchData rows:
-        site, site_name, uri, title, snippet, relevance — Q7/Q8)."""
+        site, site_name, uri, title, snippet, relevance — Q7/Q8).
+        ``hits`` lets a caller reuse an already-computed hit frame."""
         from .operators.presentation import present_results
         from .operators.search import analyze_query
 
-        hits = self.search(query, mode=mode, site_key=site_key,
-                           limit=limit, offset=offset)
+        if hits is None:
+            hits = self.search(query, mode=mode, site_key=site_key,
+                               limit=limit, offset=offset)
         rel_col = "rel" if mode.startswith("compat") else "score"
         lemmas = set(analyze_query(query))
         out = present_results(self.docs, hits, lemmas, relevance_col=rel_col)
@@ -257,11 +265,16 @@ class SearchEngine:
         if not terms:
             return {"result": False, "error": "Задан пустой поисковый запрос",
                     "count": 0, "data": []}
-        full = self.search(query, mode=mode, site_key=site_key, limit=None)
+        # one scorer pass: the ordered full hit frame serves both the
+        # pre-pagination count and the presented page slice
+        full = self.search(query, mode=mode, site_key=site_key, limit=None).cache()
         count = full.count()
+        page_hits = full.offset(offset).limit(limit)
         rows = self.search_results(
-            query, mode=mode, site_key=site_key, limit=limit, offset=offset
+            query, mode=mode, site_key=site_key, limit=limit, offset=offset,
+            hits=page_hits,
         ).collect()
+        full.unpersist()
         data = [
             {
                 "site": r["site"],

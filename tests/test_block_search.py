@@ -115,3 +115,35 @@ def test_disjunctive_or_mode_blocks_vs_relational(spark):
     assert got == want and len(got) == 15
     # OR hits ⊇ AND hits; absent term empties AND but not OR
     assert eng.search("dup merge zzabsent", limit=15).count() == 0
+
+
+def test_fused_build_equals_rowwise_build(spark):
+    """The fused pack/merge pipeline must produce bit-identical blocks and
+    norms to the row-per-posting formulation."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import fused_build as fb
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.blocks import build_posting_blocks
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    packed = fb.pack_documents(docs, 8)
+    fused = {
+        tuple(r) for r in fb.blocks_from_packed(packed).collect()
+    }
+    rowwise = {
+        tuple(r)
+        for r in build_posting_blocks(ib.build_postings(docs), 8).collect()
+    }
+    assert fused == rowwise
+
+    ds_fused = {
+        (r["doc_id"], r["dl"])
+        for r in fb.doc_stats_from_packed(packed).collect()
+    }
+    ds_rel = {
+        (r["doc_id"], r["dl"])
+        for r in ib.build_doc_stats(docs).filter(F.col("dl") > 0).collect()
+    }
+    assert ds_fused == ds_rel
