@@ -288,6 +288,34 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
 
 
+def _load_events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_windowed(spark, sf_dir):
+    from search_engine_spark.operators.events import windowed_counts
+
+    return windowed_counts(_load_events(spark, sf_dir))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    from search_engine_spark.operators.events import sessionize
+
+    return sessionize(_load_events(spark, sf_dir))
+
+
+def _q_events_props(spark, sf_dir):
+    from search_engine_spark.operators.events import props_extract
+
+    return props_extract(_load_events(spark, sf_dir))
+
+
+def _q_events_rollup(spark, sf_dir):
+    from search_engine_spark.operators.events import type_rollup
+
+    return type_rollup(_load_events(spark, sf_dir))
+
+
 def _q_media_stats(spark, sf_dir):
     from search_engine_spark.operators.multimodal import media_stats
 
@@ -337,6 +365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "events_windowed": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_props": _q_events_props,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -384,6 +416,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),
+        "events_windowed": pipe.events_windowed_sql(),
+        "events_sessionize": pipe.events_sessionize_sql(),
+        "events_props": pipe.events_props_sql(),
+        "events_rollup": pipe.events_rollup_sql(),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

@@ -332,3 +332,55 @@ SELECT doc_id, n_bytes::BIGINT AS n_bytes, digest AS feat_hash,
        ('0x' || substr(digest, 9, 8))::BIGINT AS feat1
 FROM d
 """
+
+
+# ----------------------------------------------------------------- events
+
+def events_windowed_sql(table: str = "events") -> str:
+    """Tumbling 1-hour window = date_trunc('hour') for hour-aligned
+    windows (Spark F.window('1 hour') starts align to the epoch hour)."""
+    return f"""
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*)::BIGINT AS n,
+       sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE AS sum_value
+FROM {table} GROUP BY 1, 2
+"""
+
+
+def events_sessionize_sql(gap_min: int = 30, table: str = "events") -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_min * 60 * 1000000}
+              THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, ts, sum(new_session) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM ids GROUP BY user_id, session_id
+"""
+
+
+def events_props_sql(table: str = "events") -> str:
+    return f"""
+SELECT event_id, json_extract(props, '$.k')::INT AS k FROM {table}
+"""
+
+
+def events_rollup_sql(table: str = "events") -> str:
+    return f"""
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS users,
+       sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE AS sum_value
+FROM {table} GROUP BY 1, 2
+"""

@@ -1,0 +1,108 @@
+"""Event-stream operators — tumbling windows, sessionization, JSON props.
+
+The reference has no time semantics (SURVEY §2.F: streaming "none"), but a
+web-scale ingestion engine meets event logs (crawl telemetry, click
+feedback) constantly; these are the Spark-first operators for the driver's
+``events`` table (event_id, ts, user_id, event_type, value, props-json).
+
+All three are single-shuffle DataFrame plans with DuckDB oracle mirrors
+(functions/oracle_pipeline.py). The same tumbling aggregation runs under
+Structured Streaming with a watermark in streaming/stream_events.py —
+batch and stream share this module's column logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_MIN = 30
+
+
+def windowed_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation:
+    (win_start, event_type, n, sum_value). The canonical pre-aggregation
+    for dashboard/rollup serving; map-side partial aggs make the shuffle
+    one row per (hour, type)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            # DECIMAL sum: double summation order differs between engines
+            # and a 4-dp round can land on a half-point; decimal is exact
+            # exact decimal sum, presented as double (identical on both
+            # engines since it derives from the same exact decimal)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the
+    user's inter-event gap exceeds ``gap_min`` minutes. Returns one row per
+    session: (user_id, session_id, n_events, start_ts, end_ts).
+
+    Shuffle-wise this is ONE repartition by user_id feeding two stacked
+    window functions (lag → running sum) — the standard distributed
+    sessionization; user_id count bounds state, no skew concern here."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    # microsecond-exact epoch on both engines (a seconds-truncated cast
+    # would disagree with the oracle on sub-second gap boundaries);
+    # TIMESTAMP_NTZ first pins to the UTC session zone
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_flag = events.withColumn(
+        "new_session",
+        (ts_us - F.lag(ts_us, 1).over(w) > gap_us).cast("int"),
+    ).withColumn(
+        "new_session", F.coalesce("new_session", F.lit(1))
+    )
+    with_id = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """JSON property extraction: (event_id, k). The engine treats the
+    props column as semi-structured payload; get_json_object stays
+    JVM-side (Jackson), no UDF."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def type_rollup(events: DataFrame) -> DataFrame:
+    """Per-type daily rollup with distinct users — the A1-style statistics
+    shape over the event stream: (day, event_type, n, users, avg_value)."""
+    return (
+        events.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            # exact decimal sum, presented as double (identical on both
+            # engines since it derives from the same exact decimal)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

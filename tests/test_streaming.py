@@ -65,3 +65,39 @@ def test_streamed_batches_equal_batch_build(spark, tmp_path):
         r["phase"] for r in store.manifest().select("phase").distinct().collect()
     }
     assert "blocks" in phases and "reindex" in phases
+
+
+def test_streamed_windowed_counts_match_batch(spark, tmp_path):
+    """Watermarked streaming tumbling windows == batch windowed_counts for
+    all windows the watermark has closed (append mode emits closed windows;
+    with availableNow over finite input, every window except possibly the
+    last open one emits)."""
+    from search_engine_spark.operators.events import windowed_counts
+    from search_engine_spark.streaming.stream_events import (
+        run_windowed_to_memory,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    landing = str(tmp_path / "events_in")
+    events.coalesce(2).write.parquet(landing)
+
+    streamed = run_windowed_to_memory(
+        spark, landing, str(tmp_path / "eckpt"), table_name="tw_test"
+    )
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    want_rows = windowed_counts(events).collect()
+    want = {
+        (r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in want_rows
+    }
+    # every emitted window matches batch exactly
+    assert got, "stream emitted no closed windows"
+    for k, v in got.items():
+        assert want[k] == v
+    # and the stream emitted every window older than the final watermark
+    max_ts = max(r["win_start"] for r in want_rows)
+    missing = {k for k in want if k not in got and k[0] < max_ts}
+    assert not missing
