@@ -316,6 +316,48 @@ def _q_events_rollup(spark, sf_dir):
     return type_rollup(_load_events(spark, sf_dir))
 
 
+def _q_rel_pricing(spark, sf_dir):
+    from search_engine_spark.operators.relational import pricing_summary
+
+    return pricing_summary(spark, sf_dir)
+
+
+def _q_rel_revenue(spark, sf_dir):
+    from search_engine_spark.operators.relational import revenue_by_nation
+
+    return revenue_by_nation(spark, sf_dir)
+
+
+def _q_rel_semi(spark, sf_dir):
+    from search_engine_spark.operators.relational import customers_with_orders
+
+    return customers_with_orders(spark, sf_dir)
+
+
+def _q_rel_anti(spark, sf_dir):
+    from search_engine_spark.operators.relational import customers_without_orders
+
+    return customers_without_orders(spark, sf_dir)
+
+
+def _q_rel_window(spark, sf_dir):
+    from search_engine_spark.operators.relational import order_ranks
+
+    return order_ranks(spark, sf_dir)
+
+
+def _q_rel_rollup(spark, sf_dir):
+    from search_engine_spark.operators.relational import status_rollup
+
+    return status_rollup(spark, sf_dir)
+
+
+def _q_rel_topk_group(spark, sf_dir):
+    from search_engine_spark.operators.relational import top_parts_by_size
+
+    return top_parts_by_size(spark, sf_dir)
+
+
 def _q_media_stats(spark, sf_dir):
     from search_engine_spark.operators.multimodal import media_stats
 
@@ -365,6 +407,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "rel_pricing_summary": _q_rel_pricing,
+        "rel_revenue_by_nation": _q_rel_revenue,
+        "rel_semi_join": _q_rel_semi,
+        "rel_anti_join": _q_rel_anti,
+        "rel_window_running": _q_rel_window,
+        "rel_rollup": _q_rel_rollup,
+        "rel_topk_per_group": _q_rel_topk_group,
         "events_windowed": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
@@ -416,6 +465,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),
+        "rel_pricing_summary": pipe.pricing_summary_sql(),
+        "rel_revenue_by_nation": pipe.revenue_by_nation_sql(),
+        "rel_semi_join": pipe.customers_with_orders_sql(),
+        "rel_anti_join": pipe.customers_without_orders_sql(),
+        "rel_window_running": pipe.order_ranks_sql(),
+        "rel_rollup": pipe.status_rollup_sql(),
+        "rel_topk_per_group": pipe.top_parts_sql(),
         "events_windowed": pipe.events_windowed_sql(),
         "events_sessionize": pipe.events_sessionize_sql(),
         "events_props": pipe.events_props_sql(),

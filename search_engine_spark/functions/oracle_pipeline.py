@@ -384,3 +384,78 @@ SELECT date_trunc('day', ts) AS day, event_type,
        sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE AS sum_value
 FROM {table} GROUP BY 1, 2
 """
+
+
+# -------------------------------------------------------------- relational
+
+DEC2 = "::DECIMAL(18,2)"
+
+
+def pricing_summary_sql() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity{DEC2}){DEC2}::DOUBLE AS sum_qty,
+       sum(l_extendedprice{DEC2}){DEC2}::DOUBLE AS sum_base_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation_sql() -> str:
+    return f"""
+SELECT n_name,
+       sum((l_extendedprice{DEC2} * (1{DEC2} - l_discount{DEC2}))::DECIMAL(18,4))
+         ::DECIMAL(18,4)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def customers_with_orders_sql() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def customers_without_orders_sql() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def order_ranks_sql() -> str:
+    return f"""
+SELECT o_custkey, o_orderkey,
+       (row_number() OVER w)::INT AS order_seq,
+       (sum(o_totalprice{DEC2}) OVER w){DEC2}::DOUBLE AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def status_rollup_sql() -> str:
+    return """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def top_parts_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT p_brand, p_partkey, p_retailprice::DOUBLE AS price,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+)
+SELECT p_brand, p_partkey, price, rk::INT AS rk FROM ranked WHERE rk <= 3
+"""
