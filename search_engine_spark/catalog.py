@@ -47,12 +47,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import index_build as ib
-from .operators.blocks import (
-    N_BUCKETS_DEFAULT,
-    build_posting_blocks,
-    term_dict_from_blocks,
-)
+from .operators.blocks import N_BUCKETS_DEFAULT, term_dict_from_blocks
 
 MANIFEST_SCHEMA = (
     "build_id string, fingerprint string, doc_bucket int, phase string, "
@@ -203,27 +198,56 @@ def build_persistent(
             _finalize_dictionary(store, build_id, fp)
         return {"build_id": build_id, "built_buckets": [], "skipped": sorted(committed)}
 
-    postings = _with_bucket(ib.build_postings(docs), n_buckets).cache()
-    doc_stats = _with_bucket(ib.build_doc_stats(docs, postings), n_buckets)
+    # fused two-phase pipeline (operators/fused_build.py): the packed runs
+    # feed blocks AND norms, so the corpus is tokenized exactly once per
+    # build; norms re-complete with dl=0 rows via a cheap doc_id-only
+    # left join (the store keeps EVERY document, matching the reference's
+    # pages table and the avgdl definition)
+    from .operators import fused_build as fb
+
+    packed = fb.pack_documents(docs, n_buckets).cache()
+    doc_stats = (
+        docs.select("doc_id")
+        .join(
+            fb.doc_stats_from_packed(packed).drop("doc_bucket"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
+        )
+    )
+    doc_stats = _with_bucket(doc_stats, n_buckets)
 
     group_size = math.ceil(len(missing) / max(groups, 1))
     done_groups = 0
     for lo in range(0, len(missing), group_size):
         batch = missing[lo : lo + group_size]
-        sub = postings.filter(F.col("doc_bucket").isin(batch))
-        blocks = build_posting_blocks(sub.drop("doc_bucket"), n_buckets)
+        sub = packed.filter(
+            (F.col("kind") == "post") & F.col("doc_bucket").isin(batch)
+        )
+        blocks = fb.blocks_from_packed(sub)
         _dynamic_overwrite(blocks, store.blocks_path)
         _dynamic_overwrite(
             doc_stats.filter(F.col("doc_bucket").isin(batch)),
             store.doc_stats_path,
         )
-        # per-bucket counters (lineage metrics) from the data just written
+        # per-bucket counters (lineage metrics) from the packed runs:
+        # n_postings = Σ run lengths; n_docs = distinct docs via dl runs
         counters = {
             r["doc_bucket"]: r
-            for r in sub.groupBy("doc_bucket")
-            .agg(
-                F.count_distinct("doc_id").alias("n_docs"),
-                F.count("*").alias("n_postings"),
+            for r in doc_stats.filter(
+                (F.col("doc_bucket").isin(batch)) & (F.col("dl") > 0)
+            )
+            .groupBy("doc_bucket")
+            .agg(F.count("*").alias("n_docs"))
+            .join(
+                sub.groupBy("doc_bucket").agg(
+                    F.sum("n").alias("n_postings")
+                ),
+                "doc_bucket",
+                "outer",
             )
             .collect()
         }
@@ -235,8 +259,8 @@ def build_persistent(
                     "fingerprint": fp,
                     "doc_bucket": b,
                     "phase": "blocks",
-                    "n_docs": int(counters[b]["n_docs"]) if b in counters else 0,
-                    "n_postings": int(counters[b]["n_postings"]) if b in counters else 0,
+                    "n_docs": int(counters[b]["n_docs"] or 0) if b in counters else 0,
+                    "n_postings": int(counters[b]["n_postings"] or 0) if b in counters else 0,
                     "n_blocks": 0,
                     "committed_at": now,
                 }
@@ -245,11 +269,11 @@ def build_persistent(
         )
         done_groups += 1
         if fail_after_groups is not None and done_groups >= fail_after_groups:
-            postings.unpersist()
+            packed.unpersist()
             raise RuntimeError(
                 f"simulated failure after {done_groups} committed groups"
             )
-    postings.unpersist()
+    packed.unpersist()
     _finalize_dictionary(store, build_id, fp)
     return {
         "build_id": build_id,
