@@ -70,6 +70,13 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, multiply: int = 1) -> dict:
         fn().collect()
         q_times[name] = round(time.perf_counter() - t, 4)
 
+    # index compactness: compressed posting bytes vs raw text bytes
+    from pyspark.sql import functions as F
+
+    sizes = eng.blocks.agg(
+        (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes"))).alias("idx"),
+    ).collect()[0]
+    raw = docs.agg(F.sum(F.length("text")).alias("raw")).collect()[0]
     total = round(build_sec + sum(q_times.values()), 4)
     result = {
         "metric": "index_build_plus_query_suite",
@@ -80,6 +87,11 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, multiply: int = 1) -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 2),
         "posting_blocks": n_blocks,
+        "index_bytes": int(sizes["idx"] or 0),
+        "raw_text_bytes": int(raw["raw"] or 0),
+        "compression_ratio": round(
+            (raw["raw"] or 1) / (sizes["idx"] or 1), 2
+        ),
         "cpus": cpus,
     }
     return result
