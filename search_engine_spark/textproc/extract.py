@@ -28,6 +28,11 @@ from __future__ import annotations
 import re
 
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+# the whole <head> is non-content: the title is served by extract_title,
+# never mixed into body text (frozen spec — this is what makes
+# extract_text(html) == documents.text an exact invariant, golden-tested
+# in tests/test_extraction_goldens.py)
+_HEAD_RE = re.compile(r"(?is)<head\b.*?</head\s*>")
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
 _TITLE_RE = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
 _BLOCK_BREAK_RE = re.compile(
@@ -62,6 +67,7 @@ def extract_block_text(html: bytes | str) -> str:
     """Line-preserving extraction (for snippets)."""
     s = _decode(html)
     s = _COMMENT_RE.sub("", s)
+    s = _HEAD_RE.sub("", s)
     s = _SCRIPT_RE.sub("", s)
     s = _BLOCK_BREAK_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)

@@ -60,11 +60,12 @@ class TestExtract:
     )
 
     def test_text(self):
-        assert extract_text(self.HTML) == "My Page Hello & welcome Second line Third"
+        # head content (title) is excluded from body text by the frozen
+        # spec (title has its own extractor)
+        assert extract_text(self.HTML) == "Hello & welcome Second line Third"
 
     def test_block_text(self):
         assert extract_block_text(self.HTML).split("\n") == [
-            "My Page",
             "Hello & welcome",
             "Second line",
             "Third",
