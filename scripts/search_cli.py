@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--presented", action="store_true")
     args = ap.parse_args()
+    if args.presented and not args.input:
+        ap.error("--presented requires --input (documents dir for title/snippet)")
 
     spark = (
         SparkSession.builder.appName("search-engine-query")

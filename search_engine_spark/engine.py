@@ -14,7 +14,7 @@ mode='*_df' for cross-checking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import index_build as ib
@@ -217,12 +217,22 @@ class SearchEngine:
             conjunctive=conjunctive,
         )
         if compat:
-            w = Window.partitionBy()
-            out = out.select(
+            # scalar-max normalization: agg to one row + broadcast crossJoin
+            # (NOT Window.partitionBy() — an empty window spec moves the
+            # whole hit set through a single partition; scale-hostile)
+            scored = out.select(
                 "doc_id", F.col("score").cast("long").alias("score_abs")
-            ).withColumn(
-                "rel", F.round(F.col("score_abs") / F.max("score_abs").over(w), 4)
-            ).orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+            )
+            mx = scored.agg(F.max("score_abs").alias("_max_abs"))
+            out = (
+                scored.crossJoin(F.broadcast(mx))
+                .withColumn(
+                    "rel",
+                    F.round(F.col("score_abs") / F.col("_max_abs"), 4),
+                )
+                .drop("_max_abs")
+                .orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+            )
         if limit is None:
             return out
         return out.offset(offset).limit(limit)

@@ -45,8 +45,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact → dim chain with BROADCAST dims:
-    lineitem ⋈ orders ⋈ customer ⋈ nation, grouped by nation name."""
+    """Fact → dim chain: lineitem ⋈ orders ⋈ customer ⋈ nation, grouped by
+    nation name. Only TRUE dimensions broadcast: nation is 25 rows forever,
+    but customer is a SCALING table (150k×SF rows) — pinning
+    F.broadcast(customer) would OOM the driver at 100×, so that join is
+    left to Catalyst/AQE (broadcast while it fits, shuffle join beyond)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -55,7 +58,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(18,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),

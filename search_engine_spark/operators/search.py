@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sources.documents import site_key_col
@@ -73,9 +73,11 @@ def search_compat(
     """Reference-compatible search → (doc_id, url, score_abs, rel).
 
     Implements Q2-Q6: conjunctive AND, Σtf score, max-normalize, sort,
-    paginate. The global max is a scalar agg broadcast back via a window
-    over an empty partition spec — acceptable because the hit set is
-    already reduced (post-intersection), not the corpus.
+    paginate. The global max is a SCALAR aggregate cross-joined back as a
+    broadcast single-row frame — never `Window.partitionBy()` (an empty
+    window spec funnels the whole post-intersection hit set through ONE
+    partition; for a common-term query at 100× scale that is millions of
+    rows on one task).
     """
     if not terms:
         return docs.select("doc_id", "url").limit(0).withColumn(
@@ -86,9 +88,11 @@ def search_compat(
         hits = hits.withColumn("site_key", site_key_col()).filter(
             F.col("site_key") == site_key
         ).drop("site_key")
-    w = Window.partitionBy()
-    out = hits.withColumn(
-        "rel", F.round(F.col("score_abs") / F.max("score_abs").over(w), 4)
+    mx = hits.agg(F.max("score_abs").alias("_max_abs"))
+    out = (
+        hits.crossJoin(F.broadcast(mx))
+        .withColumn("rel", F.round(F.col("score_abs") / F.col("_max_abs"), 4))
+        .drop("_max_abs")
     )
     out = out.join(docs.select("doc_id", "url"), "doc_id")
     return (
