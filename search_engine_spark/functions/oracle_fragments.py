@@ -15,7 +15,7 @@ from __future__ import annotations
 from ..hashing import HEX_DIGITS
 from ..textproc.lemmas import lemma_case_sql
 from ..textproc.stopwords import sql_not_in_list
-from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
 # ---------------------------------------------------------------- tokenizer
 
@@ -30,7 +30,7 @@ def terms_cte(table: str = "documents", extra_cols: str = "",
 toks AS (
   SELECT {cols},
          regexp_replace(t.tok, '{BOUNDARY_STRIP}', '', 'g') AS term
-  FROM {table} d, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS t(tok)
+  FROM {table} d, unnest(string_split_regex(lower(trim(d.text)), '{WS_SPLIT}')) AS t(tok)
 ),
 terms AS (
   SELECT * REPLACE ({term_expr} AS term) FROM toks

@@ -14,6 +14,7 @@ from ..operators import similarity as sim
 from ..operators import textstats as ts
 from ..textproc.stopwords import sql_not_in_list
 from .oracle_fragments import terms_cte
+from ..textproc.tokenize import WS_SPLIT
 
 # --------------------------------------------------------------- textstats
 
@@ -45,7 +46,7 @@ t AS (
 )
 SELECT d.doc_id,
        (CASE WHEN trim(d.text) = '' THEN 0
-             ELSE len(string_split_regex(trim(d.text), '\\s+')) END)::BIGINT
+             ELSE len(string_split_regex(trim(d.text), '{WS_SPLIT}')) END)::BIGINT
          AS n_ws_tokens,
        coalesce(t.n_terms, 0)::BIGINT AS n_terms,
        coalesce(t.n_unique_terms, 0)::BIGINT AS n_unique_terms
@@ -60,13 +61,13 @@ WITH base AS (
          lower(trim(text)) AS t,
          length(lower(trim(text))) AS n_chars,
          CASE WHEN lower(trim(text)) = '' THEN 0
-              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tok,
+              ELSE len(string_split_regex(lower(trim(text)), '{WS_SPLIT}')) END AS n_tok,
          CASE WHEN lower(trim(text)) = '' THEN 0
-              ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+              ELSE len(list_filter(string_split_regex(lower(trim(text)), '{WS_SPLIT}'),
                                    x -> x IN {sql_not_in_list()})) END AS stop_hits,
          length(lower(trim(text)))
            - length(regexp_replace(lower(trim(text)), '[0-9]', '', 'g')) AS digits,
-         length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS non_ws
+         length(regexp_replace(lower(trim(text)), '{WS_SPLIT}', '', 'g')) AS non_ws
   FROM {table}
 ),
 ratios AS (
@@ -93,7 +94,7 @@ FROM ratios
 """
 
 
-FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+FP_SQL = f"md5(regexp_replace(lower(trim(text)), '{WS_SPLIT}', ' ', 'g'))"
 
 
 def fingerprints_sql(table: str = "documents") -> str:
@@ -120,7 +121,7 @@ def _shingles_cte(table: str = "documents", k: int = dd.SHINGLE_K) -> str:
     return f"""
 norm AS (
   SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         string_split(regexp_replace(lower(trim(text)), '{WS_SPLIT}', ' ', 'g'), ' ') AS toks
   FROM {table} WHERE trim(text) <> ''
 ),
 shingles AS (

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..textproc.stopwords import STOPWORDS
-from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
 # sorted so broadcast literal sets are deterministic across runs
 _STOPWORD_LIST = sorted(STOPWORDS)
@@ -38,7 +38,9 @@ def terms_array_col(text_col=None, lemmatize: bool = True):
     col = F.col("text") if text_col is None else (
         F.col(text_col) if isinstance(text_col, str) else text_col
     )
-    arr = F.split(F.lower(F.trim(col)), r"\s+")
+    # WS_SPLIT: the shared explicit whitespace class (Java \s is ASCII-only;
+    # see textproc/tokenize.py) — all emitters split identically on Unicode ws
+    arr = F.split(F.lower(F.trim(col)), WS_SPLIT)
     cleaned = F.transform(arr, lambda t: F.regexp_replace(t, BOUNDARY_STRIP, ""))
     kept = F.filter(
         cleaned,

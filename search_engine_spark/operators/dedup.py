@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..hashing import h60_col
+from ..textproc.tokenize import WS_SPLIT
 from .textstats import fingerprints
 
 N_PERM = 12  # minhash permutations
@@ -64,7 +65,7 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 def word_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) — distinct word k-grams of the normalized text.
     Docs shorter than k words contribute their full text as one shingle."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), WS_SPLIT, " "), " ")
     n = F.size(toks)
     grams = F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(

@@ -49,7 +49,7 @@ def _pack_partition_fn(n_buckets: int):
 
         from ..textproc.lemmas import LEMMA_MAP
         from ..textproc.stopwords import STOPWORDS
-        from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+        from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
         strip_re = re.compile(BOUNDARY_STRIP)
         post_parts: list[pd.DataFrame] = []
@@ -58,7 +58,7 @@ def _pack_partition_fn(n_buckets: int):
             if pdf.empty:
                 continue
             s = pdf["text"].astype("string").fillna("").str.lower().str.strip()
-            ex = s.str.split(r"\s+").explode()
+            ex = s.str.split(WS_SPLIT, regex=True).explode()
             doc_ids = pdf["doc_id"].reindex(ex.index)
             ex = ex.str.replace(strip_re, "", regex=True)
             mask = (

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..textproc.stopwords import STOPWORDS
+from ..textproc.tokenize import WS_SPLIT
 
 # frozen constants — mirrored in oracle SQL
 CYRILLIC_CLASS = "а-яё"
@@ -72,7 +73,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     ws = docs.select(
         "doc_id",
         F.when(F.trim("text") == "", F.lit(0))
-        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .otherwise(F.size(F.split(F.trim("text"), WS_SPLIT)))
         .cast("long")
         .alias("n_ws_tokens"),
     )
@@ -110,13 +111,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     ratio columns (4 dp) so the oracle hashes identically."""
     t = F.lower(F.trim(F.col("text")))
     n_chars = F.length(t)
-    toks = F.split(t, r"\s+")
+    toks = F.split(t, WS_SPLIT)
     n_tok = F.when(t == "", F.lit(0)).otherwise(F.size(toks))
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOP_LIST)))
     digits = _nchars(t, "0-9")
     # mean word length = non-whitespace chars / token count (robust to
     # repeated separators; mirrored exactly in the oracle SQL)
-    non_ws = F.length(F.regexp_replace(t, r"\s+", ""))
+    non_ws = F.length(F.regexp_replace(t, WS_SPLIT, ""))
     mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(non_ws / n_tok)
     stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_hits / n_tok)
     digit_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(digits / n_chars)
@@ -149,5 +150,5 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — deterministic content fingerprint: md5 of the
     whitespace-normalized lowercase text. The exact-dedup key."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_SPLIT, " ")
     return docs.select("doc_id", F.md5(norm).alias("fp"))

@@ -34,7 +34,22 @@ BOUNDARY_STRIP = f"^[^{LETTER}0-9]+|[^{LETTER}0-9]+$"
 WORD_PATTERN = f"^[{LETTER}]+(-[{LETTER}]+)*$"
 BOUNDARY_STRIP_RE = re.compile(BOUNDARY_STRIP)
 WORD_RE = re.compile(WORD_PATTERN)
-WS_RE = re.compile(r"\s+")
+
+# Whitespace spec shared by EVERY tokenizer emitter. Python's str-mode \s
+# is Unicode-aware (NBSP, thin spaces, NEL) while Java's \s (Spark F.split)
+# and RE2's \s (DuckDB) are ASCII-only — a bare r"\s+" therefore tokenizes
+# U+00A0 etc. differently per engine. This class writes out Python's str \s
+# set explicitly (ASCII controls + \x85 + \x1c-\x1f + Unicode Zs/Zl/Zp) as
+# LITERAL characters, which mean the same thing in Python re, pandas, Java
+# regex and RE2. Golden-tested with Unicode whitespace in
+# tests/test_textproc.py.
+WS_CHARS = (
+    " \t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+WS_SPLIT = f"[{WS_CHARS}]+"
+WS_RE = re.compile(WS_SPLIT)
 
 
 def clean_token(tok: str) -> str:

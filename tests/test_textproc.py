@@ -99,3 +99,48 @@ class TestUrlNormalize:
 
     def test_cross_site(self):
         assert normalize_path(self.ROOT, "https://other.example/x") is None
+
+
+class TestUnicodeWhitespace:
+    """The shared WS_SPLIT class must make every emitter split identically
+    on non-ASCII whitespace (NBSP, thin space, ideographic space, NEL) —
+    Java \\s and RE2 \\s are ASCII-only, Python's is not (ADVICE r01)."""
+
+    TEXTS = [
+        (1, "fast data joins merge　scan"),
+        (2, "plain data fast"),
+        (3, "weird\x85nel line sep"),
+    ]
+
+    def test_ws_chars_is_python_s(self):
+        import re
+
+        from search_engine_spark.textproc.tokenize import WS_CHARS
+
+        py_ws = {chr(c) for c in range(0x11000) if re.match(r"\s", chr(c))}
+        assert set(WS_CHARS) == py_ws
+
+    def test_all_emitters_agree(self, spark):
+        import duckdb
+
+        from search_engine_spark.functions import oracle_fragments as ora
+        from search_engine_spark.operators import index_build as ib
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        arrow = sorted(map(tuple, ib.build_postings(df).collect()))
+        sql = sorted(map(tuple, ib.build_postings_sql(df).collect()))
+        py = sorted(
+            (d, t, n)
+            for d, txt in self.TEXTS
+            for t, n in term_frequencies(txt).items()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"({d}, '{t}')" for d, t in self.TEXTS)
+            + ") v(doc_id, text)"
+        )
+        duck = sorted(map(tuple, con.sql(ora.postings_sql()).fetchall()))
+        con.close()
+        assert arrow == sql == py == duck
+        assert (1, "scan", 1) in arrow  # ideographic space actually split
