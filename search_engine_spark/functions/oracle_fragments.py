@@ -13,30 +13,55 @@ Pinned by: textproc/tokenize.py (tokenizer), sources/documents.py
 from __future__ import annotations
 
 from ..hashing import HEX_DIGITS
-from ..textproc.lemmas import lemma_case_sql
+from ..textproc.lemmas import lemma_items
 from ..textproc.stopwords import sql_not_in_list
 from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
 # ---------------------------------------------------------------- tokenizer
 
+def lemma_dict_values() -> str:
+    """The full generated dictionary as a VALUES list (word, normal) —
+    the oracle's mirror of the broadcast dictionary join. A VALUES join
+    parses as data (fast) where a several-thousand-branch CASE would not."""
+    rows = ", ".join(f"('{w}', '{n}')" for w, n in lemma_items())
+    return f"SELECT * FROM (VALUES {rows}) v(word, normal)"
+
+
 def terms_cte(table: str = "documents", extra_cols: str = "",
               lemmatize: bool = True) -> str:
     """CTE `terms(doc_id[, extra], term)` — one row per retained term
     occurrence (normal form when lemmatize). Mirrors
-    functions/text_columns.py::explode_terms."""
+    functions/text_columns.py::explode_terms: filters apply to the cleaned
+    SURFACE token, then the lemma dictionary joins (left, identity
+    fallback)."""
     cols = f"d.doc_id{(', ' + extra_cols) if extra_cols else ''}"
-    term_expr = lemma_case_sql("term") if lemmatize else "term"
-    return f"""
+    out_names = ["doc_id"]
+    if extra_cols:
+        out_names.append(extra_cols.rsplit(" AS ", 1)[-1].strip())
+    toks = f"""
 toks AS (
   SELECT {cols},
          regexp_replace(t.tok, '{BOUNDARY_STRIP}', '', 'g') AS term
   FROM {table} d, unnest(string_split_regex(lower(trim(d.text)), '{WS_SPLIT}')) AS t(tok)
-),
+)"""
+    if not lemmatize:
+        return f"""{toks},
 terms AS (
-  SELECT * REPLACE ({term_expr} AS term) FROM toks
+  SELECT * FROM toks
   WHERE term <> ''
     AND regexp_matches(term, '{WORD_PATTERN}')
     AND term NOT IN {sql_not_in_list()}
+)"""
+    keep = ", ".join(f"toks.{c}" for c in out_names)
+    return f"""
+lemma_dict AS ({lemma_dict_values()}),
+{toks.lstrip()},
+terms AS (
+  SELECT {keep}, coalesce(ld.normal, toks.term) AS term
+  FROM toks LEFT JOIN lemma_dict ld ON ld.word = toks.term
+  WHERE toks.term <> ''
+    AND regexp_matches(toks.term, '{WORD_PATTERN}')
+    AND toks.term NOT IN {sql_not_in_list()}
 )"""
 
 

@@ -1,11 +1,12 @@
 """Spark column-expression tokenization pipeline (the hot path).
 
 The reference lemmatizes row-at-a-time in Java (services/LemmasFinder.java).
-Here the fast analyzer runs entirely JVM-side inside whole-stage codegen —
-``lower``/``split``/``explode``/``regexp_replace``/``rlike``/``isin`` — no
-Python in the loop at all, which beats even an Arrow UDF at 100 TB scale.
-The Arrow pandas-UDF morphology analyzer (functions/udfs.py) is the slow
-path used only when lemmatization is enabled.
+Here the analyzer runs JVM-side — ``lower``/``split``/``explode``/
+``regexp_replace``/``rlike``/``isin`` in whole-stage codegen, plus one
+broadcast join against the generated lemma dictionary
+(textproc/morphology.py) — no Python in the loop at all. The equivalent
+Arrow pandas-UDF wrappers (functions/udfs.py) serve callers that are
+already inside a pandas stage.
 
 Semantics are pinned by textproc/tokenize.py (pure-Python reference impl)
 and mirrored by functions/oracle_fragments.py (DuckDB oracle SQL).
@@ -23,18 +24,17 @@ from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 _STOPWORD_LIST = sorted(STOPWORDS)
 
 
-def terms_array_col(text_col=None, lemmatize: bool = True):
-    """Array column of retained (optionally lemmatized) terms for one text.
+def terms_array_col(text_col=None):
+    """Array column of retained SURFACE tokens for one text (rules 1-4 +
+    stopword drop; lemmatization happens post-explode in explode_terms).
 
-    The whole tokenizer runs at ARRAY level (transform/filter lambdas)
-    before the explode: with the naive explode-then-filter formulation,
-    Catalyst's projection collapse inlines the regexp_replace into every
-    downstream reference (filter predicates + aggregate key), evaluating
-    the regex 4-5× per token — measured 2.3× slower end-to-end at
-    sf0.1×32. Array lambdas evaluate each token exactly once and stay in
-    whole-stage codegen."""
-    from ..textproc.lemmas import lemma_col
-
+    The tokenizer runs at ARRAY level (transform/filter lambdas) before the
+    explode: with the naive explode-then-filter formulation, Catalyst's
+    projection collapse inlines the regexp_replace into every downstream
+    reference (filter predicates + aggregate key), evaluating the regex
+    4-5× per token — measured 2.3× slower end-to-end at sf0.1×32. Array
+    lambdas evaluate each token exactly once and stay in whole-stage
+    codegen."""
     col = F.col("text") if text_col is None else (
         F.col(text_col) if isinstance(text_col, str) else text_col
     )
@@ -42,15 +42,12 @@ def terms_array_col(text_col=None, lemmatize: bool = True):
     # see textproc/tokenize.py) — all emitters split identically on Unicode ws
     arr = F.split(F.lower(F.trim(col)), WS_SPLIT)
     cleaned = F.transform(arr, lambda t: F.regexp_replace(t, BOUNDARY_STRIP, ""))
-    kept = F.filter(
+    return F.filter(
         cleaned,
         lambda t: (t != "")
         & t.rlike(WORD_PATTERN)
         & ~t.isin(_STOPWORD_LIST),
     )
-    if lemmatize:
-        kept = F.transform(kept, lambda t: lemma_col(t))
-    return kept
 
 
 def explode_terms(
@@ -62,12 +59,23 @@ def explode_terms(
     """documents → one row per retained term occurrence: (*keep, term).
 
     keep defaults to ["doc_id"]. Duplicate occurrences are preserved (tf is
-    aggregated downstream). ``lemmatize`` applies the frozen normal-form
-    dictionary (T5) as a literal-map lookup — still whole-stage codegen."""
+    aggregated downstream). ``lemmatize`` applies the full generated
+    dictionary (T5, textproc/morphology.py) as a BROADCAST join against
+    the (word, normal) frame — the dictionary ships once per executor and
+    the exploded term stream probes a hash table; a thousands-of-entries
+    literal map would bloat the codegen'd plan instead."""
     keep = keep or ["doc_id"]
-    return df.select(
-        *keep, F.explode(terms_array_col(text_col, lemmatize)).alias("term")
+    out = df.select(
+        *keep, F.explode(terms_array_col(text_col)).alias("term")
     )
+    if lemmatize:
+        from ..textproc.lemmas import lemma_dict_df
+
+        ld = lemma_dict_df(df.sparkSession)
+        out = out.join(
+            F.broadcast(ld), out["term"] == ld["word"], "left"
+        ).select(*keep, F.coalesce("normal", "term").alias("term"))
+    return out
 
 
 def normalized_path_col(site_col: Column, url_col: Column) -> Column:

@@ -47,7 +47,7 @@ def _pack_partition_fn(n_buckets: int):
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
-        from ..textproc.lemmas import LEMMA_MAP
+        from ..textproc.lemmas import FULL_LEMMA_MAP
         from ..textproc.stopwords import STOPWORDS
         from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
@@ -68,7 +68,7 @@ def _pack_partition_fn(n_buckets: int):
             )
             ex = ex[mask]
             doc_ids = doc_ids[mask]
-            lem = ex.map(LEMMA_MAP).fillna(ex)
+            lem = ex.map(FULL_LEMMA_MAP).fillna(ex)
             tf = (
                 pd.DataFrame({"doc_id": doc_ids.values, "term": lem.values})
                 .groupby(["doc_id", "term"], sort=False)

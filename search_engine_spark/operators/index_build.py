@@ -41,7 +41,7 @@ def _tokenize_count_batches(
     Spark-side shuffle is needed to form postings."""
     import re
 
-    from ..textproc.lemmas import LEMMA_MAP
+    from ..textproc.lemmas import FULL_LEMMA_MAP
     from ..textproc.stopwords import STOPWORDS
     from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
@@ -62,7 +62,7 @@ def _tokenize_count_batches(
         if ex.empty:
             continue
         doc_ids = doc_ids[mask]
-        lem = ex.map(LEMMA_MAP).fillna(ex)
+        lem = ex.map(FULL_LEMMA_MAP).fillna(ex)
         tf = (
             pd.DataFrame({"doc_id": doc_ids.values, "term": lem.values})
             .groupby(["doc_id", "term"], sort=False)

@@ -1,4 +1,4 @@
-"""Frozen lemma dictionary — the engine's T4/T5 morphology surface.
+"""Lemma dictionary — the engine's T4/T5 morphology surface.
 
 The reference lemmatizes with Lucene-morphology (Russian + English analyzers,
 pom.xml:60-84): a word is looked up, Russian first then English
@@ -6,30 +6,45 @@ pom.xml:60-84): a word is looked up, Russian first then English
 (``normalForms.get(0)``, services/LemmasFinder.java:327-342) — e.g.
 ``tested -> test`` but ``testing -> testing`` (first of [testing, test]).
 
-Per SURVEY.md §7 step 1 this engine ships its own frozen, versioned
-dictionary instead of a morphology library: a finite ``{inflected: normal}``
-map with identity fallback for unknown words. The same mapping is emitted
-three ways so all engines agree bit-for-bit:
+Two layers, merged into one active table (``FULL_LEMMA_MAP``):
 
-  * ``lemma()``           — pure Python (unit tests, driver-side query analysis,
-                            snippet highlighting)
-  * ``lemma_col()``       — Spark column expression (literal map lookup; stays
-                            inside whole-stage codegen — at cluster scale a
-                            larger dictionary would become a broadcast join
-                            against a dictionary table instead)
-  * ``lemma_case_sql()``  — DuckDB oracle fragment (CASE/VALUES join)
+  * the GENERATED dictionary (textproc/morphology.py): thousands of ru/en
+    inflected forms expanded from a frozen base lexicon through
+    deterministic inflection paradigms — the morphology surface proper;
+  * ``LEMMA_MAP`` below: a small hand-frozen overlay that pins specific
+    first-normal-form choices (e.g. ``testing -> testing``) and wins on
+    conflict, so goldens written against it stay stable across dictionary
+    regenerations.
 
-Stop-POS filtering (PARTICLES, services/LemmasFinder.java:19) is modeled by
-the frozen stopword list (textproc/stopwords.py): those words are "not
-fitting" and never lemmatize, matching isFittingWord=false semantics.
+The merged mapping is emitted four ways so all engines agree bit-for-bit:
+
+  * ``lemma()``          — pure Python (unit tests, driver-side query
+                           analysis, snippet highlighting)
+  * ``Series.map(FULL_LEMMA_MAP)`` — Arrow tokenizers
+                           (operators/index_build.py, fused_build.py,
+                           functions/udfs.py)
+  * ``lemma_dict_df()``  — broadcast dictionary DataFrame joined after the
+                           explode in functions/text_columns.py (a literal
+                           in-expression map would bloat codegen at this
+                           size; a broadcast join is the classic
+                           dictionary-at-scale design)
+  * ``lemma_items()``    — frozen (word, normal) list the DuckDB oracle
+                           embeds as a VALUES join
+                           (functions/oracle_fragments.py)
+
+Stop-POS filtering (PARTICLES, services/LemmasFinder.java:19) is the
+particle-classed section of the morphology lexicon, which equals the frozen
+stopword list (textproc/stopwords.py) by construction; see
+morphology.is_fitting for the faithful reference filter.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
-DICT_VERSION = 1
+from .morphology import build_lemma_table
+
+DICT_VERSION = 2
 
 # inflected (lowercase) -> first normal form (lowercase). Both sides must be
 # valid tokens of the tokenizer (letters + interior hyphens only).
@@ -108,23 +123,33 @@ LEMMA_MAP: dict[str, str] = {
 }
 
 
+# The active table: generated dictionary + hand-frozen overlay (overlay
+# wins — it pins reference-observed first-normal-form choices).
+FULL_LEMMA_MAP: dict[str, str] = {**build_lemma_table(), **LEMMA_MAP}
+
+_SORTED_ITEMS = sorted(FULL_LEMMA_MAP.items())
+
+
 def lemma(word: str) -> str:
     """First-normal-form lookup with identity fallback (lowercase in/out)."""
-    return LEMMA_MAP.get(word, word)
+    return FULL_LEMMA_MAP.get(word, word)
 
 
-_SORTED_ITEMS = sorted(LEMMA_MAP.items())
+def lemma_items() -> list[tuple[str, str]]:
+    """Frozen sorted (inflected, normal) pairs — the oracle-SQL emitter."""
+    return _SORTED_ITEMS
 
 
-def lemma_col(col: Column) -> Column:
-    """Spark literal-map lookup: coalesce(map[term], term)."""
-    m = F.create_map(*[F.lit(x) for kv in _SORTED_ITEMS for x in kv])
-    return F.coalesce(F.element_at(m, col), col)
+_DF_CACHE: dict[int, DataFrame] = {}
 
 
-def lemma_case_sql(expr: str) -> str:
-    """DuckDB fragment: same mapping as a scalar CASE expression."""
-    whens = " ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in _SORTED_ITEMS
-    )
-    return f"(CASE {expr} {whens} ELSE {expr} END)"
+def lemma_dict_df(spark: SparkSession) -> DataFrame:
+    """The dictionary as a (word, normal) DataFrame, cached per session.
+    Small (thousands of rows) — callers broadcast it into the post-explode
+    join (functions/text_columns.py::explode_terms)."""
+    key = id(spark)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = spark.createDataFrame(
+            _SORTED_ITEMS, "word string, normal string"
+        )
+    return _DF_CACHE[key]

@@ -3,10 +3,13 @@
 The reference drops interjections, conjunctions, prepositions and particles
 via morphology POS tags (PARTICLES list, reference
 services/LemmasFinder.java:19 and isFittingWord at :299-316). This engine's
-equivalent in the fast (non-morphology) analyzer is a frozen function-word
-list — deterministic, versioned, and embeddable in the DuckDB oracle SQL.
-The morphology analyzer (textproc/morphology.py) additionally applies POS-tag
-based filtering.
+frozen function-word list IS the particle-classed section of the morphology
+lexicon: textproc/morphology.py builds its particle lexicon from these
+exact tuples (asserted in tests/test_morphology.py), so the analyzer's
+stopword drop and the POS-tag filter are the same frozen decision —
+deterministic, versioned, and embeddable in the DuckDB oracle SQL.
+morphology.is_fitting exposes the faithful reference filter (recognized
+AND no PARTICLES tag) for callers that want reference-exact semantics.
 
 Do NOT edit casually: golden tests and oracle SQL embed this list.
 """
