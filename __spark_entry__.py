@@ -241,9 +241,18 @@ def _q_dedup_lsh_pairs(spark, sf_dir):
 
 
 def _q_dedup_jaccard(spark, sf_dir):
-    from search_engine_spark.operators.dedup import jaccard_pairs
+    """Candidate-DRIVEN Jaccard verification (the scale default): exact
+    intersection counts only for LSH band-collision pairs, never the
+    corpus-wide quadratic shingle self-join."""
+    from search_engine_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+    )
 
-    return jaccard_pairs(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
+    docs = load_documents(spark, sf_dir)
+    return jaccard_pairs(
+        docs, JACCARD_THRESHOLD, candidates=lsh_candidate_pairs(docs)
+    )
 
 
 def _q_simhash(spark, sf_dir):
@@ -259,10 +268,21 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """Exact all-pairs baseline — oracle/verification scale only."""
     from search_engine_spark.operators.dedup import embedding_near_pairs
     from search_engine_spark.sources.documents import load_embeddings
 
     return embedding_near_pairs(
+        load_embeddings(spark, sf_dir), EMB_NEAR_THRESHOLD
+    )
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """The scale default: near-dup pairs restricted to LSH buckets."""
+    from search_engine_spark.operators.dedup import embedding_near_pairs_lsh
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return embedding_near_pairs_lsh(
         load_embeddings(spark, sf_dir), EMB_NEAR_THRESHOLD
     )
 
@@ -402,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_lsh": _q_ann_lsh,
@@ -454,10 +475,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": pipe.exact_duplicates_sql(),
         "minhash": pipe.minhash_sql(),
         "dedup_lsh_pairs": pipe.lsh_pairs_sql(),
-        "dedup_jaccard": pipe.jaccard_pairs_sql(threshold=JACCARD_THRESHOLD),
+        "dedup_jaccard": pipe.jaccard_pairs_sql(
+            threshold=JACCARD_THRESHOLD, lsh_candidates=True
+        ),
         "simhash": pipe.simhash_sql(),
         "simhash_pairs": pipe.simhash_near_pairs_sql(),
         "embedding_neardup": pipe.embedding_near_pairs_sql(
+            threshold=EMB_NEAR_THRESHOLD
+        ),
+        "embedding_neardup_lsh": pipe.embedding_near_pairs_lsh_sql(
             threshold=EMB_NEAR_THRESHOLD
         ),
         "ann_bruteforce": pipe.ann_bruteforce_sql(ANN_QUERY_IDS),

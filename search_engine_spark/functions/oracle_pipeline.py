@@ -164,15 +164,45 @@ FROM banded a JOIN banded b
 """
 
 
-def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
-    return f"""
-WITH {_shingles_cte(table)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-inter AS (
+def jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5,
+                      lsh_candidates: bool = False) -> str:
+    """lsh_candidates=True mirrors the candidate-driven default wiring:
+    intersections are counted only for LSH band-collision pairs."""
+    h = h60_sql("(perm::VARCHAR || ':' || shingle)")
+    cand_ctes = f""",
+sig AS (
+  SELECT doc_id, perm::INT AS perm, min({h}) AS minhash
+  FROM shingles, unnest(range(0, {dd.N_PERM})) AS p(perm)
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, (perm // {dd.PERM_BAND}) AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)""" if lsh_candidates else ""
+    inter_src = (
+        """
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b"""
+        if lsh_candidates
+        else """
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM shingles a JOIN shingles b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+  GROUP BY doc_a, doc_b"""
+    )
+    return f"""
+WITH {_shingles_cte(table)}{cand_ctes},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS ({inter_src}
 )
 SELECT doc_a, doc_b,
        round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -239,6 +269,34 @@ WHERE round({cos}, 4) >= {threshold}
 """
 
 
+def embedding_near_pairs_lsh_sql(threshold: float = 0.95,
+                                 table: str = "embeddings") -> str:
+    """Banded LSH near-dup: pairs share any of the 4×4-bit sign bands."""
+    cos = COS_SQL.format(a="a.embedding", b="b.embedding")
+    n = dd.EMB_BANDS * dd.EMB_BAND_PLANES
+    r = dd.EMB_BAND_PLANES
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sig_sql('embedding', n)} AS sig FROM {table}
+),
+banded AS (
+  SELECT vec_id, embedding, band,
+         substr(sig, band * {r} + 1, {r}) AS key
+  FROM sigs, unnest(range(0, {dd.EMB_BANDS})) AS b(band)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round({COS_SQL.format(a='ea', b='eb')}, 4) AS cos
+FROM pairs
+WHERE round({COS_SQL.format(a='ea', b='eb')}, 4) >= {threshold}
+"""
+
+
 def _ids_in(ids: list[int]) -> str:
     return "(" + ", ".join(str(i) for i in ids) + ")"
 
@@ -268,11 +326,11 @@ def _plane_literal(j: int) -> str:
     return f"[{vals}]::DOUBLE[]"
 
 
-def _sig_sql(col: str) -> str:
+def _sig_sql(col: str, n_planes: int | None = None) -> str:
     bits = " || ".join(
         f"(CASE WHEN list_dot_product({col}::DOUBLE[], {_plane_literal(j)}) > 0 "
         f"THEN '1' ELSE '0' END)"
-        for j in range(sim.N_PLANES)
+        for j in range(n_planes or sim.N_PLANES)
     )
     return f"({bits})"
 

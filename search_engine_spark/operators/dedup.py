@@ -145,26 +145,50 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — exact word-shingle Jaccard similarity for
-    pairs sharing ≥1 shingle (or only the given candidate pairs), kept at
-    jaccard ≥ threshold. This is the LSH verification stage."""
+    """(doc_a, doc_b, jaccard) — exact word-shingle Jaccard similarity kept
+    at jaccard ≥ threshold.
+
+    With ``candidates`` (the DEFAULT wiring — fed from
+    lsh_candidate_pairs), the plan is candidate-DRIVEN: candidates join to
+    each side's shingles and only those pairs' intersections are counted,
+    so cost is O(|candidates| · shingles-per-doc). Without candidates the
+    corpus-wide shingle self-join runs — exact but quadratic in
+    shared-shingle pairs; verification/oracle scale only, never the 100 TB
+    pass."""
     sh = word_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+        sh_a = sh.select(
+            F.col("doc_id").alias("ca"), F.col("shingle").alias("sh_a")
+        )
+        sh_b = sh.select(
+            F.col("doc_id").alias("cb"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            candidates.join(sh_a, F.col("doc_a") == F.col("ca"))
+            .join(
+                sh_b,
+                (F.col("doc_b") == F.col("cb"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
     )
@@ -298,9 +322,11 @@ def cosine_expr(a, b):
 def embedding_near_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
-    """(vec_a, vec_b, cos) — embedding pairs with cosine ≥ threshold.
-    Brute-force pairwise at oracle scale; similarity.lsh_topk is the
-    bucketed scale path."""
+    """(vec_a, vec_b, cos) — EXACT embedding near-dup pairs (cosine ≥
+    threshold) via brute-force all-pairs. Verification/oracle scale ONLY —
+    quadratic in the corpus; embedding_near_pairs_lsh is the default scale
+    path (bucket-restricted pairs), with this as its recall baseline
+    (tests/test_pipeline.py)."""
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -310,6 +336,74 @@ def embedding_near_pairs(
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", F.round(cosine_expr(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+EMB_BANDS = 4  # OR-amplification: candidates share ANY band
+EMB_BAND_PLANES = 4  # AND within a band: r sign bits must all agree
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """(vec_a, vec_b, cos) — near-dup pairs restricted to BANDED
+    hyperplane-LSH buckets: 16 frozen hyperplanes split into 4 bands of 4
+    sign bits; vectors colliding in ANY band are candidates (the classic
+    b×r S-curve — P(candidate) = 1-(1-s^r)^b with s = 1-θ/π), exact cosine
+    verifies inside the candidate set. The scale default: cost is
+    b·Σ|bucket|² instead of |corpus|²; recall-vs-exact is measured against
+    embedding_near_pairs in tests/test_pipeline.py."""
+    from .similarity import lsh_signature_col
+
+    n_planes = EMB_BANDS * EMB_BAND_PLANES
+    sig = embeddings.select(
+        "vec_id",
+        "embedding",
+        lsh_signature_col(F.col("embedding"), n_planes).alias("sig"),
+    )
+    banded = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring(
+                            "sig", i * EMB_BAND_PLANES + 1, EMB_BAND_PLANES
+                        ).alias("key"),
+                    )
+                    for i in range(EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "embedding",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        pairs.withColumn(
+            "cos", F.round(cosine_expr(F.col("ea"), F.col("eb")), 4)
+        )
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )

@@ -170,3 +170,45 @@ def test_decode_image_raises_without_pillow(spark, mini_docs):
         pass
     with pytest.raises(Exception, match="pillow|NotImplemented"):
         multimodal.decode_image(docs).collect()
+
+
+def test_embedding_neardup_lsh_subset_and_recall(spark):
+    """The bucketed near-dup (scale default) returns a SUBSET of the exact
+    all-pairs result, and at the contract threshold on the real fixture its
+    recall is measured against the exact baseline (pinned floor)."""
+    from search_engine_spark.sources.documents import load_embeddings
+
+    emb = load_embeddings(spark, "/root/testdata/sf0.001")
+    thr = 0.4
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs(emb, thr).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs_lsh(emb, thr).collect()
+    }
+    assert lsh <= exact  # bucket restriction never invents pairs
+    recall = len(lsh) / len(exact) if exact else 1.0
+    # banded 4×4 hyperplane LSH at cos≥0.4: P(candidate) = 1-(1-s^4)^4
+    # with s = 1-acos(cos)/π ≈ 0.5 at the threshold edge, higher for
+    # tighter pairs; measured recall ≈ 0.47 on the fixture — pin a
+    # conservative floor so regressions show
+    assert recall >= 0.3, recall
+
+
+def test_jaccard_candidates_match_corpus_wide(spark, mini_docs):
+    """Candidate-driven Jaccard equals the corpus-wide pass restricted to
+    the candidate set (same pairs, same scores)."""
+    cand = dedup.lsh_candidate_pairs(mini_docs)
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(mini_docs, 0.3).collect()
+    }
+    driven = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(mini_docs, 0.3, candidates=cand).collect()
+    }
+    assert driven == {p: j for p, j in full.items() if p in cand_set}
+    assert driven  # non-trivial on the fixture (dups collide in bands)
