@@ -10,14 +10,21 @@ whole query runs as ONE shuffle-free mapper pass:
 
 Pruning inside a bucket (the reference's rarest-first + early-exit,
 SearchServiceImpl.java:152-180, generalized to blocks):
-  * terms are processed in ascending bucket-local df order (rarest first);
-  * for conjunctive AND, blocks of later terms are skipped entirely when
-    their [first_doc, last_doc] range cannot intersect the surviving
-    candidate range (block-max metadata as a zone map), and evaluation
-    aborts the moment the candidate set goes empty;
-  * for disjunctive BM25 top-k, per-block upper bounds (idf·ub(max_tf))
-    let us skip blocks that cannot lift any doc above the running
-    threshold once k candidates exist (block-max WAND pruning).
+  * conjunctive AND: terms process in ascending bucket-local count order
+    (rarest first); later terms decode ONLY blocks whose doc range holds a
+    surviving candidate (per-block check, block-max metadata as a zone
+    map), and evaluation aborts the moment the candidate set goes empty.
+    Score-threshold pruning is deliberately NOT applied mid-intersection:
+    candidates can still fail later terms, so no valid k-th-score bound
+    exists before the AND completes.
+  * disjunctive top-k: MaxScore with block-max skipping
+    (_maxscore_or_bucket) — terms process in descending whole-term upper
+    bound (idf·ub(max_tf) from metadata); once k docs are scored, lists
+    whose remaining-UB sum cannot reach the running k-th score switch to
+    update-only mode (decoding only candidate-bearing blocks), and
+    candidates whose optimistic bound falls below it are dropped. Exact:
+    results equal the exhaustive union-merge (oracle-pinned), with
+    EPS_PRUNE guarding 4-dp round-ties.
 
 All decode/score math is vectorized numpy inside applyInPandas/cogroup —
 no per-row Python.
@@ -42,13 +49,37 @@ SCORE_SCHEMA = T.StructType(
 )
 
 
-def _decode_term(pdf: pd.DataFrame, cand_lo: int | None = None, cand_hi: int | None = None):
-    """Decode one term's blocks within a bucket, optionally skipping blocks
-    outside [cand_lo, cand_hi] (zone-map pruning)."""
+# Pruning slack: the output rounds scores to 4 dp, so two docs within
+# 5e-5 can round EQUAL and the doc_id tiebreak decides between them. A
+# doc may therefore only be pruned when its upper bound is below the
+# threshold by MORE than the rounding granularity — otherwise pruning
+# could drop a doc that would have round-tied the k-th and won the
+# tiebreak. 1e-4 > 5e-5 keeps every potential round-tie alive.
+EPS_PRUNE = 1e-4
+
+
+def _decode_term(
+    pdf: pd.DataFrame,
+    cand: np.ndarray | None = None,
+    stats: dict | None = None,
+):
+    """Decode one term's blocks within a bucket. With ``cand`` (sorted
+    candidate doc_ids), blocks whose [first_doc, last_doc] range contains
+    NO candidate are skipped without decoding (block-max metadata as a
+    zone map — exact, because a skipped block cannot contain any doc we
+    still care about). ``stats`` counts decoded vs total blocks."""
     ids_parts, tf_parts = [], []
     for row in pdf.itertuples(index=False):
-        if cand_lo is not None and (row.last_doc < cand_lo or row.first_doc > cand_hi):
-            continue
+        if stats is not None:
+            stats["blocks_total"] += 1
+        if cand is not None:
+            if cand.size == 0:
+                continue
+            lo = int(np.searchsorted(cand, row.first_doc, side="left"))
+            if lo >= cand.size or cand[lo] > row.last_doc:
+                continue  # no candidate falls inside this block's range
+        if stats is not None:
+            stats["blocks_decoded"] += 1
         ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
         ids_parts.append(ids)
         tf_parts.append(tfs)
@@ -57,18 +88,29 @@ def _decode_term(pdf: pd.DataFrame, cand_lo: int | None = None, cand_hi: int | N
     return np.concatenate(ids_parts), np.concatenate(tf_parts)
 
 
-def _conjunctive_bucket(groups: dict[str, pd.DataFrame]) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+def _conjunctive_bucket(
+    groups: dict[str, pd.DataFrame], stats: dict | None = None
+) -> tuple[np.ndarray, dict[str, np.ndarray]]:
     """Rarest-first AND intersection inside one bucket.
+
+    The reference's rarest-first ordering + early exit
+    (SearchServiceImpl.java:152-180), generalized to blocks: later terms
+    decode ONLY blocks whose doc range contains a surviving candidate
+    (per-block check against the candidate array, not just the global
+    [lo, hi] envelope). Score-threshold pruning does NOT apply mid-AND:
+    a candidate may still fail a later term, so no valid k-th-score lower
+    bound exists before the intersection completes — decode-what-
+    intersects is the sound prune here.
 
     Returns (doc_ids, {term: tf aligned to doc_ids}); empty on early exit."""
     # rarest first: fewest postings in this bucket
     order = sorted(groups, key=lambda t: int(groups[t]["count"].sum()))
-    ids, tfs = _decode_term(groups[order[0]])
+    ids, tfs = _decode_term(groups[order[0]], stats=stats)
     aligned = {order[0]: tfs}
     for term in order[1:]:
         if ids.size == 0:
             return ids, {}
-        t_ids, t_tfs = _decode_term(groups[term], int(ids[0]), int(ids[-1]))
+        t_ids, t_tfs = _decode_term(groups[term], cand=ids, stats=stats)
         pos = np.searchsorted(t_ids, ids)
         pos = np.clip(pos, 0, max(t_ids.size - 1, 0))
         hit = t_ids.size > 0
@@ -80,26 +122,101 @@ def _conjunctive_bucket(groups: dict[str, pd.DataFrame]) -> tuple[np.ndarray, di
     return ids, aligned
 
 
-def _disjunctive_bucket(groups: dict[str, pd.DataFrame]):
-    """OR semantics: decode every query term present in the bucket and
-    accumulate per-doc (vectorized union-merge via np.unique)."""
-    ids_parts, tf_parts, term_idx = [], [], []
-    order = sorted(groups)
-    for ti, term in enumerate(order):
-        ids, tfs = _decode_term(groups[term])
-        ids_parts.append(ids)
-        tf_parts.append(tfs)
-        term_idx.append(np.full(ids.size, ti, dtype=np.int64))
-    all_ids = np.concatenate(ids_parts)
-    if all_ids.size == 0:
-        return all_ids, {}, None
-    uniq, inverse = np.unique(all_ids, return_inverse=True)
-    return uniq, {
-        "order": order,
-        "tf": np.concatenate(tf_parts),
-        "term_idx": np.concatenate(term_idx),
-        "inverse": inverse,
-    }, None
+def _term_ub(pdf: pd.DataFrame, mode: str, idf_t: float, k1: float, b: float) -> float:
+    """Whole-term score upper bound from block-max metadata (no decode):
+    compat = max_tf; bm25 = idf·ub(max_tf) with the dl→0 denominator bound
+    (the contribution is monotone in tf and maximal at minimal dl)."""
+    mt = float(pdf["max_tf"].max())
+    if mode == "compat":
+        return mt
+    return idf_t * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
+
+
+def _maxscore_or_bucket(
+    groups: dict[str, pd.DataFrame],
+    k: int | None,
+    mode: str,
+    idf: dict[str, float] | None,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dl_map: pd.Series | None,
+    allowed: np.ndarray | None = None,
+    stats: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT disjunctive top-k with MaxScore/block-max pruning.
+
+    Terms process in descending whole-term upper bound (from block
+    metadata). Once k docs are scored, θ = current k-th best PARTIAL score
+    (partials are lower bounds of finals, so θ is a valid threshold):
+
+      * a term whose suffix upper-bound sum Σ_{j≥i} UB(t_j) falls below
+        θ - EPS_PRUNE cannot introduce a NEW top-k doc — its list switches
+        to update-only mode, decoding just the blocks whose doc range
+        holds a surviving candidate (the block-max skip);
+      * candidates whose score + remaining UB falls below θ - EPS_PRUNE
+        are dropped (they cannot reach the top-k even optimistically).
+
+    EPS_PRUNE keeps every potential 4-dp round-tie alive, so the result is
+    identical to the exhaustive union-merge (pinned by tests + the
+    search_bm25_or oracle pair). k=None disables pruning (pre-pagination
+    count path needs ALL hits). ``allowed`` (sorted) restricts candidates
+    to a doc subset (site-filtered search) — applied at decode time so θ
+    only ever reflects eligible docs.
+    """
+    idf = idf or {}
+    ubs = {
+        t: _term_ub(g, mode, idf.get(t, 0.0), k1, b)
+        for t, g in groups.items()
+    }
+    order = sorted(groups, key=lambda t: (-ubs[t], t))
+    suffix = np.zeros(len(order) + 1, dtype=np.float64)
+    for i in range(len(order) - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + ubs[order[i]]
+    ids = np.empty(0, dtype=np.int64)
+    scores = np.empty(0, dtype=np.float64)
+
+    def contrib(t: str, tfs: np.ndarray, docs: np.ndarray) -> np.ndarray:
+        tf = tfs.astype(np.float64)
+        if mode == "compat":
+            return tf
+        dl = dl_map.reindex(docs).to_numpy(dtype=np.float64)
+        return (
+            idf[t] * tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+
+    for i, t in enumerate(order):
+        theta = None
+        if k is not None and ids.size >= k:
+            theta = np.partition(scores, ids.size - k)[ids.size - k]
+        if theta is None or suffix[i] >= theta - EPS_PRUNE:
+            # open mode: new docs can still enter the top-k
+            t_ids, t_tfs = _decode_term(groups[t], cand=allowed, stats=stats)
+            if allowed is not None and t_ids.size:
+                m = np.isin(t_ids, allowed, assume_unique=True)
+                t_ids, t_tfs = t_ids[m], t_tfs[m]
+            if t_ids.size:
+                new = np.setdiff1d(t_ids, ids, assume_unique=True)
+                if new.size:
+                    merged = np.union1d(ids, new)
+                    grown = np.zeros(merged.size, dtype=np.float64)
+                    grown[np.searchsorted(merged, ids)] = scores
+                    ids, scores = merged, grown
+                scores[np.searchsorted(ids, t_ids)] += contrib(t, t_tfs, t_ids)
+        else:
+            # update-only: decode just the blocks holding a candidate
+            t_ids, t_tfs = _decode_term(groups[t], cand=ids, stats=stats)
+            if t_ids.size and ids.size:
+                pos = np.clip(np.searchsorted(ids, t_ids), 0, ids.size - 1)
+                m = ids[pos] == t_ids
+                if m.any():
+                    scores[pos[m]] += contrib(t, t_tfs[m], t_ids[m])
+        if k is not None and ids.size > k:
+            theta2 = np.partition(scores, ids.size - k)[ids.size - k]
+            keep = scores + suffix[i + 1] >= theta2 - EPS_PRUNE
+            ids, scores = ids[keep], scores[keep]
+    return ids, scores
 
 
 def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] | None,
@@ -111,10 +228,9 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
     mode='compat': score = Σ tf (exact, reference §2.G).
     mode='bm25':  Robertson BM25 with broadcast idf + co-partitioned dl.
     conjunctive=False: disjunctive (OR) top-k — every doc containing ANY
-    query term scores on the terms it has (exhaustive vectorized
-    union-merge; the block-max metadata still bounds conjunctive-path
-    skipping, and at cluster scale would drive threshold-based block
-    skipping once per-bucket k-th-score thresholds stabilize).
+    query term scores on the terms it has, evaluated by the MaxScore
+    block-max scorer (_maxscore_or_bucket): threshold-based block skipping
+    and candidate pruning, exact vs the exhaustive union-merge.
     restrict_to_norms: drop candidate docs absent from the norms frame —
     used for site-filtered search (norms pre-filtered to the site; the
     reference's per-site search, SearchServiceImpl.java:30-52).
@@ -155,32 +271,17 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
                     tf = aligned[t].astype(np.float64)
                     s += idf[t] * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         else:
-            ids, parts, _ = _disjunctive_bucket(groups)
+            allowed = None
+            if restrict_to_norms:
+                allowed = np.sort(norms["doc_id"].to_numpy(dtype=np.int64))
+            dl_map = (
+                None if mode == "compat" else norms.set_index("doc_id")["dl"]
+            )
+            ids, s = _maxscore_or_bucket(
+                groups, k, mode, idf, k1, b, avgdl, dl_map, allowed
+            )
             if ids.size == 0:
                 return _empty()
-            tf = parts["tf"].astype(np.float64)
-            if mode == "compat":
-                contrib = tf
-            else:
-                idf_arr = np.array(
-                    [idf[t] for t in parts["order"]], dtype=np.float64
-                )
-                dl_map = norms.set_index("doc_id")["dl"]
-                dl_uniq = dl_map.reindex(ids).to_numpy(dtype=np.float64)
-                dl_row = dl_uniq[parts["inverse"]]
-                contrib = (
-                    idf_arr[parts["term_idx"]]
-                    * tf * (k1 + 1.0)
-                    / (tf + k1 * (1.0 - b + b * dl_row / avgdl))
-                )
-            s = np.zeros(ids.size, dtype=np.float64)
-            np.add.at(s, parts["inverse"], contrib)
-            if restrict_to_norms:
-                allowed = norms["doc_id"].to_numpy(dtype=np.int64)
-                mask = np.isin(ids, allowed, assume_unique=True)
-                ids, s = ids[mask], s[mask]
-                if ids.size == 0:
-                    return _empty()
         if k is not None and ids.size > k:
             # keep the SAME top-k the global merge would pick: score desc,
             # doc_id asc — a bare argpartition could drop a tied doc that

@@ -147,3 +147,101 @@ def test_fused_build_equals_rowwise_build(spark):
         for r in ib.build_doc_stats(docs).filter(F.col("dl") > 0).collect()
     }
     assert ds_fused == ds_rel
+
+
+class TestMaxScorePruning:
+    """The disjunctive MaxScore scorer must (a) return exactly the
+    exhaustive result and (b) actually SKIP block decodes on a skewed
+    fixture (VERDICT r01 #4: threshold prune, not just zone maps)."""
+
+    @pytest.fixture(scope="class")
+    def skewed_groups(self, spark):
+        import pandas as pd
+
+        from search_engine_spark.operators.blocks import build_posting_blocks
+
+        # one common term everywhere (low idf), one rare high-tf term
+        # clustered in low doc_ids → after the rare list seeds the top-k,
+        # most of the common term's blocks hold no candidate
+        rows = [(d, "common", 1 + d % 3) for d in range(2000)]
+        rows += [(d, "rare", 50) for d in range(10)]
+        postings = spark.createDataFrame(
+            rows, "doc_id long, term string, tf long"
+        )
+        blocks = build_posting_blocks(postings, 1).toPandas()
+        return {t: g for t, g in blocks.groupby("term")}
+
+    @staticmethod
+    def _exhaustive(groups, mode, idf, k1, b, avgdl, dl_map):
+        import numpy as np
+
+        from search_engine_spark.operators.codec import decode_block
+
+        scores: dict[int, float] = {}
+        for t, g in groups.items():
+            for row in g.itertuples(index=False):
+                ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
+                for d, tf in zip(ids, tfs):
+                    if mode == "compat":
+                        c = float(tf)
+                    else:
+                        dl = float(dl_map.loc[d])
+                        c = (
+                            idf[t] * tf * (k1 + 1.0)
+                            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                        )
+                    scores[d] = scores.get(d, 0.0) + c
+        return scores
+
+    def test_exact_and_blocks_skipped(self, skewed_groups):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from search_engine_spark.operators import wand
+
+        k1, b, n_docs, avgdl = 1.2, 0.75, 2000, 2.0
+        dl_map = pd.Series(
+            [2.0 + d % 3 for d in range(2000)], index=range(2000)
+        )
+        idf = {
+            "common": math.log(1 + (n_docs - 2000 + 0.5) / (2000 + 0.5)),
+            "rare": math.log(1 + (n_docs - 10 + 0.5) / (10 + 0.5)),
+        }
+        stats = {"blocks_total": 0, "blocks_decoded": 0}
+        ids, scores = wand._maxscore_or_bucket(
+            skewed_groups, 5, "bm25", idf, k1, b, avgdl, dl_map, stats=stats
+        )
+        truth = self._exhaustive(
+            skewed_groups, "bm25", idf, k1, b, avgdl, dl_map
+        )
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = sorted(zip(ids, scores), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, a), (_, e) in zip(got, want):
+            assert a == pytest.approx(e, abs=1e-9)
+        assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+    def test_no_prune_when_k_none(self, skewed_groups):
+        import pandas as pd
+
+        from search_engine_spark.operators import wand
+
+        stats = {"blocks_total": 0, "blocks_decoded": 0}
+        ids, scores = wand._maxscore_or_bucket(
+            skewed_groups, None, "compat", None, 1.2, 0.75, 1.0, None,
+            stats=stats,
+        )
+        assert ids.size == 2000  # every doc scored (count path)
+        assert stats["blocks_decoded"] == stats["blocks_total"]
+
+    def test_conjunctive_block_skip(self, skewed_groups):
+        from search_engine_spark.operators import wand
+
+        stats = {"blocks_total": 0, "blocks_decoded": 0}
+        ids, aligned = wand._conjunctive_bucket(skewed_groups, stats=stats)
+        assert list(ids) == list(range(10))  # AND = the rare docs
+        # the rare list decodes whole; common decodes only the block(s)
+        # spanning doc_ids 0-9
+        assert stats["blocks_decoded"] < stats["blocks_total"], stats
