@@ -132,6 +132,28 @@ def _q_site_gate(spark, sf_dir):
     return se.site_gate(docs, Q_GATE)
 
 
+def _q_status_filter(spark, sf_dir):
+    """S2 fetch-status classification (PageAnalyzer.java:541-567) +
+    canBeParsed gate (model/Page.java:62-64) as columns."""
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("http_code").cast("int").alias("http_code"),
+        (
+            (F.col("http_code") == 200) & (F.trim(F.col("text")) != "")
+        ).alias("can_parse"),
+    )
+
+
+def _q_postings_parseable(spark, sf_dir):
+    """The index build composed with the S2 gate: postings over
+    fetched-OK, non-blank pages only (what the reference analyzes)."""
+    from search_engine_spark.sources.documents import parseable_documents
+
+    docs = parseable_documents(load_documents(spark, sf_dir))
+    return ib.build_postings(docs)
+
+
 def _q_url_normalize(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return docs.select(
@@ -405,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_common": _q_search_bm25_common,
         "search_bm25_or": _q_search_bm25_or,
         "site_gate": _q_site_gate,
+        "status_filter": _q_status_filter,
+        "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
         "statistics": _q_statistics,
         "titles": _q_titles,
@@ -461,6 +485,10 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_common": ora.search_bm25_sql(Q_BM25_COMMON),
         "search_bm25_or": ora.search_bm25_sql(Q_OR, conjunctive=False),
         "site_gate": ora.site_gate_sql(Q_GATE),
+        "status_filter": ora.status_filter_sql(),
+        "postings_parseable": ora.postings_sql(
+            table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"
+        ),
         "url_normalize": ora.url_normalize_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the

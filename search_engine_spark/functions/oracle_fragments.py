@@ -76,6 +76,21 @@ RAW_URL_SQL = (
     " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
     " || CASE WHEN doc_id % 7 = 0 THEN '?ref=track' ELSE '' END)"
 )
+HTTP_CODE_SQL = (
+    "(CASE doc_id % 53 WHEN 13 THEN 404 WHEN 27 THEN 415 WHEN 41 THEN 500 "
+    "WHEN 50 THEN 102 ELSE 200 END)"
+)
+PARSEABLE_SQL = f"({HTTP_CODE_SQL} = 200 AND trim(text) <> '')"
+
+
+def status_filter_sql(table: str = "documents") -> str:
+    """S2 status classification: (doc_id, http_code, can_parse) —
+    mirrors sources/documents.py::http_code_col + parseable_documents."""
+    return f"""
+SELECT doc_id, {HTTP_CODE_SQL}::INT AS http_code,
+       {PARSEABLE_SQL} AS can_parse
+FROM {table}
+"""
 
 
 def h60_sql(expr: str) -> str:

@@ -38,6 +38,32 @@ def site_key_col(doc_id="doc_id"):
     return F.concat(F.lit("site-"), F.char(F.col(doc_id) % 3 + 97))
 
 
+def http_code_col(doc_id="doc_id"):
+    """S2 fetch-status classification, derived deterministically (FIXTURES
+    pattern): most pages 200; sparse slices model the reference's stored
+    error codes — HTTP error (404, PageAnalyzer.java:550-558), unsupported
+    MIME (415, :560-567), unknown failure (500, :541-548), and the
+    in-flight sentinel (102, :449-456)."""
+    d = F.col(doc_id) % 53
+    return (
+        F.when(d == 13, F.lit(404))
+        .when(d == 27, F.lit(415))
+        .when(d == 41, F.lit(500))
+        .when(d == 50, F.lit(102))
+        .otherwise(F.lit(200))
+    )
+
+
+def parseable_documents(docs: DataFrame) -> DataFrame:
+    """Reference Page.canBeParsed gate (model/Page.java:62-64: non-blank
+    content) composed with the status classification: only fetched-OK,
+    non-empty pages feed the analyzer (PageAnalyzer only lemmatizes pages
+    whose fetch succeeded — :541-567 stores the code and skips analysis)."""
+    return docs.filter(
+        (F.col("http_code") == 200) & (F.trim(F.col("text")) != "")
+    )
+
+
 def html_col(doc_id="doc_id", text="text"):
     """Deterministic HTML wrapper (binary). extract_text() inverts it."""
     return F.encode(
@@ -91,6 +117,7 @@ def load_documents(
             F.timestamp_add("MINUTE", F.col("doc_id"), F.lit("2024-01-01 00:00:00").cast("timestamp")),
         )
         .withColumn("html", html_col())
+        .withColumn("http_code", http_code_col())
     )
 
 
