@@ -54,6 +54,14 @@ MANIFEST_SCHEMA = (
     "n_docs long, n_postings long, n_blocks long, committed_at double"
 )
 
+# job group used for best-effort kill of in-flight Spark jobs on cancel
+BUILD_JOB_GROUP = "search-engine-build"
+
+
+class BuildCancelled(RuntimeError):
+    """Raised by build_persistent when a cancel request is observed
+    (reference stopIndexing semantics, IndexingServiceImpl.java:98-142)."""
+
 
 def fingerprint_docs(docs: DataFrame) -> str:
     """Deterministic input fingerprint: order-insensitive aggregate over
@@ -80,6 +88,7 @@ class IndexStore:
         self.term_dict_path = f"{self.dir}/term_dict"
         self.manifest_path = f"{self.dir}/manifest"
         self.stats_path = f"{self.dir}/corpus_stats.json"
+        self.cancel_path = f"{self.dir}/CANCEL"
 
     # ------------------------------------------------------------ manifest
     def manifest(self) -> DataFrame:
@@ -88,14 +97,27 @@ class IndexStore:
         return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self.manifest_path)
 
     def committed_buckets(self, fingerprint: str) -> set[int]:
+        """Buckets whose LATEST lineage row matches ``fingerprint``.
+
+        A later phase='reindex' row supersedes the original 'blocks'
+        commit (its synthetic fingerprint differs), so a subsequent
+        build_persistent over the original corpus REBUILDS reindexed
+        buckets instead of silently skipping them while their files hold
+        different data (ADVICE r01)."""
+        from pyspark.sql import Window
+
+        m = self.manifest().filter(F.col("phase").isin("blocks", "reindex"))
+        w = Window.partitionBy("doc_bucket").orderBy(
+            F.col("committed_at").desc()
+        )
         rows = (
-            self.manifest()
+            m.withColumn("rn", F.row_number().over(w))
             .filter(
-                (F.col("fingerprint") == fingerprint)
+                (F.col("rn") == 1)
                 & (F.col("phase") == "blocks")
+                & (F.col("fingerprint") == fingerprint)
             )
             .select("doc_bucket")
-            .distinct()
             .collect()
         )
         return {r["doc_bucket"] for r in rows}
@@ -172,11 +194,46 @@ def _finalize_dictionary(store: IndexStore, build_id: str, fp: str) -> None:
     ])
 
 
+def request_cancel(store: IndexStore) -> None:
+    """Reference stopIndexing (IndexingServiceImpl.java:98-142): ask the
+    running build to stop. Two mechanisms, mirroring the reference's
+    task-tree cancel + cooperative isCancelled() polls
+    (PageAnalyzer.java:569-578):
+
+      * a durable CANCEL marker the build polls between commit groups
+        (works across processes — the builder may be another driver);
+      * best-effort cancelJobGroup for in-flight Spark jobs in THIS
+        session.
+
+    Already-committed groups stay committed (they are valid checkpoints);
+    the build records phase='cancelled' and raises BuildCancelled. A later
+    build_persistent resumes from the committed buckets."""
+    with open(store.cancel_path, "w") as f:
+        f.write(str(time.time()))
+    try:
+        store.spark.sparkContext.cancelJobGroup(BUILD_JOB_GROUP)
+    except Exception:
+        pass  # no jobs in flight / different session — marker suffices
+
+
+def _check_cancelled(store: IndexStore, build_id: str, fp: str) -> None:
+    if os.path.exists(store.cancel_path):
+        store.append_manifest([
+            {
+                "build_id": build_id, "fingerprint": fp, "doc_bucket": -1,
+                "phase": "cancelled", "n_docs": 0, "n_postings": 0,
+                "n_blocks": 0, "committed_at": time.time(),
+            }
+        ])
+        raise BuildCancelled("stopped by user")
+
+
 def build_persistent(
     docs: DataFrame,
     store: IndexStore,
     groups: int = 1,
     fail_after_groups: int | None = None,
+    on_group_commit=None,
 ) -> dict:
     """Resumable full build. Returns {build_id, built_buckets, skipped}.
 
@@ -184,11 +241,24 @@ def build_persistent(
     unit = one write job + one manifest append — the checkpoint granularity).
     fail_after_groups: test hook — raise after N committed groups to
     simulate a mid-build kill.
+    on_group_commit: callback(done_groups) after each committed group
+    (tests use it to inject a cancel at a deterministic point).
+
+    Cancellation: request_cancel() writes a CANCEL marker; the build polls
+    it at every group boundary (cooperative, like the reference's
+    isCancelled() checks) and raises BuildCancelled after recording a
+    phase='cancelled' manifest row. The marker is consumed at build start —
+    a cancel only ever applies to the build that observes it.
     """
     spark = store.spark
     n_buckets = store.n_buckets
     fp = fingerprint_docs(docs)
     build_id = uuid.uuid4().hex[:12]
+    if os.path.exists(store.cancel_path):
+        os.remove(store.cancel_path)  # stale marker from a previous cancel
+    spark.sparkContext.setJobGroup(
+        BUILD_JOB_GROUP, f"index build {build_id}", interruptOnCancel=True
+    )
     committed = store.committed_buckets(fp)
     missing = sorted(set(range(n_buckets)) - committed)
     if not missing:
@@ -221,8 +291,38 @@ def build_persistent(
     doc_stats = _with_bucket(doc_stats, n_buckets)
 
     group_size = math.ceil(len(missing) / max(groups, 1))
+    try:
+        _run_groups(
+            store, packed, doc_stats, missing, group_size, build_id, fp,
+            on_group_commit, fail_after_groups,
+        )
+        _check_cancelled(store, build_id, fp)
+    finally:
+        packed.unpersist()
+    _finalize_dictionary(store, build_id, fp)
+    return {
+        "build_id": build_id,
+        "built_buckets": missing,
+        "skipped": sorted(committed),
+    }
+
+
+def _run_groups(
+    store: IndexStore,
+    packed: DataFrame,
+    doc_stats: DataFrame,
+    missing: list[int],
+    group_size: int,
+    build_id: str,
+    fp: str,
+    on_group_commit,
+    fail_after_groups: int | None,
+) -> None:
+    from .operators import fused_build as fb
+
     done_groups = 0
     for lo in range(0, len(missing), group_size):
+        _check_cancelled(store, build_id, fp)
         batch = missing[lo : lo + group_size]
         sub = packed.filter(
             (F.col("kind") == "post") & F.col("doc_bucket").isin(batch)
@@ -268,15 +368,9 @@ def build_persistent(
             ]
         )
         done_groups += 1
+        if on_group_commit is not None:
+            on_group_commit(done_groups)
         if fail_after_groups is not None and done_groups >= fail_after_groups:
-            packed.unpersist()
             raise RuntimeError(
                 f"simulated failure after {done_groups} committed groups"
             )
-    packed.unpersist()
-    _finalize_dictionary(store, build_id, fp)
-    return {
-        "build_id": build_id,
-        "built_buckets": missing,
-        "skipped": sorted(committed),
-    }

@@ -101,6 +101,21 @@ class SearchEngine:
         self.__dict__.update(fresh.__dict__)
         return self
 
+    def cancel_build(self) -> None:
+        """Reference GET /api/stopIndexing (IndexingServiceImpl.java:98-142):
+        ask a running persistent build on this index_dir to stop. The build
+        observes the request at its next group boundary (cooperative, like
+        the reference's isCancelled() polls), records phase='cancelled' in
+        the manifest, and raises catalog.BuildCancelled; committed groups
+        remain valid checkpoints for the next resume."""
+        from . import catalog
+
+        if not self.index_dir:
+            raise ValueError("no index_dir — nothing to cancel")
+        catalog.request_cancel(
+            catalog.IndexStore(self.spark, self.index_dir, self.n_buckets)
+        )
+
     def build(self, persist: bool = False) -> "SearchEngine":
         """Full index build (reference startIndexing, I9 — but a pure batch
         job: no locks, no mutable status rows).

@@ -178,3 +178,65 @@ def test_df_decrement_and_delete_at_zero(spark, docs, tmp_path):
     td_after = {r["term"]: r["df"] for r in store.read_term_dict().collect()}
     assert unique not in td_after  # deleted at df == 0
     assert td_after == td_before
+
+
+def test_cancel_mid_build_then_resume(spark, tmp_path):
+    """I9 cancel (reference stopIndexing): a cancel requested after the
+    first committed group stops the build at the next group boundary with
+    phase='cancelled' recorded; committed buckets stay readable; a fresh
+    build resumes from them and completes to the exact full-build state."""
+    docs = load_documents(spark, SF_TEST)
+    store = _store(spark, tmp_path, "cancelled")
+
+    def cancel_after_first(done_groups):
+        if done_groups == 1:
+            catalog.request_cancel(store)
+
+    with pytest.raises(catalog.BuildCancelled):
+        catalog.build_persistent(
+            docs, store, groups=4, on_group_commit=cancel_after_first
+        )
+    m = store.manifest()
+    phases = {r["phase"] for r in m.select("phase").distinct().collect()}
+    assert "cancelled" in phases
+    committed = {
+        r["doc_bucket"]
+        for r in m.filter(F.col("phase") == "blocks").collect()
+    }
+    assert 0 < len(committed) < N_BUCKETS  # partial progress survived
+    # committed partitions are readable mid-cancel
+    assert store.read_blocks().count() > 0
+
+    # resume: marker was consumed by... a NEW build clears it and skips
+    # the committed buckets
+    out = catalog.build_persistent(docs, store, groups=2)
+    assert set(out["skipped"]) == committed
+    full = _store(spark, tmp_path, "full")
+    catalog.build_persistent(docs, full)
+    assert _logical_postings(store) == _logical_postings(full)
+    assert _term_dict(store) == _term_dict(full)
+
+
+def test_reindex_supersedes_blocks_lineage(spark, tmp_path):
+    """ADVICE r01: after reindex_docs rewrites a bucket, a build_persistent
+    over the ORIGINAL corpus must rebuild that bucket (its latest lineage
+    row no longer matches the original fingerprint), restoring the exact
+    original state instead of silently keeping reindexed data under the
+    original corpus_stats stamp."""
+    docs = load_documents(spark, SF_TEST)
+    store = _store(spark, tmp_path, "superseded")
+    catalog.build_persistent(docs, store)
+    before = _logical_postings(store)
+
+    changed = docs.filter(F.col("doc_id") == 3).withColumn(
+        "text", F.lit("totally different replacement text")
+    )
+    touched = reindex_docs(store, changed)["touched_buckets"]
+    assert touched == [3 % N_BUCKETS]
+    assert _logical_postings(store) != before  # reindex actually landed
+
+    out = catalog.build_persistent(docs, store)
+    assert set(out["built_buckets"]) == set(touched)  # only those rebuild
+    assert set(out["skipped"]) == set(range(N_BUCKETS)) - set(touched)
+    assert _logical_postings(store) == before
+    assert store.read_corpus_stats()["fingerprint"] == catalog.fingerprint_docs(docs)
