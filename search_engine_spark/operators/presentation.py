@@ -85,6 +85,23 @@ def present_results(
     return joined.mapInPandas(_present, schema=RESULT_SCHEMA)
 
 
+def titles_series(html: pd.Series) -> pd.Series:
+    """Vectorized extract_title over a Series of html bytes — pandas .str
+    ops end-to-end (no per-row Python loop; this is the corpus-wide path,
+    unlike the ≤k presentation rows). Byte-identical to
+    textproc.extract.extract_title (pinned by tests + the titles oracle)."""
+    import re
+
+    from ..textproc.extract import _COMMENT_RE, _ENTITIES, _HWS_RE, _TITLE_RE
+
+    ent_re = re.compile("|".join(map(re.escape, _ENTITIES)))
+    s = html.str.decode("utf-8", errors="replace").fillna("")
+    s = s.str.replace(_COMMENT_RE, "", regex=True)
+    t = s.str.extract(_TITLE_RE, expand=False).fillna("")
+    t = t.str.replace(ent_re, lambda m: _ENTITIES[m.group(0)], regex=True)
+    return t.str.replace(_HWS_RE, " ", regex=True).str.strip()
+
+
 def titles(docs: DataFrame) -> DataFrame:
     """Q7 title extraction for every document — (doc_id, title).
 
@@ -97,7 +114,7 @@ def titles(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "title": [extract_title(h) for h in pdf["html"]],
+                    "title": titles_series(pdf["html"]),
                 }
             )
 

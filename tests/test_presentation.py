@@ -55,3 +55,63 @@ def test_search_page_absent_term(engine):
     assert page["result"] is True
     assert page["count"] == 0
     assert page["data"] == []
+
+
+def test_titles_series_matches_scalar_extractor():
+    """The vectorized corpus-wide title path must equal extract_title
+    byte-for-byte, including edge cases (no title, entities, commented-out
+    title, attributes, multiline, bad utf-8)."""
+    import pandas as pd
+
+    from search_engine_spark.operators.presentation import titles_series
+    from search_engine_spark.textproc.extract import extract_title
+
+    cases = [
+        b"<html><head><title>Doc 1</title></head><body>x</body></html>",
+        b"<html><head></head><body>no title</body></html>",
+        b"<html><title>A &amp; B &lt;C&gt;</title></html>",
+        b"<html><!-- <title>ghost</title> --><title>real</title></html>",
+        b"<html><title lang='en'>  spaced \t out  </title></html>",
+        b"<html><title>line\nbreak</title></html>",
+        b"<html><title>broken \xff utf8</title></html>",
+        b"",
+    ]
+    got = list(titles_series(pd.Series(cases)))
+    want = [extract_title(h) for h in cases]
+    assert got == want
+
+
+def test_search_results_content_golden_oracle_scale(spark):
+    """VERDICT r01 #8: the one rows-only driver check (search_results)
+    backed by CONTENT assertions at oracle scale — the presented top-10 for
+    the contract query at sf0.01 must match the committed golden exactly
+    (doc ids, titles, snippets incl. <b> highlights and the <details>
+    spoiler, relevances)."""
+    import json
+    import os
+
+    from search_engine_spark.engine import SearchEngine
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        import pytest
+
+        pytest.skip("sf0.01 testdata not present")
+    eng = SearchEngine(spark, sf).build()
+    rows = eng.search_results("data fast", mode="compat", limit=10).collect()
+    got = [
+        {
+            k: r[k]
+            for k in (
+                "doc_id", "site", "site_name", "uri", "title", "snippet",
+                "relevance",
+            )
+        }
+        for r in rows
+    ]
+    with open(
+        os.path.join(os.path.dirname(__file__),
+                     "golden_search_results_sf001.json")
+    ) as f:
+        want = json.load(f)
+    assert got == want

@@ -76,3 +76,34 @@ def test_build_and_search_cli_end_to_end(tmp_path):
     hit = page["data"][0]
     assert hit["relevance"] == 1.0
     assert "<b>" in hit["snippet"]
+
+
+def test_dist_zip_matches_source_tree():
+    """ADVICE r01: the committed spark-submit artifact must not go stale —
+    every member of dist/search_engine_spark.zip must be byte-identical to
+    the tracked source file, and every source .py must be present."""
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(root, "dist", "search_engine_spark.zip")
+    assert os.path.exists(zpath), "dist artifact missing — run scripts/package.sh"
+    with zipfile.ZipFile(zpath) as z:
+        members = {n for n in z.namelist() if n.endswith(".py")}
+        for name in members:
+            src = os.path.join(root, name)
+            assert os.path.exists(src), f"{name} in zip but not in tree"
+            with open(src, "rb") as f:
+                assert f.read() == z.read(name), f"stale zip member: {name}"
+    src_files = set()
+    for dirpath, _, files in os.walk(os.path.join(root, "search_engine_spark")):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if fn.endswith(".py"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                src_files.add(rel.replace(os.sep, "/"))
+    assert src_files == members, (
+        f"zip out of sync: missing={sorted(src_files - members)} "
+        f"extra={sorted(members - src_files)}"
+    )
