@@ -61,8 +61,10 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, multiply: int = 1) -> dict:
         "site_filtered": lambda: eng.search("data fast", site_key="site-b", limit=20),
         "paginated": lambda: eng.search("data fast join", limit=10, offset=10),
     }
-    # warm-up (JIT, code paths, caches)
-    queries["bm25_common"]().collect()
+    # warm-up: run the whole suite once (JIT, code paths, caches, local
+    # relation machinery) — timings below measure the WARM query suite
+    for fn in queries.values():
+        fn().collect()
 
     q_times: dict[str, float] = {}
     for name, fn in queries.items():

@@ -232,9 +232,37 @@ class SearchEngine:
             conjunctive=conjunctive,
         )
         if compat:
-            # scalar-max normalization: agg to one row + broadcast crossJoin
-            # (NOT Window.partitionBy() — an empty window spec moves the
-            # whole hit set through a single partition; scale-hostile)
+            if limit is not None:
+                # the scorer frame holds ≤ offset+limit rows ORDERED score
+                # desc, and the reference's normalizer (max over ALL hits,
+                # Q5 before Q6 pagination) equals row 0's score — the top
+                # hit IS the global max. Collect the tiny frame ONCE and
+                # normalize over a local relation: one scorer execution
+                # instead of two (a lazy agg(max) branch re-runs the whole
+                # cogroup subtree — measured 2× query latency at 2.56M
+                # docs), and no global window either way.
+                rows = out.collect()
+                if not rows:
+                    return self.spark.createDataFrame([], empty_schema)
+                max_abs = int(rows[0]["score"])
+                page = rows[offset : offset + limit]
+                local = self.spark.createDataFrame(
+                    [(r["doc_id"], int(r["score"])) for r in page],
+                    "doc_id long, score_abs long",
+                )
+                # rows are already ordered (the scorer frame was sorted
+                # score desc, doc_id asc); a LocalRelation + narrow
+                # projection preserves it — no orderBy (it would add a
+                # shuffle job just to re-sort ≤limit rows)
+                return local.withColumn(
+                    "rel",
+                    F.round(F.col("score_abs") / F.lit(float(max_abs)), 4),
+                )
+            # limit=None (pre-pagination count path): the hit set is
+            # unbounded, so normalize via scalar agg + broadcast crossJoin
+            # (never Window.partitionBy() — an empty window spec moves the
+            # whole hit set through ONE partition); callers cache the frame
+            # (search_page) so the agg branch is absorbed by the cache
             scored = out.select(
                 "doc_id", F.col("score").cast("long").alias("score_abs")
             )
