@@ -218,6 +218,8 @@ def _q_search_results(spark, sf_dir):
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_NEAR_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}  # zh/es dropped
+HOLDOUT_FRACTION = 0.1
 
 
 def _q_lang_id(spark, sf_dir):
@@ -275,6 +277,34 @@ def _q_dedup_jaccard(spark, sf_dir):
     return jaccard_pairs(
         docs, JACCARD_THRESHOLD, candidates=lsh_candidate_pairs(docs)
     )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Full near-dup pipeline: LSH candidates → candidate-driven Jaccard
+    → connected components (min-label propagation; oracle = recursive-CTE
+    transitive closure)."""
+    from search_engine_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language mixing-ratio sample (pure h60 membership
+    function — reproducible across engines/cluster sizes)."""
+    from search_engine_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load_documents(spark, sf_dir), SAMPLE_FRACTIONS
+    ).select("doc_id", "lang")
+
+
+def _q_sample_split(spark, sf_dir):
+    """Disjoint deterministic train/holdout assignment."""
+    from search_engine_spark.operators.sampling import split_train_holdout
+
+    return split_train_holdout(
+        load_documents(spark, sf_dir), HOLDOUT_FRACTION
+    ).select("doc_id", "split")
 
 
 def _q_simhash(spark, sf_dir):
@@ -443,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash": _q_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "sample_stratified": _q_sample_stratified,
+        "sample_split": _q_sample_split,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -506,6 +539,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": pipe.jaccard_pairs_sql(
             threshold=JACCARD_THRESHOLD, lsh_candidates=True
         ),
+        "dedup_clusters": pipe.dedup_clusters_sql(
+            threshold=JACCARD_THRESHOLD
+        ),
+        "sample_stratified": pipe.stratified_sample_sql(SAMPLE_FRACTIONS),
+        "sample_split": pipe.split_train_holdout_sql(HOLDOUT_FRACTION),
         "simhash": pipe.simhash_sql(),
         "simhash_pairs": pipe.simhash_near_pairs_sql(),
         "embedding_neardup": pipe.embedding_near_pairs_sql(

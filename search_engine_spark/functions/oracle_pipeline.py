@@ -254,6 +254,91 @@ FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
 """
 
 
+def dedup_clusters_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """Near-dup clustering oracle: LSH candidates → candidate-driven
+    Jaccard ≥ threshold → transitive closure via recursive CTE; cluster =
+    min reachable doc_id (mirrors operators/dedup.py::dedup_clusters)."""
+    h = h60_sql("(perm::VARCHAR || ':' || shingle)")
+    return f"""
+WITH RECURSIVE {_shingles_cte(table).lstrip()},
+sig AS (
+  SELECT doc_id, perm::INT AS perm, min({h}) AS minhash
+  FROM shingles, unnest(range(0, {dd.N_PERM})) AS p(perm)
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, (perm // {dd.PERM_BAND}) AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size
+FROM comp
+"""
+
+
+# ---------------------------------------------------------------- sampling
+
+def _sample_u_sql(seed_tag: str) -> str:
+    h = h60_sql(f"('{seed_tag}:' || doc_id)")
+    return f"({h} / {float(2 ** 60)!r})"
+
+
+def stratified_sample_sql(fractions: dict, strata_col: str = "lang",
+                          seed_tag: str = "sample",
+                          table: str = "documents") -> str:
+    """Mirrors operators/sampling.py::stratified_sample (identical h60
+    membership bit). Returns (doc_id, <strata_col>)."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {float(fractions[k])!r}" for k in sorted(fractions)
+    )
+    case = f"(CASE {strata_col} {whens} ELSE NULL END)"
+    return f"""
+SELECT doc_id, {strata_col} FROM {table}
+WHERE {case} IS NOT NULL AND {_sample_u_sql(seed_tag)} < {case}
+"""
+
+
+def split_train_holdout_sql(holdout_fraction: float = 0.1,
+                            seed_tag: str = "split",
+                            table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN {_sample_u_sql(seed_tag)} < {float(holdout_fraction)!r}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM {table}
+"""
+
+
 # -------------------------------------------------------------- embeddings
 
 COS_SQL = "list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])"

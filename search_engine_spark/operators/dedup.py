@@ -407,3 +407,88 @@ def embedding_near_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# ------------------------------------------------------------- clustering
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs;
+    cluster_id = min doc_id reachable (deterministic canonical label).
+
+    Iterative min-label propagation: every vertex repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a hub
+    duplicate plus satellites, diameter ≤ 3-4 in practice). Each round is
+    one join + one groupBy(min) on (src) — the standard distributed
+    formulation (large-star/small-star adds constant-factor tricks the
+    shallow dedup case does not need). The driver loop carries only a
+    changed-row COUNT per round, never data; at 100 TB each round shuffles
+    one short row per edge."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("label"), F.coalesce("nmin", F.col("label"))
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                updated.join(
+                    labels.withColumnRenamed("label", "old"), "doc_id"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = updated
+            if changed == 0:
+                break
+        return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) — the full near-dup pipeline a
+    training-data curation pass needs: MinHash-LSH candidates → exact
+    candidate-driven Jaccard verification → connected components. The
+    keep-one-per-cluster decision is then `filter(doc_id == cluster_id)`.
+    Only docs that belong to some near-dup pair appear (singletons are
+    implicitly their own cluster)."""
+    pairs = jaccard_pairs(
+        docs, threshold, candidates=lsh_candidate_pairs(docs)
+    ).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )

@@ -212,3 +212,67 @@ def test_jaccard_candidates_match_corpus_wide(spark, mini_docs):
     }
     assert driven == {p: j for p, j in full.items() if p in cand_set}
     assert driven  # non-trivial on the fixture (dups collide in bands)
+
+
+def test_connected_components_crafted_graph(spark):
+    """Min-label propagation finds exact components with deterministic
+    canonical labels (min doc_id), including a chain longer than one hop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedup_clusters_contains_exact_dups(spark, mini_docs):
+    """Exact and whitespace-variant duplicates land in one cluster with the
+    min doc_id as canonical."""
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup.dedup_clusters(mini_docs, 0.5).collect()
+    }
+    # docs 0,1 are exact dups, 2 a ws/case variant, 3 shares a long prefix
+    assert got[0][0] == 0 and got[1][0] == 0 and got[2][0] == 0
+    assert got[0][1] >= 3
+    assert 4 not in got and 5 not in got  # unrelated docs not clustered
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    """Membership is a pure function of doc_id: repeated runs identical,
+    and membership never flips when the corpus grows (append-stability)."""
+    from search_engine_spark.operators.sampling import stratified_sample
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    frac = {"en": 0.5, "de": 0.25}
+    a = {r["doc_id"] for r in stratified_sample(docs, frac).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, frac).collect()}
+    assert a == b and a
+    half = docs.filter(F.col("doc_id") < 250)
+    c = {r["doc_id"] for r in stratified_sample(half, frac).collect()}
+    assert c == {d for d in a if d < 250}  # growth never flips membership
+    # dropped strata contribute nothing
+    langs = {
+        r["lang"] for r in stratified_sample(docs, frac).select("lang").collect()
+    }
+    assert langs <= {"en", "de"}
+
+
+def test_split_train_holdout_disjoint_total(spark):
+    from search_engine_spark.operators.sampling import split_train_holdout
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    got = {r["doc_id"]: r["split"] for r in
+           split_train_holdout(docs, 0.1).select("doc_id", "split").collect()}
+    assert len(got) == docs.count()  # total: every doc assigned exactly once
+    n_hold = sum(1 for v in got.values() if v == "holdout")
+    assert 0 < n_hold < len(got) * 0.25  # ~10% ± binomial noise
