@@ -123,7 +123,7 @@ class IndexStore:
         return {r["doc_bucket"] for r in rows}
 
     def append_manifest(self, rows: list[dict]) -> None:
-        self.spark.createDataFrame(
+        df = self.spark.createDataFrame(
             [
                 (
                     r["build_id"], r["fingerprint"], r["doc_bucket"],
@@ -133,7 +133,31 @@ class IndexStore:
                 for r in rows
             ],
             MANIFEST_SCHEMA,
-        ).coalesce(1).write.mode("append").parquet(self.manifest_path)
+        )
+        self.append_rows(df, self.manifest_path)
+
+    # -------------------------------------------------- writer seam
+    # Every physical write goes through these four methods — the Iceberg
+    # adapter surface (tests/test_persistence.py asserts nothing bypasses
+    # them). Swapping plain parquet for Iceberg is mechanical:
+    #   overwrite_partitions → df.writeTo(tbl).overwritePartitions()
+    #   drop_partitions      → DELETE FROM tbl WHERE doc_bucket IN (...)
+    #   append_rows          → df.writeTo(tbl).append()
+    #   replace_table        → df.writeTo(tbl).createOrReplace()
+    def overwrite_partitions(self, df: DataFrame, path: str) -> None:
+        _dynamic_overwrite(df, path)
+
+    def drop_partitions(self, path: str, buckets: list[int]) -> None:
+        import shutil
+
+        for b in buckets:
+            shutil.rmtree(f"{path}/doc_bucket={b}", ignore_errors=True)
+
+    def append_rows(self, df: DataFrame, path: str) -> None:
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    def replace_table(self, df: DataFrame, path: str) -> None:
+        df.coalesce(4).write.mode("overwrite").parquet(path)
 
     # ------------------------------------------------------------- readers
     def read_blocks(self) -> DataFrame:
@@ -170,9 +194,7 @@ def _finalize_dictionary(store: IndexStore, build_id: str, fp: str) -> None:
     """Idempotent dictionary phase: term_dict + corpus stats from the
     committed store (never from the raw corpus)."""
     blocks = store.read_blocks()
-    term_dict_from_blocks(blocks).coalesce(4).write.mode("overwrite").parquet(
-        store.term_dict_path
-    )
+    store.replace_table(term_dict_from_blocks(blocks), store.term_dict_path)
     row = store.read_doc_stats().agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -328,8 +350,8 @@ def _run_groups(
             (F.col("kind") == "post") & F.col("doc_bucket").isin(batch)
         )
         blocks = fb.blocks_from_packed(sub)
-        _dynamic_overwrite(blocks, store.blocks_path)
-        _dynamic_overwrite(
+        store.overwrite_partitions(blocks, store.blocks_path)
+        store.overwrite_partitions(
             doc_stats.filter(F.col("doc_bucket").isin(batch)),
             store.doc_stats_path,
         )

