@@ -230,6 +230,7 @@ def request_cancel(store: IndexStore) -> None:
     Already-committed groups stay committed (they are valid checkpoints);
     the build records phase='cancelled' and raises BuildCancelled. A later
     build_persistent resumes from the committed buckets."""
+    os.makedirs(store.dir, exist_ok=True)  # build may not have written yet
     with open(store.cancel_path, "w") as f:
         f.write(str(time.time()))
     try:

@@ -24,6 +24,13 @@ from .operators.blocks import N_BUCKETS_DEFAULT, build_posting_blocks, write_blo
 from .sources.documents import load_documents
 
 
+# dictionaries up to this many terms are collected to the driver once per
+# build/open, making the per-query df probe a dict lookup instead of a
+# Spark job; beyond it (a 10^12-doc corpus has more terms than a driver
+# should hold) queries fall back to the filtered cached-scan probe
+DICT_CACHE_MAX_TERMS = 1_000_000
+
+
 class SearchEngine:
     def __init__(
         self,
@@ -42,6 +49,8 @@ class SearchEngine:
         self.n_buckets = n_buckets
         self.index_dir = index_dir
         self._built = False
+        self._df_map: dict[str, int] | None = None
+        self._index_thread = None
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -84,6 +93,9 @@ class SearchEngine:
         eng.n_docs = stats["n_docs"]
         eng.avgdl = stats["avgdl"]
         eng._built = True
+        eng._df_map = None
+        eng._index_thread = None
+        eng._maybe_cache_dictionary()
         return eng
 
     def build_persistent(self, index_dir: str | None = None,
@@ -100,6 +112,80 @@ class SearchEngine:
         fresh = SearchEngine.open(self.spark, index_dir, docs=self.docs)
         self.__dict__.update(fresh.__dict__)
         return self
+
+    # ------------------------------------------- A2 indexing envelopes
+    def start_indexing(self, groups: int = 4) -> dict:
+        """Reference GET /api/startIndexing (ApiController.java:28-39,
+        IndexingServiceImpl.java:40-95): kick off the full build
+        ASYNCHRONOUSLY and return the envelope immediately; a second call
+        while one runs is rejected with the reference's error string."""
+        import threading
+
+        from . import catalog
+
+        if self._index_thread is not None and self._index_thread.is_alive():
+            return {"result": False, "error": "Индексация уже запущена"}
+        if not self.index_dir:
+            raise ValueError("need index_dir for persistent indexing")
+        store = catalog.IndexStore(self.spark, self.index_dir, self.n_buckets)
+
+        def _run():
+            try:
+                catalog.build_persistent(self.docs, store, groups=groups)
+            except catalog.BuildCancelled:
+                pass  # recorded in the manifest (phase='cancelled')
+
+        self._index_thread = threading.Thread(
+            target=_run, name="index-build", daemon=True
+        )
+        self._index_thread.start()
+        return {"result": True}
+
+    def stop_indexing(self) -> dict:
+        """Reference GET /api/stopIndexing (ApiController.java:41-54):
+        cancel the running build; rejected when none runs."""
+        if self._index_thread is None or not self._index_thread.is_alive():
+            return {"result": False, "error": "Индексация не запущена"}
+        self.cancel_build()
+        return {"result": True}
+
+    def wait_indexing(self, timeout: float | None = None) -> bool:
+        """Join the async build (test/ops helper; the reference exposes no
+        join — callers poll /api/statistics). True when finished."""
+        if self._index_thread is None:
+            return True
+        self._index_thread.join(timeout)
+        return not self._index_thread.is_alive()
+
+    def index_page(self, url: str) -> dict:
+        """Reference POST /api/indexPage (ApiController.java:56-68,
+        IndexingServiceImpl.java:145-210): re-index ONE url into the
+        persisted store — old contributions retracted, fresh postings
+        merged (operators/incremental.py), engine caches refreshed. URLs
+        outside the configured sites are rejected with the reference's
+        error string."""
+        from .operators.incremental import reindex_docs
+        from .sources.documents import SITES
+
+        roots = tuple(f"https://{s}.example" for s in SITES)
+        if not url.startswith(roots):
+            return {
+                "result": False,
+                "error": "Данная страница находится за пределами сайтов, "
+                         "указанных в конфигурационном файле",
+            }
+        if not self.index_dir:
+            raise ValueError("need index_dir (persisted store) for index_page")
+        changed = self.docs.filter(F.col("url") == url)
+        if changed.limit(1).count() == 0:
+            return {"result": False, "error": "Страница не найдена"}
+        from . import catalog
+
+        store = catalog.IndexStore(self.spark, self.index_dir, self.n_buckets)
+        reindex_docs(store, changed)
+        fresh = SearchEngine.open(self.spark, self.index_dir, docs=self.docs)
+        self.__dict__.update(fresh.__dict__)
+        return {"result": True}
 
     def cancel_build(self) -> None:
         """Reference GET /api/stopIndexing (IndexingServiceImpl.java:98-142):
@@ -146,6 +232,7 @@ class SearchEngine:
         self.blocks.count()
         self.term_dict = term_dict_from_blocks(self.blocks).cache()
         self.term_dict.count()
+        self._maybe_cache_dictionary()
         self.doc_stats = (
             fb.doc_stats_from_packed(packed)
             .repartition(self.n_buckets, "doc_bucket")
@@ -163,6 +250,28 @@ class SearchEngine:
     def _require_built(self):
         if not self._built:
             self.build()
+
+    def _maybe_cache_dictionary(self) -> None:
+        """Collect (term → df) to the driver when the dictionary is small
+        enough — the per-query probe becomes a dict lookup (no Spark job).
+        One count + one collect at build/open time."""
+        self._df_map = None
+        if self.term_dict.count() <= DICT_CACHE_MAX_TERMS:
+            self._df_map = {
+                r["term"]: r["df"]
+                for r in self.term_dict.select("term", "df").collect()
+            }
+
+    def _dict_probe(self, terms: list[str]) -> dict[str, int]:
+        """Q2 dictionary probe: df per query term (absent terms omitted)."""
+        if self._df_map is not None:
+            return {t: self._df_map[t] for t in terms if t in self._df_map}
+        rows = (
+            self.term_dict.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
     # ------------------------------------------------------------- query
     def search(
@@ -190,19 +299,15 @@ class SearchEngine:
         if not terms:
             return self.spark.createDataFrame([], empty_schema)
         uniq = sorted(set(terms))
-        df_rows = (
-            self.term_dict.filter(F.col("term").isin(uniq))
-            .select("term", "df")
-            .collect()
-        )
-        if conjunctive and len(df_rows) < len(uniq):
+        dfs = self._dict_probe(uniq)
+        if conjunctive and len(dfs) < len(uniq):
             return self.spark.createDataFrame([], empty_schema)
-        if not df_rows:
+        if not dfs:
             return self.spark.createDataFrame([], empty_schema)
-        uniq = sorted(r["term"] for r in df_rows)
+        uniq = sorted(dfs)
         idf = {
-            r["term"]: se.bm25_idf(float(self.n_docs), float(r["df"]))
-            for r in df_rows
+            t: se.bm25_idf(float(self.n_docs), float(df))
+            for t, df in dfs.items()
         }
         norms = self.doc_stats.select("doc_bucket", "doc_id", "dl")
         restrict = site_key is not None

@@ -1,0 +1,66 @@
+"""A2 API envelope parity — the reference's four endpoints as engine
+methods: startIndexing / stopIndexing (async + cancel), indexPage
+(single-url upsert), search/statistics envelopes are covered in
+test_presentation.py."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark import catalog
+from search_engine_spark.engine import SearchEngine
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return SearchEngine(
+        spark, SF_TEST, index_dir=str(tmp_path / "api_idx"), n_buckets=8
+    )
+
+
+def test_start_stop_indexing_envelopes(eng):
+    assert eng.stop_indexing() == {
+        "result": False, "error": "Индексация не запущена"
+    }
+    assert eng.start_indexing(groups=8) == {"result": True}
+    second = eng.start_indexing()
+    done = eng.wait_indexing(timeout=0)
+    if not done:
+        # while running, a second start is rejected with the reference
+        # string; stop cancels it
+        assert second == {"result": False, "error": "Индексация уже запущена"}
+        assert eng.stop_indexing() == {"result": True}
+    assert eng.wait_indexing(timeout=300)
+    assert eng.stop_indexing() == {
+        "result": False, "error": "Индексация не запущена"
+    }
+    # whether it completed or was cancelled, the store must be resumable to
+    # a complete index
+    store = catalog.IndexStore(eng.spark, eng.index_dir, 8)
+    catalog.build_persistent(eng.docs, store)
+    opened = SearchEngine.open(eng.spark, eng.index_dir, docs=eng.docs)
+    assert opened.search("data fast join", limit=3).count() == 3
+
+
+def test_index_page_envelope(spark, tmp_path):
+    eng = SearchEngine(
+        spark, SF_TEST, index_dir=str(tmp_path / "page_idx"), n_buckets=8
+    )
+    eng.build_persistent()
+    assert eng.index_page("https://other.example/docs/1") == {
+        "result": False,
+        "error": "Данная страница находится за пределами сайтов, "
+                 "указанных в конфигурационном файле",
+    }
+    assert eng.index_page("https://site-b.example/docs/999999")["result"] is False
+
+    url = [r["url"] for r in eng.docs.filter(F.col("doc_id") == 7)
+           .select("url").collect()][0]
+    before = eng.search("data fast join", limit=5).collect()
+    assert eng.index_page(url) == {"result": True}
+    after = eng.search("data fast join", limit=5).collect()
+    assert before == after  # unchanged text → identical index state
