@@ -101,3 +101,55 @@ def test_streamed_windowed_counts_match_batch(spark, tmp_path):
     max_ts = max(r["win_start"] for r in want_rows)
     missing = {k for k in want if k not in got and k[0] < max_ts}
     assert not missing
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: over the finite fixture stream
+    (forced multi-batch so state carries across micro-batches), the emitted
+    CLOSED sessions must equal the batch sessionizer's output minus each
+    user's final session (still open in state — no later event closed it)."""
+    from search_engine_spark.operators.events import sessionize
+    from search_engine_spark.streaming.stream_events import EVENTS_SCHEMA
+    from search_engine_spark.streaming.stream_sessions import sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("user_id") < 40
+    )
+    landing = str(tmp_path / "sess_in")
+    # split by time so state genuinely spans micro-batches
+    cut = events.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    events.filter(F.col("ts") <= cut).coalesce(1).write.parquet(landing + "/p1")
+    events.filter(F.col("ts") > cut).coalesce(1).write.parquet(landing + "/p2")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/p*")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+
+    batch = sessionize(events).collect()
+    last_per_user = {}
+    for r in batch:
+        cur = last_per_user.get(r["user_id"])
+        if cur is None or r["start_ts"] > cur["start_ts"]:
+            last_per_user[r["user_id"]] = r
+    want = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["n_events"])
+        for r in batch
+        if last_per_user[r["user_id"]] is not r
+    }
+    assert got == want
+    assert got, "no sessions closed — fixture should span many gaps"
