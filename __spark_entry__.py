@@ -442,6 +442,14 @@ def _q_media_features(spark, sf_dir):
     return media_features(load_documents(spark, sf_dir))
 
 
+def _q_media_frames(spark, sf_dir):
+    """Uniform frame sampling over the opaque media payload — real byte
+    offsets/slices/hashes, stubbed codec (multimodal.frame_sample)."""
+    from search_engine_spark.operators.multimodal import frame_sample
+
+    return frame_sample(load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -485,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue,
         "rel_semi_join": _q_rel_semi,
@@ -557,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),
+        "media_frames": pipe.frame_sample_sql(),
         "rel_pricing_summary": pipe.pricing_summary_sql(),
         "rel_revenue_by_nation": pipe.revenue_by_nation_sql(),
         "rel_semi_join": pipe.customers_with_orders_sql(),

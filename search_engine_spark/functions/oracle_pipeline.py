@@ -467,6 +467,29 @@ FROM m
 """
 
 
+def frame_sample_sql(table: str = "documents") -> str:
+    """Mirrors operators/multimodal.py::frame_sample. The fixture payload
+    is ASCII so char slicing == byte slicing; md5 runs over the encoded
+    slice bytes, matching Spark's binary substring + md5."""
+    from ..operators import multimodal as mm
+
+    fs, k = mm.FRAME_SIZE, mm.FRAME_SAMPLES
+    return f"""
+WITH m AS (SELECT doc_id, {HTML_SQL} AS s FROM {table}),
+base AS (
+  SELECT doc_id, s, (octet_length(encode(s)) // {fs})::BIGINT AS nf
+  FROM m WHERE octet_length(encode(s)) >= {fs}
+),
+sampled AS (
+  SELECT DISTINCT doc_id, s, ((j * nf) // {k})::BIGINT AS frame_idx
+  FROM base, unnest(range(0, {k})) AS u(j)
+)
+SELECT doc_id, frame_idx, (frame_idx * {fs})::BIGINT AS byte_offset,
+       md5(substring(s, (frame_idx * {fs} + 1)::BIGINT, {fs})) AS frame_md5
+FROM sampled
+"""
+
+
 def media_features_sql(table: str = "documents") -> str:
     return f"""
 WITH m AS (SELECT doc_id, {HTML_SQL} AS s FROM {table}),

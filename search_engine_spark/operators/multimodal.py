@@ -86,6 +86,54 @@ def media_features(docs: DataFrame, media_col: str = "html") -> DataFrame:
     )
 
 
+FRAME_SIZE = 128  # bytes per "frame" of the opaque media payload
+FRAME_SAMPLES = 4  # frames sampled per document
+
+
+def frame_sample(
+    docs: DataFrame,
+    media_col: str = "html",
+    frame_size: int = FRAME_SIZE,
+    k: int = FRAME_SAMPLES,
+) -> DataFrame:
+    """(doc_id, frame_idx, byte_offset, frame_md5) — uniform frame sampling
+    over an opaque binary column: the payload is viewed as consecutive
+    ``frame_size``-byte frames; k evenly spaced frame indices are sampled
+    (deduped when the payload has fewer than k frames) and each sampled
+    frame's bytes are sliced and hashed.
+
+    This is the video-frame-sampling SHAPE with the codec stubbed by
+    byte-slicing: offsets, slicing, and hashing are REAL (pure column
+    expressions — substring on binary stays JVM-side, no Python at all);
+    a real deployment replaces the fixed frame_size with container-parsed
+    frame offsets and the md5 with a frame encoder in a mapInPandas stage
+    (media_features shows that plumbing). Oracle-mirrored in
+    functions/oracle_pipeline.py (byte==char slicing holds for the ASCII
+    fixture payloads; Spark slices true bytes)."""
+    col = F.col(media_col)
+    n_frames = (F.length(col) / frame_size).cast("long")
+    j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    sampled = (
+        docs.select("doc_id", col.alias("_media"), n_frames.alias("_nf"))
+        .filter(F.col("_nf") > 0)
+        .select("doc_id", "_media", "_nf", j)
+        .withColumn(
+            "frame_idx",
+            (F.col("j") * F.col("_nf") / k).cast("long"),
+        )
+        .dropDuplicates(["doc_id", "frame_idx"])
+    )
+    offset = (F.col("frame_idx") * frame_size).cast("long")
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        offset.alias("byte_offset"),
+        F.md5(
+            F.substring(F.col("_media"), offset.cast("int") + 1, frame_size)
+        ).alias("frame_md5"),
+    )
+
+
 IMAGE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
