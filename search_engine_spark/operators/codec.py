@@ -1,22 +1,32 @@
-"""Posting-list codec — delta + varbyte with block-max metadata.
+"""Posting-list codec — delta + varbyte/PForDelta with block-max metadata.
 
 The reference stores one MySQL row per (page, lemma) posting
 (model/Index.java). At 10^12-doc scale that layout is untenable; this engine
-compresses each term's postings into sorted doc-id-delta varbyte blocks with
+compresses each term's postings into sorted doc-id-delta blocks with
 per-block max-tf metadata (the "zone map" that powers block-max WAND
 pruning). All encode/decode is vectorized numpy — no per-element Python in
 the hot path; blocks are built inside applyInPandas (operators/blocks.py).
 
-Format (per block of ≤ BLOCK_SIZE postings):
-  doc_bytes: varbyte(delta(doc_ids))  — doc_ids strictly increasing,
-             first delta is doc_ids[0] - prev_block_last (or +1 offset from
-             -1 baseline for the first block, i.e. doc_ids[0] + 1)
-  tf_bytes:  varbyte(tfs)             — raw term frequencies
-  metadata:  count, first_doc, last_doc, max_tf
+Format (per block of ≤ BLOCK_SIZE postings): each payload column is
+self-describing — 1 codec-tag byte followed by the codec's bytes; the
+encoder picks whichever codec is smaller for that array:
+  doc_bytes: tag + codec(delta(doc_ids)) — doc_ids strictly increasing,
+             first delta is doc_ids[0] + 1 (so gap 0 is never produced and
+             an all-equal-gaps block still PFor-packs tightly)
+  tf_bytes:  tag + codec(tfs)            — raw term frequencies
+  metadata:  count, first_doc, last_doc, max_tf, sum_tf
 
-Varbyte: little-endian base-128, high bit set on all bytes except the last
-(classic v-byte; public-domain scheme described in Manning/Raghavan/Schütze,
-"Introduction to Information Retrieval" §5.3).
+Codecs:
+  TAG_VB  (0x00) — little-endian base-128 v-byte, high bit set on all bytes
+           except the last (public-domain scheme described in
+           Manning/Raghavan/Schütze, "Introduction to IR" §5.3).
+  TAG_PFD (0x01) — PForDelta in the NewPFD/OptPFD style (Yan, Ding & Suel,
+           WWW'09 "Inverted index compression and query processing with
+           optimized document ordering"): pick the bit width b minimizing
+           total size, bit-pack every value's low b bits, and store the
+           outliers' positions + remaining high bits as v-byte exception
+           lists. Degenerates gracefully: uniform small gaps pack at
+           ~b bits/posting vs v-byte's hard 8-bit floor.
 """
 
 from __future__ import annotations
@@ -24,6 +34,9 @@ from __future__ import annotations
 import numpy as np
 
 BLOCK_SIZE = 128
+
+TAG_VB = 0x00
+TAG_PFD = 0x01
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
@@ -81,6 +94,109 @@ def varbyte_decode(buf: bytes, count: int) -> np.ndarray:
     return out.astype(np.int64)
 
 
+def _pack_bits(vals: np.ndarray, b: int) -> bytes:
+    """Bit-pack the low `b` bits of each value (MSB-first within a value),
+    vectorized via np.packbits."""
+    if b == 0 or vals.size == 0:
+        return b""
+    shifts = np.arange(b - 1, -1, -1, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
+    if b == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * b)
+    bits = bits.reshape(n, b).astype(np.uint64)
+    shifts = np.arange(b - 1, -1, -1, dtype=np.uint64)
+    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _pfd_cost(sorted_bits: np.ndarray, n: int) -> tuple[int, int]:
+    """(best_b, payload_bytes) for PForDelta over values whose bit widths,
+    sorted ascending, are `sorted_bits`. Exceptions cost ~2 v-bytes each
+    (position byte + high-bits v-byte) — an upper-bound estimate used only
+    for width selection; the real encoder writes exact bytes."""
+    best_b, best_cost = int(sorted_bits[-1]), (int(sorted_bits[-1]) * n + 7) // 8
+    for i in range(sorted_bits.size):
+        b = int(sorted_bits[i])
+        n_exc = int(n - np.searchsorted(sorted_bits, b, side="right"))
+        cost = (b * n + 7) // 8 + 2 * n_exc + 1
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b, best_cost
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """NewPFD-style encode: [b:uint8][n_exc varbyte][packed low-b bits]
+    [exception positions varbyte][exception high bits varbyte]."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    widths = np.zeros(v.shape, dtype=np.int64)
+    nz = v > 0
+    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+    # float log2 is exact for < 2^53; postings gaps/tfs never exceed that,
+    # but correct any boundary drift defensively
+    too_low = (v >> widths.astype(np.uint64)) > 0
+    widths[too_low] += 1
+    b, _ = _pfd_cost(np.sort(widths), v.size)
+    exc_mask = widths > b
+    exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+    low = v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0))
+    high = v[exc_mask] >> np.uint64(b)
+    parts = [
+        bytes([b]),
+        varbyte_encode(np.array([int(exc_pos.size)], dtype=np.uint64)),
+        _pack_bits(low, b),
+        varbyte_encode(exc_pos),
+        varbyte_encode(high),
+    ]
+    return b"".join(parts)
+
+
+def pfor_decode(buf: bytes, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    b = buf[0]
+    # n_exc is a single v-byte-encoded value; find its terminator
+    i = 1
+    while buf[i] & 0x80:
+        i += 1
+    n_exc = int(varbyte_decode(buf[1 : i + 1], 1)[0])
+    i += 1
+    packed_len = (b * count + 7) // 8
+    low = _unpack_bits(buf[i : i + packed_len], count, b)
+    i += packed_len
+    if n_exc:
+        rest = np.frombuffer(buf[i:], dtype=np.uint8)
+        terms = np.flatnonzero((rest & 0x80) == 0)
+        pos_end = int(terms[n_exc - 1]) + 1
+        pos = varbyte_decode(buf[i : i + pos_end], n_exc).astype(np.int64)
+        high = varbyte_decode(buf[i + pos_end :], n_exc).astype(np.uint64)
+        low[pos] |= high << np.uint64(b)
+    return low.astype(np.int64)
+
+
+def encode_payload(values: np.ndarray) -> bytes:
+    """Tag-prefixed payload: v-byte or PForDelta, whichever is smaller."""
+    vb = varbyte_encode(values)
+    pfd = pfor_encode(values)
+    if len(pfd) < len(vb):
+        return bytes([TAG_PFD]) + pfd
+    return bytes([TAG_VB]) + vb
+
+
+def decode_payload(buf: bytes, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    tag, body = buf[0], buf[1:]
+    if tag == TAG_PFD:
+        return pfor_decode(body, count)
+    return varbyte_decode(body, count)
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing ids → gaps (first gap = id[0] + 1 so 0 is legal)."""
     d = np.asarray(doc_ids, dtype=np.int64)
@@ -120,14 +236,14 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
                 # from stored blocks alone — no raw-corpus re-read on
                 # resume/incremental paths
                 "sum_tf": int(t.sum()),
-                "doc_bytes": varbyte_encode(delta_encode(ids)),
-                "tf_bytes": varbyte_encode(t),
+                "doc_bytes": encode_payload(delta_encode(ids)),
+                "tf_bytes": encode_payload(t),
             }
         )
     return blocks
 
 
 def decode_block(doc_bytes: bytes, tf_bytes: bytes, count: int) -> tuple[np.ndarray, np.ndarray]:
-    ids = delta_decode(varbyte_decode(doc_bytes, count))
-    tfs = varbyte_decode(tf_bytes, count)
+    ids = delta_decode(decode_payload(doc_bytes, count))
+    tfs = decode_payload(tf_bytes, count)
     return ids, tfs

@@ -1,4 +1,4 @@
-"""Property + unit tests for the posting-block codec (delta+varbyte)."""
+"""Property + unit tests for the posting-block codec (delta + varbyte/PFor)."""
 
 import numpy as np
 from hypothesis import given, settings
@@ -6,10 +6,16 @@ from hypothesis import strategies as st
 
 from search_engine_spark.operators.codec import (
     BLOCK_SIZE,
+    TAG_PFD,
+    TAG_VB,
     decode_block,
+    decode_payload,
     delta_decode,
     delta_encode,
     encode_blocks,
+    encode_payload,
+    pfor_decode,
+    pfor_encode,
     varbyte_decode,
     varbyte_encode,
 )
@@ -67,6 +73,46 @@ def test_varbyte_zero_and_boundaries():
     assert len(varbyte_encode(np.array([0], dtype=np.int64))) == 1
     assert len(varbyte_encode(np.array([127], dtype=np.int64))) == 1
     assert len(varbyte_encode(np.array([128], dtype=np.int64))) == 2
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**61 - 1), min_size=1, max_size=BLOCK_SIZE))
+@settings(max_examples=300, deadline=None)
+def test_pfor_roundtrip(values):
+    arr = np.array(values, dtype=np.int64)
+    assert pfor_decode(pfor_encode(arr), len(arr)).tolist() == values
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=16, max_size=BLOCK_SIZE),
+    st.lists(st.integers(min_value=2**40, max_value=2**60), min_size=0, max_size=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_pfor_roundtrip_with_outliers(small, outliers):
+    """NewPFD's target shape: mostly-small values + a few huge exceptions."""
+    values = small + outliers
+    arr = np.array(values, dtype=np.int64)
+    assert pfor_decode(pfor_encode(arr), len(arr)).tolist() == values
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**61 - 1), min_size=1, max_size=BLOCK_SIZE))
+@settings(max_examples=200, deadline=None)
+def test_payload_roundtrip_and_never_larger_than_varbyte(values):
+    arr = np.array(values, dtype=np.int64)
+    enc = encode_payload(arr)
+    assert enc[0] in (TAG_VB, TAG_PFD)
+    assert decode_payload(enc, len(arr)).tolist() == values
+    # tag byte is the only possible overhead vs plain v-byte
+    assert len(enc) <= len(varbyte_encode(arr)) + 1
+
+
+def test_pfor_beats_varbyte_on_dense_gaps():
+    """A full block of small uniform gaps — the common dense-posting case —
+    must pick PFor and land well under v-byte's 1-byte/value floor."""
+    gaps = np.full(BLOCK_SIZE, 2, dtype=np.int64)
+    enc = encode_payload(gaps)
+    assert enc[0] == TAG_PFD
+    # 2 bits/value packed + 3 header bytes = 35 ≪ v-byte's 129
+    assert len(enc) <= BLOCK_SIZE // 4 + 4
 
 
 def test_compression_wins():
