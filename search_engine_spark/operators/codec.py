@@ -116,32 +116,36 @@ def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
 def _pfd_cost(sorted_bits: np.ndarray, n: int) -> tuple[int, int]:
     """(best_b, payload_bytes) for PForDelta over values whose bit widths,
     sorted ascending, are `sorted_bits`. Exceptions cost ~2 v-bytes each
-    (position byte + high-bits v-byte) — an upper-bound estimate used only
-    for width selection; the real encoder writes exact bytes."""
-    best_b, best_cost = int(sorted_bits[-1]), (int(sorted_bits[-1]) * n + 7) // 8
-    for i in range(sorted_bits.size):
-        b = int(sorted_bits[i])
-        n_exc = int(n - np.searchsorted(sorted_bits, b, side="right"))
-        cost = (b * n + 7) // 8 + 2 * n_exc + 1
-        if cost < best_cost:
-            best_b, best_cost = b, cost
-    return best_b, best_cost
+    (position byte + high-bits v-byte) — an estimate used only for width
+    selection; the real encoder writes exact bytes. Fully vectorized: one
+    searchsorted over the unique widths."""
+    cands = np.unique(sorted_bits)
+    n_le = np.searchsorted(sorted_bits, cands, side="right")
+    costs = (cands * n + 7) // 8 + 2 * (n - n_le)
+    i = int(np.argmin(costs))
+    return int(cands[i]), int(costs[i])
 
 
-def pfor_encode(values: np.ndarray) -> bytes:
-    """NewPFD-style encode: [b:uint8][n_exc varbyte][packed low-b bits]
-    [exception positions varbyte][exception high bits varbyte]."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
+def _bit_widths(v: np.ndarray) -> np.ndarray:
     widths = np.zeros(v.shape, dtype=np.int64)
     nz = v > 0
     widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    # float log2 is exact for < 2^53; postings gaps/tfs never exceed that,
-    # but correct any boundary drift defensively
+    # float log2 is exact for < 2^53; correct any boundary drift defensively
     too_low = (v >> widths.astype(np.uint64)) > 0
     widths[too_low] += 1
-    b, _ = _pfd_cost(np.sort(widths), v.size)
+    return widths
+
+
+def pfor_encode(values: np.ndarray, b: int | None = None) -> bytes:
+    """NewPFD-style encode: [b:uint8][n_exc varbyte][packed low-b bits]
+    [exception positions varbyte][exception high bits varbyte]. Pass `b`
+    to reuse a width already chosen by _pfd_cost."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    widths = _bit_widths(v)
+    if b is None:
+        b, _ = _pfd_cost(np.sort(widths), v.size)
     exc_mask = widths > b
     exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
     low = v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0))
@@ -180,12 +184,25 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
 
 
 def encode_payload(values: np.ndarray) -> bytes:
-    """Tag-prefixed payload: v-byte or PForDelta, whichever is smaller."""
-    vb = varbyte_encode(values)
-    pfd = pfor_encode(values)
-    if len(pfd) < len(vb):
-        return bytes([TAG_PFD]) + pfd
-    return bytes([TAG_VB]) + vb
+    """Tag-prefixed payload: v-byte or PForDelta, whichever is smaller.
+
+    Selection is analytic — exact v-byte size from the bit widths, PFor size
+    from the same widths via _pfd_cost's exception estimate — so the common
+    case runs exactly one encoder. The estimate can be off when exception
+    high bits span multiple v-bytes, so the real PFor bytes are re-checked
+    against the v-byte size before being chosen; the ≤ v-byte+1 size
+    invariant therefore always holds."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return bytes([TAG_VB])
+    widths = _bit_widths(v)
+    vb_size = int(np.maximum((widths + 6) // 7, 1).sum())
+    b, pfd_est = _pfd_cost(np.sort(widths), v.size)
+    if pfd_est < vb_size:
+        pfd = pfor_encode(values, b=b)
+        if len(pfd) < vb_size:
+            return bytes([TAG_PFD]) + pfd
+    return bytes([TAG_VB]) + varbyte_encode(values)
 
 
 def decode_payload(buf: bytes, count: int) -> np.ndarray:
