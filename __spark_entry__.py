@@ -132,6 +132,16 @@ def _q_site_gate(spark, sf_dir):
     return se.site_gate(docs, Q_GATE)
 
 
+RELATED_PROBE = "data"
+
+
+def _q_related_terms(spark, sf_dir):
+    """Related-terms suggestion (doc-level co-occurrence, lift-scored) —
+    the query-expansion signal computable from the postings relation."""
+    docs = load_documents(spark, sf_dir)
+    return se.related_terms(ib.build_postings(docs), RELATED_PROBE)
+
+
 def _q_status_filter(spark, sf_dir):
     """S2 fetch-status classification (PageAnalyzer.java:541-567) +
     canBeParsed gate (model/Page.java:62-64) as columns."""
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_common": _q_search_bm25_common,
         "search_bm25_or": _q_search_bm25_or,
         "site_gate": _q_site_gate,
+        "related_terms": _q_related_terms,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
@@ -527,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_common": ora.search_bm25_sql(Q_BM25_COMMON),
         "search_bm25_or": ora.search_bm25_sql(Q_OR, conjunctive=False),
         "site_gate": ora.site_gate_sql(Q_GATE),
+        "related_terms": ora.related_terms_sql(RELATED_PROBE),
         "status_filter": ora.status_filter_sql(),
         "postings_parseable": ora.postings_sql(
             table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"

@@ -283,3 +283,29 @@ FROM terms WHERE term IN {_terms_in(query_terms)}
 GROUP BY site_key
 HAVING count(DISTINCT term) = {n}
 """
+
+
+def related_terms_sql(probe: str, k: int = 15, table: str = "documents") -> str:
+    """Mirrors operators/search.py::related_terms — doc-level co-occurrence
+    with lift = co_df · N / (df_probe · df), top-k by (lift, co_df, term)."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term FROM terms GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM post),
+probe AS (SELECT doc_id FROM post WHERE term = '{probe}'),
+dfp AS (SELECT count(*)::DOUBLE AS df_probe FROM probe),
+co AS (
+  SELECT p.term, count(*)::BIGINT AS co_df
+  FROM post p JOIN probe USING (doc_id)
+  WHERE p.term <> '{probe}'
+  GROUP BY p.term
+),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY term)
+SELECT co.term, co.co_df, dfs.df,
+       round(co.co_df::DOUBLE * n.n_docs / (dfp.df_probe * dfs.df::DOUBLE), 4) AS lift
+FROM co JOIN dfs ON co.term = dfs.term, n, dfp
+ORDER BY lift DESC, co.co_df DESC, co.term ASC
+LIMIT {k}
+"""

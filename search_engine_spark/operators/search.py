@@ -194,3 +194,53 @@ def site_gate(docs: DataFrame, terms: list[str]) -> DataFrame:
         .filter(F.col("nt") == n)
         .select("site_key")
     )
+
+
+def related_terms(postings: DataFrame, probe: str, k: int = 15) -> DataFrame:
+    """Related-terms suggestion: terms co-occurring with `probe` at the
+    document level, scored by lift = P(t | probe) / P(t) =
+    co_df · N / (df_probe · df_t). The classic query-expansion /
+    "searches related to" signal, computable from the postings relation
+    alone (reference model/Index.java rows are exactly this relation).
+
+    Plan shape at scale: the probe's doc list is one term's postings —
+    df_probe rows — joined back to postings on doc_id. No broadcast is
+    forced: AQE broadcasts the probe side when it is small (the common
+    case) and falls back to a shuffle join for head probes, where a forced
+    broadcast would OOM the driver (the revenue_by_nation lesson). The two
+    scalar aggregates (N, df_probe) are driver-side singletons, not loops.
+
+    Output: (term, co_df, df, lift) — top-k by lift desc, co_df desc,
+    term asc; lift rounded to 4 dp at the output edge (oracle-hashable)."""
+    probe_docs = postings.filter(F.col("term") == probe).select("doc_id")
+    n_docs = postings.select("doc_id").distinct().count()
+    df_probe = probe_docs.count()
+    if df_probe == 0:
+        empty = postings.sparkSession.createDataFrame(
+            [], "term string, co_df long, df long, lift double"
+        )
+        return empty
+    co = (
+        postings.join(probe_docs, "doc_id")
+        .filter(F.col("term") != probe)
+        # postings rows are unique per (doc_id, term) → count(*) = co_df
+        .groupBy("term")
+        .agg(F.count("*").alias("co_df"))
+    )
+    dfs = postings.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        co.join(dfs, "term")
+        .select(
+            "term",
+            "co_df",
+            "df",
+            F.round(
+                F.col("co_df").cast("double")
+                * F.lit(float(n_docs))
+                / (F.lit(float(df_probe)) * F.col("df").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("co_df").desc(), F.col("term").asc())
+        .limit(k)
+    )

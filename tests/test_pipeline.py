@@ -276,3 +276,18 @@ def test_split_train_holdout_disjoint_total(spark):
     assert len(got) == docs.count()  # total: every doc assigned exactly once
     n_hold = sum(1 for v in got.values() if v == "holdout")
     assert 0 < n_hold < len(got) * 0.25  # ~10% ± binomial noise
+
+
+def test_related_terms_absent_probe_and_self_exclusion(spark):
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.search import related_terms
+    from search_engine_spark.sources.documents import load_documents
+
+    post = build_postings(load_documents(spark, "/root/testdata/sf0.001"))
+    assert related_terms(post, "zzabsent").count() == 0
+    rows = related_terms(post, "data", k=10).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["term"] != "data" for r in rows)  # probe never suggests itself
+    assert all(r["co_df"] <= r["df"] for r in rows)
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
