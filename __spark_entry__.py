@@ -133,6 +133,15 @@ def _q_site_gate(spark, sf_dir):
 
 
 RELATED_PROBE = "data"
+SPELL_PROBE = "dataa"  # misspelling: one insertion away from "data"
+
+
+def _q_spell_suggest(spark, sf_dir):
+    """"Did you mean" — SymSpell deletion-neighborhood join + exact
+    levenshtein==1 filter over the term dictionary."""
+    docs = load_documents(spark, sf_dir)
+    td = ib.build_term_dict(ib.build_postings(docs))
+    return se.spell_suggest(td, SPELL_PROBE)
 
 
 def _q_related_terms(spark, sf_dir):
@@ -476,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_or": _q_search_bm25_or,
         "site_gate": _q_site_gate,
         "related_terms": _q_related_terms,
+        "spell_suggest": _q_spell_suggest,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
@@ -539,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_or": ora.search_bm25_sql(Q_OR, conjunctive=False),
         "site_gate": ora.site_gate_sql(Q_GATE),
         "related_terms": ora.related_terms_sql(RELATED_PROBE),
+        "spell_suggest": ora.spell_suggest_sql(SPELL_PROBE),
         "status_filter": ora.status_filter_sql(),
         "postings_parseable": ora.postings_sql(
             table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"

@@ -309,3 +309,19 @@ FROM co JOIN dfs ON co.term = dfs.term, n, dfp
 ORDER BY lift DESC, co.co_df DESC, co.term ASC
 LIMIT {k}
 """
+
+
+def spell_suggest_sql(probe: str, k: int = 5, table: str = "documents") -> str:
+    """Mirrors operators/search.py::spell_suggest — brute-force levenshtein
+    over the term dictionary (the oracle may scan; the Spark plan uses the
+    deletion-neighborhood join)."""
+    return f"""
+WITH {terms_cte(table)},
+td AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY term
+)
+SELECT term, df FROM td
+WHERE levenshtein(term, '{probe}') = 1
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""

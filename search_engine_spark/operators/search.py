@@ -244,3 +244,45 @@ def related_terms(postings: DataFrame, probe: str, k: int = 15) -> DataFrame:
         .orderBy(F.col("lift").desc(), F.col("co_df").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def spell_suggest(term_dict: DataFrame, probe: str, k: int = 5) -> DataFrame:
+    """"Did you mean": dictionary terms at Levenshtein distance exactly 1
+    from `probe`, ranked by document frequency (the standard unknown-term
+    recovery in web search; the reference surfaces nothing for unknown
+    lemmas — SearchServiceImpl returns empty — so this is the Spark-first
+    upgrade of that dead end).
+
+    Scale shape (SymSpell deletion-neighborhood, Garbe's public algorithm):
+    dist(a,b) ≤ 1 implies the ≤1-char-deletion neighborhoods of a and b
+    intersect, so instead of scanning the whole dictionary with an edit-
+    distance UDF, each dictionary term explodes into ≤ len+1 deletion
+    variants (pure codegen: transform over a sequence — no Python), the
+    probe's variants arrive as a broadcast-able isin literal list, and the
+    exact levenshtein ≤ 1 check (JVM built-in) runs only on the tiny
+    candidate set. The neighborhood test admits some distance-2 pairs
+    (e.g. "ab"/"ba"), which the exact filter removes.
+
+    Output: (term, df) — distance-1 terms only (the probe itself, distance
+    0, is excluded), df desc, term asc, limit k."""
+    probe_vars = [probe] + [probe[:i] + probe[i + 1:] for i in range(len(probe))]
+    term = F.col("term")
+    n = F.length(term)
+    deletions = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substring(term, F.lit(1), i - 1), term.substr(i + 1, n)
+        ),
+    )
+    variants = F.array_union(F.array(term), deletions)
+    cand = (
+        term_dict.select("term", "df", F.explode(variants).alias("v"))
+        .filter(F.col("v").isin(probe_vars))
+        .select("term", "df")
+        .distinct()
+    )
+    return (
+        cand.filter(F.levenshtein(term, F.lit(probe)) == 1)
+        .orderBy(F.col("df").desc(), term.asc())
+        .limit(k)
+    )

@@ -291,3 +291,23 @@ def test_related_terms_absent_probe_and_self_exclusion(spark):
     assert all(r["co_df"] <= r["df"] for r in rows)
     lifts = [r["lift"] for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_spell_suggest_neighborhood_exactness(spark):
+    from search_engine_spark.operators.search import spell_suggest
+
+    td = spark.createDataFrame(
+        [
+            ("cat", 10), ("cot", 9), ("cart", 8), ("at", 7), ("ca", 7),
+            ("tac", 5),   # transposition = distance 2: must be excluded
+            ("dog", 3),
+            ("cats", 6),
+        ],
+        "term string, df long",
+    )
+    got = [(r["term"], r["df"]) for r in spell_suggest(td, "cat", k=10).collect()]
+    # distance exactly 1 from "cat": cot (sub), cart (ins), at (del), ca (del), cats (ins)
+    assert got == [("cot", 9), ("cart", 8), ("at", 7), ("ca", 7), ("cats", 6)]
+    # "ab"/"ba" style false candidate: shared deletion variant, distance 2
+    td2 = spark.createDataFrame([("ba", 4)], "term string, df long")
+    assert spell_suggest(td2, "ab").count() == 0
