@@ -37,6 +37,7 @@ FROM base
 
 
 def token_counts_sql(table: str = "documents") -> str:
+    bpe_sql = ts.BPE_SPLIT.replace("'", "''")
     return f"""
 WITH {terms_cte(table)},
 t AS (
@@ -48,6 +49,7 @@ SELECT d.doc_id,
        (CASE WHEN trim(d.text) = '' THEN 0
              ELSE len(string_split_regex(trim(d.text), '{WS_SPLIT}')) END)::BIGINT
          AS n_ws_tokens,
+       len(regexp_extract_all(d.text, '{bpe_sql}'))::BIGINT AS n_bpe_tokens,
        coalesce(t.n_terms, 0)::BIGINT AS n_terms,
        coalesce(t.n_unique_terms, 0)::BIGINT AS n_unique_terms
 FROM {table} d LEFT JOIN t USING (doc_id)

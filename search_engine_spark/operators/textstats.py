@@ -64,10 +64,21 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs Java regex and
+# RE2 (the DuckDB oracle) evaluate identically: contraction suffixes,
+# optionally space-prefixed letter runs / digit runs / symbol runs. The real
+# GPT-2 pattern's \p{L}/\p{N} classes and trailing-whitespace lookahead are
+# dropped (RE2 has no lookahead); what remains is the token-boundary
+# behavior a BPE pre-tokenizer induces on ASCII text.
+BPE_SPLIT = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\r\\n\\f]+"
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_ws_tokens, n_terms, n_unique_terms) — whitespace token
-    count plus retained-term counts after the full analyzer (tokenizer T2-T5
-    applied via the shared explode; aggregated back per doc)."""
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_terms, n_unique_terms) —
+    whitespace token count, BPE-ish pre-tokenizer match count (BPE_SPLIT,
+    the training-data cost estimator), and retained-term counts after the
+    full analyzer (tokenizer T2-T5 applied via the shared explode;
+    aggregated back per doc)."""
     from ..functions.text_columns import explode_terms
 
     ws = docs.select(
@@ -76,6 +87,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
         .otherwise(F.size(F.split(F.trim("text"), WS_SPLIT)))
         .cast("long")
         .alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_SPLIT)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
     )
     terms = (
         explode_terms(docs)
@@ -90,6 +104,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "n_ws_tokens",
+            "n_bpe_tokens",
             F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
             F.coalesce("n_unique_terms", F.lit(0))
             .cast("long")
