@@ -162,8 +162,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def fingerprint_col(text_col: str = "text"):
+    """md5 of the whitespace-normalized lowercase text — the exact-dedup
+    key, shared by the batch and streaming dedup paths."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_SPLIT, " ")
+    return F.md5(norm)
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fp) — deterministic content fingerprint: md5 of the
-    whitespace-normalized lowercase text. The exact-dedup key."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_SPLIT, " ")
-    return docs.select("doc_id", F.md5(norm).alias("fp"))
+    """(doc_id, fp) — deterministic content fingerprint (fingerprint_col)."""
+    return docs.select("doc_id", fingerprint_col().alias("fp"))

@@ -153,3 +153,35 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got, "no sessions closed — fixture should span many gaps"
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """Streaming exact dedup emits exactly one doc per distinct fingerprint
+    (all fixture timestamps land inside one watermark window), and the
+    emitted doc set is a valid canonical pick: one member of each batch
+    fingerprint group."""
+    from search_engine_spark.operators.textstats import fingerprints
+    from search_engine_spark.streaming.stream_dedup import run_dedup_to_memory
+
+    docs = load_documents(spark, SF_TEST).filter(F.col("doc_id") < 150)
+    landing = str(tmp_path / "dedup_landing")
+    docs.filter(F.col("doc_id") < 75).select(*STREAM_COLS).coalesce(1).write.parquet(
+        landing + "/part1"
+    )
+    docs.filter(F.col("doc_id") >= 75).select(*STREAM_COLS).coalesce(1).write.parquet(
+        landing + "/part2"
+    )
+    got = run_dedup_to_memory(
+        spark,
+        landing + "/part*",
+        str(tmp_path / "dedup_ckpt"),
+        watermark="365 days",  # fixture spans days; keep every dup in-window
+    ).collect()
+
+    batch = fingerprints(docs).collect()
+    groups: dict[str, set] = {}
+    for r in batch:
+        groups.setdefault(r["fp"], set()).add(r["doc_id"])
+    assert len(got) == len(groups)  # one emission per distinct fingerprint
+    for r in got:
+        assert r["doc_id"] in groups[r["fp"]]  # a member of its group
