@@ -24,8 +24,8 @@ Codecs:
            WWW'09 "Inverted index compression and query processing with
            optimized document ordering"): pick the bit width b minimizing
            total size, bit-pack every value's low b bits, and store the
-           outliers' positions + remaining high bits as v-byte exception
-           lists. Degenerates gracefully: uniform small gaps pack at
+           outliers as fixed-width uint16 positions + v-byte high bits.
+           Degenerates gracefully: uniform small gaps pack at
            ~b bits/posting vs v-byte's hard 8-bit floor.
 """
 
@@ -45,15 +45,7 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     if v.size == 0:
         return b""
     # number of 7-bit groups per value (at least 1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        mask = tmp > 0
-        if not mask.any():
-            break
-        nbits[mask] += 1
-        tmp >>= np.uint64(7)
-    nbytes = np.maximum(nbits, 1)
+    nbytes = np.maximum((_bit_widths(v) + 6) // 7, 1)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -94,13 +86,30 @@ def varbyte_decode(buf: bytes, count: int) -> np.ndarray:
     return out.astype(np.int64)
 
 
+_SHIFTS: dict[int, np.ndarray] = {}
+_POW2F: dict[int, np.ndarray] = {}
+
+
+def _shifts(b: int) -> np.ndarray:
+    s = _SHIFTS.get(b)
+    if s is None:
+        s = _SHIFTS[b] = np.arange(b - 1, -1, -1, dtype=np.uint64)
+    return s
+
+
+def _pow2f(b: int) -> np.ndarray:
+    p = _POW2F.get(b)
+    if p is None:
+        p = _POW2F[b] = (2.0 ** np.arange(b - 1, -1, -1)).astype(np.float64)
+    return p
+
+
 def _pack_bits(vals: np.ndarray, b: int) -> bytes:
     """Bit-pack the low `b` bits of each value (MSB-first within a value),
     vectorized via np.packbits."""
     if b == 0 or vals.size == 0:
         return b""
-    shifts = np.arange(b - 1, -1, -1, dtype=np.uint64)
-    bits = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    bits = ((vals[:, None] >> _shifts(b)[None, :]) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits.ravel()).tobytes()
 
 
@@ -108,53 +117,69 @@ def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
     if b == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * b)
-    bits = bits.reshape(n, b).astype(np.uint64)
-    shifts = np.arange(b - 1, -1, -1, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    bits = bits.reshape(n, b)
+    if b <= 52:  # float64 dot is exact below the mantissa width, and ~2× faster
+        return (bits.astype(np.float64) @ _pow2f(b)).astype(np.uint64)
+    return (bits.astype(np.uint64) << _shifts(b)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
 
 
 def _pfd_cost(sorted_bits: np.ndarray, n: int) -> tuple[int, int]:
     """(best_b, payload_bytes) for PForDelta over values whose bit widths,
-    sorted ascending, are `sorted_bits`. Exceptions cost ~2 v-bytes each
-    (position byte + high-bits v-byte) — an estimate used only for width
+    sorted ascending, are `sorted_bits`. Exceptions cost ~3 bytes each
+    (uint16 position + high-bits v-byte) — an estimate used only for width
     selection; the real encoder writes exact bytes. Fully vectorized: one
     searchsorted over the unique widths."""
     cands = np.unique(sorted_bits)
     n_le = np.searchsorted(sorted_bits, cands, side="right")
-    costs = (cands * n + 7) // 8 + 2 * (n - n_le)
+    costs = (cands * n + 7) // 8 + 3 * (n - n_le)
     i = int(np.argmin(costs))
     return int(cands[i]), int(costs[i])
 
 
+_POW2 = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
 def _bit_widths(v: np.ndarray) -> np.ndarray:
-    widths = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    widths[nz] = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
-    # float log2 is exact for < 2^53; correct any boundary drift defensively
-    too_low = (v >> widths.astype(np.uint64)) > 0
-    widths[too_low] += 1
-    return widths
+    """Exact bit length per value (0 → 0) — one searchsorted against the
+    powers-of-two table; no float rounding concerns."""
+    return np.searchsorted(_POW2, v, side="right").astype(np.int64)
 
 
-def pfor_encode(values: np.ndarray, b: int | None = None) -> bytes:
-    """NewPFD-style encode: [b:uint8][n_exc varbyte][packed low-b bits]
-    [exception positions varbyte][exception high bits varbyte]. Pass `b`
-    to reuse a width already chosen by _pfd_cost."""
+PFOR_MAX_N = 0xFFFF  # uint16 count/position fields
+
+
+def pfor_encode(
+    values: np.ndarray,
+    b: int | None = None,
+    widths: np.ndarray | None = None,
+) -> bytes:
+    """NewPFD-style encode: [b:uint8][n_exc:uint16 LE][packed low-b bits]
+    [exception positions: n_exc × uint16 LE][exception high bits varbyte].
+    Fixed-width auxiliary fields keep decode to ONE unpackbits plus (only
+    when exceptions exist) one varbyte decode — the per-block auxiliary
+    parses were the decode hot spot, not the bit unpacking. Pass `b` to
+    reuse a width already chosen by _pfd_cost. Arrays longer than
+    PFOR_MAX_N are the caller's responsibility (encode_payload falls back
+    to v-byte; block arrays are ≤ BLOCK_SIZE)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    widths = _bit_widths(v)
+    if v.size > PFOR_MAX_N:
+        raise ValueError(f"pfor_encode supports ≤ {PFOR_MAX_N} values")
+    widths = _bit_widths(v) if widths is None else widths
     if b is None:
         b, _ = _pfd_cost(np.sort(widths), v.size)
     exc_mask = widths > b
-    exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+    exc_pos = np.flatnonzero(exc_mask).astype(np.uint16)
     low = v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1) if b else np.uint64(0))
     high = v[exc_mask] >> np.uint64(b)
     parts = [
         bytes([b]),
-        varbyte_encode(np.array([int(exc_pos.size)], dtype=np.uint64)),
+        int(exc_pos.size).to_bytes(2, "little"),
         _pack_bits(low, b),
-        varbyte_encode(exc_pos),
+        exc_pos.astype("<u2").tobytes(),
         varbyte_encode(high),
     ]
     return b"".join(parts)
@@ -164,21 +189,14 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
     if count == 0:
         return np.empty(0, dtype=np.int64)
     b = buf[0]
-    # n_exc is a single v-byte-encoded value; find its terminator
-    i = 1
-    while buf[i] & 0x80:
-        i += 1
-    n_exc = int(varbyte_decode(buf[1 : i + 1], 1)[0])
-    i += 1
+    n_exc = int.from_bytes(buf[1:3], "little")
+    i = 3
     packed_len = (b * count + 7) // 8
     low = _unpack_bits(buf[i : i + packed_len], count, b)
     i += packed_len
     if n_exc:
-        rest = np.frombuffer(buf[i:], dtype=np.uint8)
-        terms = np.flatnonzero((rest & 0x80) == 0)
-        pos_end = int(terms[n_exc - 1]) + 1
-        pos = varbyte_decode(buf[i : i + pos_end], n_exc).astype(np.int64)
-        high = varbyte_decode(buf[i + pos_end :], n_exc).astype(np.uint64)
+        pos = np.frombuffer(buf[i : i + 2 * n_exc], dtype="<u2").astype(np.int64)
+        high = varbyte_decode(buf[i + 2 * n_exc :], n_exc).astype(np.uint64)
         low[pos] |= high << np.uint64(b)
     return low.astype(np.int64)
 
@@ -195,11 +213,13 @@ def encode_payload(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return bytes([TAG_VB])
+    if v.size > PFOR_MAX_N:
+        return bytes([TAG_VB]) + varbyte_encode(values)
     widths = _bit_widths(v)
     vb_size = int(np.maximum((widths + 6) // 7, 1).sum())
     b, pfd_est = _pfd_cost(np.sort(widths), v.size)
     if pfd_est < vb_size:
-        pfd = pfor_encode(values, b=b)
+        pfd = pfor_encode(values, b=b, widths=widths)
         if len(pfd) < vb_size:
             return bytes([TAG_PFD]) + pfd
     return bytes([TAG_VB]) + varbyte_encode(values)
