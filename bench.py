@@ -76,7 +76,11 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, multiply: int = 1) -> dict:
     from pyspark.sql import functions as F
 
     sizes = eng.blocks.agg(
-        (F.sum(F.length("doc_bytes")) + F.sum(F.length("tf_bytes"))).alias("idx"),
+        (
+            F.sum(F.length("doc_bytes"))
+            + F.sum(F.length("tf_bytes"))
+            + F.sum(F.length("dl_bytes"))
+        ).alias("idx"),
     ).collect()[0]
     raw = docs.agg(F.sum(F.length("text")).alias("raw")).collect()[0]
     total = round(build_sec + sum(q_times.values()), 4)

@@ -309,17 +309,24 @@ class SearchEngine:
             t: se.bm25_idf(float(self.n_docs), float(df))
             for t, df in dfs.items()
         }
-        norms = self.doc_stats.select("doc_bucket", "doc_id", "dl")
+        # BM25 norms live inside the posting blocks (per-posting dl payload,
+        # operators/codec.py) — the unfiltered path passes NO second frame.
+        # Site-filtered search cogroups just the site's doc_ids: norms are
+        # co-partitioned with blocks, so pre-filtering them to the site and
+        # restricting candidates inside the scorer implements per-site
+        # search without a second shuffle, shipping bytes proportional to
+        # the site rather than the corpus.
+        norms = None
         restrict = site_key is not None
         if restrict:
-            # norms are co-partitioned with blocks; pre-filtering them to the
-            # site and restricting candidates inside the scorer implements
-            # per-site search without a second shuffle
             from .sources.documents import site_key_col
 
-            norms = norms.withColumn("site_key", site_key_col()).filter(
-                F.col("site_key") == site_key
-            ).drop("site_key")
+            norms = (
+                self.doc_stats.select("doc_bucket", "doc_id")
+                .withColumn("site_key", site_key_col())
+                .filter(F.col("site_key") == site_key)
+                .drop("site_key")
+            )
         compat = mode.startswith("compat")
         # fetch top (offset+limit) so compat normalization sees the global
         # max (the reference normalizes BEFORE pagination, Q5 then Q6);

@@ -40,8 +40,10 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("max_tf", T.LongType(), False),
         T.StructField("sum_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
         T.StructField("doc_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),
+        T.StructField("dl_bytes", T.BinaryType(), False),
     ]
 )
 
@@ -52,7 +54,9 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bucket = int(pdf["doc_bucket"].iloc[0])
     term = pdf["term"].iloc[0]
     rows = []
-    for blk in encode_blocks(pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy()):
+    for blk in encode_blocks(
+        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy()
+    ):
         rows.append(
             {
                 "doc_bucket": bucket,
@@ -73,8 +77,14 @@ def build_posting_blocks(
 
     The groupBy key includes doc_bucket so Arrow batches stay small and
     skew-free; applyInPandas receives each (bucket, term) run whole.
+
+    Each posting carries its document's dl (Σ tf over the doc — postings
+    always arrive complete per document, so the self-aggregation is exact):
+    BM25 norms live inside the blocks, and the query path reads dl at
+    decode time instead of cogrouping a norms table per query.
     """
-    with_bucket = postings.withColumn(
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    with_bucket = postings.join(dl, "doc_id").withColumn(
         "doc_bucket", (F.col("doc_id") % n_buckets).cast("int")
     )
     return with_bucket.groupBy("doc_bucket", "term").applyInPandas(

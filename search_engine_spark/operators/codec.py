@@ -249,35 +249,171 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(g)
 
 
-def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
+def _encode_column_blocks(
+    v: np.ndarray, starts: np.ndarray, ends: np.ndarray, counts: np.ndarray
+) -> list[bytes]:
+    """Tag-prefixed payload per block for one column of a whole posting run,
+    byte-identical to ``[encode_payload(v[s:e]) for s, e in zip(starts, ends)]``
+    but with all codec selection and most packing batched at run level:
+
+    - bit widths, v-byte sizes, and the PFor width/cost table are computed
+      once for the run (one (n_blocks × 65) histogram instead of a sort +
+      unique + searchsorted per block),
+    - v-byte bytes are emitted by ONE varbyte_encode over the run and sliced
+      at block boundaries (v-byte is a per-value concatenation, so slices are
+      identical to per-block encodes),
+    - full PFor blocks are bit-packed in (k × BLOCK_SIZE) batches grouped by
+      chosen width — BLOCK_SIZE·b bits is byte-aligned, so rows of the batch
+      are exactly the per-block payloads — and their exception high bits go
+      through one grouped varbyte_encode, sliced per block.
+
+    Only partial tail blocks (≤ 1 per run) fall back to the scalar path."""
+    nb = int(starts.size)
+    widths = _bit_widths(v)
+    nbv = np.maximum((widths + 6) // 7, 1)
+    val_ends = np.cumsum(nbv)
+    vb_all = varbyte_encode(v)
+    blk_byte_end = val_ends[ends - 1]
+    blk_vb_size = np.add.reduceat(nbv, starts)
+    blk_byte_start = blk_byte_end - blk_vb_size
+
+    # Per-block PFor width selection — mirrors _pfd_cost exactly: candidate
+    # widths are those present in the block; ties resolve to the smallest.
+    blk_idx = np.repeat(np.arange(nb, dtype=np.int64), counts)
+    hist = np.zeros((nb, 65), dtype=np.int64)
+    np.add.at(hist, (blk_idx, widths), 1)
+    n_le = np.cumsum(hist, axis=1)
+    cnt = counts[:, None]
+    bgrid = np.arange(65, dtype=np.int64)[None, :]
+    costs = np.where(
+        hist > 0,
+        (bgrid * cnt + 7) // 8 + 3 * (cnt - n_le),
+        np.iinfo(np.int64).max,
+    )
+    best_b = np.argmin(costs, axis=1)
+    pfd_est = costs[np.arange(nb), best_b]
+
+    out: list[bytes | None] = [None] * nb
+    vb_tag = bytes([TAG_VB])
+
+    def vb_slice(i: int) -> bytes:
+        return vb_tag + vb_all[blk_byte_start[i] : blk_byte_end[i]]
+
+    cand = pfd_est < blk_vb_size
+    full = counts == BLOCK_SIZE
+    # partial candidate blocks (the run tail): scalar path, same selection
+    for i in np.flatnonzero(cand & ~full):
+        s, e = int(starts[i]), int(ends[i])
+        pfd = pfor_encode(v[s:e], b=int(best_b[i]), widths=widths[s:e])
+        out[i] = bytes([TAG_PFD]) + pfd if len(pfd) < blk_vb_size[i] else vb_slice(i)
+
+    batch_sel = cand & full
+    col_range = np.arange(BLOCK_SIZE, dtype=np.int64)[None, :]
+    for b in np.unique(best_b[batch_sel]):
+        b = int(b)
+        sel = np.flatnonzero(batch_sel & (best_b == b))
+        k = sel.size
+        rows = starts[sel][:, None] + col_range
+        vals = v[rows]
+        if b:
+            bits = (
+                (vals[:, :, None] >> _shifts(b)[None, None, :]) & np.uint64(1)
+            ).astype(np.uint8)
+            packed = np.packbits(bits.reshape(k, -1), axis=1)
+        else:
+            packed = np.zeros((k, 0), dtype=np.uint8)
+        exc_mask = widths[rows] > b
+        n_exc = exc_mask.sum(axis=1)
+        # grouped exception streams: positions come straight from the mask,
+        # high bits through one varbyte_encode sliced at per-block boundaries
+        exc_rows, exc_cols = np.nonzero(exc_mask)  # row-major == block order
+        pos_all = exc_cols.astype("<u2").tobytes()
+        highs = vals[exc_rows, exc_cols] >> np.uint64(b)
+        high_all = varbyte_encode(highs)
+        high_ends = np.cumsum(np.maximum((_bit_widths(highs) + 6) // 7, 1))
+        exc_end = np.cumsum(n_exc)
+        exc_start = exc_end - n_exc
+        head = bytes([b])
+        for j in range(k):
+            ne = int(n_exc[j])
+            if ne:
+                lo, hi = int(exc_start[j]), int(exc_end[j])
+                hlo = int(high_ends[lo - 1]) if lo else 0
+                body = (
+                    head
+                    + ne.to_bytes(2, "little")
+                    + packed[j].tobytes()
+                    + pos_all[2 * lo : 2 * hi]
+                    + high_all[hlo : int(high_ends[hi - 1])]
+                )
+            else:
+                body = head + b"\x00\x00" + packed[j].tobytes()
+            i = int(sel[j])
+            out[i] = (
+                bytes([TAG_PFD]) + body if len(body) < blk_vb_size[i] else vb_slice(i)
+            )
+
+    for i in np.flatnonzero(~cand):
+        out[i] = vb_slice(i)
+    return out  # type: ignore[return-value]
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> list[dict]:
     """Split one term's sorted postings into encoded blocks.
 
+    ``dls`` is the document length (Σ tf over the doc's retained terms)
+    aligned with doc_ids — stored per posting so BM25 scoring reads norms
+    straight out of the block (the Lucene norms-in-index design) and the
+    query path never ships a separate (doc_id, dl) table per query.
+
     Returns a list of dicts: {block_id, count, first_doc, last_doc, max_tf,
-    doc_bytes, tf_bytes}."""
+    sum_tf, min_dl, doc_bytes, tf_bytes, dl_bytes}. Encoding is batched
+    across the run's blocks (_encode_column_blocks) — byte-identical to
+    per-block encode_payload, ~4× faster on long runs because width
+    selection, v-byte emission, and bit packing are each one vectorized
+    pass over the run instead of a Python call per 128-posting block."""
     n = len(doc_ids)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
-    blocks = []
-    for b, lo in enumerate(range(0, n, BLOCK_SIZE)):
-        hi = min(lo + BLOCK_SIZE, n)
-        ids = doc_ids[lo:hi]
-        t = tfs[lo:hi]
-        blocks.append(
-            {
-                "block_id": b,
-                "count": int(hi - lo),
-                "first_doc": int(ids[0]),
-                "last_doc": int(ids[-1]),
-                "max_tf": int(t.max()),
-                # sum_tf lets term_dict (df=Σcount, cf=Σsum_tf) re-derive
-                # from stored blocks alone — no raw-corpus re-read on
-                # resume/incremental paths
-                "sum_tf": int(t.sum()),
-                "doc_bytes": encode_payload(delta_encode(ids)),
-                "tf_bytes": encode_payload(t),
-            }
-        )
-    return blocks
+    dls = np.asarray(dls, dtype=np.int64)
+    if n == 0:
+        return []
+    nb = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    starts = np.arange(nb, dtype=np.int64) * BLOCK_SIZE
+    ends = np.minimum(starts + BLOCK_SIZE, n)
+    counts = ends - starts
+    # per-block delta with the reset-at-block-start convention of delta_encode
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = np.diff(doc_ids)
+    gaps[starts] = doc_ids[starts] + 1
+    doc_payloads = _encode_column_blocks(gaps.astype(np.uint64), starts, ends, counts)
+    tf_payloads = _encode_column_blocks(tfs.astype(np.uint64), starts, ends, counts)
+    dl_payloads = _encode_column_blocks(dls.astype(np.uint64), starts, ends, counts)
+    max_tf = np.maximum.reduceat(tfs, starts)
+    sum_tf = np.add.reduceat(tfs, starts)
+    min_dl = np.minimum.reduceat(dls, starts)
+    return [
+        {
+            "block_id": b,
+            "count": int(counts[b]),
+            "first_doc": int(doc_ids[starts[b]]),
+            "last_doc": int(doc_ids[ends[b] - 1]),
+            "max_tf": int(max_tf[b]),
+            # sum_tf lets term_dict (df=Σcount, cf=Σsum_tf) re-derive
+            # from stored blocks alone — no raw-corpus re-read on
+            # resume/incremental paths
+            "sum_tf": int(sum_tf[b]),
+            # min_dl tightens the block-max BM25 upper bound (score is
+            # decreasing in dl, so f(max_tf, min_dl) dominates the block)
+            "min_dl": int(min_dl[b]),
+            "doc_bytes": doc_payloads[b],
+            "tf_bytes": tf_payloads[b],
+            "dl_bytes": dl_payloads[b],
+        }
+        for b in range(nb)
+    ]
 
 
 def decode_block(doc_bytes: bytes, tf_bytes: bytes, count: int) -> tuple[np.ndarray, np.ndarray]:

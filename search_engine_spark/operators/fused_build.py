@@ -39,7 +39,7 @@ from .codec import encode_blocks
 
 PACKED_SCHEMA = (
     "kind string, doc_bucket int, term string, ids_bytes binary, "
-    "payload_bytes binary, n int"
+    "payload_bytes binary, dl_run_bytes binary, n int"
 )
 
 
@@ -75,8 +75,14 @@ def _pack_partition_fn(n_buckets: int):
                 .size()
                 .reset_index(name="tf")
             )
+            # per-posting dl (documents are whole within a partition, so the
+            # map-side sum is the doc's exact length) — rides the pack rows
+            # into the block encoder, which stores norms inside the blocks
+            tf["dl"] = tf.groupby("doc_id", sort=False)["tf"].transform("sum")
             post_parts.append(tf)
-            dl = tf.groupby("doc_id", sort=False)["tf"].sum().reset_index(name="dl")
+            dl = (
+                tf.groupby("doc_id", sort=False)["tf"].sum().reset_index(name="dl")
+            )
             dl_parts.append(dl)
         if not post_parts:
             return
@@ -87,6 +93,7 @@ def _pack_partition_fn(n_buckets: int):
         for (bucket, term), g in posts.groupby(["doc_bucket", "term"], sort=False):
             ids = g["doc_id"].to_numpy(dtype=np.int64)
             tfs = g["tf"].to_numpy(dtype=np.int64)
+            per_dl = g["dl"].to_numpy(dtype=np.int64)
             order = np.argsort(ids, kind="stable")
             rows.append(
                 (
@@ -95,6 +102,7 @@ def _pack_partition_fn(n_buckets: int):
                     term,
                     ids[order].tobytes(),
                     tfs[order].tobytes(),
+                    per_dl[order].tobytes(),
                     int(ids.size),
                 )
             )
@@ -104,11 +112,27 @@ def _pack_partition_fn(n_buckets: int):
             ids = g["doc_id"].to_numpy(dtype=np.int64)
             vals = g["dl"].to_numpy(dtype=np.int64)
             rows.append(
-                ("dl", int(bucket), None, ids.tobytes(), vals.tobytes(), int(ids.size))
+                (
+                    "dl",
+                    int(bucket),
+                    None,
+                    ids.tobytes(),
+                    vals.tobytes(),
+                    None,
+                    int(ids.size),
+                )
             )
         yield pd.DataFrame(
             rows,
-            columns=["kind", "doc_bucket", "term", "ids_bytes", "payload_bytes", "n"],
+            columns=[
+                "kind",
+                "doc_bucket",
+                "term",
+                "ids_bytes",
+                "payload_bytes",
+                "dl_run_bytes",
+                "n",
+            ],
         )
 
     return _pack
@@ -124,10 +148,13 @@ def _merge_encode(pdf: pd.DataFrame) -> pd.DataFrame:
     tfs = np.concatenate(
         [np.frombuffer(b, dtype=np.int64) for b in pdf["payload_bytes"]]
     )
+    dls = np.concatenate(
+        [np.frombuffer(b, dtype=np.int64) for b in pdf["dl_run_bytes"]]
+    )
     order = np.argsort(ids, kind="stable")  # runs are disjoint → plain sort
     rows = [
         {"doc_bucket": bucket, "term": term, **blk}
-        for blk in encode_blocks(ids[order], tfs[order])
+        for blk in encode_blocks(ids[order], tfs[order], dls[order])
     ]
     return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
 

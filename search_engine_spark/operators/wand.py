@@ -4,9 +4,15 @@ Executes per doc_bucket (document-sharded layout, operators/blocks.py):
 each bucket holds every query term's postings for its doc subset, so the
 whole query runs as ONE shuffle-free mapper pass:
 
-    blocks.filter(term ∈ query) → cogroup-by-bucket with doc norms
+    blocks.filter(term ∈ query) → groupBy-bucket
         → numpy decode + score + per-bucket top-k heap
         → driver-side merge of ≤ n_buckets × k rows
+
+BM25 norms (per-posting dl) are stored inside the blocks (codec.py,
+Lucene's norms-in-index design), so the only bytes a query moves are the
+query terms' own posting blocks. Site-filtered search additionally
+cogroups the site's doc_ids (pre-filtered norms — proportional to the
+site, not the corpus).
 
 Pruning inside a bucket (the reference's rarest-first + early-exit,
 SearchServiceImpl.java:152-180, generalized to blocks):
@@ -38,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import decode_block
+from .codec import decode_block, decode_payload
 from .search import K1_DEFAULT, B_DEFAULT
 
 SCORE_SCHEMA = T.StructType(
@@ -63,12 +69,14 @@ def _decode_term(
     cand: np.ndarray | None = None,
     stats: dict | None = None,
 ):
-    """Decode one term's blocks within a bucket. With ``cand`` (sorted
-    candidate doc_ids), blocks whose [first_doc, last_doc] range contains
-    NO candidate are skipped without decoding (block-max metadata as a
-    zone map — exact, because a skipped block cannot contain any doc we
-    still care about). ``stats`` counts decoded vs total blocks."""
-    ids_parts, tf_parts = [], []
+    """Decode one term's blocks within a bucket → (doc_ids, tfs, dls).
+    dls are the per-posting document lengths stored in the block
+    (norms-in-index — no separate norms table at query time). With ``cand``
+    (sorted candidate doc_ids), blocks whose [first_doc, last_doc] range
+    contains NO candidate are skipped without decoding (block-max metadata
+    as a zone map — exact, because a skipped block cannot contain any doc
+    we still care about). ``stats`` counts decoded vs total blocks."""
+    ids_parts, tf_parts, dl_parts = [], [], []
     for row in pdf.itertuples(index=False):
         if stats is not None:
             stats["blocks_total"] += 1
@@ -83,9 +91,15 @@ def _decode_term(
         ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
         ids_parts.append(ids)
         tf_parts.append(tfs)
+        dl_parts.append(decode_payload(row.dl_bytes, row.count))
     if not ids_parts:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(ids_parts), np.concatenate(tf_parts)
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    return (
+        np.concatenate(ids_parts),
+        np.concatenate(tf_parts),
+        np.concatenate(dl_parts),
+    )
 
 
 def _conjunctive_bucket(
@@ -102,34 +116,45 @@ def _conjunctive_bucket(
     bound exists before the intersection completes — decode-what-
     intersects is the sound prune here.
 
-    Returns (doc_ids, {term: tf aligned to doc_ids}); empty on early exit."""
+    Returns (doc_ids, {term: tf aligned to doc_ids}, dl aligned to doc_ids);
+    empty on early exit. dl comes from the first term's decoded postings
+    (dl is a document attribute — identical in every term's payload) and is
+    masked along with the candidate set."""
     # rarest first: fewest postings in this bucket
     order = sorted(groups, key=lambda t: int(groups[t]["count"].sum()))
-    ids, tfs = _decode_term(groups[order[0]], stats=stats)
+    ids, tfs, dls = _decode_term(groups[order[0]], stats=stats)
     aligned = {order[0]: tfs}
     for term in order[1:]:
         if ids.size == 0:
-            return ids, {}
-        t_ids, t_tfs = _decode_term(groups[term], cand=ids, stats=stats)
+            return ids, {}, dls
+        t_ids, t_tfs, _ = _decode_term(groups[term], cand=ids, stats=stats)
         pos = np.searchsorted(t_ids, ids)
         pos = np.clip(pos, 0, max(t_ids.size - 1, 0))
         hit = t_ids.size > 0
         mask = (t_ids[pos] == ids) if hit else np.zeros(ids.shape, dtype=bool)
         ids = ids[mask]
+        dls = dls[mask]
         for k in aligned:
             aligned[k] = aligned[k][mask]
         aligned[term] = t_tfs[pos[mask]] if hit else np.empty(0, dtype=np.int64)
-    return ids, aligned
+    return ids, aligned, dls
 
 
-def _term_ub(pdf: pd.DataFrame, mode: str, idf_t: float, k1: float, b: float) -> float:
+def _term_ub(
+    pdf: pd.DataFrame, mode: str, idf_t: float, k1: float, b: float, avgdl: float
+) -> float:
     """Whole-term score upper bound from block-max metadata (no decode):
-    compat = max_tf; bm25 = idf·ub(max_tf) with the dl→0 denominator bound
-    (the contribution is monotone in tf and maximal at minimal dl)."""
-    mt = float(pdf["max_tf"].max())
+    compat = max_tf; bm25 = max over blocks of idf·f(max_tf, min_dl) — the
+    BM25 contribution is increasing in tf and decreasing in dl, so each
+    block's (max_tf, min_dl) pair dominates every posting in it. Storing
+    min_dl tightens the bound vs the dl→0 floor, so MaxScore flips lists to
+    update-only mode sooner."""
+    mt = pdf["max_tf"].to_numpy(dtype=np.float64)
     if mode == "compat":
-        return mt
-    return idf_t * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b))
+        return float(mt.max())
+    md = pdf["min_dl"].to_numpy(dtype=np.float64)
+    ub = idf_t * mt * (k1 + 1.0) / (mt + k1 * (1.0 - b + b * md / avgdl))
+    return float(ub.max())
 
 
 def _maxscore_or_bucket(
@@ -140,7 +165,6 @@ def _maxscore_or_bucket(
     k1: float,
     b: float,
     avgdl: float,
-    dl_map: pd.Series | None,
     allowed: np.ndarray | None = None,
     stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -166,7 +190,7 @@ def _maxscore_or_bucket(
     """
     idf = idf or {}
     ubs = {
-        t: _term_ub(g, mode, idf.get(t, 0.0), k1, b)
+        t: _term_ub(g, mode, idf.get(t, 0.0), k1, b, avgdl)
         for t, g in groups.items()
     }
     order = sorted(groups, key=lambda t: (-ubs[t], t))
@@ -176,11 +200,11 @@ def _maxscore_or_bucket(
     ids = np.empty(0, dtype=np.int64)
     scores = np.empty(0, dtype=np.float64)
 
-    def contrib(t: str, tfs: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    def contrib(t: str, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float64)
         if mode == "compat":
             return tf
-        dl = dl_map.reindex(docs).to_numpy(dtype=np.float64)
+        dl = dls.astype(np.float64)
         return (
             idf[t] * tf * (k1 + 1.0)
             / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -192,10 +216,10 @@ def _maxscore_or_bucket(
             theta = np.partition(scores, ids.size - k)[ids.size - k]
         if theta is None or suffix[i] >= theta - EPS_PRUNE:
             # open mode: new docs can still enter the top-k
-            t_ids, t_tfs = _decode_term(groups[t], cand=allowed, stats=stats)
+            t_ids, t_tfs, t_dls = _decode_term(groups[t], cand=allowed, stats=stats)
             if allowed is not None and t_ids.size:
                 m = np.isin(t_ids, allowed, assume_unique=True)
-                t_ids, t_tfs = t_ids[m], t_tfs[m]
+                t_ids, t_tfs, t_dls = t_ids[m], t_tfs[m], t_dls[m]
             if t_ids.size:
                 new = np.setdiff1d(t_ids, ids, assume_unique=True)
                 if new.size:
@@ -203,15 +227,15 @@ def _maxscore_or_bucket(
                     grown = np.zeros(merged.size, dtype=np.float64)
                     grown[np.searchsorted(merged, ids)] = scores
                     ids, scores = merged, grown
-                scores[np.searchsorted(ids, t_ids)] += contrib(t, t_tfs, t_ids)
+                scores[np.searchsorted(ids, t_ids)] += contrib(t, t_tfs, t_dls)
         else:
             # update-only: decode just the blocks holding a candidate
-            t_ids, t_tfs = _decode_term(groups[t], cand=ids, stats=stats)
+            t_ids, t_tfs, t_dls = _decode_term(groups[t], cand=ids, stats=stats)
             if t_ids.size and ids.size:
                 pos = np.clip(np.searchsorted(ids, t_ids), 0, ids.size - 1)
                 m = ids[pos] == t_ids
                 if m.any():
-                    scores[pos[m]] += contrib(t, t_tfs[m], t_ids[m])
+                    scores[pos[m]] += contrib(t, t_tfs[m], t_dls[m])
         if k is not None and ids.size > k:
             theta2 = np.partition(scores, ids.size - k)[ids.size - k]
             keep = scores + suffix[i + 1] >= theta2 - EPS_PRUNE
@@ -223,17 +247,21 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
                             k1: float, b: float, avgdl: float, k: int,
                             restrict_to_norms: bool = False,
                             conjunctive: bool = True):
-    """Build the cogroup scorer fn: (blocks_pdf, norms_pdf) → top-k rows.
+    """Build the scorer fn: (blocks_pdf[, norms_pdf]) → top-k rows.
 
     mode='compat': score = Σ tf (exact, reference §2.G).
-    mode='bm25':  Robertson BM25 with broadcast idf + co-partitioned dl.
+    mode='bm25':  Robertson BM25 — idf broadcast with the query, dl decoded
+    from the blocks' per-posting norms payload (norms-in-index), so the
+    unfiltered path needs NO second frame and runs as a plain
+    groupBy(doc_bucket).applyInPandas over the cached blocks.
     conjunctive=False: disjunctive (OR) top-k — every doc containing ANY
     query term scores on the terms it has, evaluated by the MaxScore
     block-max scorer (_maxscore_or_bucket): threshold-based block skipping
     and candidate pruning, exact vs the exhaustive union-merge.
     restrict_to_norms: drop candidate docs absent from the norms frame —
     used for site-filtered search (norms pre-filtered to the site; the
-    reference's per-site search, SearchServiceImpl.java:30-52).
+    reference's per-site search, SearchServiceImpl.java:30-52). Only this
+    path cogroups a second frame, and it ships just the site's doc_ids.
     """
     n_terms = len(set(terms))
 
@@ -242,20 +270,21 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
             {"doc_id": "int64", "score_raw": "float64"}
         )
 
-    def score(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+    def score(blocks: pd.DataFrame, norms: pd.DataFrame | None = None) -> pd.DataFrame:
         if blocks.empty:
             return _empty()
         groups = {t: g for t, g in blocks.groupby("term")}
         if conjunctive:
             if len(groups) < n_terms:  # some query term absent from bucket
                 return _empty()
-            ids, aligned = _conjunctive_bucket(groups)
+            ids, aligned, dls = _conjunctive_bucket(groups)
             if ids.size == 0:
                 return _empty()
             if restrict_to_norms:
                 allowed = norms["doc_id"].to_numpy(dtype=np.int64)
                 mask = np.isin(ids, allowed, assume_unique=True)
                 ids = ids[mask]
+                dls = dls[mask]
                 aligned = {t: v[mask] for t, v in aligned.items()}
                 if ids.size == 0:
                     return _empty()
@@ -264,8 +293,7 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
                 for t in aligned:
                     s += aligned[t]
             else:
-                dl_map = norms.set_index("doc_id")["dl"]
-                dl = dl_map.reindex(ids).to_numpy(dtype=np.float64)
+                dl = dls.astype(np.float64)
                 s = np.zeros(ids.size, dtype=np.float64)
                 for t in sorted(aligned):  # fixed order → deterministic sum
                     tf = aligned[t].astype(np.float64)
@@ -274,11 +302,8 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
             allowed = None
             if restrict_to_norms:
                 allowed = np.sort(norms["doc_id"].to_numpy(dtype=np.int64))
-            dl_map = (
-                None if mode == "compat" else norms.set_index("doc_id")["dl"]
-            )
             ids, s = _maxscore_or_bucket(
-                groups, k, mode, idf, k1, b, avgdl, dl_map, allowed
+                groups, k, mode, idf, k1, b, avgdl, allowed
             )
             if ids.size == 0:
                 return _empty()
@@ -295,7 +320,7 @@ def make_conjunctive_scorer(terms: list[str], mode: str, idf: dict[str, float] |
 
 def topk_blocks(
     blocks: DataFrame,
-    doc_stats_bucketed: DataFrame,
+    doc_stats_bucketed: DataFrame | None,
     terms: list[str],
     mode: str = "bm25",
     idf: dict[str, float] | None = None,
@@ -309,9 +334,16 @@ def topk_blocks(
 ) -> DataFrame:
     """Distributed conjunctive top-k over posting blocks.
 
-    blocks: the compressed block table (doc_bucket, term, ..., bytes).
-    doc_stats_bucketed: (doc_bucket, doc_id, dl) — co-partitioned norms
-    (pre-filter it to implement site-scoped search).
+    blocks: the compressed block table (doc_bucket, term, ..., bytes) —
+    BM25 norms (per-posting dl) are stored IN the blocks, so the common
+    unfiltered query is a single groupBy over the query terms' blocks: no
+    norms cogroup, no per-query transfer of a (doc_id, dl) table (at
+    10^12 docs that transfer would dwarf the posting bytes).
+    doc_stats_bucketed: only consulted when restrict_to_norms — pass the
+    co-partitioned (doc_bucket, doc_id[, dl]) frame PRE-FILTERED to the
+    allowed doc subset (site-scoped search); the cogroup then ships only
+    that subset's ids (the docvalues pattern — proportional to the site,
+    not the corpus).
     limit=None returns ALL hits (used for pre-pagination match counts,
     reference SearchServiceImpl.java:105 — per-bucket truncation is skipped).
     Returns (doc_id, score) rounded to 4 dp, tie-broken by doc_id.
@@ -323,11 +355,23 @@ def topk_blocks(
         uniq, mode, idf, k1, b, avgdl, k,
         restrict_to_norms=restrict_to_norms, conjunctive=conjunctive,
     )
-    per_bucket = (
-        cand.groupby("doc_bucket")
-        .cogroup(doc_stats_bucketed.groupby("doc_bucket"))
-        .applyInPandas(scorer, schema=SCORE_SCHEMA)
-    )
+    if restrict_to_norms:
+        if doc_stats_bucketed is None:
+            raise ValueError("restrict_to_norms needs doc_stats_bucketed")
+        per_bucket = (
+            cand.groupby("doc_bucket")
+            .cogroup(doc_stats_bucketed.groupby("doc_bucket"))
+            .applyInPandas(scorer, schema=SCORE_SCHEMA)
+        )
+    else:
+        # one-arg wrapper: grouped applyInPandas dispatches on arg count
+        # (a two-arg fn would receive (key, pdf))
+        def _score_one(pdf: pd.DataFrame) -> pd.DataFrame:
+            return scorer(pdf)
+
+        per_bucket = cand.groupby("doc_bucket").applyInPandas(
+            _score_one, schema=SCORE_SCHEMA
+        )
     out = per_bucket.select(
         "doc_id", F.round(F.col("score_raw"), 4).alias("score")
     ).orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -172,23 +172,21 @@ class TestMaxScorePruning:
         return {t: g for t, g in blocks.groupby("term")}
 
     @staticmethod
-    def _exhaustive(groups, mode, idf, k1, b, avgdl, dl_map):
-        import numpy as np
-
-        from search_engine_spark.operators.codec import decode_block
+    def _exhaustive(groups, mode, idf, k1, b, avgdl):
+        from search_engine_spark.operators.codec import decode_block, decode_payload
 
         scores: dict[int, float] = {}
         for t, g in groups.items():
             for row in g.itertuples(index=False):
                 ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
-                for d, tf in zip(ids, tfs):
+                dls = decode_payload(row.dl_bytes, row.count)
+                for d, tf, dl in zip(ids, tfs, dls):
                     if mode == "compat":
                         c = float(tf)
                     else:
-                        dl = float(dl_map.loc[d])
                         c = (
                             idf[t] * tf * (k1 + 1.0)
-                            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                            / (tf + k1 * (1.0 - b + b * float(dl) / avgdl))
                         )
                     scores[d] = scores.get(d, 0.0) + c
         return scores
@@ -196,26 +194,18 @@ class TestMaxScorePruning:
     def test_exact_and_blocks_skipped(self, skewed_groups):
         import math
 
-        import numpy as np
-        import pandas as pd
-
         from search_engine_spark.operators import wand
 
         k1, b, n_docs, avgdl = 1.2, 0.75, 2000, 2.0
-        dl_map = pd.Series(
-            [2.0 + d % 3 for d in range(2000)], index=range(2000)
-        )
         idf = {
             "common": math.log(1 + (n_docs - 2000 + 0.5) / (2000 + 0.5)),
             "rare": math.log(1 + (n_docs - 10 + 0.5) / (10 + 0.5)),
         }
         stats = {"blocks_total": 0, "blocks_decoded": 0}
         ids, scores = wand._maxscore_or_bucket(
-            skewed_groups, 5, "bm25", idf, k1, b, avgdl, dl_map, stats=stats
+            skewed_groups, 5, "bm25", idf, k1, b, avgdl, stats=stats
         )
-        truth = self._exhaustive(
-            skewed_groups, "bm25", idf, k1, b, avgdl, dl_map
-        )
+        truth = self._exhaustive(skewed_groups, "bm25", idf, k1, b, avgdl)
         want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
         got = sorted(zip(ids, scores), key=lambda kv: (-kv[1], kv[0]))[:5]
         assert [d for d, _ in got] == [d for d, _ in want]
@@ -224,13 +214,11 @@ class TestMaxScorePruning:
         assert stats["blocks_decoded"] < stats["blocks_total"], stats
 
     def test_no_prune_when_k_none(self, skewed_groups):
-        import pandas as pd
-
         from search_engine_spark.operators import wand
 
         stats = {"blocks_total": 0, "blocks_decoded": 0}
         ids, scores = wand._maxscore_or_bucket(
-            skewed_groups, None, "compat", None, 1.2, 0.75, 1.0, None,
+            skewed_groups, None, "compat", None, 1.2, 0.75, 1.0,
             stats=stats,
         )
         assert ids.size == 2000  # every doc scored (count path)
@@ -240,7 +228,7 @@ class TestMaxScorePruning:
         from search_engine_spark.operators import wand
 
         stats = {"blocks_total": 0, "blocks_decoded": 0}
-        ids, aligned = wand._conjunctive_bucket(skewed_groups, stats=stats)
+        ids, aligned, _dls = wand._conjunctive_bucket(skewed_groups, stats=stats)
         assert list(ids) == list(range(10))  # AND = the rare docs
         # the rare list decodes whole; common decodes only the block(s)
         # spanning doc_ids 0-9

@@ -46,17 +46,22 @@ def test_blocks_roundtrip(ids, tf_seed):
     doc_ids = np.array(sorted(ids), dtype=np.int64)
     rng = np.random.default_rng(tf_seed)
     tfs = rng.integers(1, 10_000, size=doc_ids.size).astype(np.int64)
-    blocks = encode_blocks(doc_ids, tfs)
-    got_ids, got_tfs = [], []
+    dls = tfs + rng.integers(0, 500, size=doc_ids.size).astype(np.int64)
+    blocks = encode_blocks(doc_ids, tfs, dls)
+    got_ids, got_tfs, got_dls = [], [], []
     for b in blocks:
         assert b["count"] <= BLOCK_SIZE
         i, t = decode_block(b["doc_bytes"], b["tf_bytes"], b["count"])
+        d = decode_payload(b["dl_bytes"], b["count"])
         assert b["first_doc"] == i[0] and b["last_doc"] == i[-1]
         assert b["max_tf"] == t.max()
+        assert b["min_dl"] == d.min()
         got_ids.extend(i.tolist())
         got_tfs.extend(t.tolist())
+        got_dls.extend(d.tolist())
     assert got_ids == doc_ids.tolist()
     assert got_tfs == tfs.tolist()
+    assert got_dls == dls.tolist()
 
 
 def test_varbyte_empty():
@@ -115,11 +120,36 @@ def test_pfor_beats_varbyte_on_dense_gaps():
     assert len(enc) <= BLOCK_SIZE // 4 + 4
 
 
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=700),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_batched_encode_matches_per_block_scalar_path(ids, tf_seed):
+    """encode_blocks batches codec selection and bit packing across the run;
+    its bytes must stay identical to the scalar per-block encode_payload path
+    (the stored-index format is pinned by this equivalence)."""
+    doc_ids = np.array(sorted(ids), dtype=np.int64)
+    rng = np.random.default_rng(tf_seed)
+    # mixed shape: mostly-small tfs with occasional huge outliers
+    tfs = rng.integers(1, 9, size=doc_ids.size).astype(np.int64)
+    tfs[rng.random(doc_ids.size) < 0.05] = 2**45
+    dls = rng.integers(1, 2000, size=doc_ids.size).astype(np.int64)
+    got = encode_blocks(doc_ids, tfs, dls)
+    for b, lo in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
+        hi = min(lo + BLOCK_SIZE, doc_ids.size)
+        assert got[b]["doc_bytes"] == encode_payload(delta_encode(doc_ids[lo:hi]))
+        assert got[b]["tf_bytes"] == encode_payload(tfs[lo:hi])
+        assert got[b]["dl_bytes"] == encode_payload(dls[lo:hi])
+
+
 def test_compression_wins():
     # dense doc ids → ~1 byte per posting vs 8 raw
     ids = np.arange(0, 100_000, 3, dtype=np.int64)
     tfs = np.ones(ids.size, dtype=np.int64)
+    dls = np.full(ids.size, 40, dtype=np.int64)
     total = sum(
-        len(b["doc_bytes"]) + len(b["tf_bytes"]) for b in encode_blocks(ids, tfs)
+        len(b["doc_bytes"]) + len(b["tf_bytes"]) + len(b["dl_bytes"])
+        for b in encode_blocks(ids, tfs, dls)
     )
-    assert total < ids.size * 3  # ≥ 5x smaller than raw 16B/posting
+    assert total < ids.size * 3  # ≥ 5x smaller than raw 24B/posting
