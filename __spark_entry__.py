@@ -213,6 +213,28 @@ def _q_term_dict_blocks(spark, sf_dir):
     return term_dict_from_blocks(blocks)
 
 
+def _q_block_meta(spark, sf_dir):
+    """Per-block zone-map / block-max metadata (block_id, first/last doc,
+    max_tf, sum_tf, min_dl) — pins the 128-posting block segmentation and
+    every stat the query-time pruners rely on (operators/wand.py) against
+    a pure-SQL re-derivation via row_number."""
+    from search_engine_spark.operators.blocks import build_posting_blocks
+
+    docs = load_documents(spark, sf_dir)
+    blocks = build_posting_blocks(ib.build_postings(docs), 16)
+    return blocks.select(
+        "doc_bucket",
+        "term",
+        "block_id",
+        F.col("count").alias("n_postings"),
+        "first_doc",
+        "last_doc",
+        "max_tf",
+        "sum_tf",
+        "min_dl",
+    )
+
+
 def _q_titles(spark, sf_dir):
     from search_engine_spark.operators.presentation import titles
 
@@ -494,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_results": _q_search_results,
         "postings_roundtrip": _q_postings_roundtrip,
         "term_dict_blocks": _q_term_dict_blocks,
+        "block_meta": _q_block_meta,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -561,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
         "postings_roundtrip": ora.postings_sql(),
         "term_dict_blocks": ora.term_dict_sql(),
+        "block_meta": ora.block_meta_sql(),
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),

@@ -109,6 +109,37 @@ FROM terms GROUP BY doc_id, term
 """
 
 
+def block_meta_sql(table: str = "documents", n_buckets: int = 16) -> str:
+    """Per-block metadata of the compressed posting blocks. The block
+    SEGMENTATION (each (doc_bucket, term) run's doc_id-sorted postings
+    chunked into BLOCK_SIZE=128 slices) and its zone-map / block-max stats
+    (first/last doc, max_tf for the score bound, sum_tf for the
+    resume-path dictionary, min_dl for the tightened BM25 bound) are fully
+    relational — DuckDB re-derives them with a window function, without
+    knowing anything about the byte codec. Pins operators/codec.py's
+    encode_blocks block layout at oracle scale."""
+    return f"""
+WITH {terms_cte(table)},
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+numbered AS (
+  SELECT (p.doc_id % {n_buckets})::INT AS doc_bucket, p.term, p.doc_id,
+         p.tf, dl.dl,
+         row_number() OVER (PARTITION BY p.doc_id % {n_buckets}, p.term
+                            ORDER BY p.doc_id) - 1 AS rn
+  FROM postings p JOIN dl USING (doc_id)
+)
+SELECT doc_bucket, term, (rn // 128)::INT AS block_id,
+       count(*)::INT AS n_postings,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc,
+       max(tf)::BIGINT AS max_tf, sum(tf)::BIGINT AS sum_tf,
+       min(dl)::BIGINT AS min_dl
+FROM numbered GROUP BY doc_bucket, term, rn // 128
+"""
+
+
 def term_dict_sql(table: str = "documents") -> str:
     """(term, df, cf) — term dictionary (reference model/Lemma.java:
     frequency = document frequency)."""
