@@ -233,3 +233,35 @@ class TestMaxScorePruning:
         # the rare list decodes whole; common decodes only the block(s)
         # spanning doc_ids 0-9
         assert stats["blocks_decoded"] < stats["blocks_total"], stats
+
+
+class TestQueryPlanShape:
+    """Pin the physical plan of the hot query path (PLANS.md §2): the
+    unfiltered search must be a single grouped scorer over the blocks
+    cache — no cogroup (norms live in the blocks) and no Exchange (the
+    cache is already hash-partitioned on doc_bucket)."""
+
+    @staticmethod
+    def _query_plan(df) -> str:
+        """Executed plan ABOVE the cache boundary: everything from the
+        first InMemoryRelation down is the cached blocks' build plan
+        (which legitimately shuffles once); the query path is what runs
+        per search."""
+        full = df._jdf.queryExecution().executedPlan().toString()
+        return full.split("InMemoryRelation", 1)[0]
+
+    def test_unfiltered_query_no_cogroup_no_exchange(self, engine):
+        plan = self._query_plan(engine.search("data fast", mode="bm25", limit=10))
+        assert "FlatMapGroupsInPandas" in plan
+        assert "FlatMapCoGroupsInPandas" not in plan
+        assert "Exchange" not in plan
+        assert "InMemoryTableScan" in plan
+
+    def test_site_filtered_query_cogroups_no_exchange(self, engine):
+        plan = self._query_plan(
+            engine.search("data fast", mode="bm25", site_key="site-b", limit=10)
+        )
+        # the one path that legitimately cogroups (site doc_id allowlist),
+        # still shuffle-free against the co-partitioned caches
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "Exchange" not in plan
