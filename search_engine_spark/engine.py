@@ -239,9 +239,10 @@ class SearchEngine:
             .cache()
         )
         # corpus stats: avgdl counts term-less docs as dl=0 (same value the
-        # relational build_doc_stats join produces, without the docs join)
-        self.n_docs = self.docs.count()
-        sum_dl = self.doc_stats.agg(F.sum("dl")).collect()[0][0] or 0
+        # relational build_doc_stats join produces). Both numbers come from
+        # the pack stage's per-partition stat rows — one tiny JVM agg over
+        # the cached packed frame, no raw-corpus re-scan.
+        self.n_docs, sum_dl = fb.corpus_stats_from_packed(packed)
         self.avgdl = float(sum_dl) / self.n_docs if self.n_docs else 0.0
         packed.unpersist()
         self._built = True

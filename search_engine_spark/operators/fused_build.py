@@ -39,52 +39,53 @@ from .codec import encode_blocks
 
 PACKED_SCHEMA = (
     "kind string, doc_bucket int, term string, ids_bytes binary, "
-    "payload_bytes binary, dl_run_bytes binary, n int"
+    "payload_bytes binary, dl_run_bytes binary, n long, aux long"
 )
+_PACKED_COLS = [
+    "kind",
+    "doc_bucket",
+    "term",
+    "ids_bytes",
+    "payload_bytes",
+    "dl_run_bytes",
+    "n",
+    "aux",
+]
 
 
 def _pack_partition_fn(n_buckets: int):
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
+        from ..textproc.fast_tokenize import tokenize_tf
 
-        from ..textproc.lemmas import FULL_LEMMA_MAP
-        from ..textproc.stopwords import STOPWORDS
-        from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
-
-        strip_re = re.compile(BOUNDARY_STRIP)
         post_parts: list[pd.DataFrame] = []
         dl_parts: list[pd.DataFrame] = []
+        n_rows = 0  # every input doc, incl. ones with zero retained terms
         for pdf in batches:
             if pdf.empty:
                 continue
-            s = pdf["text"].astype("string").fillna("").str.lower().str.strip()
-            ex = s.str.split(WS_SPLIT, regex=True).explode()
-            doc_ids = pdf["doc_id"].reindex(ex.index)
-            ex = ex.str.replace(strip_re, "", regex=True)
-            mask = (
-                ex.str.fullmatch(WORD_PATTERN, na=False)
-                & ~ex.isin(STOPWORDS)
-                & (ex != "")
-            )
-            ex = ex[mask]
-            doc_ids = doc_ids[mask]
-            lem = ex.map(FULL_LEMMA_MAP).fillna(ex)
-            tf = (
-                pd.DataFrame({"doc_id": doc_ids.values, "term": lem.values})
-                .groupby(["doc_id", "term"], sort=False)
-                .size()
-                .reset_index(name="tf")
-            )
-            # per-posting dl (documents are whole within a partition, so the
-            # map-side sum is the doc's exact length) — rides the pack rows
-            # into the block encoder, which stores norms inside the blocks
-            tf["dl"] = tf.groupby("doc_id", sort=False)["tf"].transform("sum")
+            n_rows += len(pdf)
+            # per-posting dl (documents are whole within a partition, so
+            # the map-side sum is the doc's exact length) — rides the pack
+            # rows into the block encoder, which stores norms inside the
+            # blocks
+            tf = tokenize_tf(pdf, with_dl=True)
+            if tf.empty:
+                continue
             post_parts.append(tf)
-            dl = (
-                tf.groupby("doc_id", sort=False)["tf"].sum().reset_index(name="dl")
+            # tokenize_tf returns doc-major rows: one dl row per doc via
+            # first-occurrence dedup
+            dl_parts.append(
+                tf.loc[
+                    tf["doc_id"].ne(tf["doc_id"].shift()), ["doc_id", "dl"]
+                ]
             )
-            dl_parts.append(dl)
         if not post_parts:
+            if n_rows:
+                # corpus-stat row: docs seen, zero postings (all term-less)
+                yield pd.DataFrame(
+                    [("stat", -1, None, None, None, None, n_rows, 0)],
+                    columns=_PACKED_COLS,
+                )
             return
         posts = pd.concat(post_parts, ignore_index=True)
         posts["doc_bucket"] = (posts["doc_id"] % n_buckets).astype("int32")
@@ -104,6 +105,7 @@ def _pack_partition_fn(n_buckets: int):
                     tfs[order].tobytes(),
                     per_dl[order].tobytes(),
                     int(ids.size),
+                    0,
                 )
             )
         dls = pd.concat(dl_parts, ignore_index=True)
@@ -120,20 +122,17 @@ def _pack_partition_fn(n_buckets: int):
                     vals.tobytes(),
                     None,
                     int(ids.size),
+                    0,
                 )
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "kind",
-                "doc_bucket",
-                "term",
-                "ids_bytes",
-                "payload_bytes",
-                "dl_run_bytes",
-                "n",
-            ],
+        # corpus-stat row: partition doc count + Σdl — corpus_stats_from_
+        # packed aggregates these JVM-side, so build() never re-scans the
+        # raw documents just to learn n_docs/avgdl
+        rows.append(
+            ("stat", -1, None, None, None, None, n_rows,
+             int(dls["dl"].sum()))
         )
+        yield pd.DataFrame(rows, columns=_PACKED_COLS)
 
     return _pack
 
@@ -168,12 +167,30 @@ def pack_documents(docs: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataF
 
 def blocks_from_packed(packed: DataFrame) -> DataFrame:
     """Phase 2: packed 'post' runs → compressed posting blocks
-    (identical to blocks.build_posting_blocks output)."""
+    (identical to blocks.build_posting_blocks output).
+
+    Declarative groupBy: the shuffle partitioning is left to
+    spark.sql.shuffle.partitions + AQE (an A/B at 2.56M docs showed an
+    explicit pre-repartition adds task overhead without improving balance
+    — group sizes are already bounded by the doc_bucket salt)."""
     return (
         packed.filter(F.col("kind") == "post")
         .groupBy("doc_bucket", "term")
         .applyInPandas(_merge_encode, schema=BLOCKS_SCHEMA)
     )
+
+
+def corpus_stats_from_packed(packed: DataFrame) -> tuple[int, int]:
+    """(n_docs, Σdl) from the pack stage's 'stat' rows — a JVM-only agg
+    over the cached packed frame; the raw corpus is never re-scanned just
+    to size avgdl. n_docs counts every input document (including ones
+    with zero retained terms, matching docs.count())."""
+    row = (
+        packed.filter(F.col("kind") == "stat")
+        .agg(F.sum("n").alias("n_docs"), F.sum("aux").alias("sum_dl"))
+        .collect()[0]
+    )
+    return int(row["n_docs"] or 0), int(row["sum_dl"] or 0)
 
 
 def doc_stats_from_packed(packed: DataFrame, docs_count: int | None = None) -> DataFrame:

@@ -35,41 +35,20 @@ POSTINGS_SCHEMA = "doc_id long, term string, tf long"
 def _tokenize_count_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Vectorized pandas tokenizer (T2-T6): one Arrow batch of documents →
+    """Vectorized Arrow tokenizer (T2-T6): one Arrow batch of documents →
     (doc_id, term, tf) rows. A document's tokens live entirely in its own
     row, so the per-doc term frequency is FINAL within the batch — no
-    Spark-side shuffle is needed to form postings."""
-    import re
+    Spark-side shuffle is needed to form postings. The heavy lifting
+    (C++ regex split, unique-token analysis, integer-key counting) lives
+    in textproc/fast_tokenize.py."""
+    from ..textproc.fast_tokenize import tokenize_tf
 
-    from ..textproc.lemmas import FULL_LEMMA_MAP
-    from ..textproc.stopwords import STOPWORDS
-    from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
-
-    strip_re = re.compile(BOUNDARY_STRIP)
     for pdf in batches:
         if pdf.empty:
             continue
-        s = pdf["text"].astype("string").fillna("").str.lower().str.strip()
-        ex = s.str.split(WS_SPLIT, regex=True).explode()
-        doc_ids = pdf["doc_id"].reindex(ex.index)
-        ex = ex.str.replace(strip_re, "", regex=True)
-        mask = (
-            ex.str.fullmatch(WORD_PATTERN, na=False)
-            & ~ex.isin(STOPWORDS)
-            & (ex != "")
-        )
-        ex = ex[mask]
-        if ex.empty:
-            continue
-        doc_ids = doc_ids[mask]
-        lem = ex.map(FULL_LEMMA_MAP).fillna(ex)
-        tf = (
-            pd.DataFrame({"doc_id": doc_ids.values, "term": lem.values})
-            .groupby(["doc_id", "term"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
-        yield tf.astype({"doc_id": "int64", "tf": "int64"})
+        tf = tokenize_tf(pdf)
+        if not tf.empty:
+            yield tf
 
 
 def build_postings(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Vectorized tokenize+count core shared by the Arrow build stages.
+
+Same five analyzer rules as textproc/tokenize.py (the pinned reference
+implementation — lowercase, whitespace split, boundary strip, letter-word
+filter, stopword drop, lemma map), restructured for throughput:
+
+  * the SPLIT runs in Arrow C++ (``pc.split_pattern_regex`` — WS_SPLIT is
+    a class of literal characters, so RE2 and Python ``re`` agree by
+    construction; see tokenize.WS_CHARS),
+  * boundary strip / word filter / stopwords / lemma lookup run under
+    Python ``re`` semantics but over the batch's UNIQUE tokens only
+    (``dictionary_encode``): per-token work collapses to a ``take`` on
+    the unique-level results (web text repeats tokens heavily — the
+    unique set is orders of magnitude smaller than the token stream),
+  * the per-document term-frequency aggregation groups on integer codes
+    (lexsort + run-length) instead of hashing strings.
+
+Byte-identical to the pandas-per-token formulation it replaced — pinned
+by tests/test_textproc.py parity tests, the postings oracle pair, and the
+fused-build equivalence tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .lemmas import FULL_LEMMA_MAP
+from .stopwords import STOPWORDS
+from .tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
+
+_STRIP_RE = re.compile(BOUNDARY_STRIP)
+
+_EMPTY = pd.DataFrame(
+    {
+        "doc_id": np.empty(0, dtype=np.int64),
+        "term": np.empty(0, dtype=object),
+        "tf": np.empty(0, dtype=np.int64),
+        "dl": np.empty(0, dtype=np.int64),
+    }
+)
+
+
+def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:
+    """One batch of (doc_id, text) → (doc_id, term, tf[, dl]) rows.
+
+    A document's tokens live entirely in its own row, so tf (and dl = Σtf
+    over the doc) are FINAL within the batch — no shuffle needed to form
+    postings. Rows come back sorted by (doc_id, term-code); order is not
+    part of the contract."""
+    cols = ["doc_id", "term", "tf"] + (["dl"] if with_dl else [])
+    s = pdf["text"].astype("string").fillna("").str.lower().str.strip()
+    arr = pa.Array.from_pandas(s)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    tok_lists = pc.split_pattern_regex(arr, WS_SPLIT)
+    flat = pc.list_flatten(tok_lists)
+    if len(flat) == 0:
+        return _EMPTY[cols].copy()
+    parent = pc.list_parent_indices(tok_lists).to_numpy(zero_copy_only=False)
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary.to_pandas().astype("string")
+
+    # analyzer rules 3-5 on the unique tokens only (Python-re semantics)
+    uq = uniq.str.replace(_STRIP_RE, "", regex=True)
+    keep_u = (
+        uq.str.fullmatch(WORD_PATTERN, na=False)
+        & ~uq.isin(STOPWORDS)
+        & (uq != "")
+    ).to_numpy()
+    lem_u = uq.map(FULL_LEMMA_MAP).fillna(uq)
+    lcode_u, lem_vocab = pd.factorize(lem_u.to_numpy(dtype=object))
+
+    keep = keep_u[codes]
+    lcode = lcode_u[codes][keep]
+    doc = pdf["doc_id"].to_numpy(dtype=np.int64)[parent[keep]]
+    if doc.size == 0:
+        return _EMPTY[cols].copy()
+
+    # integer-key tf aggregation: lexsort + run-length
+    order = np.lexsort((lcode, doc))
+    d, c = doc[order], lcode[order]
+    new = np.empty(d.size, dtype=bool)
+    new[0] = True
+    new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, d.size)).astype(np.int64)
+    d_g, c_g = d[starts], c[starts]
+    out = {"doc_id": d_g, "term": lem_vocab[c_g].astype(object), "tf": tf}
+    if with_dl:
+        # dl = Σtf over each doc's postings (runs of equal doc_id in d_g)
+        doc_new = np.empty(d_g.size, dtype=bool)
+        doc_new[0] = True
+        doc_new[1:] = d_g[1:] != d_g[:-1]
+        doc_starts = np.flatnonzero(doc_new)
+        dl_per_doc = np.add.reduceat(tf, doc_starts)
+        run_lens = np.diff(np.append(doc_starts, d_g.size))
+        out["dl"] = np.repeat(dl_per_doc, run_lens)
+    return pd.DataFrame(out)

@@ -144,3 +144,53 @@ class TestUnicodeWhitespace:
         con.close()
         assert arrow == sql == py == duck
         assert (1, "scan", 1) in arrow  # ideographic space actually split
+
+
+class TestFastTokenizeParity:
+    """textproc/fast_tokenize.py (Arrow split + unique-token analysis +
+    integer-key counting) must reproduce the pure-Python reference
+    tokenizer exactly on arbitrary input, including Unicode whitespace,
+    mixed scripts, digits, hyphens and empty/NA text."""
+
+    @staticmethod
+    def _run(texts):
+        import numpy as np
+        import pandas as pd
+
+        from search_engine_spark.textproc.fast_tokenize import tokenize_tf
+
+        pdf = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        got = tokenize_tf(pdf, with_dl=True)
+        want = sorted(
+            (d, t, n)
+            for d, txt in enumerate(texts)
+            for t, n in term_frequencies(txt or "").items()
+        )
+        rows = sorted(zip(got["doc_id"], got["term"], got["tf"]))
+        assert [(int(d), t, int(n)) for d, t, n in rows] == want
+        # dl invariant: Σtf per doc, repeated on every posting of the doc
+        for d, g in got.groupby("doc_id"):
+            assert (g["dl"] == g["tf"].sum()).all()
+
+    def test_property_random_text(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tok = st.text(
+            alphabet=st.sampled_from(
+                list("abz ярё-09\t\xa0 　.!«»<>___") + ["ß", "Ａ"]
+            ),
+            max_size=40,
+        )
+
+        @given(st.lists(tok, min_size=0, max_size=20))
+        @settings(max_examples=200, deadline=None)
+        def check(texts):
+            self._run(texts)
+
+        check()
+
+    def test_none_text(self):
+        self._run(["data fast", None, "", "   ", "data data"])
