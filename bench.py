@@ -37,14 +37,10 @@ def run(sf_dir: str, cpus: int, quiet: bool = True, multiply: int = 1) -> dict:
         shuffle_partitions=cpus,
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # multiply>1 partitions itself via spark.range(k, numPartitions=4·cores)
+    # inside load_documents — a few task waves per core, so driver-side
+    # task bookkeeping stays proportional to cores instead of to the data
     docs = load_documents(spark, sf_dir, multiply=multiply)
-    if multiply > 1:
-        # the multiplier unions `multiply` scan branches → one task each;
-        # coalesce to a few waves per core so driver-side task bookkeeping
-        # (~10 ms serial per task × stages) stays proportional to cores
-        # instead of to the data (it was the dominant serial term in the
-        # N-vs-4N measurement at multiply=512)
-        docs = docs.coalesce(cpus * 4)
     docs.count()  # warm the scan so build_sec measures the build, not JVM init
 
     t0 = time.perf_counter()

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import encode_blocks
+from .codec import encode_blocks_columns
 
 N_BUCKETS_DEFAULT = 32
 
@@ -50,22 +50,21 @@ BLOCKS_SCHEMA = T.StructType(
 
 def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (doc_bucket, term) posting run → encoded block rows."""
+    import numpy as np
+
     pdf = pdf.sort_values("doc_id")
     bucket = int(pdf["doc_bucket"].iloc[0])
     term = pdf["term"].iloc[0]
-    rows = []
-    for blk in encode_blocks(
+    cols = encode_blocks_columns(
         pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy()
-    ):
-        rows.append(
-            {
-                "doc_bucket": bucket,
-                "term": term,
-                **blk,
-            }
-        )
+    )
+    nb = len(cols["doc_bytes"])
     return pd.DataFrame(
-        rows,
+        {
+            "doc_bucket": np.full(nb, bucket, dtype=np.int32),
+            "term": term,
+            **cols,
+        },
         columns=[f.name for f in BLOCKS_SCHEMA.fields],
     )
 

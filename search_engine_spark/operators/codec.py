@@ -358,28 +358,34 @@ def _encode_column_blocks(
     return out  # type: ignore[return-value]
 
 
-def encode_blocks(
+def encode_blocks_columns(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
-) -> list[dict]:
-    """Split one term's sorted postings into encoded blocks.
+) -> dict[str, np.ndarray | list]:
+    """Split one term's sorted postings into encoded blocks — COLUMNAR.
 
     ``dls`` is the document length (Σ tf over the doc's retained terms)
     aligned with doc_ids — stored per posting so BM25 scoring reads norms
     straight out of the block (the Lucene norms-in-index design) and the
     query path never ships a separate (doc_id, dl) table per query.
 
-    Returns a list of dicts: {block_id, count, first_doc, last_doc, max_tf,
-    sum_tf, min_dl, doc_bytes, tf_bytes, dl_bytes}. Encoding is batched
-    across the run's blocks (_encode_column_blocks) — byte-identical to
-    per-block encode_payload, ~4× faster on long runs because width
-    selection, v-byte emission, and bit packing are each one vectorized
-    pass over the run instead of a Python call per 128-posting block."""
+    Returns {block_id, count, first_doc, last_doc, max_tf, sum_tf, min_dl:
+    int arrays; doc_bytes, tf_bytes, dl_bytes: lists of bytes} — ready to
+    drop into a DataFrame column-wise (one array per column instead of one
+    dict per block; the dict-rows construction was a measured hot spot in
+    the merge stage at 434k blocks). Encoding is batched across the run's
+    blocks (_encode_column_blocks) — byte-identical to per-block
+    encode_payload."""
     n = len(doc_ids)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     if n == 0:
-        return []
+        z = np.empty(0, dtype=np.int64)
+        return {
+            "block_id": z, "count": z, "first_doc": z, "last_doc": z,
+            "max_tf": z, "sum_tf": z, "min_dl": z,
+            "doc_bytes": [], "tf_bytes": [], "dl_bytes": [],
+        }
     nb = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     starts = np.arange(nb, dtype=np.int64) * BLOCK_SIZE
     ends = np.minimum(starts + BLOCK_SIZE, n)
@@ -388,29 +394,49 @@ def encode_blocks(
     gaps = np.empty(n, dtype=np.int64)
     gaps[1:] = np.diff(doc_ids)
     gaps[starts] = doc_ids[starts] + 1
-    doc_payloads = _encode_column_blocks(gaps.astype(np.uint64), starts, ends, counts)
-    tf_payloads = _encode_column_blocks(tfs.astype(np.uint64), starts, ends, counts)
-    dl_payloads = _encode_column_blocks(dls.astype(np.uint64), starts, ends, counts)
-    max_tf = np.maximum.reduceat(tfs, starts)
-    sum_tf = np.add.reduceat(tfs, starts)
-    min_dl = np.minimum.reduceat(dls, starts)
+    return {
+        "block_id": np.arange(nb, dtype=np.int64),
+        "count": counts,
+        "first_doc": doc_ids[starts],
+        "last_doc": doc_ids[ends - 1],
+        "max_tf": np.maximum.reduceat(tfs, starts),
+        # sum_tf lets term_dict (df=Σcount, cf=Σsum_tf) re-derive from
+        # stored blocks alone — no raw-corpus re-read on resume/incremental
+        "sum_tf": np.add.reduceat(tfs, starts),
+        # min_dl tightens the block-max BM25 upper bound (score is
+        # decreasing in dl, so f(max_tf, min_dl) dominates the block)
+        "min_dl": np.minimum.reduceat(dls, starts),
+        "doc_bytes": _encode_column_blocks(
+            gaps.astype(np.uint64), starts, ends, counts
+        ),
+        "tf_bytes": _encode_column_blocks(
+            tfs.astype(np.uint64), starts, ends, counts
+        ),
+        "dl_bytes": _encode_column_blocks(
+            dls.astype(np.uint64), starts, ends, counts
+        ),
+    }
+
+
+def encode_blocks(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> list[dict]:
+    """Row-wise view of encode_blocks_columns (kept for the incremental /
+    single-run callers; the bulk build uses the columnar form directly)."""
+    cols = encode_blocks_columns(doc_ids, tfs, dls)
+    nb = len(cols["doc_bytes"])
     return [
         {
-            "block_id": b,
-            "count": int(counts[b]),
-            "first_doc": int(doc_ids[starts[b]]),
-            "last_doc": int(doc_ids[ends[b] - 1]),
-            "max_tf": int(max_tf[b]),
-            # sum_tf lets term_dict (df=Σcount, cf=Σsum_tf) re-derive
-            # from stored blocks alone — no raw-corpus re-read on
-            # resume/incremental paths
-            "sum_tf": int(sum_tf[b]),
-            # min_dl tightens the block-max BM25 upper bound (score is
-            # decreasing in dl, so f(max_tf, min_dl) dominates the block)
-            "min_dl": int(min_dl[b]),
-            "doc_bytes": doc_payloads[b],
-            "tf_bytes": tf_payloads[b],
-            "dl_bytes": dl_payloads[b],
+            "block_id": int(cols["block_id"][b]),
+            "count": int(cols["count"][b]),
+            "first_doc": int(cols["first_doc"][b]),
+            "last_doc": int(cols["last_doc"][b]),
+            "max_tf": int(cols["max_tf"][b]),
+            "sum_tf": int(cols["sum_tf"][b]),
+            "min_dl": int(cols["min_dl"][b]),
+            "doc_bytes": cols["doc_bytes"][b],
+            "tf_bytes": cols["tf_bytes"][b],
+            "dl_bytes": cols["dl_bytes"][b],
         }
         for b in range(nb)
     ]

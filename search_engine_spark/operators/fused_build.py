@@ -7,11 +7,14 @@ scale-correct formulation:
 
   phase 1 (map, one python stage): tokenize + count each document, then
           PACK each input partition's postings into one binary row per
-          (doc_bucket, term): sorted int64 doc_id/tf arrays. Per-doc
-          lengths (dl) pack the same way under kind='dl'. Shuffle volume
-          drops from |postings| rows to |partitions|·|terms-per-bucket|
-          rows (~100× fewer rows for the same bytes), and the bytes
-          themselves are raw int64 runs that the shuffle compresses well.
+          (doc_bucket, term): doc_ids as delta+varbyte, tf/dl as varbyte
+          (operators/codec.py — the same vectorized coders the block
+          encoder uses). Per-doc lengths (dl) pack the same way under
+          kind='dl'. Shuffle volume drops from |postings| rows to
+          |partitions|·|terms-per-bucket| rows (~100× fewer rows), and
+          from 24 raw int64 bytes per posting to ~4-6 varbyte bytes —
+          the shuffle is the build's only wide edge, so its bytes are
+          the scale bottleneck worth spending encode CPU on.
   phase 2 (reduce): groupBy(doc_bucket, term) merges each group's few
           runs — documents are unique to one input partition, so runs are
           disjoint and a concat+argsort yields the term's globally sorted
@@ -35,7 +38,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .blocks import BLOCKS_SCHEMA, N_BUCKETS_DEFAULT
-from .codec import encode_blocks
+from .codec import (
+    delta_decode,
+    delta_encode,
+    encode_blocks_columns,
+    varbyte_decode,
+    varbyte_encode,
+)
 
 PACKED_SCHEMA = (
     "kind string, doc_bucket int, term string, ids_bytes binary, "
@@ -55,10 +64,17 @@ _PACKED_COLS = [
 
 def _pack_partition_fn(n_buckets: int):
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..textproc.fast_tokenize import tokenize_tf
+        from ..textproc.fast_tokenize import tokenize_tf_arrays
 
-        post_parts: list[pd.DataFrame] = []
-        dl_parts: list[pd.DataFrame] = []
+        # columnar accumulation — integer lemma codes per batch, remapped
+        # to a partition-level vocab at the end; the term STRING is
+        # materialized once per packed row (≤ |vocab|·n_buckets rows), never
+        # per posting (the per-posting object column dominated the profile)
+        doc_parts: list[np.ndarray] = []
+        code_parts: list[np.ndarray] = []
+        tf_parts: list[np.ndarray] = []
+        dl_parts: list[np.ndarray] = []
+        vocabs: list[np.ndarray] = []
         n_rows = 0  # every input doc, incl. ones with zero retained terms
         for pdf in batches:
             if pdf.empty:
@@ -68,18 +84,15 @@ def _pack_partition_fn(n_buckets: int):
             # the map-side sum is the doc's exact length) — rides the pack
             # rows into the block encoder, which stores norms inside the
             # blocks
-            tf = tokenize_tf(pdf, with_dl=True)
-            if tf.empty:
+            d, c, tf, dl, vocab = tokenize_tf_arrays(pdf)
+            if d.size == 0:
                 continue
-            post_parts.append(tf)
-            # tokenize_tf returns doc-major rows: one dl row per doc via
-            # first-occurrence dedup
-            dl_parts.append(
-                tf.loc[
-                    tf["doc_id"].ne(tf["doc_id"].shift()), ["doc_id", "dl"]
-                ]
-            )
-        if not post_parts:
+            doc_parts.append(d)
+            code_parts.append(c)
+            tf_parts.append(tf)
+            dl_parts.append(dl)
+            vocabs.append(vocab)
+        if not doc_parts:
             if n_rows:
                 # corpus-stat row: docs seen, zero postings (all term-less)
                 yield pd.DataFrame(
@@ -87,41 +100,78 @@ def _pack_partition_fn(n_buckets: int):
                     columns=_PACKED_COLS,
                 )
             return
-        posts = pd.concat(post_parts, ignore_index=True)
-        posts["doc_bucket"] = (posts["doc_id"] % n_buckets).astype("int32")
+        # partition-level vocab: remap each batch's codes through one
+        # searchsorted (vocabs are tiny next to the posting stream)
+        gvocab = np.unique(np.concatenate(vocabs))
+        code = np.concatenate(
+            [
+                np.searchsorted(gvocab, v)[c]
+                for v, c in zip(vocabs, code_parts)
+            ]
+        )
+        doc = np.concatenate(doc_parts)
+        tfs = np.concatenate(tf_parts)
+        dls_col = np.concatenate(dl_parts)
+        bucket = doc % n_buckets
+        # one lexsort replaces groupby + per-group argsort: rows come out
+        # grouped by (bucket, code) with doc_id ascending inside each group
+        # (docs are unique within the partition, so runs are disjoint)
+        order = np.lexsort((doc, code, bucket))
+        doc, code, tfs, dls_col, bucket = (
+            doc[order], code[order], tfs[order], dls_col[order], bucket[order]
+        )
+        new = np.empty(doc.size, dtype=bool)
+        new[0] = True
+        new[1:] = (bucket[1:] != bucket[:-1]) | (code[1:] != code[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], doc.size)
         rows = []
-        # one packed row per (bucket, term): sorted disjoint runs
-        for (bucket, term), g in posts.groupby(["doc_bucket", "term"], sort=False):
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            tfs = g["tf"].to_numpy(dtype=np.int64)
-            per_dl = g["dl"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids, kind="stable")
+        # one packed row per (bucket, term): sorted disjoint runs —
+        # doc_ids delta+varbyte, tf/dl varbyte (strictly-increasing ids
+        # within a run make the deltas small; the shuffle then moves ~4-6
+        # bytes per posting instead of 24)
+        for s, e in zip(starts, ends):
             rows.append(
                 (
                     "post",
-                    int(bucket),
-                    term,
-                    ids[order].tobytes(),
-                    tfs[order].tobytes(),
-                    per_dl[order].tobytes(),
-                    int(ids.size),
+                    int(bucket[s]),
+                    gvocab[code[s]],
+                    varbyte_encode(delta_encode(doc[s:e])),
+                    varbyte_encode(tfs[s:e]),
+                    varbyte_encode(dls_col[s:e]),
+                    int(e - s),
                     0,
                 )
             )
-        dls = pd.concat(dl_parts, ignore_index=True)
-        dls["doc_bucket"] = (dls["doc_id"] % n_buckets).astype("int32")
-        for bucket, g in dls.groupby("doc_bucket", sort=False):
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            vals = g["dl"].to_numpy(dtype=np.int64)
+        # per-doc norm rows: tokenize output is doc-major, so first
+        # occurrence per doc_id inside each batch is the doc's (doc, dl)
+        d_first = np.concatenate(
+            [d[np.flatnonzero(np.diff(d, prepend=d[0] - 1))] for d in doc_parts]
+        )
+        dl_first = np.concatenate(
+            [
+                dl[np.flatnonzero(np.diff(d, prepend=d[0] - 1))]
+                for d, dl in zip(doc_parts, dl_parts)
+            ]
+        )
+        db = d_first % n_buckets
+        order = np.lexsort((d_first, db))
+        d_first, dl_first, db = d_first[order], dl_first[order], db[order]
+        bnew = np.empty(db.size, dtype=bool)
+        bnew[0] = True
+        bnew[1:] = db[1:] != db[:-1]
+        bstarts = np.flatnonzero(bnew)
+        bends = np.append(bstarts[1:], db.size)
+        for s, e in zip(bstarts, bends):
             rows.append(
                 (
                     "dl",
-                    int(bucket),
+                    int(db[s]),
                     None,
-                    ids.tobytes(),
-                    vals.tobytes(),
+                    varbyte_encode(delta_encode(d_first[s:e])),
+                    varbyte_encode(dl_first[s:e]),
                     None,
-                    int(ids.size),
+                    int(e - s),
                     0,
                 )
             )
@@ -130,7 +180,7 @@ def _pack_partition_fn(n_buckets: int):
         # raw documents just to learn n_docs/avgdl
         rows.append(
             ("stat", -1, None, None, None, None, n_rows,
-             int(dls["dl"].sum()))
+             int(dl_first.sum()))
         )
         yield pd.DataFrame(rows, columns=_PACKED_COLS)
 
@@ -141,21 +191,30 @@ def _merge_encode(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (doc_bucket, term) group of packed runs → encoded block rows."""
     bucket = int(pdf["doc_bucket"].iloc[0])
     term = pdf["term"].iloc[0]
+    ns = pdf["n"].to_numpy(dtype=np.int64)
     ids = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in pdf["ids_bytes"]]
+        [
+            delta_decode(varbyte_decode(b, int(n)))
+            for b, n in zip(pdf["ids_bytes"], ns)
+        ]
     )
     tfs = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in pdf["payload_bytes"]]
+        [varbyte_decode(b, int(n)) for b, n in zip(pdf["payload_bytes"], ns)]
     )
     dls = np.concatenate(
-        [np.frombuffer(b, dtype=np.int64) for b in pdf["dl_run_bytes"]]
+        [varbyte_decode(b, int(n)) for b, n in zip(pdf["dl_run_bytes"], ns)]
     )
     order = np.argsort(ids, kind="stable")  # runs are disjoint → plain sort
-    rows = [
-        {"doc_bucket": bucket, "term": term, **blk}
-        for blk in encode_blocks(ids[order], tfs[order], dls[order])
-    ]
-    return pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+    cols = encode_blocks_columns(ids[order], tfs[order], dls[order])
+    nb = len(cols["doc_bytes"])
+    return pd.DataFrame(
+        {
+            "doc_bucket": np.full(nb, bucket, dtype=np.int32),
+            "term": term,
+            **cols,
+        },
+        columns=[f.name for f in BLOCKS_SCHEMA.fields],
+    )
 
 
 def pack_documents(docs: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
@@ -209,8 +268,8 @@ def doc_stats_from_packed(packed: DataFrame, docs_count: int | None = None) -> D
                 continue
             buckets, ids_parts, dl_parts = [], [], []
             for row in pdf.itertuples(index=False):
-                ids = np.frombuffer(row.ids_bytes, dtype=np.int64)
-                dls = np.frombuffer(row.payload_bytes, dtype=np.int64)
+                ids = delta_decode(varbyte_decode(row.ids_bytes, int(row.n)))
+                dls = varbyte_decode(row.payload_bytes, int(row.n))
                 ids_parts.append(ids)
                 dl_parts.append(dls)
                 buckets.append(np.full(ids.size, row.doc_bucket, dtype=np.int32))

@@ -83,20 +83,27 @@ def load_documents(
 ) -> DataFrame:
     """Read documents.parquet and attach the derived web-page columns.
 
-    ``multiply`` unions k shifted copies of the corpus (doc_id offset by
-    i·10^7 per copy, derived columns recomputed) — the bench harness uses
-    it to scale the SAME input generator up until the build is
+    ``multiply`` generates k shifted copies of the corpus (doc_id offset
+    by i·10^7 per copy, derived columns recomputed) — the bench harness
+    uses it to scale the SAME input generator up until the build is
     compute-bound, which is what the N-vs-4N scaling measurement needs
-    (fixed session/scheduling overheads would otherwise dominate)."""
+    (fixed session/scheduling overheads would otherwise dominate). The
+    copies come from ONE broadcast cross-join against spark.range(k):
+    the base corpus is read and decompressed once and each task emits
+    its copies JVM-side, partitioned by the range (a k-branch union plan
+    re-scanned the parquet k times — measured ~half the pack-stage wall
+    at k=512 — and its giant plan stressed codegen)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if multiply > 1:
-        from functools import reduce
-
-        copies = [
-            df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
-            for i in range(multiply)
-        ]
-        df = reduce(lambda a, b: a.unionByName(b), copies)
+        n_parts = spark.sparkContext.defaultParallelism * 4
+        copies = spark.range(
+            0, multiply, numPartitions=min(multiply, n_parts)
+        ).withColumnRenamed("id", "_copy")
+        df = (
+            copies.crossJoin(F.broadcast(df))
+            .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * 10_000_000)
+            .drop("_copy")
+        )
     site_key = site_key_col()
     site = F.concat(F.lit("https://"), site_key, F.lit(".example"))
     path = F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"))

@@ -45,14 +45,26 @@ _EMPTY = pd.DataFrame(
 )
 
 
-def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:
-    """One batch of (doc_id, text) → (doc_id, term, tf[, dl]) rows.
+_EMPTY_ARRAYS = (
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=np.int64),
+    np.empty(0, dtype=object),
+)
 
-    A document's tokens live entirely in its own row, so tf (and dl = Σtf
-    over the doc) are FINAL within the batch — no shuffle needed to form
-    postings. Rows come back sorted by (doc_id, term-code); order is not
-    part of the contract."""
-    cols = ["doc_id", "term", "tf"] + (["dl"] if with_dl else [])
+
+def tokenize_tf_arrays(
+    pdf: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One batch of (doc_id, text) → columnar postings
+    ``(doc_id, lemma_code, tf, dl, vocab)`` where ``vocab[lemma_code]`` is
+    the lemma string. Rows are doc-major (sorted by doc_id, then code).
+
+    The integer-code form is the pack stage's native currency — it groups
+    and sorts on int64 keys without ever materializing the term strings
+    per posting (the object-dtype column was the single largest cost in
+    the pack profile, bigger than tokenization itself)."""
     s = pdf["text"].astype("string").fillna("").str.lower().str.strip()
     arr = pa.Array.from_pandas(s)
     if isinstance(arr, pa.ChunkedArray):
@@ -60,7 +72,7 @@ def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:
     tok_lists = pc.split_pattern_regex(arr, WS_SPLIT)
     flat = pc.list_flatten(tok_lists)
     if len(flat) == 0:
-        return _EMPTY[cols].copy()
+        return _EMPTY_ARRAYS
     parent = pc.list_parent_indices(tok_lists).to_numpy(zero_copy_only=False)
     denc = flat.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -80,7 +92,7 @@ def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:
     lcode = lcode_u[codes][keep]
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)[parent[keep]]
     if doc.size == 0:
-        return _EMPTY[cols].copy()
+        return _EMPTY_ARRAYS
 
     # integer-key tf aggregation: lexsort + run-length
     order = np.lexsort((lcode, doc))
@@ -91,14 +103,30 @@ def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:
     starts = np.flatnonzero(new)
     tf = np.diff(np.append(starts, d.size)).astype(np.int64)
     d_g, c_g = d[starts], c[starts]
-    out = {"doc_id": d_g, "term": lem_vocab[c_g].astype(object), "tf": tf}
+    # dl = Σtf over each doc's postings (runs of equal doc_id in d_g)
+    doc_new = np.empty(d_g.size, dtype=bool)
+    doc_new[0] = True
+    doc_new[1:] = d_g[1:] != d_g[:-1]
+    doc_starts = np.flatnonzero(doc_new)
+    dl_per_doc = np.add.reduceat(tf, doc_starts)
+    run_lens = np.diff(np.append(doc_starts, d_g.size))
+    dl = np.repeat(dl_per_doc, run_lens)
+    return d_g, c_g.astype(np.int64), tf, dl, np.asarray(lem_vocab, dtype=object)
+
+
+def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:
+    """One batch of (doc_id, text) → (doc_id, term, tf[, dl]) rows.
+
+    A document's tokens live entirely in its own row, so tf (and dl = Σtf
+    over the doc) are FINAL within the batch — no shuffle needed to form
+    postings. Rows come back sorted by (doc_id, term-code); order is not
+    part of the contract. Thin DataFrame wrapper over
+    ``tokenize_tf_arrays`` (the integer-code core)."""
+    cols = ["doc_id", "term", "tf"] + (["dl"] if with_dl else [])
+    d, c, tf, dl, vocab = tokenize_tf_arrays(pdf)
+    if d.size == 0:
+        return _EMPTY[cols].copy()
+    out = {"doc_id": d, "term": vocab[c], "tf": tf}
     if with_dl:
-        # dl = Σtf over each doc's postings (runs of equal doc_id in d_g)
-        doc_new = np.empty(d_g.size, dtype=bool)
-        doc_new[0] = True
-        doc_new[1:] = d_g[1:] != d_g[:-1]
-        doc_starts = np.flatnonzero(doc_new)
-        dl_per_doc = np.add.reduceat(tf, doc_starts)
-        run_lens = np.diff(np.append(doc_starts, d_g.size))
-        out["dl"] = np.repeat(dl_per_doc, run_lens)
+        out["dl"] = dl
     return pd.DataFrame(out)
