@@ -22,6 +22,7 @@ from search_engine_spark.functions import oracle_pipeline as pipe
 from search_engine_spark.functions.text_columns import normalized_path_col
 from search_engine_spark.operators import index_build as ib
 from search_engine_spark.operators import search as se
+from search_engine_spark.operators.positional import analyze_phrase
 from search_engine_spark.plans.statistics import per_site_statistics
 from search_engine_spark.sources.documents import load_documents
 
@@ -149,6 +150,37 @@ def _q_related_terms(spark, sf_dir):
     the query-expansion signal computable from the postings relation."""
     docs = load_documents(spark, sf_dir)
     return se.related_terms(ib.build_postings(docs), RELATED_PROBE)
+
+
+PREFIX_PROBE = "s"
+PHRASE = "fast table"
+
+
+def _q_prefix_suggest(spark, sf_dir):
+    """Autocomplete: dictionary terms starting with the probe prefix,
+    ranked by df (sargable startswith — scan-prunable on a sorted
+    persisted dictionary)."""
+    docs = load_documents(spark, sf_dir)
+    td = ib.build_term_dict(ib.build_postings(docs))
+    return se.prefix_suggest(td, PREFIX_PROBE)
+
+
+def _q_postings_positional(spark, sf_dir):
+    """Positional postings relation (doc_id, term, pos): one row per
+    retained token occurrence, pos = 0-based index in the doc's
+    retained-token stream (operators/positional.py)."""
+    from search_engine_spark.operators.positional import build_positional
+
+    return build_positional(load_documents(spark, sf_dir))
+
+
+def _q_search_phrase(spark, sf_dir):
+    """Exact-phrase top-k (Lucene PhraseQuery semantics): documents where
+    the phrase's lemmas occur at consecutive retained-token positions,
+    ranked by phrase occurrence count."""
+    from search_engine_spark.operators.positional import search_phrase
+
+    return search_phrase(load_documents(spark, sf_dir), PHRASE)
 
 
 def _q_status_filter(spark, sf_dir):
@@ -508,6 +540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_gate": _q_site_gate,
         "related_terms": _q_related_terms,
         "spell_suggest": _q_spell_suggest,
+        "prefix_suggest": _q_prefix_suggest,
+        "postings_positional": _q_postings_positional,
+        "search_phrase": _q_search_phrase,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
@@ -573,6 +608,9 @@ def oracle_sql() -> dict[str, str]:
         "site_gate": ora.site_gate_sql(Q_GATE),
         "related_terms": ora.related_terms_sql(RELATED_PROBE),
         "spell_suggest": ora.spell_suggest_sql(SPELL_PROBE),
+        "prefix_suggest": ora.prefix_suggest_sql(PREFIX_PROBE),
+        "postings_positional": ora.positional_postings_sql(),
+        "search_phrase": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "status_filter": ora.status_filter_sql(),
         "postings_parseable": ora.postings_sql(
             table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"

@@ -356,3 +356,82 @@ WHERE levenshtein(term, '{probe}') = 1
 ORDER BY df DESC, term ASC
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------ positional / phrase
+
+def positional_terms_cte(table: str = "documents") -> str:
+    """CTE `pos_terms(doc_id, term, pos)` — one row per RETAINED token
+    occurrence with its 0-based position in the document's retained-token
+    stream. Mirrors textproc/fast_tokenize.py::tokenize_positions_arrays:
+    analyzer rules 3-5 filter BEFORE numbering (stopwords do not occupy
+    positions), lemma join after. `unnest` + `generate_subscripts` run in
+    lockstep in DuckDB, giving the original token order to number by."""
+    return f"""
+lemma_dict AS ({lemma_dict_values()}),
+base AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '{WS_SPLIT}') AS lst
+  FROM {table}
+),
+rawtoks AS (
+  SELECT doc_id,
+         regexp_replace(unnest(lst), '{BOUNDARY_STRIP}', '', 'g') AS term,
+         generate_subscripts(lst, 1) AS ord
+  FROM base
+),
+pos_terms AS (
+  SELECT rawtoks.doc_id, coalesce(ld.normal, rawtoks.term) AS term,
+         row_number() OVER (PARTITION BY rawtoks.doc_id
+                            ORDER BY rawtoks.ord) - 1 AS pos
+  FROM rawtoks LEFT JOIN lemma_dict ld ON ld.word = rawtoks.term
+  WHERE rawtoks.term <> ''
+    AND regexp_matches(rawtoks.term, '{WORD_PATTERN}')
+    AND rawtoks.term NOT IN {sql_not_in_list()}
+)"""
+
+
+def positional_postings_sql(table: str = "documents") -> str:
+    """(doc_id, term, pos) — the positional postings relation (mirrors
+    operators/positional.py::build_positional)."""
+    return f"""
+WITH {positional_terms_cte(table)}
+SELECT doc_id, term, pos::BIGINT AS pos FROM pos_terms
+"""
+
+
+def search_phrase_sql(terms: list[str], k: int = 20,
+                      table: str = "documents") -> str:
+    """Mirrors operators/positional.py::search_phrase for an ANALYZED term
+    sequence: anchor on terms[0], require terms[i] at pos₀+i, count
+    occurrences per doc, top-k by (phrase_tf desc, doc_id asc)."""
+    sel = f"(SELECT doc_id, pos FROM pos_terms WHERE term = '{terms[0]}') p0"
+    for i, t in enumerate(terms[1:], start=1):
+        sel += (
+            f"\n  JOIN (SELECT doc_id, pos FROM pos_terms WHERE term = '{t}') p{i}"
+            f" ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        )
+    return f"""
+WITH {positional_terms_cte(table)}
+SELECT p0.doc_id, count(*)::BIGINT AS phrase_tf
+FROM {sel}
+GROUP BY p0.doc_id
+ORDER BY phrase_tf DESC, p0.doc_id ASC
+LIMIT {k}
+"""
+
+
+def prefix_suggest_sql(prefix: str, k: int = 10,
+                       table: str = "documents") -> str:
+    """Mirrors operators/search.py::prefix_suggest — dictionary terms
+    starting with `prefix`, df desc then term asc, limit k."""
+    return f"""
+WITH {terms_cte(table)},
+td AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY term
+)
+SELECT term, df FROM td
+WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""

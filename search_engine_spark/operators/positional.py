@@ -1,0 +1,105 @@
+"""Positional postings + exact-phrase search.
+
+The reference's index stores (page, lemma, tf) only (model/Index.java) —
+its query surface is bag-of-words AND (SearchServiceImpl.java:152-180) and
+cannot answer "these words, in this order, adjacent". This module is the
+Spark-first extension every production fulltext engine ships (Lucene's
+positions/PhraseQuery design): the analyzer emits each retained token's
+0-based POSITION within its document, and a phrase query matches documents
+where the phrase's lemmas occur at consecutive positions.
+
+Semantics (pinned by the DuckDB oracle pair + tests/test_positional.py):
+
+  * positions number the RETAINED token stream — analyzer rules 3-5
+    (boundary strip, letter-word filter, stopword drop) apply BEFORE
+    numbering, so "fast a table" matches the phrase "fast table" (the
+    standard stopword-removal phrase semantics);
+  * phrase terms are analyzed like any query text but keep ORDER and
+    DUPLICATES (analyze_phrase) — "table table" requires two adjacent
+    occurrences;
+  * ranking: phrase_tf (number of phrase occurrences in the doc) desc,
+    doc_id asc, top-k.
+
+Plan shape at scale: the positional relation is (doc_id, term, pos) —
+~dl rows per document. The phrase match filters it to the phrase's terms
+FIRST (an isin over a handful of strings — pushed into the scan when the
+relation is persisted term-bucketed), then chains |phrase|−1 equi-joins on
+(doc_id, pos−offset). All joins are on the same doc_id key, so AQE plans
+them as one shuffle per side at worst; no UDF anywhere in the match path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..textproc.tokenize import tokenize
+
+POSITIONAL_SCHEMA = "doc_id long, term string, pos long"
+
+
+def analyze_phrase(phrase: str) -> list[str]:
+    """Phrase analysis: the same five analyzer rules + lemmatization as
+    analyze_query, but ORDER-PRESERVING and duplicate-keeping — a phrase
+    is a sequence, not a set."""
+    return tokenize(phrase)
+
+
+def build_positional(docs: DataFrame) -> DataFrame:
+    """documents → positional postings (doc_id, term, pos): one row per
+    retained token occurrence. Zero-shuffle: a mapInPandas over the
+    2-column pruned (doc_id, text) scan — positions are per-document facts,
+    so each input partition emits its rows independently (same invariant
+    the fused build's pack stage relies on)."""
+
+    def _gen(batches):
+        from ..textproc.fast_tokenize import tokenize_positions_arrays
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            d, c, p, vocab = tokenize_positions_arrays(pdf)
+            if d.size == 0:
+                continue
+            yield pd.DataFrame({"doc_id": d, "term": vocab[c], "pos": p})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _gen, schema=POSITIONAL_SCHEMA
+    )
+
+
+def phrase_match(positional: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, phrase_tf) for documents containing the exact term sequence.
+
+    Classic positional intersection as a declarative join chain: anchor on
+    the first term's occurrences, then for term i require an occurrence at
+    pos₀+i in the same doc. Each side is the positional relation filtered
+    to ONE term (scan-prunable); the chain is |terms|−1 inner equi-joins on
+    (doc_id, pos0) that Catalyst/AQE is free to reorder or broadcast."""
+    if not terms:
+        raise ValueError("empty phrase")
+    anchor = positional.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("pos0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos0")
+        )
+        anchor = anchor.join(nxt, ["doc_id", "pos0"], "inner")
+    return anchor.groupBy("doc_id").agg(F.count("*").alias("phrase_tf"))
+
+
+def search_phrase(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
+    """Exact-phrase top-k over the documents table: (doc_id, phrase_tf)
+    ranked phrase_tf desc, doc_id asc. Empty analyzer output (stopword-only
+    or unparseable phrase) → empty result, matching the engine's Q1 gate."""
+    terms = analyze_phrase(phrase)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, phrase_tf long"
+        )
+    hits = phrase_match(build_positional(docs), terms)
+    return hits.orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc()
+    ).limit(k)

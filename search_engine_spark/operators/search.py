@@ -286,3 +286,22 @@ def spell_suggest(term_dict: DataFrame, probe: str, k: int = 5) -> DataFrame:
         .orderBy(F.col("df").desc(), term.asc())
         .limit(k)
     )
+
+
+def prefix_suggest(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Autocomplete: dictionary terms starting with `prefix`, ranked by
+    document frequency — the search-box typeahead every engine ships (the
+    reference has no suggestion surface at all; its dictionary is probed
+    by exact lemma only, model/LemmaRepository.java:10-12).
+
+    Scale shape: startswith is a sargable range predicate
+    (term >= p AND term < p+next-char) that Catalyst pushes into the
+    dictionary scan — on a term-sorted/bucketed persisted dictionary this
+    touches only the prefix's file range; no regex, no UDF. Output:
+    (term, df), df desc then term asc, limit k."""
+    return (
+        term_dict.filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )

@@ -54,17 +54,13 @@ _EMPTY_ARRAYS = (
 )
 
 
-def tokenize_tf_arrays(
+def _analyze_stream(
     pdf: pd.DataFrame,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """One batch of (doc_id, text) → columnar postings
-    ``(doc_id, lemma_code, tf, dl, vocab)`` where ``vocab[lemma_code]`` is
-    the lemma string. Rows are doc-major (sorted by doc_id, then code).
-
-    The integer-code form is the pack stage's native currency — it groups
-    and sorts on int64 keys without ever materializing the term strings
-    per posting (the object-dtype column was the single largest cost in
-    the pack profile, bigger than tokenization itself)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared analyzer core: one batch of (doc_id, text) → the RETAINED
+    token stream ``(doc_id, lemma_code, vocab)`` in original text order
+    (doc-major — each document's tokens are one contiguous run). All five
+    analyzer rules applied; ``vocab[lemma_code]`` is the lemma string."""
     s = pdf["text"].astype("string").fillna("").str.lower().str.strip()
     arr = pa.Array.from_pandas(s)
     if isinstance(arr, pa.ChunkedArray):
@@ -72,7 +68,7 @@ def tokenize_tf_arrays(
     tok_lists = pc.split_pattern_regex(arr, WS_SPLIT)
     flat = pc.list_flatten(tok_lists)
     if len(flat) == 0:
-        return _EMPTY_ARRAYS
+        return _EMPTY_ARRAYS[0], _EMPTY_ARRAYS[1], _EMPTY_ARRAYS[4]
     parent = pc.list_parent_indices(tok_lists).to_numpy(zero_copy_only=False)
     denc = flat.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -91,6 +87,44 @@ def tokenize_tf_arrays(
     keep = keep_u[codes]
     lcode = lcode_u[codes][keep]
     doc = pdf["doc_id"].to_numpy(dtype=np.int64)[parent[keep]]
+    return doc, lcode.astype(np.int64), np.asarray(lem_vocab, dtype=object)
+
+
+def tokenize_positions_arrays(
+    pdf: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One batch of (doc_id, text) → the positional token stream
+    ``(doc_id, lemma_code, pos, vocab)``: one row per RETAINED token in
+    original text order, ``pos`` = the token's 0-based index within its
+    document's retained-token stream (rules 3-5 applied BEFORE numbering,
+    so stopwords/rejected tokens do not occupy positions — the standard
+    stopword-removal phrase semantics: "fast a table" matches the phrase
+    query "fast table")."""
+    doc, lcode, vocab = _analyze_stream(pdf)
+    if doc.size == 0:
+        return _EMPTY_ARRAYS[0], _EMPTY_ARRAYS[1], _EMPTY_ARRAYS[2], vocab
+    # stream is doc-major: pos = index − start-of-run (one run per doc)
+    run_start = np.empty(doc.size, dtype=bool)
+    run_start[0] = True
+    run_start[1:] = doc[1:] != doc[:-1]
+    starts = np.flatnonzero(run_start)
+    run_lens = np.diff(np.append(starts, doc.size))
+    pos = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, run_lens)
+    return doc, lcode, pos, vocab
+
+
+def tokenize_tf_arrays(
+    pdf: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One batch of (doc_id, text) → columnar postings
+    ``(doc_id, lemma_code, tf, dl, vocab)`` where ``vocab[lemma_code]`` is
+    the lemma string. Rows are doc-major (sorted by doc_id, then code).
+
+    The integer-code form is the pack stage's native currency — it groups
+    and sorts on int64 keys without ever materializing the term strings
+    per posting (the object-dtype column was the single largest cost in
+    the pack profile, bigger than tokenization itself)."""
+    doc, lcode, lem_vocab = _analyze_stream(pdf)
     if doc.size == 0:
         return _EMPTY_ARRAYS
 
@@ -111,7 +145,7 @@ def tokenize_tf_arrays(
     dl_per_doc = np.add.reduceat(tf, doc_starts)
     run_lens = np.diff(np.append(doc_starts, d_g.size))
     dl = np.repeat(dl_per_doc, run_lens)
-    return d_g, c_g.astype(np.int64), tf, dl, np.asarray(lem_vocab, dtype=object)
+    return d_g, c_g, tf, dl, lem_vocab
 
 
 def tokenize_tf(pdf: pd.DataFrame, with_dl: bool = False) -> pd.DataFrame:

@@ -1,0 +1,108 @@
+"""Positional postings + phrase search semantics (operators/positional.py).
+
+Pins the contract the DuckDB oracle pair (postings_positional /
+search_phrase) relies on: positions number the RETAINED token stream,
+phrase analysis keeps order and duplicates, ranking is (phrase_tf desc,
+doc_id asc).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from search_engine_spark.operators.positional import (
+    analyze_phrase,
+    build_positional,
+    phrase_match,
+    search_phrase,
+)
+from search_engine_spark.operators.search import prefix_suggest
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+
+
+def test_positions_skip_stopwords_and_rejected_tokens(spark):
+    # "a"/"the" are stopwords; "x9y" contains a digit → rejected by rule 4.
+    docs = _docs(spark, [(1, "fast a the x9y table")])
+    got = {
+        (r["term"], r["pos"])
+        for r in build_positional(docs).collect()
+    }
+    # retained stream is [fast, table] → positions 0, 1
+    assert got == {("fast", 0), ("table", 1)}
+
+
+def test_phrase_matches_across_dropped_stopword(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "fast a table"),      # stopword between → still adjacent
+            (2, "fast scan table"),   # real word between → NOT adjacent
+            (3, "table fast"),        # wrong order
+        ],
+    )
+    hits = search_phrase(docs, "fast table").collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in hits] == [(1, 1)]
+
+
+def test_phrase_query_itself_is_analyzed(spark):
+    # stopwords inside the PHRASE also drop before matching
+    docs = _docs(spark, [(1, "fast table")])
+    hits = search_phrase(docs, "fast the table").collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in hits] == [(1, 1)]
+
+
+def test_duplicate_word_phrase_requires_two_occurrences(spark):
+    docs = _docs(
+        spark,
+        [(1, "table table scan"), (2, "table scan table")],
+    )
+    hits = search_phrase(docs, "table table").collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in hits] == [(1, 1)]
+
+
+def test_single_term_phrase_counts_occurrences(spark):
+    docs = _docs(spark, [(1, "scan table scan"), (2, "scan")])
+    hits = search_phrase(docs, "scan").collect()
+    # ranked by phrase_tf desc then doc_id asc
+    assert [(r["doc_id"], r["phrase_tf"]) for r in hits] == [(1, 2), (2, 1)]
+
+
+def test_absent_term_and_stopword_only_phrase(spark):
+    docs = _docs(spark, [(1, "fast table")])
+    assert search_phrase(docs, "fast zzzmissing").count() == 0
+    assert search_phrase(docs, "a the").count() == 0
+
+
+def test_phrase_tf_counts_overlapping_occurrences(spark):
+    # "scan scan scan" contains "scan scan" at positions 0 and 1
+    docs = _docs(spark, [(1, "scan scan scan")])
+    hits = phrase_match(
+        build_positional(docs), analyze_phrase("scan scan")
+    ).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in hits] == [(1, 2)]
+
+
+def test_analyze_phrase_keeps_order_and_duplicates():
+    assert analyze_phrase("Table fast table!") == ["table", "fast", "table"]
+
+
+def test_phrase_match_rejects_empty():
+    with pytest.raises(ValueError):
+        phrase_match(None, [])
+
+
+def test_prefix_suggest_orders_by_df(spark):
+    td = spark.createDataFrame(
+        [("scan", 10), ("sort", 30), ("slow", 30), ("table", 99)],
+        "term string, df long",
+    )
+    got = [(r["term"], r["df"]) for r in prefix_suggest(td, "s", k=2).collect()]
+    # df desc, then term asc for the tie
+    assert got == [("slow", 30), ("sort", 30)]
