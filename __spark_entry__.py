@@ -232,6 +232,28 @@ def _q_postings_roundtrip(spark, sf_dir):
     return decode_blocks(blocks).drop("doc_bucket")
 
 
+def _q_segment_merge(spark, sf_dir):
+    """Lucene-style segment compaction (operators/segments.py): build two
+    delta indexes over disjoint doc slices, merge their block tables, decode
+    back to logical postings. Oracle = the postings relation over the whole
+    corpus — the merge must converge to the from-scratch build."""
+    from search_engine_spark.operators.fused_build import (
+        blocks_from_packed,
+        pack_documents,
+    )
+    from search_engine_spark.operators.blocks import decode_blocks
+    from search_engine_spark.operators.segments import merge_segments
+
+    docs = load_documents(spark, sf_dir)
+    base = docs.filter("doc_id % 3 != 0")
+    delta = docs.filter("doc_id % 3 = 0")
+    merged = merge_segments(
+        blocks_from_packed(pack_documents(base, 16)),
+        blocks_from_packed(pack_documents(delta, 16)),
+    )
+    return decode_blocks(merged).select("doc_id", "term", "tf")
+
+
 def _q_term_dict_blocks(spark, sf_dir):
     """(term, df, cf) derived from block METADATA alone (resume path) —
     must equal the relational term_dict."""
@@ -550,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "titles": _q_titles,
         "search_results": _q_search_results,
         "postings_roundtrip": _q_postings_roundtrip,
+        "segment_merge": _q_segment_merge,
         "term_dict_blocks": _q_term_dict_blocks,
         "block_meta": _q_block_meta,
         "lang_id": _q_lang_id,
@@ -621,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle knows the fixture titles are 'Doc <id>' by construction
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
         "postings_roundtrip": ora.postings_sql(),
+        "segment_merge": ora.postings_sql(),
         "term_dict_blocks": ora.term_dict_sql(),
         "block_meta": ora.block_meta_sql(),
         "lang_id": pipe.language_id_sql(),

@@ -1,0 +1,71 @@
+"""Segment merge (operators/segments.py): compacting delta indexes.
+
+The invariant under test is the one the module promises: merging the block
+tables of disjoint segments yields blocks BIT-IDENTICAL to a from-scratch
+build over the union corpus — so queries over a merged index are trivially
+correct (they read the same bytes), and incremental ingestion (base ∪ delta
+→ merge) converges to the rebuild state.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.fused_build import (
+    blocks_from_packed,
+    pack_documents,
+)
+from search_engine_spark.operators.segments import merge_segments
+from search_engine_spark.sources.documents import load_documents
+
+from tests.conftest import SF_TEST
+
+N_BUCKETS = 8
+
+
+def _blocks_sorted(blocks_df):
+    rows = blocks_df.collect()
+    return sorted(
+        (tuple(r[f] for f in blocks_df.columns) for r in rows),
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF_TEST).cache()
+
+
+def _build(docs_df):
+    return blocks_from_packed(pack_documents(docs_df, n_buckets=N_BUCKETS))
+
+
+def test_merge_two_segments_bit_identical(spark, docs):
+    """base(2/3) ∪ delta(1/3) merged == from-scratch build over all docs."""
+    base = docs.filter("doc_id % 3 != 0")
+    delta = docs.filter("doc_id % 3 = 0")
+    merged = _blocks_sorted(merge_segments(_build(base), _build(delta)))
+    scratch = _blocks_sorted(_build(docs))
+    assert merged == scratch
+
+
+def test_merge_three_segments(spark, docs):
+    segs = [_build(docs.filter(f"doc_id % 3 = {i}")) for i in range(3)]
+    merged = _blocks_sorted(merge_segments(*segs))
+    scratch = _blocks_sorted(_build(docs))
+    assert merged == scratch
+
+
+def test_merge_requires_two(spark, docs):
+    with pytest.raises(ValueError):
+        merge_segments(_build(docs))
+
+
+def test_merge_disjoint_terms_pass_through(spark, docs):
+    """A segment whose docs share no terms with the other still lands in
+    the merged output unchanged (groups of size 1 re-encode to the same
+    bytes — encoder determinism)."""
+    a = docs.filter("doc_id % 7 = 0")
+    b = docs.filter("doc_id % 7 = 3")
+    merged = _blocks_sorted(merge_segments(_build(a), _build(b)))
+    scratch = _blocks_sorted(_build(a.unionByName(b)))
+    assert merged == scratch
