@@ -154,6 +154,9 @@ def _q_related_terms(spark, sf_dir):
 
 PREFIX_PROBE = "s"
 PHRASE = "fast table"
+BOOLEAN_QUERY = "data fast -merge"  # AND(data, fast) NOT merge
+PROX_PHRASE = "fast table"
+PROX_SLOP = 2
 
 
 def _q_prefix_suggest(spark, sf_dir):
@@ -181,6 +184,67 @@ def _q_search_phrase(spark, sf_dir):
     from search_engine_spark.operators.positional import search_phrase
 
     return search_phrase(load_documents(spark, sf_dir), PHRASE)
+
+
+def _boolean_oracle() -> str:
+    from search_engine_spark.operators.search import parse_boolean_query
+
+    must, must_not = parse_boolean_query(BOOLEAN_QUERY)
+    return ora.search_boolean_sql(must, must_not)
+
+
+def _q_search_boolean(spark, sf_dir):
+    """Boolean AND/NOT: docs with all must-terms and no excluded term,
+    Σtf-ranked. Exclusion = left-anti join on an isin-pruned postings
+    slice (operators/search.py::search_boolean)."""
+    from search_engine_spark.operators.search import (
+        parse_boolean_query,
+        search_boolean,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    must, must_not = parse_boolean_query(BOOLEAN_QUERY)
+    return search_boolean(ib.build_postings(docs), must, must_not)
+
+
+def _q_search_proximity(spark, sf_dir):
+    """Ordered SpanNear: phrase terms in order within len+slop positions
+    (operators/positional.py::search_proximity, slop=2)."""
+    from search_engine_spark.operators.positional import search_proximity
+
+    docs = load_documents(spark, sf_dir)
+    return search_proximity(docs, PROX_PHRASE, slop=PROX_SLOP)
+
+
+def _q_positional_blocks_roundtrip(spark, sf_dir):
+    """Persisted-phrase-path codec: positional stream → compressed
+    positional blocks (Lucene .prx-style: doc-gap + per-doc pos-delta
+    payloads) → decode. Oracle = the positional postings relation, so any
+    corruption in the positional codec breaks value-hash parity."""
+    from search_engine_spark.operators.positional import build_positional
+    from search_engine_spark.operators.positional_blocks import (
+        build_positional_blocks,
+        decode_positional_blocks,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    blocks = build_positional_blocks(build_positional(docs), n_buckets=16)
+    return decode_positional_blocks(blocks)
+
+
+def _q_search_phrase_blocks(spark, sf_dir):
+    """Exact-phrase top-k over the compressed positional block table —
+    the serving-index path (term isin prunes the block scan). Same output
+    contract (and oracle) as search_phrase."""
+    from search_engine_spark.operators.positional import build_positional
+    from search_engine_spark.operators.positional_blocks import (
+        build_positional_blocks,
+        search_phrase_blocks,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    blocks = build_positional_blocks(build_positional(docs), n_buckets=16)
+    return search_phrase_blocks(blocks, PHRASE)
 
 
 def _q_status_filter(spark, sf_dir):
@@ -250,6 +314,34 @@ def _q_segment_merge(spark, sf_dir):
     merged = merge_segments(
         blocks_from_packed(pack_documents(base, 16)),
         blocks_from_packed(pack_documents(delta, 16)),
+    )
+    return decode_blocks(merged).select("doc_id", "term", "tf")
+
+
+def _q_segment_merge_deletes(spark, sf_dir):
+    """Merge-time tombstone purge: segments merged with a deleted-doc set
+    decode to exactly the postings of the live docs (Lucene .liv model:
+    logical deletes become physical at compaction)."""
+    import numpy as np
+
+    from search_engine_spark.operators.fused_build import (
+        blocks_from_packed,
+        pack_documents,
+    )
+    from search_engine_spark.operators.blocks import decode_blocks
+    from search_engine_spark.operators.segments import merge_segments
+
+    docs = load_documents(spark, sf_dir)
+    base = docs.filter("doc_id % 3 != 0")
+    delta = docs.filter("doc_id % 3 = 0")
+    dead = np.array(
+        [r.doc_id for r in docs.filter("doc_id % 5 = 0").select("doc_id").collect()],
+        dtype=np.int64,
+    )
+    merged = merge_segments(
+        blocks_from_packed(pack_documents(base, 16)),
+        blocks_from_packed(pack_documents(delta, 16)),
+        deleted=dead,
     )
     return decode_blocks(merged).select("doc_id", "term", "tf")
 
@@ -565,6 +657,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_suggest": _q_prefix_suggest,
         "postings_positional": _q_postings_positional,
         "search_phrase": _q_search_phrase,
+        "positional_blocks_roundtrip": _q_positional_blocks_roundtrip,
+        "search_phrase_blocks": _q_search_phrase_blocks,
+        "search_boolean": _q_search_boolean,
+        "search_proximity": _q_search_proximity,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
@@ -573,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_results": _q_search_results,
         "postings_roundtrip": _q_postings_roundtrip,
         "segment_merge": _q_segment_merge,
+        "segment_merge_deletes": _q_segment_merge_deletes,
         "term_dict_blocks": _q_term_dict_blocks,
         "block_meta": _q_block_meta,
         "lang_id": _q_lang_id,
@@ -634,6 +731,12 @@ def oracle_sql() -> dict[str, str]:
         "prefix_suggest": ora.prefix_suggest_sql(PREFIX_PROBE),
         "postings_positional": ora.positional_postings_sql(),
         "search_phrase": ora.search_phrase_sql(analyze_phrase(PHRASE)),
+        "positional_blocks_roundtrip": ora.positional_postings_sql(),
+        "search_phrase_blocks": ora.search_phrase_sql(analyze_phrase(PHRASE)),
+        "search_boolean": _boolean_oracle(),
+        "search_proximity": ora.search_proximity_sql(
+            analyze_phrase(PROX_PHRASE), slop=PROX_SLOP
+        ),
         "status_filter": ora.status_filter_sql(),
         "postings_parseable": ora.postings_sql(
             table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"
@@ -645,6 +748,9 @@ def oracle_sql() -> dict[str, str]:
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
         "postings_roundtrip": ora.postings_sql(),
         "segment_merge": ora.postings_sql(),
+        "segment_merge_deletes": ora.postings_sql(
+            table="(SELECT * FROM documents WHERE doc_id % 5 != 0)"
+        ),
         "term_dict_blocks": ora.term_dict_sql(),
         "block_meta": ora.block_meta_sql(),
         "lang_id": pipe.language_id_sql(),

@@ -421,6 +421,67 @@ LIMIT {k}
 """
 
 
+def search_boolean_sql(must: list[str], must_not: list[str],
+                       limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_boolean — conjunctive Σtf hits
+    on `must`, minus docs containing ANY `must_not` term."""
+    n = len(set(must))
+    not_clause = (
+        f"""AND doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM terms WHERE term IN {_terms_in(must_not)}
+  )"""
+        if must_not
+        else ""
+    )
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(must)} GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id, sum(tf)::BIGINT AS score_abs
+  FROM post GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+)
+SELECT doc_id, score_abs FROM hits
+WHERE TRUE {not_clause}
+ORDER BY score_abs DESC, doc_id ASC
+LIMIT {limit}
+"""
+
+
+def search_proximity_sql(terms: list[str], slop: int = 0, k: int = 20,
+                         table: str = "documents") -> str:
+    """Mirrors operators/positional.py::proximity_match — greedy-earliest
+    ordered-window chain: per anchor pos0, keep min feasible position of
+    each next term; count surviving anchors per doc."""
+    window = len(terms) - 1 + slop
+    ctes = [
+        f"a0 AS (SELECT doc_id, pos AS pos0, pos AS prev FROM pos_terms"
+        f" WHERE term = '{terms[0]}')"
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT a{i - 1}.doc_id, a{i - 1}.pos0, min(p.pos) AS prev
+  FROM a{i - 1} JOIN pos_terms p
+    ON p.doc_id = a{i - 1}.doc_id AND p.term = '{t}'
+   AND p.pos > a{i - 1}.prev AND p.pos <= a{i - 1}.pos0 + {window}
+  GROUP BY a{i - 1}.doc_id, a{i - 1}.pos0
+)"""
+        )
+    last = f"a{len(terms) - 1}"
+    return f"""
+WITH {positional_terms_cte(table)},
+{",".join(ctes)}
+SELECT doc_id, count(*)::BIGINT AS prox_tf FROM {last}
+GROUP BY doc_id
+ORDER BY prox_tf DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def prefix_suggest_sql(prefix: str, k: int = 10,
                        table: str = "documents") -> str:
     """Mirrors operators/search.py::prefix_suggest — dictionary terms

@@ -90,6 +90,65 @@ def phrase_match(positional: DataFrame, terms: list[str]) -> DataFrame:
     return anchor.groupBy("doc_id").agg(F.count("*").alias("phrase_tf"))
 
 
+def proximity_match(
+    positional: DataFrame, terms: list[str], slop: int = 0
+) -> DataFrame:
+    """(doc_id, prox_tf) for docs where `terms` occur IN ORDER within a
+    window of len(terms)+slop positions — Lucene's ordered SpanNearQuery.
+    prox_tf counts anchor positions (occurrences of terms[0]) that admit a
+    completion.
+
+    The chain keeps, per anchor, the EARLIEST feasible position of each
+    subsequent term (groupBy min). Greedy-earliest is exact for existence
+    inside a fixed window: taking the minimum feasible p_i leaves the
+    largest feasible set for p_{i+1}. slop=0 degenerates to exact-phrase
+    (strictly increasing positions with span n−1 forces consecutive) —
+    pinned by a test against phrase_match.
+
+    Scale shape: per-term filtered slices of the positional relation
+    (scan-prunable), each step an equi-join on doc_id with two range
+    predicates + a groupBy on (doc_id, pos0) — all shuffle on the same
+    doc_id-led keys, so AQE coalesces them; no UDF."""
+    if not terms:
+        raise ValueError("empty phrase")
+    window = len(terms) - 1 + slop
+    anchor = positional.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("pos0"), F.col("pos").alias("prev")
+    )
+    for t in terms[1:]:
+        nxt = positional.filter(F.col("term") == t).select(
+            F.col("doc_id").alias("n_doc"), F.col("pos").alias("p")
+        )
+        anchor = (
+            anchor.join(
+                nxt,
+                (F.col("doc_id") == F.col("n_doc"))
+                & (F.col("p") > F.col("prev"))
+                & (F.col("p") <= F.col("pos0") + window),
+                "inner",
+            )
+            .groupBy("doc_id", "pos0")
+            .agg(F.min("p").alias("prev"))
+        )
+    return anchor.groupBy("doc_id").agg(F.count("*").alias("prox_tf"))
+
+
+def search_proximity(
+    docs: DataFrame, phrase: str, slop: int = 0, k: int = 20
+) -> DataFrame:
+    """Ordered-window proximity top-k: (doc_id, prox_tf) ranked prox_tf
+    desc, doc_id asc. Empty analyzer output → empty result (Q1 gate)."""
+    terms = analyze_phrase(phrase)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, prox_tf long"
+        )
+    hits = proximity_match(build_positional(docs), terms, slop=slop)
+    return hits.orderBy(
+        F.col("prox_tf").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 def search_phrase(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
     """Exact-phrase top-k over the documents table: (doc_id, phrase_tf)
     ranked phrase_tf desc, doc_id asc. Empty analyzer output (stopword-only

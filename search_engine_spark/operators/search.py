@@ -288,6 +288,49 @@ def spell_suggest(term_dict: DataFrame, probe: str, k: int = 5) -> DataFrame:
     )
 
 
+def parse_boolean_query(query: str) -> tuple[list[str], list[str]]:
+    """Minimal boolean query syntax: whitespace-separated words, a leading
+    ``-`` marks exclusion ("fast table -slow"). Each word runs through the
+    full analyzer (so exclusions match the same lemma space the index
+    stores); words the analyzer drops (stopwords, non-words) vanish from
+    their clause, mirroring Q1."""
+    must: dict[str, None] = {}
+    must_not: dict[str, None] = {}
+    for raw in query.split():
+        target = must_not if raw.startswith("-") else must
+        for lemma in tokenize(raw.lstrip("-")):
+            target.setdefault(lemma)
+    return list(must), list(must_not)
+
+
+def search_boolean(
+    postings: DataFrame,
+    must: list[str],
+    must_not: list[str],
+    limit: int = 20,
+) -> DataFrame:
+    """Boolean AND/NOT search → (doc_id, score_abs): docs containing ALL
+    `must` terms and NONE of the `must_not` terms, Σtf-ranked (the
+    reference's scorer, SearchServiceImpl.java:172-175; it has no NOT
+    surface — exclusion is the standard boolean extension).
+
+    Scale shape: both sides are isin-pruned postings scans; the exclusion
+    is a LEFT ANTI join on doc_id — Catalyst/AQE broadcasts the (usually
+    small, distinct) excluded-doc set; no UDF, no window."""
+    hits = _conjunctive_hits(postings, must)
+    if must_not:
+        excluded = (
+            postings.filter(F.col("term").isin(list(set(must_not))))
+            .select("doc_id")
+            .distinct()
+        )
+        hits = hits.join(excluded, "doc_id", "left_anti")
+    return (
+        hits.orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
+
+
 def prefix_suggest(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     """Autocomplete: dictionary terms starting with `prefix`, ranked by
     document frequency — the search-box typeahead every engine ships (the

@@ -33,43 +33,80 @@ from .blocks import BLOCKS_SCHEMA
 from .codec import decode_block, decode_payload, encode_blocks_columns
 
 
-def _remerge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (doc_bucket, term) group of block rows from ≥1 segments →
-    freshly encoded block rows over the union of their postings."""
-    bucket = int(pdf["doc_bucket"].iloc[0])
-    term = pdf["term"].iloc[0]
-    ids_parts, tf_parts, dl_parts = [], [], []
-    for row in pdf.itertuples(index=False):
-        ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
-        ids_parts.append(ids)
-        tf_parts.append(tfs)
-        dl_parts.append(decode_payload(row.dl_bytes, row.count))
-    ids = np.concatenate(ids_parts)
-    tfs = np.concatenate(tf_parts)
-    dls = np.concatenate(dl_parts)
-    order = np.argsort(ids, kind="stable")  # disjoint doc sets → plain sort
-    cols = encode_blocks_columns(ids[order], tfs[order], dls[order])
-    nb = len(cols["doc_bytes"])
-    return pd.DataFrame(
-        {
-            "doc_bucket": np.full(nb, bucket, dtype=np.int32),
-            "term": term,
-            **cols,
-        },
-        columns=[f.name for f in BLOCKS_SCHEMA.fields],
-    )
+def _remerge_group_fn(deleted: np.ndarray | None):
+    def _remerge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One (doc_bucket, term) group of block rows from ≥1 segments →
+        freshly encoded block rows over the union of their postings,
+        minus tombstoned doc_ids."""
+        bucket = int(pdf["doc_bucket"].iloc[0])
+        term = pdf["term"].iloc[0]
+        ids_parts, tf_parts, dl_parts = [], [], []
+        for row in pdf.itertuples(index=False):
+            ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
+            ids_parts.append(ids)
+            tf_parts.append(tfs)
+            dl_parts.append(decode_payload(row.dl_bytes, row.count))
+        ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        if deleted is not None and deleted.size:
+            live = ~np.isin(ids, deleted)
+            ids, tfs, dls = ids[live], tfs[live], dls[live]
+            # fully-deleted term → 0 rows out (encode of empty arrays):
+            # the term leaves the block table, hence the dictionary too
+        order = np.argsort(ids, kind="stable")  # disjoint docs → plain sort
+        cols = encode_blocks_columns(ids[order], tfs[order], dls[order])
+        nb = len(cols["doc_bytes"])
+        return pd.DataFrame(
+            {
+                "doc_bucket": np.full(nb, bucket, dtype=np.int32),
+                "term": term,
+                **cols,
+            },
+            columns=[f.name for f in BLOCKS_SCHEMA.fields],
+        )
+
+    return _remerge_group
 
 
-def merge_segments(*segment_blocks: DataFrame) -> DataFrame:
+def merge_segments(
+    *segment_blocks: DataFrame, deleted: np.ndarray | None = None
+) -> DataFrame:
     """Compact ≥2 segment block tables (same n_buckets, disjoint doc_ids)
     into one — output blocks are bit-identical to a from-scratch build over
-    the union corpus. Declarative groupBy over the unioned block rows; the
-    per-group work is vectorized numpy decode/re-encode."""
+    the union corpus (minus tombstones). Declarative groupBy over the
+    unioned block rows; the per-group work is vectorized numpy
+    decode/re-encode.
+
+    `deleted` is the tombstone set purged during compaction — the Lucene
+    .liv model: deletes are cheap logical marks (apply_tombstones on the
+    query path) until the next merge makes them physical. The array ships
+    to executors inside the task closure; like Lucene's live-docs bitmaps
+    it must fit in memory, which holds because compaction resets it —
+    tombstones accumulate only BETWEEN merges. dl is a per-document fact,
+    so purging one doc leaves every other doc's stored norms untouched —
+    the bit-identity guarantee vs a from-scratch build over the LIVE docs
+    holds with tombstones too (pinned in tests). Corpus-level stats
+    (N, avgdl) are the manifest's concern, recomputed at commit."""
     if len(segment_blocks) < 2:
         raise ValueError("need at least two segments to merge")
     unioned = segment_blocks[0]
     for seg in segment_blocks[1:]:
         unioned = unioned.unionByName(seg)
+    if deleted is not None:
+        deleted = np.unique(np.asarray(deleted, dtype=np.int64))
+        # zone-map prune: drop whole blocks only when every doc is dead
+        # (cheap driver-side literal filter would need per-block decode;
+        # the group fn filters exactly instead)
     return unioned.groupBy("doc_bucket", "term").applyInPandas(
-        _remerge_group, schema=BLOCKS_SCHEMA
+        _remerge_group_fn(deleted), schema=BLOCKS_SCHEMA
+    )
+
+
+def apply_tombstones(hits: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Query-path logical delete: drop hit rows whose doc_id is
+    tombstoned. A left-anti join — AQE broadcasts the (small) tombstone
+    side; this is what serving does between compactions."""
+    return hits.join(
+        tombstones.select("doc_id").distinct(), "doc_id", "left_anti"
     )

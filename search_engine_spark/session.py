@@ -26,6 +26,20 @@ def get_spark(
     parallelism: number of local cores (``local[N]``). Defaults to
     ``$SPARK_GRAFT_CPUS`` or ``*``.
     """
+    # Python workers churn large numpy/Arrow buffers; with glibc defaults
+    # every big temp is mmap'd and munmap'd, so its pages go back to the
+    # OS (and, under virtualized free-page reporting, to the HOST) on
+    # every free — each reuse then pays first-touch page faults, which on
+    # a memory-pressured host cost ~100µs+ apiece. Pinning the arena
+    # (never trim, no per-alloc mmap) makes each long-lived worker fault
+    # its high-water mark ONCE and then recycle warm pages. Workers
+    # inherit the JVM's env, which inherits ours, so exporting here covers
+    # local mode; spark.executorEnv covers a real cluster.
+    for var, val in (
+        ("MALLOC_TRIM_THRESHOLD_", "-1"),
+        ("MALLOC_MMAP_MAX_", "0"),
+    ):
+        os.environ.setdefault(var, val)
     cores = parallelism or os.environ.get("SPARK_GRAFT_CPUS")
     master = f"local[{cores}]" if cores else "local[*]"
     shuffle = shuffle_partitions or (
@@ -42,6 +56,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for var in ("MALLOC_TRIM_THRESHOLD_", "MALLOC_MMAP_MAX_"):
+        builder = builder.config(f"spark.executorEnv.{var}", os.environ[var])
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -1,0 +1,109 @@
+"""Boolean AND/NOT search + ordered-window proximity semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.index_build import build_postings
+from search_engine_spark.operators.positional import (
+    build_positional,
+    phrase_match,
+    proximity_match,
+    search_proximity,
+)
+from search_engine_spark.operators.search import (
+    parse_boolean_query,
+    search_boolean,
+)
+from search_engine_spark.sources.documents import load_documents
+
+from tests.conftest import SF_TEST
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, f"https://ex.com/{i}", t) for i, t in enumerate(rows)],
+        "doc_id long, url string, text string",
+    )
+
+
+# ----------------------------------------------------------------- boolean
+
+
+def test_parse_boolean_query():
+    must, must_not = parse_boolean_query("data fast -merge -scan")
+    assert must == ["data", "fast"]
+    assert must_not == ["merge", "scan"]
+
+
+def test_parse_boolean_stopword_vanishes():
+    must, must_not = parse_boolean_query("the data -the")
+    assert must == ["data"] and must_not == []
+
+
+def test_boolean_not_excludes(spark):
+    docs = _docs(
+        spark,
+        [
+            "data fast merge",   # excluded by -merge
+            "data fast clean",   # kept
+            "data slow",         # fails AND
+        ],
+    )
+    rows = search_boolean(
+        build_postings(docs), ["data", "fast"], ["merge"]
+    ).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
+def test_boolean_empty_not_is_plain_and(spark):
+    docs = _docs(spark, ["data fast", "data fast data"])
+    rows = search_boolean(build_postings(docs), ["data", "fast"], []).collect()
+    # Σtf ranking: doc 1 has score 3, doc 0 score 2
+    assert [(r.doc_id, r.score_abs) for r in rows] == [(1, 3), (0, 2)]
+
+
+# --------------------------------------------------------------- proximity
+
+
+def test_slop0_equals_phrase(spark):
+    docs = load_documents(spark, SF_TEST).limit(200)
+    pos = build_positional(docs).cache()
+    terms = ["fast", "table"]
+    a = sorted(map(tuple, phrase_match(pos, terms).collect()))
+    b = sorted(map(tuple, proximity_match(pos, terms, slop=0).collect()))
+    assert a == b
+    pos.unpersist()
+
+
+def test_slop_widens_matches(spark):
+    docs = _docs(
+        spark,
+        [
+            "fast table",          # slop 0 hit
+            "fast red table",      # needs slop ≥ 1 ("red" occupies a pos)
+            "fast red red table",  # needs slop ≥ 2
+            "table fast",          # wrong order: never matches
+        ],
+    )
+    def ids(slop):
+        return sorted(
+            r.doc_id
+            for r in search_proximity(docs, "fast table", slop=slop).collect()
+        )
+
+    assert ids(0) == [0]
+    assert ids(1) == [0, 1]
+    assert ids(2) == [0, 1, 2]
+    assert ids(50) == [0, 1, 2]  # order still required
+
+
+def test_proximity_counts_anchors(spark):
+    docs = _docs(spark, ["fast table x fast red table"])
+    rows = search_proximity(docs, "fast table", slop=1).collect()
+    assert [(r.doc_id, r.prox_tf) for r in rows] == [(0, 2)]
+
+
+def test_proximity_empty_phrase(spark):
+    docs = _docs(spark, ["fast table"])
+    assert search_proximity(docs, "the a", slop=1).collect() == []

@@ -60,6 +60,35 @@ def test_merge_requires_two(spark, docs):
         merge_segments(_build(docs))
 
 
+def test_merge_with_tombstones_equals_live_rebuild(spark, docs):
+    """Merge-time purge: merging segments with a tombstone set yields
+    blocks bit-identical to a from-scratch build over the LIVE docs only
+    (dl is per-document, so survivors' norms are untouched by deletes)."""
+    import numpy as np
+
+    base = docs.filter("doc_id % 3 != 0")
+    delta = docs.filter("doc_id % 3 = 0")
+    dead = np.array(
+        [r.doc_id for r in docs.filter("doc_id % 5 = 0").collect()],
+        dtype=np.int64,
+    )
+    assert dead.size > 0
+    merged = _blocks_sorted(
+        merge_segments(_build(base), _build(delta), deleted=dead)
+    )
+    live = _blocks_sorted(_build(docs.filter("doc_id % 5 != 0")))
+    assert merged == live
+
+
+def test_apply_tombstones_query_path(spark, docs):
+    from search_engine_spark.operators.segments import apply_tombstones
+
+    hits = docs.select("doc_id").limit(50)
+    tomb = docs.select("doc_id").filter("doc_id % 2 = 0")
+    out = apply_tombstones(hits, tomb).collect()
+    assert out and all(r.doc_id % 2 == 1 for r in out)
+
+
 def test_merge_disjoint_terms_pass_through(spark, docs):
     """A segment whose docs share no terms with the other still lands in
     the merged output unchanged (groups of size 1 re-encode to the same
