@@ -186,6 +186,15 @@ def _q_search_phrase(spark, sf_dir):
     return search_phrase(load_documents(spark, sf_dir), PHRASE)
 
 
+def _q_facet_by_site(spark, sf_dir):
+    """Faceted search: per-site hit count + best score for the AND query
+    (operators/search.py::facet_by_site)."""
+    from search_engine_spark.operators.search import facet_by_site
+
+    docs = load_documents(spark, sf_dir)
+    return facet_by_site(docs, ib.build_postings(docs), Q_GATE)
+
+
 def _boolean_oracle() -> str:
     from search_engine_spark.operators.search import parse_boolean_query
 
@@ -660,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_blocks_roundtrip": _q_positional_blocks_roundtrip,
         "search_phrase_blocks": _q_search_phrase_blocks,
         "search_boolean": _q_search_boolean,
+        "facet_by_site": _q_facet_by_site,
         "search_proximity": _q_search_proximity,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
@@ -734,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "positional_blocks_roundtrip": ora.positional_postings_sql(),
         "search_phrase_blocks": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "search_boolean": _boolean_oracle(),
+        "facet_by_site": ora.facet_by_site_sql(Q_GATE),
         "search_proximity": ora.search_proximity_sql(
             analyze_phrase(PROX_PHRASE), slop=PROX_SLOP
         ),

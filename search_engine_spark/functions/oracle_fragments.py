@@ -421,6 +421,30 @@ LIMIT {k}
 """
 
 
+def facet_by_site_sql(query_terms: list[str],
+                      table: str = "documents") -> str:
+    """Mirrors operators/search.py::facet_by_site — per-site hit count and
+    max Σtf score over the conjunctive hit set."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id, sum(tf)::BIGINT AS score_abs
+  FROM post GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+)
+SELECT {SITE_KEY_SQL} AS site_key, count(*)::BIGINT AS n_hits,
+       max(score_abs) AS max_score
+FROM hits
+GROUP BY site_key
+ORDER BY n_hits DESC, site_key ASC
+"""
+
+
 def search_boolean_sql(must: list[str], must_not: list[str],
                        limit: int = 20, table: str = "documents") -> str:
     """Mirrors operators/search.py::search_boolean — conjunctive Σtf hits

@@ -196,6 +196,33 @@ def site_gate(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def facet_by_site(
+    docs: DataFrame, postings: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Faceted search → (site_key, n_hits, max_score): per-site hit count
+    and best Σtf score for a conjunctive query — the result-page facet
+    sidebar (the reference returns a flat list only; facets are the
+    standard search-UI extension). Ordered n_hits desc, site_key asc.
+
+    Scale shape: the conjunctive hit set (isin-pruned postings groupBy) is
+    joined to the docs' derived site_key and re-aggregated by site — two
+    shuffles total, both keyed on high-cardinality columns first (doc_id)
+    then the small facet key; the facet agg is map-side combinable."""
+    from ..sources.documents import site_key_col
+
+    hits = _conjunctive_hits(postings, terms)
+    sites = docs.select("doc_id").withColumn("site_key", site_key_col())
+    return (
+        hits.join(sites, "doc_id")
+        .groupBy("site_key")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.max("score_abs").alias("max_score"),
+        )
+        .orderBy(F.col("n_hits").desc(), F.col("site_key").asc())
+    )
+
+
 def related_terms(postings: DataFrame, probe: str, k: int = 15) -> DataFrame:
     """Related-terms suggestion: terms co-occurring with `probe` at the
     document level, scored by lift = P(t | probe) / P(t) =

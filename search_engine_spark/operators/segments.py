@@ -103,6 +103,40 @@ def merge_segments(
     )
 
 
+def plan_merges(
+    segment_sizes: dict[str, int],
+    merge_factor: int = 10,
+    log_base: float = 10.0,
+) -> list[list[str]]:
+    """Log-tiered merge policy (Lucene TieredMergePolicy-lite): group
+    segments into size tiers ``floor(log_base(size))``; any tier holding
+    ≥ merge_factor segments contributes merges of merge_factor segments
+    each (smallest-first within the tier, name as tiebreak — deterministic
+    for a given input). Returns a list of merge groups to feed
+    merge_segments; [] means the index is compacted enough.
+
+    Driver-side planning over segment METADATA only (a dict of sizes —
+    thousands of entries at most); the merges themselves are the
+    distributed jobs. Repeated build-delta-plan-merge cycles keep segment
+    count O(merge_factor · log(total/min_size)), the LSM invariant that
+    bounds query-time segment fan-in."""
+    import math
+
+    if merge_factor < 2:
+        raise ValueError("merge_factor must be ≥ 2")
+    tiers: dict[int, list[tuple[int, str]]] = {}
+    for name, size in segment_sizes.items():
+        tier = int(math.log(max(size, 1), log_base))
+        tiers.setdefault(tier, []).append((size, name))
+    plans: list[list[str]] = []
+    for tier in sorted(tiers):
+        members = sorted(tiers[tier])
+        while len(members) >= merge_factor:
+            group, members = members[:merge_factor], members[merge_factor:]
+            plans.append([name for _, name in group])
+    return plans
+
+
 def apply_tombstones(hits: DataFrame, tombstones: DataFrame) -> DataFrame:
     """Query-path logical delete: drop hit rows whose doc_id is
     tombstoned. A left-anti join — AQE broadcasts the (small) tombstone

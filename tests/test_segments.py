@@ -89,6 +89,24 @@ def test_apply_tombstones_query_path(spark, docs):
     assert out and all(r.doc_id % 2 == 1 for r in out)
 
 
+def test_plan_merges_tiering():
+    from search_engine_spark.operators.segments import plan_merges
+
+    # 12 small segments (~same tier) + 1 big: one merge of the 10 smallest
+    sizes = {f"s{i:02d}": 100 + i for i in range(12)}
+    sizes["big"] = 10_000_000
+    plans = plan_merges(sizes, merge_factor=10)
+    assert plans == [[f"s{i:02d}" for i in range(10)]]
+    # under the factor: nothing to do
+    assert plan_merges({"a": 100, "b": 120}, merge_factor=10) == []
+    # deterministic: same input, same plan
+    assert plan_merges(dict(reversed(list(sizes.items())))) == plans
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        plan_merges(sizes, merge_factor=1)
+
+
 def test_merge_disjoint_terms_pass_through(spark, docs):
     """A segment whose docs share no terms with the other still lands in
     the merged output unchanged (groups of size 1 re-encode to the same
