@@ -157,6 +157,24 @@ PHRASE = "fast table"
 BOOLEAN_QUERY = "data fast -merge"  # AND(data, fast) NOT merge
 PROX_PHRASE = "fast table"
 PROX_SLOP = 2
+MLT_SEED_DOC = 42
+SYN_QUERY = ["join", "fast", "data"]  # expands via textproc/synonyms.py
+
+
+def _q_more_like_this(spark, sf_dir):
+    """Similar-document retrieval: seed doc's top-m tf·idf terms as a
+    disjunctive query (Lucene MoreLikeThis shape)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.more_like_this(postings, term_dict, n_docs, MLT_SEED_DOC)
+
+
+def _q_search_synonyms(spark, sf_dir):
+    """Synonym-expanded conjunctive search (SynonymQuery semantics: per
+    group Σ member tf; groups AND together)."""
+    from search_engine_spark.textproc.synonyms import expand_terms
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_synonyms(postings, expand_terms(SYN_QUERY))
 
 
 def _q_prefix_suggest(spark, sf_dir):
@@ -193,6 +211,12 @@ def _q_facet_by_site(spark, sf_dir):
 
     docs = load_documents(spark, sf_dir)
     return facet_by_site(docs, ib.build_postings(docs), Q_GATE)
+
+
+def _synonyms_oracle() -> str:
+    from search_engine_spark.textproc.synonyms import expand_terms
+
+    return ora.search_synonyms_sql(expand_terms(SYN_QUERY))
 
 
 def _boolean_oracle() -> str:
@@ -556,6 +580,28 @@ def _q_ann_lsh(spark, sf_dir):
     return ann_lsh(load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
 
 
+def _q_ivf_assign(spark, sf_dir):
+    """IVF inverted-list assignment: nearest deterministic-sample centroid
+    per vector, computed as one codegen argmax projection (no shuffle)."""
+    from search_engine_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroid_rows,
+    )
+    from search_engine_spark.sources.documents import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    return ivf_assign(emb, ivf_centroid_rows(emb))
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: probe the nprobe nearest inverted lists, exact-cosine
+    re-rank (the FAISS-style scale path beside hyperplane LSH)."""
+    from search_engine_spark.operators.similarity import ann_ivf
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return ann_ivf(load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
+
+
 def _load_events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -671,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boolean": _q_search_boolean,
         "facet_by_site": _q_facet_by_site,
         "search_proximity": _q_search_proximity,
+        "more_like_this": _q_more_like_this,
+        "search_synonyms": _q_search_synonyms,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
@@ -700,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_lsh": _q_ann_lsh,
+        "ivf_assign": _q_ivf_assign,
+        "ann_ivf": _q_ann_ivf,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -745,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_blocks": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "search_boolean": _boolean_oracle(),
         "facet_by_site": ora.facet_by_site_sql(Q_GATE),
+        "more_like_this": ora.more_like_this_sql(MLT_SEED_DOC),
+        "search_synonyms": _synonyms_oracle(),
         "search_proximity": ora.search_proximity_sql(
             analyze_phrase(PROX_PHRASE), slop=PROX_SLOP
         ),
@@ -790,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": pipe.ann_bruteforce_sql(ANN_QUERY_IDS),
         "ann_lsh_buckets": pipe.lsh_buckets_sql(),
         "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
+        "ivf_assign": pipe.ivf_assign_sql(),
+        "ann_ivf": pipe.ann_ivf_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),
         "media_frames": pipe.frame_sample_sql(),

@@ -445,6 +445,69 @@ ORDER BY n_hits DESC, site_key ASC
 """
 
 
+def more_like_this_sql(seed_doc_id: int, m: int = 10, k: int = 20,
+                       table: str = "documents") -> str:
+    """Mirrors operators/search.py::more_like_this — seed doc's top-m
+    tf·idf terms as a disjunctive query, Σ tf·idf scoring."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms GROUP BY term),
+nd AS (SELECT (SELECT count(*) FROM {table})::DOUBLE AS n),
+seed AS (
+  SELECT p.term,
+         ln(1 + (nd.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         p.tf::DOUBLE * ln(1 + (nd.n - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM post p JOIN dfs d USING (term) CROSS JOIN nd
+  WHERE p.doc_id = {seed_doc_id}
+  ORDER BY w DESC, p.term ASC
+  LIMIT {m}
+),
+scored AS (
+  SELECT p.doc_id, round(sum(p.tf::DOUBLE * s.idf), 4) AS score
+  FROM post p JOIN seed s USING (term)
+  WHERE p.doc_id <> {seed_doc_id}
+  GROUP BY p.doc_id
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def search_synonyms_sql(groups: list[list[str]], limit: int = 20,
+                        table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_synonyms — per-group Σ member
+    tf, conjunctive across groups (groups are disjoint by construction,
+    textproc/synonyms.py::expand_terms)."""
+    groups = [sorted(set(g)) for g in groups if g]
+    n = len(groups)
+    members = sorted({t for g in groups for t in g})
+    vals = ", ".join(
+        f"('{t}', {gi})" for gi, g in enumerate(groups) for t in g
+    )
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(members)} GROUP BY doc_id, term
+),
+syn(member, grp) AS (VALUES {vals}),
+hits AS (
+  SELECT p.doc_id, sum(p.tf)::BIGINT AS score_abs,
+         count(DISTINCT s.grp) AS ng
+  FROM post p JOIN syn s ON p.term = s.member
+  GROUP BY p.doc_id
+  HAVING count(DISTINCT s.grp) = {n}
+)
+SELECT doc_id, score_abs FROM hits
+ORDER BY score_abs DESC, doc_id ASC
+LIMIT {limit}
+"""
+
+
 def search_boolean_sql(must: list[str], must_not: list[str],
                        limit: int = 20, table: str = "documents") -> str:
     """Mirrors operators/search.py::search_boolean — conjunctive Σtf hits

@@ -449,6 +449,70 @@ SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _centroids_cte(table: str, n_centroids: int) -> str:
+    return (f"cent AS (SELECT vec_id AS centroid_id, embedding AS cvec "
+            f"FROM {table} ORDER BY vec_id LIMIT {n_centroids})")
+
+
+def ivf_assign_sql(n_centroids: int = 16, table: str = "embeddings") -> str:
+    """Mirrors operators/similarity.py::ivf_assign — nearest-centroid
+    assignment (cos rounded 4 dp, ties -> smallest centroid_id)."""
+    cos = COS_SQL.format(a="e.embedding", b="c.cvec")
+    return f"""
+WITH {_centroids_cte(table, n_centroids)},
+scored AS (
+  SELECT e.vec_id, c.centroid_id, round({cos}, 4) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos}, 4) DESC,
+                                     c.centroid_id ASC) AS rn
+  FROM {table} e CROSS JOIN cent c
+)
+SELECT vec_id, centroid_id, cos FROM scored WHERE rn = 1
+"""
+
+
+def ann_ivf_sql(query_ids: list[int], k: int = 5, n_centroids: int = 16,
+                nprobe: int = 4, table: str = "embeddings") -> str:
+    """Mirrors operators/similarity.py::ann_ivf — IVF-flat probe of the
+    nprobe nearest inverted lists, exact-cosine re-rank."""
+    cos_a = COS_SQL.format(a="e.embedding", b="c.cvec")
+    cos_q = COS_SQL.format(a="q.qe", b="c.cvec")
+    cos_f = COS_SQL.format(a="p.qe", b="a.embedding")
+    return f"""
+WITH {_centroids_cte(table, n_centroids)},
+assign AS (
+  SELECT vec_id, centroid_id, embedding FROM (
+    SELECT e.vec_id, c.centroid_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_a}, 4) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN cent c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM {table}
+      WHERE vec_id IN {_ids_in(query_ids)}),
+probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.query_id, q.qe, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({cos_q}, 4) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round({cos_f}, 4) AS cos
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 HTML_SQL = (

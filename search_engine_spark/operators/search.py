@@ -375,3 +375,94 @@ def prefix_suggest(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def more_like_this(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    seed_doc_id: int,
+    m: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """"More like this" → (doc_id, score): documents similar to a seed
+    document, Lucene-MoreLikeThis style — the seed's m most significant
+    terms (by tf·idf, Robertson idf shared with search_bm25) form a
+    disjunctive query; other documents score Σ tf·idf over the shared
+    terms. The reference has no similar-pages surface; this is the
+    standard generalization of its postings relation.
+
+    Scale shape: the seed profile is ONE document's postings (≤ its
+    vocabulary) joined to the dictionary — a few hundred rows — ranked and
+    truncated to m, then broadcast into the corpus-side postings scan,
+    which is isin-free but term-join-pruned by the broadcast hash join
+    (DPP prunes term-bucketed posting files). One groupBy(doc_id) shuffle
+    of the matched postings; no window over the corpus.
+
+    Deterministic: seed-term cutoff ties break on term asc; output ties on
+    doc_id asc; score rounded 4 dp at the edge."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    seed = (
+        postings.filter(F.col("doc_id") == seed_doc_id)
+        .join(term_dict, "term")
+        .withColumn("idf", idf)
+        .withColumn("w", F.col("tf").cast("double") * F.col("idf"))
+        .orderBy(F.col("w").desc(), F.col("term").asc())
+        .limit(m)
+        .select("term", "idf")
+    )
+    return (
+        postings.filter(F.col("doc_id") != seed_doc_id)
+        .join(F.broadcast(seed), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf").cast("double") * F.col("idf")), 4).alias(
+                "score"
+            )
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_synonyms(
+    postings: DataFrame,
+    groups: list[list[str]],
+    limit: int = 20,
+) -> DataFrame:
+    """Synonym-expanded conjunctive search → (doc_id, score_abs): each
+    query term was expanded (driver-side, textproc/synonyms.py) into its
+    synonym group; a document matches a group if ANY member occurs, the
+    group's tf is the Σ over present members (Lucene SynonymQuery
+    semantics), and groups combine conjunctively. With singleton groups
+    this degenerates to search_compat's Σtf AND query.
+
+    Scale shape: one isin-pruned postings scan over all members, a literal
+    member→group map (codegen, no join, no UDF), then the same single
+    groupBy(doc_id) aggregation as the plain conjunctive path — synonym
+    expansion costs nothing but a wider isin list."""
+    groups = [sorted(set(g)) for g in groups if g]
+    n = len(groups)
+    if n == 0:
+        return postings.select("doc_id", F.lit(0).cast("long").alias("score_abs")).limit(0)
+    members = sorted({t for g in groups for t in g})
+    grp_of = F.create_map(
+        *[x for gi, g in enumerate(groups) for t in g for x in (F.lit(t), F.lit(gi))]
+    )
+    return (
+        postings.filter(F.col("term").isin(members))
+        .withColumn("grp", grp_of[F.col("term")])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("score_abs"),
+            F.count_distinct("grp").alias("ng"),
+        )
+        .filter(F.col("ng") == n)
+        .drop("ng")
+        .orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )

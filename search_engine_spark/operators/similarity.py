@@ -134,3 +134,135 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+# ------------------------------------------------------------------ IVF
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+
+def ivf_centroid_rows(
+    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
+) -> list[tuple[int, list[float]]]:
+    """The coarse quantizer: n_centroids (centroid_id, vector) pairs,
+    collected driver-side (a few KB — the same driver-side-scalar pattern
+    as the BM25 idf map).
+
+    Centroids are a DETERMINISTIC SAMPLE of the corpus — the n_centroids
+    smallest vec_ids — i.e. FAISS's random-selection initializer without
+    Lloyd refinement, chosen because it is reproducible in ANSI SQL
+    (ORDER BY vec_id LIMIT n). A production deployment would train k-means
+    offline and feed the trained table through this same seam; every plan
+    below only sees a list of (id, vector) literals."""
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(v) for v in vec])
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_embedding: bool = False,
+) -> DataFrame:
+    """(vec_id, centroid_id, cos) — inverted-file list assignment: every
+    vector to its nearest centroid by cosine (rounded 4 dp; ties →
+    smallest centroid_id). keep_embedding=True carries the vector through
+    (the query path re-ranks candidates without re-joining the corpus).
+
+    Scale shape: the argmax is computed INSIDE one projection — an
+    array<struct(cos, -centroid_id)> of the K literal centroids reduced
+    with array_max (struct ordering = cos desc then centroid_id asc) —
+    pure whole-stage codegen over a narrow scan: zero shuffle, zero join,
+    zero UDF for the corpus-wide assignment pass."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine_expr(F.col("embedding"), _lit_vec(vec)), 4
+                ).alias("cos"),
+                F.lit(-cid).alias("neg_id"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(entries)
+    cols = [
+        F.col("vec_id"),
+        (-best["neg_id"]).cast("long").alias("centroid_id"),
+        best["cos"].alias("cos"),
+    ]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return embeddings.select(*cols)
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) — IVF-flat approximate top-k: probe
+    the query's nprobe nearest inverted lists, exact-cosine re-rank inside
+    them (the classic FAISS IVF design, beside the hyperplane-LSH variant
+    — IVF recall degrades gracefully with nprobe instead of with bucket
+    population).
+
+    Scale shape: corpus-side work is ONE codegen assignment pass
+    (ivf_assign, no shuffle) + a broadcast semi-join against the
+    |Q|·nprobe probe list that keeps ≈ nprobe/K of the corpus; the exact
+    re-rank joins the (broadcast) query vectors and windows per query_id
+    over only the surviving candidates."""
+    centroids = ivf_centroid_rows(embeddings, n_centroids)
+    # query → nprobe nearest centroids: sort an array of (−cos, id) structs
+    # ascending = cos desc, centroid_id asc; slice the first nprobe
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(cosine_expr(F.col("embedding"), _lit_vec(vec)), 4)
+                ).alias("ncos"),
+                F.lit(cid).alias("centroid_id"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    probes = (
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.slice(F.array_sort(entries), 1, nprobe)
+            ).alias("probe"),
+        )
+        .select("query_id", "qe", F.col("probe.centroid_id").alias("centroid_id"))
+    )
+    assigned = ivf_assign(embeddings, centroids, keep_embedding=True).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine_expr(F.col("qe"), F.col("embedding")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -311,3 +311,82 @@ def test_spell_suggest_neighborhood_exactness(spark):
     # "ab"/"ba" style false candidate: shared deletion variant, distance 2
     td2 = spark.createDataFrame([("ba", 4)], "term string, df long")
     assert spell_suggest(td2, "ab").count() == 0
+
+
+def test_ivf_assign_partitions_corpus(spark, mini_vecs):
+    cents = similarity.ivf_centroid_rows(mini_vecs, n_centroids=2)
+    assert [c[0] for c in cents] == [0, 1]  # deterministic sample: smallest ids
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in similarity.ivf_assign(mini_vecs, cents).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}  # every vector assigned exactly once
+    assert got[0] == 0 and got[1] == 1  # a centroid is its own nearest (cos=1)
+    assert got[3] == 1  # −x is least-far from the near-x centroid with higher cos
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, mini_vecs):
+    # nprobe = all lists → IVF degenerates to exact: full top-k agreement
+    exact = similarity.ann_bruteforce(mini_vecs, [0], k=3).orderBy("rank").collect()
+    full = similarity.ann_ivf(
+        mini_vecs, [0], k=3, n_centroids=2, nprobe=2
+    ).orderBy("rank").collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    # nprobe=1 → only the query's own list is searched (recall tradeoff):
+    # results must be a prefix-consistent subset of the probed list
+    part = similarity.ann_ivf(
+        mini_vecs, [0], k=3, n_centroids=2, nprobe=1
+    ).collect()
+    assert all(r["vec_id"] != 0 for r in part)
+    exact_cos = {r["vec_id"]: r["cos"] for r in exact}
+    for r in part:
+        assert r["cos"] == pytest.approx(exact_cos[r["vec_id"]], abs=1e-9)
+
+
+def test_more_like_this_semantics(spark, mini_docs):
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.search import more_like_this
+
+    postings = ib.build_postings(mini_docs)
+    td = ib.build_term_dict(postings)
+    n_docs = mini_docs.count()
+    got = more_like_this(postings, td, n_docs, seed_doc_id=0, k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 0 not in ids  # seed excluded
+    assert 1 in ids and 2 in ids  # exact duplicates of the seed rank
+    # identical docs tie exactly; tiebreak doc_id asc pins the order
+    assert ids.index(1) < ids.index(2)
+    # a seed absent from the corpus → empty result, not an error
+    assert more_like_this(postings, td, n_docs, seed_doc_id=10**9).count() == 0
+
+
+def test_synonym_expansion_merges_groups():
+    from search_engine_spark.textproc.synonyms import expand_terms
+
+    assert expand_terms(["join"]) == [["join", "merge"]]
+    assert expand_terms(["scan"]) == [["scan"]]  # unmapped → singleton
+    # two query terms from one group collapse to ONE conjunct
+    assert expand_terms(["join", "merge"]) == [["join", "merge"]]
+    assert expand_terms(["join", "data"]) == [
+        ["join", "merge"], ["data", "dataset"]]
+
+
+def test_search_synonyms_semantics(spark, mini_docs):
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.search import (
+        _conjunctive_hits,
+        search_synonyms,
+    )
+
+    postings = ib.build_postings(mini_docs)
+    # singleton groups ≡ plain conjunctive Σtf search
+    syn = search_synonyms(postings, [["fast"], ["scan"]]).collect()
+    plain = _conjunctive_hits(postings, ["fast", "scan"]).collect()
+    assert {(r["doc_id"], r["score_abs"]) for r in syn} == {
+        (r["doc_id"], r["score_abs"]) for r in plain
+    }
+    # a group matches via ANY member; absent members contribute nothing
+    either = search_synonyms(postings, [["fast", "zzabsent"]]).collect()
+    only = search_synonyms(postings, [["fast"]]).collect()
+    assert {(r["doc_id"], r["score_abs"]) for r in either} == {
+        (r["doc_id"], r["score_abs"]) for r in only
+    }
+    assert search_synonyms(postings, []).count() == 0

@@ -116,3 +116,57 @@ def test_merge_disjoint_terms_pass_through(spark, docs):
     merged = _blocks_sorted(merge_segments(_build(a), _build(b)))
     scratch = _blocks_sorted(_build(a.unionByName(b)))
     assert merged == scratch
+
+
+def _postings_set(blocks_df):
+    from search_engine_spark.operators.blocks import decode_blocks
+
+    return {
+        (r["term"], r["doc_id"], r["tf"]) for r in decode_blocks(blocks_df).collect()
+    }
+
+
+def test_segment_catalog_lifecycle(spark, docs, tmp_path):
+    """Delta-segment ingest + tiered maintain: the queryable union stays
+    posting-equivalent to a from-scratch build while segment count drops."""
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    cat = SegmentCatalog(spark, str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    for i in range(8):
+        cat.add_segment(docs.filter(f"doc_id % 8 = {i}"), f"s{i:02d}")
+    assert len(cat.segment_names()) == 8
+    with pytest.raises(ValueError):  # immutable: no overwrite by name
+        cat.add_segment(docs.limit(1), "s00")
+
+    created = cat.maintain(merge_factor=4)
+    assert created and len(cat.segment_names()) < 8
+    assert _postings_set(cat.read_blocks()) == _postings_set(_build(docs))
+
+    # manifest survives process boundaries: a fresh catalog sees the same set
+    cat2 = SegmentCatalog(spark, str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    assert cat2.segment_names() == cat.segment_names()
+
+
+def test_segment_catalog_tombstone_purge(spark, docs, tmp_path):
+    """maintain(deleted=…) physically purges tombstoned docs during the
+    merges it performs — result equals a build over the live docs."""
+    import numpy as np
+
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    cat = SegmentCatalog(spark, str(tmp_path / "idx2"), n_buckets=N_BUCKETS)
+    cat.add_segment(docs.filter("doc_id % 2 = 0"), "even")
+    cat.add_segment(docs.filter("doc_id % 2 = 1"), "odd")
+    dead = np.array([r["doc_id"] for r in docs.limit(40).collect()])
+    cat.maintain(merge_factor=2, deleted=dead)
+    assert len(cat.segment_names()) == 1
+    live = docs.join(
+        docs.sparkSession.createDataFrame(
+            [(int(d),) for d in dead], "doc_id long"
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    assert _blocks_sorted(cat.read_blocks().drop("doc_bucket")) == _blocks_sorted(
+        _build(live).drop("doc_bucket")
+    )

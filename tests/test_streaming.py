@@ -185,3 +185,48 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     assert len(got) == len(groups)  # one emission per distinct fingerprint
     for r in got:
         assert r["doc_id"] in groups[r["fp"]]  # a member of its group
+
+
+def test_stream_segments_lsm_ingestion(spark, tmp_path):
+    """foreachBatch → immutable delta segments + periodic tiered maintain:
+    the catalog's queryable union is posting-equivalent to a batch build
+    over everything streamed."""
+    from search_engine_spark.operators.blocks import decode_blocks
+    from search_engine_spark.operators.fused_build import (
+        blocks_from_packed,
+        pack_documents,
+    )
+    from search_engine_spark.segment_catalog import SegmentCatalog
+    from search_engine_spark.streaming.stream_segments import (
+        run_segment_ingestion,
+    )
+
+    docs = load_documents(spark, SF_TEST).filter(F.col("doc_id") < 120)
+    landing = str(tmp_path / "seg_landing")
+    for lo, hi, part in [(0, 40, "p1"), (40, 80, "p2"), (80, 120, "p3")]:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(*STREAM_COLS).coalesce(1).write.parquet(f"{landing}/{part}")
+
+    cat = SegmentCatalog(spark, str(tmp_path / "segidx"), n_buckets=N_BUCKETS)
+    stream = (
+        spark.readStream.schema(stream_documents(spark, landing).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/p*")
+    )
+    run_segment_ingestion(
+        stream, cat, str(tmp_path / "seg_ckpt"), maintain_every=2, merge_factor=2
+    )
+    assert cat.segment_names()  # ingested (maintain may have compacted)
+
+    streamed = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_blocks(cat.read_blocks()).collect()
+    }
+    scratch = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_blocks(
+            blocks_from_packed(pack_documents(docs, n_buckets=N_BUCKETS))
+        ).collect()
+    }
+    assert streamed == scratch
