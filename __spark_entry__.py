@@ -168,6 +168,15 @@ def _q_more_like_this(spark, sf_dir):
     return se.more_like_this(postings, term_dict, n_docs, MLT_SEED_DOC)
 
 
+def _q_collocations(spark, sf_dir):
+    """PMI-scored adjacent-bigram collocations over the positional
+    postings relation (phrase mining for training-data pipelines)."""
+    from search_engine_spark.operators.positional import build_positional
+    from search_engine_spark.operators.textstats import collocations
+
+    return collocations(build_positional(load_documents(spark, sf_dir)))
+
+
 def _q_search_synonyms(spark, sf_dir):
     """Synonym-expanded conjunctive search (SynonymQuery semantics: per
     group Σ member tf; groups AND together)."""
@@ -719,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_proximity": _q_search_proximity,
         "more_like_this": _q_more_like_this,
         "search_synonyms": _q_search_synonyms,
+        "collocations": _q_collocations,
         "status_filter": _q_status_filter,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
@@ -797,6 +807,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_by_site": ora.facet_by_site_sql(Q_GATE),
         "more_like_this": ora.more_like_this_sql(MLT_SEED_DOC),
         "search_synonyms": _synonyms_oracle(),
+        "collocations": ora.collocations_sql(),
         "search_proximity": ora.search_proximity_sql(
             analyze_phrase(PROX_PHRASE), slop=PROX_SLOP
         ),

@@ -445,6 +445,37 @@ ORDER BY n_hits DESC, site_key ASC
 """
 
 
+def collocations_sql(min_count: int = 5, k: int = 20,
+                     table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::collocations — adjacent-bigram PMI
+    over the positional postings relation."""
+    return f"""
+WITH {positional_terms_cte(table)},
+occ AS (SELECT term, count(*)::DOUBLE AS occ FROM pos_terms GROUP BY term),
+t_total AS (SELECT count(*)::DOUBLE AS t FROM pos_terms),
+bigrams AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*)::BIGINT AS pair_count
+  FROM pos_terms a JOIN pos_terms b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+b_total AS (SELECT sum(pair_count)::DOUBLE AS b FROM bigrams),
+scored AS (
+  SELECT g.term_a, g.term_b, g.pair_count,
+         round(ln((g.pair_count::DOUBLE * t.t * t.t)
+                  / (bt.b * oa.occ * ob.occ)), 4) AS pmi
+  FROM bigrams g
+  JOIN occ oa ON oa.term = g.term_a
+  JOIN occ ob ON ob.term = g.term_b
+  CROSS JOIN t_total t CROSS JOIN b_total bt
+  WHERE g.pair_count >= {min_count}
+)
+SELECT term_a, term_b, pair_count, pmi FROM scored
+ORDER BY pmi DESC, term_a ASC, term_b ASC
+LIMIT {k}
+"""
+
+
 def more_like_this_sql(seed_doc_id: int, m: int = 10, k: int = 20,
                        table: str = "documents") -> str:
     """Mirrors operators/search.py::more_like_this — seed doc's top-m

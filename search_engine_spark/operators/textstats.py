@@ -172,3 +172,65 @@ def fingerprint_col(text_col: str = "text"):
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) — deterministic content fingerprint (fingerprint_col)."""
     return docs.select("doc_id", fingerprint_col().alias("fp"))
+
+
+def collocations(
+    positional: DataFrame, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """Collocation mining → (term_a, term_b, pair_count, pmi): adjacent
+    retained-token bigrams scored by pointwise mutual information
+    PMI = ln(P(ab) / (P(a)·P(b))) — the classic phrase-mining signal for
+    training-data pipelines (multi-word expressions, named entities).
+    Computed over the positional postings relation
+    (operators/positional.py), so stopwords never split a collocation
+    (they are filtered before position numbering).
+
+    Scale shape: the bigram self-join keys on (doc_id, pos) — maximal
+    cardinality, no skew; both aggregations (per-pair, per-term) are
+    map-side combinable; T and B are two scalar aggregates collected
+    driver-side and baked into the PMI expression as literals (the idf-map
+    pattern). No UDF, no window over the corpus.
+
+    Deterministic: pmi rounded 4 dp; ties → (term_a, term_b) asc."""
+    occ = positional.groupBy("term").agg(F.count("*").alias("occ"))
+    t_total = positional.count()  # total retained-token occurrences
+    right = positional.select(
+        F.col("doc_id"),
+        (F.col("pos") - 1).alias("pos"),
+        F.col("term").alias("term_b"),
+    )
+    bigrams = (
+        positional.withColumnRenamed("term", "term_a")
+        .join(right, ["doc_id", "pos"])
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    b_total = bigrams.agg(F.sum("pair_count")).collect()[0][0] or 0
+    if b_total == 0 or t_total == 0:
+        return bigrams.withColumn("pmi", F.lit(0.0)).limit(0)
+    t_lit = F.lit(float(t_total))
+    b_lit = F.lit(float(b_total))
+    scored = (
+        bigrams.filter(F.col("pair_count") >= min_count)
+        .join(occ.withColumnRenamed("term", "term_a").withColumnRenamed("occ", "occ_a"), "term_a")
+        .join(occ.withColumnRenamed("term", "term_b").withColumnRenamed("occ", "occ_b"), "term_b")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * t_lit * t_lit)
+                    / (
+                        b_lit
+                        * F.col("occ_a").cast("double")
+                        * F.col("occ_b").cast("double")
+                    )
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("term_a", "term_b", "pair_count", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc())
+        .limit(k)
+    )

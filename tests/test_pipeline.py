@@ -390,3 +390,24 @@ def test_search_synonyms_semantics(spark, mini_docs):
         (r["doc_id"], r["score_abs"]) for r in only
     }
     assert search_synonyms(postings, []).count() == 0
+
+
+def test_collocations_pmi(spark):
+    from search_engine_spark.operators.positional import build_positional
+    from search_engine_spark.operators.textstats import collocations
+
+    # "alpha beta" always adjacent (strong collocation); "gamma"/"delta"
+    # co-occur but never adjacently in a fixed pair order
+    rows = [(i, "alpha beta gamma delta" if i % 2 else "alpha beta delta gamma")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = collocations(build_positional(docs), min_count=2, k=5).collect()
+    assert got, "expected collocations"
+    top = got[0]
+    assert (top["term_a"], top["term_b"]) == ("alpha", "beta")
+    assert top["pair_count"] == 10
+    # every returned pair meets the min_count floor
+    assert all(r["pair_count"] >= 2 for r in got)
+    # empty corpus → empty result, not an error
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert collocations(build_positional(empty)).count() == 0
