@@ -475,6 +475,21 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style token/bigram repetition signals (quality filtering)."""
+    from search_engine_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(load_documents(spark, sf_dir))
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: word 8-gram overlap of the train split
+    against the deterministic holdout (benchmark stand-in) split."""
+    from search_engine_spark.operators.dedup import contamination
+
+    return contamination(load_documents(spark, sf_dir))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from search_engine_spark.operators.dedup import exact_duplicates
 
@@ -744,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
+        "repetition_stats": _q_repetition_stats,
+        "contamination": _q_contamination,
         "dedup_exact": _q_dedup_exact,
         "minhash": _q_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -831,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),
         "fingerprints": pipe.fingerprints_sql(),
+        "repetition_stats": pipe.repetition_stats_sql(),
+        "contamination": pipe.contamination_sql(),
         "dedup_exact": pipe.exact_duplicates_sql(),
         "minhash": pipe.minhash_sql(),
         "dedup_lsh_pairs": pipe.lsh_pairs_sql(),

@@ -103,6 +103,48 @@ def fingerprints_sql(table: str = "documents") -> str:
     return f"SELECT doc_id, {FP_SQL} AS fp FROM {table}"
 
 
+def repetition_stats_sql(table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::repetition_stats."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '{WS_SPLIT}', ' ', 'g'), ' ') AS toks
+  FROM {table} WHERE trim(text) <> ''
+),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY doc_id, tok
+),
+ta AS (
+  SELECT doc_id, sum(c) AS n_tok, count(*) AS n_distinct, max(c) AS top_tok
+  FROM tc GROUP BY doc_id
+),
+bc AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (
+    SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bg
+    FROM base, unnest(range(0, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 2
+  ) GROUP BY doc_id, bg
+),
+ba AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(ta.n_tok, 0)::BIGINT AS n_tok,
+       round(CASE WHEN coalesce(ta.n_tok, 0) > 0
+                  THEN (ta.n_tok - ta.n_distinct)::DOUBLE / ta.n_tok
+                  ELSE 0.0 END, 4) AS dup_token_frac,
+       round(CASE WHEN coalesce(ta.n_tok, 0) > 0
+                  THEN ta.top_tok::DOUBLE / ta.n_tok
+                  ELSE 0.0 END, 4) AS top_token_ratio,
+       round(CASE WHEN coalesce(ba.n_bg, 0) > 0
+                  THEN ba.top_bg::DOUBLE / ba.n_bg
+                  ELSE 0.0 END, 4) AS top_bigram_ratio
+FROM {table} d
+LEFT JOIN ta ON ta.doc_id = d.doc_id
+LEFT JOIN ba ON ba.doc_id = d.doc_id
+"""
+
+
 # ------------------------------------------------------------------- dedup
 
 def exact_duplicates_sql(table: str = "documents") -> str:
@@ -338,6 +380,39 @@ SELECT doc_id,
        CASE WHEN {_sample_u_sql(seed_tag)} < {float(holdout_fraction)!r}
             THEN 'holdout' ELSE 'train' END AS split
 FROM {table}
+"""
+
+
+def contamination_sql(holdout_fraction: float = dd.CONTAM_HOLDOUT,
+                      k: int = dd.CONTAM_K, seed_tag: str = "split",
+                      table: str = "documents") -> str:
+    """Mirrors operators/dedup.py::contamination — word k-gram overlap
+    between the deterministic train and holdout splits."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN {_sample_u_sql(seed_tag)} < {float(holdout_fraction)!r}
+              THEN 'holdout' ELSE 'train' END AS split,
+         string_split(regexp_replace(lower(trim(text)), '{WS_SPLIT}', ' ', 'g'), ' ') AS toks
+  FROM {table} WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT DISTINCT doc_id, split,
+         CASE WHEN len(toks) <= {k} THEN array_to_string(toks, ' ')
+              ELSE array_to_string(list_slice(toks, i + 1, i + {k}), ' ') END AS shingle
+  FROM norm, unnest(range(0, greatest(len(toks) - {k}, 0) + 1)) AS t(i)
+),
+hits AS (
+  SELECT a.doc_id, a.shingle, b.doc_id AS holdout_id
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.split = 'train' AND b.split = 'holdout'
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_hits,
+       count(DISTINCT shingle)::BIGINT AS n_shingles,
+       count(DISTINCT holdout_id)::BIGINT AS n_holdout_docs
+FROM hits GROUP BY doc_id
+ORDER BY n_hits DESC, doc_id ASC
 """
 
 

@@ -211,6 +211,53 @@ def jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------- decontamination
+
+CONTAM_K = 8  # contamination shingle width (word 8-grams)
+CONTAM_HOLDOUT = 0.05  # stand-in benchmark fraction for the contract query
+
+
+def contamination(
+    docs: DataFrame,
+    holdout_fraction: float = CONTAM_HOLDOUT,
+    k: int = CONTAM_K,
+    seed_tag: str = "split",
+) -> DataFrame:
+    """Benchmark-decontamination check → (doc_id, n_hits, n_shingles,
+    n_holdout_docs): training documents sharing at least one word k-gram
+    with the held-out (benchmark stand-in) split. The GPT-3/PaLM-style
+    n-gram-overlap decontamination pass, expressed over the deterministic
+    split (sampling.split_train_holdout) so the oracle reproduces
+    membership bit-for-bit.
+
+      * n_hits          — matched (shingle, holdout doc) pairs
+      * n_shingles      — distinct contaminated shingles in the doc
+      * n_holdout_docs  — distinct benchmark docs it collides with
+
+    Scale shape: the benchmark side is small by construction (real eval
+    suites are MBs against a 100 TB corpus), so its shingle set broadcasts
+    and the train side streams through a map-side hash join — no shuffle
+    of the corpus. Output is ONLY contaminated docs (inner join), so
+    result size is bounded by actual contamination. For a holdout too big
+    to broadcast, drop the hint and AQE falls back to a shuffle join."""
+    from .sampling import split_train_holdout
+
+    split = split_train_holdout(docs, holdout_fraction, seed_tag)
+    train = split.filter(F.col("split") == "train")
+    hold = split.filter(F.col("split") == "holdout")
+    hsh = word_shingles(hold, k).withColumnRenamed("doc_id", "holdout_id")
+    hits = word_shingles(train, k).join(F.broadcast(hsh), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("shingle").alias("n_shingles"),
+            F.count_distinct("holdout_id").alias("n_holdout_docs"),
+        )
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

@@ -174,6 +174,89 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fingerprint_col().alias("fp"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals → (doc_id, n_tok, dup_token_frac,
+    top_token_ratio, top_bigram_ratio): the repetition family of quality
+    rules from Rae et al. 2021 ("Scaling Language Models: ... Gopher",
+    §A1.1), adapted token-level (this corpus has no line structure):
+
+      * dup_token_frac   — (n_tok − n_distinct) / n_tok: mass of repeated
+        whitespace tokens (Gopher's duplicate-line fraction analogue);
+      * top_token_ratio  — most-frequent-token count / n_tok (Gopher's
+        top-1-gram character fraction analogue);
+      * top_bigram_ratio — most-frequent-bigram count / (n_tok − 1)
+        (Gopher's top-2-gram rule). 0.0 for docs with < 2 tokens.
+
+    Scale shape: two explode→groupBy passes (tokens, bigrams), both linear
+    in corpus size, both map-side combinable, both keyed on
+    (doc_id, gram) — maximal cardinality, no skew, no window, no UDF. The
+    bigram array is built in-task with zip_with (no self-join). Empty docs
+    survive with all-zero signals via the left join from the doc spine.
+
+    Deterministic: ratios rounded 4 dp."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim("text")), WS_SPLIT, " "), " "
+    )
+    base = docs.filter(F.trim("text") != "").select(
+        "doc_id", toks.alias("toks")
+    )
+    tok_agg = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg_agg = (
+        base.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bg"), F.max("c").alias("top_bg"))
+    )
+    n_tok = F.coalesce("n_tok", F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(tok_agg, "doc_id", "left")
+        .join(bg_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tok"),
+            F.round(
+                F.when(
+                    n_tok > 0,
+                    (n_tok - F.coalesce("n_distinct", F.lit(0))) / n_tok,
+                ).otherwise(0.0),
+                4,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.when(
+                    n_tok > 0, F.coalesce("top_tok", F.lit(0)) / n_tok
+                ).otherwise(0.0),
+                4,
+            ).alias("top_token_ratio"),
+            F.round(
+                F.when(
+                    F.coalesce("n_bg", F.lit(0)) > 0,
+                    F.col("top_bg") / F.col("n_bg"),
+                ).otherwise(0.0),
+                4,
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
 def collocations(
     positional: DataFrame, min_count: int = 5, k: int = 20
 ) -> DataFrame:

@@ -411,3 +411,55 @@ def test_collocations_pmi(spark):
     # empty corpus → empty result, not an error
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert collocations(build_positional(empty)).count() == 0
+
+
+def test_repetition_stats_semantics(spark):
+    from search_engine_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token repeated 4x
+            (2, "x y z"),            # no repetition
+            (3, ""),                 # empty → all-zero signals
+            (4, "solo"),             # single token → no bigrams
+            (5, "p q p q p q"),      # dominant bigram loop
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(got) == 5
+    r1 = got[1]
+    assert (r1["n_tok"], r1["dup_token_frac"], r1["top_token_ratio"]) == (4, 0.75, 1.0)
+    assert r1["top_bigram_ratio"] == 1.0  # "a a" is every bigram
+    r2 = got[2]
+    assert (r2["dup_token_frac"], r2["top_token_ratio"]) == (0.0, round(1 / 3, 4))
+    assert r2["top_bigram_ratio"] == 0.5  # 2 distinct bigrams of 2
+    assert (got[3]["n_tok"], got[3]["dup_token_frac"],
+            got[3]["top_token_ratio"], got[3]["top_bigram_ratio"]) == (0, 0.0, 0.0, 0.0)
+    assert (got[4]["n_tok"], got[4]["top_bigram_ratio"]) == (1, 0.0)
+    r5 = got[5]  # "p q" appears 3/5 bigrams; p and q each 3/6 tokens
+    assert (r5["top_token_ratio"], r5["top_bigram_ratio"]) == (0.5, 0.6)
+
+
+def test_contamination_flags_cross_split_overlap(spark):
+    """Craft a corpus where one train doc shares an 8-gram with one holdout
+    doc; only that train doc is flagged. Split membership is the pure h60
+    function, so we pick doc_ids by computing it."""
+    from search_engine_spark.hashing import h60_py
+    from search_engine_spark.operators.dedup import CONTAM_K, contamination
+
+    frac = 0.3
+    u = lambda d: h60_py(f"split:{d}") / 2**60
+    hold_ids = [d for d in range(200) if u(d) < frac]
+    train_ids = [d for d in range(200) if u(d) >= frac]
+    assert hold_ids and len(train_ids) >= 2
+    shared = " ".join(f"w{i}" for i in range(CONTAM_K))  # one exact 8-gram
+    rows = [(hold_ids[0], shared + " tailh")]
+    rows.append((train_ids[0], "head " + shared))         # contaminated
+    for j, d in enumerate(train_ids[1:5]):                # clean train docs
+        rows.append((d, " ".join(f"u{j}x{i}" for i in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = contamination(docs, holdout_fraction=frac).collect()
+    assert [r["doc_id"] for r in got] == [train_ids[0]]
+    r = got[0]
+    assert r["n_hits"] == 1 and r["n_shingles"] == 1 and r["n_holdout_docs"] == 1
