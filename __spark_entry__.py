@@ -475,6 +475,22 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(load_documents(spark, sf_dir))
 
 
+def _q_lm_scores(spark, sf_dir):
+    """Unigram-LM perplexity-proxy quality filter over the shared
+    postings relation."""
+    from search_engine_spark.operators.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(ib.build_postings(load_documents(spark, sf_dir)))
+
+
+def _q_doc_keywords(spark, sf_dir):
+    """Per-doc top-3 tf-idf keyword extraction (curation tagging)."""
+    from search_engine_spark.operators.textstats import doc_keywords
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return doc_keywords(postings, term_dict, n_docs)
+
+
 def _q_repetition_stats(spark, sf_dir):
     """Gopher-style token/bigram repetition signals (quality filtering)."""
     from search_engine_spark.operators.textstats import repetition_stats
@@ -759,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
+        "lm_scores": _q_lm_scores,
+        "doc_keywords": _q_doc_keywords,
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
         "dedup_exact": _q_dedup_exact,
@@ -848,6 +866,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),
         "fingerprints": pipe.fingerprints_sql(),
+        "lm_scores": pipe.unigram_lm_scores_sql(),
+        "doc_keywords": pipe.doc_keywords_sql(),
         "repetition_stats": pipe.repetition_stats_sql(),
         "contamination": pipe.contamination_sql(),
         "dedup_exact": pipe.exact_duplicates_sql(),

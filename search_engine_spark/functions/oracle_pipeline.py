@@ -103,6 +103,48 @@ def fingerprints_sql(table: str = "documents") -> str:
     return f"SELECT doc_id, {FP_SQL} AS fp FROM {table}"
 
 
+def unigram_lm_scores_sql(table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::unigram_lm_scores."""
+    return f"""
+WITH {terms_cte(table)},
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tc GROUP BY term),
+tot AS (SELECT sum(cf) AS t FROM cf),
+per_doc AS (
+  SELECT tc.doc_id,
+         sum(tc.tf)::BIGINT AS dl,
+         sum(tc.tf * ln(cf.cf / tot.t)) / sum(tc.tf) AS avg
+  FROM tc JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY tc.doc_id
+)
+SELECT doc_id, dl, round(avg, 4) AS avg_logp, round(exp(-avg), 4) AS lm_ppl
+FROM per_doc
+"""
+
+
+def doc_keywords_sql(k: int = 3, table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::doc_keywords (rank on ROUNDED
+    tfidf, ties → term asc)."""
+    return f"""
+WITH {terms_cte(table)},
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM {table}),
+scored AS (
+  SELECT tc.doc_id, tc.term,
+         round(tc.tf::DOUBLE * ln(n.n_docs / df.df::DOUBLE), 4) AS tfidf
+  FROM tc JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC)::INT AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def repetition_stats_sql(table: str = "documents") -> str:
     """Mirrors operators/textstats.py::repetition_stats."""
     return f"""

@@ -174,6 +174,84 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fingerprint_col().alias("fp"))
 
 
+def unigram_lm_scores(postings: DataFrame) -> DataFrame:
+    """Unigram-LM quality filter → (doc_id, dl, avg_logp, lm_ppl): score
+    every document by the mean log-probability of its retained tokens
+    under the corpus unigram MLE — the cheap stand-in for the
+    perplexity-filtering pass (CCNet/KenLM-style) every web-scale
+    training-data pipeline runs. lm_ppl = exp(−avg_logp); high perplexity
+    ⇒ the doc's token mix is unlike the corpus (gibberish, boilerplate,
+    wrong language).
+
+    Input is the logical postings relation (doc_id, term, tf), so the
+    expensive tokenize pass is shared with the index build. Plan: one
+    groupBy(term) for corpus frequencies, one term-keyed join back
+    (map-side combinable aggs; the cf side is vocabulary-sized — AQE
+    broadcasts it while it fits), one groupBy(doc_id). The corpus total T
+    is a driver-side scalar baked as a literal (the idf-map pattern).
+
+    Deterministic: avg_logp and lm_ppl rounded 4 dp."""
+    cf = postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+    t_total = cf.agg(F.sum("cf")).collect()[0][0] or 0
+    if t_total == 0:
+        return postings.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("dl"),
+            F.lit(0.0).alias("avg_logp"),
+            F.lit(0.0).alias("lm_ppl"),
+        ).limit(0)
+    logp = F.log(F.col("cf").cast("double") / F.lit(float(t_total)))
+    per_doc = (
+        postings.join(cf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            (F.sum(F.col("tf").cast("double") * logp) / F.sum("tf")).alias(
+                "avg"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.round("avg", 4).alias("avg_logp"),
+        F.round(F.exp(-F.col("avg")), 4).alias("lm_ppl"),
+    )
+
+
+def doc_keywords(
+    postings: DataFrame, term_dict: DataFrame, n_docs: int, k: int = 3
+) -> DataFrame:
+    """Per-document keyword extraction → (doc_id, term, tfidf, rank): the
+    top-k terms of each doc by tf·idf (idf = ln(N/df)) — the tagging /
+    labeling operator of a curation pipeline (and the per-doc profile
+    "more like this" builds its disjunctive query from).
+
+    Plan: term-keyed join postings↔dictionary (AQE broadcasts the
+    vocabulary side while it fits), then one window partitioned by doc_id
+    — maximal-cardinality key, no skew. N arrives as a driver scalar.
+
+    Deterministic: ranked on the ROUNDED tfidf (4 dp) so both engines
+    order identically; ties → term asc."""
+    from pyspark.sql import Window
+
+    tfidf = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        4,
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        postings.join(term_dict.select("term", "df"), "term")
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals → (doc_id, n_tok, dup_token_frac,
     top_token_ratio, top_bigram_ratio): the repetition family of quality

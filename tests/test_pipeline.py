@@ -463,3 +463,46 @@ def test_contamination_flags_cross_split_overlap(spark):
     assert [r["doc_id"] for r in got] == [train_ids[0]]
     r = got[0]
     assert r["n_hits"] == 1 and r["n_shingles"] == 1 and r["n_holdout_docs"] == 1
+
+
+def test_unigram_lm_scores_values(spark):
+    import math
+
+    from search_engine_spark.operators.textstats import unigram_lm_scores
+
+    postings = spark.createDataFrame(
+        [(1, "data", 2), (1, "zebra", 1), (2, "data", 1)],
+        "doc_id long, term string, tf long",
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(postings).collect()}
+    # cf: data=3, zebra=1, T=4
+    a1 = (2 * math.log(3 / 4) + math.log(1 / 4)) / 3
+    a2 = math.log(3 / 4)
+    assert got[1]["dl"] == 3 and got[2]["dl"] == 1
+    assert got[1]["avg_logp"] == round(a1, 4)
+    assert got[2]["avg_logp"] == round(a2, 4)
+    assert got[1]["lm_ppl"] == round(math.exp(-a1), 4)
+    # rare-heavy doc 1 is higher-perplexity than common-only doc 2
+    assert got[1]["lm_ppl"] > got[2]["lm_ppl"]
+    empty = spark.createDataFrame([], "doc_id long, term string, tf long")
+    assert unigram_lm_scores(empty).count() == 0
+
+
+def test_doc_keywords_ranking(spark):
+    from search_engine_spark.operators.textstats import doc_keywords
+
+    postings = spark.createDataFrame(
+        [(1, "rare", 1), (1, "common", 5), (1, "alpha", 1), (1, "beta", 1)],
+        "doc_id long, term string, tf long",
+    )
+    term_dict = spark.createDataFrame(
+        [("rare", 1, 1), ("common", 10, 50), ("alpha", 2, 2), ("beta", 2, 2)],
+        "term string, df long, cf long",
+    )
+    got = doc_keywords(postings, term_dict, n_docs=10, k=3).collect()
+    ranked = sorted(got, key=lambda r: r["rank"])
+    # rare: 1·ln(10/1)=2.3026 beats common: 5·ln(10/10)=0; alpha/beta tie
+    # on tfidf 1·ln(5)=1.6094 → broken alphabetically
+    assert [r["term"] for r in ranked] == ["rare", "alpha", "beta"]
+    assert ranked[0]["tfidf"] == 2.3026 and ranked[1]["tfidf"] == 1.6094
+    assert [r["rank"] for r in ranked] == [1, 2, 3]
