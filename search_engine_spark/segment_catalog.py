@@ -20,14 +20,25 @@ Layout on disk (plain parquet standing in for Iceberg, same seam as
 catalog.IndexStore):
 
     index_dir/segments/<name>/          block table (partitioned by bucket)
-    index_dir/segments.json             {name: {n_docs, n_postings}} manifest
+    index_dir/segments.json             current manifest (live pointer)
+    index_dir/snapshots/v<N>.json       immutable snapshot per commit
 
 The manifest is tiny driver-side metadata (like Lucene's segments_N file);
 every mutation rewrites it atomically (write-temp + rename) AFTER the data
 it describes is fully written, so a crash leaves either the old or the new
 manifest — never a manifest pointing at half-written blocks. Orphan
-segment dirs from a crash are invisible (not in the manifest) and are
-swept by the next maintain().
+segment dirs from a crash are invisible (not in any retained snapshot)
+and are swept by the next maintain().
+
+Snapshots give the catalog Iceberg's table-versioning semantics over the
+same files: every commit (add_segment / each maintain merge / rollback)
+appends an immutable ``snapshots/v<N>.json`` recording the full segment
+set, its parent version and the operation. ``read_blocks(at_version=…)``
+time-travels; ``rollback(v)`` makes an old snapshot current (a NEW
+snapshot, Iceberg-style — history is append-only); data files compacted
+away stay on disk until ``expire_snapshots(keep_last=…)`` drops the last
+snapshot referencing them — exactly Iceberg's expire-snapshots contract,
+so readers of any retained version never lose files underneath them.
 """
 
 from __future__ import annotations
@@ -58,7 +69,9 @@ class SegmentCatalog:
         self.n_buckets = n_buckets
         self.seg_root = os.path.join(index_dir, "segments")
         self.manifest_path = os.path.join(index_dir, "segments.json")
+        self.snap_root = os.path.join(index_dir, "snapshots")
         os.makedirs(self.seg_root, exist_ok=True)
+        os.makedirs(self.snap_root, exist_ok=True)
 
     # ------------------------------------------------------------ manifest
 
@@ -68,14 +81,104 @@ class SegmentCatalog:
         with open(self.manifest_path) as f:
             return json.load(f)
 
-    def _write_manifest(self, m: dict[str, dict]) -> None:
+    def _write_manifest(self, m: dict[str, dict], operation: str) -> None:
+        """Commit: append an immutable snapshot file, then atomically swing
+        the current pointer. Data files are always fully written before
+        this is called; a crash between the two writes leaves an orphan
+        snapshot describing a state that never became current — harmless,
+        aged out by expire_snapshots()."""
+        parent = self.current_version()
+        version = parent + 1
+        snap = {
+            "version": version,
+            "parent": parent or None,
+            "operation": operation,
+            "segments": m,
+        }
+        spath = os.path.join(self.snap_root, f"v{version}.json")
+        tmp = spath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, sort_keys=True, indent=1)
+        os.replace(tmp, spath)
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, sort_keys=True, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic on POSIX
 
-    def segment_names(self) -> list[str]:
-        return sorted(self.manifest())
+    # ----------------------------------------------------------- snapshots
+
+    def _snapshot_versions(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self.snap_root):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        """0 when no commit has happened yet."""
+        vs = self._snapshot_versions()
+        return vs[-1] if vs else 0
+
+    def snapshot(self, version: int) -> dict:
+        path = os.path.join(self.snap_root, f"v{version}.json")
+        if not os.path.exists(path):
+            raise KeyError(
+                f"snapshot v{version} not found (expired or never committed)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """History, oldest first: [{version, parent, operation, segments}]."""
+        return [self.snapshot(v) for v in self._snapshot_versions()]
+
+    def rollback(self, version: int) -> int:
+        """Make an old snapshot's segment set current — as a NEW commit
+        (append-only history, Iceberg semantics). Refuses if any of the
+        target's segment dirs has been expired from disk."""
+        snap = self.snapshot(version)
+        missing = [
+            n
+            for n in snap["segments"]
+            if not os.path.isdir(os.path.join(self.seg_root, n))
+        ]
+        if missing:
+            raise KeyError(
+                f"cannot roll back to v{version}: segments expired {missing}"
+            )
+        self._write_manifest(dict(snap["segments"]), f"rollback-to-v{version}")
+        return self.current_version()
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots, then delete
+        segment dirs no retained snapshot references (Iceberg
+        expire-snapshots). Returns the deleted segment names."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self._snapshot_versions()
+        for v in vs[:-keep_last]:
+            os.remove(os.path.join(self.snap_root, f"v{v}.json"))
+        live = self._referenced_segments()
+        deleted = []
+        for d in sorted(os.listdir(self.seg_root)):
+            if d not in live:
+                shutil.rmtree(os.path.join(self.seg_root, d), ignore_errors=True)
+                deleted.append(d)
+        return deleted
+
+    def _referenced_segments(self) -> set[str]:
+        """Every segment any retained snapshot (or the current manifest)
+        still points at — the files expire_snapshots/_sweep_orphans must
+        keep."""
+        live = set(self.manifest())
+        for v in self._snapshot_versions():
+            live |= set(self.snapshot(v)["segments"])
+        return live
+
+    def segment_names(self, at_version: int | None = None) -> list[str]:
+        if at_version is None:
+            return sorted(self.manifest())
+        return sorted(self.snapshot(at_version)["segments"])
 
     # ------------------------------------------------------------- ingest
 
@@ -106,7 +209,7 @@ class SegmentCatalog:
             "n_postings": int(stats["n_postings"] or 0),
             "n_blocks": int(stats["n_blocks"]),
         }
-        self._write_manifest(m)
+        self._write_manifest(m, f"append:{name}")
         return m[name]
 
     # -------------------------------------------------------------- query
@@ -118,13 +221,16 @@ class SegmentCatalog:
             os.path.join(self.seg_root, name)
         )
 
-    def read_blocks(self) -> DataFrame:
-        """The queryable block table: union of every live segment.
+    def read_blocks(self, at_version: int | None = None) -> DataFrame:
+        """The queryable block table: union of every live segment —
+        current by default, or any retained snapshot via ``at_version``
+        (time travel; segments are immutable, so an old version is just a
+        different union over the same files).
 
         Parquet union is scan-parallel; per-segment files stay partitioned
         by doc_bucket so bucket pruning / term min-max skipping apply
         per segment exactly as in the single-store path."""
-        names = self.segment_names()
+        names = self.segment_names(at_version)
         if not names:
             raise FileNotFoundError(f"no segments in {self.index_dir}")
         # one read per segment root (each is its own partitioned layout;
@@ -185,15 +291,16 @@ class SegmentCatalog:
                     "n_postings": int(stats["n_postings"] or 0),
                     "n_blocks": int(stats["n_blocks"]),
                 }
-                self._write_manifest(m)
-                for n in group:
-                    shutil.rmtree(os.path.join(self.seg_root, n), ignore_errors=True)
+                self._write_manifest(m, f"compact:{new_name}")
                 created.append(new_name)
         self._sweep_orphans()
         return created
 
     def _sweep_orphans(self) -> None:
-        live = set(self.manifest())
+        """Delete segment dirs NO retained snapshot references (half-written
+        crash leftovers). Compacted-away inputs are NOT orphans — older
+        snapshots still reference them until expire_snapshots()."""
+        live = self._referenced_segments()
         for d in os.listdir(self.seg_root):
             if d not in live:
                 shutil.rmtree(os.path.join(self.seg_root, d), ignore_errors=True)

@@ -170,3 +170,74 @@ def test_segment_catalog_tombstone_purge(spark, docs, tmp_path):
     assert _blocks_sorted(cat.read_blocks().drop("doc_bucket")) == _blocks_sorted(
         _build(live).drop("doc_bucket")
     )
+
+
+def test_snapshot_time_travel_and_expiry(spark, docs, tmp_path):
+    """Iceberg-style versioning: every commit is an immutable snapshot;
+    old versions stay readable through compaction until expired; rollback
+    is an append-only new commit; expiry removes unreferenced files."""
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    cat = SegmentCatalog(spark, str(tmp_path / "tt"), n_buckets=N_BUCKETS)
+    for i in range(4):
+        cat.add_segment(docs.filter(f"doc_id % 4 = {i}"), f"s{i}")
+    v_pre = cat.current_version()
+    assert v_pre == 4
+    pre_names = cat.segment_names()
+    pre_postings = _postings_set(cat.read_blocks())
+
+    created = cat.maintain(merge_factor=2)
+    assert created
+    v_post = cat.current_version()
+    assert v_post > v_pre
+    # time travel: the pre-compaction version still reads, same postings
+    assert cat.segment_names(at_version=v_pre) == pre_names
+    assert _postings_set(cat.read_blocks(at_version=v_pre)) == pre_postings
+    # current version reads the compacted set, same logical postings
+    assert _postings_set(cat.read_blocks()) == pre_postings
+    ops = [s["operation"] for s in cat.snapshots()]
+    assert ops[:4] == [f"append:s{i}" for i in range(4)]
+    assert any(op.startswith("compact:") for op in ops[4:])
+
+    # rollback re-activates the old segment set as a NEW commit
+    v_rb = cat.rollback(v_pre)
+    assert v_rb == v_post + 1
+    assert cat.segment_names() == pre_names
+    assert _postings_set(cat.read_blocks()) == pre_postings
+    cat.rollback(v_post)  # back to the compacted set
+
+    # history survives a process boundary
+    cat2 = SegmentCatalog(spark, str(tmp_path / "tt"), n_buckets=N_BUCKETS)
+    assert cat2.current_version() == v_rb + 1
+    assert cat2.segment_names(at_version=v_pre) == pre_names
+
+    # expiry: keep only the current snapshot → old versions gone, the
+    # compacted-away input dirs deleted, current still fully readable
+    deleted = cat2.expire_snapshots(keep_last=1)
+    # the originals AND intermediate merge outputs go; current set stays
+    assert set(pre_names) <= set(deleted)
+    assert not set(cat2.segment_names()) & set(deleted)
+    with pytest.raises(KeyError):
+        cat2.snapshot(v_pre)
+    with pytest.raises(KeyError):
+        cat2.rollback(v_pre)
+    assert _postings_set(cat2.read_blocks()) == pre_postings
+
+
+def test_sweep_keeps_snapshot_referenced_segments(spark, docs, tmp_path):
+    """maintain()'s orphan sweep must not delete compacted-away inputs
+    while older snapshots still reference them — only true orphans
+    (crash leftovers absent from every snapshot) go."""
+    import os
+
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    cat = SegmentCatalog(spark, str(tmp_path / "sw"), n_buckets=N_BUCKETS)
+    cat.add_segment(docs.filter("doc_id % 2 = 0"), "a")
+    cat.add_segment(docs.filter("doc_id % 2 = 1"), "b")
+    orphan = os.path.join(cat.seg_root, "crashed-tmp")
+    os.makedirs(orphan)
+    cat.maintain(merge_factor=2)
+    assert not os.path.isdir(orphan)  # true orphan swept
+    assert os.path.isdir(os.path.join(cat.seg_root, "a"))  # still referenced
+    assert os.path.isdir(os.path.join(cat.seg_root, "b"))
