@@ -451,6 +451,46 @@ SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}  # zh/es dropped
 HOLDOUT_FRACTION = 0.1
 
 
+def _q_latest_revisions(spark, sf_dir):
+    """Crawl-snapshot reconciliation: newest revision per logical page
+    (max_by agg, not a window — one shuffle, no sort)."""
+    from search_engine_spark.operators.curation import (
+        latest_revisions,
+        with_page_key,
+    )
+
+    out = latest_revisions(with_page_key(load_documents(spark, sf_dir)))
+    return out.withColumn("warc_epoch", F.unix_timestamp("warc_ts")).drop(
+        "warc_ts"
+    )
+
+
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide duplicated-line removal, first occurrence
+    wins; document text reassembled from surviving lines."""
+    from search_engine_spark.operators.curation import (
+        doc_lines,
+        remove_duplicated_lines,
+    )
+
+    return remove_duplicated_lines(doc_lines(load_documents(spark, sf_dir)))
+
+
+def _q_pii_redact(spark, sf_dir):
+    """Vectorized email/IPv4/phone scrubbing with per-class counts over
+    deterministically injected PII slices."""
+    from search_engine_spark.operators.curation import pii_augment, redact_pii
+
+    return redact_pii(pii_augment(load_documents(spark, sf_dir)))
+
+
+def _q_domain_stats(spark, sf_dir):
+    """Per-site curation rollup (the domain-level filter table)."""
+    from search_engine_spark.operators.curation import domain_stats
+
+    return domain_stats(load_documents(spark, sf_dir))
+
+
 def _q_lang_id(spark, sf_dir):
     from search_engine_spark.operators.textstats import language_id
 
@@ -771,6 +811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_merge_deletes": _q_segment_merge_deletes,
         "term_dict_blocks": _q_term_dict_blocks,
         "block_meta": _q_block_meta,
+        "latest_revisions": _q_latest_revisions,
+        "line_dedup": _q_line_dedup,
+        "pii_redact": _q_pii_redact,
+        "domain_stats": _q_domain_stats,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -862,6 +906,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_dict_blocks": ora.term_dict_sql(),
         "block_meta": ora.block_meta_sql(),
+        "latest_revisions": pipe.latest_revisions_sql(),
+        "line_dedup": pipe.line_dedup_sql(),
+        "pii_redact": pipe.pii_redact_sql(),
+        "domain_stats": pipe.domain_stats_sql(),
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),

@@ -9,11 +9,12 @@ oracle cannot drift. All hashing goes through the portable h60
 from __future__ import annotations
 
 from ..hashing import h60_sql
+from ..operators import curation as cu
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import textstats as ts
 from ..textproc.stopwords import sql_not_in_list
-from .oracle_fragments import terms_cte
+from .oracle_fragments import PARSEABLE_SQL, SITE_KEY_SQL, terms_cte
 from ..textproc.tokenize import WS_SPLIT
 
 # --------------------------------------------------------------- textstats
@@ -808,4 +809,109 @@ WITH ranked AS (
   FROM part
 )
 SELECT p_brand, p_partkey, price, rk::INT AS rk FROM ranked WHERE rk <= 3
+"""
+
+# ---------------------------------------------------------------- curation
+
+
+def latest_revisions_sql(table: str = "documents") -> str:
+    """Newest revision per logical page — mirrors
+    operators/curation.py::latest_revisions over with_page_key. The oracle
+    states the spec naively (window row_number); the engine's max_by agg
+    must produce the identical winner set."""
+    return f"""
+WITH revs AS (
+  SELECT doc_id, doc_id % {cu.PAGE_KEY_MOD} AS page_key,
+         1704067200 + 60 * doc_id AS warc_epoch
+  FROM {table}
+),
+ranked AS (
+  SELECT page_key, doc_id, warc_epoch,
+         count(*) OVER (PARTITION BY page_key) AS n_revisions,
+         row_number() OVER (PARTITION BY page_key
+                            ORDER BY warc_epoch DESC, doc_id DESC) AS rn
+  FROM revs
+)
+SELECT page_key, n_revisions::BIGINT AS n_revisions, doc_id, warc_epoch
+FROM ranked WHERE rn = 1
+"""
+
+
+def line_dedup_sql(width: int = cu.LINE_WIDTH, table: str = "documents") -> str:
+    """CCNet-style corpus-wide duplicated-line removal, first occurrence
+    (doc_id, line_no) wins — mirrors curation.py::doc_lines +
+    remove_duplicated_lines bit-for-bit (same ASCII whitespace split, same
+    chunk slicing, first-wins on the h60 line hash)."""
+    lh = h60_sql("line")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '{cu.LINE_WS}') AS tk
+  FROM {table}
+),
+lines0 AS (
+  SELECT doc_id, r.i AS line_no,
+         array_to_string(tk[(r.i*{width}+1):((r.i+1)*{width})], ' ') AS line
+  FROM toks, LATERAL unnest(
+    generate_series(0, CAST(ceil(len(tk)/{width}.0) AS BIGINT) - 1)) AS r(i)
+),
+occ AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (PARTITION BY {lh}
+                            ORDER BY doc_id, line_no) AS rn
+  FROM lines0 WHERE line <> ''
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                           ORDER BY line_no), '') AS clean_text,
+       count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+       count(*) FILTER (WHERE rn <> 1)::BIGINT AS n_dropped
+FROM occ GROUP BY doc_id
+"""
+
+
+def _pii_augmented_sql() -> str:
+    """Mirror of curation.py::pii_augment (deterministic injected PII)."""
+    return (
+        "(text"
+        f" || CASE WHEN doc_id % {cu.PII_EMAIL_MOD} = 0 THEN"
+        " ' contact user' || doc_id || '@example.com' ELSE '' END"
+        f" || CASE WHEN doc_id % {cu.PII_IP_MOD} = 0 THEN"
+        " ' from 10.' || (doc_id % 250) || '.0.' || (doc_id % 200) ELSE '' END"
+        f" || CASE WHEN doc_id % {cu.PII_PHONE_MOD} = 0 THEN"
+        " ' call +7915' || lpad((doc_id % 10000)::VARCHAR, 6, '0') ELSE '' END)"
+    )
+
+
+def pii_redact_sql(table: str = "documents") -> str:
+    """Counts + sequential class redaction — mirrors
+    curation.py::redact_pii over pii_augment. Patterns come verbatim from
+    cu.PII_PATTERNS (RE2 ∩ Java subset); 'g' flag matches Spark's
+    replace-all regexp_replace."""
+    aug = _pii_augmented_sql()
+    counts = ", ".join(
+        f"len(regexp_extract_all({aug}, '{cu.PII_PATTERNS[k]}'))::INT AS n_{k}"
+        for k in cu.PII_ORDER
+    )
+    red = aug
+    for k in cu.PII_ORDER:
+        red = f"regexp_replace({red}, '{cu.PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    return f"""
+SELECT doc_id, {counts}, {red} AS redacted
+FROM {table}
+"""
+
+
+def domain_stats_sql(table: str = "documents") -> str:
+    """Per-site curation rollup — mirrors curation.py::domain_stats over
+    the derived site_key/http_code/warc_ts columns."""
+    ntok = f"len(string_split_regex(trim(text), '{cu.LINE_WS}'))"
+    return f"""
+SELECT {SITE_KEY_SQL} AS site_key,
+       count(*)::BIGINT AS n_docs,
+       sum(({PARSEABLE_SQL})::INT)::BIGINT AS n_parseable,
+       sum({ntok})::BIGINT AS total_tokens,
+       round(avg({ntok}), 4) AS avg_doc_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       max(1704067200 + 60 * doc_id)::BIGINT AS latest_crawl
+FROM {table} GROUP BY 1
 """

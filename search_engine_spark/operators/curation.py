@@ -1,0 +1,257 @@
+"""Web-corpus curation operators: snapshot reconciliation, line-level
+dedup, PII redaction, domain-level quality rollups.
+
+These are the operators a Common-Crawl-scale training-data pipeline runs
+BEFORE indexing (BASELINE.json input_hint: pages arrive as (url, warc_ts,
+html, text, lang) across many crawl snapshots):
+
+- ``latest_revisions``  — pick the newest revision per logical page across
+  crawl snapshots. One hash aggregation (``max_by`` over a payload struct),
+  NOT a window: ``row_number() OVER (PARTITION BY url ORDER BY ts DESC)``
+  shuffles *and sorts* every revision of every page, while ``max_by``
+  partial-aggregates map-side, so each executor forwards one candidate row
+  per (url-partition) — at 10^12 rows with ~5 revisions/page that is 5×
+  less shuffle IO and no sort at all.
+- ``doc_lines`` / ``remove_duplicated_lines`` — CCNet-style corpus-wide
+  duplicated-line removal (Wenzek et al., "CCNet", 2020: hash every line,
+  drop all but one occurrence corpus-wide). Everything stays JVM-side:
+  line derivation is ``transform(sequence(...))`` over a split array (no
+  explode until the hash join), first-occurrence-wins is a ``min(struct)``
+  aggregation on the line hash, and document reassembly is
+  ``array_sort + array_join`` — no Python UDF anywhere.
+- ``redact_pii`` — vectorized regexp scrubbing of emails / IPv4s / intl
+  phone numbers with per-class counts. Patterns are restricted to the
+  RE2 ∩ java.util.regex common subset (character classes, bounded repeats,
+  ``\\b`` — no lookaround, no backrefs) so the DuckDB oracle matches
+  byte-for-byte.
+- ``domain_stats`` — per-site curation rollup (doc counts, parseable rate,
+  token mass, language spread, newest crawl) used for domain-level
+  filtering decisions. One hash agg over derived columns; at scale this is
+  a map-side-combine groupBy on ~10^7 domains — trivially parallel.
+
+Reference parity: the reference engine has no curation stage (it indexes
+whatever the crawl fetched); these extend SURVEY §2's inventory per the
+task brief's training-data-pipeline requirement, same FIXTURES pattern as
+sources/documents.py (deterministic derived columns, mirrored in
+functions/oracle_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..hashing import h60_col
+
+# ------------------------------------------------ fixture-derived columns
+# FIXTURES pattern (sources/documents.py): deterministic derivations give
+# the sandbox corpus the columns the operator needs; the same arithmetic is
+# mirrored in functions/oracle_pipeline.py so the DuckDB oracle sees
+# identical values.
+
+PAGE_KEY_MOD = 101  # logical pages; each re-crawled ~n_docs/101 times
+PII_EMAIL_MOD, PII_IP_MOD, PII_PHONE_MOD = 11, 13, 17
+
+
+def with_page_key(docs: DataFrame, mod: int = PAGE_KEY_MOD) -> DataFrame:
+    """Treat the fixture as ``mod`` logical pages, each row a crawl
+    revision of page ``doc_id % mod`` (warc_ts already increases with
+    doc_id, so revisions have distinct timestamps)."""
+    return docs.withColumn("page_key", F.col("doc_id") % mod)
+
+
+def pii_augment(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Inject deterministic PII into sparse doc slices (the fixture corpus
+    contains none): an email every 11th doc, an IPv4 every 13th, an
+    international phone number every 17th."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % PII_EMAIL_MOD == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % PII_IP_MOD == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (d % 250).cast("string"),
+            F.lit(".0."),
+            (d % 200).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % PII_PHONE_MOD == 0,
+        F.concat(F.lit(" call +7915"), F.lpad((d % 10000).cast("string"), 6, "0")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn(text, F.concat(F.col(text), email, ip, phone))
+
+
+# ------------------------------------------------------------------ latest
+
+
+def latest_revisions(
+    revs: DataFrame,
+    key: str = "page_key",
+    ts: str = "warc_ts",
+    tiebreak: str = "doc_id",
+    payload: tuple[str, ...] = ("doc_id", "warc_ts"),
+) -> DataFrame:
+    """Newest revision per logical page: (key, n_revisions, *payload).
+
+    ``max_by(struct(payload), struct(ts, tiebreak))`` — struct ordering is
+    lexicographic, so ties on ``ts`` resolve deterministically by
+    ``tiebreak``. Single shuffle on ``key`` with map-side partial agg;
+    no sort, no window.
+    """
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload]),
+        F.struct(F.col(ts), F.col(tiebreak)),
+    ).alias("_w")
+    out = revs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_revisions"), winner
+    )
+    return out.select(
+        key, "n_revisions", *[F.col(f"_w.{c}").alias(c) for c in payload]
+    )
+
+
+# -------------------------------------------------------------- line dedup
+
+# ASCII whitespace only — same class as the pinned tokenizer WS_SPLIT so
+# all engines (Spark/Java, DuckDB/RE2, Python) split identically.
+LINE_WS = "[ \\t\\r\\n\\f]+"
+
+
+LINE_WIDTH = 4  # fixture chunk width (tokens per derived "line")
+
+
+def doc_lines(docs: DataFrame, width: int = LINE_WIDTH, text: str = "text") -> DataFrame:
+    """(doc_id, line_no, line): deterministic fixed-width token chunks.
+
+    Real web text has newlines; the sandbox fixture is single-line, so
+    "lines" are derived as ``width``-token chunks (FIXTURES pattern — the
+    operator downstream is agnostic to where lines come from; swap this
+    for ``posexplode(split(text, '\\n'))`` on real pages).
+
+    The chunking is pure array math inside one projection —
+    ``transform(sequence(0, n_lines-1), i -> array_join(slice(...)))`` —
+    so no data moves until the consumer aggregates.
+    """
+    toks = F.split(F.trim(F.col(text)), LINE_WS)
+    n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(lines).alias("line_no", "line"))
+        .where(F.col("line") != "")
+    )
+
+
+def remove_duplicated_lines(lines: DataFrame) -> DataFrame:
+    """CCNet-style corpus-wide line dedup, first occurrence wins.
+
+    Returns (doc_id, clean_text, n_kept, n_dropped). A line occurrence
+    survives iff it is the globally-first occurrence of its hash, ordered
+    by (doc_id, line_no) — deterministic and append-stable for existing
+    docs. Two shuffles, both unavoidable for the semantics: one groupBy on
+    the 60-bit line hash to elect winners (map-side combine makes the
+    per-hash traffic one struct per upstream partition), one groupBy doc_id
+    to reassemble. The rebuild sorts each doc's few surviving lines
+    array-side (``array_sort`` on (line_no, line) structs), not via a
+    global sort.
+    """
+    occ = lines.select(
+        "doc_id", "line_no", "line", h60_col(F.col("line")).alias("lh")
+    )
+    winners = occ.groupBy("lh").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("w"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    kept = occ.join(winners, "lh").withColumn(
+        "is_winner",
+        (F.col("doc_id") == F.col("w.doc_id"))
+        & (F.col("line_no") == F.col("w.line_no")),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_winner"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("is_winner").cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_winner")).cast("long")).alias("n_dropped"),
+        )
+        .select("doc_id", "clean_text", "n_kept", "n_dropped")
+    )
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# RE2 ∩ java.util.regex subset only (no lookaround / backrefs): identical
+# semantics in Spark's regexp_replace/regexp_count and DuckDB's
+# regexp_replace/len(regexp_extract_all).
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone": "\\+[0-9]{7,12}\\b",
+}
+# Redaction order matters (an email contains no IP, but an IP-looking
+# fragment could sit inside an email's domain): scrub emails first.
+PII_ORDER = ("email", "ip", "phone")
+
+
+def redact_pii(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone, redacted): count then replace each
+    PII class with ``<CLASS>``. Narrow projection over the scan — pure
+    codegen (regexp_count/regexp_replace), no shuffle, no UDF; at 100 TB
+    this is a single map stage gated only by scan bandwidth.
+    """
+    col: Column = F.col(text)
+    counts = [
+        F.regexp_count(col, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+        for k in PII_ORDER
+    ]
+    red = col
+    for k in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    return docs.select("doc_id", *counts, red.alias("redacted"))
+
+
+# ------------------------------------------------------------ domain rollup
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Per-site curation rollup — the table a pipeline thresholds to drop
+    low-quality domains wholesale (the cheapest possible filter: one
+    broadcast-join of the verdict back onto the corpus).
+
+    Input must carry the derived columns (site_key, http_code, warc_ts —
+    sources/documents.py::load_documents). Output one row per site:
+    n_docs, n_parseable, total_tokens, avg_doc_tokens (4 dp), n_langs,
+    latest_crawl (epoch seconds).
+    """
+    n_toks = F.size(F.split(F.trim("text"), LINE_WS))
+    parseable = (F.col("http_code") == 200) & (F.trim(F.col("text")) != "")
+    return (
+        docs.groupBy("site_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(parseable.cast("long")).alias("n_parseable"),
+            F.sum(n_toks.cast("long")).alias("total_tokens"),
+            F.round(F.avg(n_toks), 4).alias("avg_doc_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max(F.unix_timestamp("warc_ts")).alias("latest_crawl"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Unit tests for operators/curation.py on crafted micro-corpora.
+
+Oracle parity at fixture scale is covered by tests/test_oracle_parity.py
+(latest_revisions / line_dedup / pii_redact / domain_stats); these pin the
+semantics on hand-built cases where the expected output is derivable by
+inspection: tie-breaks, first-occurrence-wins ordering, pattern edges.
+"""
+
+import pytest
+
+from search_engine_spark.operators.curation import (
+    LINE_WIDTH,
+    doc_lines,
+    latest_revisions,
+    redact_pii,
+    remove_duplicated_lines,
+)
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------- latest
+
+
+def test_latest_revisions_picks_newest_and_breaks_ties(spark):
+    rows = [
+        # page 1: distinct timestamps — newest wins regardless of doc_id
+        (10, "p1", "2024-01-02 00:00:00"),
+        (99, "p1", "2024-01-01 00:00:00"),
+        # page 2: timestamp tie — higher doc_id wins (pinned tiebreak)
+        (20, "p2", "2024-01-03 00:00:00"),
+        (21, "p2", "2024-01-03 00:00:00"),
+    ]
+    revs = spark.createDataFrame(
+        rows, "doc_id long, page_key string, ts string"
+    ).selectExpr("doc_id", "page_key", "cast(ts as timestamp) AS warc_ts")
+    out = {
+        r["page_key"]: (r["doc_id"], r["n_revisions"])
+        for r in latest_revisions(revs, key="page_key").collect()
+    }
+    assert out == {"p1": (10, 2), "p2": (21, 2)}
+
+
+# -------------------------------------------------------------- line dedup
+
+
+def test_doc_lines_chunking(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i j")])
+    lines = {
+        (r["line_no"], r["line"]) for r in doc_lines(docs, width=4).collect()
+    }
+    assert lines == {(0, "a b c d"), (1, "e f g h"), (2, "i j")}
+
+
+def test_doc_lines_empty_text_dropped(spark):
+    docs = _docs(spark, [(1, "   "), (2, "x y")])
+    rows = doc_lines(docs, width=4).collect()
+    assert {(r["doc_id"], r["line"]) for r in rows} == {(2, "x y")}
+
+
+def test_remove_duplicated_lines_first_wins(spark):
+    # "a b c d" appears in docs 1, 2, 3; only doc 1 (lowest doc_id) keeps it.
+    # Doc 3 also repeats it internally — the later in-doc copy drops too.
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d w x y z"),
+            (2, "a b c d q r s t"),
+            (3, "m n o p a b c d a b c d"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in remove_duplicated_lines(doc_lines(docs, width=4)).collect()
+    }
+    assert out[1] == ("a b c d\nw x y z", 2, 0)
+    assert out[2] == ("q r s t", 1, 1)
+    assert out[3] == ("m n o p", 1, 2)
+
+
+def test_remove_duplicated_lines_all_dropped_keeps_doc(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in remove_duplicated_lines(doc_lines(docs, width=4)).collect()
+    }
+    assert out[1] == ("a b c d", 1, 0)
+    assert out[2] == ("", 0, 1)  # doc survives with empty clean_text
+
+
+def test_line_dedup_append_stable(spark):
+    """Adding new docs never changes which lines EXISTING docs keep
+    (new doc_ids sort after, so they can't steal a first occurrence)."""
+    base = [(1, "a b c d w x y z"), (2, "a b c d q r s t")]
+    before = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_lines(
+            doc_lines(_docs(spark, base), width=4)
+        ).collect()
+    }
+    after = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicated_lines(
+            doc_lines(_docs(spark, base + [(9, "w x y z n e w w")]), width=4)
+        ).collect()
+    }
+    assert {k: after[k] for k in before} == before
+
+
+# ---------------------------------------------------------------- PII scrub
+
+
+@pytest.mark.parametrize(
+    "text,expect",
+    [
+        (
+            "mail me at jo.doe+x@sub.example.org today",
+            (1, 0, 0, "mail me at <EMAIL> today"),
+        ),
+        ("server 192.168.0.1 down", (0, 1, 0, "server <IP> down")),
+        ("call +791500012 now", (0, 0, 1, "call <PHONE> now")),
+        # email is scrubbed first, so its domain never half-matches as IP
+        (
+            "a@b.co 1.2.3.4 +12345678",
+            (1, 1, 1, "<EMAIL> <IP> <PHONE>"),
+        ),
+        # version strings (2 octets) and short +digits are NOT PII
+        ("v1.2 build +123", (0, 0, 0, "v1.2 build +123")),
+    ],
+)
+def test_redact_pii_patterns(spark, text, expect):
+    row = redact_pii(_docs(spark, [(1, text)])).collect()[0]
+    assert (
+        row["n_email"],
+        row["n_ip"],
+        row["n_phone"],
+        row["redacted"],
+    ) == expect
+
+
+def test_default_line_width_matches_oracle_constant():
+    # the contract query and line_dedup_sql must agree on the chunk width
+    from search_engine_spark.functions.oracle_pipeline import line_dedup_sql
+
+    assert f"*{LINE_WIDTH}+1" in line_dedup_sql()
