@@ -451,6 +451,42 @@ SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}  # zh/es dropped
 HOLDOUT_FRACTION = 0.1
 
 
+def _q_search_collapsed(spark, sf_dir):
+    """Site-collapsed BM25 (one result per domain): max_by collapse over
+    the full scored candidate set, pinned (score desc, doc_id asc)."""
+    from search_engine_spark.sources.documents import site_key_col
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        limit=1_000_000,
+    )
+    return se.collapse_hits(hits.withColumn("site_key", site_key_col()))
+
+
+def _q_link_extract(spark, sf_dir):
+    """S3 href extraction: decode html, regexp_extract_all every anchor,
+    resolve same-engine doc URLs back to doc ids."""
+    from search_engine_spark.operators.graph import extract_links, linked_html
+
+    return extract_links(linked_html(load_documents(spark, sf_dir)))
+
+
+def _q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the extracted link graph (authority
+    prior for curation); N-scaled, 4 dp."""
+    from search_engine_spark.operators.graph import (
+        extract_links,
+        linked_html,
+        pagerank,
+        resolved_edges,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    return pagerank(docs, edges)
+
+
 def _q_latest_revisions(spark, sf_dir):
     """Crawl-snapshot reconciliation: newest revision per logical page
     (max_by agg, not a window — one shuffle, no sort)."""
@@ -811,6 +847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_merge_deletes": _q_segment_merge_deletes,
         "term_dict_blocks": _q_term_dict_blocks,
         "block_meta": _q_block_meta,
+        "search_collapsed": _q_search_collapsed,
+        "link_extract": _q_link_extract,
+        "pagerank": _q_pagerank,
         "latest_revisions": _q_latest_revisions,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
@@ -906,6 +945,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "term_dict_blocks": ora.term_dict_sql(),
         "block_meta": ora.block_meta_sql(),
+        "search_collapsed": ora.search_collapsed_sql(Q_BM25_COMMON),
+        "link_extract": pipe.link_extract_sql(),
+        "pagerank": pipe.pagerank_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),
         "line_dedup": pipe.line_dedup_sql(),
         "pii_redact": pipe.pii_redact_sql(),

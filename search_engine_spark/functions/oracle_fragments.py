@@ -614,3 +614,24 @@ WHERE term LIKE '{prefix}%'
 ORDER BY df DESC, term ASC
 LIMIT {k}
 """
+
+
+def search_collapsed_sql(query_terms: list[str], per_site: int = 1,
+                         limit: int = 20, table: str = "documents") -> str:
+    """Site-collapsed BM25 top-k (one-result-per-domain diversification) —
+    mirrors operators/search.py::collapse_hits over the full scored set.
+    The oracle states the spec as a window; the engine's max_by collapse
+    must elect identical winners (score desc, doc_id asc per site)."""
+    inner = search_bm25_sql(query_terms, limit=1_000_000, table=table)
+    return f"""
+WITH hits AS ({inner}),
+g AS (SELECT doc_id, score, {SITE_KEY_SQL} AS site_key FROM hits),
+r AS (
+  SELECT site_key, doc_id, score,
+         row_number() OVER (PARTITION BY site_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM g
+)
+SELECT site_key, doc_id, score FROM r WHERE rn <= {per_site}
+ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..hashing import h60_sql
 from ..operators import curation as cu
+from ..operators import graph as gr
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import textstats as ts
@@ -914,4 +915,66 @@ SELECT {SITE_KEY_SQL} AS site_key,
        count(DISTINCT lang)::BIGINT AS n_langs,
        max(1704067200 + 60 * doc_id)::BIGINT AS latest_crawl
 FROM {table} GROUP BY 1
+"""
+
+# ------------------------------------------------------------------- graph
+
+_EDGE_CTE = """
+edges0 AS (
+  SELECT doc_id AS src, t.dst
+  FROM {table}, LATERAL unnest([doc_id + 1, doc_id // 2]) AS t(dst)
+  WHERE t.dst <> doc_id
+)"""
+
+
+def link_extract_sql(table: str = "documents") -> str:
+    """S3 href extraction over linked_html — mirrors
+    operators/graph.py::linked_html + extract_links. The oracle derives
+    the SAME links arithmetically (the fixture anchors are deterministic
+    functions of doc_id), so the engine's regexp path must reproduce them
+    value-for-value."""
+    return f"""
+WITH {_EDGE_CTE.format(table=table)}
+SELECT src AS src_doc,
+       'https://site-' || chr(97 + (dst % 3)::INT) || '.example/docs/' || dst
+         AS dst_url,
+       dst AS dst_doc
+FROM edges0
+"""
+
+
+def pagerank_sql(
+    n_iter: int = gr.PR_ITERS,
+    damping: float = gr.PR_DAMPING,
+    table: str = "documents",
+) -> str:
+    """Fixed-iteration PageRank, unrolled as a CTE chain — mirrors
+    graph.py::pagerank (same float literals via repr(), same
+    no-dangling-redistribution semantics, N-scaled 4 dp output)."""
+    d = repr(damping)
+    base = repr(1.0 - damping)
+    ctes = [
+        f"nodes AS (SELECT doc_id FROM {table})",
+        "meta AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        _EDGE_CTE.format(table=table).strip(),
+        "edges AS (SELECT src, dst FROM edges0 WHERE dst IN (SELECT doc_id FROM nodes))",
+        "deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src))",
+        "r0 AS (SELECT doc_id, 1.0 / meta.n AS rank FROM nodes, meta)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"c{i+1} AS (SELECT dst, sum(rank / outdeg) AS s"
+            f" FROM e JOIN r{i} ON r{i}.doc_id = e.src GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i+1} AS (SELECT nodes.doc_id,"
+            f" {base} / meta.n + {d} * coalesce(c{i+1}.s, 0.0) AS rank"
+            f" FROM nodes CROSS JOIN meta"
+            f" LEFT JOIN c{i+1} ON c{i+1}.dst = nodes.doc_id)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT doc_id, round(rank * meta.n, 4) AS pr FROM r{n_iter}, meta
 """

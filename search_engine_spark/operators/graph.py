@@ -1,0 +1,164 @@
+"""Link graph operators: href extraction (SURVEY §2 S3) and PageRank.
+
+The reference's crawler extracts anchors to drive the crawl frontier
+(reference: dto/indexing/PageAnalyzer — link discovery feeds the recursive
+fan-out; SURVEY §2 S3 scoped it out of round 1 as "batch build, no
+crawl"). Here the *extraction* is implemented as a data-parallel operator
+— the batch-engine use of links is not crawling but **link analysis**: the
+classic web-scale authority signal (Page et al., "The PageRank Citation
+Ranking", 1999), which a Common-Crawl training pipeline uses as a
+document-quality prior.
+
+Scale notes:
+
+- ``extract_links`` is a pure codegen map (decode + regexp_extract_all +
+  posexplode) — no shuffle, no UDF; at 100 TB it is scan-bound.
+- ``pagerank`` is synchronous power iteration with a FIXED iteration
+  count, expressed as a chained DataFrame plan (edges ⋈ ranks → groupBy dst
+  → left join the node spine). Each iteration is one shuffle on dst plus
+  one doc-keyed join; the edge table is re-read per iteration (at real
+  scale: persist the resolved edge list once, bucket it by src, and let
+  AQE handle the rank side — ranks are 16 bytes/node). Dangling-node mass
+  is NOT redistributed (the web-graph convention of Common Crawl's own
+  rank releases is configurable; we pin the simpler semantics and
+  document it) — scores still converge, they just sum to < 1.
+
+Fixture derivation (FIXTURES pattern, mirrored in
+functions/oracle_pipeline.py): ``linked_html`` appends two EMPTY-TEXT
+anchors per page — to ``doc_id + 1`` and ``doc_id // 2`` — so the
+extraction invariant ``extract_text(html) == text`` still holds (anchors
+contribute no text) while giving the corpus a deterministic, connected link graph (each node
+v receives from v-1 via the chain and from 2v, 2v+1 via the tree
+back-edges, so rank flows toward low doc_ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2 ∩ java.util.regex subset (oracle runs the same pattern in DuckDB).
+HREF_RE = 'href="([^"]+)"'
+DOC_URL_RE = "/docs/([0-9]+)$"
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _url_of(target):
+    """URL of a doc_id column expression (mirrors sources/documents.py)."""
+    return F.concat(
+        F.lit("https://site-"),
+        F.char(target % 3 + 97),
+        F.lit(".example/docs/"),
+        target.cast("string"),
+    )
+
+
+def linked_html(docs: DataFrame) -> DataFrame:
+    """Append two empty-anchor links to each page's html (fixture
+    derivation): doc_id+1 (chain; dangles at the corpus edge) and
+    doc_id//2 (binary-tree back-edge; self-link at doc 0, which
+    extract_links drops)."""
+    d = F.col("doc_id")
+    anchors = F.concat(
+        F.lit('<a href="'),
+        _url_of(d + 1),
+        F.lit('"></a><a href="'),
+        _url_of(F.floor(d / 2).cast("long")),
+        F.lit('"></a>'),
+    )
+    return docs.withColumn(
+        "html",
+        F.encode(
+            F.concat(F.decode(F.col("html"), "utf-8"), anchors), "utf-8"
+        ),
+    )
+
+
+def extract_links(docs: DataFrame, drop_self: bool = True) -> DataFrame:
+    """S3 link extraction → (src_doc, dst_url, dst_doc).
+
+    Pure codegen: decode the html bytes, pull every href value
+    (regexp_extract_all), explode, resolve same-engine doc URLs back to a
+    doc_id via the frozen '/docs/<id>' path pattern (dst_doc is null for
+    external URLs). Self-links are dropped by default.
+    """
+    out = (
+        docs.select(
+            F.col("doc_id").alias("src_doc"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.decode(F.col("html"), "utf-8"), F.lit(HREF_RE), F.lit(1)
+                )
+            ).alias("dst_url"),
+        )
+        .withColumn(
+            "dst_doc",
+            F.nullif(
+                F.regexp_extract(F.col("dst_url"), DOC_URL_RE, 1), F.lit("")
+            ).cast("long"),
+        )
+    )
+    if drop_self:
+        out = out.filter(
+            F.col("dst_doc").isNull() | (F.col("dst_doc") != F.col("src_doc"))
+        )
+    return out
+
+
+def resolved_edges(docs: DataFrame, links: DataFrame) -> DataFrame:
+    """(src, dst) restricted to dst docs that exist (semi-join against the
+    node spine — frontier edges to not-yet-crawled pages drop out)."""
+    nodes = docs.select(F.col("doc_id").alias("dst"))
+    return (
+        links.filter(F.col("dst_doc").isNotNull())
+        .select(F.col("src_doc").alias("src"), F.col("dst_doc").alias("dst"))
+        .join(nodes, "dst", "left_semi")
+    )
+
+
+def pagerank(
+    docs: DataFrame,
+    edges: DataFrame,
+    n_iter: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """Fixed-iteration synchronous PageRank → (doc_id, pr) with pr scaled
+    by N (so a page of average authority scores ~1.0) and rounded to 4 dp.
+
+    rank_{i+1}(v) = (1-d)/N + d · Σ_{u→v} rank_i(u)/outdeg(u)
+
+    The node count enters the plan as a broadcast scalar (one-row agg
+    cross-joined in), keeping the whole computation declarative — no
+    driver-side collect of data rows.
+    """
+    nodes = docs.select("doc_id")
+    n = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    e = edges.join(deg, "src")
+    ranks = nodes.crossJoin(n).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(n)
+            .join(contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.crossJoin(n).select(
+        "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("pr")
+    )

@@ -179,6 +179,51 @@ def search_bm25(
     )
 
 
+def collapse_hits(
+    hits: DataFrame,
+    group_col: str = "site_key",
+    per_group: int = 1,
+    limit: int = 20,
+) -> DataFrame:
+    """Result diversification by site collapse: keep the best ``per_group``
+    hits per ``group_col``, then global top-``limit`` — the classic
+    one-result-per-domain SERP rule.
+
+    ``hits`` is a retrieved candidate set (doc_id, score, group_col) — at
+    scale this runs over the scorer's top-K' oversample, never the corpus,
+    so cardinality is bounded by the query, not the data. per_group=1 is a
+    ``max_by`` hash agg (no window, no sort); the ordering struct negates
+    doc_id so score ties break toward the LOWER doc_id, matching the
+    engine's pinned (score desc, doc_id asc) tiebreak.
+    """
+    if per_group == 1:
+        best = hits.groupBy(group_col).agg(
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), -F.col("doc_id")),
+            ).alias("w")
+        )
+        out = best.select(
+            group_col,
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.score").alias("score"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            hits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= per_group)
+            .select(group_col, "doc_id", "score")
+        )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        limit
+    )
+
+
 def site_gate(docs: DataFrame, terms: list[str]) -> DataFrame:
     """Q2 conjunctive site gate → (site_key,): sites on which every query
     term occurs (reference SearchServiceImpl.java:122-127 drops sites

@@ -1,0 +1,130 @@
+"""Unit tests for operators/graph.py and search.collapse_hits.
+
+Oracle parity at fixture scale is covered by test_oracle_parity.py
+(link_extract / pagerank / search_collapsed); these pin the semantics on
+crafted inputs with hand-derivable expectations.
+"""
+
+import pytest
+
+from search_engine_spark.operators.graph import (
+    extract_links,
+    linked_html,
+    pagerank,
+    resolved_edges,
+)
+from search_engine_spark.operators.search import collapse_hits
+
+
+def _docs(spark, n=6):
+    from search_engine_spark.sources.documents import load_documents
+
+    return load_documents(spark, "/root/testdata/sf0.001").filter(
+        f"doc_id < {n}"
+    )
+
+
+def test_linked_html_preserves_extraction(spark):
+    """The appended anchors are empty-text: the byte-identity invariant
+    extract_text(html) == text must survive linked_html."""
+    from search_engine_spark.textproc.extract import extract_text
+
+    rows = linked_html(_docs(spark)).select("doc_id", "text", "html").collect()
+    assert rows
+    for r in rows:
+        assert extract_text(bytes(r["html"]).decode("utf-8")) == r["text"]
+
+
+def test_extract_links_shape(spark):
+    links = extract_links(linked_html(_docs(spark, n=4))).collect()
+    got = {(r["src_doc"], r["dst_doc"]) for r in links}
+    # doc v links to v+1 and v//2; doc 0's self-link is dropped
+    assert got == {(0, 1), (1, 2), (1, 0), (2, 3), (2, 1), (3, 4), (3, 1)}
+    for r in links:
+        assert r["dst_url"].endswith(f"/docs/{r['dst_doc']}")
+
+
+def test_extract_links_external_url_unresolved(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b'<a href="https://other.example/page">x</a>'))],
+        "doc_id long, html binary",
+    )
+    rows = extract_links(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["dst_url"] == "https://other.example/page"
+    assert rows[0]["dst_doc"] is None
+
+
+def test_resolved_edges_drops_dangling(spark):
+    docs = _docs(spark, n=4)  # nodes 0..3; doc 3 links to 4 (dangling)
+    edges = {
+        (r["src"], r["dst"])
+        for r in resolved_edges(docs, extract_links(linked_html(docs))).collect()
+    }
+    assert edges == {(0, 1), (1, 2), (1, 0), (2, 3), (2, 1), (3, 1)}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """3-iteration PageRank on the crafted 4-node graph above equals a
+    hand-run power iteration (no dangling redistribution, N-scaled)."""
+    docs = _docs(spark, n=4)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    got = {r["doc_id"]: r["pr"] for r in pagerank(docs, edges).collect()}
+
+    # reference computation in plain Python
+    adj = {0: [1], 1: [2, 0], 2: [3, 1], 3: [1]}  # src -> dsts (after resolve)
+    n, d = 4, 0.85
+    rank = {v: 1.0 / n for v in range(n)}
+    for _ in range(3):
+        nxt = {v: (1.0 - d) / n for v in range(n)}
+        for u, dsts in adj.items():
+            for v in dsts:
+                nxt[v] += d * rank[u] / len(dsts)
+        rank = nxt
+    expect = {v: round(rank[v] * n, 4) for v in range(n)}
+    assert got == expect
+
+
+def test_pagerank_mass_bounded(spark):
+    docs = _docs(spark, n=50)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    prs = [r["pr"] for r in pagerank(docs, edges).collect()]
+    assert all(p > 0 for p in prs)
+    # dangling mass leaks (not redistributed): total < N, but most retained
+    assert 0.5 * 50 < sum(prs) <= 50.0 + 1e-6
+
+
+# ---------------------------------------------------------------- collapse
+
+
+@pytest.fixture()
+def hits(spark):
+    rows = [
+        ("s1", 1, 5.0),
+        ("s1", 2, 9.0),
+        ("s1", 3, 9.0),  # tie with doc 2 — lower doc_id must win
+        ("s2", 4, 7.0),
+        ("s3", 5, 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "site_key string, doc_id long, score double"
+    )
+
+
+def test_collapse_hits_one_per_site(spark, hits):
+    out = [
+        (r["site_key"], r["doc_id"], r["score"])
+        for r in collapse_hits(hits).collect()
+    ]
+    assert out == [("s1", 2, 9.0), ("s2", 4, 7.0), ("s3", 5, 1.0)]
+
+
+def test_collapse_hits_per_group_window_path(spark, hits):
+    out = [
+        (r["site_key"], r["doc_id"]) for r in collapse_hits(hits, per_group=2).collect()
+    ]
+    assert out == [("s1", 2), ("s1", 3), ("s2", 4), ("s3", 5)]
+
+
+def test_collapse_hits_limit(spark, hits):
+    assert collapse_hits(hits, limit=2).count() == 2
