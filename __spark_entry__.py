@@ -487,6 +487,19 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    """I1/I2 batch-inverted: next crawl batch = harvested outlinks
+    anti-joined against the crawled set, per-host politeness top-k."""
+    from search_engine_spark.operators.graph import (
+        crawl_frontier,
+        extract_links,
+        frontier_html,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    return crawl_frontier(docs, extract_links(frontier_html(docs)))
+
+
 def _q_latest_revisions(spark, sf_dir):
     """Crawl-snapshot reconciliation: newest revision per logical page
     (max_by agg, not a window — one shuffle, no sort)."""
@@ -850,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapsed": _q_search_collapsed,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
+        "crawl_frontier": _q_crawl_frontier,
         "latest_revisions": _q_latest_revisions,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
@@ -948,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "search_collapsed": ora.search_collapsed_sql(Q_BM25_COMMON),
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
+        "crawl_frontier": pipe.crawl_frontier_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),
         "line_dedup": pipe.line_dedup_sql(),
         "pii_redact": pipe.pii_redact_sql(),

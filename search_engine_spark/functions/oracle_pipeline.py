@@ -978,3 +978,39 @@ def pagerank_sql(
 WITH {body}
 SELECT doc_id, round(rank * meta.n, 4) AS pr FROM r{n_iter}, meta
 """
+
+
+def crawl_frontier_sql(per_host: int = 10, table: str = "documents") -> str:
+    """Next-crawl-batch with per-host politeness budget — mirrors
+    graph.py::frontier_html + extract_links + crawl_frontier (anti-join of
+    the harvested outlinks against the crawled set, in-link scoring,
+    per-host top-k)."""
+    return f"""
+WITH f AS (
+  SELECT doc_id AS src, t.dst
+  FROM {table}, LATERAL unnest(
+    CASE WHEN doc_id % {gr.FRONTIER_MOD} = 0
+         THEN [doc_id + 1, doc_id // 2,
+               1000 + (doc_id * 31) % {gr.FRONTIER_SPACE - 1000}]
+         ELSE [doc_id + 1, doc_id // 2] END) AS t(dst)
+  WHERE t.dst <> doc_id
+),
+unseen AS (
+  SELECT dst FROM f WHERE dst NOT IN (SELECT doc_id FROM {table})
+),
+scored AS (
+  SELECT 'https://site-' || chr(97 + (dst % 3)::INT) || '.example/docs/' || dst
+           AS dst_url,
+         'site-' || chr(97 + (dst % 3)::INT) || '.example' AS host,
+         count(*)::BIGINT AS n_inlinks
+  FROM unseen GROUP BY dst
+),
+r AS (
+  SELECT host, dst_url, n_inlinks,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_inlinks DESC, dst_url ASC) AS rank
+  FROM scored
+)
+SELECT host, dst_url, n_inlinks, rank::INT AS rank
+FROM r WHERE rank <= {per_host}
+"""

@@ -107,6 +107,71 @@ def extract_links(docs: DataFrame, drop_self: bool = True) -> DataFrame:
     return out
 
 
+FRONTIER_MOD = 4  # every 4th fixture doc advertises one uncrawled URL
+FRONTIER_SPACE = 2000  # uncrawled doc-id space starts at 1000
+
+
+def frontier_html(docs: DataFrame) -> DataFrame:
+    """Fixture derivation for the frontier query: like linked_html but
+    every FRONTIER_MOD-th doc also advertises one URL OUTSIDE the crawled
+    id space (1000 + (doc_id*31 mod 1000)) — deterministic 'new page'
+    discoveries for the frontier anti-join to find."""
+    d = F.col("doc_id")
+    extra = F.when(
+        d % FRONTIER_MOD == 0,
+        F.concat(
+            F.lit('<a href="'),
+            _url_of((d * 31) % (FRONTIER_SPACE - 1000) + 1000),
+            F.lit('"></a>'),
+        ),
+    ).otherwise(F.lit(""))
+    base = linked_html(docs)
+    return base.withColumn(
+        "html",
+        F.encode(F.concat(F.decode(F.col("html"), "utf-8"), extra), "utf-8"),
+    )
+
+
+def crawl_frontier(
+    docs: DataFrame, links: DataFrame, per_host: int = 10
+) -> DataFrame:
+    """I1/I2 re-expressed data-parallel: the next crawl batch.
+
+    The reference crawls recursively with in-process politeness waits
+    (ForkJoin fan-out + per-request delays; SURVEY §2 I1-I2). A batch
+    engine inverts that: each round, harvest all outlinks, anti-join the
+    already-crawled set (the same new-page dedup as S5), score each unseen
+    URL by in-link count, and emit at most ``per_host`` URLs per host —
+    the politeness budget becomes a per-host top-k instead of a sleep.
+
+    → (host, dst_url, n_inlinks, rank): rank 1..per_host within host,
+    ordered (n_inlinks desc, dst_url asc). The per-host window shows
+    WindowGroupLimit (map-side partial top-k) above a host-keyed
+    exchange — hosts are numerous at web scale, so no skew; the anti-join
+    is a broadcast of nothing-but-doc_ids when the crawled set fits, else
+    sort-merge on dst_doc.
+    """
+    from pyspark.sql import Window
+
+    seen = docs.select(F.col("doc_id").alias("dst_doc"))
+    unseen = links.filter(F.col("dst_doc").isNotNull()).join(
+        seen, "dst_doc", "left_anti"
+    )
+    scored = unseen.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_inlinks")
+    )
+    host = F.regexp_extract(F.col("dst_url"), "^https://([^/]+)/", 1)
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_inlinks").desc(), F.col("dst_url").asc()
+    )
+    return (
+        scored.withColumn("host", host)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_host)
+        .select("host", "dst_url", "n_inlinks", "rank")
+    )
+
+
 def resolved_edges(docs: DataFrame, links: DataFrame) -> DataFrame:
     """(src, dst) restricted to dst docs that exist (semi-join against the
     node spine — frontier edges to not-yet-crawled pages drop out)."""

@@ -128,3 +128,41 @@ def test_collapse_hits_per_group_window_path(spark, hits):
 
 def test_collapse_hits_limit(spark, hits):
     assert collapse_hits(hits, limit=2).count() == 2
+
+
+# ---------------------------------------------------------------- frontier
+
+
+def test_crawl_frontier_budget_and_ranking(spark):
+    from search_engine_spark.operators.graph import crawl_frontier
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    links = spark.createDataFrame(
+        [
+            # dst 9 has 3 in-links, dst 8 has 1 → 9 ranks first
+            (1, "https://h1.example/docs/9", 9),
+            (2, "https://h1.example/docs/9", 9),
+            (1, "https://h1.example/docs/9", 9),
+            (2, "https://h1.example/docs/8", 8),
+            (1, "https://h1.example/docs/7", 7),
+            # already crawled → excluded by the anti-join
+            (1, "https://h1.example/docs/2", 2),
+            # other host, below budget
+            (2, "https://h2.example/docs/5", 5),
+            # external (unresolved) links don't enter the frontier
+            (1, "https://elsewhere.example/x", None),
+        ],
+        "src_doc long, dst_url string, dst_doc long",
+    )
+    out = [
+        (r["host"], r["dst_url"], r["n_inlinks"], r["rank"])
+        for r in crawl_frontier(docs, links, per_host=2).collect()
+    ]
+    # in-link count ranks first; ties break on dst_url asc, so docs/7
+    # beats docs/8 and the per_host=2 budget cuts docs/8 on h1
+    assert sorted(out) == [
+        ("h1.example", "https://h1.example/docs/7", 1, 2),
+        ("h1.example", "https://h1.example/docs/9", 3, 1),
+        ("h2.example", "https://h2.example/docs/5", 1, 1),
+    ]
+    assert all(rank <= 2 for (_, _, _, rank) in out)
