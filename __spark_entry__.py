@@ -487,6 +487,20 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
+def _q_length_quantiles(spark, sf_dir):
+    """Exact per-language token-length quantiles (curation thresholds)."""
+    from search_engine_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(load_documents(spark, sf_dir))
+
+
+def _q_dl_histogram(spark, sf_dir):
+    """Doc-length histogram with corpus share per fixed-width bucket."""
+    from search_engine_spark.operators.textstats import dl_histogram
+
+    return dl_histogram(load_documents(spark, sf_dir))
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """I1/I2 batch-inverted: next crawl batch = harvested outlinks
     anti-joined against the crawled set, per-host politeness top-k."""
@@ -864,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
         "crawl_frontier": _q_crawl_frontier,
+        "length_quantiles": _q_length_quantiles,
+        "dl_histogram": _q_dl_histogram,
         "latest_revisions": _q_latest_revisions,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
@@ -963,6 +979,8 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
+        "length_quantiles": pipe.length_quantiles_sql(),
+        "dl_histogram": pipe.dl_histogram_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),
         "line_dedup": pipe.line_dedup_sql(),
         "pii_redact": pipe.pii_redact_sql(),

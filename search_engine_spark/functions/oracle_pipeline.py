@@ -1014,3 +1014,40 @@ r AS (
 SELECT host, dst_url, n_inlinks, rank::INT AS rank
 FROM r WHERE rank <= {per_host}
 """
+
+
+def length_quantiles_sql(table: str = "documents") -> str:
+    """Exact per-language token-length quantiles — mirrors
+    textstats.py::length_quantiles (quantile_cont == Spark's percentile:
+    sort + linear interpolation)."""
+    qlist = ", ".join(repr(q) for q in ts.LENGTH_QUANTILES)
+    return f"""
+WITH n AS (
+  SELECT lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)::BIGINT
+           AS n
+  FROM {table}
+),
+p AS (
+  SELECT lang, quantile_cont(n, [{qlist}]) AS ps FROM n GROUP BY lang
+)
+SELECT lang, u.z[1]::DOUBLE AS q, round(u.z[2]::DOUBLE, 4) AS n_tokens
+FROM p, LATERAL unnest(list_zip([{qlist}], ps)) AS u(z)
+"""
+
+
+def dl_histogram_sql(table: str = "documents") -> str:
+    """Doc-length histogram — mirrors textstats.py::dl_histogram."""
+    w = ts.DL_BUCKET_WIDTH
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)"
+    )
+    return f"""
+WITH b AS (SELECT ({ntok} // {w}) * {w} AS bucket_lo FROM {table}),
+t AS (SELECT count(*)::DOUBLE AS t FROM b)
+SELECT bucket_lo::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs,
+       round(count(*) / t.t, 4) AS pct
+FROM b, t GROUP BY bucket_lo, t.t
+"""

@@ -395,3 +395,65 @@ def collocations(
         .orderBy(F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc())
         .limit(k)
     )
+
+
+LENGTH_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+DL_BUCKET_WIDTH = 10
+
+
+def length_quantiles(
+    docs: DataFrame, qs: tuple[float, ...] = LENGTH_QUANTILES
+) -> DataFrame:
+    """Exact per-language token-length quantiles → (lang, q, n_tokens).
+
+    Curation pipelines threshold on these (e.g. drop docs under the p25 of
+    their language). EXACT percentile (sort-based linear interpolation),
+    not approx_percentile: the driver oracle hashes values, and a corpus
+    report should be reproducible run-to-run. One groupBy(lang) — language
+    cardinality is tiny, and Spark's percentile aggregate keeps a
+    per-group buffer, so the agg stays map-side-combining; at 10^12 docs
+    switch to approx_percentile(…, accuracy) and drop the oracle pairing.
+    """
+    n_tok = (
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), WS_SPLIT)))
+        .cast("long")
+    )
+    pcts = docs.select("lang", n_tok.alias("n")).groupBy("lang").agg(
+        F.percentile("n", F.array(*[F.lit(q) for q in qs])).alias("ps")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"),
+        F.col("ps").alias("n_tokens"),
+    )
+    return pcts.select(
+        "lang", F.explode(pairs).alias("z")
+    ).select(
+        "lang",
+        F.col("z.q").alias("q"),
+        F.round(F.col("z.n_tokens"), 4).alias("n_tokens"),
+    )
+
+
+def dl_histogram(docs: DataFrame, width: int = DL_BUCKET_WIDTH) -> DataFrame:
+    """Doc-length histogram → (bucket_lo, n_docs, pct): fixed-width
+    token-count buckets with corpus share (4 dp). The corpus total enters
+    as a one-row broadcast cross join — single pass, two tiny apexes, no
+    driver collect."""
+    n_tok = (
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), WS_SPLIT)))
+        .cast("long")
+    )
+    b = docs.select(((n_tok / width).cast("long") * width).alias("bucket_lo"))
+    total = F.broadcast(b.agg(F.count(F.lit(1)).cast("double").alias("t")))
+    return (
+        b.groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(total)
+        .select(
+            "bucket_lo",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("t"), 4).alias("pct"),
+        )
+    )
