@@ -487,6 +487,26 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
+def _q_search_authority(spark, sf_dir):
+    """Web ranking: BM25 relevance blended with PageRank authority —
+    score' = bm25 · (0.5 + 0.5·pr) over the full candidate set."""
+    from search_engine_spark.operators.graph import (
+        blend_authority,
+        extract_links,
+        linked_html,
+        pagerank,
+        resolved_edges,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        limit=1_000_000,
+    )
+    pr = pagerank(docs, resolved_edges(docs, extract_links(linked_html(docs))))
+    return blend_authority(hits, pr)
+
+
 def _q_length_quantiles(spark, sf_dir):
     """Exact per-language token-length quantiles (curation thresholds)."""
     from search_engine_spark.operators.textstats import length_quantiles
@@ -878,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
         "crawl_frontier": _q_crawl_frontier,
+        "search_authority": _q_search_authority,
         "length_quantiles": _q_length_quantiles,
         "dl_histogram": _q_dl_histogram,
         "latest_revisions": _q_latest_revisions,
@@ -979,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
+        "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "length_quantiles": pipe.length_quantiles_sql(),
         "dl_histogram": pipe.dl_histogram_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),

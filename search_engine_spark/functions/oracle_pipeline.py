@@ -1051,3 +1051,21 @@ SELECT bucket_lo::BIGINT AS bucket_lo, count(*)::BIGINT AS n_docs,
        round(count(*) / t.t, 4) AS pct
 FROM b, t GROUP BY bucket_lo, t.t
 """
+
+
+def search_authority_sql(query_terms: list[str], weight: float = 0.5,
+                         limit: int = 20, table: str = "documents") -> str:
+    """BM25 × PageRank blend — mirrors graph.py::blend_authority over
+    search_bm25 + pagerank (both already 4 dp, so the blend rounds
+    identically in both engines)."""
+    from .oracle_fragments import search_bm25_sql
+
+    w = repr(weight)
+    wc = repr(1.0 - weight)
+    return f"""
+WITH hits AS ({search_bm25_sql(query_terms, limit=1_000_000, table=table)}),
+pr AS ({pagerank_sql(table=table)})
+SELECT hits.doc_id, round(hits.score * ({wc} + {w} * pr.pr), 4) AS score
+FROM hits JOIN pr ON pr.doc_id = hits.doc_id
+ORDER BY score DESC, hits.doc_id ASC LIMIT {limit}
+"""

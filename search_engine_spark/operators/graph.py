@@ -227,3 +227,32 @@ def pagerank(
     return ranks.crossJoin(n).select(
         "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("pr")
     )
+
+
+def blend_authority(
+    hits: DataFrame,
+    pr: DataFrame,
+    weight: float = 0.5,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """Web-search ranking: blend textual relevance with link authority —
+    score' = round(bm25 · ((1-w) + w·pr), 4), pr being the N-scaled
+    PageRank (avg ≈ 1.0, so ``weight`` interpolates between pure BM25 and
+    authority-weighted ranking).
+
+    ``hits`` is the scorer's candidate set (doc_id, score); the pr join is
+    doc-keyed on that bounded set (AQE broadcast when top-K'). Both inputs
+    arrive 4 dp-rounded, so the blend is bit-reproducible across engines.
+    """
+    blended = hits.join(pr, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("score") * ((1.0 - weight) + weight * F.col("pr")), 4
+        ).alias("score"),
+    )
+    return (
+        blended.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )
