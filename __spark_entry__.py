@@ -487,6 +487,18 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(docs, edges)
 
 
+Q_FUZZY = ["dat", "fast"]  # 'dat' is a typo; distance-1 correction → 'data'
+
+
+def _q_search_fuzzy(spark, sf_dir):
+    """Query-time spell correction: unknown terms replaced by their top
+    distance-1 dictionary suggestion before the conjunctive BM25 runs."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_fuzzy(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_FUZZY
+    )
+
+
 def _q_search_authority(spark, sf_dir):
     """Web ranking: BM25 relevance blended with PageRank authority —
     score' = bm25 · (0.5 + 0.5·pr) over the full candidate set."""
@@ -898,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
         "crawl_frontier": _q_crawl_frontier,
+        "search_fuzzy": _q_search_fuzzy,
         "search_authority": _q_search_authority,
         "length_quantiles": _q_length_quantiles,
         "dl_histogram": _q_dl_histogram,
@@ -1000,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
+        "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "length_quantiles": pipe.length_quantiles_sql(),
         "dl_histogram": pipe.dl_histogram_sql(),

@@ -635,3 +635,62 @@ r AS (
 SELECT site_key, doc_id, score FROM r WHERE rn <= {per_site}
 ORDER BY score DESC, doc_id ASC LIMIT {limit}
 """
+
+
+def search_fuzzy_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+                     limit: int = 20, offset: int = 0,
+                     table: str = "documents") -> str:
+    """BM25 with query-time spell correction — mirrors
+    operators/search.py::search_fuzzy: per input term, keep it if it is in
+    the dictionary, else substitute its top distance-1 suggestion (df
+    desc, term asc); terms with no suggestion drop out; conjunctive over
+    the resolved set. The oracle resolves with a brute levenshtein join
+    (the spec); the engine resolves via the SymSpell deletion-neighborhood
+    probe — both must elect identical terms."""
+    vals = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH {terms_cte(table)},
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms GROUP BY term
+),
+q0 AS (SELECT qt FROM (VALUES {vals}) v(qt)),
+sugg AS (
+  SELECT q0.qt, d.term,
+         row_number() OVER (PARTITION BY q0.qt
+                            ORDER BY d.df DESC, d.term ASC) AS rn
+  FROM q0 JOIN dict d ON levenshtein(q0.qt, d.term) = 1
+  WHERE q0.qt NOT IN (SELECT term FROM dict)
+),
+qterms AS (
+  SELECT qt AS term FROM q0 WHERE qt IN (SELECT term FROM dict)
+  UNION
+  SELECT term FROM sugg WHERE rn = 1
+),
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+qdf AS (
+  SELECT term, df FROM dict WHERE term IN (SELECT term FROM qterms)
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score,
+         count(DISTINCT p.term) AS nt
+  FROM post p
+  JOIN dl USING (doc_id) JOIN qdf USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE nt = (SELECT count(*) FROM qterms)
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""

@@ -511,3 +511,48 @@ def search_synonyms(
         .orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
         .limit(limit)
     )
+
+
+def search_fuzzy(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    **bm25_kwargs,
+) -> DataFrame:
+    """BM25 with query-time spell correction: any query term absent from
+    the dictionary is replaced by its top distance-1 suggestion
+    (spell_suggest ordering: df desc, term asc) before the conjunctive
+    search runs; unknown terms with no suggestion drop out instead of
+    emptying the result (the reference dead-ends to an empty page on any
+    unknown lemma — SearchServiceImpl returns []; this is the web-search
+    upgrade of that path).
+
+    Resolution is a driver-side probe of |terms| dictionary rows — the
+    same pattern (and cost) as the idf lookup inside search_bm25.
+    """
+    uniq = sorted(set(terms))
+    present = {
+        r["term"]
+        for r in term_dict.filter(F.col("term").isin(uniq))
+        .select("term")
+        .collect()
+    }
+    resolved: list[str] = []
+    for t in uniq:
+        if t in present:
+            resolved.append(t)
+        else:
+            top = spell_suggest(term_dict, t, k=1).collect()
+            if top:
+                resolved.append(top[0]["term"])
+    resolved = sorted(set(resolved))
+    if not resolved:
+        return postings.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    return search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, resolved, **bm25_kwargs
+    )
