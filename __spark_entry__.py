@@ -519,6 +519,25 @@ def _q_search_authority(spark, sf_dir):
     return blend_authority(hits, pr)
 
 
+def _q_crawl_frontier_robots(spark, sf_dir):
+    """Frontier with robots Disallow rules filtering the harvested links
+    before scoring and the per-host budget."""
+    from search_engine_spark.operators.graph import (
+        ROBOTS_RULES,
+        crawl_frontier,
+        extract_links,
+        frontier_html,
+        robots_filter,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, path_prefix string"
+    )
+    links = robots_filter(extract_links(frontier_html(docs)), rules)
+    return crawl_frontier(docs, links)
+
+
 def _q_length_quantiles(spark, sf_dir):
     """Exact per-language token-length quantiles (curation thresholds)."""
     from search_engine_spark.operators.textstats import length_quantiles
@@ -912,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "search_fuzzy": _q_search_fuzzy,
         "search_authority": _q_search_authority,
+        "crawl_frontier_robots": _q_crawl_frontier_robots,
         "length_quantiles": _q_length_quantiles,
         "dl_histogram": _q_dl_histogram,
         "latest_revisions": _q_latest_revisions,
@@ -1015,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": pipe.crawl_frontier_sql(),
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
+        "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "length_quantiles": pipe.length_quantiles_sql(),
         "dl_histogram": pipe.dl_histogram_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),

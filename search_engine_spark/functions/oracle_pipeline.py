@@ -1069,3 +1069,46 @@ SELECT hits.doc_id, round(hits.score * ({wc} + {w} * pr.pr), 4) AS score
 FROM hits JOIN pr ON pr.doc_id = hits.doc_id
 ORDER BY score DESC, hits.doc_id ASC LIMIT {limit}
 """
+
+
+def crawl_frontier_robots_sql(per_host: int = 10,
+                              table: str = "documents") -> str:
+    """crawl_frontier with robots Disallow rules applied to the harvested
+    links first — mirrors graph.py::robots_filter(extract_links(...))
+    feeding crawl_frontier, with gr.ROBOTS_RULES inlined."""
+    host_of = "('site-' || chr(97 + (dst % 3)::INT) || '.example')"
+    path_of = "('/docs/' || dst)"
+    disallow = " OR ".join(
+        f"({host_of} = '{h}' AND {path_of} LIKE '{p}%')"
+        for h, p in gr.ROBOTS_RULES
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id AS src, t.dst
+  FROM {table}, LATERAL unnest(
+    CASE WHEN doc_id % {gr.FRONTIER_MOD} = 0
+         THEN [doc_id + 1, doc_id // 2,
+               1000 + (doc_id * 31) % {gr.FRONTIER_SPACE - 1000}]
+         ELSE [doc_id + 1, doc_id // 2] END) AS t(dst)
+  WHERE t.dst <> doc_id
+),
+allowed AS (SELECT dst FROM f WHERE NOT ({disallow})),
+unseen AS (
+  SELECT dst FROM allowed WHERE dst NOT IN (SELECT doc_id FROM {table})
+),
+scored AS (
+  SELECT 'https://site-' || chr(97 + (dst % 3)::INT) || '.example/docs/' || dst
+           AS dst_url,
+         'site-' || chr(97 + (dst % 3)::INT) || '.example' AS host,
+         count(*)::BIGINT AS n_inlinks
+  FROM unseen GROUP BY dst
+),
+r AS (
+  SELECT host, dst_url, n_inlinks,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_inlinks DESC, dst_url ASC) AS rank
+  FROM scored
+)
+SELECT host, dst_url, n_inlinks, rank::INT AS rank
+FROM r WHERE rank <= {per_host}
+"""

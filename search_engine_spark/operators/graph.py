@@ -256,3 +256,32 @@ def blend_authority(
         .offset(offset)
         .limit(limit)
     )
+
+
+ROBOTS_RULES = [("site-" + c + ".example", "/docs/10") for c in "abc"]
+# fixture disallow rules (FIXTURES pattern): every host disallows the
+# /docs/10* subtree — mirrored literally in the oracle SQL.
+
+
+def robots_filter(links: DataFrame, rules: DataFrame) -> DataFrame:
+    """Drop links whose target path is disallowed by a robots rule.
+
+    ``rules``: (host, path_prefix) Disallow entries. The join is a
+    broadcast LEFT ANTI on host + prefix match — robots tables are
+    dimension-shaped (one small row set per host, ~10^7 hosts at web
+    scale, a few hundred MB: broadcastable; if a crawl ever exceeds that,
+    drop the hint and let AQE shuffle on host). Keeps every column of
+    ``links``; works on any frame with a ``dst_url`` column.
+    """
+    path = F.regexp_replace(F.col("dst_url"), "^https://[^/]+", "")
+    host = F.regexp_extract(F.col("dst_url"), "^https://([^/]+)/", 1)
+    l = links.withColumn("_path", path).withColumn("_host", host)
+    r = rules.select(
+        F.col("host").alias("_rhost"), F.col("path_prefix").alias("_rpfx")
+    )
+    out = l.join(
+        F.broadcast(r),
+        (l["_host"] == r["_rhost"]) & l["_path"].startswith(r["_rpfx"]),
+        "left_anti",
+    )
+    return out.drop("_path", "_host")

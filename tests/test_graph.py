@@ -166,3 +166,25 @@ def test_crawl_frontier_budget_and_ranking(spark):
         ("h2.example", "https://h2.example/docs/5", 1, 1),
     ]
     assert all(rank <= 2 for (_, _, _, rank) in out)
+
+
+def test_robots_filter_per_host_prefix(spark):
+    from search_engine_spark.operators.graph import robots_filter
+
+    links = spark.createDataFrame(
+        [
+            (1, "https://h1.example/docs/10", 10),     # disallowed on h1
+            (1, "https://h1.example/docs/100", 100),   # prefix match → out
+            (1, "https://h1.example/docs/2", 2),       # allowed
+            (1, "https://h2.example/docs/10", 10),     # other host → allowed
+        ],
+        "src_doc long, dst_url string, dst_doc long",
+    )
+    rules = spark.createDataFrame(
+        [("h1.example", "/docs/10")], "host string, path_prefix string"
+    )
+    kept = {r["dst_url"] for r in robots_filter(links, rules).collect()}
+    assert kept == {
+        "https://h1.example/docs/2",
+        "https://h2.example/docs/10",
+    }
