@@ -519,6 +519,16 @@ def _q_search_authority(spark, sf_dir):
     return blend_authority(hits, pr)
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """mC4-style temperature-balanced language sampling (T=2):
+    low-resource languages upweighted, membership pure-h60 deterministic."""
+    from search_engine_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(load_documents(spark, sf_dir)).select(
+        "doc_id", "lang"
+    )
+
+
 def _q_crawl_frontier_robots(spark, sf_dir):
     """Frontier with robots Disallow rules filtering the harvested links
     before scoring and the per-host budget."""
@@ -932,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": _q_search_fuzzy,
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
+        "temperature_sample": _q_temperature_sample,
         "length_quantiles": _q_length_quantiles,
         "dl_histogram": _q_dl_histogram,
         "latest_revisions": _q_latest_revisions,
@@ -1036,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
+        "temperature_sample": pipe.temperature_sample_sql(),
         "length_quantiles": pipe.length_quantiles_sql(),
         "dl_histogram": pipe.dl_histogram_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),

@@ -1112,3 +1112,26 @@ r AS (
 SELECT host, dst_url, n_inlinks, rank::INT AS rank
 FROM r WHERE rank <= {per_host}
 """
+
+
+def temperature_sample_sql(temperature: float = 2.0,
+                           table: str = "documents") -> str:
+    """Temperature-balanced language sampling — mirrors
+    sampling.py::temperature_sample (same pow/normalize/clamp chain, same
+    h60 membership)."""
+    inv_t = repr(1.0 / float(temperature))
+    h = h60_sql("'temp:' || doc_id")
+    u = f"({h}) / 1152921504606846976.0"
+    return f"""
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n_l FROM {table} GROUP BY lang),
+tot AS (SELECT sum(n_l) AS n FROM c),
+q AS (SELECT lang, n_l, pow(n_l / tot.n, {inv_t}) AS qq FROM c, tot),
+z AS (SELECT sum(qq) AS z FROM q),
+p AS (
+  SELECT lang, least(1.0, (qq / z.z) * tot.n / n_l) AS p
+  FROM q, z, tot
+)
+SELECT d.doc_id, d.lang
+FROM {table} d JOIN p USING (lang)
+WHERE {u} < p.p
+"""

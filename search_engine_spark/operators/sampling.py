@@ -79,3 +79,54 @@ def split_train_holdout(
             F.lit("train")
         ),
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    strata_col: str = "lang",
+    seed_tag: str = "temp",
+) -> DataFrame:
+    """Language-balanced sampling with temperature (the mC4 / XLM-R
+    recipe: sample languages ∝ share^(1/T) so low-resource strata are
+    upweighted; T=1 keeps natural proportions, T→∞ → uniform).
+
+    Per stratum l with natural share s_l = n_l/N:
+        q_l ∝ s_l^(1/T)   (normalized),
+        keep-prob p_l = min(1, q_l · N / n_l)
+    so the expected output size is ≤ N with the temperature-adjusted mix
+    (upsampling beyond 1 would need replication — clamped and documented;
+    rare strata simply keep everything). Membership is the same pure
+    h60 function as the other samplers — reproducible, append-stable,
+    engine-portable. Plan shape: one tiny groupBy(strata) for the weight
+    table, broadcast back onto the corpus, one narrow filter — the corpus
+    stream shuffles nothing.
+    """
+    inv_t = 1.0 / float(temperature)
+    counts = docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_l")
+    )
+    tot = counts.agg(F.sum("_n_l").alias("_n"))
+    q = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_q", F.pow(F.col("_n_l") / F.col("_n"), F.lit(inv_t))
+    )
+    z = q.agg(F.sum("_q").alias("_z"))
+    p = (
+        q.crossJoin(F.broadcast(z))
+        .withColumn(
+            "_p",
+            F.least(
+                F.lit(1.0),
+                (F.col("_q") / F.col("_z")) * F.col("_n") / F.col("_n_l"),
+            ),
+        )
+        .select(strata_col, "_p")
+    )
+    u = h60_col(
+        F.concat(F.lit(seed_tag + ":"), F.col("doc_id").cast("string"))
+    ) / F.lit(H60_SPACE)
+    return (
+        docs.join(F.broadcast(p), strata_col)
+        .filter(u < F.col("_p"))
+        .drop("_p")
+    )

@@ -107,3 +107,37 @@ def test_dist_zip_matches_source_tree():
         f"zip out of sync: missing={sorted(src_files - members)} "
         f"extra={sorted(members - src_files)}"
     )
+
+
+def test_temperature_sample_balances_and_is_deterministic(spark):
+    from search_engine_spark.operators.sampling import temperature_sample
+    from search_engine_spark.sources.documents import load_documents
+
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    natural = dict(
+        (r["lang"], r["count"]) for r in docs.groupBy("lang").count().collect()
+    )
+    out = temperature_sample(docs, temperature=2.0)
+    kept = dict(
+        (r["lang"], r["count"]) for r in out.groupBy("lang").count().collect()
+    )
+    dominant = max(natural, key=natural.get)
+    # the dominant language is downsampled; clamped strata keep everything
+    assert kept[dominant] < natural[dominant]
+    for lang, n in natural.items():
+        assert kept.get(lang, 0) <= n
+    # rare-language share increases vs natural
+    total_n, total_k = sum(natural.values()), sum(kept.values())
+    rare = min(natural, key=natural.get)
+    assert kept[rare] / total_k > natural[rare] / total_n
+    # deterministic: same membership on re-evaluation
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in temperature_sample(docs, temperature=2.0)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
