@@ -488,6 +488,21 @@ def _q_pagerank(spark, sf_dir):
 
 
 Q_FUZZY = ["dat", "fast"]  # 'dat' is a typo; distance-1 correction → 'data'
+Q_BATCH = {
+    "q_rare": Q_BM25,
+    "q_common": Q_BM25_COMMON,
+    "q_pair": Q_AND2,
+    "q_dead": Q_OR,  # contains an absent term → conjunctively empty
+}
+
+
+def _q_search_bm25_batch(spark, sf_dir):
+    """Whole query workload scored in one postings pass; per-query top-k
+    via WindowGroupLimit."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_batch(
+        spark, postings, term_dict, doc_stats, n_docs, avgdl, Q_BATCH
+    )
 
 
 def _q_search_fuzzy(spark, sf_dir):
@@ -940,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "search_fuzzy": _q_search_fuzzy,
+        "search_bm25_batch": _q_search_bm25_batch,
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "temperature_sample": _q_temperature_sample,
@@ -1045,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pipe.pagerank_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
+        "search_bm25_batch": ora.search_bm25_batch_sql(Q_BATCH),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "temperature_sample": pipe.temperature_sample_sql(),

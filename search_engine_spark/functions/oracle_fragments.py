@@ -694,3 +694,17 @@ FROM scored WHERE nt = (SELECT count(*) FROM qterms)
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {limit} OFFSET {offset}
 """
+
+
+def search_bm25_batch_sql(queries: dict[str, list[str]], limit: int = 20,
+                          table: str = "documents") -> str:
+    """Batched BM25 — the oracle states each query independently
+    (UNION ALL of the single-query spec); the engine's one-pass batch
+    plan must reproduce the union exactly."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, score FROM ("
+        + search_bm25_sql(qts, limit=limit, table=table)
+        + ")"
+        for qid, qts in sorted(queries.items())
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -556,3 +556,91 @@ def search_fuzzy(
     return search_bm25(
         postings, term_dict, doc_stats, n_docs, avgdl, resolved, **bm25_kwargs
     )
+
+
+def search_bm25_batch(
+    spark,
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    queries: dict[str, list[str]],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Batched conjunctive BM25: score a whole query workload in ONE pass
+    over the postings → (query_id, doc_id, score), top-``limit`` per query.
+
+    At serving scale the scan dominates; N separate queries re-read the
+    term-filtered postings N times, while the batch unions the term sets,
+    scans once, and fans out per-query scoring through a broadcast
+    (term → query_id, idf) map. Per-query top-k is a WindowGroupLimit
+    (map-side partial top-k) over (query_id) — never a global sort.
+    Queries with a dictionary-absent term are conjunctively empty and are
+    skipped before the plan is built (same dead-term rule as search_bm25).
+    """
+    union_terms = sorted({t for ts in queries.values() for t in ts})
+    if not union_terms:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+    df_map = {
+        r["term"]: float(r["df"])
+        for r in term_dict.filter(F.col("term").isin(union_terms))
+        .select("term", "df")
+        .collect()
+    }
+    qt_rows, n_q = [], {}
+    for qid in sorted(queries):
+        uniq = sorted(set(queries[qid]))
+        if not uniq or any(t not in df_map for t in uniq):
+            continue  # conjunctively empty
+        n_q[qid] = len(uniq)
+        for t in uniq:
+            qt_rows.append((qid, t, bm25_idf(float(n_docs), df_map[t])))
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+    qt = spark.createDataFrame(qt_rows, "query_id string, term string, idf double")
+    nq_map = F.create_map(
+        *[x for q in sorted(n_q) for x in (F.lit(q), F.lit(n_q[q]))]
+    )
+    live_terms = sorted({t for _, t, _ in qt_rows})
+    cand = (
+        postings.filter(F.col("term").isin(live_terms))
+        .join(F.broadcast(qt), "term")
+        .join(doc_stats.hint("broadcast"), "doc_id")
+        .withColumn(
+            "part_score",
+            F.col("idf")
+            * (F.col("tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
+            ),
+        )
+    )
+    scored = (
+        cand.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("part_score").alias("score_raw"),
+            F.count_distinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") == nq_map[F.col("query_id")])
+        .select(
+            "query_id", "doc_id", F.round("score_raw", 4).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit)
+        .drop("_rn")
+    )

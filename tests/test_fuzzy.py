@@ -55,3 +55,27 @@ def test_fuzzy_all_unresolvable_is_empty(spark, ctx):
     out = se.search_fuzzy(postings, td, ds, n, avgdl, ["zzzzqqqq"])
     assert out.count() == 0
     assert out.columns == ["doc_id", "score"]
+
+
+def test_bm25_batch_equals_per_query_runs(spark, ctx):
+    postings, td, ds, n, avgdl = ctx
+    queries = {
+        "a": ["data", "fast"],
+        "b": ["dup", "data", "fast"],
+        "dead": ["data", "zzabsent"],
+    }
+    batch = se.search_bm25_batch(spark, postings, td, ds, n, avgdl, queries)
+    got = {
+        qid: [
+            (r["doc_id"], r["score"])
+            for r in batch.filter(f"query_id = '{qid}'")
+            .orderBy("score", ascending=False)
+            .orderBy(batch["score"].desc(), batch["doc_id"].asc())
+            .collect()
+        ]
+        for qid in queries
+    }
+    for qid, terms in queries.items():
+        single = _rows(se.search_bm25(postings, td, ds, n, avgdl, terms))
+        assert got[qid] == single, qid
+    assert got["dead"] == []
