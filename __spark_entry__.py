@@ -534,6 +534,24 @@ def _q_search_authority(spark, sf_dir):
     return blend_authority(hits, pr)
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product quantization: 64-dim float32 → 8 four-bit codes (the
+    compression that fits 10^9 vectors in memory)."""
+    from search_engine_spark.operators.similarity import pq_encode
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return pq_encode(spark, load_embeddings(spark, sf_dir))
+
+
+def _q_ann_pq(spark, sf_dir):
+    """ADC top-k over PQ codes: the scan touches 4-byte codes, never raw
+    vectors."""
+    from search_engine_spark.operators.similarity import ann_pq
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return ann_pq(spark, load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
+
+
 def _q_temperature_sample(spark, sf_dir):
     """mC4-style temperature-balanced language sampling (T=2):
     low-resource languages upweighted, membership pure-h60 deterministic."""
@@ -959,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "temperature_sample": _q_temperature_sample,
+        "pq_codes": _q_pq_codes,
+        "ann_pq": _q_ann_pq,
         "length_quantiles": _q_length_quantiles,
         "dl_histogram": _q_dl_histogram,
         "latest_revisions": _q_latest_revisions,
@@ -1065,6 +1085,8 @@ def oracle_sql() -> dict[str, str]:
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "temperature_sample": pipe.temperature_sample_sql(),
+        "pq_codes": pipe.pq_codes_sql(),
+        "ann_pq": pipe.ann_pq_sql(ANN_QUERY_IDS),
         "length_quantiles": pipe.length_quantiles_sql(),
         "dl_histogram": pipe.dl_histogram_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),

@@ -1135,3 +1135,69 @@ SELECT d.doc_id, d.lang
 FROM {table} d JOIN p USING (lang)
 WHERE {u} < p.p
 """
+
+
+def _pq_cb_cte(table: str = "embeddings") -> str:
+    m, k, sub = sim.PQ_M, sim.PQ_K, sim.PQ_SUB
+    return f"""
+cbsrc AS (
+  SELECT vec_id AS code, embedding FROM {table} ORDER BY vec_id LIMIT {k}
+),
+cb AS (
+  SELECT s.m::INT AS m, cbsrc.code::INT AS code,
+         (cbsrc.embedding[(s.m*{sub}+1):((s.m+1)*{sub})])::DOUBLE[] AS csub
+  FROM cbsrc, LATERAL unnest(generate_series(0, {m - 1})) s(m)
+),
+sv AS (
+  SELECT e.vec_id, s.m::INT AS m,
+         (e.embedding[(s.m*{sub}+1):((s.m+1)*{sub})])::DOUBLE[] AS sub
+  FROM {table} e, LATERAL unnest(generate_series(0, {m - 1})) s(m)
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT sv.vec_id, sv.m, cb.code,
+           row_number() OVER (
+             PARTITION BY sv.vec_id, sv.m
+             ORDER BY round(list_distance(sv.sub, cb.csub), 4) ASC,
+                      cb.code ASC) AS rn
+    FROM sv JOIN cb USING (m)
+  ) WHERE rn = 1
+)"""
+
+
+def pq_codes_sql(table: str = "embeddings") -> str:
+    """PQ encoding — mirrors similarity.py::pq_encode (same deterministic
+    codebook sample, same rounded-L2 argmin with code-asc ties)."""
+    return f"""
+WITH {_pq_cb_cte(table)}
+SELECT vec_id, m, code FROM codes
+"""
+
+
+def ann_pq_sql(query_ids: list[int], k: int = 5,
+               table: str = "embeddings") -> str:
+    """ADC top-k — mirrors similarity.py::ann_pq."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH {_pq_cb_cte(table)},
+qsub AS (
+  SELECT vec_id AS qid, m, sub AS qsub FROM sv WHERE vec_id IN ({ids})
+),
+lut AS (
+  SELECT qsub.qid, qsub.m, cb.code,
+         round(list_distance(qsub.qsub, cb.csub), 4) AS dq
+  FROM qsub JOIN cb USING (m)
+),
+scored AS (
+  SELECT lut.qid, codes.vec_id, round(sum(lut.dq), 4) AS adc
+  FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
+  GROUP BY lut.qid, codes.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc ASC, vec_id ASC) AS rank
+  FROM scored WHERE vec_id <> qid
+)
+SELECT qid, vec_id, adc, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""

@@ -266,3 +266,137 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+# --------------------------------------------------------- product quantizer
+
+PQ_M = 8           # subspaces (EMB_DIM 64 → 8 dims each)
+PQ_K = 16          # codes per subspace (4-bit codes)
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def pq_codebook_rows(
+    embeddings: DataFrame, m_sub: int = PQ_M, k_codes: int = PQ_K
+) -> list[tuple[int, int, list[float]]]:
+    """(m, code, subvector) — the PQ codebook. Like ivf_centroid_rows,
+    codebooks are a DETERMINISTIC corpus sample (subvectors of the
+    k_codes smallest vec_ids — FAISS's random init without Lloyd
+    refinement, reproducible in ANSI SQL); a trained codebook feeds the
+    same seam. ~M·K rows, driver-side, broadcast into every plan."""
+    sub = EMB_DIM // m_sub
+    rows = (
+        embeddings.orderBy("vec_id")
+        .limit(k_codes)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        vec = [float(x) for x in r["embedding"]]
+        for m in range(m_sub):
+            out.append((m, int(r["vec_id"]), vec[m * sub : (m + 1) * sub]))
+    return out
+
+
+def _l2_expr(a, b):
+    """Euclidean distance of two array<double> columns, left-to-right
+    accumulation (matches DuckDB list_distance within 4 dp rounding)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _subvectors(embeddings: DataFrame, m_sub: int = PQ_M) -> DataFrame:
+    """(vec_id, m, sub: array<double>) — in-plan slicing, no shuffle."""
+    sub = EMB_DIM // m_sub
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(arr, m * sub + 1, sub),
+    )
+    return embeddings.select(
+        "vec_id", F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def _codebook_df(spark, codebook: list[tuple[int, int, list[float]]]):
+    return spark.createDataFrame(
+        [(m, c, [float(x) for x in v]) for m, c, v in codebook],
+        "m int, code int, csub array<double>",
+    )
+
+
+def pq_encode(
+    spark,
+    embeddings: DataFrame,
+    codebook: list[tuple[int, int, list[float]]] | None = None,
+) -> DataFrame:
+    """(vec_id, m, code) — each subvector quantized to its nearest
+    codebook entry (L2, rounded 4 dp; ties → smallest code). 64 float32
+    dims become M=8 4-bit codes: 256 B → 4 B per vector, the compression
+    that lets a 10^9-vector index live in executor memory.
+
+    Plan: corpus subvectors (in-plan slicing) ⋈ broadcast codebook
+    (M·K = 128 rows) → per-(vec_id, m) argmin via min_by — one map-side
+    combining aggregation, no corpus shuffle before it."""
+    codebook = codebook or pq_codebook_rows(embeddings)
+    cb = F.broadcast(_codebook_df(spark, codebook))
+    sv = _subvectors(embeddings)
+    d = sv.join(cb, "m").select(
+        "vec_id",
+        "m",
+        "code",
+        F.round(_l2_expr(F.col("sub"), F.col("csub")), 4).alias("d"),
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"))
+        .select("vec_id", "m", "code")
+    )
+
+
+def ann_pq(
+    spark,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """(qid, vec_id, adc, rank) — asymmetric-distance-computation top-k:
+    the query stays un-quantized; per (query, subspace) the M·K distance
+    lookup table is computed once (in-plan, broadcastable), then every
+    corpus vector's approximate distance is Σ_m table[m][code_m] — the
+    scan never touches raw vectors, only the 4-bit codes.
+
+    All distance arithmetic happens in-plan on both engines (4 dp-rounded
+    per cell and per sum), so the oracle reproduces it exactly."""
+    codebook = pq_codebook_rows(embeddings)
+    codes = pq_encode(spark, embeddings, codebook)
+    cb = F.broadcast(_codebook_df(spark, codebook))
+    qsub = F.broadcast(
+        _subvectors(
+            embeddings.filter(F.col("vec_id").isin(query_ids))
+        ).withColumnRenamed("vec_id", "qid").withColumnRenamed("sub", "qsub")
+    )
+    lut = qsub.join(cb, "m").select(
+        "qid",
+        "m",
+        "code",
+        F.round(_l2_expr(F.col("qsub"), F.col("csub")), 4).alias("dq"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("dq"), 4).alias("adc"))
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
