@@ -888,14 +888,20 @@ def pii_redact_sql(table: str = "documents") -> str:
     curation.py::redact_pii over pii_augment. Patterns come verbatim from
     cu.PII_PATTERNS (RE2 ∩ Java subset); 'g' flag matches Spark's
     replace-all regexp_replace."""
-    aug = _pii_augmented_sql()
-    counts = ", ".join(
-        f"len(regexp_extract_all({aug}, '{cu.PII_PATTERNS[k]}'))::INT AS n_{k}"
-        for k in cu.PII_ORDER
-    )
-    red = aug
+    red = _pii_augmented_sql()
+    count_exprs = []
     for k in cu.PII_ORDER:
-        red = f"regexp_replace({red}, '{cu.PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+        # count on the text AFTER the previous classes were redacted
+        # (mirrors curation.py::redact_pii exactly)
+        count_exprs.append(
+            f"len(regexp_extract_all({red}, '{cu.PII_PATTERNS[k]}'))::INT"
+            f" AS n_{k}"
+        )
+        red = (
+            f"regexp_replace({red}, '{cu.PII_PATTERNS[k]}',"
+            f" '<{k.upper()}>', 'g')"
+        )
+    counts = ", ".join(count_exprs)
     return f"""
 SELECT doc_id, {counts}, {red} AS redacted
 FROM {table}
@@ -905,7 +911,10 @@ FROM {table}
 def domain_stats_sql(table: str = "documents") -> str:
     """Per-site curation rollup — mirrors curation.py::domain_stats over
     the derived site_key/http_code/warc_ts columns."""
-    ntok = f"len(string_split_regex(trim(text), '{cu.LINE_WS}'))"
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{cu.LINE_WS}')) END)"
+    )
     return f"""
 SELECT {SITE_KEY_SQL} AS site_key,
        count(*)::BIGINT AS n_docs,

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..hashing import h60_col
+from ..textproc.tokenize import WS_SPLIT
 
 # ------------------------------------------------ fixture-derived columns
 # FIXTURES pattern (sources/documents.py): deterministic derivations give
@@ -116,9 +117,11 @@ def latest_revisions(
 
 # -------------------------------------------------------------- line dedup
 
-# ASCII whitespace only — same class as the pinned tokenizer WS_SPLIT so
-# all engines (Spark/Java, DuckDB/RE2, Python) split identically.
-LINE_WS = "[ \\t\\r\\n\\f]+"
+# The pinned tokenizer whitespace class (textproc/tokenize.py::WS_SPLIT,
+# written as literal characters portable to Java/RE2/Python) — curation
+# splits on exactly the same class as the indexer, so token counts and
+# line boundaries agree with doc_stats/BM25 dl everywhere.
+LINE_WS = WS_SPLIT
 
 
 LINE_WIDTH = 4  # fixture chunk width (tokens per derived "line")
@@ -219,12 +222,16 @@ def redact_pii(docs: DataFrame, text: str = "text") -> DataFrame:
     this is a single map stage gated only by scan bandwidth.
     """
     col: Column = F.col(text)
-    counts = [
-        F.regexp_count(col, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
-        for k in PII_ORDER
-    ]
+    # Each class is counted on the text AFTER the previous classes were
+    # redacted, so counts equal the number of <CLASS> placeholders actually
+    # emitted (an IP inside an email's host must not double-count: the
+    # email redaction consumes it first).
     red = col
+    counts = []
     for k in PII_ORDER:
+        counts.append(
+            F.regexp_count(red, F.lit(PII_PATTERNS[k])).alias(f"n_{k}")
+        )
         red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
     return docs.select("doc_id", *counts, red.alias("redacted"))
 
@@ -242,7 +249,9 @@ def domain_stats(docs: DataFrame) -> DataFrame:
     n_docs, n_parseable, total_tokens, avg_doc_tokens (4 dp), n_langs,
     latest_crawl (epoch seconds).
     """
-    n_toks = F.size(F.split(F.trim("text"), LINE_WS))
+    n_toks = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), LINE_WS))
+    )
     parseable = (F.col("http_code") == 200) & (F.trim(F.col("text")) != "")
     return (
         docs.groupBy("site_key")

@@ -530,8 +530,10 @@ def search_fuzzy(
     unknown lemma — SearchServiceImpl returns []; this is the web-search
     upgrade of that path).
 
-    Resolution is a driver-side probe of |terms| dictionary rows — the
-    same pattern (and cost) as the idf lookup inside search_bm25.
+    Resolution costs two driver-side probes regardless of typo count: one
+    presence check (|terms| dictionary rows, the same pattern as the idf
+    lookup inside search_bm25) and ONE batched deletion-neighborhood pass
+    for all unknown terms together (spell_suggest_batch).
     """
     uniq = sorted(set(terms))
     present = {
@@ -540,15 +542,12 @@ def search_fuzzy(
         .select("term")
         .collect()
     }
-    resolved: list[str] = []
-    for t in uniq:
-        if t in present:
-            resolved.append(t)
-        else:
-            top = spell_suggest(term_dict, t, k=1).collect()
-            if top:
-                resolved.append(top[0]["term"])
-    resolved = sorted(set(resolved))
+    unknown = [t for t in uniq if t not in present]
+    corrections = spell_suggest_batch(term_dict, unknown)
+    resolved = sorted(
+        {t for t in uniq if t in present}
+        | {corrections[t] for t in unknown if t in corrections}
+    )
     if not resolved:
         return postings.select(
             F.col("doc_id"), F.lit(0.0).alias("score")
@@ -644,3 +643,53 @@ def search_bm25_batch(
         .filter(F.col("_rn") <= limit)
         .drop("_rn")
     )
+
+
+def spell_suggest_batch(
+    term_dict: DataFrame, probes: list[str]
+) -> dict[str, str]:
+    """Top distance-1 suggestion per probe, resolved in ONE plan (the same
+    SymSpell deletion-neighborhood join as spell_suggest, with the probes'
+    variants unioned into a single isin filter and a per-probe window) —
+    a 5-typo query costs one dictionary pass, not five sequential jobs.
+
+    Returns {probe: best_term}; probes with no distance-1 neighbor are
+    absent from the result."""
+    probes = sorted(set(probes))
+    if not probes:
+        return {}
+    pv_rows = [
+        (p, v)
+        for p in probes
+        for v in {p} | {p[: i] + p[i + 1 :] for i in range(len(p))}
+    ]
+    spark = term_dict.sparkSession
+    pv = spark.createDataFrame(pv_rows, "probe string, v string")
+    term = F.col("term")
+    n = F.length(term)
+    deletions = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substring(term, F.lit(1), i - 1), term.substr(i + 1, n)
+        ),
+    )
+    variants = F.array_union(F.array(term), deletions)
+    cand = (
+        term_dict.select("term", "df", F.explode(variants).alias("v"))
+        .join(F.broadcast(pv), "v")
+        .select("probe", "term", "df")
+        .distinct()
+        .filter(F.levenshtein(term, F.col("probe")) == 1)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe").orderBy(
+        F.col("df").desc(), term.asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("probe", "term")
+        .collect()
+    )
+    return {r["probe"]: r["term"] for r in best}

@@ -166,6 +166,16 @@ class SegmentCatalog:
                 deleted.append(d)
         return deleted
 
+    def _name_taken(self, name: str) -> bool:
+        """A segment name is unusable if the CURRENT manifest, ANY retained
+        snapshot, or the filesystem still knows it — segment dirs are
+        immutable, and write_blocks overwrites, so reusing such a name
+        would silently corrupt time travel (older snapshots would read the
+        new data under the old name)."""
+        return name in self._referenced_segments() or os.path.isdir(
+            os.path.join(self.seg_root, name)
+        )
+
     def _referenced_segments(self) -> set[str]:
         """Every segment any retained snapshot (or the current manifest)
         still points at — the files expire_snapshots/_sweep_orphans must
@@ -191,8 +201,11 @@ class SegmentCatalog:
         engine's doc_id derivation guarantees it; overlapping ids are an
         upstream reindex (operators/incremental.py), not a new segment."""
         m = self.manifest()
-        if name in m:
-            raise ValueError(f"segment {name!r} already exists")
+        if self._name_taken(name):
+            raise ValueError(
+                f"segment {name!r} already exists (live, referenced by a "
+                f"retained snapshot, or on disk)"
+            )
         packed = pack_documents(docs, n_buckets=self.n_buckets)
         blocks = blocks_from_packed(packed)
         path = os.path.join(self.seg_root, name)
@@ -268,9 +281,15 @@ class SegmentCatalog:
             if not plans:
                 break
             for group in plans:
-                new_name = f"m-{min(group)}-{len(group)}"
-                if new_name in m:  # merge-of-merge landing on same name
-                    new_name = f"{new_name}-{len(m)}"
+                # segments are immutable: a compacted output may NEVER
+                # reuse a name any retained snapshot (or on-disk dir)
+                # still references — time travel reads those files.
+                # Suffix with the next commit version until unique.
+                base = f"m-{min(group)}-{len(group)}"
+                new_name, suffix = base, 0
+                while self._name_taken(new_name):
+                    suffix += 1
+                    new_name = f"{base}-{suffix}"
                 merged = merge_segments(
                     *[self.read_segment(n) for n in group], deleted=deleted
                 )

@@ -16,7 +16,8 @@ Derivations (frozen):
   raw_url   = un-normalized variant exercising the URL normalizer (S4):
               mixed case '/Docs/', trailing '/' when doc_id%5=0,
               '?ref=track' when doc_id%7=0
-  warc_ts   = timestamp '2024-01-01 00:00:00' + doc_id minutes
+  warc_ts   = epoch 1704067200 + 60·doc_id (2024-01-01 UTC + doc_id min;
+              built via timestamp_seconds so it is session-TZ-independent)
   html      = deterministic page wrapper around ``text`` (title = 'Doc <id>')
               such that textproc.extract.extract_text(html) == text
               (the byte-identical invariant; golden-tested)
@@ -120,8 +121,12 @@ def load_documents(
         .withColumn("url", F.concat(site, path))
         .withColumn("raw_url", F.concat(site, raw_path))
         .withColumn(
+            # epoch-seconds construction, NOT a string cast: a string
+            # literal parses in spark.sql.session.timeZone, which the
+            # driver's session may not pin to UTC — the oracle's
+            # 1704067200 + 60*doc_id arithmetic must hold regardless.
             "warc_ts",
-            F.timestamp_add("MINUTE", F.col("doc_id"), F.lit("2024-01-01 00:00:00").cast("timestamp")),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60),
         )
         .withColumn("html", html_col())
         .withColumn("http_code", http_code_col())

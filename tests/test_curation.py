@@ -128,6 +128,12 @@ def test_line_dedup_append_stable(spark):
         ),
         # version strings (2 octets) and short +digits are NOT PII
         ("v1.2 build +123", (0, 0, 0, "v1.2 build +123")),
+        # an IP inside an email's host is consumed by the email redaction
+        # first — counts equal the placeholders actually emitted
+        (
+            "contact admin@10.0.0.1.example.com now",
+            (1, 0, 0, "contact <EMAIL> now"),
+        ),
     ],
 )
 def test_redact_pii_patterns(spark, text, expect):
@@ -145,3 +151,29 @@ def test_default_line_width_matches_oracle_constant():
     from search_engine_spark.functions.oracle_pipeline import line_dedup_sql
 
     assert f"*{LINE_WIDTH}+1" in line_dedup_sql()
+
+
+def test_warc_epoch_independent_of_session_timezone(spark):
+    """warc_ts is built from epoch seconds, so the oracle's
+    1704067200 + 60*doc_id arithmetic must hold under ANY
+    spark.sql.session.timeZone (the driver's session need not be UTC)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.sources.documents import load_documents
+
+    from tests.conftest import SF_TEST
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        rows = (
+            load_documents(spark, SF_TEST)
+            .filter("doc_id < 3")
+            .select("doc_id", F.unix_timestamp("warc_ts").alias("ep"))
+            .collect()
+        )
+        assert {r["doc_id"]: r["ep"] for r in rows} == {
+            i: 1704067200 + 60 * i for i in range(3)
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

@@ -241,3 +241,31 @@ def test_sweep_keeps_snapshot_referenced_segments(spark, docs, tmp_path):
     assert not os.path.isdir(orphan)  # true orphan swept
     assert os.path.isdir(os.path.join(cat.seg_root, "a"))  # still referenced
     assert os.path.isdir(os.path.join(cat.seg_root, "b"))
+
+
+def test_segment_name_reuse_cannot_corrupt_history(spark, docs, tmp_path):
+    """Reusing the name of a compacted-away (snapshot-referenced) segment
+    must be refused, and maintain() must never regenerate a name an older
+    snapshot still points at — segment dirs are immutable."""
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    cat = SegmentCatalog(spark, str(tmp_path / "nr"), n_buckets=N_BUCKETS)
+    cat.add_segment(docs.filter("doc_id < 20"), "a")
+    cat.add_segment(docs.filter("doc_id >= 20 and doc_id < 40"), "b")
+    v_pre = cat.current_version()
+    pre = _postings_set(cat.read_blocks(at_version=v_pre))
+    cat.maintain(merge_factor=2)  # 'a'/'b' leave the manifest, stay on disk
+
+    # name reuse of a snapshot-referenced segment is refused
+    with pytest.raises(ValueError):
+        cat.add_segment(docs.filter("doc_id >= 40 and doc_id < 60"), "a")
+    # history unharmed
+    assert _postings_set(cat.read_blocks(at_version=v_pre)) == pre
+
+    # rollback then re-maintain must mint a FRESH merge name, not overwrite
+    merged_v = cat.current_version()
+    merged_names = set(cat.segment_names())
+    cat.rollback(v_pre)
+    created = cat.maintain(merge_factor=2)
+    assert created and not (set(created) & merged_names)
+    assert _postings_set(cat.read_blocks(at_version=merged_v)) == pre
