@@ -534,6 +534,34 @@ def _q_search_authority(spark, sf_dir):
     return blend_authority(hits, pr)
 
 
+TRUST_SEED_MOD = 50  # fixture trusted-seed set: doc_id % 50 == 0
+
+
+def _q_trustrank(spark, sf_dir):
+    """Personalized PageRank from a trusted seed set (spam-demotion
+    prior); teleport mass concentrated on doc_id % 50 == 0."""
+    from search_engine_spark.operators.graph import (
+        extract_links,
+        linked_html,
+        resolved_edges,
+        trustrank,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    seeds = docs.filter(F.col("doc_id") % TRUST_SEED_MOD == 0).select("doc_id")
+    return trustrank(docs, edges, seeds)
+
+
+def _q_curation_funnel(spark, sf_dir):
+    """The whole preprocessing funnel as one plan: status gate → line
+    dedup → exact dedup → quality floor → lang filter → temperature
+    sample, reporting rows kept per stage."""
+    from search_engine_spark.operators.curation import curation_funnel
+
+    return curation_funnel(load_documents(spark, sf_dir))
+
+
 def _q_pq_codes(spark, sf_dir):
     """Product quantization: 64-dim float32 → 8 four-bit codes (the
     compression that fits 10^9 vectors in memory)."""
@@ -977,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "temperature_sample": _q_temperature_sample,
+        "trustrank": _q_trustrank,
+        "curation_funnel": _q_curation_funnel,
         "pq_codes": _q_pq_codes,
         "ann_pq": _q_ann_pq,
         "length_quantiles": _q_length_quantiles,
@@ -1085,6 +1115,8 @@ def oracle_sql() -> dict[str, str]:
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "temperature_sample": pipe.temperature_sample_sql(),
+        "trustrank": pipe.trustrank_sql(TRUST_SEED_MOD),
+        "curation_funnel": pipe.curation_funnel_sql(),
         "pq_codes": pipe.pq_codes_sql(),
         "ann_pq": pipe.ann_pq_sql(ANN_QUERY_IDS),
         "length_quantiles": pipe.length_quantiles_sql(),

@@ -1210,3 +1210,93 @@ ranked AS (
 )
 SELECT qid, vec_id, adc, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+def trustrank_sql(
+    seed_mod: int = 50,
+    n_iter: int = gr.PR_ITERS,
+    damping: float = gr.PR_DAMPING,
+    table: str = "documents",
+) -> str:
+    """TrustRank unrolled — mirrors graph.py::trustrank with seeds =
+    doc_id % seed_mod = 0 (the contract query's fixture seed set)."""
+    d = repr(damping)
+    base = repr(1.0 - damping)
+    ctes = [
+        f"nodes AS (SELECT doc_id FROM {table})",
+        "meta AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        f"seeds AS (SELECT doc_id FROM nodes WHERE doc_id % {seed_mod} = 0)",
+        "scnt AS (SELECT count(*)::DOUBLE AS s FROM seeds)",
+        "tv AS (SELECT nodes.doc_id,"
+        " CASE WHEN seeds.doc_id IS NOT NULL THEN 1.0 / scnt.s ELSE 0.0 END AS tv"
+        " FROM nodes CROSS JOIN scnt"
+        " LEFT JOIN seeds ON seeds.doc_id = nodes.doc_id)",
+        _EDGE_CTE.format(table=table).strip(),
+        "edges AS (SELECT src, dst FROM edges0 WHERE dst IN (SELECT doc_id FROM nodes))",
+        "deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "e AS (SELECT edges.src, edges.dst, deg.outdeg FROM edges JOIN deg USING (src))",
+        "r0 AS (SELECT doc_id, tv AS rank FROM tv)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"c{i+1} AS (SELECT dst, sum(rank / outdeg) AS c"
+            f" FROM e JOIN r{i} ON r{i}.doc_id = e.src GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i+1} AS (SELECT tv.doc_id,"
+            f" {base} * tv.tv + {d} * coalesce(c{i+1}.c, 0.0) AS rank"
+            f" FROM tv LEFT JOIN c{i+1} ON c{i+1}.dst = tv.doc_id)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT doc_id, round(rank * meta.n, 4) AS tr FROM r{n_iter}, meta
+"""
+
+
+def curation_funnel_sql(table: str = "documents") -> str:
+    """The preprocessing funnel end to end — composes the per-stage
+    oracle generators (line_dedup_sql / quality_scores_sql /
+    temperature_sample_sql run as parenthesized sub-statements over the
+    chained CTEs), mirroring curation.py::curation_funnel stage for
+    stage."""
+    h = h60_sql("clean_text")
+    return f"""
+WITH s1 AS (SELECT * FROM {table} WHERE {PARSEABLE_SQL}),
+ld AS ({line_dedup_sql(table="s1")}),
+s2 AS (SELECT doc_id, clean_text FROM ld WHERE n_kept > 0),
+fpt AS (SELECT doc_id, {h} AS fp FROM s2),
+w AS (SELECT fp, min(doc_id) AS keep FROM fpt GROUP BY fp),
+s3 AS (
+  SELECT fpt.doc_id FROM fpt JOIN w ON w.fp = fpt.fp
+  WHERE fpt.doc_id = w.keep
+),
+q AS ({quality_scores_sql(table="s1")}),
+s4 AS (
+  SELECT s3.doc_id FROM s3 JOIN q ON q.doc_id = s3.doc_id
+  WHERE q.quality >= {cu.QUALITY_FLOOR}
+),
+s5 AS (
+  SELECT d.* FROM {table} d JOIN s4 ON s4.doc_id = d.doc_id
+  WHERE d.lang <> '{cu.FUNNEL_DROP_LANG}'
+),
+tc AS (SELECT lang, count(*)::DOUBLE AS n_l FROM s5 GROUP BY lang),
+ttot AS (SELECT sum(n_l) AS n FROM tc),
+tq AS (SELECT lang, n_l, pow(n_l / ttot.n, {repr(0.5)}) AS qq FROM tc, ttot),
+tz AS (SELECT sum(qq) AS z FROM tq),
+tp AS (
+  SELECT lang, least(1.0, (qq / tz.z) * ttot.n / n_l) AS p
+  FROM tq, tz, ttot
+),
+s6 AS (
+  SELECT d.doc_id FROM s5 d JOIN tp USING (lang)
+  WHERE ({h60_sql("'temp:' || doc_id")}) / 1152921504606846976.0 < tp.p
+)
+SELECT '1_input' AS stage, (SELECT count(*) FROM {table})::BIGINT AS n_rows
+UNION ALL SELECT '2_parseable', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL SELECT '3_line_nonempty', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL SELECT '4_exact_unique', (SELECT count(*) FROM s3)::BIGINT
+UNION ALL SELECT '5_quality', (SELECT count(*) FROM s4)::BIGINT
+UNION ALL SELECT '6_lang', (SELECT count(*) FROM s5)::BIGINT
+UNION ALL SELECT '7_sampled', (SELECT count(*) FROM s6)::BIGINT
+"""

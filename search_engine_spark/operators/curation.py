@@ -264,3 +264,70 @@ def domain_stats(docs: DataFrame) -> DataFrame:
             F.max(F.unix_timestamp("warc_ts")).alias("latest_crawl"),
         )
     )
+
+
+QUALITY_FLOOR = 0.5
+FUNNEL_DROP_LANG = "zh"
+
+
+def curation_funnel(
+    docs: DataFrame,
+    quality_floor: float = QUALITY_FLOOR,
+    drop_lang: str = FUNNEL_DROP_LANG,
+) -> DataFrame:
+    """The whole 100 TB preprocessing funnel as ONE auditable plan →
+    (stage, n_rows): fetch-status gate → corpus-wide line dedup (drop
+    docs emptied by it) → exact dedup on the cleaned text → quality
+    floor → language filter → temperature-balanced sample. Every web
+    pipeline publishes exactly this table (how many documents each stage
+    kept); here each stage composes the already-oracle-verified operators
+    and the funnel itself is oracle-paired end to end.
+
+    Plan: seven count aggregates unioned — each stage is the previous
+    stage's survivors, recomputed declaratively (no caching, no driver
+    collect of data rows), so Catalyst is free to share or re-derive
+    scans per branch.
+    """
+    from ..sources.documents import parseable_documents
+    from .sampling import temperature_sample
+    from .textstats import quality_scores
+
+    s1 = parseable_documents(docs)
+    ld = remove_duplicated_lines(doc_lines(s1))
+    s2 = ld.filter(F.col("n_kept") > 0).select("doc_id", "clean_text")
+    fp = s2.select("doc_id", h60_col(F.col("clean_text")).alias("fp"))
+    w = fp.groupBy("fp").agg(F.min("doc_id").alias("keep"))
+    s3 = (
+        fp.join(w, "fp")
+        .filter(F.col("doc_id") == F.col("keep"))
+        .select("doc_id")
+    )
+    q = quality_scores(s1).select("doc_id", "quality")
+    s4 = (
+        s3.join(q, "doc_id")
+        .filter(F.col("quality") >= quality_floor)
+        .select("doc_id")
+    )
+    s5 = docs.join(s4, "doc_id", "left_semi").filter(
+        F.col("lang") != drop_lang
+    )
+    s6 = temperature_sample(s5)
+    stages = [
+        ("1_input", docs),
+        ("2_parseable", s1),
+        ("3_line_nonempty", s2),
+        ("4_exact_unique", s3),
+        ("5_quality", s4),
+        ("6_lang", s5),
+        ("7_sampled", s6),
+    ]
+    parts = [
+        d.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("stage"), "n_rows"
+        )
+        for name, d in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

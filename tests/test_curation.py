@@ -177,3 +177,20 @@ def test_warc_epoch_independent_of_session_timezone(spark):
         }
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_curation_funnel_monotone(spark):
+    from search_engine_spark.operators.curation import curation_funnel
+    from search_engine_spark.sources.documents import load_documents
+
+    from tests.conftest import SF_TEST
+
+    out = {
+        r["stage"]: r["n_rows"]
+        for r in curation_funnel(load_documents(spark, SF_TEST)).collect()
+    }
+    order = sorted(out)  # stage names are 1_..7_ prefixed
+    assert len(order) == 7 and order[0] == "1_input"
+    counts = [out[s] for s in order]
+    assert counts == sorted(counts, reverse=True)  # never grows
+    assert counts[0] > counts[-1] > 0  # funnel actually filters

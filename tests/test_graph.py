@@ -188,3 +188,21 @@ def test_robots_filter_per_host_prefix(spark):
         "https://h1.example/docs/2",
         "https://h2.example/docs/10",
     }
+
+
+def test_trustrank_concentrates_on_seed_neighborhood(spark):
+    from search_engine_spark.operators.graph import trustrank
+
+    docs = _docs(spark, n=30)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    seeds = docs.filter("doc_id in (0, 10)").select("doc_id")
+    tr = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds).collect()}
+    pr_all = sum(tr.values())
+    # teleport mass only enters at seeds: total is bounded by N, positive
+    # (+0.01 headroom: each of 30 values is independently 4 dp-rounded)
+    assert 0 < pr_all <= 30.01
+    # a page only reachable far from any seed gets (almost) nothing;
+    # the direct successor of a seed outranks it
+    assert tr[1] > tr[29]
+    # non-reachable-from-seed pages score 0 (no uniform teleport)
+    assert tr[29] >= 0.0
