@@ -54,3 +54,43 @@ def test_line_dedup_invariants(spark, texts):
         assert r["n_kept"] + r["n_dropped"] == doc_lines_n
     # exactly one survivor per distinct line corpus-wide
     assert total_kept == len({r["line"] for r in line_rows})
+
+
+# ---------------------------------------------------------------- PII scrub
+
+PII_BITS = st.sampled_from(
+    [
+        "hello",
+        "world",
+        "a@b.co",
+        "x.y+z@mail.example.org",
+        "10.0.0.1",
+        "256.1.2.3",          # still 4 dotted octet groups → matches \d{1,3}
+        "+12345678",
+        "+123",               # too short → not a phone
+        "v1.2",
+        "admin@10.0.0.1.example.com",
+    ]
+)
+PII_TEXT = st.lists(PII_BITS, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(text=PII_TEXT)
+def test_redact_counts_equal_emitted_placeholders(spark, text):
+    """Post-fix invariant: n_<class> equals the number of <CLASS>
+    placeholders actually present in the redacted output, for any
+    composition of overlapping PII-like fragments."""
+    from search_engine_spark.operators.curation import redact_pii
+
+    row = redact_pii(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()[0]
+    red = row["redacted"]
+    assert row["n_email"] == red.count("<EMAIL>")
+    assert row["n_ip"] == red.count("<IP>")
+    assert row["n_phone"] == red.count("<PHONE>")
