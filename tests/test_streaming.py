@@ -230,3 +230,40 @@ def test_stream_segments_lsm_ingestion(spark, tmp_path):
         ).collect()
     }
     assert streamed == scratch
+
+
+def test_stream_latest_revision_matches_batch(spark, tmp_path):
+    """Streaming newest-revision reconciliation over two arrival batches
+    equals the batch latest_revisions over the union — including a
+    late-arriving OLDER revision that must NOT displace the winner."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.curation import latest_revisions
+    from search_engine_spark.sources.documents import load_documents
+    from search_engine_spark.streaming.stream_latest import (
+        run_latest_to_memory,
+    )
+
+    from tests.conftest import SF_TEST
+
+    mod = 7
+    docs = load_documents(spark, SF_TEST).filter("doc_id < 60").select(
+        "doc_id", "url", "warc_ts", "html", "text", "lang"
+    )
+    landing = str(tmp_path / "landing")
+    # batch 1: the newer half arrives FIRST; batch 2 delivers older
+    # revisions late (lower doc_id == earlier warc_ts by derivation)
+    docs.filter("doc_id >= 30").write.parquet(landing, mode="append")
+    docs.filter("doc_id < 30").write.parquet(landing, mode="append")
+
+    got = run_latest_to_memory(
+        spark, landing, str(tmp_path / "ck"), key_mod=mod
+    )
+    batch = latest_revisions(
+        docs.withColumn("page_key", F.col("doc_id") % mod)
+    )
+    to_set = lambda df: {
+        (r["page_key"], r["n_revisions"], r["doc_id"])
+        for r in df.select("page_key", "n_revisions", "doc_id").collect()
+    }
+    assert to_set(got) == to_set(batch)
