@@ -283,12 +283,17 @@ class SearchEngine:
         limit: int = 20,
         offset: int = 0,
         op: str = "and",
+        fuzzy: bool = False,
     ) -> DataFrame:
         """Top-k search over compressed blocks. Returns (doc_id, score[,rel]).
 
         op='and' (default) = the reference's conjunctive semantics; a query
         term absent from the corpus empties the result (Q2 gate).
-        op='or' = disjunctive BM25 top-k; absent terms just drop out."""
+        op='or' = disjunctive BM25 top-k; absent terms just drop out.
+        fuzzy=True replaces dictionary-absent terms with their top
+        distance-1 suggestion before the gate (operators/search.py::
+        spell_suggest_batch — one batched probe), instead of the
+        reference's empty-page dead end."""
         self._require_built()
         conjunctive = op != "or"
         empty_schema = (
@@ -301,6 +306,11 @@ class SearchEngine:
             return self.spark.createDataFrame([], empty_schema)
         uniq = sorted(set(terms))
         dfs = self._dict_probe(uniq)
+        if fuzzy and len(dfs) < len(uniq):
+            unknown = [t for t in uniq if t not in dfs]
+            corrections = se.spell_suggest_batch(self.term_dict, unknown)
+            uniq = sorted(set(dfs) | set(corrections.values()))
+            dfs = self._dict_probe(uniq)
         if conjunctive and len(dfs) < len(uniq):
             return self.spark.createDataFrame([], empty_schema)
         if not dfs:
@@ -423,6 +433,8 @@ class SearchEngine:
         site_key: str | None = None,
         limit: int = 20,
         offset: int = 0,
+        fuzzy: bool = False,
+        collapse: bool = False,
     ) -> dict:
         """Reference GET /api/search envelope (A2, README.md:244-270):
         {result, count, data[]} — count is the PRE-pagination match total
@@ -431,9 +443,33 @@ class SearchEngine:
         if not terms:
             return {"result": False, "error": "Задан пустой поисковый запрос",
                     "count": 0, "data": []}
+        if fuzzy:
+            # resolve corrections ONCE and rewrite the query, so scoring,
+            # counting AND snippet highlighting all see the corrected
+            # terms (a hit should highlight the term it matched on)
+            uniq = sorted(set(terms))
+            dfs = self._dict_probe(uniq)
+            unknown = [t for t in uniq if t not in dfs]
+            if unknown:
+                corr = se.spell_suggest_batch(self.term_dict, unknown)
+                resolved = sorted(set(dfs) | set(corr.values()))
+                if not resolved:
+                    return {"result": True, "count": 0, "data": []}
+                query = " ".join(resolved)
         # one scorer pass: the ordered full hit frame serves both the
         # pre-pagination count and the presented page slice
-        full = self.search(query, mode=mode, site_key=site_key, limit=None).cache()
+        full = self.search(
+            query, mode=mode, site_key=site_key, limit=None
+        ).cache()
+        if collapse:
+            # one-result-per-domain SERP rule over the full candidate set
+            if mode.startswith("compat"):
+                raise ValueError("collapse is a bm25-mode feature")
+            from .sources.documents import site_key_col
+
+            full = se.collapse_hits(
+                full.withColumn("site_key", site_key_col()), limit=None
+            ).select("doc_id", "score").cache()
         count = full.count()
         page_hits = full.offset(offset).limit(limit)
         rows = self.search_results(

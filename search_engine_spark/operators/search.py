@@ -183,7 +183,7 @@ def collapse_hits(
     hits: DataFrame,
     group_col: str = "site_key",
     per_group: int = 1,
-    limit: int = 20,
+    limit: int | None = 20,
 ) -> DataFrame:
     """Result diversification by site collapse: keep the best ``per_group``
     hits per ``group_col``, then global top-``limit`` — the classic
@@ -219,9 +219,11 @@ def collapse_hits(
             .filter(F.col("_rn") <= per_group)
             .select(group_col, "doc_id", "score")
         )
-    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
-        limit
-    )
+    out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # limit=None = the full collapsed set. NEVER fake it with a huge
+    # limit: TakeOrderedAndProject allocates a bounded priority queue of
+    # size `limit` per task — limit(10^9) OOMs the JVM outright.
+    return out if limit is None else out.limit(limit)
 
 
 def site_gate(docs: DataFrame, terms: list[str]) -> DataFrame:

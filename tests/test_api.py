@@ -64,3 +64,21 @@ def test_index_page_envelope(spark, tmp_path):
     assert eng.index_page(url) == {"result": True}
     after = eng.search("data fast join", limit=5).collect()
     assert before == after  # unchanged text → identical index state
+
+
+def test_search_page_fuzzy_corrects_typo(eng):
+    eng.build()
+    strict = eng.search_page("dat fast")
+    fuzzy = eng.search_page("dat fast", fuzzy=True)
+    direct = eng.search_page("data fast")
+    assert strict["count"] == 0  # the reference dead-end
+    assert fuzzy["count"] == direct["count"] > 0
+    assert fuzzy["data"] == direct["data"]
+
+
+def test_search_page_collapse_one_per_site(eng):
+    eng.build()
+    page = eng.search_page("data fast join", collapse=True)
+    sites = [d["site"] for d in page["data"]]
+    assert page["count"] <= 3  # one per fixture site
+    assert len(sites) == len(set(sites))
