@@ -274,6 +274,17 @@ class SearchEngine:
         )
         return {r["term"]: int(r["df"]) for r in rows}
 
+    def _resolve_fuzzy(self, uniq: list[str]) -> list[str]:
+        """Replace dictionary-absent terms with their top distance-1
+        suggestion (ONE batched deletion-neighborhood probe); returns the
+        resolved sorted term set (uncorrectable terms drop out)."""
+        dfs = self._dict_probe(uniq)
+        unknown = [t for t in uniq if t not in dfs]
+        if not unknown:
+            return uniq
+        corr = se.spell_suggest_batch(self.term_dict, unknown)
+        return sorted(set(dfs) | set(corr.values()))
+
     # ------------------------------------------------------------- query
     def search(
         self,
@@ -305,12 +316,11 @@ class SearchEngine:
         if not terms:
             return self.spark.createDataFrame([], empty_schema)
         uniq = sorted(set(terms))
+        if fuzzy:
+            uniq = self._resolve_fuzzy(uniq)
+            if not uniq:
+                return self.spark.createDataFrame([], empty_schema)
         dfs = self._dict_probe(uniq)
-        if fuzzy and len(dfs) < len(uniq):
-            unknown = [t for t in uniq if t not in dfs]
-            corrections = se.spell_suggest_batch(self.term_dict, unknown)
-            uniq = sorted(set(dfs) | set(corrections.values()))
-            dfs = self._dict_probe(uniq)
         if conjunctive and len(dfs) < len(uniq):
             return self.spark.createDataFrame([], empty_schema)
         if not dfs:
@@ -447,20 +457,16 @@ class SearchEngine:
             # resolve corrections ONCE and rewrite the query, so scoring,
             # counting AND snippet highlighting all see the corrected
             # terms (a hit should highlight the term it matched on)
-            uniq = sorted(set(terms))
-            dfs = self._dict_probe(uniq)
-            unknown = [t for t in uniq if t not in dfs]
-            if unknown:
-                corr = se.spell_suggest_batch(self.term_dict, unknown)
-                resolved = sorted(set(dfs) | set(corr.values()))
-                if not resolved:
-                    return {"result": True, "count": 0, "data": []}
-                query = " ".join(resolved)
+            resolved = self._resolve_fuzzy(sorted(set(terms)))
+            if not resolved:
+                return {"result": True, "count": 0, "data": []}
+            query = " ".join(resolved)
         # one scorer pass: the ordered full hit frame serves both the
         # pre-pagination count and the presented page slice
-        full = self.search(
+        base = self.search(
             query, mode=mode, site_key=site_key, limit=None
         ).cache()
+        full = base
         if collapse:
             # one-result-per-domain SERP rule over the full candidate set
             if mode.startswith("compat"):
@@ -468,7 +474,7 @@ class SearchEngine:
             from .sources.documents import site_key_col
 
             full = se.collapse_hits(
-                full.withColumn("site_key", site_key_col()), limit=None
+                base.withColumn("site_key", site_key_col()), limit=None
             ).select("doc_id", "score").cache()
         count = full.count()
         page_hits = full.offset(offset).limit(limit)
@@ -477,6 +483,8 @@ class SearchEngine:
             hits=page_hits,
         ).collect()
         full.unpersist()
+        if full is not base:
+            base.unpersist()  # the pre-collapse frame must not stay pinned
         data = [
             {
                 "site": r["site"],

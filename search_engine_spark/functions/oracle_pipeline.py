@@ -841,7 +841,7 @@ FROM ranked WHERE rn = 1
 def line_dedup_sql(width: int = cu.LINE_WIDTH, table: str = "documents") -> str:
     """CCNet-style corpus-wide duplicated-line removal, first occurrence
     (doc_id, line_no) wins — mirrors curation.py::doc_lines +
-    remove_duplicated_lines bit-for-bit (same ASCII whitespace split, same
+    remove_duplicated_lines bit-for-bit (same pinned WS_SPLIT class, same
     chunk slicing, first-wins on the h60 line hash)."""
     lh = h60_sql("line")
     return f"""

@@ -306,7 +306,11 @@ def trustrank(
     """
     nodes = docs.select("doc_id")
     n = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
-    s = seeds.select("doc_id").distinct()
+    # seeds outside the node set carry no teleport mass — drop them BEFORE
+    # counting |S|, or the tv vector sums to |S∩nodes|/|S| < 1 and every
+    # score silently deflates vs the TrustRank definition (and the oracle,
+    # which derives seeds from nodes).
+    s = seeds.select("doc_id").distinct().join(nodes, "doc_id", "left_semi")
     s_cnt = F.broadcast(s.agg(F.count(F.lit(1)).cast("double").alias("s")))
     marked = (
         nodes.join(s.withColumn("_seed", F.lit(1.0)), "doc_id", "left")

@@ -167,14 +167,21 @@ class SegmentCatalog:
         return deleted
 
     def _name_taken(self, name: str) -> bool:
-        """A segment name is unusable if the CURRENT manifest, ANY retained
-        snapshot, or the filesystem still knows it — segment dirs are
+        """A segment name is unusable if the CURRENT manifest or ANY
+        retained snapshot still references it — segment dirs are
         immutable, and write_blocks overwrites, so reusing such a name
-        would silently corrupt time travel (older snapshots would read the
-        new data under the old name)."""
-        return name in self._referenced_segments() or os.path.isdir(
-            os.path.join(self.seg_root, name)
-        )
+        would silently corrupt time travel (older snapshots would read
+        the new data under the old name). An on-disk dir that NO snapshot
+        references is a crash orphan: not taken — the writer clears it
+        (``_clear_orphan_dir``) so a retried ingest can reuse its name."""
+        return name in self._referenced_segments()
+
+    def _clear_orphan_dir(self, name: str) -> None:
+        """Remove a half-written, unreferenced dir before (re)writing
+        under the same name (the add_segment crash-retry path)."""
+        path = os.path.join(self.seg_root, name)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
     def _referenced_segments(self) -> set[str]:
         """Every segment any retained snapshot (or the current manifest)
@@ -203,9 +210,10 @@ class SegmentCatalog:
         m = self.manifest()
         if self._name_taken(name):
             raise ValueError(
-                f"segment {name!r} already exists (live, referenced by a "
-                f"retained snapshot, or on disk)"
+                f"segment {name!r} already exists (live or referenced by "
+                f"a retained snapshot)"
             )
+        self._clear_orphan_dir(name)  # crash-retry: clobber the leftover
         packed = pack_documents(docs, n_buckets=self.n_buckets)
         blocks = blocks_from_packed(packed)
         path = os.path.join(self.seg_root, name)
@@ -290,6 +298,7 @@ class SegmentCatalog:
                 while self._name_taken(new_name):
                     suffix += 1
                     new_name = f"{base}-{suffix}"
+                self._clear_orphan_dir(new_name)
                 merged = merge_segments(
                     *[self.read_segment(n) for n in group], deleted=deleted
                 )

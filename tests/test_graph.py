@@ -204,5 +204,22 @@ def test_trustrank_concentrates_on_seed_neighborhood(spark):
     # a page only reachable far from any seed gets (almost) nothing;
     # the direct successor of a seed outranks it
     assert tr[1] > tr[29]
-    # non-reachable-from-seed pages score 0 (no uniform teleport)
-    assert tr[29] >= 0.0
+    # non-reachable-from-seed pages score EXACTLY 0 (no uniform teleport
+    # term — the distinguishing property vs pagerank)
+    assert tr[29] == 0.0
+
+
+def test_trustrank_ignores_seeds_outside_nodes(spark):
+    """Seeds not present in docs carry no teleport mass and must not
+    deflate everyone else's score (|S| counts surviving seeds only)."""
+    from search_engine_spark.operators.graph import trustrank
+
+    docs = _docs(spark, n=20)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    seeds_in = docs.filter("doc_id in (0, 10)").select("doc_id")
+    seeds_extra = spark.createDataFrame(
+        [(0,), (10,), (999,), (1234,)], "doc_id long"
+    )
+    a = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds_in).collect()}
+    b = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds_extra).collect()}
+    assert a == b

@@ -269,3 +269,23 @@ def test_segment_name_reuse_cannot_corrupt_history(spark, docs, tmp_path):
     created = cat.maintain(merge_factor=2)
     assert created and not (set(created) & merged_names)
     assert _postings_set(cat.read_blocks(at_version=merged_v)) == pre
+
+
+def test_crash_orphan_dir_allows_retry(spark, docs, tmp_path):
+    """A half-written dir NO snapshot references must not block a retried
+    add_segment under the same name (the crash-retry path) — only
+    snapshot-referenced names are immutable."""
+    import os
+
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    cat = SegmentCatalog(spark, str(tmp_path / "rt"), n_buckets=N_BUCKETS)
+    orphan = os.path.join(cat.seg_root, "batch-1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "partial.parquet"), "w") as f:
+        f.write("junk")  # simulated half-write, never committed
+    info = cat.add_segment(docs.filter("doc_id < 20"), "batch-1")
+    assert info["n_postings"] > 0
+    assert _postings_set(cat.read_blocks()) == _postings_set(
+        _build(docs.filter("doc_id < 20"))
+    )
