@@ -36,6 +36,7 @@ Q_BM25 = ["dup", "data", "fast"]
 Q_OR = ["dup", "merge", "zzabsent"]  # absent term drops out in OR mode
 Q_BM25_COMMON = ["data", "fast", "join"]
 Q_GATE = ["dup", "data"]
+Q_BM25F = ["data", "merge", "query"]
 SITE_B = "site-b"
 
 
@@ -126,6 +127,18 @@ def _q_search_bm25_or(spark, sf_dir):
     return se.search_bm25(
         postings, term_dict, doc_stats, n_docs, avgdl, Q_OR, conjunctive=False
     )
+
+
+def _q_search_recency(spark, sf_dir):
+    """Freshness-damped rerank of the BM25 top-50 (exponential crawl-age
+    decay anchored at the corpus max warc_ts)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, limit=50
+    )
+    return se.blend_recency(hits, docs)
 
 
 def _q_site_gate(spark, sf_dir):
@@ -472,6 +485,35 @@ def _q_link_extract(spark, sf_dir):
     return extract_links(linked_html(load_documents(spark, sf_dir)))
 
 
+def _q_anchor_terms(spark, sf_dir):
+    """Anchor-field postings: inbound anchor text harvested per target
+    doc (regexp pair-extract + resolve join + shared tokenize path)."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+    )
+
+    return anchor_postings(anchored_html(load_documents(spark, sf_dir)))
+
+
+def _q_search_bm25f(spark, sf_dir):
+    """BM25F fielded ranking: body + inbound-anchor fields, weighted
+    length-normalized tf summed before saturation (Zaragoza et al.)."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_bm25f,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    anchor = anchor_postings(anchored_html(docs))
+    return search_bm25f(
+        postings, anchor, doc_stats, n_docs, avgdl, Q_BM25F
+    )
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted link graph (authority
     prior for curation); N-scaled, 4 dp."""
@@ -788,6 +830,23 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    """Near-dup cluster representative election (keep-longest policy)."""
+    from search_engine_spark.operators.dedup import cluster_representatives
+
+    return cluster_representatives(
+        load_documents(spark, sf_dir), JACCARD_THRESHOLD
+    )
+
+
+def _q_dup_spans(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al. 2022, distributed window-
+    fingerprint reformulation): maximal duplicated-token spans per doc."""
+    from search_engine_spark.operators.spans import dup_spans
+
+    return dup_spans(load_documents(spark, sf_dir))
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Deterministic per-language mixing-ratio sample (pure h60 membership
     function — reproducible across engines/cluster sizes)."""
@@ -1012,11 +1071,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dict_blocks": _q_term_dict_blocks,
         "block_meta": _q_block_meta,
         "search_collapsed": _q_search_collapsed,
+        "anchor_terms": _q_anchor_terms,
+        "search_bm25f": _q_search_bm25f,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
         "crawl_frontier": _q_crawl_frontier,
         "search_fuzzy": _q_search_fuzzy,
         "search_bm25_batch": _q_search_bm25_batch,
+        "search_recency": _q_search_recency,
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "temperature_sample": _q_temperature_sample,
@@ -1044,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_canonical": _q_dedup_canonical,
+        "dup_spans": _q_dup_spans,
         "sample_stratified": _q_sample_stratified,
         "sample_split": _q_sample_split,
         "simhash": _q_simhash,
@@ -1123,11 +1187,14 @@ def oracle_sql() -> dict[str, str]:
         "term_dict_blocks": ora.term_dict_sql(),
         "block_meta": ora.block_meta_sql(),
         "search_collapsed": ora.search_collapsed_sql(Q_BM25_COMMON),
+        "anchor_terms": pipe.anchor_postings_sql(),
+        "search_bm25f": pipe.search_bm25f_sql(Q_BM25F),
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
         "search_bm25_batch": ora.search_bm25_batch_sql(Q_BATCH),
+        "search_recency": pipe.search_recency_sql(Q_BM25_COMMON),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "temperature_sample": pipe.temperature_sample_sql(),
@@ -1159,6 +1226,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": pipe.dedup_clusters_sql(
             threshold=JACCARD_THRESHOLD
         ),
+        "dedup_canonical": pipe.cluster_representatives_sql(
+            threshold=JACCARD_THRESHOLD
+        ),
+        "dup_spans": pipe.dup_spans_sql(),
         "sample_stratified": pipe.stratified_sample_sql(SAMPLE_FRACTIONS),
         "sample_split": pipe.split_train_holdout_sql(HOLDOUT_FRACTION),
         "simhash": pipe.simhash_sql(),

@@ -1312,3 +1312,246 @@ SELECT ('site-' || chr(97 + (doc_id % 3)::INT)) AS site_key,
        max(pr.pr) AS top_pr
 FROM pr GROUP BY 1
 """
+
+
+# ------------------------------------------------- anchor text + BM25F
+
+def _anchor_terms_ctes(table: str = "documents") -> str:
+    """CTE chain `edges → anchors → atoks → aterms` — the anchor-FIELD
+    token stream, mirroring operators/anchors.py::anchored_html +
+    harvest_anchors + the shared tokenize path. Derives the anchors
+    arithmetically (frozen 7-word vocab indexed by dst%7 / src%7) exactly
+    as the fixture writes them into html; reuses `lemma_dict` from a
+    preceding terms_cte(...)."""
+    from ..operators import anchors as an
+    from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+
+    aw_rows = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(an.ANCHOR_WORDS)
+    )
+    n = len(an.ANCHOR_WORDS)
+    return f"""
+edges0a AS (
+  SELECT doc_id AS src, t.dst
+  FROM {table}, LATERAL unnest([doc_id + 1, doc_id // 2]) AS t(dst)
+  WHERE t.dst <> doc_id
+),
+edgesa AS (
+  SELECT src, dst FROM edges0a WHERE dst IN (SELECT doc_id FROM {table})
+),
+aw AS (SELECT * FROM (VALUES {aw_rows}) v(i, w)),
+anchors AS (
+  SELECT e.dst AS doc_id, wd.w || ' ' || ws.w AS text
+  FROM edgesa e
+  JOIN aw wd ON wd.i = (e.dst % {n})
+  JOIN aw ws ON ws.i = (e.src % {n})
+),
+atoks AS (
+  SELECT d.doc_id, regexp_replace(t.tok, '{BOUNDARY_STRIP}', '', 'g') AS term
+  FROM anchors d,
+       unnest(string_split_regex(lower(trim(d.text)), '{WS_SPLIT}')) AS t(tok)
+),
+aterms AS (
+  SELECT atoks.doc_id, coalesce(ld.normal, atoks.term) AS term
+  FROM atoks LEFT JOIN lemma_dict ld ON ld.word = atoks.term
+  WHERE atoks.term <> ''
+    AND regexp_matches(atoks.term, '{WORD_PATTERN}')
+    AND atoks.term NOT IN {sql_not_in_list()}
+)"""
+
+
+def anchor_postings_sql(table: str = "documents") -> str:
+    """(doc_id, term, tf) — anchor-field postings oracle."""
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_terms_ctes(table).strip()}
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM aterms GROUP BY doc_id, term
+"""
+
+
+def search_bm25f_sql(
+    query_terms: list[str],
+    k1: float | None = None,
+    w_body: float | None = None,
+    w_anchor: float | None = None,
+    b_body: float | None = None,
+    b_anchor: float | None = None,
+    limit: int = 20,
+    offset: int = 0,
+    table: str = "documents",
+) -> str:
+    """BM25F (simple form, Zaragoza et al. 2004) over (body, anchor)
+    fields — mirrors operators/anchors.py::search_bm25f: per-field
+    length-normalized weighted tf summed BEFORE saturation, idf from
+    union-of-fields document frequency, disjunctive OR semantics,
+    deterministic (rounded score desc, doc_id asc) tiebreak."""
+    from ..operators import anchors as an
+
+    k1 = an.K1_DEFAULT if k1 is None else k1
+    w_body = an.W_BODY if w_body is None else w_body
+    w_anchor = an.W_ANCHOR if w_anchor is None else w_anchor
+    b_body = an.B_BODY if b_body is None else b_body
+    b_anchor = an.B_ANCHOR if b_anchor is None else b_anchor
+    uniq = sorted(set(query_terms))
+    terms_in = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_terms_ctes(table).strip()},
+bpost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+apost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM aterms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+adl AS (SELECT doc_id, count(*)::DOUBLE AS adl FROM aterms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(bdl.dl,0))
+          FROM {table} d LEFT JOIN bdl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl,
+         (SELECT coalesce(sum(adl.adl),0) FROM adl)
+           / (SELECT count(*) FROM {table}) AS avg_adl
+),
+dfu AS (
+  SELECT term, count(*)::DOUBLE AS df FROM (
+    SELECT doc_id, term FROM bpost
+    UNION
+    SELECT doc_id, term FROM apost
+  ) GROUP BY term
+),
+ntf AS (
+  SELECT b.doc_id, b.term,
+         {repr(w_body)} * b.tf
+           / (1 - {repr(b_body)} + {repr(b_body)} * bdl.dl / s.avgdl) AS ntf
+  FROM bpost b JOIN bdl USING (doc_id) CROSS JOIN stats s
+  UNION ALL
+  SELECT a.doc_id, a.term,
+         {repr(w_anchor)} * a.tf
+           / (1 - {repr(b_anchor)} + {repr(b_anchor)} * adl.adl / s.avg_adl) AS ntf
+  FROM apost a JOIN adl USING (doc_id) CROSS JOIN stats s
+),
+wtf AS (SELECT doc_id, term, sum(ntf) AS wtf FROM ntf GROUP BY doc_id, term),
+scored AS (
+  SELECT w.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * w.wtf / ({repr(k1)} + w.wtf) ) AS score
+  FROM wtf w JOIN dfu d USING (term) CROSS JOIN stats s
+  GROUP BY w.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""
+
+
+def cluster_representatives_sql(
+    table: str = "documents", threshold: float = 0.5
+) -> str:
+    """Keep-best election per near-dup cluster — mirrors
+    operators/dedup.py::cluster_representatives (longest text wins,
+    tie → lowest doc_id)."""
+    return f"""
+WITH clus AS ({dedup_clusters_sql(table, threshold)}),
+m AS (
+  SELECT c.doc_id, c.cluster_id, c.cluster_size, length(d.text) AS n_chars
+  FROM clus c JOIN {table} d USING (doc_id)
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT cluster_id, doc_id AS rep_doc, cluster_size,
+       (cluster_size - 1)::BIGINT AS n_dropped
+FROM r WHERE rn = 1
+"""
+
+
+def dup_spans_sql(window: int | None = None, table: str = "documents") -> str:
+    """ExactSubstr duplicated-span oracle — mirrors
+    operators/spans.py::dup_spans (fixed-width window md5 fingerprints
+    over the retained-token stream, first occurrence canonical, islands
+    merge)."""
+    from ..operators import spans as sp
+    from .oracle_fragments import positional_terms_cte
+
+    w = sp.WINDOW if window is None else window
+    return f"""
+WITH {positional_terms_cte(table)},
+win0 AS (
+  SELECT doc_id, pos AS start,
+         string_agg(term, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wtext,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wlen
+  FROM pos_terms
+),
+wins AS (SELECT doc_id, start, md5(wtext) AS whash FROM win0 WHERE wlen = {w}),
+r AS (
+  SELECT doc_id, start,
+         row_number() OVER (PARTITION BY whash ORDER BY doc_id, start) AS rn,
+         count(*) OVER (PARTITION BY whash) AS cnt
+  FROM wins
+),
+dup AS (SELECT doc_id, start FROM r WHERE cnt > 1 AND rn > 1),
+m AS (
+  SELECT doc_id, start,
+         max(start) OVER (PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM dup
+),
+f AS (
+  SELECT doc_id, start,
+         CASE WHEN prev_max IS NULL OR start > prev_max + {w - 1}
+              THEN 1 ELSE 0 END AS ni
+  FROM m
+),
+isl AS (
+  SELECT doc_id, start,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+)
+SELECT doc_id, min(start)::BIGINT AS span_start,
+       (max(start) + {w - 1})::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def search_recency_sql(
+    query_terms: list[str],
+    half_life_days: float = 30.0,
+    weight: float = 0.5,
+    rerank_window: int = 50,
+    limit: int = 20,
+    table: str = "documents",
+) -> str:
+    """Freshness-damped rerank over the BM25 top-`rerank_window` —
+    mirrors operators/search.py::blend_recency (decay anchored at the
+    corpus max warc_ts; warc_ts ≡ 1704067200 + 60·doc_id by fixture)."""
+    import math
+
+    from .oracle_fragments import search_bm25_sql
+
+    rate = -math.log(2.0) / float(half_life_days)
+    return f"""
+WITH hits AS ({search_bm25_sql(query_terms, limit=rerank_window, table=table)}),
+mx AS (SELECT max(1704067200 + 60 * doc_id) AS ep FROM {table}),
+b AS (
+  SELECT h.doc_id,
+         round(h.score * ({repr(1.0 - weight)} + {repr(weight)}
+           * exp({repr(rate)}
+                 * ((mx.ep - (1704067200 + 60 * h.doc_id)) / 86400.0))), 4)
+           AS score
+  FROM hits h, mx
+)
+SELECT doc_id, score FROM b
+ORDER BY score DESC, doc_id ASC
+LIMIT {limit}
+"""

@@ -1,0 +1,245 @@
+"""Anchor-text indexing + BM25F fielded ranking — the classic web-search
+composition the reference cannot express (it indexes one body field only;
+reference model/Index.java postings carry a single `rank` weight).
+
+Web engines since Brin & Page (1998, §2.2 "Anchor Text") index the text
+of INBOUND links as a separate field on the *target* document: anchor
+text is a human-written summary of the target and is the strongest
+sparse relevance signal for navigational queries. Ranking then combines
+the fields with BM25F (Zaragoza et al., CIKM 2004, "Microsoft Cambridge
+at TREC-13"): per-field length-normalized term frequencies are combined
+with field weights BEFORE the BM25 saturation, i.e.
+
+    wtf(t,d) = Σ_f  w_f · tf_f(t,d) / (1 - b_f + b_f · dl_f(d)/avgdl_f)
+    score(d) = Σ_t  idf(t) · wtf(t,d) / (k1 + wtf(t,d))
+
+(the "simple BM25F" form; saturating the weighted sum, not each field,
+is what distinguishes BM25F from a naive per-field score mix). idf uses
+document frequency over the UNION of fields (a doc counts once if the
+term occurs in any field).
+
+Scale notes:
+
+- anchor harvest is a codegen map (regexp_extract_all ×2 + arrays_zip +
+  explode) over the html scan — no UDF; the dst-url resolve is one join
+  against the documents spine on the dst key (docs never move: the
+  exploded anchor side shuffles, at ~tens of bytes per edge).
+- anchor postings aggregate by (dst_doc, term) — one shuffle over the
+  tokenized anchor stream, which is ~2 tokens/edge, orders of magnitude
+  smaller than body postings.
+- BM25F query evaluation mirrors search.py::search_bm25: query-term df
+  collected driver-side into a literal idf map, field frames filtered by
+  the term set FIRST, length tables joined post-filter (broadcast-able
+  candidate set), then two map-side-combinable groupBys
+  ((doc,term) → wtf, doc → score). No global window anywhere.
+
+Fixture derivation (FIXTURES pattern, mirrored in
+functions/oracle_pipeline.py::search_bm25f_sql): ``anchored_html``
+appends the SAME deterministic edge set as graph.linked_html (chain
+doc_id+1 + tree doc_id//2) but with two-word anchor texts drawn from a
+frozen 7-word vocabulary indexed by (dst % 7, src % 7). Unlike
+linked_html, anchors here carry text, so the extraction invariant
+``extract_text(html) == text`` deliberately does NOT hold for this
+derived fixture — it exists only for the anchor queries, and the oracle
+derives the identical anchors arithmetically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_columns import explode_terms
+from .graph import DOC_URL_RE, _url_of
+
+# RE2 ∩ java.util.regex subset (the oracle never parses html — it derives
+# the same anchors arithmetically — but the pattern stays portable).
+ANCHOR_RE = '<a href="([^"]+)">([^<]*)</a>'
+
+# Frozen anchor vocabulary — real corpus words so anchor terms share the
+# dictionary/stoplist path (and df) with body terms.
+ANCHOR_WORDS = ["data", "fast", "join", "scan", "merge", "index", "query"]
+
+K1_DEFAULT = 1.2
+W_BODY = 1.0
+W_ANCHOR = 2.0
+B_BODY = 0.75
+B_ANCHOR = 0.4
+
+
+def _anchor_word(expr):
+    """ANCHOR_WORDS[expr % 7] as a column (literal array element_at)."""
+    arr = F.array(*[F.lit(w) for w in ANCHOR_WORDS])
+    return F.element_at(arr, (expr % len(ANCHOR_WORDS) + 1).cast("int"))
+
+
+def anchored_html(docs: DataFrame) -> DataFrame:
+    """Fixture derivation: append two TEXT-carrying anchors per page —
+    to doc_id+1 (chain) and doc_id//2 (tree back-edge) — with anchor
+    text ANCHOR_WORDS[dst%7] + ' ' + ANCHOR_WORDS[src%7]."""
+    d = F.col("doc_id")
+    tree = F.floor(d / 2).cast("long")
+
+    def a(dst):
+        return F.concat(
+            F.lit('<a href="'),
+            _url_of(dst),
+            F.lit('">'),
+            _anchor_word(dst),
+            F.lit(" "),
+            _anchor_word(d),
+            F.lit("</a>"),
+        )
+
+    return docs.withColumn(
+        "html",
+        F.encode(
+            F.concat(F.decode(F.col("html"), "utf-8"), a(d + 1), a(tree)),
+            "utf-8",
+        ),
+    )
+
+
+def harvest_anchors(docs: DataFrame, drop_self: bool = True) -> DataFrame:
+    """(src_doc, dst_doc, anchor_text) — inbound-anchor relation over
+    RESOLVED targets (dst must exist in the corpus; dangling links drop).
+
+    Pure codegen: two aligned regexp_extract_all passes (href group /
+    text group) zipped and exploded, dst resolved from the url pattern,
+    then one semi-ish inner join against the doc_id spine."""
+    html = F.decode(F.col("html"), "utf-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(2)).alias("atext"),
+    )
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src_doc"), F.explode(pairs).alias("p")
+        )
+        .select(
+            "src_doc",
+            F.col("p.href").alias("dst_url"),
+            F.col("p.atext").alias("anchor_text"),
+        )
+        .withColumn(
+            "dst_doc",
+            F.regexp_extract(F.col("dst_url"), DOC_URL_RE, 1).cast("long"),
+        )
+        .filter(F.col("dst_doc").isNotNull())
+    )
+    if drop_self:
+        edges = edges.filter(F.col("src_doc") != F.col("dst_doc"))
+    spine = docs.select(F.col("doc_id").alias("dst_doc"))
+    return edges.join(spine, "dst_doc").select(
+        "src_doc", "dst_doc", "anchor_text"
+    )
+
+
+def anchor_postings(docs_anchored: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — the anchor FIELD postings: inbound anchor
+    text per target doc through the shared tokenize/lemmatize path,
+    aggregated over all inbound edges."""
+    anchors = harvest_anchors(docs_anchored).select(
+        F.col("dst_doc").alias("doc_id"), F.col("anchor_text").alias("text")
+    )
+    return (
+        explode_terms(anchors, keep=["doc_id"])
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def search_bm25f(
+    body: DataFrame,
+    anchor: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    w_body: float = W_BODY,
+    w_anchor: float = W_ANCHOR,
+    b_body: float = B_BODY,
+    b_anchor: float = B_ANCHOR,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """BM25F disjunctive top-k over (body, anchor) fields →
+    (doc_id, score). Absent query terms drop out (OR semantics — the
+    web-search default); deterministic tiebreak (score desc, doc_id asc).
+
+    Driver-side scalars (|terms| df rows + two field avgdl floats) bake
+    into the plan as literals — same strategy as search.py::search_bm25;
+    everything distributed is filter→join→two partial-agg groupBys."""
+    uniq = sorted(set(terms))
+    empty = body.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    if not uniq:
+        return empty
+
+    # anchor field lengths: total retained anchor tokens per target doc
+    anchor_dl = anchor.groupBy("doc_id").agg(F.sum("tf").alias("adl"))
+    total_anchor = anchor.agg(F.sum("tf")).collect()[0][0] or 0
+    avg_adl = float(total_anchor) / float(n_docs) if n_docs else 0.0
+
+    bq = body.filter(F.col("term").isin(uniq))
+    aq = anchor.filter(F.col("term").isin(uniq))
+
+    # idf over the union of fields (doc counts once per term, any field)
+    df_rows = (
+        bq.select("doc_id", "term")
+        .union(aq.select("doc_id", "term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    from .search import bm25_idf
+
+    idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
+    if not idf:
+        return empty
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )
+
+    ntf_body = bq.join(doc_stats.hint("broadcast"), "doc_id").select(
+        "doc_id",
+        "term",
+        (
+            w_body
+            * F.col("tf").cast("double")
+            / (1.0 - b_body + b_body * F.col("dl").cast("double") / float(avgdl))
+        ).alias("ntf"),
+    )
+    if avg_adl > 0.0:
+        ntf_anchor = aq.join(anchor_dl.hint("broadcast"), "doc_id").select(
+            "doc_id",
+            "term",
+            (
+                w_anchor
+                * F.col("tf").cast("double")
+                / (
+                    1.0
+                    - b_anchor
+                    + b_anchor * F.col("adl").cast("double") / avg_adl
+                )
+            ).alias("ntf"),
+        )
+        fields = ntf_body.union(ntf_anchor)
+    else:
+        fields = ntf_body
+
+    wtf = fields.groupBy("doc_id", "term").agg(F.sum("ntf").alias("wtf"))
+    scored = (
+        wtf.withColumn(
+            "part",
+            idf_col[F.col("term")] * F.col("wtf") / (k1 + F.col("wtf")),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )

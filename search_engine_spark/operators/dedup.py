@@ -539,3 +539,39 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return comp.join(sizes, "cluster_id").select(
         "doc_id", "cluster_id", "cluster_size"
     )
+
+
+def cluster_representatives(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """(cluster_id, rep_doc, cluster_size, n_dropped) — keep-best election
+    per near-dup cluster, the decision step a curation pipeline runs after
+    clustering: the representative is the member with the LONGEST text
+    (the usual keep-richest policy; Lee et al. 2022 keep one arbitrary
+    member — longest is the deterministic refinement), tie → lowest
+    doc_id. The deduped corpus is then
+    ``docs.join(losers, "doc_id", "left_anti")``.
+
+    Scale: one doc-keyed join to attach lengths (clusters ≪ corpus, AQE
+    broadcasts the cluster side) + one groupBy(cluster_id) max_by — no
+    window over the corpus."""
+    clusters = dedup_clusters(docs, threshold)
+    member = clusters.join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+            ).alias("rep_doc"),
+            F.max("cluster_size").alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            "rep_doc",
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )

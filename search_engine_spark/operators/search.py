@@ -695,3 +695,51 @@ def spell_suggest_batch(
         .collect()
     )
     return {r["probe"]: r["term"] for r in best}
+
+
+def blend_recency(
+    hits: DataFrame,
+    docs: DataFrame,
+    half_life_days: float = 30.0,
+    weight: float = 0.5,
+    limit: int = 20,
+) -> DataFrame:
+    """Freshness-damped reranking → (doc_id, score): exponential time
+    decay on crawl age blended into the relevance score —
+
+        score' = score · ((1−w) + w · 2^(−age_days / half_life))
+
+    the standard web-search recency prior (decay anchored at the CORPUS
+    max warc_ts, not wall-clock — deterministic and replayable). `hits`
+    is a (doc_id, score) rerank window (top-k from any scorer); blending
+    a bounded window rather than the full hit set is the usual two-phase
+    rank architecture.
+
+    Scale: the max-timestamp scalar is one driver-side agg; the join
+    attaches one long per hit row (hits ≪ corpus → AQE broadcasts the
+    hit side against the pruned (doc_id, warc_ts) scan)."""
+    ep = F.col("warc_ts").cast("long")
+    max_ep = docs.agg(F.max(ep).alias("m")).collect()[0]["m"]
+    rate = -math.log(2.0) / float(half_life_days)
+    blended = (
+        hits.join(docs.select("doc_id", ep.alias("ep")), "doc_id")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("score")
+                * (
+                    F.lit(1.0 - weight)
+                    + F.lit(weight)
+                    * F.exp(
+                        F.lit(rate)
+                        * ((F.lit(max_ep) - F.col("ep")) / F.lit(86400.0))
+                    )
+                ),
+                4,
+            ),
+        )
+        .select("doc_id", "score")
+    )
+    return blended.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        limit
+    )

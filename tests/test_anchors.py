@@ -1,0 +1,128 @@
+"""Unit tests for operators/anchors.py — anchor-text harvest + BM25F.
+
+Oracle parity at fixture scale is covered by test_oracle_parity.py
+(anchor_terms / search_bm25f); these pin the semantics on crafted inputs
+with hand-derivable expectations.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.anchors import (
+    ANCHOR_WORDS,
+    B_ANCHOR,
+    B_BODY,
+    K1_DEFAULT,
+    W_ANCHOR,
+    W_BODY,
+    anchor_postings,
+    anchored_html,
+    harvest_anchors,
+    search_bm25f,
+)
+from search_engine_spark.operators.search import bm25_idf
+
+
+def _docs(spark, n=6):
+    from search_engine_spark.sources.documents import load_documents
+
+    return load_documents(spark, "/root/testdata/sf0.001").filter(
+        f"doc_id < {n}"
+    )
+
+
+def test_harvest_resolves_and_drops_self_and_dangling(spark):
+    got = {
+        (r["src_doc"], r["dst_doc"])
+        for r in harvest_anchors(anchored_html(_docs(spark, n=4))).collect()
+    }
+    # doc v anchors v+1 and v//2; 0→0 self dropped; 3→4 dangles (no doc 4)
+    assert got == {(0, 1), (1, 2), (1, 0), (2, 3), (2, 1), (3, 1)}
+
+
+def test_anchor_text_from_frozen_vocab(spark):
+    rows = harvest_anchors(anchored_html(_docs(spark, n=4))).collect()
+    n = len(ANCHOR_WORDS)
+    for r in rows:
+        want = (
+            f"{ANCHOR_WORDS[r['dst_doc'] % n]} {ANCHOR_WORDS[r['src_doc'] % n]}"
+        )
+        assert r["anchor_text"] == want
+
+
+def test_anchor_postings_aggregate_inbound(spark):
+    """doc 1 has three inbound anchors (from 0, 2, 3); each contributes
+    ANCHOR_WORDS[1]='fast' plus the src word — tf('fast', doc 1) ≥ 3."""
+    post = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in anchor_postings(anchored_html(_docs(spark, n=4))).collect()
+    }
+    assert post[(1, "fast")] >= 3
+    # no postings for docs without inbound anchors beyond the corpus
+    assert all(d in {0, 1, 2, 3} for d, _ in post)
+
+
+def test_bm25f_weighted_sum_before_saturation(spark):
+    """Hand-check one doc's score: build the two field frames directly so
+    every quantity (tf, dl, avgdl, idf) is known exactly."""
+    body = spark.createDataFrame(
+        [(1, "data", 2), (2, "data", 2)], "doc_id long, term string, tf long"
+    )
+    anchor = spark.createDataFrame(
+        [(1, "data", 3)], "doc_id long, term string, tf long"
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, dl long"
+    )
+    n_docs, avgdl = 2, 10.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_bm25f(
+            body, anchor, doc_stats, n_docs, avgdl, ["data"]
+        ).collect()
+    }
+    avg_adl = 3.0 / 2.0
+    idf = bm25_idf(2.0, 2.0)  # both docs contain 'data'
+
+    def score(tf_b, tf_a):
+        wtf = W_BODY * tf_b / (1 - B_BODY + B_BODY * 10.0 / avgdl)
+        if tf_a:
+            wtf += W_ANCHOR * tf_a / (1 - B_ANCHOR + B_ANCHOR * 3.0 / avg_adl)
+        return round(idf * wtf / (K1_DEFAULT + wtf), 4)
+
+    assert got[1] == score(2, 3)
+    assert got[2] == score(2, 0)
+    # the anchor field must RANK doc 1 above doc 2 (same body tf)
+    assert got[1] > got[2]
+
+
+def test_bm25f_absent_term_drops_out(spark):
+    docs = anchored_html(_docs(spark, n=6))
+    from search_engine_spark.operators import index_build as ib
+
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    anchor = anchor_postings(docs)
+    hits = search_bm25f(
+        postings, anchor, doc_stats, n_docs, avgdl, ["data", "zzabsent"]
+    ).collect()
+    assert hits  # OR semantics: present term still matches
+    only_absent = search_bm25f(
+        postings, anchor, doc_stats, n_docs, avgdl, ["zzabsent"]
+    ).collect()
+    assert only_absent == []
+
+
+def test_bm25f_no_global_window(spark):
+    docs = anchored_html(_docs(spark, n=6))
+    from search_engine_spark.operators import index_build as ib
+
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    plan = search_bm25f(
+        postings, anchor_postings(docs), doc_stats, n_docs, avgdl, ["data"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
