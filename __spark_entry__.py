@@ -324,6 +324,23 @@ def _q_postings_parseable(spark, sf_dir):
     return ib.build_postings(docs)
 
 
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC source round-trip: serialize the corpus into concatenated-
+    record WARC blobs, parse them back, recover (url, ts, html) — the
+    Common-Crawl ingestion path."""
+    from search_engine_spark.operators.graph import DOC_URL_RE
+    from search_engine_spark.sources.warc import parse_warc, to_warc_files
+
+    parsed = parse_warc(to_warc_files(load_documents(spark, sf_dir)))
+    return parsed.select(
+        F.regexp_extract("url", DOC_URL_RE, 1).cast("long").alias("doc_id"),
+        "url",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        F.md5(F.encode("html", "utf-8")).alias("content_md5"),
+        "n_bytes",
+    )
+
+
 def _q_url_normalize(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return docs.select(
@@ -483,6 +500,30 @@ def _q_link_extract(spark, sf_dir):
     from search_engine_spark.operators.graph import extract_links, linked_html
 
     return extract_links(linked_html(load_documents(spark, sf_dir)))
+
+
+def _q_hits(spark, sf_dir):
+    """Kleinberg HITS hubs & authorities over the link graph (fixed
+    2-iteration power method, sum-normalized half-steps)."""
+    from search_engine_spark.operators.graph import (
+        extract_links,
+        hits,
+        linked_html,
+        resolved_edges,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    edges = resolved_edges(docs, extract_links(linked_html(docs)))
+    return hits(docs, edges)
+
+
+def _q_surt_keys(spark, sf_dir):
+    """SURT canonical URL keys (CDX index key) over the raw url."""
+    from search_engine_spark.functions.text_columns import surt_key_col
+
+    return load_documents(spark, sf_dir).select(
+        "doc_id", surt_key_col().alias("surt")
+    )
 
 
 def _q_anchor_terms(spark, sf_dir):
@@ -1060,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonyms": _q_search_synonyms,
         "collocations": _q_collocations,
         "status_filter": _q_status_filter,
+        "warc_roundtrip": _q_warc_roundtrip,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
         "statistics": _q_statistics,
@@ -1075,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25f": _q_search_bm25f,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
+        "surt_keys": _q_surt_keys,
         "crawl_frontier": _q_crawl_frontier,
         "search_fuzzy": _q_search_fuzzy,
         "search_bm25_batch": _q_search_bm25_batch,
@@ -1174,6 +1218,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_parseable": ora.postings_sql(
             table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"
         ),
+        "warc_roundtrip": pipe.warc_roundtrip_sql(),
         "url_normalize": ora.url_normalize_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
@@ -1191,6 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25f": pipe.search_bm25f_sql(Q_BM25F),
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
+        "hits": pipe.hits_sql(),
+        "surt_keys": ora.surt_keys_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
         "search_bm25_batch": ora.search_bm25_batch_sql(Q_BATCH),

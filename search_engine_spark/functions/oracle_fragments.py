@@ -708,3 +708,24 @@ def search_bm25_batch_sql(queries: dict[str, list[str]], limit: int = 20,
         for qid, qts in sorted(queries.items())
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def surt_keys_sql(table: str = "documents") -> str:
+    """SURT canonical keys over raw_url — mirrors
+    functions/text_columns.py::surt_key_col."""
+    return f"""
+WITH u AS (SELECT doc_id, lower({RAW_URL_SQL}) AS u FROM {table}),
+p AS (SELECT doc_id, regexp_replace(u, '^[a-z]+://', '') AS rest FROM u),
+h AS (
+  SELECT doc_id,
+         regexp_replace(regexp_extract(rest, '^([^/?#]+)', 1),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_replace(regexp_replace(rest, '^[^/?#]+', ''),
+                        '[?#].*$', ''), '/$', '') AS path
+  FROM p
+)
+SELECT doc_id,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+         || ')' || path AS surt
+FROM h
+"""

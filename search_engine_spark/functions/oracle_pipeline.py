@@ -1555,3 +1555,62 @@ SELECT doc_id, score FROM b
 ORDER BY score DESC, doc_id ASC
 LIMIT {limit}
 """
+
+
+def warc_roundtrip_sql(table: str = "documents") -> str:
+    """WARC serialize→parse round-trip oracle: the recovered fields must
+    equal the fixture derivations exactly (sources/warc.py never sees
+    these expressions — it extracts them back out of the record bytes)."""
+    from .oracle_fragments import URL_SQL
+
+    return f"""
+WITH m AS (SELECT doc_id, {HTML_SQL} AS s FROM {table})
+SELECT doc_id,
+       {URL_SQL} AS url,
+       (1704067200 + 60 * doc_id)::BIGINT AS warc_epoch,
+       md5(s) AS content_md5,
+       octet_length(encode(s))::BIGINT AS n_bytes
+FROM m
+"""
+
+
+def hits_sql(n_iter: int = gr.HITS_ITERS, table: str = "documents") -> str:
+    """Fixed-iteration HITS, unrolled as a CTE chain — mirrors
+    graph.py::hits (sum-normalized half-steps, N-scaled 4 dp output)."""
+    ctes = [
+        f"nodes AS (SELECT doc_id FROM {table})",
+        "meta AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        _EDGE_CTE.format(table=table).strip(),
+        "edges AS (SELECT src, dst FROM edges0"
+        " WHERE dst IN (SELECT doc_id FROM nodes))",
+        "h0 AS (SELECT doc_id, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(n_iter):
+        p = f"h{i}"
+        ctes.append(
+            f"a{i+1}r AS (SELECT nodes.doc_id, coalesce(c.s, 0.0) AS a"
+            f" FROM nodes LEFT JOIN (SELECT e.dst, sum({p}.h) AS s"
+            f" FROM edges e JOIN {p} ON {p}.doc_id = e.src GROUP BY e.dst) c"
+            f" ON c.dst = nodes.doc_id)"
+        )
+        ctes.append(
+            f"a{i+1} AS (SELECT doc_id,"
+            f" a / (SELECT sum(a) FROM a{i+1}r) AS a FROM a{i+1}r)"
+        )
+        ctes.append(
+            f"h{i+1}r AS (SELECT nodes.doc_id, coalesce(c.s, 0.0) AS h"
+            f" FROM nodes LEFT JOIN (SELECT e.src, sum(a{i+1}.a) AS s"
+            f" FROM edges e JOIN a{i+1} ON a{i+1}.doc_id = e.dst"
+            f" GROUP BY e.src) c ON c.src = nodes.doc_id)"
+        )
+        ctes.append(
+            f"h{i+1} AS (SELECT doc_id,"
+            f" h / (SELECT sum(h) FROM h{i+1}r) AS h FROM h{i+1}r)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT a.doc_id, round(a.a * meta.n, 4) AS authority,
+       round(h.h * meta.n, 4) AS hub
+FROM a{n_iter} a JOIN h{n_iter} h USING (doc_id), meta
+"""

@@ -87,3 +87,29 @@ def normalized_path_col(site_col: Column, url_col: Column) -> Column:
     path = u.substr(F.length(root) + 1, F.length(u))
     path = F.when(F.length(path) > 1, F.regexp_replace(path, "/+$", "")).otherwise(path)
     return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def surt_key_col(url_col="raw_url") -> Column:
+    """SURT canonical key (Sort-friendly URI Reordering Transform — the
+    Internet Archive / Common Crawl CDX index key): lowercase, scheme and
+    leading "www." dropped, host components REVERSED and comma-joined,
+    ")" separator, path with query/fragment and trailing slash stripped —
+    e.g. ``https://www.a.example/Docs/5/?x=1`` → ``example,a)/docs/5``.
+
+    Host reversal is what makes the key sort-friendly: all pages of a
+    registrable domain become one contiguous key range, so a CDX-style
+    index range-prunes by domain prefix. Pure codegen string ops."""
+    u = F.lower(F.col(url_col) if isinstance(url_col, str) else url_col)
+    rest = F.regexp_replace(u, r"^[a-z]+://", "")
+    host = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^/?#]+)", 1), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(rest, r"^[^/?#]+", ""), r"[?#].*$", ""
+        ),
+        r"/$",
+        "",
+    )
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), path)

@@ -366,3 +366,56 @@ def domain_authority(pr: DataFrame) -> DataFrame:
             F.max("pr").alias("top_pr"),
         )
     )
+
+
+HITS_ITERS = 2
+
+
+def hits(
+    docs: DataFrame, edges: DataFrame, n_iter: int = HITS_ITERS
+) -> DataFrame:
+    """(doc_id, authority, hub) — Kleinberg's HITS (Hubs & Authorities,
+    JACM 1999) by fixed-iteration power method, the companion authority
+    signal to PageRank: authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v}
+    authority(v), each vector sum-normalized per half-step. Scores are
+    N-scaled before the 4 dp rounding (like pagerank: mean-1.0 scale
+    keeps small-corpus values above the rounding floor).
+
+    Same execution shape as pagerank: each half-step is one shuffle on
+    the receiving key plus a left join onto the node spine; the
+    normalizer is a 1-row agg crossJoined back (broadcast — NEVER a
+    global window, and no driver-side action inside the loop). Edges are
+    re-read per step; at real scale persist the resolved edge list once,
+    bucketed by src (hub side) — the rank frames are 16 bytes/node."""
+    nodes = docs.select("doc_id")
+    e = edges.select("src", "dst")
+    h = nodes.select("doc_id", F.lit(1.0).alias("h"))
+    a = nodes.select("doc_id", F.lit(1.0).alias("a"))
+
+    def _half(rank, rank_col, join_key, group_key, out_col):
+        contrib = (
+            e.join(
+                rank.withColumnRenamed("doc_id", join_key), join_key
+            )
+            .groupBy(group_key)
+            .agg(F.sum(rank_col).alias("s"))
+            .withColumnRenamed(group_key, "doc_id")
+        )
+        raw = nodes.join(contrib, "doc_id", "left").select(
+            "doc_id", F.coalesce("s", F.lit(0.0)).alias(out_col)
+        )
+        tot = raw.agg(F.sum(out_col).alias("t"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "doc_id", (F.col(out_col) / F.col("t")).alias(out_col)
+        )
+
+    for _ in range(n_iter):
+        a = _half(h, "h", "src", "dst", "a")
+        h = _half(a, "a", "dst", "src", "h")
+
+    n = F.lit(float(docs.count()))
+    return a.join(h, "doc_id").select(
+        "doc_id",
+        F.round(F.col("a") * n, 4).alias("authority"),
+        F.round(F.col("h") * n, 4).alias("hub"),
+    )

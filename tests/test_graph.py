@@ -223,3 +223,33 @@ def test_trustrank_ignores_seeds_outside_nodes(spark):
     a = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds_in).collect()}
     b = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds_extra).collect()}
     assert a == b
+
+
+def test_hits_matches_hand_power_iteration(spark):
+    """Crafted 4-node graph; compare against a literal numpy HITS run."""
+    import numpy as np
+
+    from search_engine_spark.operators.graph import hits
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edge_list = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    a = np.ones(4)
+    h = np.ones(4)
+    for _ in range(2):
+        a = np.zeros(4)
+        for s, d in edge_list:
+            a[d] += h[s]
+        a /= a.sum()
+        h = np.zeros(4)
+        for s, d in edge_list:
+            h[s] += a[d]
+        h /= h.sum()
+
+    got = {r["doc_id"]: r for r in hits(docs, edges).collect()}
+    for i in range(4):
+        assert got[i]["authority"] == round(float(a[i] * 4), 4)
+        assert got[i]["hub"] == round(float(h[i] * 4), 4)
+    # node 2 receives from three distinct hubs → top authority
+    assert max(range(4), key=lambda i: got[i]["authority"]) == 2
