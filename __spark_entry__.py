@@ -526,6 +526,25 @@ def _q_surt_keys(spark, sf_dir):
     )
 
 
+def _q_robots_rules(spark, sf_dir):
+    """robots.txt parsing (RFC 9309 pinned subset): recover the wildcard
+    group's Disallow rules from realistic multi-group files."""
+    from search_engine_spark.operators.graph import (
+        parse_robots,
+        robots_fixture_texts,
+    )
+
+    return parse_robots(robots_fixture_texts(spark))
+
+
+def _q_postings_pruned(spark, sf_dir):
+    """Static index pruning (Carmel): top-N impact postings per term via
+    the two-phase skew-safe selection."""
+    from search_engine_spark.operators.pruning import prune_postings
+
+    return prune_postings(ib.build_postings(load_documents(spark, sf_dir)))
+
+
 def _q_anchor_terms(spark, sf_dir):
     """Anchor-field postings: inbound anchor text harvested per target
     doc (regexp pair-extract + resolve join + shared tokenize path)."""
@@ -1108,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "titles": _q_titles,
         "search_results": _q_search_results,
         "postings_roundtrip": _q_postings_roundtrip,
+        "postings_pruned": _q_postings_pruned,
         "segment_merge": _q_segment_merge,
         "segment_merge_deletes": _q_segment_merge_deletes,
         "term_dict_blocks": _q_term_dict_blocks,
@@ -1125,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_recency": _q_search_recency,
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
+        "robots_rules": _q_robots_rules,
         "temperature_sample": _q_temperature_sample,
         "trustrank": _q_trustrank,
         "curation_funnel": _q_curation_funnel,
@@ -1225,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle knows the fixture titles are 'Doc <id>' by construction
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
         "postings_roundtrip": ora.postings_sql(),
+        "postings_pruned": ora.pruned_postings_sql(),
         "segment_merge": ora.postings_sql(),
         "segment_merge_deletes": ora.postings_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 != 0)"
@@ -1244,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         "search_recency": pipe.search_recency_sql(Q_BM25_COMMON),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
+        "robots_rules": pipe.robots_rules_sql(),
         "temperature_sample": pipe.temperature_sample_sql(),
         "trustrank": pipe.trustrank_sql(TRUST_SEED_MOD),
         "curation_funnel": pipe.curation_funnel_sql(),

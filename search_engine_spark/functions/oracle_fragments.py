@@ -729,3 +729,23 @@ SELECT doc_id,
          || ')' || path AS surt
 FROM h
 """
+
+
+def pruned_postings_sql(keep: int = 10, table: str = "documents") -> str:
+    """Static index pruning oracle (top-`keep` per term by tf desc,
+    doc_id asc) — mirrors operators/pruning.py::prune_postings; the
+    oracle states the spec as a window, the engine must produce the
+    identical set via its two-phase skew-safe selection."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term
+),
+r AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM post
+)
+SELECT doc_id, term, tf FROM r WHERE rn <= {keep}
+"""

@@ -1614,3 +1614,11 @@ SELECT a.doc_id, round(a.a * meta.n, 4) AS authority,
        round(h.h * meta.n, 4) AS hub
 FROM a{n_iter} a JOIN h{n_iter} h USING (doc_id), meta
 """
+
+
+def robots_rules_sql() -> str:
+    """Ground-truth rules the robots.txt parser must recover from the
+    fixture texts (FIXTURES pattern: robots_fixture_texts embeds exactly
+    gr.ROBOTS_RULES in realistic multi-group files)."""
+    rows = ", ".join(f"('{h}', '{p}')" for h, p in gr.ROBOTS_RULES)
+    return f"SELECT * FROM (VALUES {rows}) v(host, path_prefix)"

@@ -419,3 +419,87 @@ def hits(
         F.round(F.col("a") * n, 4).alias("authority"),
         F.round(F.col("h") * n, 4).alias("hub"),
     )
+
+
+def robots_fixture_texts(spark) -> DataFrame:
+    """(host, robots_txt) fixture — realistic multi-group robots.txt per
+    ROBOTS_RULES host: a decoy non-wildcard group (must be ignored), a
+    comment, the wildcard group carrying the host's Disallow prefixes, an
+    EMPTY Disallow (allow-all sentinel — must be dropped) and a
+    Crawl-delay line (not a rule). parse_robots must recover exactly
+    ROBOTS_RULES from these."""
+    by_host: dict[str, list[str]] = {}
+    for h, p in ROBOTS_RULES:
+        by_host.setdefault(h, []).append(p)
+    rows = []
+    for h, prefixes in sorted(by_host.items()):
+        txt = (
+            "# robots fixture\n"
+            "User-agent: evilbot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            + "".join(f"Disallow: {p}\n" for p in prefixes)
+            + "Disallow:\n"
+            "Crawl-delay: 1\n"
+        )
+        rows.append((h, txt))
+    rows.append(("no-rules.example", "User-agent: evilbot\nDisallow: /\n"))
+    return spark.createDataFrame(rows, "host string, robots_txt string")
+
+
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """(host, robots_txt) → (host, path_prefix): the Disallow rules of
+    the wildcard (``User-agent: *``) group(s) — the parse step in front
+    of robots_filter (REP per RFC 9309, pinned subset: comments stripped,
+    groups delimited by User-agent runs — a rule attaches to the most
+    recent preceding agent run, consecutive agent lines share one group;
+    empty Disallow = allow-all sentinel, dropped; non-rule directives
+    ignored).
+
+    Execution: posexplode lines, two doc-keyed window passes (lag + a
+    running sum assigning group ids) — robots files are tiny, so the
+    per-host window partitions are bounded; the star-group semi-join is
+    host-local. At web scale this runs over ~10^7 small files: one
+    shuffle on host."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("ln", "raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    norm = lines.withColumn("line", line).withColumn(
+        "is_ua", F.lower(line).startswith("user-agent:")
+    )
+    w = Window.partitionBy("host").orderBy("ln")
+    tagged = (
+        norm.withColumn("prev_ua", F.lag("is_ua", 1, False).over(w))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(F.col("is_ua") & ~F.col("prev_ua"), 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    star = (
+        tagged.filter(
+            F.col("is_ua")
+            & (
+                F.trim(F.regexp_extract("line", r"(?i)^user-agent:\s*(.*)$", 1))
+                == "*"
+            )
+        )
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        tagged.filter(F.lower("line").startswith("disallow:"))
+        .withColumn(
+            "path_prefix",
+            F.trim(F.regexp_extract("line", r"(?i)^disallow:\s*(.*)$", 1)),
+        )
+        .join(star, ["host", "grp"])
+        .filter(F.col("path_prefix") != "")
+        .select("host", "path_prefix")
+    )

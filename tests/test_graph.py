@@ -253,3 +253,58 @@ def test_hits_matches_hand_power_iteration(spark):
         assert got[i]["hub"] == round(float(h[i] * 4), 4)
     # node 2 receives from three distinct hubs → top authority
     assert max(range(4), key=lambda i: got[i]["authority"]) == 2
+
+
+def test_parse_robots_group_semantics(spark):
+    """Decoy agent groups ignored, consecutive UA lines share a group,
+    comments stripped, empty Disallow dropped, case-insensitive keys."""
+    from search_engine_spark.operators.graph import parse_robots
+
+    txt = (
+        "User-agent: evilbot\n"
+        "Disallow: /everything\n"
+        "\n"
+        "User-agent: goodbot\n"
+        "USER-AGENT: *\n"          # consecutive UA lines → same group
+        "disallow: /private  # inline comment\n"
+        "Disallow:\n"              # allow-all sentinel → dropped
+        "Crawl-delay: 5\n"
+        "Disallow: /tmp\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "Disallow: /other\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.example", txt)], "host string, robots_txt string"
+    )
+    got = {
+        (r["host"], r["path_prefix"]) for r in parse_robots(robots).collect()
+    }
+    assert got == {("h.example", "/private"), ("h.example", "/tmp")}
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    """End-to-end: parsed fixture rules filter links identically to the
+    frozen ROBOTS_RULES literal."""
+    from search_engine_spark.operators.graph import (
+        ROBOTS_RULES,
+        extract_links,
+        linked_html,
+        parse_robots,
+        robots_filter,
+        robots_fixture_texts,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").filter(
+        "doc_id < 30"
+    )
+    links = extract_links(linked_html(docs))
+    via_literal = robots_filter(
+        links,
+        spark.createDataFrame(ROBOTS_RULES, "host string, path_prefix string"),
+    )
+    via_parse = robots_filter(links, parse_robots(robots_fixture_texts(spark)))
+    a = sorted(map(tuple, via_literal.collect()))
+    b = sorted(map(tuple, via_parse.collect()))
+    assert a == b and a  # same survivors, non-empty
