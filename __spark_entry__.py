@@ -545,6 +545,22 @@ def _q_postings_pruned(spark, sf_dir):
     return prune_postings(ib.build_postings(load_documents(spark, sf_dir)))
 
 
+Q_PASSAGE = ["data", "fast", "merge"]
+
+
+def _q_best_passage(spark, sf_dir):
+    """Best-passage selection: the 30-token window densest in query
+    terms per doc, top-20 docs (match-anchored exact enumeration)."""
+    from search_engine_spark.operators.positional import (
+        best_passage,
+        build_positional,
+    )
+
+    return best_passage(
+        build_positional(load_documents(spark, sf_dir)), Q_PASSAGE
+    )
+
+
 def _q_anchor_terms(spark, sf_dir):
     """Anchor-field postings: inbound anchor text harvested per target
     doc (regexp pair-extract + resolve join + shared tokenize path)."""
@@ -926,6 +942,14 @@ def _q_sample_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def _q_sample_weighted(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (length-proportional, deterministic h60 draw)."""
+    from search_engine_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(load_documents(spark, sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     from search_engine_spark.operators.dedup import simhash_signatures
 
@@ -1116,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boolean": _q_search_boolean,
         "facet_by_site": _q_facet_by_site,
         "search_proximity": _q_search_proximity,
+        "best_passage": _q_best_passage,
         "more_like_this": _q_more_like_this,
         "search_synonyms": _q_search_synonyms,
         "collocations": _q_collocations,
@@ -1175,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "sample_stratified": _q_sample_stratified,
         "sample_split": _q_sample_split,
+        "sample_weighted": _q_sample_weighted,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -1235,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "search_proximity": ora.search_proximity_sql(
             analyze_phrase(PROX_PHRASE), slop=PROX_SLOP
         ),
+        "best_passage": ora.best_passage_sql(Q_PASSAGE),
         "status_filter": ora.status_filter_sql(),
         "postings_parseable": ora.postings_sql(
             table=f"(SELECT * FROM documents WHERE {ora.PARSEABLE_SQL})"
@@ -1301,6 +1328,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_spans": pipe.dup_spans_sql(),
         "sample_stratified": pipe.stratified_sample_sql(SAMPLE_FRACTIONS),
+        "sample_weighted": pipe.weighted_sample_sql(),
         "sample_split": pipe.split_train_holdout_sql(HOLDOUT_FRACTION),
         "simhash": pipe.simhash_sql(),
         "simhash_pairs": pipe.simhash_near_pairs_sql(),

@@ -749,3 +749,30 @@ r AS (
 )
 SELECT doc_id, term, tf FROM r WHERE rn <= {keep}
 """
+
+
+def best_passage_sql(terms: list[str], width: int = 30, k: int = 20,
+                     table: str = "documents") -> str:
+    """Best-passage oracle — mirrors positional.py::best_passage
+    (match-anchored window enumeration, per-doc argmax, top-k docs)."""
+    uniq = sorted(set(terms))
+    return f"""
+WITH {positional_terms_cte(table)},
+m AS (SELECT doc_id, pos FROM pos_terms WHERE term IN {_terms_in(uniq)}),
+w AS (
+  SELECT a.doc_id, a.pos AS p_start, count(*)::BIGINT AS n_matches
+  FROM m a JOIN m b ON b.doc_id = a.doc_id
+    AND b.pos >= a.pos AND b.pos < a.pos + {width}
+  GROUP BY a.doc_id, a.pos
+),
+r AS (
+  SELECT doc_id, p_start, n_matches,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_matches DESC, p_start ASC) AS rn
+  FROM w
+)
+SELECT doc_id, p_start, (p_start + {width - 1})::BIGINT AS p_end, n_matches
+FROM r WHERE rn = 1
+ORDER BY n_matches DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -1622,3 +1622,19 @@ def robots_rules_sql() -> str:
     gr.ROBOTS_RULES in realistic multi-group files)."""
     rows = ", ".join(f"('{h}', '{p}')" for h, p in gr.ROBOTS_RULES)
     return f"SELECT * FROM (VALUES {rows}) v(host, path_prefix)"
+
+
+def weighted_sample_sql(
+    n: int = 100,
+    weight_col: str = "n_chars",
+    seed_tag: str = "wsample",
+    table: str = "documents",
+) -> str:
+    """A-ES weighted sampling oracle — mirrors
+    operators/sampling.py::weighted_sample (ln(u)/w key, top-n)."""
+    u = _sample_u_sql(seed_tag)
+    return f"""
+SELECT doc_id FROM {table}
+ORDER BY ln({u}) / {weight_col}::DOUBLE DESC, doc_id ASC
+LIMIT {n}
+"""

@@ -162,3 +162,63 @@ def search_phrase(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
     return hits.orderBy(
         F.col("phrase_tf").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+PASSAGE_WIDTH = 30
+
+
+def best_passage(
+    positional: DataFrame,
+    terms: list[str],
+    width: int = PASSAGE_WIDTH,
+    k: int = 20,
+) -> DataFrame:
+    """Passage retrieval → (doc_id, p_start, p_end, n_matches): per
+    document, the `width`-token window holding the MOST query-term
+    occurrences (tie → earliest window), then the top-k documents by
+    (n_matches desc, doc_id asc) — the "best passage" selection that
+    snippet generators and passage-level rankers (Liu & Croft, SIGIR
+    2002) run after document retrieval.
+
+    Exactness via anchoring: some optimal window starts AT a match
+    position, so enumerating only match-anchored windows is lossless.
+    The plan is a doc-keyed range self-join over the query-term
+    occurrences ONLY (m occurrences per doc; pairs ≤ m·min(m, width) —
+    bounded and tiny next to the corpus), one groupBy for window counts,
+    one max_by per doc. Postings filter first: the positional relation
+    is isin-pruned to the query terms before anything joins."""
+    m = positional.filter(F.col("term").isin(list(set(terms)))).select(
+        "doc_id", "pos"
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") >= F.col("a.pos"))
+        & (F.col("b.pos") < F.col("a.pos") + width),
+    )
+    counts = pairs.groupBy(
+        F.col("a.doc_id").alias("doc_id"), F.col("a.pos").alias("p_start")
+    ).agg(F.count("*").alias("n_matches"))
+    best = counts.groupBy("doc_id").agg(
+        F.max_by(
+            F.col("p_start"),
+            F.struct(
+                F.col("n_matches"), (-F.col("p_start")).alias("neg_start")
+            ),
+        ).alias("p_start"),
+        F.max(
+            F.struct(F.col("n_matches"), (-F.col("p_start")).alias("ns"))
+        )["n_matches"].alias("n_matches"),
+    )
+    return (
+        best.select(
+            "doc_id",
+            "p_start",
+            (F.col("p_start") + width - 1).alias("p_end"),
+            "n_matches",
+        )
+        .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

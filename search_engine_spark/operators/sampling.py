@@ -130,3 +130,34 @@ def temperature_sample(
         .filter(u < F.col("_p"))
         .drop("_p")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int = 100,
+    weight_col: str = "n_chars",
+    seed_tag: str = "wsample",
+) -> DataFrame:
+    """(doc_id) — deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, the A-ES scheme): each row draws the
+    pinned uniform u = h60(tag:doc_id)/2^60 and keeps key = ln(u)/w;
+    the n LARGEST keys are the sample. Inclusion probability is
+    proportional-to-weight without replacement — the standard way to
+    bias a training-mix subsample toward (here) longer documents while
+    keeping the draw reproducible and append-stable.
+
+    ln(u)/w is the monotone log form of the textbook u^(1/w): for large
+    weights u^(1/w) clusters within ulps of 1.0 (order-unstable across
+    engines); the log form keeps keys well separated. Plan: one
+    projection + TakeOrderedAndProject(n) — no shuffle beyond the
+    per-partition top-n merge."""
+    u = h60_col(
+        F.concat(F.lit(seed_tag + ":"), F.col("doc_id").cast("string"))
+    ) / F.lit(H60_SPACE)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.select("doc_id", key.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), F.col("doc_id").asc())
+        .limit(n)
+        .select("doc_id")
+    )

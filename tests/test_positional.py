@@ -106,3 +106,36 @@ def test_prefix_suggest_orders_by_df(spark):
     got = [(r["term"], r["df"]) for r in prefix_suggest(td, "s", k=2).collect()]
     # df desc, then term asc for the tie
     assert got == [("slow", 30), ("sort", 30)]
+
+
+def test_best_passage_dense_window_wins(spark):
+    """Crafted doc: matches clustered at the tail must beat an isolated
+    early match; window anchors at a match position."""
+    from search_engine_spark.operators.positional import best_passage
+
+    pos = spark.createDataFrame(
+        # doc 1: q at 0 (isolated), q at 50,52,55 (cluster)
+        [(1, "q", 0), (1, "q", 50), (1, "q", 52), (1, "q", 55),
+         (1, "z", 10),
+         # doc 2: two spread-out matches, window of 10 can hold only 1
+         (2, "q", 0), (2, "q", 100)],
+        "doc_id long, term string, pos long",
+    )
+    got = {r["doc_id"]: r for r in best_passage(pos, ["q"], width=10).collect()}
+    assert (got[1]["p_start"], got[1]["p_end"], got[1]["n_matches"]) == (
+        50, 59, 3,
+    )
+    assert got[2]["n_matches"] == 1 and got[2]["p_start"] == 0
+    # ranking: doc 1 (3 matches) above doc 2 (1)
+    rows = best_passage(pos, ["q"], width=10).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+
+
+def test_best_passage_earliest_tie(spark):
+    from search_engine_spark.operators.positional import best_passage
+
+    pos = spark.createDataFrame(
+        [(1, "q", 5), (1, "q", 40)], "doc_id long, term string, pos long"
+    )
+    (r,) = best_passage(pos, ["q"], width=10).collect()
+    assert r["p_start"] == 5  # both windows hold 1 match → earliest wins

@@ -141,3 +141,18 @@ def test_temperature_sample_balances_and_is_deterministic(spark):
         .collect()
     }
     assert ids1 == ids2
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark):
+    """A-ES: inclusion is weight-proportional — the heavy half of the
+    corpus must dominate the sample; the draw is deterministic."""
+    from search_engine_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 10) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {r["doc_id"] for r in weighted_sample(docs, n=30).collect()}
+    heavy = sum(1 for d in got if d < 50)
+    assert len(got) == 30
+    assert heavy >= 25  # 100:1 weight ratio → overwhelmingly heavy docs
+    again = {r["doc_id"] for r in weighted_sample(docs, n=30).collect()}
+    assert again == got
