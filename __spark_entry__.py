@@ -561,6 +561,30 @@ def _q_best_passage(spark, sf_dir):
     )
 
 
+def _q_percolate(spark, sf_dir):
+    """Reverse search: stored conjunctive queries matched against the
+    corpus in ONE plan (broadcast query table + relational division)."""
+    from search_engine_spark.operators.search import percolate
+
+    return percolate(ib.build_postings(load_documents(spark, sf_dir)))
+
+
+def _q_cocitation(spark, sf_dir):
+    """Co-citation related-pages pairs over the link graph (shared
+    in-neighbor counts; threshold 1 on the synthetic tree+chain graph)."""
+    from search_engine_spark.operators.graph import (
+        cocitation,
+        extract_links,
+        linked_html,
+        resolved_edges,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    return cocitation(
+        resolved_edges(docs, extract_links(linked_html(docs))), min_common=1
+    )
+
+
 def _q_anchor_terms(spark, sf_dir):
     """Anchor-field postings: inbound anchor text harvested per target
     doc (regexp pair-extract + resolve join + shared tokenize path)."""
@@ -1163,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
+        "cocitation": _q_cocitation,
+        "percolate": _q_percolate,
         "surt_keys": _q_surt_keys,
         "crawl_frontier": _q_crawl_frontier,
         "search_fuzzy": _q_search_fuzzy,
@@ -1286,6 +1312,8 @@ def oracle_sql() -> dict[str, str]:
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
         "hits": pipe.hits_sql(),
+        "cocitation": pipe.cocitation_sql(),
+        "percolate": ora.percolate_sql(se.PERCOLATE_QUERIES),
         "surt_keys": ora.surt_keys_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),

@@ -776,3 +776,30 @@ FROM r WHERE rn = 1
 ORDER BY n_matches DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def percolate_sql(queries: list[tuple[str, list[str]]],
+                  table: str = "documents") -> str:
+    """Reverse-search oracle — mirrors operators/search.py::percolate
+    (conjunctive containment as relational division)."""
+    rows = ", ".join(
+        f"('{qid}', '{t}', {len(set(terms))})"
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term FROM terms
+  WHERE term IN {_terms_in(all_terms)} GROUP BY doc_id, term
+),
+q AS (SELECT * FROM (VALUES {rows}) v(query_id, term, n_terms)),
+m AS (
+  SELECT q.query_id, p.doc_id,
+         count(*) AS nt, max(q.n_terms) AS n_terms
+  FROM post p JOIN q USING (term)
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id FROM m WHERE nt = n_terms
+"""

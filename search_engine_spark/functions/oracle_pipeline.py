@@ -1638,3 +1638,23 @@ SELECT doc_id FROM {table}
 ORDER BY ln({u}) / {weight_col}::DOUBLE DESC, doc_id ASC
 LIMIT {n}
 """
+
+
+def cocitation_sql(min_common: int = 1, table: str = "documents") -> str:
+    """Co-citation oracle over the fixture link graph — mirrors
+    graph.py::cocitation(resolved_edges(linked_html))."""
+    return f"""
+WITH {_EDGE_CTE.format(table=table)},
+edges AS (
+  SELECT src, dst FROM edges0
+  WHERE dst IN (SELECT doc_id FROM {table})
+),
+p AS (
+  SELECT a.src, a.dst AS doc_a, b.dst AS doc_b
+  FROM edges a JOIN edges b USING (src)
+  WHERE a.dst < b.dst
+)
+SELECT doc_a, doc_b, count(*)::BIGINT AS n_common
+FROM p GROUP BY doc_a, doc_b
+HAVING count(*) >= {min_common}
+"""

@@ -503,3 +503,25 @@ def parse_robots(robots: DataFrame) -> DataFrame:
         .filter(F.col("path_prefix") != "")
         .select("host", "path_prefix")
     )
+
+
+def cocitation(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """(doc_a, doc_b, n_common) — co-citation similarity (Small 1973):
+    pages cited together by the same sources are related; n_common =
+    number of shared IN-neighbors, doc_a < doc_b, thresholded at
+    min_common. The link-structure "related pages" signal (Dean &
+    Henzinger 1999 build exactly this over the web graph).
+
+    Plan: one self-join of the edge list on src (pairs every two targets
+    a source cites — bounded by out-degree², and web out-degrees are
+    bounded by page size) + one (a,b) count aggregate. Skew guard at
+    scale: cap per-source fan-out upstream (outdegree cap) — the fixture
+    graph's out-degree is 2, so the join is linear here."""
+    a = edges.select(F.col("src"), F.col("dst").alias("doc_a"))
+    b = edges.select(F.col("src"), F.col("dst").alias("doc_b"))
+    pairs = a.join(b, "src").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

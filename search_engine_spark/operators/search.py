@@ -743,3 +743,54 @@ def blend_recency(
     return blended.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
         limit
     )
+
+
+PERCOLATE_QUERIES = [
+    ("q_data_fast", ["data", "fast"]),
+    ("q_dup_scan", ["dup", "scan"]),
+    ("q_merge", ["merge"]),
+    ("q_absent", ["zzabsent", "data"]),  # can never match (absent term)
+]
+
+
+def percolate(
+    postings: DataFrame,
+    queries: list[tuple[str, list[str]]] | None = None,
+) -> DataFrame:
+    """Reverse search (the Elasticsearch "percolator" / streaming-alert
+    primitive): a STORED set of conjunctive queries is matched against
+    documents — (query_id, doc_id) for every doc containing ALL of a
+    query's terms. The batch form of "alert me when a matching page
+    arrives"; run over a micro-batch of new docs it is exactly the
+    percolation step of a stored-search alerting pipeline.
+
+    Plan: the query table is tiny → broadcast join against the postings
+    relation pruned to the union of query terms (isin — sargable), then
+    one (query_id, doc_id) count aggregate with a HAVING on the query's
+    term count (conjunctive containment as relational division). One
+    shuffle, map-side combinable; no per-query passes — the whole
+    workload matches in a single plan (same batching idea as
+    search_bm25_batch)."""
+    queries = PERCOLATE_QUERIES if queries is None else queries
+    rows = [
+        (qid, t, len(set(terms)))
+        for qid, terms in queries
+        for t in sorted(set(terms))
+    ]
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, n_terms int"
+    )
+    all_terms = sorted({t for _, terms in queries for t in terms})
+    cand = postings.filter(F.col("term").isin(all_terms)).select(
+        "doc_id", "term"
+    )
+    matched = (
+        cand.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("nt"), F.max("n_terms").alias("n_terms")
+        )
+        .filter(F.col("nt") == F.col("n_terms"))
+    )
+    return matched.select("query_id", "doc_id")

@@ -82,3 +82,20 @@ def test_search_page_collapse_one_per_site(eng):
     sites = [d["site"] for d in page["data"]]
     assert page["count"] <= 3  # one per fixture site
     assert len(sites) == len(set(sites))
+
+
+def test_percolate_conjunctive_containment(spark):
+    from search_engine_spark.operators.search import percolate
+
+    postings = spark.createDataFrame(
+        [(1, "data", 2), (1, "fast", 1), (2, "data", 1), (3, "merge", 4)],
+        "doc_id long, term string, tf long",
+    )
+    qs = [("both", ["data", "fast"]), ("solo", ["merge"]),
+          ("never", ["data", "zzz"])]
+    got = {
+        (r["query_id"], r["doc_id"]) for r in percolate(postings, qs).collect()
+    }
+    # doc 2 has only 'data' → fails the conjunctive gate for 'both';
+    # 'never' contains a corpus-absent term → matches nothing
+    assert got == {("both", 1), ("solo", 3)}

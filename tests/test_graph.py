@@ -308,3 +308,19 @@ def test_parse_robots_feeds_robots_filter(spark):
     a = sorted(map(tuple, via_literal.collect()))
     b = sorted(map(tuple, via_parse.collect()))
     assert a == b and a  # same survivors, non-empty
+
+
+def test_cocitation_counts_shared_in_neighbors(spark):
+    from search_engine_spark.operators.graph import cocitation
+
+    # sources 10,11,12 all cite both 1 and 2; source 13 cites 1 and 3
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+         (13, 1), (13, 3)],
+        "src long, dst long",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in cocitation(edges, min_common=2).collect()
+    }
+    assert got == {(1, 2): 3}  # (1,3) has n_common=1 → thresholded out
