@@ -851,6 +851,14 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(load_documents(spark, sf_dir))
 
 
+def _q_quality_model(spark, sf_dir):
+    """Frozen-weight logistic quality classifier (LR filter) over the
+    rounded quality-feature frame."""
+    from search_engine_spark.operators.textstats import quality_model_scores
+
+    return quality_model_scores(load_documents(spark, sf_dir))
+
+
 def _q_fingerprints(spark, sf_dir):
     from search_engine_spark.operators.textstats import fingerprints
 
@@ -945,6 +953,14 @@ def _q_dup_spans(spark, sf_dir):
     from search_engine_spark.operators.spans import dup_spans
 
     return dup_spans(load_documents(spark, sf_dir))
+
+
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection: host pairs sharing cross-host near-dup
+    documents (Bharat-Broder), from the LSH->Jaccard pair relation."""
+    from search_engine_spark.operators.dedup import mirror_hosts
+
+    return mirror_hosts(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 def _q_sample_stratified(spark, sf_dir):
@@ -1212,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "quality_model": _q_quality_model,
         "fingerprints": _q_fingerprints,
         "lm_scores": _q_lm_scores,
         "doc_keywords": _q_doc_keywords,
@@ -1224,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_canonical": _q_dedup_canonical,
         "dup_spans": _q_dup_spans,
+        "mirror_hosts": _q_mirror_hosts,
         "sample_stratified": _q_sample_stratified,
         "sample_split": _q_sample_split,
         "sample_weighted": _q_sample_weighted,
@@ -1337,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),
+        "quality_model": pipe.quality_model_sql(),
         "fingerprints": pipe.fingerprints_sql(),
         "lm_scores": pipe.unigram_lm_scores_sql(),
         "doc_keywords": pipe.doc_keywords_sql(),
@@ -1355,6 +1374,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=JACCARD_THRESHOLD
         ),
         "dup_spans": pipe.dup_spans_sql(),
+        "mirror_hosts": pipe.mirror_hosts_sql(
+            threshold=JACCARD_THRESHOLD
+        ),
         "sample_stratified": pipe.stratified_sample_sql(SAMPLE_FRACTIONS),
         "sample_weighted": pipe.weighted_sample_sql(),
         "sample_split": pipe.split_train_holdout_sql(HOLDOUT_FRACTION),

@@ -1658,3 +1658,40 @@ SELECT doc_a, doc_b, count(*)::BIGINT AS n_common
 FROM p GROUP BY doc_a, doc_b
 HAVING count(*) >= {min_common}
 """
+
+
+def quality_model_sql(table: str = "documents") -> str:
+    """Frozen logistic quality classifier oracle — mirrors
+    textstats.py::quality_model_scores over the rounded feature frame."""
+    w = (ts.QM_W_STOP, ts.QM_W_MWL, ts.QM_W_DIGIT, ts.QM_W_LOGLEN, ts.QM_BIAS)
+    return f"""
+WITH q AS ({quality_scores_sql(table)}),
+z AS (
+  SELECT doc_id,
+         {w[0]!r} * stopword_ratio + {w[1]!r} * mean_word_len
+           + {w[2]!r} * digit_ratio + {w[3]!r} * ln(1.0 + n_chars)
+           + {w[4]!r} AS z
+  FROM q
+),
+p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS p_keep FROM z)
+SELECT doc_id, p_keep, (p_keep >= {ts.QM_THRESHOLD!r}) AS keep FROM p
+"""
+
+
+def mirror_hosts_sql(threshold: float = 0.5, table: str = "documents") -> str:
+    """Mirror-host oracle — mirrors dedup.py::mirror_hosts over the
+    candidate-driven Jaccard pair relation."""
+    return f"""
+WITH p AS ({jaccard_pairs_sql(table, threshold, lsh_candidates=True)}),
+s AS (
+  SELECT ('site-' || chr(97 + (doc_a % 3)::INT)) AS sa,
+         ('site-' || chr(97 + (doc_b % 3)::INT)) AS sb
+  FROM p
+),
+m AS (
+  SELECT least(sa, sb) AS site_a, greatest(sa, sb) AS site_b
+  FROM s WHERE sa <> sb
+)
+SELECT site_a, site_b, count(*)::BIGINT AS n_shared
+FROM m GROUP BY site_a, site_b
+"""

@@ -575,3 +575,31 @@ def cluster_representatives(
             (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+def mirror_hosts(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(site_a, site_b, n_shared) — mirror-site detection (Bharat &
+    Broder, WWW 1999): host pairs sharing many near-duplicate documents
+    are mirrors/scrapes of each other; n_shared = count of cross-host
+    near-dup pairs from the LSH→Jaccard pipeline, unordered pair
+    canonicalized (site_a < site_b).
+
+    A curation pipeline uses this to collapse whole mirrored HOSTS before
+    per-document dedup ever runs — at web scale the host-pair aggregate
+    is tiny (hosts² bounded by observed pairs, not hosts)."""
+    from ..sources.documents import site_key_col
+
+    pairs = jaccard_pairs(
+        docs, threshold, candidates=lsh_candidate_pairs(docs)
+    ).select("doc_a", "doc_b")
+    sa = site_key_col(doc_id="doc_a")
+    sb = site_key_col(doc_id="doc_b")
+    m = (
+        pairs.select(
+            F.least(sa, sb).alias("site_a"), F.greatest(sa, sb).alias("site_b")
+        )
+        .filter(F.col("site_a") != F.col("site_b"))
+    )
+    return m.groupBy("site_a", "site_b").agg(
+        F.count("*").alias("n_shared")
+    )

@@ -457,3 +457,40 @@ def dl_histogram(docs: DataFrame, width: int = DL_BUCKET_WIDTH) -> DataFrame:
             F.round(F.col("n_docs") / F.col("t"), 4).alias("pct"),
         )
     )
+
+
+# Frozen logistic quality model (the "LR quality filter" of production
+# corpus pipelines — GPT-3 trained a linear classifier WebText-vs-raw-CC
+# and kept docs by its score; weights here are a pinned, versioned asset
+# over the engine's own quality features, positive on prose-like text).
+QM_W_STOP = 2.5
+QM_W_MWL = 0.35
+QM_W_DIGIT = -6.0
+QM_W_LOGLEN = 0.45
+QM_BIAS = -2.2
+QM_THRESHOLD = 0.5
+
+
+def quality_model_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, p_keep, keep) — frozen-weight logistic quality classifier:
+
+        z = w·[stopword_ratio, mean_word_len, digit_ratio, ln(1+n_chars)] + b
+        p_keep = sigmoid(z),  keep = p_keep ≥ 0.5
+
+    Consumes quality_scores' ROUNDED feature columns, so both engines
+    feed bit-identical inputs into the identical arithmetic (the rounded
+    p_keep then hashes identically). One codegen projection over the
+    feature frame — model inference is just column math; swapping in
+    trained weights is a constant edit, not a plan change."""
+    q = quality_scores(docs)
+    z = (
+        F.lit(QM_W_STOP) * F.col("stopword_ratio")
+        + F.lit(QM_W_MWL) * F.col("mean_word_len")
+        + F.lit(QM_W_DIGIT) * F.col("digit_ratio")
+        + F.lit(QM_W_LOGLEN) * F.log(F.lit(1.0) + F.col("n_chars"))
+        + F.lit(QM_BIAS)
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return q.select(
+        "doc_id", p.alias("p_keep"), (p >= QM_THRESHOLD).alias("keep")
+    )
