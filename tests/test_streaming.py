@@ -267,3 +267,31 @@ def test_stream_latest_revision_matches_batch(spark, tmp_path):
         for r in df.select("page_key", "n_revisions", "doc_id").collect()
     }
     assert to_set(got) == to_set(batch)
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    """Streaming percolation (two micro-batches) emits exactly the batch
+    percolate alert set — the stateless-twin equivalence."""
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.search import percolate
+    from search_engine_spark.streaming.stream_percolate import (
+        run_percolate_to_dir,
+    )
+
+    docs = load_documents(spark, SF_TEST).filter(F.col("doc_id") < 120)
+    landing = str(tmp_path / "perc_landing")
+    docs.filter(F.col("doc_id") < 60).select(*STREAM_COLS).coalesce(1).write.parquet(
+        landing + "/part1"
+    )
+    docs.filter(F.col("doc_id") >= 60).select(*STREAM_COLS).coalesce(1).write.parquet(
+        landing + "/part2"
+    )
+    got = run_percolate_to_dir(
+        spark,
+        landing + "/part*",
+        str(tmp_path / "perc_ckpt"),
+        str(tmp_path / "perc_out"),
+    ).collect()
+    want = percolate(build_postings(docs)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert want  # non-vacuous: the stored queries match fixture docs
