@@ -5,8 +5,6 @@ Oracle parity at fixture scale is covered by test_oracle_parity.py
 with hand-derivable expectations.
 """
 
-import math
-
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.anchors import (
