@@ -614,6 +614,36 @@ def _q_search_bm25f(spark, sf_dir):
     )
 
 
+def _q_web_ranking(spark, sf_dir):
+    """The composed web-search ranking stack, one plan end-to-end:
+    BM25F over body+inbound-anchor fields -> PageRank authority blend ->
+    one-result-per-site collapse (SERP diversification)."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_bm25f,
+    )
+    from search_engine_spark.operators.graph import (
+        blend_authority,
+        extract_links,
+        pagerank,
+        resolved_edges,
+    )
+    from search_engine_spark.sources.documents import site_key_col
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    da = anchored_html(docs)
+    hits = search_bm25f(
+        postings, anchor_postings(da), doc_stats, n_docs, avgdl, Q_BM25F,
+        limit=1_000_000,
+    )
+    pr = pagerank(docs, resolved_edges(docs, extract_links(da)))
+    blended = blend_authority(hits, pr, limit=1_000_000)
+    return se.collapse_hits(blended.withColumn("site_key", site_key_col()))
+
+
 def _q_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the extracted link graph (authority
     prior for curation); N-scaled, 4 dp."""
@@ -1200,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapsed": _q_search_collapsed,
         "anchor_terms": _q_anchor_terms,
         "search_bm25f": _q_search_bm25f,
+        "web_ranking": _q_web_ranking,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
@@ -1327,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "search_collapsed": ora.search_collapsed_sql(Q_BM25_COMMON),
         "anchor_terms": pipe.anchor_postings_sql(),
         "search_bm25f": pipe.search_bm25f_sql(Q_BM25F),
+        "web_ranking": pipe.web_ranking_sql(Q_BM25F),
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),
         "hits": pipe.hits_sql(),

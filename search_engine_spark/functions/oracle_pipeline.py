@@ -1695,3 +1695,36 @@ m AS (
 SELECT site_a, site_b, count(*)::BIGINT AS n_shared
 FROM m GROUP BY site_a, site_b
 """
+
+
+def web_ranking_sql(
+    query_terms: list[str],
+    weight: float = 0.5,
+    limit: int = 20,
+    table: str = "documents",
+) -> str:
+    """The composed web-ranking stack in one query — BM25F (body+anchor)
+    × PageRank authority × one-result-per-site collapse; every stage
+    4 dp-rounded in both engines (mirrors __spark_entry__::_q_web_ranking)."""
+    w = repr(weight)
+    wc = repr(1.0 - weight)
+    return f"""
+WITH hits AS ({search_bm25f_sql(query_terms, limit=1_000_000, table=table)}),
+pr AS ({pagerank_sql(table=table)}),
+b AS (
+  SELECT hits.doc_id, round(hits.score * ({wc} + {w} * pr.pr), 4) AS score
+  FROM hits JOIN pr ON pr.doc_id = hits.doc_id
+),
+g AS (
+  SELECT doc_id, score, ('site-' || chr(97 + (doc_id % 3)::INT)) AS site_key
+  FROM b
+),
+r AS (
+  SELECT site_key, doc_id, score,
+         row_number() OVER (PARTITION BY site_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM g
+)
+SELECT site_key, doc_id, score FROM r WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""
