@@ -585,6 +585,14 @@ def _q_cocitation(spark, sf_dir):
     )
 
 
+def _q_doc_signatures(spark, sf_dir):
+    """Signature files: 63-bit superimposed term-set Bloom signature per
+    doc (conjunctive pre-filter gate, Faloutsos-Christodoulakis)."""
+    from search_engine_spark.operators.signatures import doc_signatures
+
+    return doc_signatures(ib.build_postings(load_documents(spark, sf_dir)))
+
+
 def _q_anchor_terms(spark, sf_dir):
     """Anchor-field postings: inbound anchor text harvested per target
     doc (regexp pair-extract + resolve join + shared tokenize path)."""
@@ -1165,6 +1173,15 @@ def _q_rel_topk_group(spark, sf_dir):
     return top_parts_by_size(spark, sf_dir)
 
 
+def _q_kmeans_assign(spark, sf_dir):
+    """One Lloyd k-means round over the embedding corpus (assign ->
+    6dp-rounded mean update -> reassign; topic clustering)."""
+    from search_engine_spark.operators.similarity import kmeans_refine
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return kmeans_refine(load_embeddings(spark, sf_dir))
+
+
 def _q_media_stats(spark, sf_dir):
     from search_engine_spark.operators.multimodal import media_stats
 
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_results": _q_search_results,
         "postings_roundtrip": _q_postings_roundtrip,
         "postings_pruned": _q_postings_pruned,
+        "doc_signatures": _q_doc_signatures,
         "segment_merge": _q_segment_merge,
         "segment_merge_deletes": _q_segment_merge_deletes,
         "term_dict_blocks": _q_term_dict_blocks,
@@ -1285,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ivf_assign": _q_ivf_assign,
         "ann_ivf": _q_ann_ivf,
+        "kmeans_assign": _q_kmeans_assign,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -1349,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "titles": "SELECT doc_id, 'Doc ' || doc_id AS title FROM documents",
         "postings_roundtrip": ora.postings_sql(),
         "postings_pruned": ora.pruned_postings_sql(),
+        "doc_signatures": ora.doc_signatures_sql(),
         "segment_merge": ora.postings_sql(),
         "segment_merge_deletes": ora.postings_sql(
             table="(SELECT * FROM documents WHERE doc_id % 5 != 0)"
@@ -1424,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": pipe.lsh_buckets_sql(),
         "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
         "ivf_assign": pipe.ivf_assign_sql(),
+        "kmeans_assign": pipe.kmeans_assign_sql(),
         "ann_ivf": pipe.ann_ivf_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),

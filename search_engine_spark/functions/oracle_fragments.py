@@ -803,3 +803,17 @@ m AS (
 )
 SELECT query_id, doc_id FROM m WHERE nt = n_terms
 """
+
+
+def doc_signatures_sql(table: str = "documents") -> str:
+    """Signature-file oracle — mirrors
+    operators/signatures.py::doc_signatures (63-bit superimposed coding,
+    bit = h60('sig:'+term) mod 63)."""
+    h = h60_sql("('sig:' || term)")
+    bit = f"({h} % 63)::INT"
+    return f"""
+WITH {terms_cte(table)},
+t AS (SELECT doc_id, term FROM terms GROUP BY doc_id, term),
+b AS (SELECT doc_id, (1::BIGINT << {bit}) AS b FROM t)
+SELECT doc_id, bit_or(b)::BIGINT AS sig FROM b GROUP BY doc_id
+"""

@@ -1728,3 +1728,52 @@ r AS (
 SELECT site_key, doc_id, score FROM r WHERE rn = 1
 ORDER BY score DESC, doc_id ASC LIMIT {limit}
 """
+
+
+def kmeans_assign_sql(
+    n_centroids: int = sim.N_CENTROIDS, table: str = "embeddings"
+) -> str:
+    """One Lloyd round of k-means — mirrors
+    similarity.py::kmeans_refine(rounds=1): assign to the deterministic
+    initial centroids, per-dim mean rounded 6 dp (empty clusters keep
+    the old centroid), reassign."""
+    cos0 = COS_SQL.format(a="e.embedding", b="c.cvec")
+    cos1 = COS_SQL.format(a="e.embedding", b="c.vec")
+    return f"""
+WITH {_centroids_cte(table, n_centroids)},
+a0 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos0}, 4) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a0.centroid_id,
+         generate_subscripts(e.embedding, 1) AS dim,
+         unnest(e.embedding) AS v
+  FROM a0 JOIN {table} e USING (vec_id)
+),
+mu AS (
+  SELECT centroid_id, dim, round(avg(v), 6) AS m
+  FROM dims GROUP BY centroid_id, dim
+),
+upd AS (
+  SELECT centroid_id, list(m ORDER BY dim) AS vec
+  FROM mu GROUP BY centroid_id
+),
+cent1 AS (
+  SELECT c.centroid_id, coalesce(u.vec, c.cvec::DOUBLE[]) AS vec
+  FROM cent c LEFT JOIN upd u USING (centroid_id)
+),
+scored AS (
+  SELECT e.vec_id, c.centroid_id, round({cos1}, 4) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({cos1}, 4) DESC,
+                                     c.centroid_id ASC) AS rn
+  FROM {table} e CROSS JOIN cent1 c
+)
+SELECT vec_id, centroid_id, cos FROM scored WHERE rn = 1
+"""

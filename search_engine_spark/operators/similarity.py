@@ -400,3 +400,46 @@ def ann_pq(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    rounds: int = 1,
+) -> DataFrame:
+    """(vec_id, centroid_id, cos) — Lloyd's k-means over the embedding
+    corpus, `rounds` refinement iterations from the deterministic
+    ivf_centroid_rows initializer: assign (nearest centroid by cosine) →
+    update (per-dimension mean, rounded 6 dp — the cross-engine float
+    pin) → reassign. Topic clustering for corpus curation, and exactly
+    the training loop whose output the IVF index consumes.
+
+    Distributed shape per round: ONE posexplode + (centroid, dim)
+    groupBy-avg (map-side combinable, 32·K cells) — the new centroids
+    collect driver-side (KBs) and re-enter the next assignment as
+    literals, keeping every corpus-wide pass a zero-shuffle projection
+    (same driver-scalar discipline as the BM25 idf map). Empty clusters
+    keep their previous centroid (FAISS's empty-cluster convention)."""
+    cents = ivf_centroid_rows(embeddings, n_centroids)
+    for _ in range(rounds):
+        assigned = ivf_assign(embeddings, cents, keep_embedding=True)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("vec")
+            )
+            .collect()
+        )
+        updated = {int(r["centroid_id"]): list(r["vec"]) for r in means}
+        cents = [
+            (cid, updated.get(cid, vec)) for cid, vec in cents
+        ]
+    return ivf_assign(embeddings, cents)

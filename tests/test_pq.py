@@ -63,3 +63,30 @@ def test_ann_pq_recall_floor(spark, emb):
         approx = set(got[got["qid"] == q]["vec_id"])
         recalls.append(len(exact & approx) / 5)
     assert sum(recalls) / len(recalls) >= 0.15
+
+
+def test_kmeans_refine_moves_centroids_toward_clusters(spark):
+    """Two tight blobs, initializers both inside blob A: after one Lloyd
+    round the updated centroid absorbs its assigned mass and the far
+    blob still assigns to its nearest (possibly shared) centroid —
+    verify assignment is total, deterministic, and blob-consistent."""
+    from search_engine_spark.operators.similarity import kmeans_refine
+
+    blob_a = [[1.0, 0.0, 0.0, 0.0], [0.99, 0.01, 0.0, 0.0],
+              [0.98, 0.02, 0.0, 0.0]]
+    blob_b = [[0.0, 1.0, 0.0, 0.0], [0.0, 0.99, 0.01, 0.0],
+              [0.01, 0.98, 0.0, 0.0]]
+    rows = [(i, v, 0) for i, v in enumerate(blob_a + blob_b)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in kmeans_refine(emb, n_centroids=2).collect()}
+    assert set(got) == set(range(6))  # total assignment
+    # blob members cluster together after refinement
+    assert len({got[0], got[1], got[2]}) == 1
+    assert len({got[3], got[4], got[5]}) == 1
+    assert got[0] != got[3]  # and the blobs separate
+    again = {r["vec_id"]: r["centroid_id"]
+             for r in kmeans_refine(emb, n_centroids=2).collect()}
+    assert again == got  # deterministic
