@@ -561,6 +561,22 @@ def _q_best_passage(spark, sf_dir):
     )
 
 
+def _q_coupling(spark, sf_dir):
+    """Bibliographic coupling: pages citing the same targets (shared
+    out-neighbor counts; the dual of cocitation)."""
+    from search_engine_spark.operators.graph import (
+        coupling,
+        extract_links,
+        linked_html,
+        resolved_edges,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    return coupling(
+        resolved_edges(docs, extract_links(linked_html(docs))), min_common=1
+    )
+
+
 def _q_percolate(spark, sf_dir):
     """Reverse search: stored conjunctive queries matched against the
     corpus in ONE plan (broadcast query table + relational division)."""
@@ -1253,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "hits": _q_hits,
         "cocitation": _q_cocitation,
+        "coupling": _q_coupling,
         "percolate": _q_percolate,
         "surt_keys": _q_surt_keys,
         "crawl_frontier": _q_crawl_frontier,
@@ -1383,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pipe.pagerank_sql(),
         "hits": pipe.hits_sql(),
         "cocitation": pipe.cocitation_sql(),
+        "coupling": pipe.coupling_sql(),
         "percolate": ora.percolate_sql(se.PERCOLATE_QUERIES),
         "surt_keys": ora.surt_keys_sql(),
         "crawl_frontier": pipe.crawl_frontier_sql(),

@@ -1777,3 +1777,23 @@ scored AS (
 )
 SELECT vec_id, centroid_id, cos FROM scored WHERE rn = 1
 """
+
+
+def coupling_sql(min_common: int = 1, table: str = "documents") -> str:
+    """Bibliographic-coupling oracle — mirrors graph.py::coupling over
+    the fixture link graph."""
+    return f"""
+WITH {_EDGE_CTE.format(table=table)},
+edges AS (
+  SELECT src, dst FROM edges0
+  WHERE dst IN (SELECT doc_id FROM {table})
+),
+p AS (
+  SELECT a.dst, a.src AS doc_a, b.src AS doc_b
+  FROM edges a JOIN edges b USING (dst)
+  WHERE a.src < b.src
+)
+SELECT doc_a, doc_b, count(*)::BIGINT AS n_common
+FROM p GROUP BY doc_a, doc_b
+HAVING count(*) >= {min_common}
+"""

@@ -525,3 +525,20 @@ def cocitation(edges: DataFrame, min_common: int = 2) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def coupling(edges: DataFrame, min_common: int = 1) -> DataFrame:
+    """(doc_a, doc_b, n_common) — bibliographic coupling (Kessler 1963),
+    the dual of cocitation: pages CITING the same targets are related;
+    n_common = number of shared OUT-neighbors, doc_a < doc_b. Same
+    execution shape as cocitation with the join key flipped to dst —
+    in-degree bounds the per-key fan-out, so the skew guard at web scale
+    is an in-degree cap on hub targets (the dual of the out-degree cap)."""
+    a = edges.select(F.col("dst"), F.col("src").alias("doc_a"))
+    b = edges.select(F.col("dst"), F.col("src").alias("doc_b"))
+    pairs = a.join(b, "dst").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -324,3 +324,17 @@ def test_cocitation_counts_shared_in_neighbors(spark):
         for r in cocitation(edges, min_common=2).collect()
     }
     assert got == {(1, 2): 3}  # (1,3) has n_common=1 → thresholded out
+
+
+def test_coupling_counts_shared_out_neighbors(spark):
+    from search_engine_spark.operators.graph import coupling
+
+    # 1 and 2 both cite {10, 11}; 3 cites only 10
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)], "src long, dst long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in coupling(edges, min_common=2).collect()
+    }
+    assert got == {(1, 2): 2}
