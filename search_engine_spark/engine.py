@@ -295,6 +295,9 @@ class SearchEngine:
         offset: int = 0,
         op: str = "and",
         fuzzy: bool = False,
+        recency: bool = False,
+        half_life_days: float = 30.0,
+        recency_weight: float = 0.5,
     ) -> DataFrame:
         """Top-k search over compressed blocks. Returns (doc_id, score[,rel]).
 
@@ -304,8 +307,16 @@ class SearchEngine:
         fuzzy=True replaces dictionary-absent terms with their top
         distance-1 suggestion before the gate (operators/search.py::
         spell_suggest_batch — one batched probe), instead of the
-        reference's empty-page dead end."""
+        reference's empty-page dead end.
+        recency=True (bm25 mode, input docs required) reranks an
+        oversampled candidate window with the exponential crawl-age decay
+        (operators/search.py::blend_recency)."""
         self._require_built()
+        if recency:
+            if mode.startswith("compat"):
+                raise ValueError("recency is a bm25-mode feature")
+            if self.docs is None:
+                raise ValueError("recency requires input documents")
         conjunctive = op != "or"
         empty_schema = (
             "doc_id long, score_abs long, rel double"
@@ -411,6 +422,28 @@ class SearchEngine:
             )
         if limit is None:
             return out
+        if recency:
+            window = max(50, offset + limit)
+            hits = wand.topk_blocks(
+                self.blocks,
+                norms,
+                uniq,
+                mode="bm25",
+                idf=idf,
+                avgdl=self.avgdl,
+                limit=window,
+                offset=0,
+                restrict_to_norms=restrict,
+                conjunctive=conjunctive,
+            )
+            blended = se.blend_recency(
+                hits,
+                self.docs,
+                half_life_days=half_life_days,
+                weight=recency_weight,
+                limit=offset + limit,
+            )
+            return blended.offset(offset)
         return out.offset(offset).limit(limit)
 
     def search_results(
@@ -499,6 +532,18 @@ class SearchEngine:
         return {"result": True, "count": count, "data": data}
 
     # --------------------------------------------------------------- admin
+    def percolate(self, queries=None) -> DataFrame:
+        """Reverse search over the engine's corpus: match the stored
+        conjunctive query set against every document (query_id, doc_id).
+        Runs on the logical postings of the input docs (an alerting
+        pipeline runs the same call per incoming micro-batch —
+        streaming/stream_percolate.py is the stream twin)."""
+        if self.docs is None:
+            raise ValueError("percolate requires input documents")
+        from .operators.index_build import build_postings
+
+        return se.percolate(build_postings(self.docs), queries)
+
     def statistics(self) -> dict:
         """Reference GET /api/statistics envelope (A1/A2)."""
         from .plans.statistics import per_site_statistics

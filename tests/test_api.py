@@ -99,3 +99,31 @@ def test_percolate_conjunctive_containment(spark):
     # doc 2 has only 'data' → fails the conjunctive gate for 'both';
     # 'never' contains a corpus-absent term → matches nothing
     assert got == {("both", 1), ("solo", 3)}
+
+
+def test_engine_search_recency_and_percolate(spark):
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.search import percolate
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    eng = SearchEngine(spark, docs=docs).build()
+
+    plain = [r["doc_id"] for r in eng.search("data fast").collect()]
+    fresh = eng.search("data fast", recency=True).collect()
+    assert fresh and len(fresh) <= 20
+    # same candidate universe: recency only reranks docs that match
+    assert {r["doc_id"] for r in fresh} <= set(
+        r["doc_id"] for r in eng.search("data fast", limit=50).collect()
+    )
+    assert plain  # sanity: the query matches
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.search("data", mode="compat", recency=True)
+
+    alerts = {tuple(r) for r in eng.percolate().collect()}
+    want = {tuple(r) for r in percolate(ib.build_postings(docs)).collect()}
+    assert alerts == want and alerts
