@@ -609,6 +609,25 @@ def _q_doc_signatures(spark, sf_dir):
     return doc_signatures(ib.build_postings(load_documents(spark, sf_dir)))
 
 
+def _q_induced_stopwords(spark, sf_dir):
+    """Corpus-induced stopwords: dictionary terms with df/N above the
+    cutoff (the dynamic counterpart of the frozen stoplist)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return se.induced_stopwords(term_dict.select("term", "df"), n_docs)
+
+
+def _q_crawl_delays(spark, sf_dir):
+    """robots.txt Crawl-delay extraction for the wildcard group."""
+    from search_engine_spark.operators.graph import (
+        crawl_delays,
+        robots_fixture_texts,
+    )
+
+    return crawl_delays(robots_fixture_texts(spark))
+
+
 def _q_anchor_terms(spark, sf_dir):
     """Anchor-field postings: inbound anchor text harvested per target
     doc (regexp pair-extract + resolve join + shared tokenize path)."""
@@ -1279,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "robots_rules": _q_robots_rules,
+        "crawl_delays": _q_crawl_delays,
+        "induced_stopwords": _q_induced_stopwords,
         "temperature_sample": _q_temperature_sample,
         "trustrank": _q_trustrank,
         "curation_funnel": _q_curation_funnel,
@@ -1410,6 +1431,8 @@ def oracle_sql() -> dict[str, str]:
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "robots_rules": pipe.robots_rules_sql(),
+        "crawl_delays": pipe.crawl_delays_sql(),
+        "induced_stopwords": ora.induced_stopwords_sql(),
         "temperature_sample": pipe.temperature_sample_sql(),
         "trustrank": pipe.trustrank_sql(TRUST_SEED_MOD),
         "curation_funnel": pipe.curation_funnel_sql(),

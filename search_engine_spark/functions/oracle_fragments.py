@@ -817,3 +817,19 @@ t AS (SELECT doc_id, term FROM terms GROUP BY doc_id, term),
 b AS (SELECT doc_id, (1::BIGINT << {bit}) AS b FROM t)
 SELECT doc_id, bit_or(b)::BIGINT AS sig FROM b GROUP BY doc_id
 """
+
+
+def induced_stopwords_sql(max_df_ratio: float = 0.5,
+                          table: str = "documents") -> str:
+    """Corpus-induced stopword oracle — mirrors
+    operators/search.py::induced_stopwords."""
+    return f"""
+WITH {terms_cte(table)},
+td AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY term
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM {table})
+SELECT term, df, round(df / n.n_docs, 4) AS df_ratio
+FROM td, n
+WHERE round(df / n.n_docs, 4) >= {max_df_ratio!r}
+"""

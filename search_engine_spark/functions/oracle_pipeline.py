@@ -1797,3 +1797,12 @@ SELECT doc_a, doc_b, count(*)::BIGINT AS n_common
 FROM p GROUP BY doc_a, doc_b
 HAVING count(*) >= {min_common}
 """
+
+
+def crawl_delays_sql() -> str:
+    """Ground-truth Crawl-delay per ROBOTS host (the fixture texts
+    declare 'Crawl-delay: 1' inside every wildcard group; the no-rules
+    host declares none)."""
+    hosts = sorted({h for h, _ in gr.ROBOTS_RULES})
+    rows = ", ".join(f"('{h}', 1.0)" for h in hosts)
+    return f"SELECT * FROM (VALUES {rows}) v(host, delay_s)"

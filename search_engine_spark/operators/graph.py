@@ -542,3 +542,57 @@ def coupling(edges: DataFrame, min_common: int = 1) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def crawl_delays(robots: DataFrame) -> DataFrame:
+    """(host, delay_s) — Crawl-delay of the wildcard agent group(s),
+    the politeness knob next to parse_robots' Disallow rules (REP
+    extension honored by most crawlers; feeds crawl_frontier's per-host
+    budget as budget ~ window/delay). Same host-keyed window grouping
+    as parse_robots; smallest declared delay wins when repeated."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("ln", "raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    norm = lines.withColumn("line", line).withColumn(
+        "is_ua", F.lower(line).startswith("user-agent:")
+    )
+    w = Window.partitionBy("host").orderBy("ln")
+    tagged = (
+        norm.withColumn("prev_ua", F.lag("is_ua", 1, False).over(w))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(F.col("is_ua") & ~F.col("prev_ua"), 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    star = (
+        tagged.filter(
+            F.col("is_ua")
+            & (
+                F.trim(
+                    F.regexp_extract("line", r"(?i)^user-agent:\s*(.*)$", 1)
+                )
+                == "*"
+            )
+        )
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        tagged.filter(F.lower("line").startswith("crawl-delay:"))
+        .withColumn(
+            "delay_s",
+            F.trim(
+                F.regexp_extract("line", r"(?i)^crawl-delay:\s*(.*)$", 1)
+            ).cast("double"),
+        )
+        .filter(F.col("delay_s").isNotNull())
+        .join(star, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.min("delay_s").alias("delay_s"))
+    )

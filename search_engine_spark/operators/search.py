@@ -794,3 +794,23 @@ def percolate(
         .filter(F.col("nt") == F.col("n_terms"))
     )
     return matched.select("query_id", "doc_id")
+
+
+def induced_stopwords(
+    term_dict: DataFrame, n_docs: int, max_df_ratio: float = 0.5
+) -> DataFrame:
+    """(term, df, df_ratio) — corpus-INDUCED stopwords: terms whose
+    document frequency exceeds ``max_df_ratio`` of the corpus. The
+    dynamic counterpart of the frozen stoplist (Lucene's
+    CommonTermsQuery draws the same line at query time): a web-scale
+    corpus grows domain stopwords ("http", "copyright", boilerplate
+    vocabulary) that no static list anticipates; downstream consumers
+    drop them from queries or demote them to optional clauses.
+
+    One filter over the dictionary — df/N uses the driver-literal corpus
+    size, ratio rounded 4 dp for the cross-engine pin."""
+    ratio = F.round(F.col("df") / F.lit(float(n_docs)), 4)
+    return (
+        term_dict.select("term", "df", ratio.alias("df_ratio"))
+        .filter(F.col("df_ratio") >= max_df_ratio)
+    )

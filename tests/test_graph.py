@@ -338,3 +338,25 @@ def test_coupling_counts_shared_out_neighbors(spark):
         for r in coupling(edges, min_common=2).collect()
     }
     assert got == {(1, 2): 2}
+
+
+def test_crawl_delays_wildcard_group_only(spark):
+    from search_engine_spark.operators.graph import crawl_delays
+
+    txt = (
+        "User-agent: evilbot\n"
+        "Crawl-delay: 99\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2.5\n"
+        "Disallow: /x\n"
+        "Crawl-delay: 7\n"      # repeated → smallest wins
+    )
+    robots = spark.createDataFrame(
+        [("h.example", txt), ("bare.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["delay_s"] for r in crawl_delays(robots).collect()
+    }
+    assert got == {"h.example": 2.5}  # decoy group ignored; no-delay host absent
