@@ -1036,6 +1036,17 @@ def _q_mirror_hosts(spark, sf_dir):
     return mirror_hosts(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+def _q_curation_funnel2(spark, sf_dir):
+    """Second curation funnel composing the round's new primitives:
+    status gate -> near-dup cluster canonicalization -> LR quality
+    model -> weighted sampling (stage, n_rows audit table)."""
+    from search_engine_spark.operators.curation import curation_funnel_v2
+
+    return curation_funnel_v2(
+        load_documents(spark, sf_dir), JACCARD_THRESHOLD
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Deterministic per-language mixing-ratio sample (pure h60 membership
     function — reproducible across engines/cluster sizes)."""
@@ -1329,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": _q_dedup_canonical,
         "dup_spans": _q_dup_spans,
         "mirror_hosts": _q_mirror_hosts,
+        "curation_funnel2": _q_curation_funnel2,
         "sample_stratified": _q_sample_stratified,
         "sample_split": _q_sample_split,
         "sample_weighted": _q_sample_weighted,
@@ -1469,6 +1481,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": pipe.dup_spans_sql(),
         "mirror_hosts": pipe.mirror_hosts_sql(
             threshold=JACCARD_THRESHOLD
+        ),
+        "curation_funnel2": pipe.curation_funnel_v2_sql(
+            jaccard_threshold=JACCARD_THRESHOLD
         ),
         "sample_stratified": pipe.stratified_sample_sql(SAMPLE_FRACTIONS),
         "sample_weighted": pipe.weighted_sample_sql(),

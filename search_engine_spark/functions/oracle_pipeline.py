@@ -1806,3 +1806,42 @@ def crawl_delays_sql() -> str:
     hosts = sorted({h for h, _ in gr.ROBOTS_RULES})
     rows = ", ".join(f"('{h}', 1.0)" for h in hosts)
     return f"SELECT * FROM (VALUES {rows}) v(host, delay_s)"
+
+
+def curation_funnel_v2_sql(
+    jaccard_threshold: float = 0.5,
+    sample_n: int = 100,
+    table: str = "documents",
+) -> str:
+    """Mirrors operators/curation.py::curation_funnel_v2 (stage counts:
+    parseable → cluster-canonical → LR-quality → weighted sample)."""
+    u = _sample_u_sql("wsample")
+    return f"""
+WITH s2 AS (SELECT * FROM {table} WHERE {PARSEABLE_SQL}),
+clus AS ({dedup_clusters_sql("s2", jaccard_threshold)}),
+m AS (
+  SELECT c.doc_id, c.cluster_id, length(d.text) AS n_chars
+  FROM clus c JOIN s2 d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, cluster_id, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM m
+),
+losers AS (SELECT doc_id FROM r WHERE rn > 1),
+s3 AS (
+  SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+),
+qm AS ({quality_model_sql("s3")}),
+s4 AS (SELECT s3.* FROM s3 JOIN qm USING (doc_id) WHERE qm.keep),
+s5 AS (
+  SELECT doc_id FROM s4
+  ORDER BY ln({u}) / n_chars::DOUBLE DESC, doc_id ASC
+  LIMIT {sample_n}
+)
+SELECT '1_input' AS stage, (SELECT count(*) FROM {table})::BIGINT AS n_rows
+UNION ALL SELECT '2_parseable', (SELECT count(*) FROM s2)::BIGINT
+UNION ALL SELECT '3_canonical', (SELECT count(*) FROM s3)::BIGINT
+UNION ALL SELECT '4_model_quality', (SELECT count(*) FROM s4)::BIGINT
+UNION ALL SELECT '5_sampled', (SELECT count(*) FROM s5)::BIGINT
+"""

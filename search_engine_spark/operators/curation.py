@@ -331,3 +331,54 @@ def curation_funnel(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def curation_funnel_v2(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    sample_n: int = 100,
+) -> DataFrame:
+    """The round's NEW curation primitives composed into a second
+    auditable funnel → (stage, n_rows): fetch-status gate → near-dup
+    CLUSTER canonicalization (keep each cluster's elected representative,
+    dedup.cluster_representatives) → frozen-LR quality model gate
+    (textstats.quality_model_scores) → weighted sample without
+    replacement (sampling.weighted_sample). Same design as
+    curation_funnel: every stage is an already-oracle-verified operator,
+    the funnel recomputes survivors declaratively (count aggregates
+    unioned, no caching, no driver data collect), and the composition
+    itself is oracle-paired end to end."""
+    from ..sources.documents import parseable_documents
+    from .dedup import cluster_representatives, dedup_clusters
+    from .sampling import weighted_sample
+    from .textstats import quality_model_scores
+
+    s2 = parseable_documents(docs)
+    clus = dedup_clusters(s2, jaccard_threshold)
+    reps = cluster_representatives(s2, jaccard_threshold)
+    losers = (
+        clus.join(reps, "cluster_id")
+        .filter(F.col("doc_id") != F.col("rep_doc"))
+        .select("doc_id")
+    )
+    s3 = s2.join(losers, "doc_id", "left_anti")
+    keep = quality_model_scores(s3).filter(F.col("keep")).select("doc_id")
+    s4 = s3.join(keep, "doc_id", "left_semi")
+    s5 = weighted_sample(s4, n=sample_n)
+    stages = [
+        ("1_input", docs),
+        ("2_parseable", s2),
+        ("3_canonical", s3),
+        ("4_model_quality", s4),
+        ("5_sampled", s5),
+    ]
+    parts = [
+        d.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("stage"), "n_rows"
+        )
+        for name, d in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
