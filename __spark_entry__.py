@@ -147,6 +147,9 @@ def _q_site_gate(spark, sf_dir):
 
 
 RELATED_PROBE = "data"
+TV_DOC_IDS = [1, 2, 3, 7, 11]
+WILDCARD_PAT = "?a*"       # general route: LIKE '_a%'
+WILDCARD_REV_PAT = "*ge"   # leading wildcard: reversed-term route
 SPELL_PROBE = "dataa"  # misspelling: one insertion away from "data"
 
 
@@ -1248,6 +1251,69 @@ def _q_media_frames(spark, sf_dir):
     return frame_sample(load_documents(spark, sf_dir))
 
 
+def _q_search_keyset(spark, sf_dir):
+    """Keyset ('search_after') page 2: cursor = last row of page 1; the
+    oracle states the page as OFFSET/LIMIT — equality proves the keyset
+    predicate reproduces offset paging under the pinned total order."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    page1 = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, limit=10
+    ).collect()
+    last = page1[-1]
+    return se.search_bm25_after(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        after_score=last["score"], after_doc_id=last["doc_id"], limit=10,
+    )
+
+
+def _q_term_vectors(spark, sf_dir):
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        term_vectors,
+    )
+
+    return term_vectors(
+        build_positional(load_documents(spark, sf_dir)), TV_DOC_IDS
+    )
+
+
+def _q_facet_datehist(spark, sf_dir):
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.facet_date_histogram(docs, postings, Q_AND2, bucket_secs=3600)
+
+
+def _q_significant_terms(spark, sf_dir):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.significant_terms(postings, term_dict, n_docs, Q_AND2)
+
+
+def _q_search_wildcard(spark, sf_dir):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_wildcard(
+        postings, term_dict, doc_stats, n_docs, avgdl, WILDCARD_PAT
+    )
+
+
+def _q_search_wildcard_rev(spark, sf_dir):
+    """Leading wildcard — exercises the reversed-term sargable route."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_wildcard(
+        postings, term_dict, doc_stats, n_docs, avgdl, WILDCARD_REV_PAT
+    )
+
+
+def _q_explain_score(spark, sf_dir):
+    """Score breakdown of the query's top-1 hit (ES _explain shape)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    top = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, limit=1
+    ).collect()
+    return se.explain_score(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        doc_id=top[0]["doc_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1368,6 +1434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
         "events_rollup": _q_events_rollup,
+        "search_keyset": _q_search_keyset,
+        "term_vectors": _q_term_vectors,
+        "facet_datehist": _q_facet_datehist,
+        "significant_terms": _q_significant_terms,
+        "search_wildcard": _q_search_wildcard,
+        "search_wildcard_rev": _q_search_wildcard_rev,
+        "explain_score": _q_explain_score,
     }
 
 
@@ -1516,6 +1589,13 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": pipe.events_sessionize_sql(),
         "events_props": pipe.events_props_sql(),
         "events_rollup": pipe.events_rollup_sql(),
+        "search_keyset": ora.search_bm25_sql(Q_BM25_COMMON, limit=10, offset=10),
+        "term_vectors": ora.term_vectors_sql(TV_DOC_IDS),
+        "facet_datehist": ora.facet_date_histogram_sql(Q_AND2, bucket_secs=3600),
+        "significant_terms": ora.significant_terms_sql(Q_AND2),
+        "search_wildcard": ora.search_wildcard_sql(WILDCARD_PAT),
+        "search_wildcard_rev": ora.search_wildcard_sql(WILDCARD_REV_PAT),
+        "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

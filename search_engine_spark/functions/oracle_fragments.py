@@ -833,3 +833,175 @@ SELECT term, df, round(df / n.n_docs, 4) AS df_ratio
 FROM td, n
 WHERE round(df / n.n_docs, 4) >= {max_df_ratio!r}
 """
+
+
+def _conj_hits_cte(query_terms: list[str]) -> str:
+    """CTE `hits(doc_id)` — conjunctive hit set (docs containing ALL query
+    terms); mirrors operators/search.py::_conjunctive_hits."""
+    n = len(set(query_terms))
+    return f"""
+hits AS (
+  SELECT doc_id FROM terms
+  WHERE term IN {_terms_in(query_terms)}
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+)"""
+
+
+def term_vectors_sql(doc_ids: list[int], table: str = "documents") -> str:
+    """Mirrors operators/positional.py::term_vectors: per (doc, term) tf +
+    ascending CSV of token positions."""
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+WITH {positional_terms_cte(table)}
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+FROM pos_terms
+WHERE doc_id IN ({ids})
+GROUP BY doc_id, term
+"""
+
+
+def facet_date_histogram_sql(query_terms: list[str],
+                             bucket_secs: int = 86400,
+                             table: str = "documents") -> str:
+    """Mirrors operators/search.py::facet_date_histogram. warc_ts is the
+    frozen epoch derivation 1704067200 + 60·doc_id (sources/documents.py);
+    bucketing is integer modulo — TZ-independent in both engines."""
+    b = int(bucket_secs)
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()}
+SELECT ((1704067200 + 60 * doc_id)
+        - (1704067200 + 60 * doc_id) % {b})::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS n_hits
+FROM hits
+GROUP BY 1
+"""
+
+
+def significant_terms_sql(query_terms: list[str], k: int = 20,
+                          min_fg: int = 2,
+                          table: str = "documents") -> str:
+    """Mirrors operators/search.py::significant_terms: lift =
+    (fg_df/n_fg)/(bg_df/n_docs) over non-query terms of the conjunctive
+    hit set, fg_df >= min_fg, top-k by (lift desc, term asc)."""
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()},
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM hits),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM {table}),
+fg AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+  FROM terms t JOIN hits USING (doc_id)
+  WHERE t.term NOT IN {_terms_in(query_terms)}
+  GROUP BY t.term
+  HAVING count(DISTINCT t.doc_id) >= {int(min_fg)}
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+  FROM terms GROUP BY term
+)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       round((fg.fg_df / nfg.n_fg) / (bg.bg_df / nd.n_docs), 4) AS lift
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nd
+ORDER BY lift DESC, fg.term ASC
+LIMIT {int(k)}
+"""
+
+
+def search_wildcard_sql(pattern: str, k1: float = 1.2, b: float = 0.75,
+                        limit: int = 20, max_expansions: int = 128,
+                        table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_wildcard: expand the wildcard
+    against the dictionary (term asc, capped), then disjunctive BM25 over
+    the expansion set. `*`→`%`, `?`→`_` (terms are letters/hyphens only,
+    so no LIKE escaping is ever needed)."""
+    like = pattern.strip().lower().replace("*", "%").replace("?", "_")
+    return f"""
+WITH {terms_cte(table)},
+wterms AS (
+  SELECT term FROM (
+    SELECT term FROM terms GROUP BY term
+  ) WHERE term LIKE '{like}'
+  ORDER BY term ASC LIMIT {int(max_expansions)}
+),
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN (SELECT term FROM wterms) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms
+  WHERE term IN (SELECT term FROM wterms) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def explain_score_sql(query_terms: list[str], k1: float = 1.2,
+                      b: float = 0.75,
+                      table: str = "documents") -> str:
+    """Mirrors operators/search.py::explain_score for the TOP-1 BM25 hit
+    of the query (the doc the engine-side callable selects the same way):
+    per-term (tf, df, idf, part_score) breakdown, term asc."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ), 4) AS score,
+         count(DISTINCT p.term) AS nt
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+top1 AS (
+  SELECT doc_id FROM scored WHERE nt = {n}
+  ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT p.term, p.tf, df.df,
+       round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)), 4) AS idf,
+       round(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * p.tf * ({k1} + 1)
+             / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)), 4)
+         AS part_score
+FROM post p
+JOIN top1 USING (doc_id)
+JOIN df USING (term) JOIN dl ON dl.doc_id = p.doc_id
+CROSS JOIN stats s
+ORDER BY p.term ASC
+"""

@@ -222,3 +222,36 @@ def best_passage(
         .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def term_vectors(
+    positional: DataFrame, doc_ids: list[int] | None = None
+) -> DataFrame:
+    """Per-document term vectors → (doc_id, term, tf, positions): the
+    Elasticsearch `_termvectors` / Lucene TermVectors API — for each
+    (doc, term), its frequency and the ascending CSV of its token
+    positions. The reference stores only (page, lemma, rank)
+    (model/Index.java:32-33); positions generalize that to the surface
+    every highlighter/proximity-ranker needs.
+
+    `positions` is a deterministic comma-joined STRING (ascending), not
+    an array — a scalar column hashes identically across engines (the
+    contract compare and parquet stats both prefer it) and decodes
+    trivially. Plan: the positional relation filtered to the requested
+    docs (an isin pushed into the scan; absent filter = whole-corpus
+    export shape) then ONE (doc_id, term) aggregate — count + sort_array
+    (collect_list) — map-side combinable, keyed by the doc, so skew
+    follows document length, not term popularity."""
+    rel = positional
+    if doc_ids is not None:
+        rel = rel.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    return rel.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
+    )

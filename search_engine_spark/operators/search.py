@@ -107,7 +107,7 @@ def bm25_idf(n_docs: float, df: float) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def search_bm25(
+def bm25_scored(
     postings: DataFrame,
     term_dict: DataFrame,
     doc_stats: DataFrame,
@@ -116,14 +116,11 @@ def search_bm25(
     terms: list[str],
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
-    limit: int = 20,
-    offset: int = 0,
     conjunctive: bool = True,
 ) -> DataFrame:
-    """BM25 top-k → (doc_id, score). conjunctive=True is the reference's
-    AND semantics (docs must contain every query term; an absent term
-    empties the result); conjunctive=False is disjunctive OR top-k
-    (absent terms drop out of the query).
+    """The UNPAGINATED BM25 scored set → (doc_id, score rounded 4 dp).
+    Shared by `search_bm25` (offset/limit paging) and `search_bm25_after`
+    (keyset paging) so the two pagination surfaces can never drift.
 
     Join strategy at scale: the df lookup for the query terms is collected
     driver-side (|terms| rows — cheaper than any join) and baked into the
@@ -132,19 +129,20 @@ def search_bm25(
     """
     uniq = sorted(set(terms))
     n = len(uniq)
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
     if n == 0:
-        return postings.select(
-            F.col("doc_id"), F.lit(0.0).alias("score")
-        ).limit(0)
+        return empty
     df_rows = (
         term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
     )
     idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
     if conjunctive and len(idf) < n:
         # a query term absent from the corpus → conjunctive result is empty
-        return postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+        return empty
     if not idf:
-        return postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+        return empty
     uniq = sorted(idf)
     n = len(uniq)
     idf_col = F.create_map(
@@ -169,12 +167,79 @@ def search_bm25(
     )
     if conjunctive:
         scored = scored.filter(F.col("nt") == n)
-    scored = scored.select(
+    return scored.select(
         "doc_id", F.round(F.col("score_raw"), 4).alias("score")
+    )
+
+
+def search_bm25(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    offset: int = 0,
+    conjunctive: bool = True,
+) -> DataFrame:
+    """BM25 top-k → (doc_id, score). conjunctive=True is the reference's
+    AND semantics (docs must contain every query term; an absent term
+    empties the result); conjunctive=False is disjunctive OR top-k
+    (absent terms drop out of the query). Plan notes in `bm25_scored`."""
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b=b, conjunctive=conjunctive,
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .offset(offset)
+        .limit(limit)
+    )
+
+
+def search_bm25_after(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    after_score: float,
+    after_doc_id: int,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    conjunctive: bool = True,
+) -> DataFrame:
+    """Keyset ("search_after") pagination → the `limit` hits strictly AFTER
+    the cursor `(after_score, after_doc_id)` in the engine's pinned total
+    order (score desc, doc_id asc) — Elasticsearch's `search_after` /
+    SQL keyset paging. The reference can only offset-slice its in-memory
+    sorted list (SearchServiceImpl.java:210-211); offset paging on a
+    distributed top-k is O(offset+limit) per task because
+    TakeOrderedAndProject's per-partition heap must hold offset+limit
+    rows. The keyset predicate instead FILTERS before the sort, so page
+    1000 costs the same bounded `limit`-row heap as page 1.
+
+    Identity (proven by oracle pairing + pytest): for a cursor taken from
+    the last row of the previous page, the keyset page equals the
+    equivalent offset page, because (score, doc_id) is a total order.
+    Scores compare on the ROUNDED value — the same 4-dp edge the cursor
+    row itself carries, so the predicate is exact, not float-fuzzy."""
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b=b, conjunctive=conjunctive,
+    )
+    s, d = float(after_score), int(after_doc_id)
+    after = (F.col("score") < s) | (
+        (F.col("score") == s) & (F.col("doc_id") > d)
+    )
+    return (
+        scored.filter(after)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(limit)
     )
 
@@ -813,4 +878,220 @@ def induced_stopwords(
     return (
         term_dict.select("term", "df", ratio.alias("df_ratio"))
         .filter(F.col("df_ratio") >= max_df_ratio)
+    )
+
+
+def wildcard_terms(
+    term_dict: DataFrame, pattern: str, max_expansions: int = 128
+) -> DataFrame:
+    """Dictionary expansion of a wildcard pattern (`*` = any run, `?` =
+    one char) → (term, df), capped at ``max_expansions`` by the pinned
+    deterministic rule (term asc — Lucene's term-enum order). Lucene's
+    WildcardQuery does exactly this rewrite; the reference probes its
+    dictionary by exact lemma only (model/LemmaRepository.java:10-12).
+
+    Scale shape — the predicate is made sargable wherever the pattern
+    allows, because a full dictionary scan per query is the thing to
+    avoid on a 10^9-term web dictionary:
+      * trailing-only wildcard (`lit*`) → `startswith(lit)`, a range
+        predicate pushed into the term-sorted dictionary scan;
+      * leading-only wildcard (`*lit`) → `reverse(term).startswith(
+        reverse(lit))` — on a persisted index you'd keep a reversed-term
+        dictionary column/index for this (the classic Solr
+        ReversedWildcardFilter trick); the expression form here still
+        avoids regex and lets AQE prune after the first stage;
+      * anything else → one LIKE scan of the (term, df) dictionary —
+        still a 2-column pruned scan, never the postings.
+    Terms contain only letters/hyphens (tokenizer T3), so `*`/`?` are the
+    only metacharacters and LIKE-escaping is a non-issue."""
+    body = pattern.strip().lower()
+    if body.endswith("*") and "*" not in body[:-1] and "?" not in body:
+        pred = F.col("term").startswith(body[:-1])
+    elif body.startswith("*") and "*" not in body[1:] and "?" not in body:
+        pred = F.reverse(F.col("term")).startswith(body[1:][::-1])
+    else:
+        like = body.replace("*", "%").replace("?", "_")
+        pred = F.col("term").like(like)
+    return (
+        term_dict.filter(pred)
+        .select("term", "df")
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+
+
+def search_wildcard(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    pattern: str,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Wildcard query → BM25 top-k (doc_id, score): expand the pattern
+    against the dictionary (`wildcard_terms`), then score the expansion
+    set disjunctively — Lucene's rewrite of MultiTermQuery into a
+    disjunction. The expansion is collected driver-side (≤ max_expansions
+    rows off a 2-column dictionary scan — same cost class as the idf
+    probe `bm25_scored` already does) and baked into the postings filter,
+    so the postings scan prunes to exactly the matched terms' partitions."""
+    matched = [r["term"] for r in wildcard_terms(
+        term_dict, pattern, max_expansions
+    ).collect()]
+    return search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, matched,
+        k1=k1, b=b, limit=limit, conjunctive=False,
+    )
+
+
+def facet_date_histogram(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    bucket_secs: int = 86400,
+) -> DataFrame:
+    """Date-histogram facet over the conjunctive hit set → (bucket_epoch,
+    n_hits): how the query's matches distribute over crawl time
+    (`warc_ts`) — Elasticsearch's date_histogram aggregation, the other
+    half of every search UI's facet sidebar next to `facet_by_site`. The
+    reference has no temporal surface at all (warc_ts exists only in the
+    input_hint schema).
+
+    Bucketing is pure epoch arithmetic (`floor(unix_ts / w) * w` as
+    BIGINT), never a session-timezone date_trunc — TZ-independent and
+    identical in Spark and the DuckDB oracle. Plan: the conjunctive hit
+    set (one postings aggregation, HAVING nt = n) inner-joins `documents`
+    on doc_id for the timestamp — one shuffle bounded by the hit count,
+    not the corpus — then a map-side-combinable count per bucket."""
+    hits = _conjunctive_hits(postings, list(set(terms))).select("doc_id")
+    epoch = F.unix_timestamp(F.col("warc_ts")).cast("bigint")
+    # integer modulo, not floor(float division) — exact at any epoch
+    bucket = (epoch - epoch % F.lit(int(bucket_secs))).cast("bigint")
+    return (
+        docs.join(hits, "doc_id")
+        .select(bucket.alias("bucket_epoch"))
+        .groupBy("bucket_epoch")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def significant_terms(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    terms: list[str],
+    k: int = 20,
+    min_fg: int = 2,
+) -> DataFrame:
+    """Significant-terms facet → (term, fg_df, bg_df, lift): the terms
+    most OVER-represented in the query's hit set relative to the whole
+    corpus — Elasticsearch's significant_terms aggregation ("uncommonly
+    common"), the standard query-refinement / topic-discovery surface.
+
+    Pinned spec: foreground = conjunctive hit docs; for every non-query
+    term t occurring in them, fg_df = hit docs containing t, bg_df =
+    corpus df from the dictionary; lift = (fg_df/n_fg)/(bg_df/n_docs)
+    rounded 4 dp; keep fg_df ≥ min_fg; top-k by (lift desc, term asc).
+
+    Plan: hit set (bounded by query selectivity) semi-drives ONE postings
+    re-scan via an inner join on doc_id, then a (term) count-distinct
+    aggregate — both map-side combinable; the dictionary joins on term
+    AFTER the fg aggregate has collapsed cardinality to ≤ the hit
+    vocabulary, so term_dict never broadcasts wholesale. No window; the
+    top-k is TakeOrderedAndProject."""
+    qset = sorted(set(terms))
+    hits = _conjunctive_hits(postings, qset).select("doc_id")
+    n_fg = hits.count()
+    if n_fg == 0:
+        return postings.select(
+            F.col("term"),
+            F.lit(0).cast("bigint").alias("fg_df"),
+            F.lit(0).cast("bigint").alias("bg_df"),
+            F.lit(0.0).alias("lift"),
+        ).limit(0)
+    fg = (
+        postings.join(hits, "doc_id")
+        .filter(~F.col("term").isin(qset))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg)
+    )
+    lift = F.round(
+        (F.col("fg_df") / F.lit(float(n_fg)))
+        / (F.col("df") / F.lit(float(n_docs))),
+        4,
+    )
+    return (
+        fg.join(term_dict.select("term", "df"), "term")
+        .select(
+            "term", "fg_df",
+            F.col("df").alias("bg_df"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def explain_score(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    doc_id: int,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Per-term score breakdown for ONE (doc, query) pair → (term, tf,
+    df, idf, part_score): Elasticsearch's `_explain` API — why did this
+    document score what it scored. Exactly the `bm25_scored` arithmetic
+    BEFORE the doc-level sum, so the explain rows provably reconcile with
+    the search score (Σ part_score = score; pytest pins this).
+
+    Plan: a point lookup — postings filtered to (doc_id, query terms)
+    (both predicates push into the scan; on the persisted index this is
+    partition-pruned to one doc bucket × |q| term files), dictionary df
+    and doc length join broadcast. Rounded 4 dp at the edge; term asc."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return postings.select(
+            "term",
+            F.lit(0).cast("bigint").alias("tf"),
+            F.lit(0).cast("bigint").alias("df"),
+            F.lit(0.0).alias("idf"),
+            F.lit(0.0).alias("part_score"),
+        ).limit(0)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    part = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1
+            * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
+        )
+    )
+    return (
+        postings.filter(
+            (F.col("doc_id") == doc_id) & F.col("term").isin(uniq)
+        )
+        .join(F.broadcast(term_dict.filter(F.col("term").isin(uniq))), "term")
+        .join(F.broadcast(doc_stats.filter(F.col("doc_id") == doc_id)), "doc_id")
+        .withColumn("idf", idf)
+        .select(
+            "term", "tf", "df",
+            F.round(F.col("idf"), 4).alias("idf"),
+            F.round(part, 4).alias("part_score"),
+        )
+        .orderBy(F.col("term").asc())
     )

@@ -1,0 +1,163 @@
+"""Keyset pagination, wildcard expansion, term vectors, facets, explain —
+the round's search-surface extensions, pinned against the fixture and
+against each other (the invariants the oracle pairing can't state)."""
+
+import pytest
+
+from search_engine_spark.operators import search as se
+from search_engine_spark.operators.positional import (
+    build_positional,
+    term_vectors,
+)
+from search_engine_spark.sources.documents import load_documents
+
+from tests.conftest import SF_TEST
+
+import __spark_entry__ as entrymod
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, SF_TEST
+    )
+    return docs, postings, term_dict, doc_stats, n_docs, avgdl
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# ------------------------------------------------------------ keyset paging
+
+def test_keyset_page_equals_offset_page(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    page1 = se.search_bm25(postings, td, ds, n, avgdl, q, limit=7).collect()
+    offset_page2 = se.search_bm25(
+        postings, td, ds, n, avgdl, q, limit=7, offset=7
+    )
+    keyset_page2 = se.search_bm25_after(
+        postings, td, ds, n, avgdl, q,
+        after_score=page1[-1]["score"], after_doc_id=page1[-1]["doc_id"],
+        limit=7,
+    )
+    assert _rows(keyset_page2) == _rows(offset_page2)
+
+
+def test_keyset_chain_walks_entire_result_set(spark, ctx):
+    """Walking pages by cursor visits every hit exactly once, in order."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    full = _rows(se.search_bm25(postings, td, ds, n, avgdl, q, limit=10**6))
+    walked, cursor = [], None
+    while True:
+        if cursor is None:
+            page = _rows(se.search_bm25(postings, td, ds, n, avgdl, q, limit=9))
+        else:
+            page = _rows(se.search_bm25_after(
+                postings, td, ds, n, avgdl, q,
+                after_score=cursor[1], after_doc_id=cursor[0], limit=9,
+            ))
+        if not page:
+            break
+        walked.extend(page)
+        cursor = page[-1]
+    assert walked == full
+
+
+# ---------------------------------------------------------------- wildcard
+
+def test_wildcard_prefix_route_matches_like_semantics(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    got = {r["term"] for r in se.wildcard_terms(td, "da*").collect()}
+    want = {
+        r["term"] for r in td.filter(td.term.like("da%")).collect()
+    }
+    assert got == want and got  # non-empty: 'data' at least
+
+
+def test_wildcard_leading_route_matches_like_semantics(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    got = {r["term"] for r in se.wildcard_terms(td, "*ge").collect()}
+    want = {r["term"] for r in td.filter(td.term.like("%ge")).collect()}
+    assert got == want and "merge" in got
+
+
+def test_wildcard_max_expansions_cap_is_term_asc(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    capped = [r["term"] for r in se.wildcard_terms(td, "*", 5).collect()]
+    all_terms = sorted(r["term"] for r in td.select("term").collect())
+    assert capped == all_terms[:5]
+
+
+def test_wildcard_search_equals_or_query_over_expansions(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    terms = [r["term"] for r in se.wildcard_terms(td, "?a*").collect()]
+    direct = se.search_bm25(
+        postings, td, ds, n, avgdl, terms, conjunctive=False
+    )
+    wild = se.search_wildcard(postings, td, ds, n, avgdl, "?a*")
+    assert _rows(wild) == _rows(direct)
+
+
+# ------------------------------------------------------------- term vectors
+
+def test_term_vectors_positions_are_ascending_and_sized_tf(spark, ctx):
+    docs = load_documents(spark, SF_TEST)
+    tv = term_vectors(build_positional(docs), [1, 2, 3]).collect()
+    assert tv
+    for r in tv:
+        pos = [int(p) for p in r["positions"].split(",")]
+        assert len(pos) == r["tf"]
+        assert pos == sorted(pos)
+
+
+def test_term_vectors_tf_matches_postings(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    tv = term_vectors(build_positional(docs), [5]).collect()
+    want = {
+        (r["term"]): r["tf"]
+        for r in postings.filter(postings.doc_id == 5).collect()
+    }
+    assert {r["term"]: r["tf"] for r in tv} == want
+
+
+# ------------------------------------------------------------------- facets
+
+def test_date_histogram_sums_to_hit_count(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    hist = se.facet_date_histogram(docs, postings, q, bucket_secs=3600)
+    n_hits = se._conjunctive_hits(postings, q).count()
+    rows = hist.collect()
+    assert sum(r["n_hits"] for r in rows) == n_hits
+    assert all(r["bucket_epoch"] % 3600 == 0 for r in rows)
+
+
+def test_significant_terms_excludes_query_terms_and_lift_is_sane(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    rows = se.significant_terms(postings, td, n, q, k=50).collect()
+    assert rows
+    assert not {r["term"] for r in rows} & set(q)
+    for r in rows:
+        assert r["fg_df"] >= 2
+        assert r["fg_df"] <= r["bg_df"]
+        assert r["lift"] > 0
+
+
+# ------------------------------------------------------------------ explain
+
+def test_explain_parts_sum_to_search_score(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    top = se.search_bm25(postings, td, ds, n, avgdl, q, limit=3).collect()
+    for hit in top:
+        parts = se.explain_score(
+            postings, td, ds, n, avgdl, q, doc_id=hit["doc_id"]
+        ).collect()
+        assert {r["term"] for r in parts} == set(q)
+        assert sum(r["part_score"] for r in parts) == pytest.approx(
+            hit["score"], abs=2e-4  # 4-dp rounding of 3 parts vs the sum
+        )
