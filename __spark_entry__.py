@@ -38,6 +38,7 @@ Q_BM25_COMMON = ["data", "fast", "join"]
 Q_GATE = ["dup", "data"]
 Q_BM25F = ["data", "merge", "query"]
 SITE_B = "site-b"
+HYBRID_QUERY_VEC = 0  # embeddings fixture keys vec_id ≡ doc_id
 
 
 def _search_ctx(spark: SparkSession, sf_dir: str):
@@ -1314,6 +1315,42 @@ def _q_explain_score(spark, sf_dir):
     )
 
 
+def _q_search_msm(spark, sf_dir):
+    """minimum_should_match=2 over a 3-term query — the AND/OR middle."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_msm(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25,
+        min_should_match=2,
+    )
+
+
+def _q_search_hybrid(spark, sf_dir):
+    """Hybrid lexical×vector RRF fusion (ES 8.x rrf retriever shape)."""
+    from search_engine_spark.sources.documents import load_embeddings
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_hybrid_rrf(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        load_embeddings(spark, sf_dir), query_vec_id=HYBRID_QUERY_VEC,
+    )
+
+
+def _q_datehist_pipeline(spark, sf_dir):
+    """Derivative + trailing moving average stacked on the date histogram."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.datehist_pipeline(docs, postings, Q_AND2, bucket_secs=3600)
+
+
+def _q_rank_eval(spark, sf_dir):
+    """NDCG@10 / MRR / P@10 of disjunctive BM25 vs tf-derived qrels."""
+    from search_engine_spark.operators.evaluation import rank_eval
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return rank_eval(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1441,6 +1478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": _q_search_wildcard,
         "search_wildcard_rev": _q_search_wildcard_rev,
         "explain_score": _q_explain_score,
+        "search_msm": _q_search_msm,
+        "search_hybrid": _q_search_hybrid,
+        "datehist_pipeline": _q_datehist_pipeline,
+        "rank_eval": _q_rank_eval,
     }
 
 
@@ -1596,6 +1637,13 @@ def oracle_sql() -> dict[str, str]:
         "search_wildcard": ora.search_wildcard_sql(WILDCARD_PAT),
         "search_wildcard_rev": ora.search_wildcard_sql(WILDCARD_REV_PAT),
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
+        "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
+        "search_hybrid": pipe.search_hybrid_rrf_sql(
+            Q_BM25_COMMON, HYBRID_QUERY_VEC
+        ),
+        "datehist_pipeline": ora.datehist_pipeline_sql(Q_AND2,
+                                                       bucket_secs=3600),
+        "rank_eval": ora.rank_eval_sql(Q_BM25_COMMON, k=10),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

@@ -215,18 +215,13 @@ LIMIT {limit} OFFSET {offset}
 """
 
 
-def search_bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75,
-                    limit: int = 20, offset: int = 0,
-                    table: str = "documents",
-                    conjunctive: bool = True) -> str:
-    """BM25 (Robertson idf = ln(1 + (N-df+0.5)/(df+0.5))); conjunctive AND
-    by default, disjunctive OR with conjunctive=False; deterministic
-    tiebreak (rounded score desc, doc_id asc). Returns (doc_id, score)."""
-    n = len(set(query_terms))
-    nt_filter = f"WHERE nt = {n}" if conjunctive else ""
-    return f"""
-WITH {terms_cte(table)},
-post AS (
+def bm25_scored_ctes(query_terms: list[str], k1: float = 1.2,
+                     b: float = 0.75, table: str = "documents") -> str:
+    """The BM25 scoring CTE chain (assumes `terms` is already in scope) —
+    ends with scored(doc_id, score, nt). Shared by search_bm25_sql /
+    search_bm25_msm_sql / rank_eval_sql / search_hybrid_rrf_sql so every
+    oracle states the SAME Robertson-idf arithmetic."""
+    return f"""post AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
   WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
 ),
@@ -249,11 +244,41 @@ scored AS (
   FROM post p
   JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
   GROUP BY p.doc_id
-)
+)"""
+
+
+def search_bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+                    limit: int = 20, offset: int = 0,
+                    table: str = "documents",
+                    conjunctive: bool = True) -> str:
+    """BM25 (Robertson idf = ln(1 + (N-df+0.5)/(df+0.5))); conjunctive AND
+    by default, disjunctive OR with conjunctive=False; deterministic
+    tiebreak (rounded score desc, doc_id asc). Returns (doc_id, score)."""
+    n = len(set(query_terms))
+    nt_filter = f"WHERE nt = {n}" if conjunctive else ""
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)}
 SELECT doc_id, round(score, 4) AS score
 FROM scored {nt_filter}
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {limit} OFFSET {offset}
+"""
+
+
+def search_bm25_msm_sql(query_terms: list[str], min_should_match: int = 2,
+                        k1: float = 1.2, b: float = 0.75, limit: int = 20,
+                        table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bm25_msm — docs matching ≥ m
+    distinct query terms, scored over the terms they match. Returns
+    (doc_id, score, n_matched)."""
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)}
+SELECT doc_id, round(score, 4) AS score, nt::BIGINT AS n_matched
+FROM scored WHERE nt >= {int(min_should_match)}
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit}
 """
 
 
@@ -1004,4 +1029,75 @@ JOIN top1 USING (doc_id)
 JOIN df USING (term) JOIN dl ON dl.doc_id = p.doc_id
 CROSS JOIN stats s
 ORDER BY p.term ASC
+"""
+
+
+def datehist_pipeline_sql(query_terms: list[str], bucket_secs: int = 3600,
+                          window: int = 3,
+                          table: str = "documents") -> str:
+    """Mirrors operators/search.py::datehist_pipeline — derivative +
+    trailing moving average over the non-empty date-histogram buckets.
+    First bucket's delta diffs against 0; head windows shrink."""
+    b = int(bucket_secs)
+    w = int(window)
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()},
+base AS (
+  SELECT ((1704067200 + 60 * doc_id)
+          - (1704067200 + 60 * doc_id) % {b})::BIGINT AS bucket_epoch,
+         count(*)::BIGINT AS n_hits
+  FROM hits GROUP BY 1
+)
+SELECT bucket_epoch, n_hits,
+       (n_hits - coalesce(lag(n_hits) OVER (ORDER BY bucket_epoch), 0))::BIGINT
+         AS delta,
+       round(avg(n_hits) OVER (ORDER BY bucket_epoch
+                               ROWS BETWEEN {w - 1} PRECEDING
+                               AND CURRENT ROW), 4) AS mov_avg
+FROM base
+"""
+
+
+def rank_eval_sql(query_terms: list[str], k: int = 10,
+                  rel_threshold: int = 2, k1: float = 1.2, b: float = 0.75,
+                  table: str = "documents") -> str:
+    """Mirrors operators/evaluation.py::rank_eval — NDCG@k / MRR / P@k of
+    the disjunctive BM25 top-k against tf-derived graded qrels
+    (grade = min(3, Σ tf of query terms))."""
+    t = int(rel_threshold)
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+ranking AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC,
+                                    doc_id ASC) AS rank
+  FROM scored QUALIFY rank <= {int(k)}
+),
+qrels AS (
+  SELECT doc_id, least(3, sum(tf))::INT AS grade FROM post GROUP BY doc_id
+),
+ideal AS (
+  SELECT grade, row_number() OVER (ORDER BY grade DESC, doc_id ASC) AS rank
+  FROM qrels QUALIFY rank <= {int(k)}
+),
+icalc AS (
+  SELECT coalesce(sum((pow(2, grade) - 1) / log2(rank + 1)), 0) AS idcg
+  FROM ideal
+),
+j AS (
+  SELECT r.rank, coalesce(q.grade, 0) AS grade
+  FROM ranking r LEFT JOIN qrels q USING (doc_id)
+),
+m AS (
+  SELECT coalesce(sum((pow(2, grade) - 1) / log2(rank + 1)), 0) AS dcg,
+         coalesce(min(CASE WHEN grade >= {t} THEN rank END), 0) AS first_rel,
+         coalesce(sum(CASE WHEN grade >= {t} THEN 1 ELSE 0 END), 0) AS n_rel
+  FROM j
+)
+SELECT round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4) AS ndcg_at_k,
+       round(CASE WHEN first_rel > 0 THEN 1.0 / first_rel ELSE 0 END, 4)
+         AS mrr,
+       round(n_rel / {float(k)}, 4) AS precision_at_k
+FROM m CROSS JOIN icalc
 """

@@ -527,6 +527,47 @@ SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+def search_hybrid_rrf_sql(query_terms: list[str], query_vec_id: int,
+                          k_each: int = 20, rrf_k: int = 60,
+                          limit: int = 10, k1: float = 1.2,
+                          b: float = 0.75) -> str:
+    """Mirrors operators/search.py::search_hybrid_rrf — lexical BM25 top-k
+    and vector-cosine top-k fused by Reciprocal Rank Fusion. Absent ranks
+    surface as 0 and contribute nothing; ties break by doc_id asc."""
+    from .oracle_fragments import bm25_scored_ctes, terms_cte as tc
+
+    cos = COS_SQL.format(a="c.embedding", b="q.embedding")
+    return f"""
+WITH {tc("documents")},
+{bm25_scored_ctes(query_terms, k1, b, "documents").lstrip()},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC,
+                                    doc_id ASC) AS lex_rank
+  FROM scored QUALIFY lex_rank <= {int(k_each)}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {int(query_vec_id)}),
+vec0 AS (
+  SELECT c.vec_id AS doc_id, round({cos}, 4) AS cos
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> {int(query_vec_id)}
+),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+           AS vec_rank
+  FROM vec0 QUALIFY vec_rank <= {int(k_each)}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0)::INT AS lex_rank,
+         coalesce(v.vec_rank, 0)::INT AS vec_rank,
+         round(coalesce(1.0 / ({int(rrf_k)} + l.lex_rank), 0)
+               + coalesce(1.0 / ({int(rrf_k)} + v.vec_rank), 0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {int(limit)}
+"""
+
+
 def _plane_literal(j: int) -> str:
     vals = ", ".join(repr(v) for v in sim.hyperplane(j))
     return f"[{vals}]::DOUBLE[]"
