@@ -1351,6 +1351,24 @@ def _q_rank_eval(spark, sf_dir):
     )
 
 
+def _q_hll_vocab(spark, sf_dir):
+    """Per-site HLL vocabulary-size estimate (deterministic registers)."""
+    from search_engine_spark.operators.sketches import hll_distinct
+    from search_engine_spark.sources.documents import site_key_col
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    keyed = postings.withColumn("site_key", site_key_col())
+    return hll_distinct(keyed, "term", ["site_key"])
+
+
+def _q_cm_heavy_hitters(spark, sf_dir):
+    """Top-20 terms by count-min estimated collection frequency."""
+    from search_engine_spark.operators.sketches import cm_heavy_hitters
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    return cm_heavy_hitters(postings, ib.build_term_dict(postings), k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1482,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid": _q_search_hybrid,
         "datehist_pipeline": _q_datehist_pipeline,
         "rank_eval": _q_rank_eval,
+        "hll_vocab": _q_hll_vocab,
+        "cm_heavy_hitters": _q_cm_heavy_hitters,
     }
 
 
@@ -1644,6 +1664,8 @@ def oracle_sql() -> dict[str, str]:
         "datehist_pipeline": ora.datehist_pipeline_sql(Q_AND2,
                                                        bucket_secs=3600),
         "rank_eval": ora.rank_eval_sql(Q_BM25_COMMON, k=10),
+        "hll_vocab": pipe.hll_vocab_sql(),
+        "cm_heavy_hitters": pipe.cm_heavy_hitters_sql(k=20),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

@@ -568,6 +568,73 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {int(limit)}
 """
 
 
+def hll_vocab_sql(table: str = "documents") -> str:
+    """Mirrors operators/sketches.py::hll_distinct over per-site terms —
+    the SAME h60-derived registers and fixed-point estimator, so the
+    approximate count is value-hash exact across engines."""
+    from ..operators import sketches as sk
+
+    h = h60_sql("term")
+    w1, m, s = sk.HLL_W1, sk.HLL_M, sk.HLL_SCALE
+    num = repr(sk.HLL_ALPHA * m * m * float(s))
+    return f"""
+WITH {terms_cte(table)},
+keys AS (
+  SELECT {SITE_KEY_SQL} AS site_key, {h} AS h FROM terms
+),
+regs AS (
+  SELECT site_key, (h & {m - 1}) AS idx,
+         max(CASE WHEN (h >> 8) = 0 THEN {w1}
+                  ELSE {w1} - length(bin(h >> 8)) END)::INT AS m_j
+  FROM keys GROUP BY 1, 2
+),
+agg AS (
+  SELECT site_key,
+         sum(1::BIGINT << ({w1} - m_j))::BIGINT AS sum_present,
+         count(*)::BIGINT AS n_present
+  FROM regs GROUP BY site_key
+),
+raw AS (
+  SELECT site_key,
+         {num} / (sum_present + ({m} - n_present) * {s})::DOUBLE AS e_raw,
+         ({m} - n_present)::DOUBLE AS v
+  FROM agg
+)
+SELECT site_key,
+       round(CASE WHEN e_raw <= {2.5 * m} AND v > 0
+                  THEN {float(m)} * ln({float(m)} / v)
+                  ELSE e_raw END, 4) AS est_distinct
+FROM raw
+"""
+
+
+def cm_heavy_hitters_sql(k: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/sketches.py::cm_heavy_hitters — d×w count-min
+    cells from the re-hash family h60('j:' || term), estimate = min cell."""
+    from ..operators import sketches as sk
+
+    d, w = sk.CM_D, sk.CM_W
+    js = ", ".join(str(j) for j in range(d))
+    h_cell = h60_sql("(r.j::VARCHAR || ':' || tf.term)")
+    h_probe = h60_sql("(r.j::VARCHAR || ':' || t.term)")
+    return f"""
+WITH {terms_cte(table)},
+tf AS (SELECT term, count(*)::BIGINT AS tf FROM terms GROUP BY term),
+cells AS (
+  SELECT r.j, ({h_cell} & {w - 1}) AS col, sum(tf.tf)::BIGINT AS cnt
+  FROM tf CROSS JOIN (SELECT unnest([{js}]) AS j) r
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.term, min(c.cnt)::BIGINT AS cm_est
+  FROM tf t CROSS JOIN (SELECT unnest([{js}]) AS j) r
+  JOIN cells c ON c.j = r.j AND c.col = ({h_probe} & {w - 1})
+  GROUP BY t.term
+)
+SELECT term, cm_est FROM est ORDER BY cm_est DESC, term ASC LIMIT {int(k)}
+"""
+
+
 def _plane_literal(j: int) -> str:
     vals = ", ".join(repr(v) for v in sim.hyperplane(j))
     return f"[{vals}]::DOUBLE[]"

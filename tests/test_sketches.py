@@ -1,0 +1,102 @@
+"""HLL distinct counting and count-min frequency estimation — accuracy
+bounds vs exact answers, the never-underestimate CM property, and exact
+equality against the pure-Python mirrors of the pinned specs."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import index_build as ib
+from search_engine_spark.operators.sketches import (
+    HLL_M,
+    cm_estimate_py,
+    cm_estimates,
+    cm_counters,
+    cm_heavy_hitters,
+    hll_distinct,
+    hll_py,
+)
+from search_engine_spark.sources.documents import load_documents, site_key_col
+
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture(scope="module")
+def postings(spark):
+    return ib.build_postings(load_documents(spark, SF_TEST)).cache()
+
+
+def test_hll_matches_python_mirror_and_exact_within_bound(spark, postings):
+    keyed = postings.withColumn("site_key", site_key_col())
+    got = {
+        r["site_key"]: r["est_distinct"]
+        for r in hll_distinct(keyed, "term", ["site_key"]).collect()
+    }
+    by_site = {}
+    for r in keyed.select("site_key", "term").distinct().collect():
+        by_site.setdefault(r["site_key"], set()).add(r["term"])
+    assert set(got) == set(by_site)
+    for site, terms in by_site.items():
+        assert got[site] == hll_py(terms)  # exact vs the pinned spec
+        exact = len(terms)
+        # m=256 → σ ≈ 6.5%; 4σ bound leaves honest failure room
+        assert abs(got[site] - exact) / exact < 0.26, (site, got[site], exact)
+
+
+def test_hll_linear_counting_branch_small_sets(spark):
+    """Cardinalities « m take the linear-counting correction; the branch
+    must agree between Spark and the Python mirror and stay tight."""
+    for n in (3, 17, 60):
+        keys = [f"key-{i}" for i in range(n)]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        est = hll_distinct(df, "k", []).collect()[0]["est_distinct"]
+        assert est == hll_py(keys)
+        assert abs(est - n) / n < 0.25
+
+
+def test_hll_insensitive_to_duplication(spark):
+    """The sketch sees register maxima only — feeding each key 5× must
+    produce the identical estimate."""
+    keys = [f"key-{i}" for i in range(40)]
+    once = spark.createDataFrame([(k,) for k in keys], "k string")
+    five = spark.createDataFrame([(k,) for k in keys * 5], "k string")
+    assert (
+        hll_distinct(once, "k", []).collect()[0]["est_distinct"]
+        == hll_distinct(five, "k", []).collect()[0]["est_distinct"]
+    )
+
+
+def test_cm_never_underestimates_and_matches_python(spark, postings):
+    exact = {
+        r["term"]: r["cf"]
+        for r in postings.groupBy("term")
+        .agg(F.sum("tf").alias("cf"))
+        .collect()
+    }
+    td = ib.build_term_dict(postings)
+    est = {
+        r["term"]: r["cm_est"]
+        for r in cm_estimates(cm_counters(postings), td).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)  # CM's one-sided error
+    for t in sorted(exact)[:10]:
+        assert est[t] == cm_estimate_py(exact, t)
+
+
+def test_cm_heavy_hitters_order_and_membership(spark, postings):
+    td = ib.build_term_dict(postings)
+    rows = cm_heavy_hitters(postings, td, k=20).collect()
+    assert len(rows) == 20
+    keys = [(r["cm_est"], r["term"]) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    # not a theorem (a rival can inflate past it under heavy collisions),
+    # but at 4 rows × 1024 cells over this fixture's ~3k-term dictionary
+    # the true top term's ≥-exact estimate keeps it in the top-20
+    exact_top = (
+        postings.groupBy("term").agg(F.sum("tf").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("term").asc())
+        .limit(1)
+        .collect()[0]["term"]
+    )
+    assert any(r["term"] == exact_top for r in rows)
