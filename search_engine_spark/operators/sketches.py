@@ -73,11 +73,25 @@ def hll_registers(df: DataFrame, key_col: str,
     return reg.groupBy(*group_cols, "idx").agg(F.max("rho").alias("m_j"))
 
 
-def hll_distinct(df: DataFrame, key_col: str,
-                 group_cols: list[str]) -> DataFrame:
-    """Approximate per-group distinct count → (group_cols...,
-    est_distinct rounded 4 dp). Standard error ≈ 1.04/√256 = 6.5%."""
-    regs = hll_registers(df, key_col, group_cols)
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge per-segment register frames into one sketch: union + max.
+    Lossless by the HLL merge theorem (register-wise max of the segment
+    sketches EQUALS the sketch of the concatenated input), so segment
+    builds never rescan old data to refresh corpus-wide distinct counts —
+    the 256-row-per-group register frame is the only state carried
+    forward. Exactness (not ≈) is pinned by tests/test_sketches.py."""
+    it = iter(register_frames)
+    merged = next(it)
+    for regs in it:
+        merged = merged.unionByName(regs)
+    group_cols = [c for c in merged.columns if c not in ("idx", "m_j")]
+    return merged.groupBy(*group_cols, "idx").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Registers → (group_cols..., est_distinct rounded 4 dp). Standard
+    error ≈ 1.04/√256 = 6.5%."""
+    group_cols = [c for c in regs.columns if c not in ("idx", "m_j")]
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W1} - m_j)"))
         .alias("sum_present"),
@@ -98,6 +112,23 @@ def hll_distinct(df: DataFrame, key_col: str,
     return agg.select(
         *group_cols, F.round(est, 4).alias("est_distinct")
     )
+
+
+def hll_distinct(df: DataFrame, key_col: str,
+                 group_cols: list[str]) -> DataFrame:
+    """Approximate per-group distinct count → (group_cols...,
+    est_distinct rounded 4 dp). One-shot build + estimate."""
+    return hll_estimate(hll_registers(df, key_col, group_cols))
+
+
+def cm_merge(*counter_frames: DataFrame) -> DataFrame:
+    """Merge per-segment count-min tables: union + sum per cell. Lossless
+    (counters are linear), output stays ≤ d·w = 4,096 rows."""
+    it = iter(counter_frames)
+    merged = next(it)
+    for c in it:
+        merged = merged.unionByName(c)
+    return merged.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
 
 
 def hll_py(keys, m: int = HLL_M) -> float:

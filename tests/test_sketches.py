@@ -100,3 +100,48 @@ def test_cm_heavy_hitters_order_and_membership(spark, postings):
         .collect()[0]["term"]
     )
     assert any(r["term"] == exact_top for r in rows)
+
+
+def test_hll_merge_is_lossless(spark, postings):
+    """Register-wise max of per-segment sketches EQUALS the whole-corpus
+    sketch — the property that lets segment builds carry 256-row state
+    instead of rescanning old segments."""
+    from search_engine_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    keyed = postings.withColumn("site_key", site_key_col())
+    whole = {
+        (r["site_key"],): r["est_distinct"]
+        for r in hll_distinct(keyed, "term", ["site_key"]).collect()
+    }
+    seg_a = keyed.filter(F.col("doc_id") % 2 == 0)
+    seg_b = keyed.filter(F.col("doc_id") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(seg_a, "term", ["site_key"]),
+        hll_registers(seg_b, "term", ["site_key"]),
+    )
+    got = {
+        (r["site_key"],): r["est_distinct"]
+        for r in hll_estimate(merged).collect()
+    }
+    assert got == whole
+
+
+def test_cm_merge_is_lossless(spark, postings):
+    """Cell-wise sum of per-segment CM tables equals the whole-corpus
+    table, so merged estimates are identical (counters are linear)."""
+    from search_engine_spark.operators.sketches import cm_merge
+
+    td = ib.build_term_dict(postings)
+    whole = {
+        r["term"]: r["cm_est"]
+        for r in cm_estimates(cm_counters(postings), td).collect()
+    }
+    seg_a = postings.filter(F.col("doc_id") % 2 == 0)
+    seg_b = postings.filter(F.col("doc_id") % 2 == 1)
+    merged = cm_merge(cm_counters(seg_a), cm_counters(seg_b))
+    got = {r["term"]: r["cm_est"] for r in cm_estimates(merged, td).collect()}
+    assert got == whole
