@@ -14,8 +14,20 @@ mode='*_df' for cross-checking.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _round4(x: float) -> float:
+    """HALF_UP 4-dp rounding of the double's exact binary value — the
+    same contract as Spark's ``F.round`` (java BigDecimal(double)
+    .setScale(4, HALF_UP)) and DuckDB's ``round``; Python's builtin
+    ``round`` is banker's and would diverge on exact 4-dp ties (e.g.
+    1/32 = 0.03125 → 0.0312 vs 0.0313)."""
+    return float(Decimal(x).quantize(Decimal("0.0001"),
+                                     rounding=ROUND_HALF_UP))
 
 from .operators import index_build as ib
 from .operators import search as se
@@ -376,32 +388,36 @@ class SearchEngine:
             conjunctive=conjunctive,
         )
         if compat:
+            # Normalize via scalar agg + broadcast crossJoin (never
+            # Window.partitionBy() — an empty window spec moves the whole
+            # hit set through ONE partition). The reference normalizes by
+            # the max over ALL hits BEFORE pagination (Q5 then Q6); the
+            # scorer frame already holds the global top, so its max IS
+            # that normalizer.
             if limit is not None:
-                # the scorer frame holds ≤ offset+limit rows ORDERED score
-                # desc, and the reference's normalizer (max over ALL hits,
-                # Q5 before Q6 pagination) equals row 0's score — the top
-                # hit IS the global max. Collect the tiny frame ONCE and
-                # normalize over a local relation: one scorer execution
-                # instead of two (a lazy agg(max) branch re-runs the whole
-                # cogroup subtree — measured 2× query latency at 2.56M
-                # docs), and no global window either way.
+                # limit path: the scorer frame holds ≤ offset+limit rows
+                # ORDERED score desc, and the normalizer equals row 0's
+                # score. Collect the tiny frame ONCE and finish the page
+                # IN PYTHON: one scorer execution (a lazy agg(max) branch
+                # re-runs the whole cogroup subtree — measured 2× query
+                # latency at 2.56M docs; a cache shared between the
+                # branches loses too — the final orderBy's range-sampling
+                # pass re-executes the subtree, measured 1.8× here), and
+                # the returned LocalRelation carries PRE-computed rel so
+                # the caller's collect does no Catalyst work beyond the
+                # fixed ~0.1 s round-trip.
                 rows = out.collect()
                 if not rows:
                     return self.spark.createDataFrame([], empty_schema)
-                max_abs = int(rows[0]["score"])
-                page = rows[offset : offset + limit]
-                local = self.spark.createDataFrame(
-                    [(r["doc_id"], int(r["score"])) for r in page],
-                    "doc_id long, score_abs long",
-                )
-                # rows are already ordered (the scorer frame was sorted
-                # score desc, doc_id asc); a LocalRelation + narrow
-                # projection preserves it — no orderBy (it would add a
-                # shuffle job just to re-sort ≤limit rows)
-                return local.withColumn(
-                    "rel",
-                    F.round(F.col("score_abs") / F.lit(float(max_abs)), 4),
-                )
+                max_abs = float(rows[0]["score"])
+                page = [
+                    (r["doc_id"], int(r["score"]),
+                     _round4(int(r["score"]) / max_abs))
+                    for r in rows[offset : offset + limit]
+                ]
+                # rows are already ordered (score desc, doc_id asc); the
+                # LocalRelation preserves it — no orderBy
+                return self.spark.createDataFrame(page, empty_schema)
             # limit=None (pre-pagination count path): the hit set is
             # unbounded, so normalize via scalar agg + broadcast crossJoin
             # (never Window.partitionBy() — an empty window spec moves the
