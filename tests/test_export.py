@@ -1,0 +1,87 @@
+"""Token-balanced export sharding — exact equality vs the pure-Python
+mirror of the pinned spec, the balance bound, contiguity/monotonicity,
+and the no-global-window plan shape."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.export import (
+    shard_manifest,
+    shards_py,
+    token_balanced_shards,
+)
+from search_engine_spark.sources.documents import load_documents
+
+from tests.conftest import SF_TEST
+
+N_SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def assigned(spark):
+    docs = load_documents(spark, SF_TEST)
+    return token_balanced_shards(docs, n_shards=N_SHARDS).cache()
+
+
+def test_matches_python_mirror_exactly(spark, assigned):
+    rows = assigned.collect()
+    mirror = shards_py([(r["doc_id"], r["n_tokens"]) for r in rows],
+                       N_SHARDS)
+    assert {r["doc_id"]: r["shard"] for r in rows} == mirror
+
+
+def test_every_shard_within_one_doc_of_budget(spark, assigned):
+    """A doc is assigned by where its token run STARTS, so each shard's
+    token mass differs from the budget by less than one document weight
+    (the last shard absorbs the remainder and can only be lighter)."""
+    rows = assigned.collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = max(-(-total // N_SHARDS), 1)
+    w_max = max(r["n_tokens"] for r in rows)
+    per_shard = {}
+    for r in rows:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["n_tokens"]
+    assert set(per_shard) == set(range(N_SHARDS))
+    for s, tok in per_shard.items():
+        if s < N_SHARDS - 1:
+            assert abs(tok - budget) < w_max, (s, tok, budget, w_max)
+        else:
+            assert tok < budget + w_max
+
+
+def test_shards_are_contiguous_doc_id_ranges(spark, assigned):
+    man = shard_manifest(assigned).orderBy("shard").collect()
+    for prev, cur in zip(man, man[1:]):
+        assert cur["shard"] == prev["shard"] + 1
+        assert cur["min_doc_id"] > prev["max_doc_id"]
+    n_docs = assigned.count()
+    assert sum(r["n_docs"] for r in man) == n_docs
+
+
+def test_bucket_fanin_does_not_change_assignment(spark):
+    """The bucket count is an EXECUTION parameter of the hierarchical
+    scan, not part of the spec — any fan-in yields identical shards."""
+    docs = load_documents(spark, SF_TEST)
+    base = {
+        r["doc_id"]: r["shard"]
+        for r in token_balanced_shards(docs, n_shards=N_SHARDS,
+                                       buckets=1024).collect()
+    }
+    for b in (1, 7, 64):
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in token_balanced_shards(docs, n_shards=N_SHARDS,
+                                           buckets=b).collect()
+        }
+        assert got == base, b
+
+
+def test_no_global_window_in_plan(spark, assigned):
+    """The scale claim: the only Window is partitioned by bucket — no
+    empty partition spec (single-partition funnel) anywhere."""
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            # executedPlan prints windows as Window [..], [bucket#..], ...
+            assert "bucket#" in line, line
