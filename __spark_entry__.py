@@ -1388,6 +1388,14 @@ def _q_export_manifest(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into ≤512-token training examples."""
+    from search_engine_spark.operators.export import pack_sequences
+
+    return pack_sequences(load_documents(spark, sf_dir), cap=512,
+                          buckets=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1523,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _q_cm_heavy_hitters,
         "export_shards": _q_export_shards,
         "export_manifest": _q_export_manifest,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1689,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "cm_heavy_hitters": pipe.cm_heavy_hitters_sql(k=20),
         "export_shards": pipe.export_shards_sql(n_shards=16),
         "export_manifest": pipe.export_manifest_sql(n_shards=16),
+        "pack_sequences": pipe.pack_sequences_sql(cap=512, buckets=64),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

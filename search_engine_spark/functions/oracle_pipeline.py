@@ -607,6 +607,48 @@ SELECT doc_id, n_tokens, shard FROM assigned
 """
 
 
+def pack_sequences_sql(cap: int = 512, buckets: int = 64,
+                       table: str = "documents") -> str:
+    """Mirrors operators/export.py::pack_sequences — the greedy
+    fill-with-reset recurrence replayed as a recursive CTE (breadth-first:
+    every bucket advances one row per iteration)."""
+    from ..operators import textstats as ts
+
+    bpe = ts.BPE_SPLIT.replace("'", "''")
+    c = int(cap)
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{bpe}'))::BIGINT AS n_tokens
+  FROM {table}
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         doc_id // ((SELECT max(doc_id) FROM {table}) // {int(buckets)} + 1)
+           AS bucket
+  FROM w
+),
+seq AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM b
+),
+r AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         n_tokens AS fill, 0::BIGINT AS example_id
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT n.bucket, n.rn, n.doc_id, n.n_tokens,
+         CASE WHEN r.fill + n.n_tokens > {c}
+              THEN n.n_tokens ELSE r.fill + n.n_tokens END,
+         CASE WHEN r.fill + n.n_tokens > {c}
+              THEN r.example_id + 1 ELSE r.example_id END
+  FROM r JOIN seq n ON n.bucket = r.bucket AND n.rn = r.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, example_id FROM r
+"""
+
+
 def export_manifest_sql(n_shards: int = 16,
                         table: str = "documents") -> str:
     """Mirrors operators/export.py::shard_manifest."""

@@ -163,6 +163,80 @@ def token_balanced_shards(
     return assigned.select("doc_id", "n_tokens", "shard")
 
 
+def pack_sequences(
+    docs: DataFrame,
+    cap: int = 2048,
+    buckets: int = 64,
+) -> DataFrame:
+    """(doc_id, n_tokens, bucket, example_id) — greedy sequence packing:
+    concatenate documents into training examples of at most ``cap``
+    tokens (the "concat-and-chunk" step every LLM pretraining pipeline
+    runs between curation and tokenization; Raffel et al. 2020 §2.2 pack
+    T5 batches this way). Pinned spec, per bucket in doc_id order:
+
+      example 0 starts with the bucket's first doc; a doc joins the
+      current example iff fill + w ≤ cap, else it STARTS example+1
+      (a doc with w > cap therefore gets an example of its own).
+
+    Greedy packing is inherently sequential — a running state with reset,
+    not a running sum — so it cannot be a window function. It IS
+    embarrassingly parallel across buckets (the same order-contiguous
+    doc_id ranges the sharder uses), so the implementation is ONE
+    bucket-hash shuffle into `applyInPandas` with a vectorless O(rows)
+    loop per bucket — bounded state (fill, example counter), Arrow
+    transfer, no global order dependency. At 10^12 docs: pack per export
+    bucket; example_id is bucket-local, (bucket, example_id) is the
+    global key. The DuckDB oracle replays the same recurrence as a
+    recursive CTE; shards_pack_py is the pure-Python pin."""
+    import pandas as pd
+
+    w = shard_weights(docs)
+    mx = docs.agg(F.max("doc_id").alias("_max_id"))
+    b = (
+        w.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "_width", F.expr(f"_max_id div {int(buckets)}") + F.lit(1)
+        )
+        .withColumn("bucket", F.expr("doc_id div _width"))
+        .select("doc_id", "n_tokens", "bucket")
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ex, fill = 0, 0
+        ids = []
+        first = True
+        for w_d in pdf["n_tokens"]:
+            if not first and fill + w_d > cap:
+                ex += 1
+                fill = 0
+            ids.append(ex)
+            fill += w_d
+            first = False
+        pdf["example_id"] = pd.Series(ids, dtype="int64")
+        return pdf[["doc_id", "n_tokens", "bucket", "example_id"]]
+
+    return b.groupBy("bucket").applyInPandas(
+        _pack,
+        "doc_id long, n_tokens long, bucket long, example_id long",
+    )
+
+
+def pack_py(
+    weights: list[tuple[int, int]], cap: int
+) -> dict[int, int]:
+    """Pure-Python mirror of one bucket's packing recurrence
+    ({doc_id: example_id})."""
+    ex, fill = 0, 0
+    out: dict[int, int] = {}
+    for i, (doc_id, w) in enumerate(sorted(weights)):
+        if i > 0 and fill + w > cap:
+            ex, fill = ex + 1, 0
+        out[doc_id] = ex
+        fill += w
+    return out
+
+
 def shard_manifest(assignments: DataFrame) -> DataFrame:
     """(shard, n_docs, total_tokens, min_doc_id, max_doc_id) — the export
     manifest a downstream packing job verifies against: contiguous doc_id

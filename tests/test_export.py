@@ -85,3 +85,40 @@ def test_no_global_window_in_plan(spark, assigned):
         if "Window" in line and "partitionBy" not in line:
             # executedPlan prints windows as Window [..], [bucket#..], ...
             assert "bucket#" in line, line
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy-fill invariants: example ids are contiguous per bucket,
+    every example's fill ≤ cap unless it is a single over-cap doc, and
+    no example could absorb its successor's first doc (greedy tightness:
+    the packing is maximal, not just feasible)."""
+    from search_engine_spark.operators.export import pack_py, pack_sequences
+
+    cap = 256
+    docs = load_documents(spark, SF_TEST)
+    rows = pack_sequences(docs, cap=cap, buckets=16).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bkt, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        mirror = pack_py([(r["doc_id"], r["n_tokens"]) for r in rs], cap)
+        assert {r["doc_id"]: r["example_id"] for r in rs} == mirror
+        fills = {}
+        for r in rs:
+            fills.setdefault(r["example_id"], []).append(r["n_tokens"])
+        assert sorted(fills) == list(range(len(fills)))  # contiguous, 0-based
+        for ex in sorted(fills)[:-1]:
+            fill = sum(fills[ex])
+            assert fill <= cap or len(fills[ex]) == 1, (bkt, ex)
+            # maximal: the NEXT example's first doc would overflow this one
+            assert fill + fills[ex + 1][0] > cap, (bkt, ex)
+        last = sorted(fills)[-1]
+        assert sum(fills[last]) <= cap or len(fills[last]) == 1
+
+
+def test_pack_oversized_doc_gets_own_example(spark):
+    from search_engine_spark.operators.export import pack_py
+
+    packed = pack_py([(0, 10), (1, 999), (2, 10), (3, 10)], cap=100)
+    assert packed == {0: 0, 1: 1, 2: 2, 3: 2}
