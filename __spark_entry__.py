@@ -814,6 +814,28 @@ def _q_ann_pq(spark, sf_dir):
     return ann_pq(spark, load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
 
 
+def _q_sq8_codes(spark, sf_dir):
+    """int8 scalar quantization: per-dim min/max bounds, floor-scaled
+    0..255 codes (Lucene/ES int8 dense-vector quantization) — exploded to
+    (vec_id, dim, code) for the oracle compare."""
+    from search_engine_spark.operators.similarity import sq8_bounds, sq8_encode
+    from search_engine_spark.sources.documents import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    codes = sq8_encode(emb, sq8_bounds(emb))
+    return codes.select("vec_id", F.posexplode("codes").alias("dim", "code"))
+
+
+def _q_ann_sq8(spark, sf_dir):
+    """Two-stage quantized ANN: int8-code scan → top-20 per query →
+    exact-cosine rescoring to top-k (the ES int8_hnsw quantize+rescore
+    shape)."""
+    from search_engine_spark.operators.similarity import ann_sq8
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return ann_sq8(load_embeddings(spark, sf_dir), ANN_QUERY_IDS)
+
+
 def _q_temperature_sample(spark, sf_dir):
     """mC4-style temperature-balanced language sampling (T=2):
     low-resource languages upweighted, membership pure-h60 deterministic."""
@@ -1465,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_authority": _q_domain_authority,
         "pq_codes": _q_pq_codes,
         "ann_pq": _q_ann_pq,
+        "sq8_codes": _q_sq8_codes,
+        "ann_sq8": _q_ann_sq8,
         "length_quantiles": _q_length_quantiles,
         "dl_histogram": _q_dl_histogram,
         "latest_revisions": _q_latest_revisions,
@@ -1615,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_authority": pipe.domain_authority_sql(),
         "pq_codes": pipe.pq_codes_sql(),
         "ann_pq": pipe.ann_pq_sql(ANN_QUERY_IDS),
+        "sq8_codes": pipe.sq8_codes_sql(),
+        "ann_sq8": pipe.ann_sq8_sql(ANN_QUERY_IDS),
         "length_quantiles": pipe.length_quantiles_sql(),
         "dl_histogram": pipe.dl_histogram_sql(),
         "latest_revisions": pipe.latest_revisions_sql(),

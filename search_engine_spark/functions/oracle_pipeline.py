@@ -527,6 +527,88 @@ SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _sq8_cte(table: str = "embeddings") -> str:
+    """Shared CTEs for int8 scalar quantization — mirrors
+    similarity.py::sq8_bounds/sq8_encode (per-dim float min/max bounds,
+    floor-scaled 0..255 codes, constant dims → 0)."""
+    dim, lv = sim.EMB_DIM, sim.SQ_LEVELS
+    return f"""
+b AS (
+  SELECT d.dim::INT AS dim,
+         min(e.embedding[d.dim+1])::DOUBLE AS lo,
+         max(e.embedding[d.dim+1])::DOUBLE AS hi
+  FROM {table} e, LATERAL unnest(generate_series(0, {dim - 1})) d(dim)
+  GROUP BY 1
+),
+sqcodes AS (
+  SELECT e.vec_id, b.dim,
+         CASE WHEN b.hi > b.lo THEN
+           least({lv - 1},
+                 floor((e.embedding[b.dim+1]::DOUBLE - b.lo)
+                       / (b.hi - b.lo) * {lv}))::INT
+         ELSE 0 END AS code
+  FROM {table} e, b
+)"""
+
+
+def sq8_codes_sql(table: str = "embeddings") -> str:
+    """int8 scalar quantization codes — mirrors similarity.py::sq8_encode
+    (contract query emits the exploded (vec_id, dim, code) view)."""
+    return f"""
+WITH {_sq8_cte(table)}
+SELECT vec_id, dim, code FROM sqcodes
+"""
+
+
+def ann_sq8_sql(query_ids: list[int], k: int = 5,
+                rerank: int | None = None,
+                table: str = "embeddings") -> str:
+    """Two-stage quantized ANN — mirrors similarity.py::ann_sq8: approx
+    cosine on midpoint-dequantized codes picks `rerank` survivors, exact
+    float cosine re-ranks to top-k."""
+    rerank = rerank or sim.SQ_RERANK
+    lv = sim.SQ_LEVELS
+    acos = COS_SQL.format(a="q.qe", b="d.deq")
+    ecos = COS_SQL.format(a="q.qe", b="e.embedding")
+    return f"""
+WITH {_sq8_cte(table)},
+deqd AS (
+  SELECT c.vec_id, c.dim,
+         b.lo + (c.code + 0.5) * (b.hi - b.lo) / {lv} AS dv
+  FROM sqcodes c JOIN b USING (dim)
+),
+deqv AS (
+  SELECT vec_id, list(dv ORDER BY dim) AS deq FROM deqd GROUP BY vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM {table}
+      WHERE vec_id IN {_ids_in(query_ids)}),
+approx AS (
+  SELECT q.query_id, d.vec_id, round({acos}, 4) AS acos
+  FROM deqv d, q WHERE d.vec_id <> q.query_id
+),
+surv AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY acos DESC, vec_id ASC) AS arank
+    FROM approx
+  ) WHERE arank <= {rerank}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id, round({ecos}, 4) AS cos
+  FROM surv s
+  JOIN {table} e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+)
+SELECT query_id, vec_id, cos, rank::INT AS rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM exact
+) WHERE rank <= {k}
+"""
+
+
 def search_hybrid_rrf_sql(query_terms: list[str], query_vec_id: int,
                           k_each: int = 20, rrf_k: int = 60,
                           limit: int = 10, k1: float = 1.2,
