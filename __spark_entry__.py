@@ -1357,6 +1357,18 @@ def _q_search_hybrid(spark, sf_dir):
     )
 
 
+def _q_search_rerank(spark, sf_dir):
+    """Retrieve-then-rerank: BM25 top-50 candidates re-ordered by
+    embedding cosine (the bi-encoder rerank stage of a RAG stack)."""
+    from search_engine_spark.sources.documents import load_embeddings
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_semantic_rerank(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        load_embeddings(spark, sf_dir), query_vec_id=HYBRID_QUERY_VEC,
+    )
+
+
 def _q_datehist_pipeline(spark, sf_dir):
     """Derivative + trailing moving average stacked on the date histogram."""
     docs, postings = _search_ctx(spark, sf_dir)
@@ -1549,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
         "search_hybrid": _q_search_hybrid,
+        "search_rerank": _q_search_rerank,
         "datehist_pipeline": _q_datehist_pipeline,
         "rank_eval": _q_rank_eval,
         "hll_vocab": _q_hll_vocab,
@@ -1715,6 +1728,9 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
         "search_hybrid": pipe.search_hybrid_rrf_sql(
+            Q_BM25_COMMON, HYBRID_QUERY_VEC
+        ),
+        "search_rerank": pipe.search_semantic_rerank_sql(
             Q_BM25_COMMON, HYBRID_QUERY_VEC
         ),
         "datehist_pipeline": ora.datehist_pipeline_sql(Q_AND2,

@@ -650,6 +650,37 @@ FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {int(limit)}
 """
 
 
+def search_semantic_rerank_sql(query_terms: list[str], query_vec_id: int,
+                               candidates: int = 50, limit: int = 10,
+                               k1: float = 1.2, b: float = 0.75) -> str:
+    """Mirrors operators/search.py::search_semantic_rerank — disjunctive
+    BM25 top-`candidates`, rescored by embedding cosine, semantic
+    top-`limit` (cos desc, doc_id asc ties)."""
+    from .oracle_fragments import bm25_scored_ctes, terms_cte as tc
+
+    cos = COS_SQL.format(a="c.embedding", b="q.embedding")
+    return f"""
+WITH {tc("documents")},
+{bm25_scored_ctes(query_terms, k1, b, "documents").lstrip()},
+lex AS (
+  SELECT doc_id, round(score, 4) AS bm25,
+         row_number() OVER (ORDER BY round(score, 4) DESC,
+                            doc_id ASC) AS lrank
+  FROM scored QUALIFY lrank <= {int(candidates)}
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {int(query_vec_id)}),
+resc AS (
+  SELECT l.doc_id, l.bm25, round({cos}, 4) AS cos
+  FROM lex l JOIN embeddings c ON c.vec_id = l.doc_id CROSS JOIN q
+)
+SELECT doc_id, bm25, cos, rank::INT AS rank FROM (
+  SELECT doc_id, bm25, cos,
+         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM resc
+) WHERE rank <= {int(limit)}
+"""
+
+
 def _export_ctes(n_shards: int, table: str) -> str:
     """Shared CTE chain for the export-shard oracles — the naive global
     ordered window IS the oracle here (fine in DuckDB at gate scale; the

@@ -1256,6 +1256,70 @@ def search_hybrid_rrf(
     )
 
 
+def search_semantic_rerank(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    embeddings: DataFrame,
+    query_vec_id: int,
+    candidates: int = 50,
+    limit: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Retrieve-then-rerank → (doc_id, bm25, cos, rank): the canonical
+    two-stage neural IR composition (ES `text_similarity_reranker`
+    retriever / the bi-encoder rerank stage of every RAG stack). Stage 1
+    retrieves the lexical BM25 top-`candidates` (disjunctive — recall is
+    the first stage's job); stage 2 rescores ONLY those candidates by
+    embedding cosine against the query vector and returns the semantic
+    top-`limit`. Unlike RRF fusion (which mixes two full rankers), the
+    reranker fully re-orders: BM25 decides WHO competes, cosine decides
+    the final order. Both scores are kept so callers can inspect the
+    disagreement.
+
+    Plan at scale: stage 1 is the engine's standard literal-idf BM25 agg
+    + TakeOrderedAndProject (bounded `candidates` rows); stage 2
+    broadcasts those ≤candidates doc_ids against the embeddings scan
+    (vec_id ≡ doc_id — TESTDATA invariant), so corpus-sized work after
+    retrieval is one semi-join-shaped probe, and the final ordering runs
+    through the bounded no-Window `ranked_topk`."""
+    from ..operators.dedup import cosine_expr
+
+    lex = (
+        bm25_scored(
+            postings, term_dict, doc_stats, n_docs, avgdl, terms,
+            k1=k1, b=b, conjunctive=False,
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(candidates))
+        .withColumnRenamed("score", "bm25")
+    )
+    qe = embeddings.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("embedding").alias("qe")
+    )
+    rescored = (
+        embeddings.join(
+            F.broadcast(lex), F.col("vec_id") == F.col("doc_id")
+        )
+        .crossJoin(F.broadcast(qe))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine_expr(F.col("embedding"), F.col("qe")), 4)
+            .alias("cos"),
+        )
+    )
+    return (
+        ranked_topk(rescored, "cos")
+        .filter(F.col("rank") <= int(limit))
+        .select("doc_id", "bm25", "cos", "rank")
+    )
+
+
 def datehist_pipeline(
     docs: DataFrame,
     postings: DataFrame,

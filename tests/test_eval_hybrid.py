@@ -236,3 +236,58 @@ def test_rank_eval_absent_terms_empty_metrics(spark, ctx):
     assert (row["ndcg_at_k"], row["mrr"], row["precision_at_k"]) == (
         0.0, 0.0, 0.0,
     )
+
+
+# --------------------------------------------------- semantic rerank
+
+def test_rerank_candidates_come_from_bm25(spark, ctx):
+    """Every reranked doc must be inside the disjunctive BM25
+    top-`candidates` set — the reranker never resurrects a doc the
+    retriever dropped."""
+    docs, postings, td, ds, n, avgdl = ctx
+    emb = load_embeddings(spark, SF_TEST)
+    rr = se.search_semantic_rerank(
+        postings, td, ds, n, avgdl, Q3, emb, query_vec_id=0,
+        candidates=30, limit=10,
+    ).toPandas()
+    lex = se.search_bm25(
+        postings, td, ds, n, avgdl, Q3, limit=30, conjunctive=False
+    ).toPandas()
+    assert set(rr.doc_id) <= set(lex.doc_id)
+    assert len(rr) == min(10, len(lex))
+
+
+def test_rerank_order_is_cosine(spark, ctx):
+    """Final ranking follows cos desc (doc_id asc ties), NOT bm25 —
+    and ranks are dense 1..k."""
+    docs, postings, td, ds, n, avgdl = ctx
+    emb = load_embeddings(spark, SF_TEST)
+    rr = se.search_semantic_rerank(
+        postings, td, ds, n, avgdl, Q3, emb, query_vec_id=0,
+        candidates=30, limit=10,
+    ).toPandas().sort_values("rank")
+    assert list(rr["rank"]) == list(range(1, len(rr) + 1))
+    keys = list(zip(-rr.cos, rr.doc_id))
+    assert keys == sorted(keys)
+
+
+def test_rerank_scores_match_standalone_rankers(spark, ctx):
+    """bm25 column equals the retriever's score; cos equals the exact
+    cosine the brute-force ANN reports for the same (query, doc) pair."""
+    from search_engine_spark.operators.similarity import ann_bruteforce
+
+    docs, postings, td, ds, n, avgdl = ctx
+    emb = load_embeddings(spark, SF_TEST)
+    rr = se.search_semantic_rerank(
+        postings, td, ds, n, avgdl, Q3, emb, query_vec_id=0,
+        candidates=30, limit=10,
+    ).toPandas()
+    lex = se.search_bm25(
+        postings, td, ds, n, avgdl, Q3, limit=30, conjunctive=False
+    ).toPandas().set_index("doc_id")
+    bf = ann_bruteforce(emb, [0], k=600).toPandas()
+    exact = {int(r.vec_id): float(r.cos) for r in bf.itertuples()}
+    for r in rr.itertuples():
+        assert float(r.bm25) == float(lex.loc[int(r.doc_id), "score"])
+        if int(r.doc_id) != 0:  # self pair excluded by bruteforce
+            assert float(r.cos) == exact[int(r.doc_id)]
