@@ -1357,6 +1357,15 @@ def _q_search_hybrid(spark, sf_dir):
     )
 
 
+def _q_search_lmd(spark, sf_dir):
+    """Dirichlet query-likelihood ranking (Lucene LMDirichletSimilarity)
+    — the pluggable alternative similarity over the same postings."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_lmd(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
 def _q_search_rerank(spark, sf_dir):
     """Retrieve-then-rerank: BM25 top-50 candidates re-ordered by
     embedding cosine (the bi-encoder rerank stage of a RAG stack)."""
@@ -1560,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard_rev": _q_search_wildcard_rev,
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
+        "search_lmd": _q_search_lmd,
         "search_hybrid": _q_search_hybrid,
         "search_rerank": _q_search_rerank,
         "datehist_pipeline": _q_datehist_pipeline,
@@ -1727,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "search_wildcard_rev": ora.search_wildcard_sql(WILDCARD_REV_PAT),
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
+        "search_lmd": ora.search_lmd_sql(Q_BM25_COMMON),
         "search_hybrid": pipe.search_hybrid_rrf_sql(
             Q_BM25_COMMON, HYBRID_QUERY_VEC
         ),

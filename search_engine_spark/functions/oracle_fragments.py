@@ -282,6 +282,38 @@ LIMIT {limit}
 """
 
 
+def search_lmd_sql(query_terms: list[str], mu: float = 2000.0,
+                   limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_lmd — Dirichlet-smoothed query
+    likelihood (Lucene LMDirichletSimilarity): per matched term
+    ln(1 + tf/(mu·cf/T)) + ln(mu/(dl+mu)), summed per doc, disjunctive.
+    Returns (doc_id, score)."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY term
+),
+tot AS (SELECT count(*)::DOUBLE AS t FROM terms),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + p.tf / ({mu} * cf.cf / tot.t))
+              + ln({mu} / (dl.dl + {mu})) ) AS score
+  FROM post p JOIN dl USING (doc_id) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
 def url_normalize_sql(table: str = "documents") -> str:
     """S4 normalizer over the deterministically-derived raw_url.
     Returns (doc_id, raw_url, norm_path)."""

@@ -161,3 +161,59 @@ def test_explain_parts_sum_to_search_score(spark, ctx):
         assert sum(r["part_score"] for r in parts) == pytest.approx(
             hit["score"], abs=2e-4  # 4-dp rounding of 3 parts vs the sum
         )
+
+
+# --------------------------------------------------- LM-Dirichlet similarity
+
+def test_lmd_candidates_equal_disjunctive_bm25(spark, ctx):
+    """Both similarities score over the same matched-doc set — the
+    similarity is pluggable, the matching is not."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    lmd = se.search_lmd(postings, td, ds, n, avgdl, q, limit=10_000)
+    bm = se.search_bm25(
+        postings, td, ds, n, avgdl, q, limit=10_000, conjunctive=False
+    )
+    assert {r["doc_id"] for r in lmd.collect()} == {
+        r["doc_id"] for r in bm.collect()
+    }
+
+
+def test_lmd_score_matches_pure_python(spark, ctx):
+    """Spot-check the Lucene formula against a from-scratch pandas
+    recomputation over the raw postings."""
+    import math
+
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    mu = 2000.0
+    pdf = postings.filter(se.F.col("term").isin(q)).toPandas()
+    dl = ds.toPandas().set_index("doc_id")["dl"]
+    total = float(dl.sum())
+    cf = pdf.groupby("term")["tf"].sum().to_dict()
+    expect = {}
+    for r in pdf.itertuples():
+        part = math.log(1 + r.tf / (mu * cf[r.term] / total)) + math.log(
+            mu / (float(dl[r.doc_id]) + mu)
+        )
+        expect[r.doc_id] = expect.get(r.doc_id, 0.0) + part
+    got = {
+        r["doc_id"]: r["score"]
+        for r in se.search_lmd(
+            postings, td, ds, n, avgdl, q, mu=mu, limit=10_000
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for d, s in got.items():
+        assert abs(s - round(expect[d], 4)) < 1e-9
+
+
+def test_lmd_absent_and_conjunctive_semantics(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    assert (
+        se.search_lmd(postings, td, ds, n, avgdl, ["zzzabsent"]).count() == 0
+    )
+    conj = se.search_lmd(
+        postings, td, ds, n, avgdl, ["data", "zzzabsent"], conjunctive=True
+    )
+    assert conj.count() == 0
