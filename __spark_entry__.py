@@ -925,6 +925,14 @@ def _q_pii_redact(spark, sf_dir):
     return redact_pii(pii_augment(load_documents(spark, sf_dir)))
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bucket models, target = English docs vs raw corpus."""
+    from search_engine_spark.operators.curation import dsir_weights
+
+    return dsir_weights(load_documents(spark, sf_dir))
+
+
 def _q_domain_stats(spark, sf_dir):
     """Per-site curation rollup (the domain-level filter table)."""
     from search_engine_spark.operators.curation import domain_stats
@@ -1515,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_revisions": _q_latest_revisions,
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
+        "dsir_weights": _q_dsir_weights,
         "domain_stats": _q_domain_stats,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1669,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_revisions": pipe.latest_revisions_sql(),
         "line_dedup": pipe.line_dedup_sql(),
         "pii_redact": pipe.pii_redact_sql(),
+        "dsir_weights": pipe.dsir_weights_sql(),
         "domain_stats": pipe.domain_stats_sql(),
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),

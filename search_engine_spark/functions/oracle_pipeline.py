@@ -2159,3 +2159,48 @@ UNION ALL SELECT '3_canonical', (SELECT count(*) FROM s3)::BIGINT
 UNION ALL SELECT '4_model_quality', (SELECT count(*) FROM s4)::BIGINT
 UNION ALL SELECT '5_sampled', (SELECT count(*) FROM s5)::BIGINT
 """
+
+
+def dsir_weights_sql(table: str = "documents",
+                     n_buckets: int | None = None) -> str:
+    """Mirrors operators/curation.py::dsir_weights — hashed unigram+bigram
+    bucket counts, Laplace-smoothed target ('lang = en') vs raw bucket
+    models, per-doc log importance weight. Returns (doc_id, logw)."""
+    from .oracle_fragments import positional_terms_cte
+
+    b = int(n_buckets if n_buckets is not None else cu.DSIR_BUCKETS)
+    return f"""
+WITH {positional_terms_cte(table)},
+uni AS (SELECT doc_id, {h60_sql("term")} % {b} AS bucket FROM pos_terms),
+bi AS (
+  SELECT a.doc_id, {h60_sql("(a.term || ' ' || b.term)")} % {b} AS bucket
+  FROM pos_terms a JOIN pos_terms b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+feats AS (
+  SELECT doc_id, bucket, count(*)::DOUBLE AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY doc_id, bucket
+),
+flagged AS (
+  SELECT f.doc_id, f.bucket, f.cnt, (d.lang = 'en') AS is_tgt
+  FROM feats f JOIN {table} d USING (doc_id)
+),
+bstats AS (
+  SELECT bucket, sum(cnt) AS raw_c,
+         sum(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS tgt_c
+  FROM flagged GROUP BY bucket
+),
+tots AS (SELECT sum(raw_c) AS cr, sum(tgt_c) AS ct FROM bstats),
+ratio AS (
+  SELECT bucket,
+         ln((tgt_c + 1) / (ct + {b})) - ln((raw_c + 1) / (cr + {b})) AS lr
+  FROM bstats CROSS JOIN tots
+),
+per_doc AS (
+  SELECT f.doc_id, sum(f.cnt * r.lr) AS logw
+  FROM feats f JOIN ratio r USING (bucket) GROUP BY f.doc_id
+)
+SELECT d.doc_id, round(coalesce(p.logw, 0), 4) AS logw
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -382,3 +382,100 @@ def curation_funnel_v2(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------- DSIR
+
+DSIR_BUCKETS = 10_000
+
+
+def dsir_features(positional: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Hashed-ngram feature counts → (doc_id, bucket, cnt): unigrams and
+    adjacent bigrams of the retained-token stream, hashed into
+    ``n_buckets`` with the portable h60 (DSIR's bag-of-hashed-ngrams
+    feature space; Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023).
+
+    Plan: bigrams come from ``lead(term)`` over (doc_id, pos) — one
+    shuffle partitioned by doc_id (per-document windows, never global) —
+    and the union aggregates map-side into per-(doc, bucket) counts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    uni = positional.select("doc_id", F.col("term").alias("gram"))
+    bi = (
+        positional.withColumn("nxt", F.lead("term").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("term"), F.col("nxt")).alias("gram"),
+        )
+    )
+    return (
+        uni.unionByName(bi)
+        .select("doc_id", F.pmod(h60_col(F.col("gram")), F.lit(int(n_buckets))).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance log-weights → (doc_id, logw): score every document
+    by how much more likely its hashed-ngram bag is under the TARGET
+    distribution than under the RAW corpus distribution,
+
+        logw(d) = Σ_b n_d(b) · ( ln p̂(b) − ln q̂(b) )
+
+    with Laplace-smoothed bucket unigram models p̂ (target) and q̂ (raw):
+    p̂(b) = (c_tgt(b)+1)/(C_tgt+B). ``target_pred`` selects the in-domain
+    exemplar docs (default: ``lang = 'en'`` — "select web text that looks
+    like my curated corpus"); feeding logw into ``weighted_sample`` (A-ES
+    Gumbel top-k) completes the paper's importance-resampling recipe.
+    The reference has no curation stage; this extends SURVEY §2 per the
+    training-data-pipeline brief.
+
+    Plan at scale: features are per-doc facts (one doc_id-partitioned
+    window + map-side-combined groupBy); the bucket model is a ≤B-row
+    aggregate crossJoined back as a broadcast lookup, so the corpus is
+    scanned, never self-joined. Docs with no retained tokens get logw=0
+    (no evidence). For repeated selection runs, persist dsir_features —
+    the plan reuses it on both the model and scoring sides."""
+    from .positional import build_positional
+
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    feats = dsir_features(build_positional(docs), n_buckets=n_buckets)
+    # doc_id-keyed equi-join of two corpus-sized sides — never broadcast;
+    # AQE picks sort-merge/shuffled-hash (the 2-column flag side is tiny
+    # per row, and both sides partition on the same key)
+    flagged = feats.join(
+        docs.select("doc_id", target_pred.alias("is_tgt")), "doc_id"
+    )
+    bstats = flagged.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_c"),
+        F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0.0)).alias("tgt_c"),
+    )
+    tots = bstats.agg(
+        F.sum("raw_c").alias("cr"), F.sum("tgt_c").alias("ct")
+    )
+    bb = float(n_buckets)
+    ratio = bstats.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_c") + 1.0) / (F.col("ct") + bb))
+            - F.log((F.col("raw_c") + 1.0) / (F.col("cr") + bb))
+        ).alias("lr"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("logw_raw"))
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("logw_raw"), F.lit(0.0)), 4).alias("logw"),
+    )

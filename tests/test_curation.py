@@ -194,3 +194,67 @@ def test_curation_funnel_monotone(spark):
     counts = [out[s] for s in order]
     assert counts == sorted(counts, reverse=True)  # never grows
     assert counts[0] > counts[-1] > 0  # funnel actually filters
+
+
+# ------------------------------------------------------------------ DSIR
+
+
+def test_dsir_all_target_collapses_to_zero(spark):
+    """If every doc is in-domain, target and raw models coincide exactly
+    (same counts, same totals) so every log-ratio — and hence every
+    weight — is exactly 0."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.curation import dsir_weights
+
+    rows = [
+        (1, "fast data table join", "en"),
+        (2, "slow scan of the table", "en"),
+        (3, "data data data", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_weights(docs, target_pred=F.lit(True)).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert all(r["logw"] == 0.0 for r in out)
+
+
+def test_dsir_feature_mass_is_2dl_minus_1(spark):
+    """Unigrams contribute dl features, adjacent bigrams dl-1 — total
+    hashed-feature mass per doc is 2·dl−1 (dl ≥ 1), 0 for empty docs."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.curation import dsir_features
+    from search_engine_spark.operators.positional import build_positional
+
+    rows = [
+        (1, "fast data table join"),   # 4 retained → 7
+        (2, "data"),                   # 1 retained → 1
+        (3, ""),                       # 0 retained → absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = build_positional(docs)
+    mass = {
+        r["doc_id"]: r["m"]
+        for r in dsir_features(pos)
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("m"))
+        .collect()
+    }
+    assert mass == {1: 7.0, 2: 1.0}
+
+
+def test_dsir_separates_target_like_docs(spark):
+    """Docs sharing the target's vocabulary must outweigh docs that
+    don't: ngram overlap with the in-domain exemplars is the signal."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.curation import dsir_weights
+
+    rows = (
+        [(i, "quality curated reference corpus text", "en") for i in range(5)]
+        + [(10, "quality curated reference corpus text", "xx"),
+           (11, "zebra quagga okapi tapir wombat", "xx")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r["doc_id"]: r["logw"] for r in dsir_weights(docs).collect()}
+    assert w[10] > w[11]
