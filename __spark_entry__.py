@@ -151,6 +151,7 @@ RELATED_PROBE = "data"
 TV_DOC_IDS = [1, 2, 3, 7, 11]
 WILDCARD_PAT = "?a*"       # general route: LIKE '_a%'
 WILDCARD_REV_PAT = "*ge"   # leading wildcard: reversed-term route
+REGEXP_PAT = "[bd]at[ae].*|j[ou]in"  # classes + alternation + star
 SPELL_PROBE = "dataa"  # misspelling: one insertion away from "data"
 
 
@@ -1325,6 +1326,15 @@ def _q_search_wildcard(spark, sf_dir):
     )
 
 
+def _q_search_regexp(spark, sf_dir):
+    """Regexp query (Lucene RegexpQuery rewrite): full-term anchored
+    dictionary expansion, disjunctive BM25 over the matched terms."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_regexp(
+        postings, term_dict, doc_stats, n_docs, avgdl, REGEXP_PAT
+    )
+
+
 def _q_search_wildcard_rev(spark, sf_dir):
     """Leading wildcard — exercises the reversed-term sargable route."""
     docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
@@ -1575,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_datehist": _q_facet_datehist,
         "significant_terms": _q_significant_terms,
         "search_wildcard": _q_search_wildcard,
+        "search_regexp": _q_search_regexp,
         "search_wildcard_rev": _q_search_wildcard_rev,
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
@@ -1744,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_datehist": ora.facet_date_histogram_sql(Q_AND2, bucket_secs=3600),
         "significant_terms": ora.significant_terms_sql(Q_AND2),
         "search_wildcard": ora.search_wildcard_sql(WILDCARD_PAT),
+        "search_regexp": ora.search_regexp_sql(REGEXP_PAT),
         "search_wildcard_rev": ora.search_wildcard_sql(WILDCARD_REV_PAT),
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),

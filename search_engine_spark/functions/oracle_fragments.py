@@ -1013,6 +1013,53 @@ LIMIT {int(limit)}
 """
 
 
+def search_regexp_sql(pattern: str, k1: float = 1.2, b: float = 0.75,
+                      limit: int = 20, max_expansions: int = 128,
+                      table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_regexp: full-term regexp
+    dictionary expansion (term asc, capped), then disjunctive BM25 over
+    the expansion set — identical chain to search_wildcard_sql with the
+    LIKE predicate swapped for regexp_full_match (the pattern subset is
+    pinned to the java.util.regex ∩ RE2 common grammar)."""
+    pat = pattern.strip().lower()
+    return f"""
+WITH {terms_cte(table)},
+wterms AS (
+  SELECT term FROM (
+    SELECT term FROM terms GROUP BY term
+  ) WHERE regexp_full_match(term, '(?:{pat})')
+  ORDER BY term ASC LIMIT {int(max_expansions)}
+),
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN (SELECT term FROM wterms) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms
+  WHERE term IN (SELECT term FROM wterms) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
 def explain_score_sql(query_terms: list[str], k1: float = 1.2,
                       b: float = 0.75,
                       table: str = "documents") -> str:

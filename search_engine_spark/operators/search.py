@@ -1049,6 +1049,57 @@ def search_wildcard(
     )
 
 
+def regexp_terms(
+    term_dict: DataFrame, pattern: str, max_expansions: int = 128
+) -> DataFrame:
+    """Dictionary expansion of a regular expression → (term, df), capped
+    at ``max_expansions`` (term asc — the same pinned Lucene term-enum
+    rule as `wildcard_terms`). Matches the ENTIRE term (Lucene
+    RegexpQuery is implicitly anchored), so the pattern is wrapped in
+    ^(?:...)$ before the scan.
+
+    Pattern language is the java.util.regex ∩ RE2 common subset the repo
+    already pins for PII scrubbing (literals, classes, ., *, +, ?, |,
+    groups — no lookaround/backrefs), so the DuckDB oracle's
+    regexp_full_match sees identical semantics. Scale shape: one rlike
+    scan of the 2-column (term, df) dictionary — same cost class as the
+    generic-wildcard LIKE route; prefix-anchored patterns would be made
+    sargable exactly as in `wildcard_terms` on a persisted dictionary."""
+    body = pattern.strip().lower()
+    return (
+        term_dict.filter(F.col("term").rlike(f"^(?:{body})$"))
+        .select("term", "df")
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+
+
+def search_regexp(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    pattern: str,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    max_expansions: int = 128,
+) -> DataFrame:
+    """Regexp query → BM25 top-k (doc_id, score): Lucene's RegexpQuery
+    rewrite — expand against the dictionary, score the expansion set
+    disjunctively. Same driver-side-expansion plan as `search_wildcard`
+    (≤ max_expansions terms collected off the dictionary scan, baked into
+    the postings filter for partition pruning)."""
+    matched = [r["term"] for r in regexp_terms(
+        term_dict, pattern, max_expansions
+    ).collect()]
+    return search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, matched,
+        k1=k1, b=b, limit=limit, conjunctive=False,
+    )
+
+
 def facet_date_histogram(
     docs: DataFrame,
     postings: DataFrame,

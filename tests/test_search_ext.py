@@ -217,3 +217,26 @@ def test_lmd_absent_and_conjunctive_semantics(spark, ctx):
         postings, td, ds, n, avgdl, ["data", "zzzabsent"], conjunctive=True
     )
     assert conj.count() == 0
+
+
+# ------------------------------------------------------------ regexp query
+
+def test_regexp_is_full_term_anchored(spark, ctx):
+    """Lucene RegexpQuery matches the whole term: 'dat' must not expand
+    to 'data', while 'dat.*' must."""
+    docs, postings, td, ds, n, avgdl = ctx
+    assert se.regexp_terms(td, "dat").count() == 0
+    exp = [r["term"] for r in se.regexp_terms(td, "dat.*").collect()]
+    assert "data" in exp
+
+
+def test_regexp_search_equals_or_query_over_expansions(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    pat = "[bd]at[ae].*|j[ou]in"
+    exp = [r["term"] for r in se.regexp_terms(td, pat).collect()]
+    assert len(exp) >= 2
+    direct = se.search_regexp(postings, td, ds, n, avgdl, pat, limit=50)
+    manual = se.search_bm25(
+        postings, td, ds, n, avgdl, exp, limit=50, conjunctive=False
+    )
+    assert _rows(direct) == _rows(manual)
