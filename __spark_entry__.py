@@ -152,6 +152,7 @@ TV_DOC_IDS = [1, 2, 3, 7, 11]
 WILDCARD_PAT = "?a*"       # general route: LIKE '_a%'
 WILDCARD_REV_PAT = "*ge"   # leading wildcard: reversed-term route
 REGEXP_PAT = "[bd]at[ae].*|j[ou]in"  # classes + alternation + star
+FILTER_EPOCH = 1704067200 + 60 * 240  # crawl-window cutoff: doc_id >= 240
 SPELL_PROBE = "dataa"  # misspelling: one insertion away from "data"
 
 
@@ -1375,6 +1376,20 @@ def _q_search_hybrid(spark, sf_dir):
     )
 
 
+def _q_search_filtered(spark, sf_dir):
+    """BM25 in filter context: non-scoring metadata gate (lang='en' AND
+    inside the crawl window) over the disjunctive common-term query —
+    scores stay identical to the unfiltered ranking."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    allowed = docs.filter(
+        (F.col("lang") == "en")
+        & (F.col("warc_ts") >= F.timestamp_seconds(F.lit(FILTER_EPOCH)))
+    ).select("doc_id")
+    return se.search_bm25_filtered(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, allowed
+    )
+
+
 def _q_search_lmd(spark, sf_dir):
     """Dirichlet query-likelihood ranking (Lucene LMDirichletSimilarity)
     — the pluggable alternative similarity over the same postings."""
@@ -1590,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
         "search_lmd": _q_search_lmd,
+        "search_filtered": _q_search_filtered,
         "search_hybrid": _q_search_hybrid,
         "search_rerank": _q_search_rerank,
         "datehist_pipeline": _q_datehist_pipeline,
@@ -1760,6 +1776,10 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
         "search_lmd": ora.search_lmd_sql(Q_BM25_COMMON),
+        "search_filtered": ora.search_bm25_filtered_sql(
+            Q_BM25_COMMON,
+            f"d.lang = 'en' AND (1704067200 + 60 * d.doc_id) >= {FILTER_EPOCH}",
+        ),
         "search_hybrid": pipe.search_hybrid_rrf_sql(
             Q_BM25_COMMON, HYBRID_QUERY_VEC
         ),

@@ -282,6 +282,27 @@ LIMIT {limit}
 """
 
 
+def search_bm25_filtered_sql(query_terms: list[str], where: str,
+                             k1: float = 1.2, b: float = 0.75,
+                             limit: int = 20,
+                             table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bm25_filtered — disjunctive
+    BM25 restricted to docs satisfying ``where`` (a predicate over the
+    documents row, alias d). Scores are identical to the unfiltered
+    query because BM25's per-doc score depends only on the doc's own
+    rows + corpus-global stats, so the oracle may filter AFTER scoring.
+    Returns (doc_id, score)."""
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)}
+SELECT s.doc_id, round(s.score, 4) AS score
+FROM scored s JOIN {table} d ON d.doc_id = s.doc_id
+WHERE {where}
+ORDER BY round(s.score, 4) DESC, s.doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
 def search_lmd_sql(query_terms: list[str], mu: float = 2000.0,
                    limit: int = 20, table: str = "documents") -> str:
     """Mirrors operators/search.py::search_lmd — Dirichlet-smoothed query

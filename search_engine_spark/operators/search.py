@@ -119,8 +119,16 @@ def bm25_scored(
     conjunctive: bool = True,
     min_should_match: int | None = None,
     keep_nt: bool = False,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """The UNPAGINATED BM25 scored set → (doc_id, score rounded 4 dp).
+
+    `allowed` (a frame with a doc_id column) is Elasticsearch's FILTER
+    CONTEXT: it gates WHICH docs may score without touching HOW they
+    score — idf/avgdl stay the full-corpus statistics, so a hit's score
+    is identical with or without the filter. Applied as a left-semi join
+    right after the term filter, BEFORE the doc_stats join and the
+    aggregation, so filtered-out candidates never reach the shuffle.
     Shared by `search_bm25` (offset/limit paging) and `search_bm25_after`
     (keyset paging) so the two pagination surfaces can never drift.
 
@@ -163,8 +171,13 @@ def bm25_scored(
     idf_col = F.create_map(
         *[x for t in uniq for x in (F.lit(t), F.lit(idf[t]))]
     )
+    base = postings.filter(F.col("term").isin(uniq))
+    if allowed is not None:
+        base = base.join(
+            allowed.select("doc_id"), "doc_id", "left_semi"
+        )
     cand = (
-        postings.filter(F.col("term").isin(uniq))
+        base
         .join(doc_stats.hint("broadcast"), "doc_id")
         .withColumn(
             "part_score",
@@ -259,6 +272,39 @@ def search_bm25_after(
         scored.filter(after)
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(limit)
+    )
+
+
+def search_bm25_filtered(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    allowed: DataFrame,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """BM25 in FILTER CONTEXT → top-k (doc_id, score): the ES bool-query
+    `filter` clause — a non-scoring metadata predicate (language, crawl
+    window, site list, quality tier) that restricts candidates while the
+    relevance statistics stay corpus-global. The reference's only filter
+    is its site parameter (SearchServiceImpl.java:30-52), applied by
+    re-scoping the whole computation; here any docs-derived predicate
+    composes with any scoring mode. `allowed` is typically
+    `docs.filter(pred).select("doc_id")` — at scale a doc_id-keyed
+    left-semi join against the term-pruned postings (co-partitioned, no
+    broadcast of the corpus)."""
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b=b, conjunctive=conjunctive, allowed=allowed,
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
     )
 
 

@@ -240,3 +240,31 @@ def test_regexp_search_equals_or_query_over_expansions(spark, ctx):
         postings, td, ds, n, avgdl, exp, limit=50, conjunctive=False
     )
     assert _rows(direct) == _rows(manual)
+
+
+# ------------------------------------------------------------ filter context
+
+def test_filter_context_preserves_scores(spark, ctx):
+    """The filter gates candidates but never alters a surviving doc's
+    score — idf/avgdl stay corpus-global (ES filter-context semantics)."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    allowed = docs.filter(se.F.col("doc_id") % 2 == 0).select("doc_id")
+    filt = dict(_rows(se.search_bm25_filtered(
+        postings, td, ds, n, avgdl, q, allowed, limit=10_000
+    )))
+    full = dict(_rows(se.search_bm25(
+        postings, td, ds, n, avgdl, q, limit=10_000, conjunctive=False
+    )))
+    assert filt
+    assert set(filt) == {d for d in full if d % 2 == 0}
+    for d, s in filt.items():
+        assert s == full[d]
+
+
+def test_filter_context_empty_filter_empties_result(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    allowed = docs.filter(se.F.lit(False)).select("doc_id")
+    assert se.search_bm25_filtered(
+        postings, td, ds, n, avgdl, ["data"], allowed
+    ).count() == 0
