@@ -927,6 +927,14 @@ def _q_pii_redact(spark, sf_dir):
     return redact_pii(pii_augment(load_documents(spark, sf_dir)))
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 line rules + page-level drops over deterministically poisoned
+    slices (lorem-ipsum / curly-brace injections)."""
+    from search_engine_spark.operators.curation import c4_augment, c4_clean
+
+    return c4_clean(c4_augment(load_documents(spark, sf_dir)))
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): hashed
     unigram+bigram bucket models, target = English docs vs raw corpus."""
@@ -1549,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "dsir_weights": _q_dsir_weights,
+        "c4_clean": _q_c4_clean,
         "domain_stats": _q_domain_stats,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
@@ -1706,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": pipe.line_dedup_sql(),
         "pii_redact": pipe.pii_redact_sql(),
         "dsir_weights": pipe.dsir_weights_sql(),
+        "c4_clean": pipe.c4_clean_sql(),
         "domain_stats": pipe.domain_stats_sql(),
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),

@@ -2204,3 +2204,69 @@ per_doc AS (
 SELECT d.doc_id, round(coalesce(p.logw, 0), 4) AS logw
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def c4_clean_sql(table: str = "documents") -> str:
+    """Mirrors operators/curation.py::c4_augment + c4_clean — C4 line
+    rules (terminal punctuation + >=5 words), page-level lorem-ipsum /
+    curly-brace drops, min-kept-lines gate. Returns
+    (doc_id, n_lines, n_kept, keep_doc, clean_text)."""
+    w, mw, mk = cu.C4_LINE_WIDTH, cu.C4_MIN_WORDS, cu.C4_MIN_KEPT_LINES
+    pm = cu.C4_PUNCT_MOD
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '{cu.LINE_WS}')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '{cu.LINE_WS}'), 1) AS ord
+  FROM {table}
+),
+punct AS (
+  SELECT doc_id,
+         coalesce(string_agg(
+           CASE WHEN ord % {pm} = 0 THEN tok || '.' ELSE tok END,
+           ' ' ORDER BY ord), '') AS text
+  FROM tok0 GROUP BY doc_id
+),
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % {cu.C4_LOREM_MOD} = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % {cu.C4_BRACE_MOD} = 0 THEN ' {{' ELSE '' END AS text
+  FROM punct
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '{cu.LINE_WS}') AS tk
+  FROM aug
+),
+lines0 AS (
+  SELECT doc_id, r.i AS line_no,
+         array_to_string(tk[(r.i*{w}+1):((r.i+1)*{w})], ' ') AS line
+  FROM toks, LATERAL unnest(
+    generate_series(0, CAST(ceil(len(tk)/{w}.0) AS BIGINT) - 1)) AS r(i)
+),
+lines AS (
+  SELECT doc_id, line_no, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(string_split(line, ' ')) >= {mw}) AS kept
+  FROM lines0 WHERE line <> ''
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         count(*) FILTER (WHERE kept)::BIGINT AS n_kept,
+         coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                             ORDER BY line_no), '') AS clean_text
+  FROM lines GROUP BY doc_id
+),
+flags AS (
+  SELECT doc_id,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+           AS poisoned
+  FROM aug
+)
+SELECT f.doc_id,
+       coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       (coalesce(a.n_kept, 0) >= {mk} AND NOT f.poisoned) AS keep_doc,
+       coalesce(a.clean_text, '') AS clean_text
+FROM flags f LEFT JOIN agg a USING (doc_id)
+"""

@@ -479,3 +479,116 @@ def dsir_weights(
         "doc_id",
         F.round(F.coalesce(F.col("logw_raw"), F.lit(0.0)), 4).alias("logw"),
     )
+
+
+# ------------------------------------------------------------------ C4
+
+C4_MIN_WORDS = 5       # a kept line needs >= this many words
+C4_MIN_KEPT_LINES = 3  # a kept doc needs >= this many surviving lines
+C4_LINE_WIDTH = 8      # fixture "lines" for C4 (>= MIN_WORDS, unlike dedup's 4)
+C4_PUNCT_MOD = 3       # fixture punctuation: '.' after every 3rd token
+C4_LOREM_MOD, C4_BRACE_MOD = 97, 89  # fixture injection periods
+
+
+def c4_augment(docs: DataFrame, text: str = "text") -> DataFrame:
+    """FIXTURES pattern (same as pii_augment): the sandbox corpus carries
+    no punctuation and no boilerplate, so deterministically (a) append
+    '.' to every C4_PUNCT_MOD-th token — giving the terminal-punctuation
+    rule both positives and negatives — and (b) inject the page-level
+    poison markers, ' lorem ipsum' every C4_LOREM_MOD-th doc and ' {'
+    every C4_BRACE_MOD-th, so the page-drop rules have positives at
+    every scale. Pure array math in one projection (split → indexed
+    transform → rejoin), whitespace-normalizing like the oracle."""
+    d = F.col("doc_id")
+    toks = F.split(F.trim(F.col(text)), LINE_WS)
+    punct = F.array_join(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                (i + 1) % C4_PUNCT_MOD == 0, F.concat(t, F.lit("."))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    return docs.withColumn(
+        text,
+        F.concat(
+            punct,
+            F.when(d % C4_LOREM_MOD == 0, F.lit(" lorem ipsum")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % C4_BRACE_MOD == 0, F.lit(" {")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    width: int = C4_LINE_WIDTH,
+    min_words: int = C4_MIN_WORDS,
+    min_kept: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4 cleaning (Raffel et al., "Exploring the Limits of Transfer
+    Learning...", 2020 §2.2) → (doc_id, n_lines, n_kept, keep_doc,
+    clean_text):
+
+      * keep a line iff it ends in terminal punctuation (. ! ? ") AND
+        has ≥ ``min_words`` words;
+      * drop the whole page if it contains 'lorem ipsum' (case-folded)
+        or a curly brace, or fewer than ``min_kept`` lines survive;
+      * clean_text = surviving lines rejoined in order.
+
+    Lines come from ``doc_lines`` (the fixture's deterministic
+    width-token chunks standing in for real newline splits — the rules
+    are agnostic to the split source). Everything is JVM-side: one
+    projection to derive lines, one map-side-combinable groupBy per doc
+    (collect_list is bounded by the doc's own line count — per-doc
+    facts, never corpus-wide state), one doc_id-keyed join back for the
+    page-level markers."""
+    lines = doc_lines(docs, width=width)
+    kept = (
+        F.col("line").rlike('[.!?"]$')
+        & (F.size(F.split(F.col("line"), " ")) >= int(min_words))
+    )
+    agg = (
+        lines.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+    flags = docs.select(
+        "doc_id",
+        (
+            F.contains(F.lower(F.col("text")), F.lit("lorem ipsum"))
+            | F.contains(F.col("text"), F.lit("{"))
+        ).alias("poisoned"),
+    )
+    return (
+        flags.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (
+                (F.coalesce(F.col("n_kept"), F.lit(0)) >= int(min_kept))
+                & ~F.col("poisoned")
+            ).alias("keep_doc"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

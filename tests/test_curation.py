@@ -258,3 +258,49 @@ def test_dsir_separates_target_like_docs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     w = {r["doc_id"]: r["logw"] for r in dsir_weights(docs).collect()}
     assert w[10] > w[11]
+
+
+# -------------------------------------------------------------------- C4
+
+
+def test_c4_line_rules_and_page_gates(spark):
+    """Pin the C4 rules on inspectable docs: terminal punctuation AND
+    >=5 words keeps a line; lorem-ipsum/curly-brace or <3 kept lines
+    drops the page."""
+    from search_engine_spark.operators.curation import c4_clean
+
+    good_line = "alpha beta gamma delta epsilon zeta eta theta."
+    rows = [
+        # 3 kept lines (8 words each, '.'-terminated) → kept doc
+        (1, " ".join([good_line] * 3)),
+        # lines long enough but unpunctuated → 0 kept → dropped
+        (2, "alpha beta gamma delta epsilon zeta eta theta " * 3),
+        # poisoned by brace despite 3 good lines → dropped
+        (3, " ".join([good_line] * 3) + " {"),
+        # poisoned by lorem ipsum (case-folded) → dropped
+        (4, " ".join([good_line] * 3) + " Lorem IPSUM"),
+        # only 2 kept lines → below min_kept → dropped
+        (5, " ".join([good_line] * 2)),
+        (6, ""),  # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[1]["keep_doc"] and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "\n".join([good_line] * 3)
+    assert not out[2]["keep_doc"] and out[2]["n_kept"] == 0
+    assert not out[3]["keep_doc"] and out[3]["n_kept"] >= 3
+    assert not out[4]["keep_doc"]
+    assert not out[5]["keep_doc"] and out[5]["n_kept"] == 2
+    assert not out[6]["keep_doc"] and out[6]["n_lines"] == 0
+
+
+def test_c4_short_final_line_is_counted_but_not_kept(spark):
+    """A trailing partial chunk below min_words never survives even if
+    punctuated."""
+    from search_engine_spark.operators.curation import c4_clean
+
+    docs = spark.createDataFrame(
+        [(1, "one two three.")], "doc_id long, text string"
+    )
+    row = c4_clean(docs).collect()[0]
+    assert row["n_lines"] == 1 and row["n_kept"] == 0
