@@ -990,6 +990,15 @@ def _q_lm_scores(spark, sf_dir):
     return unigram_lm_scores(ib.build_postings(load_documents(spark, sf_dir)))
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-language perplexity terciles over the
+    unigram-LM scores."""
+    from search_engine_spark.operators.textstats import ccnet_buckets
+
+    docs = load_documents(spark, sf_dir)
+    return ccnet_buckets(docs, ib.build_postings(docs))
+
+
 def _q_doc_keywords(spark, sf_dir):
     """Per-doc top-3 tf-idf keyword extraction (curation tagging)."""
     from search_engine_spark.operators.textstats import doc_keywords
@@ -1565,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": _q_quality_model,
         "fingerprints": _q_fingerprints,
         "lm_scores": _q_lm_scores,
+        "ccnet_buckets": _q_ccnet_buckets,
         "doc_keywords": _q_doc_keywords,
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
@@ -1723,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_model": pipe.quality_model_sql(),
         "fingerprints": pipe.fingerprints_sql(),
         "lm_scores": pipe.unigram_lm_scores_sql(),
+        "ccnet_buckets": pipe.ccnet_buckets_sql(),
         "doc_keywords": pipe.doc_keywords_sql(),
         "repetition_stats": pipe.repetition_stats_sql(),
         "contamination": pipe.contamination_sql(),

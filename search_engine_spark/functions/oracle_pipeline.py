@@ -2270,3 +2270,30 @@ SELECT f.doc_id,
        coalesce(a.clean_text, '') AS clean_text
 FROM flags f LEFT JOIN agg a USING (doc_id)
 """
+
+
+def ccnet_buckets_sql(table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::ccnet_buckets — per-language
+    perplexity terciles on the rounded lm_ppl, doc_id-asc ties.
+    Returns (doc_id, lang, lm_ppl, bucket)."""
+    return f"""
+WITH {terms_cte(table)},
+tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tc GROUP BY term),
+tot AS (SELECT sum(cf) AS t FROM cf),
+per_doc AS (
+  SELECT tc.doc_id,
+         round(exp(-(sum(tc.tf * ln(cf.cf / tot.t)) / sum(tc.tf))), 4) AS lm_ppl
+  FROM tc JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY tc.doc_id
+),
+ranked AS (
+  SELECT p.doc_id, d.lang, p.lm_ppl,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.lm_ppl ASC, p.doc_id ASC) AS nt
+  FROM per_doc p JOIN {table} d USING (doc_id)
+)
+SELECT doc_id, lang, lm_ppl,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+"""

@@ -494,3 +494,39 @@ def quality_model_scores(docs: DataFrame) -> DataFrame:
     return q.select(
         "doc_id", p.alias("p_keep"), (p >= QM_THRESHOLD).alias("keep")
     )
+
+
+def ccnet_buckets(docs: DataFrame, postings: DataFrame) -> DataFrame:
+    """CCNet perplexity buckets → (doc_id, lang, lm_ppl, bucket): per
+    LANGUAGE, rank documents by unigram-LM perplexity ascending and
+    split into equal terciles head / middle / tail (Wenzek et al.,
+    "CCNet", 2020 §4.4 — head ≈ Wikipedia-like, tail ≈ noisy; training
+    recipes typically keep head+middle or reweight by bucket).
+
+    Determinism: ranking uses the ROUNDED lm_ppl with doc_id-asc ties —
+    the same pinned total-order trick as every ranked surface here.
+    Docs with no retained tokens have no LM evidence and are excluded
+    (CCNet drops empties before scoring).
+
+    Plan: unigram_lm_scores (two corpus aggs + a vocab join), one
+    doc_id join for lang, then ntile over a per-language window — the
+    per-partition sort IS CCNet's per-language sort; languages
+    parallelize independently, and a skewed giant language would move
+    to approx-quantile thresholds (three fixed cutpoints) rather than a
+    full sort."""
+    from pyspark.sql import Window
+
+    scores = unigram_lm_scores(postings).select("doc_id", "lm_ppl")
+    joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_ppl").asc(), F.col("doc_id").asc()
+    )
+    nt = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "lang",
+        "lm_ppl",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), nt
+        ).alias("bucket"),
+    )

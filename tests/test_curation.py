@@ -304,3 +304,37 @@ def test_c4_short_final_line_is_counted_but_not_kept(spark):
     )
     row = c4_clean(docs).collect()[0]
     assert row["n_lines"] == 1 and row["n_kept"] == 0
+
+
+# ---------------------------------------------------------- CCNet buckets
+
+
+def test_ccnet_terciles_are_per_language_and_ordered(spark):
+    """Buckets split each language independently into near-equal thirds,
+    and every head doc has perplexity <= every tail doc of its lang."""
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.textstats import ccnet_buckets
+
+    rows = [
+        (i, "common words " * 3 + f"rare{i} " * (i % 4), "en") for i in range(9)
+    ] + [
+        (100 + i, "mots communs " * 3 + f"rare{i} " * (i % 3), "fr")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(docs, build_postings(docs)).toPandas()
+    for lang, grp in out.groupby("lang"):
+        sizes = grp.bucket.value_counts()
+        assert max(sizes) - min(sizes) <= 1
+        assert grp[grp.bucket == "head"].lm_ppl.max() <= \
+            grp[grp.bucket == "tail"].lm_ppl.min()
+
+
+def test_ccnet_excludes_empty_docs(spark):
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.textstats import ccnet_buckets
+
+    rows = [(1, "some data here", "en"), (2, "", "en"), (3, "more data", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(docs, build_postings(docs)).toPandas()
+    assert sorted(out.doc_id) == [1, 3]
