@@ -1393,6 +1393,19 @@ def _q_search_hybrid(spark, sf_dir):
     )
 
 
+def _q_facet_stats(spark, sf_dir):
+    """ES stats aggregation of n_chars over the conjunctive hit set."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.facet_stats(docs, postings, Q_AND2)
+
+
+def _q_search_sorted(spark, sf_dir):
+    """Sort-by-field search: conjunctive matches ordered by crawl time
+    (newest first) instead of relevance."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_sorted_by_time(docs, postings, Q_AND2)
+
+
 def _q_search_filtered(spark, sf_dir):
     """BM25 in filter context: non-scoring metadata gate (lang='en' AND
     inside the crawl window) over the disjunctive common-term query —
@@ -1625,6 +1638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_msm": _q_search_msm,
         "search_lmd": _q_search_lmd,
         "search_filtered": _q_search_filtered,
+        "facet_stats": _q_facet_stats,
+        "search_sorted": _q_search_sorted,
         "search_hybrid": _q_search_hybrid,
         "search_rerank": _q_search_rerank,
         "datehist_pipeline": _q_datehist_pipeline,
@@ -1665,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_blocks": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "search_boolean": _boolean_oracle(),
         "facet_by_site": ora.facet_by_site_sql(Q_GATE),
+        "facet_stats": ora.facet_stats_sql(Q_AND2),
+        "search_sorted": ora.search_sorted_by_time_sql(Q_AND2),
         "more_like_this": ora.more_like_this_sql(MLT_SEED_DOC),
         "search_synonyms": _synonyms_oracle(),
         "collocations": ora.collocations_sql(),

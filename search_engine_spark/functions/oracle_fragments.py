@@ -523,6 +523,53 @@ ORDER BY n_hits DESC, site_key ASC
 """
 
 
+def facet_stats_sql(query_terms: list[str], field: str = "n_chars",
+                    table: str = "documents") -> str:
+    """Mirrors operators/search.py::facet_stats — ES stats agg of a
+    numeric doc field over the conjunctive hit set."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id FROM post GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+)
+SELECT count(*)::BIGINT AS n_hits,
+       min(d.{field})::BIGINT AS min_v,
+       max(d.{field})::BIGINT AS max_v,
+       sum(d.{field})::BIGINT AS sum_v,
+       round(avg(d.{field}), 4) AS avg_v
+FROM hits h JOIN {table} d USING (doc_id)
+"""
+
+
+def search_sorted_by_time_sql(query_terms: list[str], limit: int = 20,
+                              table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_sorted_by_time — conjunctive
+    match set ordered by derived crawl epoch desc, doc_id asc."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id, sum(tf)::BIGINT AS score_abs
+  FROM post GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+)
+SELECT doc_id, score_abs, (1704067200 + 60 * doc_id)::BIGINT AS epoch_s
+FROM hits
+ORDER BY epoch_s DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
 def collocations_sql(min_count: int = 5, k: int = 20,
                      table: str = "documents") -> str:
     """Mirrors operators/textstats.py::collocations — adjacent-bigram PMI

@@ -482,6 +482,62 @@ def facet_by_site(
     )
 
 
+def facet_stats(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    field: str = "n_chars",
+) -> DataFrame:
+    """ES `stats` aggregation over the hit set → one row
+    (n_hits, min_v, max_v, sum_v, avg_v) of a numeric document field
+    for the conjunctive query — the sidebar summary ("results range
+    from X to Y chars") the reference's flat list can't answer.
+
+    Scale shape: the isin-pruned conjunctive hit aggregation, one
+    doc_id-keyed join to a 2-column docs projection, then a scalar
+    agg — partial-aggregated map-side into a single-row exchange; no
+    window, nothing corpus-sized after the postings scan."""
+    hits = _conjunctive_hits(postings, terms)
+    vals = hits.join(docs.select("doc_id", field), "doc_id")
+    return vals.agg(
+        F.count("*").alias("n_hits"),
+        F.min(field).cast("long").alias("min_v"),
+        F.max(field).cast("long").alias("max_v"),
+        F.sum(field).cast("long").alias("sum_v"),
+        F.round(F.avg(field), 4).alias("avg_v"),
+    )
+
+
+def search_sorted_by_time(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    limit: int = 20,
+) -> DataFrame:
+    """Sort-by-field search → (doc_id, score_abs, epoch_s): the ES
+    `sort: [{warc_ts: desc}]` surface — the conjunctive match set
+    ordered by crawl time (newest first, doc_id asc ties) instead of by
+    relevance; the Σtf score is still returned for display. Distinct
+    from `blend_recency` (which mixes recency INTO the score): here the
+    field IS the order.
+
+    Plan: match set from the isin-pruned postings agg, one doc_id join
+    for the timestamp (cast to epoch seconds — exact, the internal
+    representation), TakeOrderedAndProject for the bounded top-k."""
+    hits = _conjunctive_hits(postings, terms)
+    return (
+        hits.join(
+            docs.select(
+                "doc_id", F.col("warc_ts").cast("long").alias("epoch_s")
+            ),
+            "doc_id",
+        )
+        .orderBy(F.col("epoch_s").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+        .select("doc_id", "score_abs", "epoch_s")
+    )
+
+
 def related_terms(postings: DataFrame, probe: str, k: int = 15) -> DataFrame:
     """Related-terms suggestion: terms co-occurring with `probe` at the
     document level, scored by lift = P(t | probe) / P(t) =

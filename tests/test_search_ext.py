@@ -268,3 +268,30 @@ def test_filter_context_empty_filter_empties_result(spark, ctx):
     assert se.search_bm25_filtered(
         postings, td, ds, n, avgdl, ["data"], allowed
     ).count() == 0
+
+
+# ---------------------------------------------------- stats agg + field sort
+
+def test_facet_stats_matches_hand_aggregation(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    row = se.facet_stats(docs, postings, q).collect()[0]
+    hits = se._conjunctive_hits(postings, q).toPandas()
+    vals = docs.select("doc_id", "n_chars").toPandas().set_index("doc_id") \
+        .loc[hits.doc_id, "n_chars"]
+    assert row["n_hits"] == len(vals)
+    assert row["min_v"] == vals.min() and row["max_v"] == vals.max()
+    assert row["sum_v"] == vals.sum()
+    assert row["avg_v"] == round(float(vals.mean()), 4)
+
+
+def test_sort_by_time_is_match_set_ordered_by_epoch(spark, ctx):
+    """Same doc set as the conjunctive query, order = crawl time desc
+    (not relevance)."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    srt = se.search_sorted_by_time(docs, postings, q, limit=10_000).toPandas()
+    hits = se._conjunctive_hits(postings, q).toPandas()
+    assert set(srt.doc_id) == set(hits.doc_id)
+    keys = list(zip(-srt.epoch_s, srt.doc_id))
+    assert keys == sorted(keys)
