@@ -1406,6 +1406,12 @@ def _q_search_sorted(spark, sf_dir):
     return se.search_sorted_by_time(docs, postings, Q_AND2)
 
 
+def _q_facet_top_hits(spark, sf_dir):
+    """ES top_hits: best 3 hits inside every site facet bucket."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.facet_top_hits(docs, postings, Q_AND2)
+
+
 def _q_search_filtered(spark, sf_dir):
     """BM25 in filter context: non-scoring metadata gate (lang='en' AND
     inside the crawl window) over the disjunctive common-term query —
@@ -1639,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_lmd": _q_search_lmd,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
+        "facet_top_hits": _q_facet_top_hits,
         "search_sorted": _q_search_sorted,
         "search_hybrid": _q_search_hybrid,
         "search_rerank": _q_search_rerank,
@@ -1681,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "search_boolean": _boolean_oracle(),
         "facet_by_site": ora.facet_by_site_sql(Q_GATE),
         "facet_stats": ora.facet_stats_sql(Q_AND2),
+        "facet_top_hits": ora.facet_top_hits_sql(Q_AND2),
         "search_sorted": ora.search_sorted_by_time_sql(Q_AND2),
         "more_like_this": ora.more_like_this_sql(MLT_SEED_DOC),
         "search_synonyms": _synonyms_oracle(),

@@ -570,6 +570,35 @@ LIMIT {int(limit)}
 """
 
 
+def facet_top_hits_sql(query_terms: list[str], per_site: int = 3,
+                       table: str = "documents") -> str:
+    """Mirrors operators/search.py::facet_top_hits — per-site-bucket
+    top hits (score_abs desc, doc_id asc)."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id, sum(tf)::BIGINT AS score_abs
+  FROM post GROUP BY doc_id
+  HAVING count(DISTINCT term) = {n}
+),
+ranked AS (
+  SELECT {SITE_KEY_SQL} AS site_key, doc_id, score_abs,
+         row_number() OVER (PARTITION BY {SITE_KEY_SQL}
+                            ORDER BY score_abs DESC, doc_id ASC)::INT
+           AS site_rank
+  FROM hits
+)
+SELECT site_key, doc_id, score_abs, site_rank
+FROM ranked WHERE site_rank <= {int(per_site)}
+ORDER BY site_key ASC, site_rank ASC
+"""
+
+
 def collocations_sql(min_count: int = 5, k: int = 20,
                      table: str = "documents") -> str:
     """Mirrors operators/textstats.py::collocations — adjacent-bigram PMI

@@ -538,6 +538,42 @@ def search_sorted_by_time(
     )
 
 
+def facet_top_hits(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    per_site: int = 3,
+) -> DataFrame:
+    """ES `top_hits` sub-aggregation → (site_key, doc_id, score_abs,
+    site_rank): the best ``per_site`` hits INSIDE each site facet bucket
+    (score_abs desc, doc_id asc), the "show 3 results per domain"
+    grouped-SERP surface. Differs from `collapse_hits` (which keeps a
+    global top-k after per-group capping): here every bucket reports its
+    own top hits.
+
+    Scale shape: the window partitions by site_key — facet-bucket
+    cardinality (~#domains), each holding only that site's members of
+    the already-conjunctive hit set; WindowGroupLimit pushes the
+    per-partition limit before the full sort materializes. Ordered
+    site_key asc, site_rank asc."""
+    from pyspark.sql import Window
+
+    from ..sources.documents import site_key_col
+
+    hits = _conjunctive_hits(postings, terms)
+    sites = docs.select("doc_id").withColumn("site_key", site_key_col())
+    w = Window.partitionBy("site_key").orderBy(
+        F.col("score_abs").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.join(sites, "doc_id")
+        .withColumn("site_rank", F.row_number().over(w))
+        .filter(F.col("site_rank") <= int(per_site))
+        .select("site_key", "doc_id", "score_abs", "site_rank")
+        .orderBy(F.col("site_key").asc(), F.col("site_rank").asc())
+    )
+
+
 def related_terms(postings: DataFrame, probe: str, k: int = 15) -> DataFrame:
     """Related-terms suggestion: terms co-occurring with `probe` at the
     document level, scored by lift = P(t | probe) / P(t) =

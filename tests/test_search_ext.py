@@ -295,3 +295,14 @@ def test_sort_by_time_is_match_set_ordered_by_epoch(spark, ctx):
     assert set(srt.doc_id) == set(hits.doc_id)
     keys = list(zip(-srt.epoch_s, srt.doc_id))
     assert keys == sorted(keys)
+
+
+def test_facet_top_hits_caps_per_bucket_and_orders(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    out = se.facet_top_hits(docs, postings, ["data", "fast"], per_site=2) \
+        .toPandas()
+    for site, grp in out.groupby("site_key"):
+        assert len(grp) <= 2
+        assert list(grp.site_rank) == list(range(1, len(grp) + 1))
+        keys = list(zip(-grp.score_abs, grp.doc_id))
+        assert keys == sorted(keys)
