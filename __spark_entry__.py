@@ -214,6 +214,15 @@ def _q_prefix_suggest(spark, sf_dir):
     return se.prefix_suggest(td, PREFIX_PROBE)
 
 
+def _q_next_word(spark, sf_dir):
+    """Context-aware typeahead: bigram continuations of 'data', ranked
+    by corpus adjacency count."""
+    from search_engine_spark.operators.positional import build_positional
+
+    pos = build_positional(load_documents(spark, sf_dir))
+    return se.next_word_suggest(pos, "data")
+
+
 def _q_postings_positional(spark, sf_dir):
     """Positional postings relation (doc_id, term, pos): one row per
     retained token occurrence, pos = 0-based index in the doc's
@@ -1526,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_terms": _q_related_terms,
         "spell_suggest": _q_spell_suggest,
         "prefix_suggest": _q_prefix_suggest,
+        "next_word": _q_next_word,
         "postings_positional": _q_postings_positional,
         "search_phrase": _q_search_phrase,
         "positional_blocks_roundtrip": _q_positional_blocks_roundtrip,
@@ -1681,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "related_terms": ora.related_terms_sql(RELATED_PROBE),
         "spell_suggest": ora.spell_suggest_sql(SPELL_PROBE),
         "prefix_suggest": ora.prefix_suggest_sql(PREFIX_PROBE),
+        "next_word": ora.next_word_suggest_sql("data"),
         "postings_positional": ora.positional_postings_sql(),
         "search_phrase": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "positional_blocks_roundtrip": ora.positional_postings_sql(),

@@ -570,6 +570,25 @@ LIMIT {int(limit)}
 """
 
 
+def next_word_suggest_sql(prev_word: str, prefix: str = "", k: int = 10,
+                          table: str = "documents") -> str:
+    """Mirrors operators/search.py::next_word_suggest — bigram
+    continuations of prev_word, optional prefix filter, count desc."""
+    pw = prev_word.strip().lower()
+    pf = prefix.strip().lower()
+    pred = f"AND b.term LIKE '{pf}%'" if pf else ""
+    return f"""
+WITH {positional_terms_cte(table)}
+SELECT b.term, count(*)::BIGINT AS n
+FROM pos_terms a JOIN pos_terms b
+  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{pw}' {pred}
+GROUP BY b.term
+ORDER BY n DESC, b.term ASC
+LIMIT {int(k)}
+"""
+
+
 def facet_top_hits_sql(query_terms: list[str], per_site: int = 3,
                        table: str = "documents") -> str:
     """Mirrors operators/search.py::facet_top_hits — per-site-bucket

@@ -728,6 +728,49 @@ def prefix_suggest(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     )
 
 
+def next_word_suggest(
+    positional: DataFrame,
+    prev_word: str,
+    prefix: str = "",
+    k: int = 10,
+) -> DataFrame:
+    """Context-aware typeahead → (term, n): completions of the word being
+    typed, conditioned on the PREVIOUS word — rank the corpus bigram
+    continuations of ``prev_word`` (optionally prefix-filtered), count
+    desc then term asc. This is the shingle-based "search-as-you-type"
+    suggester (ES search_as_you_type's 2-shingle subfield): where
+    `prefix_suggest` ranks by global df, this ranks by what actually
+    follows the context word.
+
+    Scale shape: both sides of the adjacency self-join are the positional
+    relation FILTERED FIRST — the left to the single prev_word (term-
+    pruned scan), the right by the prefix range predicate — then one
+    doc_id+pos equi-join and a map-side-combinable count. On a persisted
+    index the left side is one term's postings, so join input is
+    O(cf(prev_word)), not the corpus. (A production system would
+    precompute the bigram table once — `collocations` is exactly that
+    aggregation — and serve from it; this is the online form.)"""
+    w = prev_word.strip().lower()
+    left = positional.filter(F.col("term") == w).select(
+        F.col("doc_id").alias("l_doc"), F.col("pos").alias("p0")
+    )
+    right = positional.select("doc_id", "pos", F.col("term").alias("nxt"))
+    if prefix:
+        right = right.filter(F.col("nxt").startswith(prefix.strip().lower()))
+    pairs = left.join(
+        right,
+        (F.col("l_doc") == F.col("doc_id"))
+        & (F.col("pos") == F.col("p0") + 1),
+    )
+    return (
+        pairs.groupBy("nxt")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("nxt").alias("term"), "n")
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(int(k))
+    )
+
+
 def more_like_this(
     postings: DataFrame,
     term_dict: DataFrame,

@@ -306,3 +306,19 @@ def test_facet_top_hits_caps_per_bucket_and_orders(spark, ctx):
         assert list(grp.site_rank) == list(range(1, len(grp) + 1))
         keys = list(zip(-grp.score_abs, grp.doc_id))
         assert keys == sorted(keys)
+
+
+def test_next_word_counts_adjacent_bigrams_and_prefix_filters(spark):
+    from search_engine_spark.operators.positional import build_positional
+
+    rows = [
+        (1, "data fast data fast data slow"),
+        (2, "data fast other data far"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = build_positional(docs)
+    out = {r["term"]: r["n"] for r in se.next_word_suggest(pos, "data").collect()}
+    assert out == {"fast": 3, "slow": 1, "far": 1}
+    pref = {r["term"]: r["n"]
+            for r in se.next_word_suggest(pos, "data", prefix="fa").collect()}
+    assert pref == {"fast": 3, "far": 1}
