@@ -1221,6 +1221,22 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_counts(_load_events(spark, sf_dir))
 
 
+def _q_events_attribution(spark, sf_dir):
+    """Per-user view→click interval join (the batch twin of the
+    watermarked stream-stream join)."""
+    from search_engine_spark.operators.events import attribution_pairs
+
+    return attribution_pairs(_load_events(spark, sf_dir))
+
+
+def _q_events_last_touch(spark, sf_dir):
+    """Last-touch attribution: each click credited to its latest
+    qualifying view (max_by, no per-click window sort)."""
+    from search_engine_spark.operators.events import last_touch_attribution
+
+    return last_touch_attribution(_load_events(spark, sf_dir))
+
+
 def _q_events_sessionize(spark, sf_dir):
     from search_engine_spark.operators.events import sessionize
 
@@ -1640,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": _q_rel_rollup,
         "rel_topk_per_group": _q_rel_topk_group,
         "events_windowed": _q_events_windowed,
+        "events_attribution": _q_events_attribution,
+        "events_last_touch": _q_events_last_touch,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
         "events_rollup": _q_events_rollup,
@@ -1820,6 +1838,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": pipe.status_rollup_sql(),
         "rel_topk_per_group": pipe.top_parts_sql(),
         "events_windowed": pipe.events_windowed_sql(),
+        "events_attribution": pipe.attribution_pairs_sql(),
+        "events_last_touch": pipe.last_touch_attribution_sql(),
         "events_sessionize": pipe.events_sessionize_sql(),
         "events_props": pipe.events_props_sql(),
         "events_rollup": pipe.events_rollup_sql(),

@@ -2297,3 +2297,62 @@ SELECT doc_id, lang, lm_ppl,
        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM ranked
 """
+
+
+def attribution_pairs_sql(window_secs: int | None = None,
+                          table: str = "events") -> str:
+    """Mirrors operators/events.py::attribution_pairs — per-user
+    view→click pairs within the window. Returns
+    (view_id, click_id, user_id, lag_s)."""
+    from ..operators import events as ev
+
+    w = int(window_secs if window_secs is not None
+            else ev.ATTRIBUTION_WINDOW_SECS)
+    return f"""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, epoch_us(ts)::BIGINT AS v_us
+  FROM {table} WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts)::BIGINT AS c_us
+  FROM {table} WHERE event_type = 'click'
+)
+SELECT v.view_id, c.click_id, v.user_id,
+       ((c.c_us - v.v_us) // 1000000)::BIGINT AS lag_s
+FROM v JOIN c USING (user_id)
+WHERE c.c_us >= v.v_us AND c.c_us <= v.v_us + {w}::BIGINT * 1000000
+"""
+
+
+def last_touch_attribution_sql(window_secs: int | None = None,
+                               table: str = "events") -> str:
+    """Mirrors operators/events.py::last_touch_attribution — each click
+    credited to its latest qualifying view (min lag; ties → max
+    view_id)."""
+    from ..operators import events as ev
+
+    w = int(window_secs if window_secs is not None
+            else ev.ATTRIBUTION_WINDOW_SECS)
+    return f"""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, epoch_us(ts)::BIGINT AS v_us
+  FROM {table} WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts)::BIGINT AS c_us
+  FROM {table} WHERE event_type = 'click'
+),
+pairs AS (
+  SELECT v.view_id, c.click_id, v.user_id,
+         ((c.c_us - v.v_us) // 1000000)::BIGINT AS lag_s
+  FROM v JOIN c USING (user_id)
+  WHERE c.c_us >= v.v_us AND c.c_us <= v.v_us + {w}::BIGINT * 1000000
+),
+ranked AS (
+  SELECT click_id, user_id, view_id, lag_s,
+         row_number() OVER (PARTITION BY click_id
+                            ORDER BY lag_s ASC, view_id DESC) AS rn
+  FROM pairs
+)
+SELECT click_id, user_id, view_id, lag_s FROM ranked WHERE rn = 1
+"""

@@ -106,3 +106,77 @@ def type_rollup(events: DataFrame) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+ATTRIBUTION_WINDOW_SECS = 3600
+
+
+def attribution_pairs(
+    events: DataFrame, window_secs: int = ATTRIBUTION_WINDOW_SECS
+) -> DataFrame:
+    """Interval self-join → (view_id, click_id, user_id, lag_s): every
+    (view, click) pair by the same user where the click lands in
+    [view.ts, view.ts + window_secs] — the raw attribution relation of
+    every ads/analytics pipeline, and the batch twin of the
+    stream-stream interval join (streaming/stream_attribution.py).
+
+    Plan: both sides filter by event_type FIRST (scan-level pruning),
+    the join is an equi-join on user_id with the time bound as a
+    residual range predicate — per-user data, maximal-cardinality key,
+    no broadcast of either corpus-sized side. lag_s is exact integer
+    epoch arithmetic (no float)."""
+    # microsecond-exact epochs (same emitter as sessionize: unix_micros
+    # over the NTZ->timestamp cast, session TZ pinned to UTC)
+    v_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        v_us.alias("v_us"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        v_us.alias("c_us"),
+    )
+    w_us = int(window_secs) * 1_000_000
+    return (
+        v.join(c, "user_id")
+        .filter(
+            (F.col("c_us") >= F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + w_us)
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            ((F.col("c_us") - F.col("v_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("lag_s"),
+        )
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame, window_secs: int = ATTRIBUTION_WINDOW_SECS
+) -> DataFrame:
+    """Last-touch attribution → (click_id, user_id, view_id, lag_s):
+    each click credited to the LATEST qualifying view (max view ts; ties
+    → highest view_id — pinned total order). One max_by aggregation over
+    the pair relation: map-side partial agg forwards one candidate per
+    click per partition, no per-click window sort."""
+    pairs = attribution_pairs(events, window_secs)
+    best = F.max_by(
+        F.struct(F.col("view_id"), F.col("lag_s")),
+        # latest view == smallest lag; maximize (-lag_s, view_id)
+        F.struct((-F.col("lag_s")).alias("k1"), F.col("view_id").alias("k2")),
+    ).alias("b")
+    return (
+        pairs.groupBy("click_id", "user_id")
+        .agg(best)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("b.view_id").alias("view_id"),
+            F.col("b.lag_s").alias("lag_s"),
+        )
+    )

@@ -295,3 +295,31 @@ def test_stream_percolate_matches_batch(spark, tmp_path):
     want = percolate(build_postings(docs)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert want  # non-vacuous: the stored queries match fixture docs
+
+
+def test_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == batch interval join:
+    same (view, click, lag) multiset after both micro-batches land."""
+    from search_engine_spark.operators.events import attribution_pairs
+    from search_engine_spark.streaming.stream_attribution import (
+        run_attribution_to_memory,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    landing = str(tmp_path / "landing")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        landing + "/part1"
+    )
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        landing + "/part2"
+    )
+    got = run_attribution_to_memory(
+        spark, landing + "/part*", str(tmp_path / "ckpt")
+    )
+    want = attribution_pairs(events)
+    key = lambda df: sorted(
+        (r["view_id"], r["click_id"], r["user_id"], r["lag_s"])
+        for r in df.collect()
+    )
+    assert key(got) == key(want)
+    assert len(key(got)) > 0
