@@ -944,6 +944,14 @@ def _q_c4_clean(spark, sf_dir):
     return c4_clean(c4_augment(load_documents(spark, sf_dir)))
 
 
+def _q_snapshot_delta(spark, sf_dir):
+    """Crawl-snapshot diff: added/removed/changed/unchanged per logical
+    page between the cutoff crawl cut and now."""
+    from search_engine_spark.operators.curation import snapshot_delta
+
+    return snapshot_delta(load_documents(spark, sf_dir))
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance log-weights (Xie et al. 2023): hashed
     unigram+bigram bucket models, target = English docs vs raw corpus."""
@@ -1611,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "pii_redact": _q_pii_redact,
         "dsir_weights": _q_dsir_weights,
+        "snapshot_delta": _q_snapshot_delta,
         "c4_clean": _q_c4_clean,
         "domain_stats": _q_domain_stats,
         "lang_id": _q_lang_id,
@@ -1779,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": pipe.line_dedup_sql(),
         "pii_redact": pipe.pii_redact_sql(),
         "dsir_weights": pipe.dsir_weights_sql(),
+        "snapshot_delta": pipe.snapshot_delta_sql(),
         "c4_clean": pipe.c4_clean_sql(),
         "domain_stats": pipe.domain_stats_sql(),
         "lang_id": pipe.language_id_sql(),

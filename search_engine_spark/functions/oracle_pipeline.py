@@ -2356,3 +2356,51 @@ ranked AS (
 )
 SELECT click_id, user_id, view_id, lag_s FROM ranked WHERE rn = 1
 """
+
+
+def snapshot_delta_sql(cutoff_epoch: int | None = None,
+                       table: str = "documents") -> str:
+    """Mirrors operators/curation.py::snapshot_delta — newest-live-at-cut
+    vs newest-overall per logical page, classified added / removed /
+    changed / unchanged. Returns (page_key, status, old_doc, new_doc)."""
+    from .oracle_fragments import PARSEABLE_SQL
+
+    cut = int(cutoff_epoch if cutoff_epoch is not None
+              else cu.DELTA_CUTOFF_EPOCH)
+    return f"""
+WITH rev AS (
+  SELECT (doc_id % {cu.PAGE_KEY_MOD}) AS page_key, doc_id,
+         (1704067200 + 60 * doc_id)::BIGINT AS epoch,
+         {PARSEABLE_SQL} AS is_live,
+         md5(text) AS fp
+  FROM {table}
+),
+old AS (
+  SELECT page_key, doc_id AS old_doc, fp AS old_fp
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_key
+                                 ORDER BY epoch DESC, doc_id DESC) AS rn
+    FROM rev WHERE is_live AND epoch <= {cut}
+  ) WHERE rn = 1
+),
+new AS (
+  SELECT page_key, doc_id AS new_doc_raw, is_live AS new_live, fp AS new_fp
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY page_key
+                                 ORDER BY epoch DESC, doc_id DESC) AS rn
+    FROM rev
+  ) WHERE rn = 1
+)
+SELECT n.page_key,
+       CASE
+         WHEN o.old_doc IS NULL AND n.new_live THEN 'added'
+         WHEN o.old_doc IS NOT NULL AND NOT n.new_live THEN 'removed'
+         WHEN o.old_doc IS NOT NULL AND n.new_live
+              AND o.old_fp <> n.new_fp THEN 'changed'
+         WHEN o.old_doc IS NOT NULL AND n.new_live THEN 'unchanged'
+       END AS status,
+       o.old_doc,
+       CASE WHEN n.new_live THEN n.new_doc_raw END AS new_doc
+FROM new n LEFT JOIN old o USING (page_key)
+WHERE NOT (o.old_doc IS NULL AND NOT n.new_live)
+"""

@@ -592,3 +592,80 @@ def c4_clean(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# ------------------------------------------------------------ snapshot delta
+
+DELTA_CUTOFF_EPOCH = 1704067200 + 60 * 250  # fixture: revisions split ~50/50
+
+
+def snapshot_delta(
+    docs: DataFrame, cutoff_epoch: int = DELTA_CUTOFF_EPOCH
+) -> DataFrame:
+    """Crawl-snapshot diff → (page_key, status, old_doc, new_doc): compare
+    each logical page's newest LIVE revision at the ``cutoff_epoch`` crawl
+    cut against its newest live revision overall, and classify —
+
+      added      no live revision at the cut, live now
+      removed    live at the cut, newest revision now dead (non-parseable
+                 fetch: the crawler revisited and got an error page)
+      changed    live in both, content fingerprint differs
+      unchanged  live in both, fingerprint equal
+
+    This is the snapshot-delta report that drives incremental reindexing
+    (only `added`+`changed` pages re-enter the build; `removed` become
+    tombstones) — the batch analogue of the reference's one-page upsert
+    decision (PageAnalyzer.java:301-360 diffs stored vs fresh state).
+
+    Plan: ONE scan → two max_by aggregations per page_key (newest-live
+    at cut, newest revision overall) in a single groupBy — max_by
+    partial-aggregates map-side exactly like latest_revisions, so the
+    shuffle carries two candidate structs per page per partition; the
+    classification is a pure projection. Pages dead in BOTH snapshots
+    drop out (never indexed, nothing to report)."""
+    from ..sources.documents import http_code_col
+
+    live = (http_code_col() == 200) & (F.trim(F.col("text")) != "")
+    rev = with_page_key(docs).select(
+        "page_key",
+        F.col("doc_id"),
+        F.col("warc_ts").cast("timestamp").alias("ts"),
+        live.alias("is_live"),
+        F.md5(F.col("text")).alias("fp"),
+    ).withColumn("epoch", F.unix_micros(F.col("ts")) / F.lit(1_000_000))
+    old_key = F.when(
+        F.col("is_live") & (F.col("epoch") <= F.lit(int(cutoff_epoch))),
+        F.struct(F.col("epoch"), F.col("doc_id")),
+    )
+    new_any = F.max_by(
+        F.struct(
+            F.col("doc_id"), F.col("is_live"), F.col("fp")
+        ),
+        F.struct(F.col("epoch"), F.col("doc_id")),
+    )
+    agg = rev.groupBy("page_key").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("fp")), old_key
+        ).alias("old"),
+        new_any.alias("new"),
+    )
+    old_live = F.col("old").isNotNull()
+    new_live = F.col("new.is_live")
+    status = (
+        F.when(~old_live & new_live, F.lit("added"))
+        .when(old_live & ~new_live, F.lit("removed"))
+        .when(
+            old_live & new_live & (F.col("old.fp") != F.col("new.fp")),
+            F.lit("changed"),
+        )
+        .when(old_live & new_live, F.lit("unchanged"))
+    )
+    return (
+        agg.select(
+            "page_key",
+            status.alias("status"),
+            F.col("old.doc_id").alias("old_doc"),
+            F.when(new_live, F.col("new.doc_id")).alias("new_doc"),
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -338,3 +338,66 @@ def test_ccnet_excludes_empty_docs(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = ccnet_buckets(docs, build_postings(docs)).toPandas()
     assert sorted(out.doc_id) == [1, 3]
+
+
+# --------------------------------------------------------- snapshot delta
+
+
+def test_snapshot_delta_all_four_classes(spark):
+    """Crafted revision sets hit every class (the fixture only produces
+    changed/removed): http_code liveness derives from doc_id % 53 == 13
+    (404), so doc_ids are chosen around that rule."""
+    from search_engine_spark.operators.curation import snapshot_delta
+
+    EPOCH = 1704067200
+    # page_key = doc_id % 101; epoch = EPOCH + 60*doc_id; cutoff below
+    # splits doc_id <= 10 (old) from doc_id > 10 (new)
+    rows = [
+        # page 1: old live (doc 1), new live different text → changed
+        (1, "old text one"), (102, "new text one"),
+        # page 2: old live (doc 2), new live SAME text → unchanged
+        # (204 % 101 = 2; 204 % 53 = 45 → http 200, unlike 103 whose
+        # %53 = 50 lands on the in-flight-102 slice)
+        (2, "same text"), (204, "same text"),
+        # page 3: no old revision, new live → added
+        (104, "fresh page"),
+        # page 4: old live (doc 4), newest revision dead (404) → removed
+        (4, "will die"), (318, "dead fetch"),  # 318 % 53 == 0? no: 318%53=0→200!
+    ]
+    # doc 318 % 53 = 0 → live; need a dead newest: 13 % 53 == 13 is dead but
+    # 13 <= cutoff... use 225: 225 % 53 = 13 → 404, 225 % 101 = 23
+    rows[-1] = (4 + 101, "dead fetch")  # placeholder replaced below
+    rows = rows[:-2] + [(23, "will die"), (225, "dead fetch")]  # page 23
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).withColumn(
+        "warc_ts", F.timestamp_seconds(EPOCH + 60 * F.col("doc_id"))
+    )
+    cutoff = EPOCH + 60 * 100  # doc_id <= 100 is "old"
+    out = {r["page_key"]: r for r in snapshot_delta(docs, cutoff).collect()}
+    assert out[1]["status"] == "changed" and out[1]["old_doc"] == 1 \
+        and out[1]["new_doc"] == 102
+    assert out[2]["status"] == "unchanged"
+    assert out[3]["status"] == "added" and out[3]["old_doc"] is None \
+        and out[3]["new_doc"] == 104
+    assert out[23]["status"] == "removed" and out[23]["old_doc"] == 23 \
+        and out[23]["new_doc"] is None
+
+
+def test_snapshot_delta_drops_pages_dead_in_both(spark):
+    from search_engine_spark.operators.curation import snapshot_delta
+
+    from pyspark.sql import functions as F
+
+    # doc 13 (404, old side) and doc 225 (404, new side): pages never live
+    # → absent (13 % 101 = 13 and 225 % 101 = 23 are different pages, each
+    # with only dead revisions)
+    docs = spark.createDataFrame(
+        [(13, "dead old"), (225, "dead new")], "doc_id long, text string"
+    ).withColumn(
+        "warc_ts", F.timestamp_seconds(1704067200 + 60 * F.col("doc_id"))
+    )
+    out = snapshot_delta(docs, 1704067200 + 60 * 100).collect()
+    assert out == []
