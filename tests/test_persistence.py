@@ -297,3 +297,43 @@ def test_writer_seam_routes_all_physical_writes(spark, tmp_path, monkeypatch):
     assert calls["append_rows"] >= 3  # group commits + dict + reindex rows
     assert calls["replace_table"] >= 2  # term_dict after build and reindex
     assert calls["drop_partitions"] >= 2  # reindex empty-bucket cleanup
+
+
+def test_snapshot_delta_drives_incremental_to_scratch_state(
+    spark, docs, tmp_path
+):
+    """Close the incremental loop end-to-end: snapshot_delta says WHAT
+    changed between two crawl cuts; ONE reindex_docs call applying
+    exactly that delta (insert new revisions of added+changed pages,
+    delete superseded/removed old revisions) must leave the store
+    bit-identical (postings + term_dict) to a scratch build over the new
+    snapshot's live corpus."""
+    from search_engine_spark.operators.curation import snapshot_delta
+
+    delta = snapshot_delta(docs).collect()
+    old_ids = sorted(r["old_doc"] for r in delta if r["old_doc"] is not None)
+    new_ids = sorted(r["new_doc"] for r in delta if r["new_doc"] is not None)
+    assert old_ids and new_ids and set(old_ids) != set(new_ids)
+
+    store = _store(spark, tmp_path, "inc")
+    catalog.build_persistent(docs.filter(F.col("doc_id").isin(old_ids)), store)
+
+    insert_ids = [
+        r["new_doc"] for r in delta
+        if r["status"] in ("added", "changed") and r["new_doc"] is not None
+    ]
+    delete_ids = [
+        r["old_doc"] for r in delta
+        if r["status"] in ("changed", "removed") and r["old_doc"] is not None
+    ]
+    reindex_docs(
+        store,
+        docs.filter(F.col("doc_id").isin(insert_ids)),
+        delete_ids=delete_ids,
+    )
+
+    ref = _store(spark, tmp_path, "scratch")
+    catalog.build_persistent(docs.filter(F.col("doc_id").isin(new_ids)), ref)
+
+    assert _logical_postings(store) == _logical_postings(ref)
+    assert _term_dict(store) == _term_dict(ref)
