@@ -548,6 +548,46 @@ class SearchEngine:
         return {"result": True, "count": count, "data": data}
 
     # --------------------------------------------------------------- admin
+    def suggest(self, text: str, k: int = 10) -> dict:
+        """Search-box typeahead envelope: complete the TRAILING (partial)
+        word of ``text`` against the index dictionary —
+        {result, mode, suggestions: [{term, df}]}.
+
+        Routing (same decision tree a search UI wants):
+          * trailing prefix has dictionary completions → mode='prefix'
+            (sargable startswith scan, prefix_suggest);
+          * no completions but a distance-1 correction exists →
+            mode='spell' ("did you mean", SymSpell deletion probe);
+          * neither → mode='none', empty list.
+        The context-aware bigram ranker (operators/search.py::
+        next_word_suggest) needs the positional relation and stays an
+        operator-level surface; this facade serves the dictionary-only
+        paths any opened store can answer."""
+        self._require_built()
+        parts = [w for w in text.strip().lower().split() if w]
+        if not parts:
+            return {"result": True, "mode": "none", "suggestions": []}
+        prefix = parts[-1]
+        rows = se.prefix_suggest(self.term_dict, prefix, k=k).collect()
+        if rows:
+            return {
+                "result": True,
+                "mode": "prefix",
+                "suggestions": [
+                    {"term": r["term"], "df": int(r["df"])} for r in rows
+                ],
+            }
+        fixed = se.spell_suggest_batch(self.term_dict, [prefix])
+        if fixed.get(prefix):
+            term = fixed[prefix]
+            df = self._dict_probe([term]).get(term, 0)
+            return {
+                "result": True,
+                "mode": "spell",
+                "suggestions": [{"term": term, "df": int(df)}],
+            }
+        return {"result": True, "mode": "none", "suggestions": []}
+
     def percolate(self, queries=None) -> DataFrame:
         """Reverse search over the engine's corpus: match the stored
         conjunctive query set against every document (query_id, doc_id).

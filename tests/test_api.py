@@ -127,3 +127,27 @@ def test_engine_search_recency_and_percolate(spark):
     alerts = {tuple(r) for r in eng.percolate().collect()}
     want = {tuple(r) for r in percolate(ib.build_postings(docs)).collect()}
     assert alerts == want and alerts
+
+
+def test_suggest_prefix_spell_and_none_routes(spark, tmp_path):
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST).filter("doc_id < 120")
+    eng = SearchEngine(spark, docs=docs).build()
+
+    pre = eng.suggest("fast da")
+    assert pre["mode"] == "prefix"
+    terms = [s["term"] for s in pre["suggestions"]]
+    assert terms and all(t.startswith("da") for t in terms)
+    dfs = [s["df"] for s in pre["suggestions"]]
+    assert dfs == sorted(dfs, reverse=True)
+
+    sp = eng.suggest("datq")  # distance-1 typo of 'data', no 'datq*' terms
+    assert sp["mode"] == "spell"
+    assert sp["suggestions"][0]["term"] == "data"
+    assert sp["suggestions"][0]["df"] > 0
+
+    assert eng.suggest("zzqj")["mode"] == "none"
+    assert eng.suggest("   ")["suggestions"] == []
