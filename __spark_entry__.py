@@ -152,6 +152,7 @@ TV_DOC_IDS = [1, 2, 3, 7, 11]
 WILDCARD_PAT = "?a*"       # general route: LIKE '_a%'
 WILDCARD_REV_PAT = "*ge"   # leading wildcard: reversed-term route
 REGEXP_PAT = "[bd]at[ae].*|j[ou]in"  # classes + alternation + star
+QSTRING = "(data OR dup) AND fast AND NOT (slow scan)"  # nested grammar probe
 FILTER_EPOCH = 1704067200 + 60 * 240  # crawl-window cutoff: doc_id >= 240
 SPELL_PROBE = "dataa"  # misspelling: one insertion away from "data"
 
@@ -1377,6 +1378,13 @@ def _q_search_wildcard(spark, sf_dir):
     )
 
 
+def _q_search_qstring(spark, sf_dir):
+    """Nested boolean grammar (parens, OR, NOT): one parse evaluated as
+    doc-set algebra on both engines."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.search_query_string(docs, postings, QSTRING)
+
+
 def _q_search_regexp(spark, sf_dir):
     """Regexp query (Lucene RegexpQuery rewrite): full-term anchored
     dictionary expansion, disjunctive BM25 over the matched terms."""
@@ -1676,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "search_wildcard": _q_search_wildcard,
         "search_regexp": _q_search_regexp,
+        "search_qstring": _q_search_qstring,
         "search_wildcard_rev": _q_search_wildcard_rev,
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
@@ -1859,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": ora.significant_terms_sql(Q_AND2),
         "search_wildcard": ora.search_wildcard_sql(WILDCARD_PAT),
         "search_regexp": ora.search_regexp_sql(REGEXP_PAT),
+        "search_qstring": ora.search_query_string_sql(QSTRING),
         "search_wildcard_rev": ora.search_wildcard_sql(WILDCARD_REV_PAT),
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),

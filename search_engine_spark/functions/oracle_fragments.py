@@ -282,6 +282,57 @@ LIMIT {limit}
 """
 
 
+def search_query_string_sql(query: str, limit: int = 20,
+                            table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_query_string — the SAME
+    parse_query_tree AST rendered as set-algebra SQL (AND→INTERSECT,
+    OR→UNION, NOT→universe EXCEPT), ranked by Σtf over positive terms.
+    Single source of truth for the grammar: both engines evaluate one
+    parse."""
+    from ..operators.search import parse_query_tree
+
+    tree = parse_query_tree(query)
+    if tree is None:
+        return f"SELECT doc_id, 0::BIGINT AS score_abs FROM {table} WHERE 1=0"
+
+    def render(node) -> str:
+        kind = node[0]
+        if kind == "term":
+            return f"SELECT DISTINCT doc_id FROM terms WHERE term = '{node[1]}'"
+        if kind == "and":
+            return " INTERSECT ".join(f"({render(c)})" for c in node[1])
+        if kind == "or":
+            return " UNION ".join(f"({render(c)})" for c in node[1])
+        return f"(SELECT doc_id FROM {table}) EXCEPT ({render(node[1])})"
+
+    def pos_terms(node, neg=False) -> set[str]:
+        kind = node[0]
+        if kind == "term":
+            return set() if neg else {node[1]}
+        if kind == "not":
+            return pos_terms(node[1], not neg)
+        return set().union(*(pos_terms(c, neg) for c in node[1]))
+
+    pos = sorted(pos_terms(tree))
+    score = (
+        f"""sc AS (
+  SELECT doc_id, count(*)::BIGINT AS score_abs FROM terms
+  WHERE term IN {_terms_in(pos)} GROUP BY doc_id
+)"""
+        if pos
+        else "sc AS (SELECT doc_id, 0::BIGINT AS score_abs FROM terms WHERE 1=0)"
+    )
+    return f"""
+WITH {terms_cte(table)},
+m AS ({render(tree)}),
+{score}
+SELECT m.doc_id, coalesce(sc.score_abs, 0)::BIGINT AS score_abs
+FROM m LEFT JOIN sc USING (doc_id)
+ORDER BY score_abs DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
 def search_bm25_filtered_sql(query_terms: list[str], where: str,
                              k1: float = 1.2, b: float = 0.75,
                              limit: int = 20,

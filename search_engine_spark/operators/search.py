@@ -275,6 +275,192 @@ def search_bm25_after(
     )
 
 
+# ---------------------------------------------------- nested boolean grammar
+
+
+def parse_query_tree(query: str):
+    """Recursive-descent parser for the nested boolean grammar
+    (Lucene/ES query_string's boolean core):
+
+        expr   := and_expr ( OR and_expr )*
+        and_expr := unary ( [AND] unary )*     # adjacency = implicit AND
+        unary  := NOT unary | '(' expr ')' | word
+
+    Returns an AST of ('term', lemma) / ('and', [..]) / ('or', [..]) /
+    ('not', node). Operators are case-insensitive words AND/OR/NOT; every
+    plain word runs through the full analyzer (a word the analyzer drops
+    — stopword, non-word — vanishes: its clause collapses per the same
+    Q1 rule the flat parser applies). Raises ValueError on unbalanced
+    parens. Pure Python — unit-testable without Spark."""
+    toks: list[str] = []
+    buf = ""
+    for ch in query:
+        if ch in "()":
+            if buf:
+                toks.append(buf)
+                buf = ""
+            toks.append(ch)
+        elif ch.isspace():
+            if buf:
+                toks.append(buf)
+                buf = ""
+        else:
+            buf += ch
+    if buf:
+        toks.append(buf)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def word_kind(t):
+        return t.upper() if t and t.upper() in ("AND", "OR", "NOT") else None
+
+    def parse_expr():
+        nodes = [parse_and()]
+        while peek() and word_kind(peek()) == "OR":
+            nonlocal pos
+            pos += 1
+            nodes.append(parse_and())
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and():
+        nonlocal pos
+        nodes = []
+        while True:
+            t = peek()
+            if t is None or t == ")" or word_kind(t) == "OR":
+                break
+            if word_kind(t) == "AND":
+                pos += 1
+                continue
+            nodes.append(parse_unary())
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_unary():
+        nonlocal pos
+        t = peek()
+        if word_kind(t) == "NOT":
+            pos += 1
+            inner = parse_unary()
+            return None if inner is None else ("not", inner)
+        if t == "(":
+            pos += 1
+            inner = parse_expr()
+            if peek() != ")":
+                raise ValueError("unbalanced parentheses")
+            pos += 1
+            return inner
+        pos += 1
+        lemmas = tokenize(t)
+        if not lemmas:
+            return None
+        if len(lemmas) == 1:
+            return ("term", lemmas[0])
+        return ("and", [("term", w) for w in lemmas])
+
+    tree = parse_expr()
+    if peek() == ")":
+        raise ValueError("unbalanced parentheses")
+    return tree
+
+
+def _tree_terms(node) -> set[str]:
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "not":
+        return _tree_terms(node[1])
+    return set().union(*(_tree_terms(c) for c in node[1]))
+
+
+def search_query_string(
+    docs: DataFrame,
+    postings: DataFrame,
+    query: str,
+    limit: int = 20,
+) -> DataFrame:
+    """Nested boolean search → (doc_id, score_abs): evaluate the parsed
+    query tree as doc-set algebra — AND = inner join, OR = union
+    distinct, NOT = anti join against the docs universe — then rank the
+    surviving docs by Σtf over the POSITIVE terms they contain (the
+    reference's scorer; NOT-ed terms gate, never score — Lucene's
+    prohibited-clause rule).
+
+    Scale shape: every leaf is a single-term isin-pruned postings scan
+    projected to distinct doc_ids; all set ops are doc_id-keyed joins
+    (maximal-cardinality key — AQE picks broadcast for small branches).
+    The universe complement is one left-anti against the 1-column docs
+    projection, only materialized when the tree actually needs a
+    top-level NOT."""
+    tree = parse_query_tree(query)
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0).cast("bigint").alias("score_abs")
+    ).limit(0)
+    if tree is None:
+        return empty
+    universe = docs.select("doc_id")
+
+    def ev(node) -> DataFrame:
+        kind = node[0]
+        if kind == "term":
+            return (
+                postings.filter(F.col("term") == node[1])
+                .select("doc_id")
+                .distinct()
+            )
+        if kind == "and":
+            out = ev(node[1][0])
+            for child in node[1][1:]:
+                out = out.join(ev(child), "doc_id", "left_semi")
+            return out
+        if kind == "or":
+            out = ev(node[1][0])
+            for child in node[1][1:]:
+                out = out.unionByName(ev(child))
+            return out.distinct()
+        # not
+        return universe.join(ev(node[1]), "doc_id", "left_anti")
+
+    matched = ev(tree)
+
+    # positive terms = leaves under an even number of NOTs
+    def _pos_terms(node, neg=False) -> set[str]:
+        kind = node[0]
+        if kind == "term":
+            return set() if neg else {node[1]}
+        if kind == "not":
+            return _pos_terms(node[1], not neg)
+        return set().union(*(_pos_terms(c, neg) for c in node[1]))
+
+    pos_terms = sorted(_pos_terms(tree))
+    if pos_terms:
+        scores = (
+            postings.filter(F.col("term").isin(pos_terms))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("score_abs"))
+        )
+        out = matched.join(scores, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("score_abs"), F.lit(0)).cast("bigint")
+            .alias("score_abs"),
+        )
+    else:
+        out = matched.select(
+            "doc_id", F.lit(0).cast("bigint").alias("score_abs")
+        )
+    return (
+        out.orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )
+
+
 def search_bm25_filtered(
     postings: DataFrame,
     term_dict: DataFrame,

@@ -107,3 +107,85 @@ def test_proximity_counts_anchors(spark):
 def test_proximity_empty_phrase(spark):
     docs = _docs(spark, ["fast table"])
     assert search_proximity(docs, "the a", slop=1).collect() == []
+
+
+# -------------------------------------------------- nested boolean grammar
+
+
+def test_parse_query_tree_shapes():
+    from search_engine_spark.operators.search import parse_query_tree as p
+
+    assert p("data") == ("term", "data")
+    assert p("data fast") == ("and", [("term", "data"), ("term", "fast")])
+    assert p("data AND fast") == p("data fast")
+    assert p("data OR fast") == ("or", [("term", "data"), ("term", "fast")])
+    assert p("NOT data") == ("not", ("term", "data"))
+    t = p("(data OR dup) AND NOT (slow scan)")
+    assert t == (
+        "and",
+        [
+            ("or", [("term", "data"), ("term", "dup")]),
+            ("not", ("and", [("term", "slow"), ("term", "scan")])),
+        ],
+    )
+    # analyzer-dropped words vanish; all-stopword query parses to None
+    assert p("the a") is None
+    assert p("the data") == ("term", "data")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        p("(data OR fast")
+    with _pt.raises(ValueError):
+        p("data) OR fast")
+
+
+def test_query_string_set_semantics(spark):
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.search import search_query_string
+
+    rows = [
+        (1, "data fast"),
+        (2, "data slow"),
+        (3, "dup fast slow"),
+        (4, "fast"),
+        (5, "data dup"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    postings = build_postings(docs)
+
+    def ids(q):
+        return sorted(
+            r["doc_id"]
+            for r in search_query_string(docs, postings, q, limit=100).collect()
+        )
+
+    assert ids("data OR dup") == [1, 2, 3, 5]
+    assert ids("(data OR dup) AND fast") == [1, 3]
+    assert ids("(data OR dup) AND NOT slow") == [1, 5]
+    assert ids("NOT (data OR dup OR fast)") == []
+    assert ids("fast AND NOT (data OR dup)") == [4]
+    # top-level NOT = complement against the docs universe
+    assert ids("NOT slow") == [1, 4, 5]
+
+
+def test_query_string_flat_equals_search_boolean(spark):
+    """For a flat AND/NOT query the nested evaluator must agree with the
+    +/- parser's search_boolean."""
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.search import (
+        search_boolean,
+        search_query_string,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    postings = build_postings(docs)
+    nested = search_query_string(
+        docs, postings, "data AND fast AND NOT slow", limit=100
+    ).collect()
+    flat = search_boolean(postings, ["data", "fast"], ["slow"], limit=100) \
+        .collect()
+    assert [(r["doc_id"], r["score_abs"]) for r in nested] == [
+        (r["doc_id"], r["score_abs"]) for r in flat
+    ]
