@@ -189,3 +189,46 @@ def test_query_string_flat_equals_search_boolean(spark):
     assert [(r["doc_id"], r["score_abs"]) for r in nested] == [
         (r["doc_id"], r["score_abs"]) for r in flat
     ]
+
+
+def test_parse_query_tree_roundtrip_property():
+    """Render arbitrary ASTs with explicit parens → parse → identical
+    AST (hypothesis; pure Python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.operators.search import parse_query_tree
+    from search_engine_spark.textproc.tokenize import tokenize
+
+    words = [w for w in ["data", "fast", "slow", "dup", "scan", "merge"]
+             if tokenize(w) == [w]]
+    assert len(words) >= 3
+
+    leaf = st.sampled_from(words).map(lambda w: ("term", w))
+
+    def extend(children):
+        return st.one_of(
+            st.tuples(st.just("and"), st.lists(children, min_size=2, max_size=3))
+            .map(tuple),
+            st.tuples(st.just("or"), st.lists(children, min_size=2, max_size=3))
+            .map(tuple),
+            children.map(lambda c: ("not", c)),
+        )
+
+    trees = st.recursive(leaf, extend, max_leaves=6)
+
+    def render(node):
+        kind = node[0]
+        if kind == "term":
+            return node[1]
+        if kind == "not":
+            return f"NOT ({render(node[1])})"
+        op = " AND " if kind == "and" else " OR "
+        return op.join(f"({render(c)})" for c in node[1])
+
+    @settings(max_examples=200, deadline=None)
+    @given(t=trees)
+    def check(t):
+        assert parse_query_tree(render(t)) == t
+
+    check()
