@@ -1306,6 +1306,14 @@ def _q_rel_topk_group(spark, sf_dir):
     return top_parts_by_size(spark, sf_dir)
 
 
+def _q_rel_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    per-part aggregate with a division-free predicate."""
+    from search_engine_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(spark, sf_dir)
+
+
 def _q_kmeans_assign(spark, sf_dir):
     """One Lloyd k-means round over the embedding corpus (assign ->
     6dp-rounded mean update -> reassign; topic clustering)."""
@@ -1672,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_running": _q_rel_window,
         "rel_rollup": _q_rel_rollup,
         "rel_topk_per_group": _q_rel_topk_group,
+        "rel_small_qty": _q_rel_small_qty,
         "events_windowed": _q_events_windowed,
         "events_attribution": _q_events_attribution,
         "events_last_touch": _q_events_last_touch,
@@ -1856,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_window_running": pipe.order_ranks_sql(),
         "rel_rollup": pipe.status_rollup_sql(),
         "rel_topk_per_group": pipe.top_parts_sql(),
+        "rel_small_qty": pipe.small_quantity_revenue_sql(),
         "events_windowed": pipe.events_windowed_sql(),
         "events_attribution": pipe.attribution_pairs_sql(),
         "events_last_touch": pipe.last_touch_attribution_sql(),

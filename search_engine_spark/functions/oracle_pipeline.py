@@ -2404,3 +2404,23 @@ SELECT n.page_key,
 FROM new n LEFT JOIN old o USING (page_key)
 WHERE NOT (o.old_doc IS NULL AND NOT n.new_live)
 """
+
+
+def small_quantity_revenue_sql(brand: str = "Brand#1") -> str:
+    """Mirrors operators/relational.py::small_quantity_revenue (TPC-H Q17
+    shape) — the correlated scalar subquery decorrelated into a per-part
+    aggregate, division-free predicate 5·n·qty < sum."""
+    return f"""
+WITH stats AS (
+  SELECT l_partkey,
+         sum(l_quantity::DECIMAL(18,2))::DECIMAL(18,2) AS sum_qty,
+         count(*)::BIGINT AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = '{brand}'
+JOIN stats s ON s.l_partkey = l.l_partkey
+WHERE l.l_quantity::DECIMAL(18,2) * 5 * s.n_li < s.sum_qty
+"""

@@ -129,3 +129,46 @@ def top_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str,
+                           brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17 shape — the CORRELATED SCALAR SUBQUERY decorrelated:
+    "average yearly revenue lost if small-quantity orders of a brand's
+    parts were not filled". The correlated `l_quantity < 0.2 * (SELECT
+    avg(l_quantity) ... same part)` becomes a per-part aggregate joined
+    back — the standard decorrelation every optimizer performs, written
+    explicitly so the plan is one agg + one join, never a per-row
+    subquery.
+
+    Scale shape: the per-part avg is a map-side-combinable groupBy on
+    l_partkey (maximal-cardinality key); the brand filter prunes the
+    part side to a small dimension slice that AQE broadcasts into both
+    joins. DECIMAL arithmetic end-to-end; one-row result
+    (avg_yearly 2-dp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    dqty = F.col("l_quantity").cast("decimal(18,2)")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(dqty).cast("decimal(18,2)").alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    )
+    # qty < 0.2·avg  ⟺  5·n·qty < sum  — exact decimal/integer arithmetic,
+    # no division, so both engines evaluate the SAME predicate bit-for-bit
+    pred = (
+        dqty * F.lit(5).cast("decimal(10,0)") * F.col("n_li").cast("decimal(10,0)")
+        < F.col("sum_qty")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, "l_partkey")
+        .filter(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )

@@ -156,3 +156,20 @@ def test_weighted_sample_biases_toward_heavy_docs(spark):
     assert heavy >= 25  # 100:1 weight ratio → overwhelmingly heavy docs
     again = {r["doc_id"] for r in weighted_sample(docs, n=30).collect()}
     assert again == got
+
+
+def test_small_qty_revenue_equals_naive_correlated(spark):
+    """The decorrelated plan must equal the naive per-row correlated
+    subquery computed in pandas."""
+    from search_engine_spark.operators.relational import small_quantity_revenue
+    from tests.conftest import SF_TEST
+
+    got = small_quantity_revenue(spark, SF_TEST).collect()[0]["avg_yearly"]
+
+    li = spark.read.parquet(f"{SF_TEST}/lineitem.parquet").toPandas()
+    part = spark.read.parquet(f"{SF_TEST}/part.parquet").toPandas()
+    keys = set(part[part.p_brand == "Brand#1"].p_partkey)
+    avg = li.groupby("l_partkey")["l_quantity"].mean()
+    sel = li[li.l_partkey.isin(keys)
+             & (li.l_quantity < 0.2 * li.l_partkey.map(avg))]
+    assert got == round(float(sel.l_extendedprice.sum()) / 7.0, 2)
