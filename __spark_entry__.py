@@ -36,6 +36,7 @@ Q_BM25 = ["dup", "data", "fast"]
 Q_OR = ["dup", "merge", "zzabsent"]  # absent term drops out in OR mode
 Q_BM25_COMMON = ["data", "fast", "join"]
 Q_GATE = ["dup", "data"]
+Q_RELAXED = ["data", "quantumflux"]  # absent term → AND empty → OR fallback
 Q_BM25F = ["data", "merge", "query"]
 SITE_B = "site-b"
 HYBRID_QUERY_VEC = 0  # embeddings fixture keys vec_id ≡ doc_id
@@ -1431,6 +1432,33 @@ def _q_search_msm(spark, sf_dir):
     )
 
 
+def _q_search_relaxed(spark, sf_dir):
+    """AND→OR relaxation where the AND rung is empty ('quantumflux' is
+    corpus-absent), so the result is the OR fallback over 'data'."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_relaxed(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_RELAXED
+    )
+
+
+def _q_search_relaxed_and(spark, sf_dir):
+    """Relaxation ladder where the strict rung HITS — must equal plain
+    conjunctive search_bm25 with matched_mode='and'."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_relaxed(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25
+    )
+
+
+def _q_search_per_lang(spark, sf_dir):
+    """Per-language collection statistics: conjunctive BM25 top-5 inside
+    each lang slice (idf/avgdl/N all lang-scoped)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_per_lang(
+        docs, postings, doc_stats, Q_BM25_COMMON, k_per_lang=5
+    )
+
+
 def _q_search_hybrid(spark, sf_dir):
     """Hybrid lexical×vector RRF fusion (ES 8.x rrf retriever shape)."""
     from search_engine_spark.sources.documents import load_embeddings
@@ -1697,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard_rev": _q_search_wildcard_rev,
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
+        "search_relaxed": _q_search_relaxed,
+        "search_relaxed_and": _q_search_relaxed_and,
+        "search_per_lang": _q_search_per_lang,
         "search_lmd": _q_search_lmd,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
@@ -1882,6 +1913,11 @@ def oracle_sql() -> dict[str, str]:
         "search_wildcard_rev": ora.search_wildcard_sql(WILDCARD_REV_PAT),
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
+        "search_relaxed": ora.search_bm25_relaxed_sql(Q_RELAXED),
+        "search_relaxed_and": ora.search_bm25_relaxed_sql(Q_BM25),
+        "search_per_lang": ora.search_bm25_per_lang_sql(
+            Q_BM25_COMMON, k_per_lang=5
+        ),
         "search_lmd": ora.search_lmd_sql(Q_BM25_COMMON),
         "search_filtered": ora.search_bm25_filtered_sql(
             Q_BM25_COMMON,

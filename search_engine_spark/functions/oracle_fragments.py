@@ -1347,3 +1347,81 @@ SELECT round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4) AS ndcg_at_k,
        round(n_rel / {float(k)}, 4) AS precision_at_k
 FROM m CROSS JOIN icalc
 """
+
+
+def search_bm25_relaxed_sql(query_terms: list[str], k1: float = 1.2,
+                            b: float = 0.75, limit: int = 20,
+                            table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bm25_relaxed — strict AND
+    first; on zero conjunctive hits, disjunctive OR top-k. Returns
+    (matched_mode, doc_id, score); the scalar-subquery gate is the SQL
+    twin of the broadcast 1-row cross join."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+and_hits AS (SELECT * FROM scored WHERE nt = {n}),
+n_and AS (SELECT count(*) AS c FROM and_hits),
+and_topk AS (
+  SELECT 'and' AS matched_mode, doc_id, round(score, 4) AS score
+  FROM and_hits ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {limit}
+),
+or_topk AS (
+  SELECT 'or' AS matched_mode, doc_id, round(score, 4) AS score
+  FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {limit}
+)
+SELECT matched_mode, doc_id, score FROM and_topk
+WHERE (SELECT c FROM n_and) > 0
+UNION ALL
+SELECT matched_mode, doc_id, score FROM or_topk
+WHERE (SELECT c FROM n_and) = 0
+"""
+
+
+def search_bm25_per_lang_sql(query_terms: list[str], k1: float = 1.2,
+                             b: float = 0.75, k_per_lang: int = 10,
+                             table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bm25_per_lang — every BM25
+    statistic (N, avgdl, df) scoped to the document's `lang`; conjunctive;
+    top-k per language. Returns (lang, doc_id, score, lang_rank)."""
+    n = len(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+lang_stats AS (
+  SELECT d.lang, count(*)::DOUBLE AS n_docs_l,
+         avg(coalesce(dl.dl, 0)) AS avgdl_l
+  FROM {table} d LEFT JOIN dl USING (doc_id) GROUP BY d.lang
+),
+df_l AS (
+  SELECT d.lang, p.term, count(DISTINCT p.doc_id)::DOUBLE AS df_l
+  FROM post p JOIN {table} d USING (doc_id) GROUP BY d.lang, p.term
+),
+scored AS (
+  SELECT d.lang, p.doc_id,
+         sum( ln(1 + (ls.n_docs_l - f.df_l + 0.5) / (f.df_l + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / ls.avgdl_l)) ) AS score,
+         count(DISTINCT p.term) AS nt
+  FROM post p
+  JOIN {table} d USING (doc_id)
+  JOIN dl USING (doc_id)
+  JOIN lang_stats ls ON ls.lang = d.lang
+  JOIN df_l f ON f.lang = d.lang AND f.term = p.term
+  GROUP BY d.lang, p.doc_id
+),
+ranked AS (
+  SELECT lang, doc_id, round(score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY round(score, 4) DESC, doc_id ASC
+         ) AS lang_rank
+  FROM scored WHERE nt = {n}
+)
+SELECT lang, doc_id, score, lang_rank::BIGINT AS lang_rank
+FROM ranked WHERE lang_rank <= {k_per_lang}
+"""

@@ -1871,3 +1871,169 @@ def datehist_pipeline(
         (F.col("_x.h") - prev_h).cast("bigint").alias("delta"),
         F.round(mov, 4).alias("mov_avg"),
     )
+
+
+# ------------------------------------------------- query relaxation (AND→OR)
+
+
+def search_bm25_relaxed(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Zero-hit query relaxation → (matched_mode, doc_id, score).
+
+    Tries the reference's strict conjunction first
+    (SearchServiceImpl.java:150-166: every query term must match); when
+    the AND hit set is EMPTY — e.g. a query term absent from the corpus,
+    which the reference returns empty for — it falls back to disjunctive
+    OR top-k over the terms that do exist. This is the standard engine
+    relaxation ladder (Lucene/ES clients re-issue bool.must as
+    bool.should on zero hits); here both rungs live in ONE declarative
+    plan so a search tier never needs a second round trip.
+
+    The branch condition is a 1-row aggregate cross-joined as a broadcast
+    scalar — never a driver-side `.collect()` branch (the plan stays a
+    pure DataFrame, usable under `spark.sql` views / caching) and never
+    an empty-spec Window. Both rungs share `bm25_scored`, so scores on
+    the surviving rung are identical to the plain search_bm25 result.
+    """
+    and_scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b=b, conjunctive=True,
+    )
+    or_scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b=b, conjunctive=False,
+    )
+    n_and = and_scored.agg(F.count("*").alias("_n_and"))
+    sel = ["matched_mode", "doc_id", "score"]
+    and_topk = (
+        and_scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+        .withColumn("matched_mode", F.lit("and"))
+    )
+    or_topk = (
+        or_scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+        .withColumn("matched_mode", F.lit("or"))
+    )
+    return (
+        and_topk.crossJoin(F.broadcast(n_and))
+        .filter(F.col("_n_and") > 0)
+        .select(*sel)
+        .unionByName(
+            or_topk.crossJoin(F.broadcast(n_and))
+            .filter(F.col("_n_and") == 0)
+            .select(*sel)
+        )
+    )
+
+
+# --------------------------------------- per-language collection statistics
+
+
+def search_bm25_per_lang(
+    docs: DataFrame,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    k_per_lang: int = 10,
+) -> DataFrame:
+    """Multilingual routing: BM25 where EVERY collection statistic is
+    per-language → (lang, doc_id, score, lang_rank).
+
+    Elasticsearch's one-index-per-language pattern (and the reference's
+    per-site `lemmas.frequency` scoping, model/Lemma.java:20-28,
+    generalized to the `lang` column of the input_hint schema): each
+    language is its own collection, so N, avgdl and df — hence idf —
+    come from that language's documents only. A term flooding English
+    pages stays discriminative inside the German slice instead of being
+    idf-crushed by the global df. Conjunctive over the query terms;
+    top-k PER LANGUAGE via a lang-partitioned window (a real partition
+    spec — the data never converges on one task).
+
+    Scale plan: candidates are postings pre-filtered to the |q| query
+    terms before any join; `lang_stats` (one row per language) and
+    `df_l` (≤ |langs|·|q| rows) are true broadcast dimensions; the only
+    corpus-sized joins are candidate→lang and candidate→dl on doc_id,
+    which AQE resolves after the term filter has already shrunk the
+    probe side."""
+    from pyspark.sql import Window
+
+    uniq = sorted(set(terms))
+    n = len(uniq)
+    if n == 0:
+        return docs.select(
+            "lang",
+            F.col("doc_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).cast("bigint").alias("lang_rank"),
+        ).limit(0)
+    lang_by_doc = docs.select("doc_id", "lang")
+    lang_stats = (
+        lang_by_doc.join(doc_stats, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("double").alias("n_docs_l"),
+            F.avg(F.coalesce(F.col("dl"), F.lit(0)).cast("double")).alias(
+                "avgdl_l"
+            ),
+        )
+    )
+    cand = postings.filter(F.col("term").isin(uniq)).join(lang_by_doc, "doc_id")
+    df_l = cand.groupBy("lang", "term").agg(
+        F.count_distinct("doc_id").cast("double").alias("df_l")
+    )
+    tf = F.col("tf").cast("double")
+    scored = (
+        cand.join(doc_stats, "doc_id")
+        .join(F.broadcast(df_l), ["lang", "term"])
+        .join(F.broadcast(lang_stats), "lang")
+        .withColumn(
+            "part_score",
+            F.log(
+                1.0
+                + (F.col("n_docs_l") - F.col("df_l") + 0.5)
+                / (F.col("df_l") + 0.5)
+            )
+            * tf
+            * (k1 + 1.0)
+            / (
+                tf
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl").cast("double") / F.col("avgdl_l")
+                )
+            ),
+        )
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.sum("part_score").alias("score_raw"),
+            F.count_distinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") == n)
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.round(F.col("score_raw"), 4).desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k_per_lang))
+        .select(
+            "lang",
+            "doc_id",
+            F.round(F.col("score_raw"), 4).alias("score"),
+            F.col("rn").cast("bigint").alias("lang_rank"),
+        )
+    )

@@ -322,3 +322,71 @@ def test_next_word_counts_adjacent_bigrams_and_prefix_filters(spark):
     pref = {r["term"]: r["n"]
             for r in se.next_word_suggest(pos, "data", prefix="fa").collect()}
     assert pref == {"fast": 3, "far": 1}
+
+
+# ------------------------------------------- AND→OR relaxation + per-lang
+
+def test_relaxed_falls_back_to_or_on_absent_term(spark, ctx):
+    """'quantumflux' is corpus-absent → strict rung empty → OR fallback,
+    identical to plain disjunctive search_bm25."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "quantumflux"]
+    out = se.search_bm25_relaxed(postings, td, ds, n, avgdl, q).collect()
+    assert out and all(r["matched_mode"] == "or" for r in out)
+    plain = se.search_bm25(
+        postings, td, ds, n, avgdl, q, conjunctive=False
+    )
+    assert [(r["doc_id"], r["score"]) for r in out] == _rows(plain)
+
+
+def test_relaxed_keeps_and_when_it_hits(spark, ctx):
+    """When the conjunction matches, relaxation must be a no-op: same
+    rows/scores as strict search_bm25, matched_mode='and'."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    out = se.search_bm25_relaxed(postings, td, ds, n, avgdl, q).collect()
+    assert out and all(r["matched_mode"] == "and" for r in out)
+    strict = se.search_bm25(postings, td, ds, n, avgdl, q)
+    assert [(r["doc_id"], r["score"]) for r in out] == _rows(strict)
+
+
+def test_per_lang_topk_shape_and_scoping(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    out = se.search_bm25_per_lang(docs, postings, ds, q, k_per_lang=5).collect()
+    assert out
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    lang_of = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    for lang, rows in by_lang.items():
+        # ≤ k rows per language, contiguous 1..m ranks, rank order = pinned total order
+        assert len(rows) <= 5
+        ranks = sorted(r["lang_rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: r["lang_rank"])
+        assert ordered == sorted(
+            ordered, key=lambda r: (-r["score"], r["doc_id"])
+        )
+        # every hit really belongs to the language it ranked under
+        assert all(lang_of[r["doc_id"]] == lang for r in rows)
+
+
+def test_per_lang_statistics_are_lang_scoped(spark, ctx):
+    """idf/avgdl must come from the language slice: for some doc the
+    lang-scoped score differs from the global-statistics score."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    per_lang = {
+        r["doc_id"]: r["score"]
+        for r in se.search_bm25_per_lang(
+            docs, postings, ds, q, k_per_lang=10**6
+        ).collect()
+    }
+    global_ = dict(_rows(se.search_bm25(
+        postings, td, ds, n, avgdl, q, limit=10**6
+    )))
+    # same conjunctive candidate set...
+    assert set(per_lang) == set(global_)
+    # ...different statistics → different scores somewhere
+    assert any(abs(per_lang[d] - global_[d]) > 1e-4 for d in per_lang)
