@@ -37,6 +37,7 @@ Q_OR = ["dup", "merge", "zzabsent"]  # absent term drops out in OR mode
 Q_BM25_COMMON = ["data", "fast", "join"]
 Q_GATE = ["dup", "data"]
 Q_RELAXED = ["data", "quantumflux"]  # absent term → AND empty → OR fallback
+Q_PHRASE_TYPO = ["fst", "sow", "dat"]  # → fast × {slow,row} × data
 Q_BM25F = ["data", "merge", "query"]
 SITE_B = "site-b"
 HYBRID_QUERY_VEC = 0  # embeddings fixture keys vec_id ≡ doc_id
@@ -223,6 +224,16 @@ def _q_next_word(spark, sf_dir):
 
     pos = build_positional(load_documents(spark, sf_dir))
     return se.next_word_suggest(pos, "data")
+
+
+def _q_phrase_suggest(spark, sf_dir):
+    """ES phrase suggester: 3-word typo phrase 'fst sow dat' → candidate
+    phrases (fast × {slow,row} × data) ranked by the stupid-backoff
+    bigram LM."""
+    from search_engine_spark.operators.positional import build_positional
+
+    pos = build_positional(load_documents(spark, sf_dir))
+    return se.phrase_suggest(pos, Q_PHRASE_TYPO)
 
 
 def _q_postings_positional(spark, sf_dir):
@@ -1604,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "prefix_suggest": _q_prefix_suggest,
         "next_word": _q_next_word,
+        "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
         "search_phrase": _q_search_phrase,
         "positional_blocks_roundtrip": _q_positional_blocks_roundtrip,
@@ -1768,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": ora.spell_suggest_sql(SPELL_PROBE),
         "prefix_suggest": ora.prefix_suggest_sql(PREFIX_PROBE),
         "next_word": ora.next_word_suggest_sql("data"),
+        "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
         "search_phrase": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "positional_blocks_roundtrip": ora.positional_postings_sql(),

@@ -1425,3 +1425,55 @@ ranked AS (
 SELECT lang, doc_id, score, lang_rank::BIGINT AS lang_rank
 FROM ranked WHERE lang_rank <= {k_per_lang}
 """
+
+
+def phrase_suggest_sql(phrase: list[str], k: int = 5, backoff: float = 0.4,
+                       table: str = "documents") -> str:
+    """Mirrors operators/search.py::phrase_suggest — per-position
+    Levenshtein ≤ 1 candidates over the retained-token unigram table,
+    phrases scored by the stupid-backoff bigram LM. Returns
+    (suggestion, score)."""
+    words = [w.strip().lower() for w in phrase if w.strip()]
+    n = len(words)
+    cand_ctes = ",\n".join(
+        f"""c{i} AS (
+  SELECT term AS c{i}, cf AS cf{i} FROM uni
+  WHERE levenshtein(term, '{w}') <= 1
+)""" for i, w in enumerate(words)
+    )
+    cross = " CROSS JOIN ".join(f"c{i}" for i in range(n))
+    bi_joins = "\n".join(
+        f"LEFT JOIN bi AS bi{i} ON bi{i}.w1 = c{i-1} AND bi{i}.w2 = c{i}"
+        for i in range(1, n)
+    )
+    score = "ln(cf0 / (SELECT t FROM total))"
+    for i in range(1, n):
+        score += f"""
+      + CASE WHEN bi{i}.n12 IS NOT NULL THEN ln(bi{i}.n12 / cf{i-1})
+             ELSE ln({backoff} * cf{i} / (SELECT t FROM total)) END"""
+    sep = "' '"
+    suggestion = " || ".join(
+        f"c{i}" if i == 0 else f"{sep} || c{i}" for i in range(n)
+    )
+    return f"""
+WITH {positional_terms_cte(table)},
+uni AS (SELECT term, count(*)::DOUBLE AS cf FROM pos_terms GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS t FROM pos_terms),
+bi AS (
+  SELECT a.term AS w1, b.term AS w2, count(*)::DOUBLE AS n12
+  FROM pos_terms a
+  JOIN pos_terms b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+{cand_ctes},
+scored AS (
+  SELECT {suggestion} AS suggestion,
+         {score} AS score
+  FROM {cross}
+  {bi_joins}
+)
+SELECT suggestion, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, suggestion ASC
+LIMIT {k}
+"""

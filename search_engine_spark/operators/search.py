@@ -2037,3 +2037,133 @@ def search_bm25_per_lang(
             F.col("rn").cast("bigint").alias("lang_rank"),
         )
     )
+
+
+# ----------------------------------------------------- phrase suggester
+
+
+def phrase_suggest(
+    positional: DataFrame,
+    phrase: list[str],
+    k: int = 5,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Multi-word "did you mean" → (suggestion, score): the ES phrase
+    suggester over `spell_suggest`'s single-term recovery. Per query
+    position, candidates are dictionary terms within Levenshtein
+    distance ≤ 1 of the typed word (the word itself included when it is
+    a real term); candidate PHRASES — the cross product over positions —
+    score under a stupid-backoff bigram language model (Brants et al.
+    2007, the web-scale standard precisely because it needs no
+    normalization pass):
+
+        s(c_i | c_{i-1}) = n(c_{i-1} c_i) / n(c_{i-1})   if the bigram occurs
+                         = backoff · n(c_i) / T           otherwise
+        score = ln n(c_0)/T + Σ_{i≥1} ln s(c_i | c_{i-1})
+
+    with n(·) counted over the corpus's retained-token stream and T the
+    total retained-token count. Top-k by rounded score desc, suggestion
+    asc. A position with NO candidate empties the result (ES returns no
+    suggestion it cannot fully collate).
+
+    Scale shape: per-position candidate generation is spell_suggest's
+    SymSpell deletion-neighborhood join (never a full-dictionary edit-
+    distance scan); the bigram relation is the positional adjacency
+    self-join REDUCED FIRST by broadcast semi-joins against the two
+    adjacent candidate sets — so only candidate-pair bigrams are counted
+    and the left-join input is a handful of rows, never vocab². The
+    phrase cross product is |cand|^positions rows of driver-free
+    broadcast joins (ES caps the same blow-up with max_errors; distance
+    ≤ 1 per position bounds ours)."""
+    words = [w.strip().lower() for w in phrase if w.strip()]
+    if not words:
+        return positional.select(
+            F.lit("").alias("suggestion"), F.lit(0.0).alias("score")
+        ).limit(0)
+    unigrams = positional.groupBy("term").agg(
+        F.count("*").cast("double").alias("cf")
+    )
+    total = positional.agg(F.count("*").cast("double").alias("_total"))
+    lhs = positional.select(
+        F.col("doc_id").alias("_d"), F.col("pos").alias("_p"),
+        F.col("term").alias("w1"),
+    )
+    rhs = positional.select(
+        F.col("doc_id").alias("_d2"), F.col("pos").alias("_p2"),
+        F.col("term").alias("w2"),
+    )
+    bigrams = (
+        lhs.join(rhs, (F.col("_d") == F.col("_d2"))
+                 & (F.col("_p2") == F.col("_p") + 1))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("n12"))
+    )
+
+    def _cands(w: str, i: int) -> DataFrame:
+        # SymSpell ≤1-deletion neighborhood (see spell_suggest), then the
+        # exact distance check admits dist 0 (the word itself) and dist 1
+        probe_vars = [w] + [w[:j] + w[j + 1:] for j in range(len(w))]
+        term = F.col("term")
+        n = F.length(term)
+        deletions = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda j: F.concat(
+                F.substring(term, F.lit(1), j - 1), term.substr(j + 1, n)
+            ),
+        )
+        variants = F.array_union(F.array(term), deletions)
+        return (
+            unigrams.select("term", "cf", F.explode(variants).alias("v"))
+            .filter(F.col("v").isin(probe_vars))
+            .select("term", "cf")
+            .distinct()
+            .filter(F.levenshtein(term, F.lit(w)) <= 1)
+            .select(
+                F.col("term").alias(f"c{i}"), F.col("cf").alias(f"cf{i}")
+            )
+        )
+
+    joined = _cands(words[0], 0)
+    for i in range(1, len(words)):
+        joined = joined.crossJoin(F.broadcast(_cands(words[i], i)))
+    joined = joined.crossJoin(F.broadcast(total))
+    score = F.log(F.col("cf0") / F.col("_total"))
+    for i in range(1, len(words)):
+        bi = (
+            bigrams.join(
+                F.broadcast(
+                    _cands(words[i - 1], i - 1)
+                    .select(F.col(f"c{i-1}").alias("w1"))
+                ),
+                "w1", "left_semi",
+            )
+            .join(
+                F.broadcast(
+                    _cands(words[i], i).select(F.col(f"c{i}").alias("w2"))
+                ),
+                "w2", "left_semi",
+            )
+            .withColumnRenamed("n12", f"n12_{i}")
+        )
+        joined = joined.join(
+            F.broadcast(bi),
+            (F.col(f"c{i-1}") == F.col("w1"))
+            & (F.col(f"c{i}") == F.col("w2")),
+            "left",
+        ).drop("w1", "w2")
+        score = score + F.when(
+            F.col(f"n12_{i}").isNotNull(),
+            F.log(F.col(f"n12_{i}") / F.col(f"cf{i-1}")),
+        ).otherwise(
+            F.log(F.lit(backoff) * F.col(f"cf{i}") / F.col("_total"))
+        )
+    return (
+        joined.select(
+            F.concat_ws(
+                " ", *[F.col(f"c{i}") for i in range(len(words))]
+            ).alias("suggestion"),
+            F.round(score, 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        .limit(int(k))
+    )

@@ -390,3 +390,58 @@ def test_per_lang_statistics_are_lang_scoped(spark, ctx):
     assert set(per_lang) == set(global_)
     # ...different statistics → different scores somewhere
     assert any(abs(per_lang[d] - global_[d]) > 1e-4 for d in per_lang)
+
+
+# --------------------------------------------------------- phrase suggester
+
+@pytest.fixture(scope="module")
+def positional(spark):
+    from search_engine_spark.operators.positional import build_positional
+    return build_positional(load_documents(spark, SF_TEST)).cache()
+
+
+def test_phrase_suggest_corrects_multiword_typo(spark, positional):
+    out = se.phrase_suggest(positional, ["fst", "sow", "dat"]).collect()
+    assert [r["suggestion"] for r in out] in (
+        ["fast slow data", "fast row data"],
+        ["fast row data", "fast slow data"],
+    )
+    # scores strictly ordered desc then suggestion asc — pinned total order
+    assert all(
+        (a["score"], b["suggestion"]) >= (b["score"], a["suggestion"])
+        or a["score"] > b["score"]
+        for a, b in zip(out, out[1:])
+    )
+
+
+def test_phrase_suggest_uncollatable_position_is_empty(spark, positional):
+    """A word with no dictionary term within distance 1 cannot collate →
+    no suggestion at all (ES phrase-suggester contract)."""
+    assert se.phrase_suggest(positional, ["fst", "zzzzzz"]).count() == 0
+
+
+def test_phrase_suggest_bigram_beats_backoff(spark, positional):
+    """The winning phrase must be the one whose bigrams actually occur
+    more: stupid backoff ranks by observed adjacency, not unigram df."""
+    from pyspark.sql import functions as F
+
+    rows = se.phrase_suggest(positional, ["fst", "sow", "dat"], k=2).collect()
+    a, b = positional.alias("a"), positional.alias("b")
+    bi = {
+        (r["w1"], r["w2"]): r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(
+            F.col("a.term").alias("w1"), F.col("b.term").alias("w2")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    top = rows[0]["suggestion"].split()
+    runner = rows[1]["suggestion"].split()
+    top_n = sum(bi.get((x, y), 0) for x, y in zip(top, top[1:]))
+    run_n = sum(bi.get((x, y), 0) for x, y in zip(runner, runner[1:]))
+    assert top_n >= run_n
