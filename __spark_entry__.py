@@ -1470,6 +1470,19 @@ def _q_search_per_lang(spark, sf_dir):
     )
 
 
+def _q_search_diversified(spark, sf_dir):
+    """MMR re-rank of the BM25 top-20: 5 greedy picks trading relevance
+    against embedding-cosine similarity to the already-picked set, the
+    whole greedy trace unrolled into one declarative plan."""
+    from search_engine_spark.sources.documents import load_embeddings
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_diversified(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        load_embeddings(spark, sf_dir),
+    )
+
+
 def _q_search_hybrid(spark, sf_dir):
     """Hybrid lexical×vector RRF fusion (ES 8.x rrf retriever shape)."""
     from search_engine_spark.sources.documents import load_embeddings
@@ -1740,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_relaxed": _q_search_relaxed,
         "search_relaxed_and": _q_search_relaxed_and,
         "search_per_lang": _q_search_per_lang,
+        "search_diversified": _q_search_diversified,
         "search_lmd": _q_search_lmd,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
@@ -1931,6 +1945,7 @@ def oracle_sql() -> dict[str, str]:
         "search_per_lang": ora.search_bm25_per_lang_sql(
             Q_BM25_COMMON, k_per_lang=5
         ),
+        "search_diversified": ora.search_diversified_sql(Q_BM25_COMMON),
         "search_lmd": ora.search_lmd_sql(Q_BM25_COMMON),
         "search_filtered": ora.search_bm25_filtered_sql(
             Q_BM25_COMMON,

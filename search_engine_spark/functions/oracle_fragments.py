@@ -1477,3 +1477,57 @@ FROM scored
 ORDER BY round(score, 4) DESC, suggestion ASC
 LIMIT {k}
 """
+
+
+def search_diversified_sql(query_terms: list[str], lam: float = 0.7,
+                           n_cand: int = 20, k: int = 5,
+                           k1: float = 1.2, b: float = 0.75,
+                           table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_diversified — the k greedy MMR
+    steps unrolled as chained CTEs (s1..sk / sel1..selk); every argmax
+    input rounds to 4 dp exactly where the Spark plan rounds. Returns
+    (doc_id, rel, mmr, pick_order)."""
+    n = len(set(query_terms))
+    om = 1.0 - lam
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT c.doc_id, c.rel, c.embedding,
+         round({lam} * c.rel - {om} * (
+           SELECT max(round(list_cosine_similarity(
+             c.embedding::DOUBLE[], s.embedding::DOUBLE[]), 4))
+           FROM sel{i-1} s
+         ), 4) AS mmr,
+         {i}::BIGINT AS pick_order
+  FROM cand c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i-1})
+  ORDER BY mmr DESC, c.doc_id ASC LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i-1} UNION ALL SELECT * FROM s{i})""")
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+topn AS (
+  SELECT doc_id, score FROM scored WHERE nt = {n}
+  ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {n_cand}
+),
+withemb AS MATERIALIZED (
+  SELECT t.doc_id, round(t.score, 4) AS score4, e.embedding
+  FROM topn t JOIN embeddings e ON e.vec_id = t.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT doc_id,
+         round(score4 / (SELECT max(score4) FROM withemb), 4) AS rel,
+         embedding
+  FROM withemb
+),
+s1 AS MATERIALIZED (
+  SELECT doc_id, rel, embedding, round({lam} * rel, 4) AS mmr,
+         1::BIGINT AS pick_order
+  FROM cand ORDER BY round({lam} * rel, 4) DESC, doc_id ASC LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT * FROM s1){''.join(steps)}
+SELECT doc_id, rel, mmr, pick_order FROM sel{k}
+ORDER BY pick_order
+"""

@@ -2167,3 +2167,127 @@ def phrase_suggest(
         .orderBy(F.col("score").desc(), F.col("suggestion").asc())
         .limit(int(k))
     )
+
+
+# ------------------------------------------------- MMR result diversification
+
+
+def search_diversified(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    embeddings: DataFrame,
+    lam: float = 0.7,
+    n_cand: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    → (doc_id, rel, mmr, pick_order): the BM25 conjunctive top-`n_cand`
+    re-ordered so each successive pick trades relevance against
+    similarity to what is already picked —
+
+        mmr(d) = λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)
+
+    with rel = the hit's BM25 score normalized by the candidate max and
+    cos over the document embeddings (vec_id ≡ doc_id). The ES analogue
+    is the diversified sampler / field collapsing family; unlike
+    `search_collapsed`'s hard key-based dedup this is soft semantic
+    de-duplication of the result page.
+
+    MMR is inherently sequential (k greedy argmax steps), which is why
+    engines bolt it on driver-side over collected hits. Here the k steps
+    UNROLL into one declarative plan — each step is an anti-join
+    (drop picked), a broadcast of the ≤i picked rows, a max-cosine
+    aggregation over `n_cand` rows, and a 1-row TakeOrdered — so the
+    whole thing stays inside Catalyst: no `.collect()`, no Python loop
+    over data, k·n_cand cosine evaluations total. Every float that
+    feeds an argmax is rounded to 4 dp first (both engines), so the
+    greedy trace is reproducible bit-for-bit against the SQL oracle's
+    unrolled-CTE twin.
+
+    Scale: the distributed part is exactly `bm25_scored` (unchanged
+    plans); everything after the top-`n_cand` cut operates on ≤ n_cand
+    rows, so the unrolled tail is constant work regardless of corpus
+    size."""
+    from .dedup import cosine_expr
+
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        conjunctive=True,
+    )
+    topn = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(n_cand))
+        .join(
+            embeddings.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+    )
+    mx = topn.agg(F.max("score").alias("_max"))
+    cand = (
+        topn.crossJoin(F.broadcast(mx))
+        .select(
+            "doc_id",
+            F.round(F.col("score") / F.col("_max"), 4).alias("rel"),
+            "embedding",
+        )
+        .cache()
+    )
+    first = (
+        cand.withColumn("mmr", F.round(F.lit(lam) * F.col("rel"), 4))
+        .orderBy(F.col("mmr").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .withColumn("pick_order", F.lit(1).cast("bigint"))
+    )
+    # each step's picked set is referenced three times by the next step
+    # (anti-join, broadcast of embeddings, union); caching the ≤k-row
+    # frame keeps the unrolled plan's cost linear in k instead of 3^k
+    selected = first.cache()
+    for i in range(2, int(k) + 1):
+        pen = (
+            cand.join(
+                selected.select("doc_id"), "doc_id", "left_anti"
+            )
+            .crossJoin(
+                F.broadcast(
+                    selected.select(F.col("embedding").alias("_semb"))
+                )
+            )
+            .withColumn(
+                "cos",
+                F.round(
+                    cosine_expr(F.col("embedding"), F.col("_semb")), 4
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.first("rel").alias("rel"),
+                F.max("cos").alias("maxcos"),
+            )
+        )
+        pick = (
+            pen.withColumn(
+                "mmr",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("maxcos"),
+                    4,
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .join(cand.select("doc_id", "embedding"), "doc_id")
+            .select(
+                "doc_id", "rel", "embedding", "mmr",
+                F.lit(i).cast("bigint").alias("pick_order"),
+            )
+        )
+        selected = selected.unionByName(pick).cache()
+    return selected.select("doc_id", "rel", "mmr", "pick_order").orderBy(
+        "pick_order"
+    )

@@ -445,3 +445,66 @@ def test_phrase_suggest_bigram_beats_backoff(spark, positional):
     top_n = sum(bi.get((x, y), 0) for x, y in zip(top, top[1:]))
     run_n = sum(bi.get((x, y), 0) for x, y in zip(runner, runner[1:]))
     assert top_n >= run_n
+
+
+# ----------------------------------------------------- MMR diversification
+
+def test_mmr_first_pick_is_top_relevance_and_scores_decrease(spark, ctx):
+    from search_engine_spark.sources.documents import load_embeddings
+
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    emb = load_embeddings(spark, SF_TEST)
+    out = se.search_diversified(
+        postings, td, ds, n, avgdl, q, emb
+    ).collect()
+    assert [r["pick_order"] for r in out] == [1, 2, 3, 4, 5]
+    # pick 1 = max-rel candidate (ties by doc_id)
+    assert out[0]["rel"] == max(r["rel"] for r in out)
+    # from pick 2 on, the pool only shrinks and each candidate's penalty
+    # only grows (S grows), so the achieved mmr sequence is non-increasing.
+    # Pick 1 is excluded: its empty-S formula has no penalty term, and a
+    # NEGATIVE max-cosine at pick 2 acts as a bonus that can exceed it.
+    mmrs = [r["mmr"] for r in out[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(mmrs, mmrs[1:]))
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, ctx):
+    """λ=1 removes the diversity penalty: picks = BM25 top-k order."""
+    from search_engine_spark.sources.documents import load_embeddings
+
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    emb = load_embeddings(spark, SF_TEST)
+    mmr_ids = [
+        r["doc_id"]
+        for r in se.search_diversified(
+            postings, td, ds, n, avgdl, q, emb, lam=1.0
+        ).collect()
+    ]
+    top = se.search_bm25(postings, td, ds, n, avgdl, q, limit=5)
+    assert mmr_ids == [r["doc_id"] for r in top.collect()]
+
+
+def test_mmr_diversifies_on_fixture(spark, ctx):
+    """With λ=0.7 the picked order must actually deviate from the pure
+    relevance order somewhere in the tail (the fixture has near-dup
+    embeddings among top hits)."""
+    from search_engine_spark.sources.documents import load_embeddings
+
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    emb = load_embeddings(spark, SF_TEST)
+    mmr_ids = [
+        r["doc_id"]
+        for r in se.search_diversified(
+            postings, td, ds, n, avgdl, q, emb
+        ).collect()
+    ]
+    rel_ids = [
+        r["doc_id"]
+        for r in se.search_bm25(
+            postings, td, ds, n, avgdl, q, limit=5
+        ).collect()
+    ]
+    assert mmr_ids != rel_ids
