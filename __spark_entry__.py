@@ -83,6 +83,13 @@ def _q_term_dict_site(spark, sf_dir):
     return ib.build_term_dict_site(load_documents(spark, sf_dir))
 
 
+def _q_composite_buckets(spark, sf_dir):
+    """ES composite aggregation: page 2 of the (site_key, term) bucket
+    walk, after_key = ('site-b', 'merge')."""
+    td = ib.build_term_dict_site(load_documents(spark, sf_dir))
+    return se.composite_buckets(td, size=10, after=("site-b", "merge"))
+
+
 def _q_doc_stats(spark, sf_dir):
     docs = load_documents(spark, sf_dir)
     return ib.build_doc_stats(docs)
@@ -1614,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "term_dict": _q_term_dict,
         "term_dict_site": _q_term_dict_site,
+        "composite_buckets": _q_composite_buckets,
         "doc_stats": _q_doc_stats,
         "search_and2": _q_search_and2,
         "search_and3": _q_search_and3,
@@ -1780,6 +1788,9 @@ def oracle_sql() -> dict[str, str]:
         "postings": ora.postings_sql(),
         "term_dict": ora.term_dict_sql(),
         "term_dict_site": ora.term_dict_site_sql(),
+        "composite_buckets": ora.composite_buckets_sql(
+            size=10, after=("site-b", "merge")
+        ),
         "doc_stats": ora.doc_stats_sql(),
         "search_and2": ora.search_compat_sql(Q_AND2),
         "search_and3": ora.search_compat_sql(Q_AND3),

@@ -1531,3 +1531,29 @@ sel1 AS MATERIALIZED (SELECT * FROM s1){''.join(steps)}
 SELECT doc_id, rel, mmr, pick_order FROM sel{k}
 ORDER BY pick_order
 """
+
+
+def composite_buckets_sql(size: int = 10,
+                          after: tuple[str, str] | None = None,
+                          table: str = "documents") -> str:
+    """Mirrors operators/search.py::composite_buckets — after_key keyset
+    over the (site_key, term) bucket space of the site-scoped
+    dictionary."""
+    cursor = ""
+    if after is not None:
+        s, t = after
+        cursor = (f"WHERE site_key > '{s}'"
+                  f" OR (site_key = '{s}' AND term > '{t}')")
+    return f"""
+WITH {terms_cte(table, extra_cols=f"{SITE_KEY_SQL.replace('doc_id', 'd.doc_id')} AS site_key")},
+buckets AS (
+  SELECT site_key, term,
+         count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM terms GROUP BY site_key, term
+)
+SELECT site_key, term, df, cf FROM buckets
+{cursor}
+ORDER BY site_key ASC, term ASC
+LIMIT {size}
+"""

@@ -2291,3 +2291,36 @@ def search_diversified(
     return selected.select("doc_id", "rel", "mmr", "pick_order").orderBy(
         "pick_order"
     )
+
+
+# ------------------------------------------------- composite aggregation
+
+
+def composite_buckets(
+    term_dict_site: DataFrame,
+    size: int = 10,
+    after: tuple[str, str] | None = None,
+) -> DataFrame:
+    """ES composite aggregation → (site_key, term, df, cf): keyset
+    pagination over the ENTIRE (site_key, term) bucket space in source
+    key order — the scalable way to enumerate every bucket of a
+    high-cardinality aggregation, where a plain terms-agg top-N caps and
+    an offset walk re-sorts the full space per page. `after` is the
+    composite after_key: strictly-greater in the (site_key, term)
+    lexicographic total order, exactly ES's cursor contract.
+
+    Scale shape: the cursor is a sargable compound predicate applied
+    BEFORE the sort, so every page is the same bounded
+    TakeOrderedAndProject(size) over the filtered bucket stream —
+    page 10⁶ costs what page 1 costs, and on a bucket store sorted or
+    partitioned by site_key the predicate prunes whole partitions."""
+    b = term_dict_site.select("site_key", "term", "df", "cf")
+    if after is not None:
+        s, t = after
+        b = b.filter(
+            (F.col("site_key") > s)
+            | ((F.col("site_key") == s) & (F.col("term") > t))
+        )
+    return b.orderBy(F.col("site_key").asc(), F.col("term").asc()).limit(
+        int(size)
+    )

@@ -508,3 +508,28 @@ def test_mmr_diversifies_on_fixture(spark, ctx):
         ).collect()
     ]
     assert mmr_ids != rel_ids
+
+
+# ------------------------------------------------- composite aggregation
+
+def test_composite_after_key_walk_enumerates_every_bucket(spark):
+    """Walking pages by after_key visits the full (site_key, term) bucket
+    space exactly once, in key order — the ES composite-agg contract."""
+    import __spark_entry__ as em
+    from search_engine_spark.operators import index_build as ib
+
+    td = ib.build_term_dict_site(load_documents(spark, SF_TEST)).cache()
+    full = sorted(
+        (r["site_key"], r["term"], r["df"], r["cf"]) for r in td.collect()
+    )
+    walked, after = [], None
+    while True:
+        page = [
+            (r["site_key"], r["term"], r["df"], r["cf"])
+            for r in se.composite_buckets(td, size=7, after=after).collect()
+        ]
+        if not page:
+            break
+        walked.extend(page)
+        after = (page[-1][0], page[-1][1])
+    assert walked == full
