@@ -1450,6 +1450,15 @@ def _q_search_msm(spark, sf_dir):
     )
 
 
+def _q_search_rm3(spark, sf_dir):
+    """RM3 pseudo-relevance feedback: conjunctive top-5 as silent
+    judgments, 3 expansion terms, weighted disjunctive re-score."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_rm3(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_AND2
+    )
+
+
 def _q_search_relaxed(spark, sf_dir):
     """AND→OR relaxation where the AND rung is empty ('quantumflux' is
     corpus-absent), so the result is the OR fallback over 'data'."""
@@ -1759,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": _q_explain_score,
         "search_msm": _q_search_msm,
         "search_relaxed": _q_search_relaxed,
+        "search_rm3": _q_search_rm3,
         "search_relaxed_and": _q_search_relaxed_and,
         "search_per_lang": _q_search_per_lang,
         "search_diversified": _q_search_diversified,
@@ -1952,6 +1962,7 @@ def oracle_sql() -> dict[str, str]:
         "explain_score": ora.explain_score_sql(Q_BM25_COMMON),
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
         "search_relaxed": ora.search_bm25_relaxed_sql(Q_RELAXED),
+        "search_rm3": ora.search_rm3_sql(Q_AND2),
         "search_relaxed_and": ora.search_bm25_relaxed_sql(Q_BM25),
         "search_per_lang": ora.search_bm25_per_lang_sql(
             Q_BM25_COMMON, k_per_lang=5

@@ -1557,3 +1557,60 @@ SELECT site_key, term, df, cf FROM buckets
 ORDER BY site_key ASC, term ASC
 LIMIT {size}
 """
+
+
+def search_rm3_sql(query_terms: list[str], fb_docs: int = 5,
+                   fb_terms: int = 3, k1: float = 1.2, b: float = 0.75,
+                   limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_rm3 — conjunctive top-fb_docs
+    as pseudo-relevance set, 4-dp relevance-model weights, top-fb_terms
+    expansion (w desc, term asc), weighted disjunctive re-score.
+    Returns (doc_id, score)."""
+    n = len(set(query_terms))
+    q0_vals = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+fb AS (
+  SELECT doc_id, round(score, 4) AS fscore FROM scored WHERE nt = {n}
+  ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {fb_docs}
+),
+stot AS (SELECT sum(fscore) AS s FROM fb),
+post_fb AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE doc_id IN (SELECT doc_id FROM fb) GROUP BY doc_id, term
+),
+fbw AS (
+  SELECT p.term,
+         round(sum((p.tf / dl.dl) * (fb.fscore / stot.s)), 4) AS w
+  FROM post_fb p
+  JOIN dl USING (doc_id) JOIN fb USING (doc_id) CROSS JOIN stot
+  WHERE p.term NOT IN {_terms_in(query_terms)}
+  GROUP BY p.term
+),
+expn AS (SELECT term, w FROM fbw ORDER BY w DESC, term ASC LIMIT {fb_terms}),
+allt AS (
+  SELECT term, 1.0 AS w FROM (VALUES {q0_vals}) q(term)
+  UNION ALL SELECT term, w FROM expn
+),
+post2 AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN (SELECT term FROM allt) GROUP BY doc_id, term
+),
+df2 AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM post2 GROUP BY term
+),
+scored2 AS (
+  SELECT p.doc_id,
+         sum( a.w * ln(1 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM post2 p
+  JOIN allt a USING (term) JOIN df2 USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored2
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit}
+"""

@@ -120,8 +120,14 @@ def bm25_scored(
     min_should_match: int | None = None,
     keep_nt: bool = False,
     allowed: DataFrame | None = None,
+    term_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """The UNPAGINATED BM25 scored set → (doc_id, score rounded 4 dp).
+
+    `term_weights` (default: 1.0 per term) scales each term's
+    contribution — boosted/expanded query terms (RM3, user boosts).
+    The weight folds into the driver-side idf literal map, so the plan
+    is byte-identical to the unweighted one.
 
     `allowed` (a frame with a doc_id column) is Elasticsearch's FILTER
     CONTEXT: it gates WHICH docs may score without touching HOW they
@@ -159,7 +165,12 @@ def bm25_scored(
     df_rows = (
         term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
     )
-    idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
+    w = term_weights or {}
+    idf = {
+        r["term"]: w.get(r["term"], 1.0)
+        * bm25_idf(float(n_docs), float(r["df"]))
+        for r in df_rows
+    }
     if min_should_match is None and conjunctive and len(idf) < n:
         # a query term absent from the corpus → conjunctive result is empty
         return empty
@@ -2323,4 +2334,85 @@ def composite_buckets(
         )
     return b.orderBy(F.col("site_key").asc(), F.col("term").asc()).limit(
         int(size)
+    )
+
+
+# --------------------------------------- pseudo-relevance feedback (RM3)
+
+
+def search_rm3(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3, Lavrenko & Croft
+    relevance models) → (doc_id, score): run the original conjunctive
+    query, take its top-`fb_docs` hits as silent relevance judgments,
+    estimate a feedback term distribution
+
+        w(t) = round( Σ_{d∈FB} (tf(t,d) / dl(d)) · (score(d) / Σscore), 4)
+
+    pick the `fb_terms` highest-w terms NOT in the original query, and
+    re-score disjunctively over original ∪ expansion with each
+    expansion term's BM25 contribution scaled by w(t) (originals keep
+    weight 1.0). This is the classic recall lever the reference's
+    strict-AND engine lacks: a query phrased differently from the page
+    still surfaces it through the expansion terms.
+
+    The feedback set is collected driver-side — ≤ fb_docs rows plus
+    their posting rows, the same bounded-by-k pattern the presentation
+    path uses (this is a QUERY-time operator; the corpus-scale work is
+    the two bm25_scored passes, both fully distributed). Every number
+    that feeds term selection (scores 4 dp, w 4 dp) and the
+    deterministic tiebreaks (w desc, term asc; score desc, doc_id asc)
+    are pinned so the SQL oracle reproduces the identical expansion."""
+    base = search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b=b, limit=fb_docs,
+    ).collect()
+    uniq = sorted(set(terms))
+    if base:
+        ids = [r["doc_id"] for r in base]
+        score_of = {r["doc_id"]: float(r["score"]) for r in base}
+        s_total = sum(score_of.values())
+        dl_of = {
+            r["doc_id"]: float(r["dl"])
+            for r in doc_stats.filter(F.col("doc_id").isin(ids)).collect()
+        }
+        acc: dict[str, float] = {}
+        for r in (
+            postings.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "term", "tf")
+            .collect()
+        ):
+            acc[r["term"]] = acc.get(r["term"], 0.0) + (
+                float(r["tf"]) / dl_of[r["doc_id"]]
+            ) * (score_of[r["doc_id"]] / s_total)
+        ranked = sorted(
+            (
+                (round(v, 4), t)
+                for t, v in acc.items()
+                if t not in uniq
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[: int(fb_terms)]
+        weights = {t: w for w, t in ranked}
+    else:
+        weights = {}
+    expanded = uniq + sorted(weights)
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, expanded,
+        k1=k1, b=b, conjunctive=False, term_weights=weights,
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
     )

@@ -533,3 +533,66 @@ def test_composite_after_key_walk_enumerates_every_bucket(spark):
         walked.extend(page)
         after = (page[-1][0], page[-1][1])
     assert walked == full
+
+
+# ------------------------------------------ RM3 pseudo-relevance feedback
+
+def test_rm3_expands_beyond_original_query(spark, ctx):
+    """With a non-empty feedback set, expansion terms must change the
+    ranking relative to plain disjunctive retrieval over q0."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    rm3 = {
+        r["doc_id"]: r["score"]
+        for r in se.search_rm3(
+            postings, td, ds, n, avgdl, q, limit=10_000
+        ).collect()
+    }
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in se.search_bm25(
+            postings, td, ds, n, avgdl, q, conjunctive=False, limit=10_000
+        ).collect()
+    }
+    # candidate set can only grow (expansion adds disjuncts)...
+    assert set(plain) <= set(rm3)
+    # ...and weighted expansion contributions must move some score
+    assert any(rm3[d] != plain.get(d) for d in rm3)
+
+
+def test_rm3_without_feedback_is_plain_disjunctive(spark, ctx):
+    """Conjunctive base empty (absent term) → no judgments → RM3 must
+    degenerate to the unexpanded disjunctive query."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "quantumflux"]
+    rm3 = se.search_rm3(postings, td, ds, n, avgdl, q)
+    plain = se.search_bm25(
+        postings, td, ds, n, avgdl, q, conjunctive=False
+    )
+    assert _rows(rm3) == _rows(plain)
+
+
+def test_rm3_weights_bounded_and_expansion_size(spark, ctx):
+    """Relevance-model weights are a mixture of per-doc term
+    distributions: each w(t) ∈ (0, 1]; expansion capped at fb_terms."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    base = se.search_bm25(postings, td, ds, n, avgdl, q, limit=5).collect()
+    ids = [r["doc_id"] for r in base]
+    s = {r["doc_id"]: r["score"] for r in base}
+    stot = sum(s.values())
+    dl = {
+        r["doc_id"]: r["dl"]
+        for r in ds.filter(ds.doc_id.isin(ids)).collect()
+    }
+    acc = {}
+    for r in postings.filter(postings.doc_id.isin(ids)).collect():
+        acc[r["term"]] = acc.get(r["term"], 0.0) + (
+            r["tf"] / dl[r["doc_id"]]
+        ) * (s[r["doc_id"]] / stot)
+    exp = sorted(
+        ((round(v, 4), t) for t, v in acc.items() if t not in q),
+        key=lambda x: (-x[0], x[1]),
+    )[:3]
+    assert 0 < len(exp) <= 3
+    assert all(0.0 < w <= 1.0 for w, _ in exp)
