@@ -1450,6 +1450,15 @@ def _q_search_msm(spark, sf_dir):
     )
 
 
+def _q_ltr_features(spark, sf_dir):
+    """LTR feature logging: one (bm25, coordination, length, tf, idf)
+    feature row per candidate of the 3-term query, single-pass."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.ltr_features(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
 def _q_search_rm3(spark, sf_dir):
     """RM3 pseudo-relevance feedback: conjunctive top-5 as silent
     judgments, 3 expansion terms, weighted disjunctive re-score."""
@@ -1769,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_msm": _q_search_msm,
         "search_relaxed": _q_search_relaxed,
         "search_rm3": _q_search_rm3,
+        "ltr_features": _q_ltr_features,
         "search_relaxed_and": _q_search_relaxed_and,
         "search_per_lang": _q_search_per_lang,
         "search_diversified": _q_search_diversified,
@@ -1963,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "search_msm": ora.search_bm25_msm_sql(Q_BM25, min_should_match=2),
         "search_relaxed": ora.search_bm25_relaxed_sql(Q_RELAXED),
         "search_rm3": ora.search_rm3_sql(Q_AND2),
+        "ltr_features": ora.ltr_features_sql(Q_BM25_COMMON),
         "search_relaxed_and": ora.search_bm25_relaxed_sql(Q_BM25),
         "search_per_lang": ora.search_bm25_per_lang_sql(
             Q_BM25_COMMON, k_per_lang=5

@@ -1614,3 +1614,36 @@ SELECT doc_id, round(score, 4) AS score FROM scored2
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {limit}
 """
+
+
+def ltr_features_sql(query_terms: list[str], k1: float = 1.2,
+                     b: float = 0.75, limit: int = 50,
+                     table: str = "documents") -> str:
+    """Mirrors operators/search.py::ltr_features — one feature row per
+    disjunctive candidate, every feature from the same single
+    aggregation. Returns (doc_id, bm25, n_matched, dl, sum_tf, max_tf,
+    idf_sum)."""
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+feat AS (
+  SELECT p.doc_id,
+         round(sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * p.tf * ({k1} + 1)
+                    / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ),
+               4) AS bm25,
+         count(DISTINCT p.term)::BIGINT AS n_matched,
+         max(dl.dl)::BIGINT AS dl,
+         sum(p.tf)::BIGINT AS sum_tf,
+         max(p.tf)::BIGINT AS max_tf,
+         round(sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) ),
+               4) AS idf_sum
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, bm25, n_matched, dl, sum_tf, max_tf, idf_sum
+FROM feat
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {limit}
+"""

@@ -2416,3 +2416,88 @@ def search_rm3(
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(limit))
     )
+
+
+# --------------------------------------------------- LTR feature extraction
+
+
+def ltr_features(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 50,
+) -> DataFrame:
+    """Learning-to-rank feature matrix → one row per candidate document:
+    (doc_id, bm25, n_matched, dl, sum_tf, max_tf, idf_sum) for the
+    disjunctive match set, top-`limit` by bm25 — the Elasticsearch-LTR
+    `sltr`/feature-logging shape: the judged/candidate pairs a ranker
+    trains on, extracted in ONE pass instead of per-feature queries.
+
+    Feature semantics (all floats 4 dp; counts stay integral):
+      bm25      full Okapi score over matched terms (weight path shared
+                with every other scorer via bm25_scored's arithmetic)
+      n_matched distinct query terms present (coordination)
+      dl        document length (retained-term occurrences)
+      sum_tf    total query-term occurrences in the doc
+      max_tf    the largest single-term tf (burstiness)
+      idf_sum   Σ idf over the doc's MATCHED terms (query specificity
+                actually realized in this doc)
+
+    One aggregation over the term-filtered postings produces every
+    feature: at scale this is exactly the bm25_scored plan plus three
+    more algebraic aggregates in the same map-side combine — no extra
+    shuffle, no per-feature passes."""
+    uniq = sorted(set(terms))
+    out_cols = [
+        F.col("doc_id"),
+        F.lit(0.0).alias("bm25"),
+        F.lit(0).cast("bigint").alias("n_matched"),
+        F.lit(0).cast("bigint").alias("dl"),
+        F.lit(0).cast("bigint").alias("sum_tf"),
+        F.lit(0).cast("bigint").alias("max_tf"),
+        F.lit(0.0).alias("idf_sum"),
+    ]
+    empty = postings.select(*out_cols).limit(0)
+    if not uniq:
+        return empty
+    df_rows = (
+        term_dict.filter(F.col("term").isin(uniq))
+        .select("term", "df")
+        .collect()
+    )
+    idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
+    if not idf:
+        return empty
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    tf = F.col("tf").cast("double")
+    cand = (
+        postings.filter(F.col("term").isin(sorted(idf)))
+        .join(doc_stats.hint("broadcast"), "doc_id")
+        .withColumn("_idf", idf_col[F.col("term")])
+        .withColumn(
+            "_part",
+            F.col("_idf")
+            * tf
+            * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))),
+        )
+    )
+    agg = cand.groupBy("doc_id").agg(
+        F.round(F.sum("_part"), 4).alias("bm25"),
+        F.count_distinct("term").cast("bigint").alias("n_matched"),
+        F.first("dl").cast("bigint").alias("dl"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+        F.round(F.sum("_idf"), 4).alias("idf_sum"),
+    )
+    return (
+        agg.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )

@@ -596,3 +596,34 @@ def test_rm3_weights_bounded_and_expansion_size(spark, ctx):
     )[:3]
     assert 0 < len(exp) <= 3
     assert all(0.0 < w <= 1.0 for w, _ in exp)
+
+
+# ----------------------------------------------------------- LTR features
+
+def test_ltr_features_consistency_with_scorers(spark, ctx):
+    """The feature columns must agree with the operators that define
+    them: bm25 == disjunctive search_bm25 score, n_matched == msm path's
+    count, dl == doc_stats, sum/max tf == raw postings."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    feats = se.ltr_features(
+        postings, td, ds, n, avgdl, q, limit=10_000
+    ).collect()
+    assert feats
+    bm = dict(_rows(se.search_bm25(
+        postings, td, ds, n, avgdl, q, conjunctive=False, limit=10_000
+    )))
+    dl = {r["doc_id"]: r["dl"] for r in ds.collect()}
+    pf = postings.filter(postings.term.isin(q)).collect()
+    sum_tf, max_tf = {}, {}
+    for r in pf:
+        sum_tf[r["doc_id"]] = sum_tf.get(r["doc_id"], 0) + r["tf"]
+        max_tf[r["doc_id"]] = max(max_tf.get(r["doc_id"], 0), r["tf"])
+    for f in feats:
+        d = f["doc_id"]
+        assert f["bm25"] == bm[d]
+        assert f["dl"] == dl[d]
+        assert f["sum_tf"] == sum_tf[d]
+        assert f["max_tf"] == max_tf[d]
+        assert 1 <= f["n_matched"] <= len(q)
+        assert f["idf_sum"] > 0
