@@ -77,8 +77,16 @@ def rank_eval(
         postings, term_dict, doc_stats, n_docs, avgdl, terms,
         k1=k1, b=b, limit=k, conjunctive=False,
     )
-    ranked = ranked_topk(ranking, "score").join(
-        F.broadcast(qrels), "doc_id", "left"
+    topk = ranked_topk(ranking, "score")
+    # qrels scale with the query terms' document frequency (millions of rows
+    # for a common term at web scale) — never broadcast them whole. Restrict
+    # to the top-k's doc_ids first: an inner join whose BUILD side is the
+    # broadcast k-row top-k (the grade aggregate itself stays distributed
+    # over the term-pruned postings scan), leaving ≤k graded rows that ARE
+    # safe to broadcast into the left join.
+    topk_grades = qrels.join(F.broadcast(topk.select("doc_id")), "doc_id")
+    ranked = topk.join(
+        F.broadcast(topk_grades), "doc_id", "left"
     ).select(
         "rank", F.coalesce(F.col("grade"), F.lit(0)).alias("grade")
     )
