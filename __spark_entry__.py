@@ -385,6 +385,14 @@ def _q_url_normalize(spark, sf_dir):
     )
 
 
+def _q_url_reorder(spark, sf_dir):
+    """URL-order doc-id reassignment (compression-oriented document
+    reordering; operators/reorder.py)."""
+    from search_engine_spark.operators.reorder import url_ordered_ids
+
+    return url_ordered_ids(load_documents(spark, sf_dir))
+
+
 def _q_statistics(spark, sf_dir):
     return per_site_statistics(load_documents(spark, sf_dir))
 
@@ -1670,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
+        "url_reorder": _q_url_reorder,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -1848,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warc_roundtrip": pipe.warc_roundtrip_sql(),
         "url_normalize": ora.url_normalize_sql(),
+        "url_reorder": ora.url_reorder_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

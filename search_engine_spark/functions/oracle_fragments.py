@@ -414,6 +414,16 @@ FROM p2
 """
 
 
+def url_reorder_sql(table: str = "documents") -> str:
+    """Mirror of operators/reorder.py::url_ordered_ids — dense 0-based rank
+    under lexicographic (url, doc_id) order. Returns (doc_id, new_id)."""
+    return f"""
+SELECT doc_id,
+       (row_number() OVER (ORDER BY {URL_SQL}, doc_id) - 1)::BIGINT AS new_id
+FROM {table}
+"""
+
+
 def statistics_sql(table: str = "documents") -> str:
     """A1 per-site statistics: (site_key, pages, lemmas)."""
     return f"""

@@ -1,0 +1,121 @@
+"""URL-order document-id reordering (operators/reorder.py): mapping
+correctness, index equivalence under renumbering, and the compression
+win the reordering exists for."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_spark.operators.blocks import build_posting_blocks
+from search_engine_spark.operators.index_build import build_postings
+from search_engine_spark.operators.reorder import (
+    reorder_docs,
+    reorder_postings,
+    url_ordered_ids,
+)
+from search_engine_spark.sources.documents import load_documents
+
+from tests.conftest import SF_TEST
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_documents(spark, SF_TEST)
+
+
+def test_mapping_is_dense_url_order(spark, docs):
+    """new_id is a dense 0..n-1 permutation matching sorted (url, doc_id)."""
+    got = url_ordered_ids(docs).collect()
+    n = len(got)
+    assert sorted(r["new_id"] for r in got) == list(range(n))
+    expected = [
+        r["doc_id"]
+        for r in docs.select("doc_id", "url").collect()
+    ]
+    by_url = {
+        r["doc_id"]: r["url"] for r in docs.select("doc_id", "url").collect()
+    }
+    want_order = sorted(expected, key=lambda d: (by_url[d], d))
+    got_order = [
+        r["doc_id"] for r in sorted(got, key=lambda r: r["new_id"])
+    ]
+    assert got_order == want_order
+
+
+def test_mapping_partition_invariance(spark, docs):
+    """The mapping is a pure function of the corpus — the partition count
+    used for the distributed rank must not change it."""
+    a = {r["doc_id"]: r["new_id"] for r in url_ordered_ids(docs, n_parts=1).collect()}
+    b = {r["doc_id"]: r["new_id"] for r in url_ordered_ids(docs, n_parts=7).collect()}
+    assert a == b
+
+
+def test_reordered_index_decodes_to_same_postings(spark, docs):
+    """Building blocks over renumbered ids is lossless: mapping the decoded
+    postings back through the id mapping reproduces the original postings."""
+    from search_engine_spark.operators.blocks import decode_blocks
+
+    postings = build_postings(docs)
+    mapping = url_ordered_ids(docs)
+    blocks = build_posting_blocks(reorder_postings(postings, mapping), n_buckets=8)
+    back = (
+        decode_blocks(blocks)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(mapping, "new_id")
+        .select("term", F.col("doc_id"), "tf")
+    )
+    orig = {(r["term"], r["doc_id"], r["tf"]) for r in postings.collect()}
+    got = {(r["term"], r["doc_id"], r["tf"]) for r in back.collect()}
+    assert got == orig
+
+
+def test_reorder_docs_keeps_columns(spark, docs):
+    mapping = url_ordered_ids(docs)
+    re = reorder_docs(docs, mapping)
+    assert "orig_doc_id" in re.columns and "text" in re.columns
+    row = re.filter(F.col("orig_doc_id") == 0).collect()[0]
+    orig = docs.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["text"] == orig["text"] and row["url"] == orig["url"]
+
+
+def _index_bytes(blocks_df) -> int:
+    r = blocks_df.select(
+        F.sum(
+            F.length("doc_bytes") + F.length("tf_bytes") + F.length("dl_bytes")
+        ).alias("b")
+    ).collect()[0]
+    return int(r["b"])
+
+
+def test_url_clustering_shrinks_index(spark):
+    """The point of the operator: on a site-clustered vocabulary, URL order
+    gives site-local terms constant within-bucket gaps (= n_buckets) and the
+    encoded index is strictly smaller than under scattered ids.
+
+    Corpus: 8192 docs over 32 sites, doc i assigned to a site by a fixed
+    multiplicative hash (crawl order scatters a site's pages across the id
+    space); every doc's text is its site's own token repeated. Site-term
+    within-bucket gaps average sites·n_buckets and are irregular before
+    reordering, and collapse to the constant n_buckets after (measured
+    offline with the codec: ~1.32× smaller at these parameters)."""
+    n, sites = 8192, 32
+    rows = []
+    for i in range(n):
+        s = (i * 2654435761 >> 7) % sites
+        tok = chr(97 + s // 26) + chr(97 + s % 26)
+        rows.append(
+            (
+                i,
+                f"https://site-{s:02d}.example/docs/{i:05d}",
+                f"site{tok}token " * 3,
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    postings = build_postings(docs)
+    mapping = url_ordered_ids(docs)
+    plain = _index_bytes(build_posting_blocks(postings, n_buckets=8))
+    clustered = _index_bytes(
+        build_posting_blocks(reorder_postings(postings, mapping), n_buckets=8)
+    )
+    assert clustered < plain, (clustered, plain)
