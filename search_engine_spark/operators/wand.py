@@ -75,7 +75,16 @@ def _decode_term(
     (sorted candidate doc_ids), blocks whose [first_doc, last_doc] range
     contains NO candidate are skipped without decoding (block-max metadata
     as a zone map — exact, because a skipped block cannot contain any doc
-    we still care about). ``stats`` counts decoded vs total blocks."""
+    we still care about). ``stats`` counts decoded vs total blocks.
+
+    Every downstream consumer binary-searches the returned doc_ids
+    (np.searchsorted), so they MUST come back sorted. Block rows arrive in
+    shuffle/scan order — pandas groupby preserves it, and nothing upstream
+    promises block order once a bucket's parquet spans multiple splits or
+    a segment union interleaves doc-id ranges — so sort by first_doc here,
+    and repair the rare cross-block overlap (segment unions) after the
+    concat. Cost: a few rows per (bucket, term); the decode dominates."""
+    pdf = pdf.sort_values("first_doc")
     ids_parts, tf_parts, dl_parts = [], [], []
     for row in pdf.itertuples(index=False):
         if stats is not None:
@@ -95,11 +104,15 @@ def _decode_term(
     if not ids_parts:
         z = np.empty(0, dtype=np.int64)
         return z, z, z
-    return (
-        np.concatenate(ids_parts),
-        np.concatenate(tf_parts),
-        np.concatenate(dl_parts),
-    )
+    ids = np.concatenate(ids_parts)
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    if ids.size > 1 and np.any(np.diff(ids) <= 0):
+        # blocks' doc ranges overlapped (segment-union path): fall back to
+        # a full stable sort so searchsorted stays correct
+        o = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[o], tfs[o], dls[o]
+    return ids, tfs, dls
 
 
 def _conjunctive_bucket(

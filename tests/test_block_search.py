@@ -234,6 +234,76 @@ class TestMaxScorePruning:
         # spanning doc_ids 0-9
         assert stats["blocks_decoded"] < stats["blocks_total"], stats
 
+    def test_block_row_order_does_not_matter(self, skewed_groups):
+        """Regression: block rows arrive in shuffle/scan order, not block
+        order (pandas groupby preserves arrival order). The scorers
+        binary-search the decoded doc_ids, so _decode_term must sort —
+        a shuffled-row group has to score identically to the built one."""
+        import math
+
+        from search_engine_spark.operators import wand
+
+        shuffled = {
+            t: g.sample(frac=1.0, random_state=7).reset_index(drop=True)
+            for t, g in skewed_groups.items()
+        }
+        assert any(
+            list(shuffled[t]["first_doc"]) != list(skewed_groups[t]["first_doc"])
+            for t in shuffled
+        ), "fixture must actually permute rows"
+
+        ids_a, aligned_a, dls_a = wand._conjunctive_bucket(skewed_groups)
+        ids_b, aligned_b, dls_b = wand._conjunctive_bucket(shuffled)
+        assert list(ids_a) == list(ids_b)
+        assert list(dls_a) == list(dls_b)
+        for t in aligned_a:
+            assert list(aligned_a[t]) == list(aligned_b[t])
+
+        n_docs = 2000
+        idf = {
+            "common": math.log(1 + (n_docs - 2000 + 0.5) / (2000 + 0.5)),
+            "rare": math.log(1 + (n_docs - 10 + 0.5) / (10 + 0.5)),
+        }
+        oa, sa = wand._maxscore_or_bucket(
+            skewed_groups, 5, "bm25", idf, 1.2, 0.75, 2.0
+        )
+        ob, sb = wand._maxscore_or_bucket(
+            shuffled, 5, "bm25", idf, 1.2, 0.75, 2.0
+        )
+        assert sorted(zip(oa, sa)) == sorted(zip(ob, sb))
+
+    def test_multiblock_intersection_survives_row_shuffle(self, spark):
+        """The bite case the skewed fixture misses: the RAREST term itself
+        spans several blocks, so its shuffled rows seed the intersection
+        with an unsorted candidate array unless _decode_term sorts."""
+        import pandas as pd
+
+        from search_engine_spark.operators import wand
+        from search_engine_spark.operators.blocks import build_posting_blocks
+
+        rows = [(d, "alla", 1 + d % 2) for d in range(2000)]
+        rows += [(d, "quarter", 2) for d in range(0, 2000, 4)]  # 500 → 4 blocks
+        postings = spark.createDataFrame(
+            rows, "doc_id long, term string, tf long"
+        )
+        blocks = build_posting_blocks(postings, 1).toPandas()
+        groups = {t: g for t, g in blocks.groupby("term")}
+        assert len(groups["quarter"]) >= 4  # must be a multi-block list
+        shuffled = {
+            t: g.sample(frac=1.0, random_state=11).reset_index(drop=True)
+            for t, g in groups.items()
+        }
+        assert list(shuffled["quarter"]["first_doc"]) != list(
+            groups["quarter"]["first_doc"]
+        )
+        ids_a, aligned_a, dls_a = wand._conjunctive_bucket(groups)
+        ids_b, aligned_b, dls_b = wand._conjunctive_bucket(shuffled)
+        assert list(ids_a) == list(range(0, 2000, 4))
+        assert list(ids_b) == list(ids_a)
+        assert list(dls_b) == list(dls_a)
+        for t in aligned_a:
+            assert list(aligned_b[t]) == list(aligned_a[t])
+
 
 class TestQueryPlanShape:
     """Pin the physical plan of the hot query path (PLANS.md §2): the
