@@ -1595,7 +1595,7 @@ fbw AS (
          round(sum((p.tf / dl.dl) * (fb.fscore / stot.s)), 4) AS w
   FROM post_fb p
   JOIN dl USING (doc_id) JOIN fb USING (doc_id) CROSS JOIN stot
-  WHERE p.term NOT IN {_terms_in(query_terms)}
+  WHERE p.term NOT IN {_terms_in(query_terms)} AND stot.s > 0
   GROUP BY p.term
 ),
 expn AS (SELECT term, w FROM fbw ORDER BY w DESC, term ASC LIMIT {fb_terms}),

@@ -1908,8 +1908,9 @@ def hits_sql(n_iter: int = gr.HITS_ITERS, table: str = "documents") -> str:
             f" ON c.dst = nodes.doc_id)"
         )
         ctes.append(
-            f"a{i+1} AS (SELECT doc_id,"
-            f" a / (SELECT sum(a) FROM a{i+1}r) AS a FROM a{i+1}r)"
+            f"a{i+1} AS (SELECT doc_id, CASE WHEN"
+            f" (SELECT sum(a) FROM a{i+1}r) > 0 THEN"
+            f" a / (SELECT sum(a) FROM a{i+1}r) ELSE 0.0 END AS a FROM a{i+1}r)"
         )
         ctes.append(
             f"h{i+1}r AS (SELECT nodes.doc_id, coalesce(c.s, 0.0) AS h"
@@ -1918,8 +1919,9 @@ def hits_sql(n_iter: int = gr.HITS_ITERS, table: str = "documents") -> str:
             f" GROUP BY e.src) c ON c.src = nodes.doc_id)"
         )
         ctes.append(
-            f"h{i+1} AS (SELECT doc_id,"
-            f" h / (SELECT sum(h) FROM h{i+1}r) AS h FROM h{i+1}r)"
+            f"h{i+1} AS (SELECT doc_id, CASE WHEN"
+            f" (SELECT sum(h) FROM h{i+1}r) > 0 THEN"
+            f" h / (SELECT sum(h) FROM h{i+1}r) ELSE 0.0 END AS h FROM h{i+1}r)"
         )
     body = ",\n".join(ctes)
     return f"""

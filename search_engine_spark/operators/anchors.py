@@ -29,8 +29,9 @@ Scale notes:
   smaller than body postings.
 - BM25F query evaluation mirrors search.py::search_bm25: query-term df
   collected driver-side into a literal idf map, field frames filtered by
-  the term set FIRST, length tables joined post-filter (broadcast-able
-  candidate set), then two map-side-combinable groupBys
+  the term set FIRST, length tables joined post-filter — the length
+  frames are per-document (corpus-scaling) so the join is a sort-merge
+  on doc_id, never hint-broadcast — then two map-side-combinable groupBys
   ((doc,term) → wtf, doc → score). No global window anywhere.
 
 Fixture derivation (FIXTURES pattern, mirrored in
@@ -202,7 +203,7 @@ def search_bm25f(
         *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
     )
 
-    ntf_body = bq.join(doc_stats.hint("broadcast"), "doc_id").select(
+    ntf_body = bq.join(doc_stats, "doc_id").select(
         "doc_id",
         "term",
         (
@@ -212,7 +213,7 @@ def search_bm25f(
         ).alias("ntf"),
     )
     if avg_adl > 0.0:
-        ntf_anchor = aq.join(anchor_dl.hint("broadcast"), "doc_id").select(
+        ntf_anchor = aq.join(anchor_dl, "doc_id").select(
             "doc_id",
             "term",
             (

@@ -77,7 +77,13 @@ def rank_eval(
         postings, term_dict, doc_stats, n_docs, avgdl, terms,
         k1=k1, b=b, limit=k, conjunctive=False,
     )
-    topk = ranked_topk(ranking, "score")
+    # Materialize the ≤k-row top-k driver-side (the presentation path's
+    # bounded-by-k idiom) so the corpus-scale BM25 pass runs exactly once —
+    # referencing its lazy subtree from two joins would score twice.
+    topk_local = ranked_topk(ranking, "score")
+    topk = ranking.sparkSession.createDataFrame(
+        topk_local.collect(), topk_local.schema
+    )
     # qrels scale with the query terms' document frequency (millions of rows
     # for a common term at web scale) — never broadcast them whole. Restrict
     # to the top-k's doc_ids first: an inner join whose BUILD side is the

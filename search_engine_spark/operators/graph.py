@@ -405,8 +405,14 @@ def hits(
             "doc_id", F.coalesce("s", F.lit(0.0)).alias(out_col)
         )
         tot = raw.agg(F.sum(out_col).alias("t"))
+        # t = 0 when no edge delivered any mass this half-step (e.g. every
+        # link is external) — emit zeros rather than NULL-poisoning both
+        # vectors (x/0 is NULL in Spark SQL, and NULL propagates)
         return raw.crossJoin(F.broadcast(tot)).select(
-            "doc_id", (F.col(out_col) / F.col("t")).alias(out_col)
+            "doc_id",
+            F.when(F.col("t") > 0.0, F.col(out_col) / F.col("t"))
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
         )
 
     for _ in range(n_iter):
@@ -448,20 +454,17 @@ def robots_fixture_texts(spark) -> DataFrame:
     return spark.createDataFrame(rows, "host string, robots_txt string")
 
 
-def parse_robots(robots: DataFrame) -> DataFrame:
-    """(host, robots_txt) → (host, path_prefix): the Disallow rules of
-    the wildcard (``User-agent: *``) group(s) — the parse step in front
-    of robots_filter (REP per RFC 9309, pinned subset: comments stripped,
-    groups delimited by User-agent runs — a rule attaches to the most
-    recent preceding agent run, consecutive agent lines share one group;
-    empty Disallow = allow-all sentinel, dropped; non-rule directives
-    ignored).
+def _robots_star_groups(robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared robots.txt group tagging for parse_robots / crawl_delays →
+    (tagged lines, star groups). Comments stripped; groups delimited by
+    User-agent runs — a directive attaches to the most recent preceding
+    agent run, consecutive agent lines share one group; ``star`` is the
+    (host, grp) set of wildcard (``User-agent: *``) groups.
 
-    Execution: posexplode lines, two doc-keyed window passes (lag + a
+    Execution: posexplode lines, two host-keyed window passes (lag + a
     running sum assigning group ids) — robots files are tiny, so the
-    per-host window partitions are bounded; the star-group semi-join is
-    host-local. At web scale this runs over ~10^7 small files: one
-    shuffle on host."""
+    per-host window partitions are bounded. At web scale this runs over
+    ~10^7 small files: one shuffle on host."""
     from pyspark.sql import Window
 
     lines = robots.select(
@@ -493,6 +496,16 @@ def parse_robots(robots: DataFrame) -> DataFrame:
         .select("host", "grp")
         .distinct()
     )
+    return tagged, star
+
+
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """(host, robots_txt) → (host, path_prefix): the Disallow rules of
+    the wildcard (``User-agent: *``) group(s) — the parse step in front
+    of robots_filter (REP per RFC 9309, pinned subset: see
+    _robots_star_groups; empty Disallow = allow-all sentinel, dropped;
+    non-rule directives ignored)."""
+    tagged, star = _robots_star_groups(robots)
     return (
         tagged.filter(F.lower("line").startswith("disallow:"))
         .withColumn(
@@ -548,41 +561,10 @@ def crawl_delays(robots: DataFrame) -> DataFrame:
     """(host, delay_s) — Crawl-delay of the wildcard agent group(s),
     the politeness knob next to parse_robots' Disallow rules (REP
     extension honored by most crawlers; feeds crawl_frontier's per-host
-    budget as budget ~ window/delay). Same host-keyed window grouping
-    as parse_robots; smallest declared delay wins when repeated."""
-    from pyspark.sql import Window
-
-    lines = robots.select(
-        "host",
-        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("ln", "raw"),
-    )
-    line = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
-    norm = lines.withColumn("line", line).withColumn(
-        "is_ua", F.lower(line).startswith("user-agent:")
-    )
-    w = Window.partitionBy("host").orderBy("ln")
-    tagged = (
-        norm.withColumn("prev_ua", F.lag("is_ua", 1, False).over(w))
-        .withColumn(
-            "grp",
-            F.sum(
-                F.when(F.col("is_ua") & ~F.col("prev_ua"), 1).otherwise(0)
-            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-    )
-    star = (
-        tagged.filter(
-            F.col("is_ua")
-            & (
-                F.trim(
-                    F.regexp_extract("line", r"(?i)^user-agent:\s*(.*)$", 1)
-                )
-                == "*"
-            )
-        )
-        .select("host", "grp")
-        .distinct()
-    )
+    budget as budget ~ window/delay). Group tagging shared with
+    parse_robots (_robots_star_groups); smallest declared delay wins
+    when repeated."""
+    tagged, star = _robots_star_groups(robots)
     return (
         tagged.filter(F.lower("line").startswith("crawl-delay:"))
         .withColumn(

@@ -149,8 +149,12 @@ def bm25_scored(
 
     Join strategy at scale: the df lookup for the query terms is collected
     driver-side (|terms| rows — cheaper than any join) and baked into the
-    plan as a literal idf map; doc length joins via broadcast-ABLE doc_stats
-    only after the candidate set is reduced by the term filter + HAVING.
+    plan as a literal idf map. doc_stats is one row per DOCUMENT — a
+    corpus-scaling frame, never hint-broadcast (the hint ships the whole
+    build side regardless of how small the term-filtered probe is); the
+    dl join is a sort-merge on doc_id, and AQE may still downgrade it to
+    a broadcast at runtime when the actual corpus is small. The block
+    query path avoids this join entirely (norms live inside the blocks).
     """
     uniq = sorted(set(terms))
     n = len(uniq)
@@ -189,7 +193,7 @@ def bm25_scored(
         )
     cand = (
         base
-        .join(doc_stats.hint("broadcast"), "doc_id")
+        .join(doc_stats, "doc_id")
         .withColumn(
             "part_score",
             idf_col[F.col("term")]
@@ -561,7 +565,7 @@ def search_lmd(
     )
     scored = (
         postings.filter(F.col("term").isin(matched))
-        .join(doc_stats.hint("broadcast"), "doc_id")
+        .join(doc_stats, "doc_id")
         .withColumn(
             "part_score",
             F.log(
@@ -1157,7 +1161,7 @@ def search_bm25_batch(
     cand = (
         postings.filter(F.col("term").isin(live_terms))
         .join(F.broadcast(qt), "term")
-        .join(doc_stats.hint("broadcast"), "doc_id")
+        .join(doc_stats, "doc_id")
         .withColumn(
             "part_score",
             F.col("idf")
@@ -2134,23 +2138,34 @@ def phrase_suggest(
             )
         )
 
-    joined = _cands(words[0], 0)
+    # materialize each position's candidate set ONCE (a handful of rows —
+    # the ≤1-edit dictionary neighborhood): the frame is referenced up to
+    # three times below (cross product + two bigram semi-joins), and each
+    # lazy reference would re-run the corpus-wide unigram aggregate
+    spark = positional.sparkSession
+
+    def _cands_local(w: str, i: int) -> DataFrame:
+        df = _cands(w, i)
+        return spark.createDataFrame(df.collect(), df.schema)
+
+    cand_frames = [_cands_local(w, i) for i, w in enumerate(words)]
+    joined = cand_frames[0]
     for i in range(1, len(words)):
-        joined = joined.crossJoin(F.broadcast(_cands(words[i], i)))
+        joined = joined.crossJoin(F.broadcast(cand_frames[i]))
     joined = joined.crossJoin(F.broadcast(total))
     score = F.log(F.col("cf0") / F.col("_total"))
     for i in range(1, len(words)):
         bi = (
             bigrams.join(
                 F.broadcast(
-                    _cands(words[i - 1], i - 1)
+                    cand_frames[i - 1]
                     .select(F.col(f"c{i-1}").alias("w1"))
                 ),
                 "w1", "left_semi",
             )
             .join(
                 F.broadcast(
-                    _cands(words[i], i).select(F.col(f"c{i}").alias("w2"))
+                    cand_frames[i].select(F.col(f"c{i}").alias("w2"))
                 ),
                 "w2", "left_semi",
             )
@@ -2213,8 +2228,10 @@ def search_diversified(
     UNROLL into one declarative plan — each step is an anti-join
     (drop picked), a broadcast of the ≤i picked rows, a max-cosine
     aggregation over `n_cand` rows, and a 1-row TakeOrdered — so the
-    whole thing stays inside Catalyst: no `.collect()`, no Python loop
-    over data, k·n_cand cosine evaluations total. Every float that
+    selection itself stays inside Catalyst with no Python loop over
+    data, k·n_cand cosine evaluations total (the only collect is the
+    final ≤k-row materialization, which also lets the per-query step
+    caches be released before returning). Every float that
     feeds an argmax is rounded to 4 dp first (both engines), so the
     greedy trace is reproducible bit-for-bit against the SQL oracle's
     unrolled-CTE twin.
@@ -2257,8 +2274,13 @@ def search_diversified(
     )
     # each step's picked set is referenced three times by the next step
     # (anti-join, broadcast of embeddings, union); caching the ≤k-row
-    # frame keeps the unrolled plan's cost linear in k instead of 3^k
+    # frame keeps the unrolled plan's cost linear in k instead of 3^k.
+    # All caches are per-query throwaways — released before returning
+    # (the result is materialized to a ≤k-row local frame), so a serving
+    # loop doesn't accumulate pinned storage query after query.
+    caches = [cand]
     selected = first.cache()
+    caches.append(selected)
     for i in range(2, int(k) + 1):
         pen = (
             cand.join(
@@ -2299,9 +2321,14 @@ def search_diversified(
             )
         )
         selected = selected.unionByName(pick).cache()
-    return selected.select("doc_id", "rel", "mmr", "pick_order").orderBy(
+        caches.append(selected)
+    result = selected.select("doc_id", "rel", "mmr", "pick_order").orderBy(
         "pick_order"
     )
+    rows = result.collect()
+    for c in caches:
+        c.unpersist()
+    return postings.sparkSession.createDataFrame(rows, result.schema)
 
 
 # ------------------------------------------------- composite aggregation
@@ -2379,7 +2406,11 @@ def search_rm3(
         k1=k1, b=b, limit=fb_docs,
     ).collect()
     uniq = sorted(set(terms))
-    if base:
+    # degenerate feedback guard: with an extremely common single term the
+    # 4-dp-rounded feedback scores can ALL be 0.0000 (idf ≈ 0.5/N), making
+    # s_total 0 — no usable relevance model, so fall back to the unexpanded
+    # query instead of dividing by zero (oracle mirror: `AND stot.s > 0`)
+    if base and sum(float(r["score"]) for r in base) > 0.0:
         ids = [r["doc_id"] for r in base]
         score_of = {r["doc_id"]: float(r["score"]) for r in base}
         s_total = sum(score_of.values())
@@ -2479,7 +2510,7 @@ def ltr_features(
     tf = F.col("tf").cast("double")
     cand = (
         postings.filter(F.col("term").isin(sorted(idf)))
-        .join(doc_stats.hint("broadcast"), "doc_id")
+        .join(doc_stats, "doc_id")
         .withColumn("_idf", idf_col[F.col("term")])
         .withColumn(
             "_part",

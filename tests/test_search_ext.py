@@ -572,6 +572,34 @@ def test_rm3_without_feedback_is_plain_disjunctive(spark, ctx):
     assert _rows(rm3) == _rows(plain)
 
 
+def test_rm3_zero_score_feedback_falls_back(spark, ctx):
+    """Degenerate feedback: a term present in (almost) every document of
+    a large corpus has idf ≈ 0.5/N, so every 4-dp-rounded feedback score
+    is 0.0000 and s_total = 0. RM3 must fall back to the unexpanded
+    query instead of dividing by zero. Simulated by inflating df/N in
+    the dictionary — the scorer reads both from there."""
+    from pyspark.sql import functions as F
+
+    docs, postings, td, ds, n, avgdl = ctx
+    big_n = 50_000
+    td_common = td.withColumn(
+        "df",
+        F.when(F.col("term") == "data", F.lit(float(big_n)))
+        .otherwise(F.col("df")),
+    )
+    q = ["data"]
+    base = se.search_bm25(
+        postings, td_common, ds, big_n, avgdl, q, limit=5
+    ).collect()
+    # precondition: the feedback scores really do round to zero
+    assert base and all(r["score"] == 0.0 for r in base)
+    rm3 = se.search_rm3(postings, td_common, ds, big_n, avgdl, q)
+    plain = se.search_bm25(
+        postings, td_common, ds, big_n, avgdl, q, conjunctive=False
+    )
+    assert _rows(rm3) == _rows(plain)
+
+
 def test_rm3_weights_bounded_and_expansion_size(spark, ctx):
     """Relevance-model weights are a mixture of per-doc term
     distributions: each w(t) ∈ (0, 1]; expansion capped at fb_terms."""
