@@ -175,7 +175,7 @@ class IndexStore:
 
 
 def _with_bucket(df: DataFrame, n_buckets: int, col: str = "doc_id") -> DataFrame:
-    return df.withColumn("doc_bucket", (F.col(col) % n_buckets).cast("int"))
+    return df.withColumn("doc_bucket", F.pmod(F.col(col), F.lit(n_buckets)).cast("int"))
 
 
 def _dynamic_overwrite(df: DataFrame, path: str) -> None:
@@ -282,6 +282,34 @@ def build_persistent(
     spark.sparkContext.setJobGroup(
         BUILD_JOB_GROUP, f"index build {build_id}", interruptOnCancel=True
     )
+    try:
+        return _build_persistent_grouped(
+            store, docs, fp, build_id, groups, on_group_commit,
+            fail_after_groups,
+        )
+    finally:
+        # the job group is THREAD-local and sticky: without clearing it,
+        # every later job from this thread (streaming micro-batches,
+        # driver-side queries) inherits it, and a stray request_cancel()
+        # would interrupt them mid-write. PySpark exposes no
+        # clearJobGroup; go through the JVM handle.
+        try:
+            spark.sparkContext._jsc.clearJobGroup()
+        except Exception:
+            spark.sparkContext.setJobGroup("", "")
+
+
+def _build_persistent_grouped(
+    store: IndexStore,
+    docs,
+    fp: str,
+    build_id: str,
+    groups: int,
+    on_group_commit,
+    fail_after_groups: int | None,
+) -> dict:
+    spark = store.spark
+    n_buckets = store.n_buckets
     committed = store.committed_buckets(fp)
     missing = sorted(set(range(n_buckets)) - committed)
     if not missing:

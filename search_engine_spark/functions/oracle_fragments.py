@@ -125,9 +125,9 @@ postings AS (
 ),
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
 numbered AS (
-  SELECT (p.doc_id % {n_buckets})::INT AS doc_bucket, p.term, p.doc_id,
+  SELECT (((p.doc_id % {n_buckets}) + {n_buckets}) % {n_buckets})::INT AS doc_bucket, p.term, p.doc_id,
          p.tf, dl.dl,
-         row_number() OVER (PARTITION BY p.doc_id % {n_buckets}, p.term
+         row_number() OVER (PARTITION BY ((p.doc_id % {n_buckets}) + {n_buckets}) % {n_buckets}, p.term
                             ORDER BY p.doc_id) - 1 AS rn
   FROM postings p JOIN dl USING (doc_id)
 )

@@ -48,16 +48,13 @@ BLOCKS_SCHEMA = T.StructType(
 )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (doc_bucket, term) posting run → encoded block rows."""
+def block_rows_frame(bucket: int, term, cols: dict, schema) -> pd.DataFrame:
+    """Assemble one (bucket, term) group's encoded block columns into the
+    schema-ordered pandas frame applyInPandas expects — the shared tail of
+    every block emitter (build, fused merge, segment compaction,
+    positional): a schema change lands in exactly one place."""
     import numpy as np
 
-    pdf = pdf.sort_values("doc_id")
-    bucket = int(pdf["doc_bucket"].iloc[0])
-    term = pdf["term"].iloc[0]
-    cols = encode_blocks_columns(
-        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy()
-    )
     nb = len(cols["doc_bytes"])
     return pd.DataFrame(
         {
@@ -65,8 +62,19 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "term": term,
             **cols,
         },
-        columns=[f.name for f in BLOCKS_SCHEMA.fields],
+        columns=[f.name for f in schema.fields],
     )
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (doc_bucket, term) posting run → encoded block rows."""
+    pdf = pdf.sort_values("doc_id")
+    bucket = int(pdf["doc_bucket"].iloc[0])
+    term = pdf["term"].iloc[0]
+    cols = encode_blocks_columns(
+        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy()
+    )
+    return block_rows_frame(bucket, term, cols, BLOCKS_SCHEMA)
 
 
 def build_posting_blocks(
@@ -84,7 +92,7 @@ def build_posting_blocks(
     """
     dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     with_bucket = postings.join(dl, "doc_id").withColumn(
-        "doc_bucket", (F.col("doc_id") % n_buckets).cast("int")
+        "doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
     )
     return with_bucket.groupBy("doc_bucket", "term").applyInPandas(
         _encode_group, schema=BLOCKS_SCHEMA
@@ -113,17 +121,23 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            buckets, terms, ids_parts, tf_parts = [], [], [], []
+            ids_parts, tf_parts = [], []
             for row in pdf.itertuples(index=False):
                 ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
                 ids_parts.append(ids)
                 tf_parts.append(tfs)
-                buckets.append(np.full(ids.size, row.doc_bucket, dtype=np.int32))
-                terms.extend([row.term] * ids.size)
+            # per-BLOCK repeat of the key columns, not a per-POSTING
+            # Python loop (a reindexed bucket decodes ~N/n_buckets
+            # postings through here — list appends would dominate)
+            sizes = np.fromiter(
+                (a.size for a in ids_parts), dtype=np.int64, count=len(ids_parts)
+            )
             yield pd.DataFrame(
                 {
-                    "doc_bucket": np.concatenate(buckets),
-                    "term": terms,
+                    "doc_bucket": np.repeat(
+                        pdf["doc_bucket"].to_numpy(np.int32), sizes
+                    ),
+                    "term": np.repeat(pdf["term"].to_numpy(object), sizes),
                     "doc_id": np.concatenate(ids_parts),
                     "tf": np.concatenate(tf_parts),
                 }

@@ -421,8 +421,10 @@ def encode_blocks_columns(
 def encode_blocks(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
 ) -> list[dict]:
-    """Row-wise view of encode_blocks_columns (kept for the incremental /
-    single-run callers; the bulk build uses the columnar form directly)."""
+    """Row-wise view of encode_blocks_columns. No production path calls
+    this — every builder (bulk, incremental, segment merge) uses the
+    columnar form; it exists for test ergonomics (tests/test_codec.py
+    asserts per-block dict invariants)."""
     cols = encode_blocks_columns(doc_ids, tfs, dls)
     nb = len(cols["doc_bytes"])
     return [

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .blocks import BLOCKS_SCHEMA, N_BUCKETS_DEFAULT
+from .blocks import BLOCKS_SCHEMA, N_BUCKETS_DEFAULT, block_rows_frame
 from .codec import (
     delta_decode,
     delta_encode,
@@ -206,15 +206,7 @@ def _merge_encode(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     order = np.argsort(ids, kind="stable")  # runs are disjoint → plain sort
     cols = encode_blocks_columns(ids[order], tfs[order], dls[order])
-    nb = len(cols["doc_bytes"])
-    return pd.DataFrame(
-        {
-            "doc_bucket": np.full(nb, bucket, dtype=np.int32),
-            "term": term,
-            **cols,
-        },
-        columns=[f.name for f in BLOCKS_SCHEMA.fields],
-    )
+    return block_rows_frame(bucket, term, cols, BLOCKS_SCHEMA)
 
 
 def pack_documents(docs: DataFrame, n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:

@@ -52,6 +52,24 @@ def reindex_docs(
     n = store.n_buckets
     delete_ids = list(delete_ids or [])
 
+    # last-write-wins within the batch: a micro-batch can deliver several
+    # revisions of one doc_id (stream_index reads up to maxFilesPerTrigger
+    # files per trigger); indexing them all would encode duplicate doc_ids
+    # into a term's posting run — breaking the strictly-increasing invariant
+    # the codec relies on — and sum both revisions into dl. Keep the newest
+    # by warc_ts when the column exists, else an arbitrary-but-single row.
+    if "warc_ts" in changed_docs.columns:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(F.col("warc_ts").desc())
+        changed_docs = (
+            changed_docs.withColumn("_rev", F.row_number().over(w))
+            .filter(F.col("_rev") == 1)
+            .drop("_rev")
+        )
+    else:
+        changed_docs = changed_docs.dropDuplicates(["doc_id"])
+
     changed_ids = [
         r["doc_id"] for r in changed_docs.select("doc_id").distinct().collect()
     ]
@@ -59,6 +77,31 @@ def reindex_docs(
     if not all_ids:
         return {"build_id": None, "touched_buckets": []}
     touched = sorted({i % n for i in all_ids})
+
+    # lineage FIRST, data second (crash-safe ordering): the phase='reindex'
+    # rows supersede the buckets' 'blocks' commits, so if the process dies
+    # between here and the partition overwrites, committed_buckets() simply
+    # sees the buckets as not-committed for the original fingerprint and a
+    # later build_persistent rebuilds them — worst case extra work, never a
+    # manifest that claims data the files don't hold (ADVICE r01).
+    build_id = uuid.uuid4().hex[:12]
+    fp = store.read_corpus_stats().get("fingerprint", "") + f"+r{build_id}"
+    now = time.time()
+    store.append_manifest(
+        [
+            {
+                "build_id": build_id,
+                "fingerprint": fp,
+                "doc_bucket": b,
+                "phase": "reindex",
+                "n_docs": len([i for i in all_ids if i % n == b]),
+                "n_postings": 0,
+                "n_blocks": 0,
+                "committed_at": now,
+            }
+            for b in touched
+        ]
+    )
 
     old = decode_blocks(
         store.read_blocks().filter(F.col("doc_bucket").isin(touched))
@@ -96,7 +139,7 @@ def reindex_docs(
             "doc_id",
             F.coalesce("dl", F.lit(0)).cast("long").alias("dl"),
         )
-        .withColumn("doc_bucket", (F.col("doc_id") % n).cast("int"))
+        .withColumn("doc_bucket", F.pmod(F.col("doc_id"), F.lit(n)).cast("int"))
     )
     new_stats = kept_stats.unionByName(fresh_dl).cache()
     stats_present = {
@@ -113,23 +156,5 @@ def reindex_docs(
     )
     new_stats.unpersist()
 
-    build_id = uuid.uuid4().hex[:12]
-    fp = store.read_corpus_stats().get("fingerprint", "") + f"+r{build_id}"
-    now = time.time()
-    store.append_manifest(
-        [
-            {
-                "build_id": build_id,
-                "fingerprint": fp,
-                "doc_bucket": b,
-                "phase": "reindex",
-                "n_docs": len([i for i in all_ids if i % n == b]),
-                "n_postings": 0,
-                "n_blocks": 0,
-                "committed_at": now,
-            }
-            for b in touched
-        ]
-    )
     _finalize_dictionary(store, build_id, fp)
     return {"build_id": build_id, "touched_buckets": touched}

@@ -39,6 +39,7 @@ from .codec import (
     _encode_column_blocks,
     decode_payload,
 )
+from .blocks import block_rows_frame
 from .positional import analyze_phrase, phrase_match
 
 POS_BLOCKS_SCHEMA = T.StructType(
@@ -129,15 +130,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
     poss = pdf["pos"].to_numpy(dtype=np.int64)[order]
     cols = encode_pos_blocks_columns(ids, poss)
-    nb = len(cols["doc_bytes"])
-    return pd.DataFrame(
-        {
-            "doc_bucket": np.full(nb, bucket, dtype=np.int32),
-            "term": term,
-            **cols,
-        },
-        columns=[f.name for f in POS_BLOCKS_SCHEMA.fields],
-    )
+    return block_rows_frame(bucket, term, cols, POS_BLOCKS_SCHEMA)
 
 
 def build_positional_blocks(
@@ -147,7 +140,7 @@ def build_positional_blocks(
     keyed (doc_bucket, term) — the bucket salt bounds head-term group
     sizes exactly as in the tf-block build."""
     with_bucket = positional.withColumn(
-        "doc_bucket", (F.col("doc_id") % n_buckets).cast("int")
+        "doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
     )
     return with_bucket.groupBy("doc_bucket", "term").applyInPandas(
         _encode_group, schema=POS_BLOCKS_SCHEMA
@@ -163,18 +156,22 @@ def decode_positional_blocks(blocks: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids_parts, pos_parts, terms = [], [], []
+            ids_parts, pos_parts = [], []
             for row in pdf.itertuples(index=False):
                 ids, poss = decode_pos_block(
                     row.doc_bytes, row.pos_bytes, row.count
                 )
                 ids_parts.append(ids)
                 pos_parts.append(poss)
-                terms.extend([row.term] * ids.size)
+            # per-BLOCK repeat, not a per-POSTING Python loop (see
+            # blocks.decode_blocks)
+            sizes = np.fromiter(
+                (a.size for a in ids_parts), dtype=np.int64, count=len(ids_parts)
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": np.concatenate(ids_parts),
-                    "term": terms,
+                    "term": np.repeat(pdf["term"].to_numpy(object), sizes),
                     "pos": np.concatenate(pos_parts),
                 }
             )

@@ -47,7 +47,7 @@ def prune_postings(
         F.col("tf").alias("tf"),
     )
     phase1 = (
-        postings.withColumn("doc_bucket", F.col("doc_id") % n_buckets)
+        postings.withColumn("doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)))
         .groupBy("term", "doc_bucket")
         .agg(F.slice(F.array_sort(F.collect_list(s)), 1, keep).alias("part"))
     )

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .blocks import BLOCKS_SCHEMA
+from .blocks import BLOCKS_SCHEMA, block_rows_frame
 from .codec import decode_block, decode_payload, encode_blocks_columns
 
 
@@ -56,15 +56,7 @@ def _remerge_group_fn(deleted: np.ndarray | None):
             # the term leaves the block table, hence the dictionary too
         order = np.argsort(ids, kind="stable")  # disjoint docs → plain sort
         cols = encode_blocks_columns(ids[order], tfs[order], dls[order])
-        nb = len(cols["doc_bytes"])
-        return pd.DataFrame(
-            {
-                "doc_bucket": np.full(nb, bucket, dtype=np.int32),
-                "term": term,
-                **cols,
-            },
-            columns=[f.name for f in BLOCKS_SCHEMA.fields],
-        )
+        return block_rows_frame(bucket, term, cols, BLOCKS_SCHEMA)
 
     return _remerge_group
 
@@ -80,10 +72,15 @@ def merge_segments(
 
     `deleted` is the tombstone set purged during compaction — the Lucene
     .liv model: deletes are cheap logical marks (apply_tombstones on the
-    query path) until the next merge makes them physical. The array ships
-    to executors inside the task closure; like Lucene's live-docs bitmaps
-    it must fit in memory, which holds because compaction resets it —
-    tombstones accumulate only BETWEEN merges. dl is a per-document fact,
+    query path) until a merge REWRITES the segment holding them. A merge
+    only purges tombstones from ITS input segments: a tombstoned doc whose
+    segment is not in any merge plan stays physically present, so callers
+    must keep apply_tombstones on the query path and may drop a tombstone
+    only once every segment that existed when it was recorded has been
+    rewritten (compare against SegmentCatalog.segment_names()). The array
+    ships to executors inside the task closure; like Lucene's live-docs
+    bitmaps it must fit in memory, which holds because full compaction
+    cycles bound its growth. dl is a per-document fact,
     so purging one doc leaves every other doc's stored norms untouched —
     the bit-identity guarantee vs a from-scratch build over the LIVE docs
     holds with tombstones too (pinned in tests). Corpus-level stats
@@ -120,14 +117,22 @@ def plan_merges(
     distributed jobs. Repeated build-delta-plan-merge cycles keep segment
     count O(merge_factor · log(total/min_size)), the LSM invariant that
     bounds query-time segment fan-in."""
-    import math
-
     if merge_factor < 2:
         raise ValueError("merge_factor must be ≥ 2")
+
+    def _tier(size: int) -> int:
+        # exact threshold walk — float log mis-floors exact powers
+        # (int(math.log(1000, 10)) == 2), putting a segment one tier low
+        t, threshold = 0, float(log_base)
+        s = max(int(size), 1)
+        while s >= threshold:
+            t += 1
+            threshold *= log_base
+        return t
+
     tiers: dict[int, list[tuple[int, str]]] = {}
     for name, size in segment_sizes.items():
-        tier = int(math.log(max(size, 1), log_base))
-        tiers.setdefault(tier, []).append((size, name))
+        tiers.setdefault(_tier(size), []).append((max(int(size), 1), name))
     plans: list[list[str]] = []
     for tier in sorted(tiers):
         members = sorted(tiers[tier])

@@ -62,16 +62,43 @@ class SegmentCatalog:
     """Manages the segment set of one index directory."""
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, n_buckets: int = N_BUCKETS_DEFAULT
+        self, spark: SparkSession, index_dir: str,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
-        self.n_buckets = n_buckets
         self.seg_root = os.path.join(index_dir, "segments")
         self.manifest_path = os.path.join(index_dir, "segments.json")
         self.snap_root = os.path.join(index_dir, "snapshots")
+        self.meta_path = os.path.join(index_dir, "catalog.json")
         os.makedirs(self.seg_root, exist_ok=True)
         os.makedirs(self.snap_root, exist_ok=True)
+        # n_buckets is a PHYSICAL property of every segment already on disk
+        # (doc_bucket = pmod(doc_id, n)): mixing bucketings in one catalog
+        # would silently break bucket pruning and cross-segment merges, so
+        # the first opener pins it in catalog.json and later opens must
+        # match (or omit the argument to adopt the pinned value).
+        stored = None
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                stored = json.load(f).get("n_buckets")
+        if stored is not None:
+            if n_buckets is not None and int(n_buckets) != int(stored):
+                raise ValueError(
+                    f"index at {index_dir} was created with "
+                    f"n_buckets={stored}; refusing to open with "
+                    f"n_buckets={n_buckets} (mixed bucketings corrupt "
+                    f"merges and bucket pruning)"
+                )
+            self.n_buckets = int(stored)
+        else:
+            self.n_buckets = int(
+                N_BUCKETS_DEFAULT if n_buckets is None else n_buckets
+            )
+            tmp = self.meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_buckets": self.n_buckets}, f)
+            os.replace(tmp, self.meta_path)
 
     # ------------------------------------------------------------ manifest
 
@@ -278,8 +305,12 @@ class SegmentCatalog:
         dirs. Rounds repeat because a round's outputs may themselves tier
         up into a mergeable group. Also sweeps orphan dirs (crashed adds).
 
-        `deleted` tombstones are purged physically in every merge this
-        pass performs (Lucene .liv semantics — logical until compaction).
+        `deleted` tombstones are purged physically ONLY from segments a
+        merge in this pass rewrites (Lucene .liv semantics — logical
+        until compaction). Segments outside every merge plan keep the
+        dead postings, so callers retain the tombstone set and keep
+        apply_tombstones on the query path until all segments that
+        pre-date the delete have left segment_names().
         Returns the names of segments created."""
         created: list[str] = []
         for _ in range(max_rounds):

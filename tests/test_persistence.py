@@ -337,3 +337,60 @@ def test_snapshot_delta_drives_incremental_to_scratch_state(
 
     assert _logical_postings(store) == _logical_postings(ref)
     assert _term_dict(store) == _term_dict(ref)
+
+
+def test_reindex_dedups_same_doc_revisions_in_batch(spark, docs, tmp_path):
+    """A micro-batch can carry several revisions of one doc_id (the
+    streaming source reads multiple files per trigger). Only the newest
+    (max warc_ts) revision may be indexed — duplicate doc_ids in a term's
+    posting run would break the codec's strictly-increasing invariant and
+    double-count dl."""
+    store = _store(spark, tmp_path, "dupbatch")
+    catalog.build_persistent(docs, store)
+    older = docs.filter(F.col("doc_id") == CHANGED_ID).withColumn(
+        "text", F.lit("stale stale stale")
+    )
+    newer = (
+        docs.filter(F.col("doc_id") == CHANGED_ID)
+        .withColumn("text", F.lit(NEW_TEXT))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    reindex_docs(store, older.unionByName(newer))
+
+    ref = _store(spark, tmp_path, "dupbatch_ref")
+    catalog.build_persistent(_modified_docs(docs), ref)
+    assert _logical_postings(store) == _logical_postings(ref)
+    # no duplicate (term, doc) postings survived
+    decoded = decode_blocks(store.read_blocks()).groupBy(
+        "term", "doc_id"
+    ).count().filter(F.col("count") > 1).count()
+    assert decoded == 0
+
+
+def test_negative_doc_ids_bucket_and_reindex(spark, tmp_path):
+    """Upstream doc_ids may be signed hashes: bucketing must agree between
+    the Spark plans (pmod) and the driver-side Python % (floor-mod), or a
+    reindex retraction targets the wrong bucket and the doc duplicates."""
+    from search_engine_spark.operators.blocks import build_posting_blocks
+
+    rows = [(-7, "alpha", 2), (-23, "alpha", 1), (9, "alpha", 3), (-7, "beta", 1)]
+    postings = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    blocks = build_posting_blocks(postings, 8)
+    got = {
+        (r["doc_bucket"], r["doc_id"])
+        for r in decode_blocks(blocks).collect()
+    }
+    for bucket, doc in got:
+        assert bucket == doc % 8, (bucket, doc)  # Python floor-mod
+        assert 0 <= bucket < 8
+
+
+def test_job_group_cleared_after_build(spark, docs, tmp_path):
+    """build_persistent must not leave its cancellable job group stuck on
+    the calling thread — a later request_cancel would kill unrelated jobs
+    (streaming micro-batches share the foreachBatch thread)."""
+    store = _store(spark, tmp_path, "jobgroup")
+    catalog.build_persistent(docs, store)
+    jsc = spark.sparkContext._jsc
+    gid = jsc.getLocalProperty("spark.jobGroup.id")
+    assert gid is None or gid != catalog.BUILD_JOB_GROUP

@@ -289,3 +289,33 @@ def test_crash_orphan_dir_allows_retry(spark, docs, tmp_path):
     assert _postings_set(cat.read_blocks()) == _postings_set(
         _build(docs.filter("doc_id < 20"))
     )
+
+
+def test_catalog_pins_n_buckets(spark, tmp_path):
+    """n_buckets is a physical property of the on-disk segments: the first
+    opener pins it; a conflicting later open must refuse (mixed bucketings
+    silently corrupt merges and bucket pruning), and an argument-less open
+    adopts the pinned value."""
+    from search_engine_spark.segment_catalog import SegmentCatalog
+
+    d = str(tmp_path / "pinned")
+    SegmentCatalog(spark, d, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        SegmentCatalog(spark, d, n_buckets=32)
+    assert SegmentCatalog(spark, d).n_buckets == 16
+    assert SegmentCatalog(spark, d, n_buckets=16).n_buckets == 16
+
+
+def test_plan_merges_exact_power_tier_boundary():
+    """Sizes at an exact power of the base must tier ABOVE sizes just
+    below it (float log mis-floors: int(math.log(1000, 10)) == 2) — the
+    two cohorts may never land in one merge group."""
+    from search_engine_spark.operators.segments import plan_merges
+
+    sizes = {f"p{i}": 1000 for i in range(10)}
+    sizes.update({f"q{i}": 999 for i in range(10)})
+    plans = plan_merges(sizes, merge_factor=10)
+    assert len(plans) == 2
+    for group in plans:
+        kinds = {name[0] for name in group}
+        assert len(kinds) == 1, f"mixed tiers in one group: {group}"
