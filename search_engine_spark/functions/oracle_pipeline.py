@@ -1951,6 +1951,7 @@ def weighted_sample_sql(
     u = _sample_u_sql(seed_tag)
     return f"""
 SELECT doc_id FROM {table}
+WHERE {weight_col}::DOUBLE > 0
 ORDER BY ln({u}) / {weight_col}::DOUBLE DESC, doc_id ASC
 LIMIT {n}
 """

@@ -349,7 +349,14 @@ def simhash_near_pairs(
 # -------------------------------------------------------------- embeddings
 
 def cosine_expr(a, b):
-    """Exact cosine over two float array columns, computed in float64."""
+    """Exact cosine over two float array columns, computed in float64.
+
+    A zero-norm vector is defined as similar to nothing (cos = 0.0) —
+    without the guard one all-zero embedding raises DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode and aborts every consumer (near-dup, ANN,
+    k-means). The DuckDB oracle's list_cosine_similarity builtin is only
+    compared on non-degenerate fixtures, so the definitions agree where
+    they are tested."""
     da = F.transform(a, lambda x: x.cast("double"))
     db = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(
@@ -363,7 +370,8 @@ def cosine_expr(a, b):
     nb = F.sqrt(
         F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return dot / (na * nb)
+    denom = na * nb
+    return F.when(denom > 0.0, dot / denom).otherwise(F.lit(0.0))
 
 
 def embedding_near_pairs(
@@ -496,6 +504,12 @@ def connected_components(
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nmin"))
             )
+            # localCheckpoint (not cache): caching alone keeps the full
+            # logical plan, which doubles per round — by ~12 iterations
+            # merely *printing* the plan OOMs the driver. Truncating
+            # lineage each round keeps the plan O(1) regardless of
+            # component diameter; the label frame is one short row per
+            # vertex, so materializing it is the cheap part.
             updated = (
                 labels.join(neighbor_min, "doc_id", "left")
                 .select(
@@ -504,7 +518,7 @@ def connected_components(
                         F.col("label"), F.coalesce("nmin", F.col("label"))
                     ).alias("label"),
                 )
-                .cache()
+                .localCheckpoint()
             )
             changed = (
                 updated.join(
@@ -513,10 +527,19 @@ def connected_components(
                 .filter(F.col("label") != F.col("old"))
                 .count()
             )
-            labels.unpersist()
             labels = updated
             if changed == 0:
                 break
+        else:
+            # silent non-convergence would emit one real component as
+            # several clusters (under-deduplication nobody notices) — a
+            # component wider than max_iterations must fail loudly
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} rounds ({changed} labels still "
+                f"changing) — component diameter exceeds the cap; raise "
+                f"max_iterations"
+            )
         return labels.select("doc_id", F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()

@@ -156,7 +156,11 @@ def weighted_sample(
     ) / F.lit(H60_SPACE)
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
-        docs.select("doc_id", key.alias("wkey"))
+        # zero/negative weight = zero inclusion probability — excluded up
+        # front (ln(u)/0 would raise DIVIDE_BY_ZERO under Spark 4's
+        # default ANSI mode; mirrored in the oracle's WHERE)
+        docs.filter(F.col(weight_col).cast("double") > 0.0)
+        .select("doc_id", key.alias("wkey"))
         .orderBy(F.col("wkey").desc(), F.col("doc_id").asc())
         .limit(n)
         .select("doc_id")

@@ -172,11 +172,17 @@ def remove_dup_spans(docs: DataFrame, window: int = WINDOW) -> DataFrame:
     n_removed = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("n_removed")
     )
+    # anchor on the document spine, NOT on `rebuilt`: a doc whose entire
+    # token stream was a duplicated span has zero kept rows, so rebuilt
+    # has no row for it — it must still come back as clean_text='' with
+    # its full removal count, not silently vanish
+    spine = pos.select("doc_id").distinct()
     return (
-        rebuilt.join(n_removed, "doc_id", "left")
+        spine.join(rebuilt, "doc_id", "left")
+        .join(n_removed, "doc_id", "left")
         .select(
             "doc_id",
-            "clean_text",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
         )
     )

@@ -232,6 +232,22 @@ def test_connected_components_crafted_graph(spark):
     }
 
 
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    """A component wider than max_iterations must fail loudly — silent
+    non-convergence would split one real cluster into several."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]  # path graph, diameter 12
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=3)
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs, max_iterations=20).collect()
+    }
+    assert got == {(i, 0) for i in range(13)}
+
+
 def test_dedup_clusters_contains_exact_dups(spark, mini_docs):
     """Exact and whitespace-variant duplicates land in one cluster with the
     min doc_id as canonical."""

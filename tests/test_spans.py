@@ -88,3 +88,21 @@ def test_remove_dup_spans_deletes_only_the_span(spark):
     assert cleaned[1][1] == 0
     assert "shareda" in cleaned[1][0]
     assert cleaned[3][1] == 0
+
+
+def test_remove_dup_spans_keeps_fully_duplicated_doc(spark):
+    """A verbatim copy whose ENTIRE token stream is one duplicated span
+    must surface as clean_text='' with the full removal count — not
+    silently vanish from the output (regression: the final join used to
+    anchor on the rebuilt frame, which has no row for such a doc)."""
+    full = " ".join(f"copy{chr(97 + i)}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, full), (2, full)], "doc_id long, text string"
+    )
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_dup_spans(docs, window=12).collect()
+    }
+    assert set(cleaned) == {1, 2}
+    assert cleaned[1] == (full, 0)  # canonical copy untouched
+    assert cleaned[2] == ("", 16)  # duplicate fully removed, still present
