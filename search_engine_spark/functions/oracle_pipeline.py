@@ -543,9 +543,10 @@ b AS (
 sqcodes AS (
   SELECT e.vec_id, b.dim,
          CASE WHEN b.hi > b.lo THEN
-           least({lv - 1},
-                 floor((e.embedding[b.dim+1]::DOUBLE - b.lo)
-                       / (b.hi - b.lo) * {lv}))::INT
+           greatest(0,
+                    least({lv - 1},
+                          floor((e.embedding[b.dim+1]::DOUBLE - b.lo)
+                                / (b.hi - b.lo) * {lv})))::INT
          ELSE 0 END AS code
   FROM {table} e, b
 )"""
@@ -832,9 +833,9 @@ cells AS (
   GROUP BY 1, 2
 ),
 est AS (
-  SELECT t.term, min(c.cnt)::BIGINT AS cm_est
+  SELECT t.term, min(coalesce(c.cnt, 0))::BIGINT AS cm_est
   FROM tf t CROSS JOIN (SELECT unnest([{js}]) AS j) r
-  JOIN cells c ON c.j = r.j AND c.col = ({h_probe} & {w - 1})
+  LEFT JOIN cells c ON c.j = r.j AND c.col = ({h_probe} & {w - 1})
   GROUP BY t.term
 )
 SELECT term, cm_est FROM est ORDER BY cm_est DESC, term ASC LIMIT {int(k)}
@@ -1512,7 +1513,7 @@ lut AS (
   FROM qsub JOIN cb USING (m)
 ),
 scored AS (
-  SELECT lut.qid, codes.vec_id, round(sum(lut.dq), 4) AS adc
+  SELECT lut.qid, codes.vec_id, round(sum(lut.dq * lut.dq), 4) AS adc
   FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code
   GROUP BY lut.qid, codes.vec_id
 ),

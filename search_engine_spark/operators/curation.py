@@ -208,7 +208,11 @@ def remove_duplicated_lines(lines: DataFrame) -> DataFrame:
 PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ip": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
-    "phone": "\\+[0-9]{7,12}\\b",
+    # E.164 allows up to 15 digits; a lower max with a trailing \b would
+    # not merely truncate longer numbers — it would fail to match them at
+    # all (every backtracked length still ends at a digit), leaving 13-15
+    # digit numbers completely unredacted.
+    "phone": "\\+[0-9]{7,15}\\b",
 }
 # Redaction order matters (an email contains no IP, but an IP-looking
 # fragment could sit inside an email's domain): scrub emails first.
@@ -355,7 +359,7 @@ def curation_funnel_v2(
 
     s2 = parseable_documents(docs)
     clus = dedup_clusters(s2, jaccard_threshold)
-    reps = cluster_representatives(s2, jaccard_threshold)
+    reps = cluster_representatives(s2, jaccard_threshold, clusters=clus)
     losers = (
         clus.join(reps, "cluster_id")
         .filter(F.col("doc_id") != F.col("rep_doc"))

@@ -565,7 +565,7 @@ def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def cluster_representatives(
-    docs: DataFrame, threshold: float = 0.5
+    docs: DataFrame, threshold: float = 0.5, clusters: DataFrame = None
 ) -> DataFrame:
     """(cluster_id, rep_doc, cluster_size, n_dropped) — keep-best election
     per near-dup cluster, the decision step a curation pipeline runs after
@@ -577,8 +577,12 @@ def cluster_representatives(
 
     Scale: one doc-keyed join to attach lengths (clusters ≪ corpus, AQE
     broadcasts the cluster side) + one groupBy(cluster_id) max_by — no
-    window over the corpus."""
-    clusters = dedup_clusters(docs, threshold)
+    window over the corpus. Pass a precomputed ``clusters`` frame when
+    the caller already ran dedup_clusters — the MinHash→LSH→Jaccard→
+    connected-components pipeline is by far the most expensive stage and
+    must not be paid twice for the same input."""
+    if clusters is None:
+        clusters = dedup_clusters(docs, threshold)
     member = clusters.join(
         docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
     )

@@ -90,7 +90,7 @@ def props_extract(events: DataFrame) -> DataFrame:
 
 def type_rollup(events: DataFrame) -> DataFrame:
     """Per-type daily rollup with distinct users — the A1-style statistics
-    shape over the event stream: (day, event_type, n, users, avg_value)."""
+    shape over the event stream: (day, event_type, n, users, sum_value)."""
     return (
         events.groupBy(
             F.date_trunc("day", "ts").alias("day"), "event_type"

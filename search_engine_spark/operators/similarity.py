@@ -368,8 +368,12 @@ def ann_pq(
     """(qid, vec_id, adc, rank) — asymmetric-distance-computation top-k:
     the query stays un-quantized; per (query, subspace) the M·K distance
     lookup table is computed once (in-plan, broadcastable), then every
-    corpus vector's approximate distance is Σ_m table[m][code_m] — the
-    scan never touches raw vectors, only the 4-bit codes.
+    corpus vector's approximate distance is Σ_m table[m][code_m]² — the
+    sum of SQUARED per-subspace distances, which (at zero quantization
+    error) equals the squared L2 distance, the quantity FAISS's ADC
+    ranks by. Summing unsquared distances would rank by an L1-of-L2
+    hybrid that disagrees with the L2 ordering. The scan never touches
+    raw vectors, only the 4-bit codes.
 
     All distance arithmetic happens in-plan on both engines (4 dp-rounded
     per cell and per sum), so the oracle reproduces it exactly."""
@@ -390,7 +394,9 @@ def ann_pq(
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy("qid", "vec_id")
-        .agg(F.round(F.sum("dq"), 4).alias("adc"))
+        # square the already-4dp-rounded cell distance: products of
+        # bit-identical doubles stay bit-identical across engines
+        .agg(F.round(F.sum(F.col("dq") * F.col("dq")), 4).alias("adc"))
         .filter(F.col("vec_id") != F.col("qid"))
     )
     w = Window.partitionBy("qid").orderBy(
@@ -430,8 +436,12 @@ def sq8_encode(
     bounds: tuple[list[float], list[float]],
 ) -> DataFrame:
     """(vec_id, codes: array<int>) — each float32 dimension quantized to
-    an unsigned 8-bit level: code = min(255, floor((x-lo)/(hi-lo)·256)),
-    constant dimensions → 0. 64 float32 dims become 64 bytes — 4× smaller,
+    an unsigned 8-bit level: code = max(0, min(255,
+    floor((x-lo)/(hi-lo)·256))) — the lower clamp matters when the bounds
+    were trained on a different segment/corpus than the vectors being
+    encoded (the Lucene per-segment case), where x < lo would otherwise
+    emit a negative "unsigned" code. Constant dimensions → 0. 64 float32
+    dims become 64 bytes — 4× smaller,
     and the approximate scan never touches raw vectors. floor() instead of
     a rounding mode keeps the arithmetic engine-portable (both sides do
     the same IEEE-double chain)."""
@@ -444,9 +454,12 @@ def sq8_encode(
         spans,
         lambda d, s: F.when(
             s > 0,
-            F.least(
-                F.lit(SQ_LEVELS - 1),
-                F.floor(d / s * SQ_LEVELS).cast("int"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(SQ_LEVELS - 1),
+                    F.floor(d / s * SQ_LEVELS).cast("int"),
+                ),
             ),
         ).otherwise(F.lit(0)),
     )

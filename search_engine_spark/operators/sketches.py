@@ -178,8 +178,12 @@ def cm_counters(postings: DataFrame) -> DataFrame:
 
 def cm_estimates(counters: DataFrame, term_dict: DataFrame) -> DataFrame:
     """Point estimates for every dictionary term → (term, cm_est =
-    min over the d cells). The 4096-row counter table broadcasts; the
-    probe is one scan of the dictionary + a bounded min aggregate."""
+    min over ALL d cells, an empty cell counting as 0 — the sketch's
+    defining guarantee is est ≥ true count with est = 0 possible for a
+    never-seen key; an inner join would instead report the smallest
+    COLLIDING count for absent keys, or drop them entirely). The 4096-row
+    counter table broadcasts; the probe is one scan of the dictionary +
+    a bounded min aggregate."""
     probes = term_dict.select(
         "term",
         F.explode(F.array(*[
@@ -188,9 +192,9 @@ def cm_estimates(counters: DataFrame, term_dict: DataFrame) -> DataFrame:
         ])).alias("cell"),
     ).select("term", F.col("cell.j").alias("j"), F.col("cell.col").alias("col"))
     return (
-        probes.join(F.broadcast(counters), ["j", "col"])
+        probes.join(F.broadcast(counters), ["j", "col"], "left")
         .groupBy("term")
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
     )
 
 
@@ -212,5 +216,6 @@ def cm_estimate_py(freqs: dict[str, int], key: str) -> int:
             c = h60_py(f"{j}:{t}") & (CM_W - 1)
             cells[j][c] = cells[j].get(c, 0) + f
     return min(
-        cells[j][h60_py(f"{j}:{key}") & (CM_W - 1)] for j in range(CM_D)
+        cells[j].get(h60_py(f"{j}:{key}") & (CM_W - 1), 0)
+        for j in range(CM_D)
     )

@@ -128,6 +128,12 @@ def test_line_dedup_append_stable(spark):
         ),
         # version strings (2 octets) and short +digits are NOT PII
         ("v1.2 build +123", (0, 0, 0, "v1.2 build +123")),
+        # E.164 goes up to 15 digits — a 14-digit number must redact
+        # (regression: a {7,12} bound with trailing \b matched NOTHING
+        # for 13-15 digit numbers, leaving them fully unredacted)
+        ("call +4915123456789 now", (0, 0, 1, "call <PHONE> now")),
+        # 16 digits exceeds E.164 — documented as not-a-phone
+        ("id +1234567890123456 x", (0, 0, 0, "id +1234567890123456 x")),
         # an IP inside an email's host is consumed by the email redaction
         # first — counts equal the placeholders actually emitted
         (

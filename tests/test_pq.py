@@ -90,3 +90,34 @@ def test_kmeans_refine_moves_centroids_toward_clusters(spark):
     again = {r["vec_id"]: r["centroid_id"]
              for r in kmeans_refine(emb, n_centroids=2).collect()}
     assert again == got  # deterministic
+
+
+def test_ann_pq_matches_l2_ranking_at_zero_quantization_error(spark):
+    """When every vector IS a codebook centroid (n_vec == PQ_K), ADC has
+    zero quantization error and must reproduce the exact L2 ranking.
+    Crafted so that summing UNSQUARED sub-distances inverts the order:
+    A = one subspace at distance 6 (L2 6, Σd 6, Σd² 36);
+    B = eight subspaces at distance 2 (L2 √32 ≈ 5.66, Σd 16, Σd² 32).
+    Proper ADC (squared) ranks B first; the L1-of-L2 hybrid ranks A."""
+    from search_engine_spark.operators.similarity import EMB_DIM, PQ_SUB
+
+    def vec(assign):
+        v = [0.0] * EMB_DIM
+        for i, x in assign:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec([])),                                   # query: origin
+        (1, vec([(0, 6.0)])),                           # A
+        (2, vec([(m * PQ_SUB, 2.0) for m in range(PQ_M)])),  # B
+    ] + [
+        (i, vec([(0, 100.0 + i)])) for i in range(3, PQ_K)  # far fillers
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = ann_pq(spark, emb, [0], k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [2, 1]
+    assert got[0]["adc"] == pytest.approx(32.0)
+    assert got[1]["adc"] == pytest.approx(36.0)

@@ -145,3 +145,24 @@ def test_cm_merge_is_lossless(spark, postings):
     merged = cm_merge(cm_counters(seg_a), cm_counters(seg_b))
     got = {r["term"]: r["cm_est"] for r in cm_estimates(merged, td).collect()}
     assert got == whole
+
+
+def test_cm_estimate_for_absent_key_is_zero(spark, postings):
+    """The sketch's defining guarantee: probing a key that never occurred
+    gives min over ALL d cells — 0 when any of its cells is empty. An
+    inner join against the counter table would instead report the
+    smallest colliding count (or drop the key entirely)."""
+    probe = spark.createDataFrame(
+        [("zzz-never-in-corpus-7f3a",)], "term string"
+    )
+    got = cm_estimates(cm_counters(postings), probe).collect()
+    assert len(got) == 1
+    assert got[0]["cm_est"] == cm_estimate_py(
+        {
+            r["term"]: r["tf"]
+            for r in postings.groupBy("term")
+            .agg(F.sum("tf").alias("tf"))
+            .collect()
+        },
+        "zzz-never-in-corpus-7f3a",
+    )

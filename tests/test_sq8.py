@@ -99,3 +99,19 @@ def test_ann_sq8_recall(spark, emb):
         b = set(bf[bf.query_id == qid].vec_id)
         recalls.append(len(s & b) / len(b))
     assert np.mean(recalls) >= 0.8
+
+
+def test_sq8_encode_clamps_below_foreign_bounds(spark):
+    """Bounds trained on one segment, vectors from another (the Lucene
+    per-segment case): a value below the trained lo must clamp to code 0,
+    never go negative; above hi clamps to 255."""
+    lo = [0.0] * EMB_DIM
+    hi = [1.0] * EMB_DIM
+    v = [-0.5] * EMB_DIM
+    v[0] = 2.0  # above hi on dim 0, below lo elsewhere
+    emb = spark.createDataFrame(
+        [(0, v)], "vec_id long, embedding array<float>"
+    )
+    codes = sq8_encode(emb, (lo, hi)).collect()[0]["codes"]
+    assert codes[0] == SQ_LEVELS - 1
+    assert all(c == 0 for c in codes[1:])
