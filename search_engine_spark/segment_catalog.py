@@ -241,6 +241,11 @@ class SegmentCatalog:
                 f"a retained snapshot)"
             )
         self._clear_orphan_dir(name)  # crash-retry: clobber the leftover
+        ident = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("doc_lo"),
+            F.max("doc_id").alias("doc_hi"),
+        ).collect()[0]
         packed = pack_documents(docs, n_buckets=self.n_buckets)
         blocks = blocks_from_packed(packed)
         path = os.path.join(self.seg_root, name)
@@ -256,6 +261,13 @@ class SegmentCatalog:
         m[name] = {
             "n_postings": int(stats["n_postings"] or 0),
             "n_blocks": int(stats["n_blocks"]),
+            # batch identity — lets a streaming replay distinguish "this
+            # exact batch is already committed" (benign, no-op) from "a
+            # DIFFERENT batch collided with a committed name" (data loss
+            # if silently skipped); see streaming/stream_segments.py
+            "n_docs": int(ident["n_docs"]),
+            "doc_lo": None if ident["doc_lo"] is None else int(ident["doc_lo"]),
+            "doc_hi": None if ident["doc_hi"] is None else int(ident["doc_hi"]),
         }
         self._write_manifest(m, f"append:{name}")
         return m[name]

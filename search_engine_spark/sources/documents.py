@@ -96,6 +96,16 @@ def load_documents(
     at k=512 — and its giant plan stressed codegen)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if multiply > 1:
+        # the copy stride must exceed every base doc_id or copies collide
+        # and duplicate ids silently corrupt index builds (segment ingest
+        # requires globally unique ids); the base frame is broadcast-small
+        # by construction, so the one-off max() is cheap
+        top = df.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
+        if top >= 10_000_000:
+            raise ValueError(
+                f"multiply stride 10_000_000 <= max base doc_id {top}; "
+                f"copies would collide"
+            )
         n_parts = spark.sparkContext.defaultParallelism * 4
         copies = spark.range(
             0, multiply, numPartitions=min(multiply, n_parts)

@@ -25,7 +25,12 @@ Record layout written and understood here (response records only):
 WARC-Date carries an EXPLICIT zone offset (pattern XXX — prints ``Z``
 under the engine's pinned-UTC session, a numeric offset elsewhere), so
 format→parse recovers the exact instant in any session timezone (a
-zoneless pattern would be ambiguous across DST folds). The payload is
+zoneless pattern would be ambiguous across DST folds). Precision is
+WHOLE SECONDS — WARC/1.0 (ISO 28500:2009 §5.4) mandates second-precision
+``YYYY-MM-DDThh:mm:ssZ`` dates, so sub-second warc_ts input is truncated
+at serialization BY DESIGN; round-tripping is exact for whole-second
+instants (all crawl fixtures) and floor-to-second otherwise. Emitting
+WARC/1.1 fractional dates would break WARC/1.0 consumers. The payload is
 sliced from the first blank line to the record's trailing CRLF pair, so
 payloads containing interior CRLF pairs parse correctly; a payload
 containing a literal WARC version line would need the spec's

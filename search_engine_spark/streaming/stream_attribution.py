@@ -22,11 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.events import ATTRIBUTION_WINDOW_SECS
-from .stream_events import EVENTS_SCHEMA
+from .stream_events import stream_events
 
-
-def stream_events_source(spark: SparkSession, input_glob: str) -> DataFrame:
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(input_glob)
+# one canonical events-stream reader (stream_events.py owns the schema);
+# re-exported under the module-local name the attribution tests use
+stream_events_source = stream_events
 
 
 def attribution_stream(

@@ -2,12 +2,21 @@
 
 The batch exact-dup operator (operators/dedup.py::exact_duplicates) keeps
 whole fingerprint groups; a stream cannot — at 10^12 docs the seen-set
-would grow without bound. This twin emits only the FIRST document per
+would grow without bound. This twin emits ONE document per
 content fingerprint and bounds the seen-set with
 ``dropDuplicatesWithinWatermark``: a duplicate arriving within the
 watermark of its original is dropped; state older than the watermark is
 evicted. That trades unbounded-lateness exactness (impossible on an
 unbounded stream) for bounded state — the standard streaming-dedup design.
+
+Which copy survives: the first ARRIVAL in stream order across
+micro-batches; when duplicates co-arrive in the SAME micro-batch the
+survivor is whichever row the partition/task ordering surfaces first —
+valid but not guaranteed to be the earliest warc_ts. A consumer needing
+a deterministic canonical (e.g. reconciling against a batch backfill)
+should re-canonicalize downstream with the batch rule (min doc_id per
+fingerprint); the stream's job is the bounded-state duplicate drop, not
+the election.
 
 Fingerprint = the same normalized-text hash the batch path uses
 (operators/textstats.py::fingerprints), so a batch backfill and the stream

@@ -18,9 +18,12 @@ Design notes:
 - The stored query table broadcasts per batch (tiny); postings for the
   batch come from the same build_postings tokenizer, so stream and batch
   agree on analysis down to the lemma dictionary.
-- Alerts append to a parquet sink per batch (at scale: the notification
-  bus); exactly-once comes from the checkpoint + idempotent downstream,
-  the standard foreachBatch contract.
+- Each micro-batch's alerts land in a batch_id-deterministic directory
+  (``out_dir/batch=<id>``) written with overwrite — foreachBatch bodies
+  re-run at-least-once on recovery, so the sink write itself must be
+  idempotent: a replay of batch N rewrites the same path instead of
+  appending a duplicate copy of every alert. At scale the same key
+  (batch_id) de-duplicates deliveries to the notification bus.
 """
 
 from __future__ import annotations
@@ -29,11 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.index_build import build_postings
 from ..operators.search import PERCOLATE_QUERIES, percolate
-from .stream_index import STREAM_SCHEMA
+from .stream_dedup import stream_docs  # one doc-stream reader, one schema
 
-
-def stream_docs(spark: SparkSession, input_glob: str) -> DataFrame:
-    return spark.readStream.schema(STREAM_SCHEMA).parquet(input_glob)
+__all__ = ["stream_docs", "run_percolate_to_dir"]
 
 
 def run_percolate_to_dir(
@@ -43,13 +44,16 @@ def run_percolate_to_dir(
     out_dir: str,
     queries: list[tuple[str, list[str]]] | None = None,
 ) -> DataFrame:
-    """Drive the percolation stream with availableNow, appending alert
-    rows (query_id, doc_id) to a parquet sink; returns the sink frame."""
+    """Drive the percolation stream with availableNow, writing alert
+    rows (query_id, doc_id) to an idempotent per-batch parquet sink;
+    returns the sink frame (empty when the input matched no files)."""
     queries = PERCOLATE_QUERIES if queries is None else queries
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         alerts = percolate(build_postings(batch_df), queries)
-        alerts.write.mode("append").parquet(out_dir)
+        alerts.write.mode("overwrite").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
 
     q = (
         stream_docs(spark, input_glob)
@@ -59,4 +63,10 @@ def run_percolate_to_dir(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    try:
+        sink = spark.read.parquet(out_dir)
+    except Exception:
+        # zero micro-batches ran (empty landing dir) → the sink was never
+        # created; an empty alert frame is the correct answer, not a crash
+        return spark.createDataFrame([], "query_id string, doc_id bigint")
+    return sink.select("query_id", "doc_id")

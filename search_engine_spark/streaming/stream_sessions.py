@@ -80,8 +80,18 @@ def _session_fn(gap_min: int):
             if open_sess is None:
                 open_sess = seg
             elif i == 0 and seg[0] - open_sess[1] <= gap_us:
-                # batch head continues the carried open session
-                open_sess = (open_sess[0], seg[1], open_sess[2] + seg[2])
+                # batch head continues the carried open session. min/max
+                # bounds, NOT (open_start, seg_end): the file source gives
+                # no cross-batch event-time ordering, so a late batch can
+                # deliver events BEFORE the open session's last-seen —
+                # naively taking seg[1] as the new end would regress
+                # session_end below session_start and later split a
+                # genuinely continuous session at a phantom gap.
+                open_sess = (
+                    min(open_sess[0], seg[0]),
+                    max(open_sess[1], seg[1]),
+                    open_sess[2] + seg[2],
+                )
             else:
                 closed.append(open_sess)
                 open_sess = seg

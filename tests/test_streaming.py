@@ -323,3 +323,157 @@ def test_stream_attribution_matches_batch(spark, tmp_path):
     )
     assert key(got) == key(want)
     assert len(key(got)) > 0
+
+
+def test_sessionize_fn_merges_late_batch_with_minmax_bounds():
+    """A micro-batch can deliver events EARLIER than the open session's
+    last-seen (the file source gives no cross-batch event-time order).
+    The merge must take min(start)/max(end) — naively adopting the late
+    segment's end would regress session_end below session_start and a
+    later in-gap event would falsely close an invalid session."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.stream_sessions import _session_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _session_fn(gap_min=30)
+    state = FakeState()
+
+    def run(ts_list):
+        batch = pd.DataFrame(
+            {
+                "user_id": [1] * len(ts_list),
+                "event_id": range(len(ts_list)),
+                "ts": pd.to_datetime(ts_list),
+            }
+        )
+        return list(fn((1,), iter([batch]), state))
+
+    base = "2024-01-01 "
+    # open session 10:00-10:20 carried in state
+    run([base + "10:00:00", base + "10:10:00", base + "10:20:00"])
+    assert state._v == (
+        int(pd.Timestamp(base + "10:00:00").value // 1000),
+        int(pd.Timestamp(base + "10:20:00").value // 1000),
+        3,
+    )
+    # late batch: one event BEFORE the open session — must merge, keeping
+    # end=10:20 (max), start=09:50 (min), closing nothing
+    out = run([base + "09:50:00"])
+    assert out == []
+    assert state._v == (
+        int(pd.Timestamp(base + "09:50:00").value // 1000),
+        int(pd.Timestamp(base + "10:20:00").value // 1000),
+        4,
+    )
+    # 10:40 is within gap of the true last-seen 10:20 → still nothing
+    # closes (the bug closed an invalid start>end session here)
+    out = run([base + "10:40:00"])
+    assert out == []
+    assert state._v[1] == int(pd.Timestamp(base + "10:40:00").value // 1000)
+    assert state._v[2] == 5
+
+
+def test_stream_segments_fresh_checkpoint_collision_raises(spark, tmp_path):
+    """A fresh checkpoint pointed at an EXISTING catalog restarts batch
+    ids at 0; the colliding segment name holds different data, which must
+    fail loudly — silently treating it as a replay drops the new docs."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from search_engine_spark.segment_catalog import SegmentCatalog
+    from search_engine_spark.streaming.stream_segments import (
+        run_segment_ingestion,
+    )
+
+    docs = load_documents(spark, SF_TEST)
+    land1, land2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    docs.filter(F.col("doc_id") < 30).select(*STREAM_COLS).coalesce(
+        1
+    ).write.parquet(land1 + "/p1")
+    docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60)).select(
+        *STREAM_COLS
+    ).coalesce(1).write.parquet(land2 + "/p1")
+
+    cat = SegmentCatalog(spark, str(tmp_path / "idx"), n_buckets=N_BUCKETS)
+    schema = stream_documents(spark, land1).schema
+    run_segment_ingestion(
+        spark.readStream.schema(schema).parquet(land1 + "/p*"),
+        cat,
+        str(tmp_path / "ckpt1"),
+    )
+    assert cat.segment_names() == ["b000000"]
+
+    with pytest.raises(StreamingQueryException, match="DIFFERENT batch"):
+        run_segment_ingestion(
+            spark.readStream.schema(schema).parquet(land2 + "/p*"),
+            cat,
+            str(tmp_path / "ckpt2"),  # fresh checkpoint → batch_id 0 again
+        )
+    # and a GENUINE replay (same data, fresh checkpoint) stays a no-op
+    run_segment_ingestion(
+        spark.readStream.schema(schema).parquet(land1 + "/p*"),
+        cat,
+        str(tmp_path / "ckpt3"),
+    )
+    assert cat.segment_names() == ["b000000"]
+
+
+def test_stream_percolate_empty_input_returns_empty(spark, tmp_path):
+    from search_engine_spark.streaming.stream_percolate import (
+        run_percolate_to_dir,
+    )
+
+    landing = tmp_path / "empty_landing"
+    landing.mkdir()
+    got = run_percolate_to_dir(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "alerts"),
+    )
+    assert got.columns == ["query_id", "doc_id"]
+    assert got.count() == 0
+
+
+def test_stream_percolate_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering batch 0 (checkpoint lost) rewrites the same
+    batch-deterministic sink path instead of appending a duplicate copy
+    of every alert."""
+    import shutil
+
+    from search_engine_spark.streaming.stream_percolate import (
+        run_percolate_to_dir,
+    )
+
+    docs = load_documents(spark, SF_TEST).filter(F.col("doc_id") < 60)
+    landing = str(tmp_path / "perc_landing")
+    docs.select(*STREAM_COLS).coalesce(1).write.parquet(landing + "/p1")
+    out = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    first = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in run_percolate_to_dir(
+            spark, landing + "/p*", ckpt, out
+        ).collect()
+    )
+    assert first, "fixture should trigger at least one alert"
+    shutil.rmtree(ckpt)  # lose the checkpoint → batch 0 replays
+    second = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in run_percolate_to_dir(
+            spark, landing + "/p*", ckpt, out
+        ).collect()
+    )
+    assert second == first
