@@ -2331,8 +2331,9 @@ WHERE c.c_us >= v.v_us AND c.c_us <= v.v_us + {w}::BIGINT * 1000000
 def last_touch_attribution_sql(window_secs: int | None = None,
                                table: str = "events") -> str:
     """Mirrors operators/events.py::last_touch_attribution — each click
-    credited to its latest qualifying view (min lag; ties → max
-    view_id)."""
+    credited to its latest qualifying view (min MICROSECOND lag — not the
+    truncated lag_s, which ties across views in the same whole second;
+    ties → max view_id)."""
     from ..operators import events as ev
 
     w = int(window_secs if window_secs is not None
@@ -2348,6 +2349,7 @@ c AS (
 ),
 pairs AS (
   SELECT v.view_id, c.click_id, v.user_id,
+         (c.c_us - v.v_us)::BIGINT AS lag_us,
          ((c.c_us - v.v_us) // 1000000)::BIGINT AS lag_s
   FROM v JOIN c USING (user_id)
   WHERE c.c_us >= v.v_us AND c.c_us <= v.v_us + {w}::BIGINT * 1000000
@@ -2355,7 +2357,7 @@ pairs AS (
 ranked AS (
   SELECT click_id, user_id, view_id, lag_s,
          row_number() OVER (PARTITION BY click_id
-                            ORDER BY lag_s ASC, view_id DESC) AS rn
+                            ORDER BY lag_us ASC, view_id DESC) AS rn
   FROM pairs
 )
 SELECT click_id, user_id, view_id, lag_s FROM ranked WHERE rn = 1

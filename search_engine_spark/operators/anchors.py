@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_columns import explode_terms
-from .graph import DOC_URL_RE, _url_of
+from .graph import _url_of, resolve_doc_url
 
 # RE2 ∩ java.util.regex subset (the oracle never parses html — it derives
 # the same anchors arithmetically — but the pattern stays portable).
@@ -122,10 +122,7 @@ def harvest_anchors(docs: DataFrame, drop_self: bool = True) -> DataFrame:
             F.col("p.href").alias("dst_url"),
             F.col("p.atext").alias("anchor_text"),
         )
-        .withColumn(
-            "dst_doc",
-            F.regexp_extract(F.col("dst_url"), DOC_URL_RE, 1).cast("long"),
-        )
+        .withColumn("dst_doc", resolve_doc_url(F.col("dst_url")))
         .filter(F.col("dst_doc").isNotNull())
     )
     if drop_self:

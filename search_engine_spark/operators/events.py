@@ -125,6 +125,21 @@ def attribution_pairs(
     residual range predicate — per-user data, maximal-cardinality key,
     no broadcast of either corpus-sized side. lag_s is exact integer
     epoch arithmetic (no float)."""
+    return _attribution_pairs_us(events, window_secs).select(
+        "view_id",
+        "click_id",
+        "user_id",
+        (F.col("lag_us") / F.lit(1_000_000)).cast("long").alias("lag_s"),
+    )
+
+
+def _attribution_pairs_us(
+    events: DataFrame, window_secs: int
+) -> DataFrame:
+    """attribution_pairs with the UNtruncated microsecond lag — the
+    ordering key last-touch needs (two views inside the same whole
+    second truncate to equal lag_s; ordering by that would let the
+    view_id tiebreak credit the EARLIER view)."""
     # microsecond-exact epochs (same emitter as sessionize: unix_micros
     # over the NTZ->timestamp cast, session TZ pinned to UTC)
     v_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -149,9 +164,7 @@ def attribution_pairs(
             "view_id",
             "click_id",
             "user_id",
-            ((F.col("c_us") - F.col("v_us")) / F.lit(1_000_000))
-            .cast("long")
-            .alias("lag_s"),
+            (F.col("c_us") - F.col("v_us")).alias("lag_us"),
         )
     )
 
@@ -163,12 +176,18 @@ def last_touch_attribution(
     each click credited to the LATEST qualifying view (max view ts; ties
     → highest view_id — pinned total order). One max_by aggregation over
     the pair relation: map-side partial agg forwards one candidate per
-    click per partition, no per-click window sort."""
-    pairs = attribution_pairs(events, window_secs)
+    click per partition, no per-click window sort.
+
+    The election key is the MICROSECOND lag, not the emitted whole-second
+    lag_s — two views in the same second truncate to equal lag_s, and
+    breaking that tie by view_id could credit the earlier view."""
+    pairs = _attribution_pairs_us(events, window_secs).withColumn(
+        "lag_s", (F.col("lag_us") / F.lit(1_000_000)).cast("long")
+    )
     best = F.max_by(
         F.struct(F.col("view_id"), F.col("lag_s")),
-        # latest view == smallest lag; maximize (-lag_s, view_id)
-        F.struct((-F.col("lag_s")).alias("k1"), F.col("view_id").alias("k2")),
+        # latest view == smallest microsecond lag; maximize (-lag_us, id)
+        F.struct((-F.col("lag_us")).alias("k1"), F.col("view_id").alias("k2")),
     ).alias("b")
     return (
         pairs.groupBy("click_id", "user_id")

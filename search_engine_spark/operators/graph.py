@@ -39,7 +39,24 @@ from pyspark.sql import functions as F
 
 # RE2 ∩ java.util.regex subset (oracle runs the same pattern in DuckDB).
 HREF_RE = 'href="([^"]+)"'
-DOC_URL_RE = "/docs/([0-9]+)$"
+# host AND path must both match: every corpus doc lives on exactly one
+# host (site-<chr(97 + id%3)>.example), so a URL that merely ENDS in
+# /docs/<id> from some other host must NOT resolve to an internal doc —
+# otherwise an off-site page could mint authority edges into
+# pagerank/trustrank/cocitation (the classic link-spam vector).
+DOC_URL_RE = "^https://site-([a-c])\\.example/docs/([0-9]+)$"
+
+
+def resolve_doc_url(url_col):
+    """doc_id of an internal doc URL, NULL for anything else (external
+    host, mismatched host letter, or non-doc path). nullif before the
+    cast: regexp_extract returns '' on no-match and ''::long is a hard
+    error under ANSI mode."""
+    sid = F.nullif(F.regexp_extract(url_col, DOC_URL_RE, 2), F.lit("")).cast(
+        "long"
+    )
+    letter = F.regexp_extract(url_col, DOC_URL_RE, 1)
+    return F.when(F.char(sid % 3 + 97) == letter, sid)
 
 PR_DAMPING = 0.85
 PR_ITERS = 3
@@ -93,12 +110,7 @@ def extract_links(docs: DataFrame, drop_self: bool = True) -> DataFrame:
                 )
             ).alias("dst_url"),
         )
-        .withColumn(
-            "dst_doc",
-            F.nullif(
-                F.regexp_extract(F.col("dst_url"), DOC_URL_RE, 1), F.lit("")
-            ).cast("long"),
-        )
+        .withColumn("dst_doc", resolve_doc_url(F.col("dst_url")))
     )
     if drop_self:
         out = out.filter(
@@ -317,7 +329,15 @@ def trustrank(
         .crossJoin(s_cnt)
         .select(
             "doc_id",
-            (F.coalesce(F.col("_seed"), F.lit(0.0)) / F.col("s")).alias("tv"),
+            # |S∩nodes| = 0 (empty or fully-out-of-corpus seed set) means
+            # NO teleport mass anywhere — emit zeros rather than dividing
+            # by zero (hard error under ANSI; NULL-poisoned ranks without)
+            F.when(
+                F.col("s") > 0.0,
+                F.coalesce(F.col("_seed"), F.lit(0.0)) / F.col("s"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tv"),
         )
     )
     deg = edges.groupBy("src").agg(
@@ -401,8 +421,15 @@ def hits(
             .agg(F.sum(rank_col).alias("s"))
             .withColumnRenamed(group_key, "doc_id")
         )
-        raw = nodes.join(contrib, "doc_id", "left").select(
-            "doc_id", F.coalesce("s", F.lit(0.0)).alias(out_col)
+        # cache: `raw` is referenced twice (normalizer agg + normalize
+        # select), so without it each half-step EMBEDS the previous plan
+        # twice and the uncached edge-join subtree reappears ~2^(2·n_iter)
+        # times — exponential analysis+execution cost in n_iter. The
+        # cached frame is 16 bytes/node.
+        raw = (
+            nodes.join(contrib, "doc_id", "left")
+            .select("doc_id", F.coalesce("s", F.lit(0.0)).alias(out_col))
+            .cache()
         )
         tot = raw.agg(F.sum(out_col).alias("t"))
         # t = 0 when no edge delivered any mass this half-step (e.g. every

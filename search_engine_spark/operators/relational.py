@@ -116,7 +116,9 @@ def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_parts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via dense_rank: 3 largest retail prices per brand."""
+    """Top-k per group: 3 largest retail prices per brand, row_number
+    with the p_partkey tiebreak (NOT dense_rank — that would emit more
+    than 3 rows on price ties and break parity with top_parts_sql)."""
     part = _t(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey").asc()

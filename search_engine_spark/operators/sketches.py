@@ -60,7 +60,11 @@ def hll_registers(df: DataFrame, key_col: str,
     max aggregate; per-group state is ≤ 256 rows regardless of input size.
     Mergeable: `max` over unions of register frames IS the merged sketch."""
     h = h60_col(F.col(key_col))
-    reg = df.select(
+    # NULL keys are not elements: h60(NULL) yields a (idx=NULL, m_j=NULL)
+    # register row that n_present counts but sum_present skips — one
+    # empty-register 2^53 term vanishes from the denominator and the
+    # estimate silently inflates. Filter them before hashing.
+    reg = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols,
         h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
         F.shiftright(h, 8).alias("w"),

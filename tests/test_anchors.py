@@ -124,3 +124,25 @@ def test_bm25f_no_global_window(spark):
         postings, anchor_postings(docs), doc_stats, n_docs, avgdl, ["data"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_harvest_anchors_survives_external_anchor(spark):
+    """One external/non-doc anchor on a page must neither crash the job
+    (ANSI ''::long) nor resolve to a fake internal target."""
+    from search_engine_spark.operators.anchors import harvest_anchors
+
+    docs = spark.createDataFrame(
+        [
+            (1, bytearray(
+                b'<a href="https://other.example/x">ext</a>'
+                b'<a href="https://evil.example/docs/2">spoof</a>'
+                b'<a href="https://site-c.example/docs/2">ok</a>'
+            )),
+            (2, bytearray(b"")),
+        ],
+        "doc_id long, html binary",
+    )
+    got = harvest_anchors(docs).collect()
+    assert [(r["src_doc"], r["dst_doc"], r["anchor_text"]) for r in got] == [
+        (1, 2, "ok")
+    ]

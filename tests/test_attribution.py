@@ -58,3 +58,19 @@ def test_last_touch_picks_latest_view_and_breaks_ties_by_view_id(spark):
         for r in last_touch_attribution(ev, 600).collect()
     }
     assert got == {3: (2, 120), 12: (11, 120)}
+
+
+def test_last_touch_breaks_subsecond_ties_by_true_instant(spark):
+    """Two views inside the same whole second before a click: lag_s
+    truncates to the same value for both, but the credit must go to the
+    view with the LATER true instant (smaller microsecond lag) — not to
+    whichever has the higher view_id."""
+    rows = [
+        (9, datetime(2024, 1, 1, 10, 0, 0, 200_000), 1, "view"),
+        (3, datetime(2024, 1, 1, 10, 0, 0, 700_000), 1, "view"),
+        (50, datetime(2024, 1, 1, 10, 0, 1), 1, "click"),
+    ]
+    got = last_touch_attribution(_events(spark, rows)).collect()
+    assert len(got) == 1
+    assert got[0]["view_id"] == 3  # the later view, not the higher id
+    assert got[0]["lag_s"] == 0

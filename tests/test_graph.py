@@ -360,3 +360,50 @@ def test_crawl_delays_wildcard_group_only(spark):
         r["host"]: r["delay_s"] for r in crawl_delays(robots).collect()
     }
     assert got == {"h.example": 2.5}  # decoy group ignored; no-delay host absent
+
+
+def test_resolve_doc_url_rejects_foreign_and_spoofed_hosts(spark):
+    """A URL that merely ENDS in /docs/<id> must not mint an internal
+    edge: external hosts and host-letter/doc_id mismatches resolve to
+    NULL (link-spam guard), and the no-match path must not crash under
+    ANSI mode ('' cast to long)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.graph import resolve_doc_url
+
+    cases = spark.createDataFrame(
+        [
+            ("https://site-b.example/docs/7", 7),     # 7 % 3 = 1 -> 'b'
+            ("https://site-a.example/docs/7", None),  # spoofed host letter
+            ("https://evil.example/docs/7", None),    # foreign host
+            ("https://other.example/page", None),     # no doc path at all
+            ("https://site-a.example/docs/6", 6),     # 6 % 3 = 0 -> 'a'
+        ],
+        "url string, want long",
+    )
+    got = cases.select("want", resolve_doc_url(F.col("url")).alias("dst"))
+    for r in got.collect():
+        assert r["dst"] == r["want"]
+
+
+def test_extract_links_survives_external_anchor(spark):
+    from search_engine_spark.operators.graph import extract_links
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(b'<a href="https://other.example/page">x</a>'))],
+        "doc_id long, html binary",
+    )
+    got = extract_links(docs).collect()
+    assert len(got) == 1 and got[0]["dst_doc"] is None
+
+
+def test_trustrank_empty_seed_intersection_returns_zeros(spark):
+    """Seeds entirely outside the corpus carry no teleport mass — every
+    score is 0, not a DIVIDE_BY_ZERO abort."""
+    from search_engine_spark.operators.graph import trustrank
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(999,)], "doc_id long")
+    got = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}

@@ -166,3 +166,15 @@ def test_cm_estimate_for_absent_key_is_zero(spark, postings):
         },
         "zzz-never-in-corpus-7f3a",
     )
+
+
+def test_hll_ignores_null_keys(spark):
+    """NULL is not an element: the estimate over ['a','b',NULL] must
+    equal the pinned estimator's answer for the two real keys (a NULL
+    register row used to skew the empty-register denominator)."""
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None)], "grp string, k string"
+    )
+    got = hll_distinct(df, "k", ["grp"]).collect()
+    assert len(got) == 1
+    assert got[0]["est_distinct"] == hll_py({"a", "b"})
