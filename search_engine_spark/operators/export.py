@@ -165,7 +165,7 @@ def token_balanced_shards(
 
 def pack_sequences(
     docs: DataFrame,
-    cap: int = 2048,
+    cap: int = 512,  # MUST match pack_sequences_sql's default (the mirror)
     buckets: int = 64,
 ) -> DataFrame:
     """(doc_id, n_tokens, bucket, example_id) — greedy sequence packing:

@@ -44,10 +44,12 @@ def media_stats(docs: DataFrame, media_col: str = "html") -> DataFrame:
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("feat_hash", T.StringType(), False),
-        T.StructField("feat0", T.LongType(), False),
-        T.StructField("feat1", T.LongType(), False),
+        # feature fields are nullable: a NULL media payload surfaces as a
+        # row with NULL features (mirrors media_stats), never a task kill
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feat_hash", T.StringType(), True),
+        T.StructField("feat0", T.LongType(), True),
+        T.StructField("feat1", T.LongType(), True),
     ]
 )
 
@@ -70,11 +72,19 @@ def media_features(docs: DataFrame, media_col: str = "html") -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [_fake_feature_vector(b) for b in pdf[media_col]]
+            # a NULL payload yields NULL features (media_stats emits NULL
+            # metadata for the same row) — bytes(None) would kill the task
+            feats = [
+                (None, None, None) if b is None else _fake_feature_vector(b)
+                for b in pdf[media_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(b)) for b in pdf[media_col]],
+                    "n_bytes": [
+                        None if b is None else len(bytes(b))
+                        for b in pdf[media_col]
+                    ],
                     "feat_hash": [f[0] for f in feats],
                     "feat0": [f[1] for f in feats],
                     "feat1": [f[2] for f in feats],
@@ -164,6 +174,9 @@ def decode_image(docs: DataFrame, media_col: str = "image") -> DataFrame:
         for pdf in batches:  # pragma: no cover - needs pillow
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[media_col]):
+                if payload is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
                 img = Image.open(io.BytesIO(bytes(payload)))
                 rows.append((doc_id, img.width, img.height, img.mode))
             yield pd.DataFrame(

@@ -208,9 +208,9 @@ def best_passage(
                 F.col("n_matches"), (-F.col("p_start")).alias("neg_start")
             ),
         ).alias("p_start"),
-        F.max(
-            F.struct(F.col("n_matches"), (-F.col("p_start")).alias("ns"))
-        )["n_matches"].alias("n_matches"),
+        # plain max: the struct tiebreak only matters for WHICH p_start
+        # wins (max_by above); the maximum n_matches is the same either way
+        F.max("n_matches").alias("n_matches"),
     )
     return (
         best.select(

@@ -38,6 +38,7 @@ from .codec import (
     BLOCK_SIZE,
     _encode_column_blocks,
     decode_payload,
+    delta_decode,
 )
 from .blocks import block_rows_frame
 from .positional import analyze_phrase, phrase_match
@@ -106,9 +107,9 @@ def decode_pos_block(
     doc_bytes: bytes, pos_bytes: bytes, count: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of one encoded block → (doc_ids, positions)."""
-    gaps = decode_payload(doc_bytes, count).astype(np.int64)
-    gaps[0] -= 1
-    ids = np.cumsum(gaps)
+    # the shared tf-block gap convention (gap0 = id0 + 1) lives in ONE
+    # place — codec.delta_decode — so the two decoders cannot drift
+    ids = delta_decode(decode_payload(doc_bytes, count))
     deltas = decode_payload(pos_bytes, count).astype(np.int64)
     # segmented cumsum: position = Σ deltas since the doc's first
     # occurrence in this block (where the raw pos was stored)

@@ -60,10 +60,7 @@ def present_results(
     def _present(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
-                yield pd.DataFrame(
-                    {f.name: pd.Series(dtype="object") for f in RESULT_SCHEMA}
-                )
-                continue
+                continue  # mapInPandas declares the schema; yield nothing
             titles, snippets = [], []
             for html in pdf["html"]:
                 titles.append(extract_title(html))
@@ -90,15 +87,19 @@ def titles_series(html: pd.Series) -> pd.Series:
     ops end-to-end (no per-row Python loop; this is the corpus-wide path,
     unlike the ≤k presentation rows). Byte-identical to
     textproc.extract.extract_title (pinned by tests + the titles oracle)."""
-    import re
-
     from ..textproc.extract import _COMMENT_RE, _ENTITIES, _HWS_RE, _TITLE_RE
 
-    ent_re = re.compile("|".join(map(re.escape, _ENTITIES)))
     s = html.str.decode("utf-8", errors="replace").fillna("")
     s = s.str.replace(_COMMENT_RE, "", regex=True)
     t = s.str.extract(_TITLE_RE, expand=False).fillna("")
-    t = t.str.replace(ent_re, lambda m: _ENTITIES[m.group(0)], regex=True)
+    # SEQUENTIAL replaces in _ENTITIES order, exactly like the scalar
+    # _entities: '&amp;' unescapes first, so cascaded entities
+    # ('&amp;lt;' -> '&lt;' -> '<') resolve fully. A single-pass regex
+    # alternation consumes '&amp;' and never re-matches the '&lt;' it
+    # produced — byte-identity with extract_title would break on any
+    # double-escaped corpus.
+    for k, v in _ENTITIES.items():
+        t = t.str.replace(k, v, regex=False)
     return t.str.replace(_HWS_RE, " ", regex=True).str.strip()
 
 

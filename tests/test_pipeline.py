@@ -522,3 +522,18 @@ def test_doc_keywords_ranking(spark):
     assert [r["term"] for r in ranked] == ["rare", "alpha", "beta"]
     assert ranked[0]["tfidf"] == 2.3026 and ranked[1]["tfidf"] == 1.6094
     assert [r["rank"] for r in ranked] == [1, 2, 3]
+
+
+def test_media_features_null_payload_yields_null_features(spark):
+    """One missing media payload must not kill the Arrow task — the row
+    surfaces with NULL features, matching media_stats' null handling."""
+    from search_engine_spark.operators.multimodal import media_features
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"payload")), (2, None)],
+        "doc_id long, html binary",
+    )
+    got = {r["doc_id"]: r for r in media_features(docs).collect()}
+    assert got[1]["feat_hash"] is not None
+    assert got[2]["n_bytes"] is None
+    assert got[2]["feat_hash"] is None and got[2]["feat0"] is None

@@ -74,6 +74,10 @@ def test_titles_series_matches_scalar_extractor():
         b"<html><title lang='en'>  spaced \t out  </title></html>",
         b"<html><title>line\nbreak</title></html>",
         b"<html><title>broken \xff utf8</title></html>",
+        # cascaded entities: '&amp;lt;' must fully resolve to '<' (the
+        # scalar extractor replaces sequentially, &amp; first — a
+        # single-pass alternation stops at '&lt;')
+        b"<html><title>A &amp;lt; B &amp;amp; C</title></html>",
         b"",
     ]
     got = list(titles_series(pd.Series(cases)))
