@@ -400,7 +400,11 @@ step AS (
   FROM raw
 ),
 p AS (
-  SELECT doc_id, raw_url, substr(u, length(root) + 1) AS path FROM step
+  SELECT doc_id, raw_url,
+         CASE WHEN starts_with(u, root) THEN substr(u, length(root) + 1)
+              WHEN starts_with(u, '/') THEN u
+              ELSE NULL END AS path
+  FROM step
 ),
 p2 AS (
   SELECT doc_id, raw_url,
@@ -409,7 +413,9 @@ p2 AS (
   FROM p
 )
 SELECT doc_id, raw_url,
-       CASE WHEN path = '' THEN '/' ELSE path END AS norm_path
+       CASE WHEN path = '' THEN '/'
+            WHEN starts_with(path, '/') THEN path
+            ELSE NULL END AS norm_path
 FROM p2
 """
 
@@ -955,7 +961,7 @@ h AS (
          regexp_replace(regexp_extract(rest, '^([^/?#]+)', 1),
                         '^www\\.', '') AS host,
          regexp_replace(regexp_replace(regexp_replace(rest, '^[^/?#]+', ''),
-                        '[?#].*$', ''), '/$', '') AS path
+                        '[?#].*$', ''), '/+$', '') AS path
   FROM p
 )
 SELECT doc_id,

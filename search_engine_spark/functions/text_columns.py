@@ -79,14 +79,22 @@ def explode_terms(
 
 
 def normalized_path_col(site_col: Column, url_col: Column) -> Column:
-    """S4 URL normalizer as column expressions (see textproc/urls.py):
-    lowercase → strip ?query/#fragment → strip site root → default '/' →
-    drop trailing '/'. Cross-site handling is the caller's filter."""
+    """S4 URL normalizer as column expressions — the exact column twin of
+    textproc/urls.py::normalize_path: lowercase → strip ?query/#fragment
+    → strip site root (site-relative '/...' URLs pass through; anything
+    else is NULL, never a garbage suffix) → default '/' → drop trailing
+    '/'."""
     u = F.regexp_replace(F.lower(F.trim(url_col)), r"[?#].*$", "")
     root = F.regexp_replace(F.lower(F.trim(site_col)), "/+$", "")
-    path = u.substr(F.length(root) + 1, F.length(u))
-    path = F.when(F.length(path) > 1, F.regexp_replace(path, "/+$", "")).otherwise(path)
-    return F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        u.startswith(root), u.substr(F.length(root) + 1, F.length(u))
+    ).when(u.startswith("/"), u)
+    path = F.when(
+        F.length(path) > 1, F.regexp_replace(path, "/+$", "")
+    ).otherwise(path)
+    return F.when(path == "", F.lit("/")).when(
+        path.startswith("/"), path
+    )
 
 
 def surt_key_col(url_col="raw_url") -> Column:
@@ -104,11 +112,14 @@ def surt_key_col(url_col="raw_url") -> Column:
     host = F.regexp_replace(
         F.regexp_extract(rest, r"^([^/?#]+)", 1), r"^www\.", ""
     )
+    # '/+$' (not '/$'): repeated trailing slashes are the same resource —
+    # normalized_path_col above already strips them all, and two keys for
+    # one page would defeat CDX-style dedup/range lookups
     path = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(rest, r"^[^/?#]+", ""), r"[?#].*$", ""
         ),
-        r"/$",
+        r"/+$",
         "",
     )
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")

@@ -244,7 +244,7 @@ def corpus_stats_from_packed(packed: DataFrame) -> tuple[int, int]:
     return int(row["n_docs"] or 0), int(row["sum_dl"] or 0)
 
 
-def doc_stats_from_packed(packed: DataFrame, docs_count: int | None = None) -> DataFrame:
+def doc_stats_from_packed(packed: DataFrame) -> DataFrame:
     """Packed 'dl' runs → (doc_bucket, doc_id, dl) norm rows.
 
     Documents with zero retained terms have no dl row; they can never

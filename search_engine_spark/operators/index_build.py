@@ -115,4 +115,6 @@ def corpus_stats(docs: DataFrame, doc_stats: DataFrame) -> tuple[int, float]:
     row = doc_stats.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    return int(row["n"]), float(row["avgdl"])
+    # avg() over zero rows is NULL — an empty corpus yields (0, 0.0) like
+    # corpus_stats_from_packed, not a float(None) TypeError
+    return int(row["n"]), float(row["avgdl"] or 0)

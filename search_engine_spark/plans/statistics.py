@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.index_build import build_term_dict_site
+from ..functions.text_columns import explode_terms
 from ..sources.documents import site_key_col
 
 
@@ -20,10 +20,15 @@ def per_site_statistics(docs: DataFrame) -> DataFrame:
         .groupBy("site_key")
         .agg(F.count("*").alias("pages"))
     )
+    # count_distinct(term) directly — building the full per-site
+    # dictionary forces an extra count_distinct(doc_id) df aggregate and
+    # a cf sum per (site, term) whose results the row count throws away
     lemmas = (
-        build_term_dict_site(docs)
+        explode_terms(
+            docs.withColumn("site_key", site_key_col()), keep=["site_key"]
+        )
         .groupBy("site_key")
-        .agg(F.count("*").alias("lemmas"))
+        .agg(F.count_distinct("term").alias("lemmas"))
     )
     return pages.join(lemmas, "site_key", "left").select(
         "site_key",

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-Fetcher = Callable[[str], tuple[int, bytes]]
+Fetcher = Callable[[str], "tuple[int, bytes | None]"]  # None body = error fetch
 
 FETCH_SCHEMA = T.StructType(
     [
@@ -44,20 +44,20 @@ FETCH_SCHEMA = T.StructType(
 _DOC_URL = re.compile(r"^https://(site-[abc])\.example/docs/([0-9]+)$")
 
 
-def fake_fetcher(url: str) -> tuple[int, bytes]:
+def fake_fetcher(url: str) -> tuple[int, bytes | None]:
     """Deterministic fetch of the synthetic web: reproduces
     sources/documents.py::html_col + http_code_col for engine urls
     (but with a placeholder body text — the fixture's real text lives in
     the parquet; tests compare against the http_code/status semantics and
-    page shell). Unknown urls 404 with an empty body."""
+    page shell). Unknown urls 404 with no body (None)."""
     m = _DOC_URL.match(url)
     if not m:
-        return 404, b""
+        return 404, None
     doc_id = int(m.group(2))
     d = doc_id % 53
     code = {13: 404, 27: 415, 41: 500, 50: 102}.get(d, 200)
     if code != 200:
-        return code, b""
+        return code, None
     body = (
         f"<html><head><title>Doc {doc_id}</title>"
         f"<script>var x=1;</script></head>"
@@ -66,7 +66,7 @@ def fake_fetcher(url: str) -> tuple[int, bytes]:
     return code, body
 
 
-def urllib_fetcher(url: str) -> tuple[int, bytes]:  # pragma: no cover
+def urllib_fetcher(url: str) -> tuple[int, bytes | None]:  # pragma: no cover
     """Real-socket fetcher (import-gated; never used in tests/sandbox)."""
     import urllib.error
     import urllib.request
@@ -75,9 +75,9 @@ def urllib_fetcher(url: str) -> tuple[int, bytes]:  # pragma: no cover
         with urllib.request.urlopen(url, timeout=10) as resp:
             return int(resp.status), resp.read()
     except urllib.error.HTTPError as e:
-        return int(e.code), b""
+        return int(e.code), None
     except Exception:
-        return 500, b""
+        return 500, None
 
 
 def fetch_pages(
@@ -92,7 +92,11 @@ def fetch_pages(
     the politeness invariant — while hosts fan out across the cluster."""
     src = urls.select("url")
     if partition_by_host:
-        host = F.regexp_extract("url", "^https://([^/]+)/", 1)
+        # no trailing '/' in the pattern and scheme-agnostic: a pathless
+        # URL ('https://a.example') or an http:// sibling must hash to
+        # the SAME partition as the rest of its host, or two tasks hit
+        # one host concurrently and the politeness invariant is gone
+        host = F.regexp_extract("url", "^[a-z]+://([^/]+)", 1)
         n = n_partitions or src.sparkSession.sparkContext.defaultParallelism
         src = src.repartition(n, host)
 
@@ -103,8 +107,12 @@ def fetch_pages(
                 {
                     "url": pdf["url"].to_numpy(),
                     "http_code": [c for c, _ in fetched],
-                    "html": [b if b else None for _, b in fetched],
-                    "n_bytes": [len(b) for _, b in fetched],
+                    # the fetcher contract distinguishes the shapes: an
+                    # error fetch returns body=None (stored NULL), while
+                    # a 200 with a legitimately EMPTY page returns b''
+                    # and is preserved — truthiness would alias the two
+                    "html": [b for _, b in fetched],
+                    "n_bytes": [0 if b is None else len(b) for _, b in fetched],
                 }
             )
 

@@ -67,8 +67,12 @@ def extract_block_text(html: bytes | str) -> str:
     """Line-preserving extraction (for snippets)."""
     s = _decode(html)
     s = _COMMENT_RE.sub("", s)
-    s = _HEAD_RE.sub("", s)
+    # scripts BEFORE head (same reason comments go first): a <script>
+    # inside <head> whose source contains the literal '</head>' would
+    # otherwise truncate the non-greedy head match and leak raw script
+    # source into the extracted text
     s = _SCRIPT_RE.sub("", s)
+    s = _HEAD_RE.sub("", s)
     s = _BLOCK_BREAK_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)
     s = _entities(s)

@@ -40,6 +40,8 @@ morphology.is_fitting for the faithful reference filter.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .morphology import build_lemma_table
@@ -140,16 +142,20 @@ def lemma_items() -> list[tuple[str, str]]:
     return _SORTED_ITEMS
 
 
-_DF_CACHE: dict[int, DataFrame] = {}
+# weak keys, not id(spark): CPython reuses freed ids, so an id-keyed dict
+# could hand a NEW session a DataFrame bound to a stopped one (and never
+# evicts dead entries); weak keys drop the entry with the session
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def lemma_dict_df(spark: SparkSession) -> DataFrame:
     """The dictionary as a (word, normal) DataFrame, cached per session.
     Small (thousands of rows) — callers broadcast it into the post-explode
     join (functions/text_columns.py::explode_terms)."""
-    key = id(spark)
-    if key not in _DF_CACHE:
-        _DF_CACHE[key] = spark.createDataFrame(
+    if spark not in _DF_CACHE:
+        _DF_CACHE[spark] = spark.createDataFrame(
             _SORTED_ITEMS, "word string, normal string"
         )
-    return _DF_CACHE[key]
+    return _DF_CACHE[spark]

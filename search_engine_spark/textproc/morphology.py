@@ -371,7 +371,7 @@ RU_VERBS: dict[str, tuple] = {
     "использовать": ("использу", 1), "тестировать": ("тестиру", 1),
     "индексировать": ("индексиру", 1), "сортировать": ("сортиру", 1),
     "фильтровать": ("фильтру", 1), "группировать": ("группиру", 1),
-    "копировать": ("копиру", 1), "работать": ("работа", 1),
+    "копировать": ("копиру", 1),
     "говорить": ("говор", 2), "смотреть": ("смотр", 2),
     "видеть": ("вид", 2, "вижу"), "ходить": ("ход", 2, "хожу"),
     "любить": ("люб", 2, "люблю"),

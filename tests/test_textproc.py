@@ -194,3 +194,64 @@ class TestFastTokenizeParity:
 
     def test_none_text(self):
         self._run(["data fast", None, "", "   ", "data data"])
+
+
+class TestExtractScriptInHead:
+    def test_script_containing_head_close_does_not_leak(self):
+        """A <script> inside <head> whose SOURCE contains the literal
+        '</head>' must not truncate head removal and leak JS into the
+        text (scripts are stripped before the head now, like comments)."""
+        from search_engine_spark.textproc.extract import extract_text
+
+        html = (
+            b'<head><script>var s="</head>";</script></head>'
+            b"<body>hello</body>"
+        )
+        assert extract_text(html) == "hello"
+
+
+class TestNormalizedPathColumnTwin:
+    def test_matches_python_reference_on_edge_cases(self, spark):
+        """The column expression must be the exact twin of
+        urls.normalize_path — cross-site and relative URLs included
+        (the old blind root-chop produced garbage suffixes, never NULL)."""
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.functions.text_columns import (
+            normalized_path_col,
+        )
+        from search_engine_spark.textproc.urls import normalize_path
+
+        site = "https://a.example"
+        urls = [
+            "https://a.example/Docs/5/?x=1",
+            "https://a.example",
+            "https://a.example/",
+            "https://other.org/x",       # cross-site -> NULL
+            "/docs/7/",                  # site-relative passes through
+            "https://a.exampleX/y",      # prefix trap -> NULL
+            "HTTPS://A.EXAMPLE/UP/",
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r["url"]: r["p"]
+            for r in df.select(
+                "url",
+                normalized_path_col(F.lit(site), F.col("url")).alias("p"),
+            ).collect()
+        }
+        for u in urls:
+            assert got[u] == normalize_path(site, u), u
+
+
+def test_surt_key_collapses_repeated_trailing_slashes(spark):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.text_columns import surt_key_col
+
+    df = spark.createDataFrame(
+        [("https://www.a.example/docs/",), ("https://a.example/docs//",)],
+        "raw_url string",
+    )
+    keys = {r["k"] for r in df.select(surt_key_col().alias("k")).collect()}
+    assert keys == {"example,a)/docs"}
