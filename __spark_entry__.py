@@ -363,12 +363,12 @@ def _q_warc_roundtrip(spark, sf_dir):
     """WARC source round-trip: serialize the corpus into concatenated-
     record WARC blobs, parse them back, recover (url, ts, html) — the
     Common-Crawl ingestion path."""
-    from search_engine_spark.operators.graph import DOC_URL_RE
+    from search_engine_spark.operators.graph import resolve_doc_url
     from search_engine_spark.sources.warc import parse_warc, to_warc_files
 
     parsed = parse_warc(to_warc_files(load_documents(spark, sf_dir)))
     return parsed.select(
-        F.regexp_extract("url", DOC_URL_RE, 1).cast("long").alias("doc_id"),
+        resolve_doc_url(F.col("url")).alias("doc_id"),
         "url",
         F.col("warc_ts").cast("long").alias("warc_epoch"),
         F.md5(F.encode("html", "utf-8")).alias("content_md5"),
