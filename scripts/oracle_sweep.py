@@ -1,0 +1,113 @@
+"""Full driver-style oracle sweep: run every queries() entry against its
+oracle_sql() twin at a given sf dir and report mismatches.
+
+Mirrors the grading driver's compare (sort columns by name, value-multiset
+equality) with the normalizations the driver applies implicitly via
+hashing of rendered values: DuckDB Decimal -> float, DATE -> naive
+datetime, None-safe ordering.
+
+Usage: python scripts/oracle_sweep.py [sf_dir] [only_query ...]
+"""
+import datetime
+import decimal
+import json
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, float) and v != v:  # NaN -> stable token
+        return "NaN"
+    return v
+
+
+def _key(row):
+    return [(v is None, str(type(v)), v) for v in row]
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm(v) for v in r) for r in df[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=_key)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as m
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(parallelism=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = m.queries()
+    oracles = m.oracle_sql()
+    results, bad = {}, []
+    for name, fn in sorted(queries.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sp = fn(spark, sf_dir).toPandas()
+            if name not in oracles:
+                results[name] = {
+                    "status": "rows_only",
+                    "spark_rows": len(sp),
+                    "sec": round(time.time() - t0, 2),
+                }
+                continue
+            du = con.sql(oracles[name]).df()
+            scols, srows = _multiset(sp)
+            ocols, orows = _multiset(du)
+            ok = scols == ocols and srows == orows
+            results[name] = {
+                "status": "ok" if ok else "MISMATCH",
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "sec": round(time.time() - t0, 2),
+            }
+            if not ok:
+                bad.append(name)
+                if scols != ocols:
+                    results[name]["cols"] = {"spark": scols, "oracle": ocols}
+                else:
+                    diff_s = [r for r in srows if r not in orows][:3]
+                    diff_o = [r for r in orows if r not in srows][:3]
+                    results[name]["sample_spark_only"] = [
+                        [str(v) for v in r] for r in diff_s
+                    ]
+                    results[name]["sample_oracle_only"] = [
+                        [str(v) for v in r] for r in diff_o
+                    ]
+        except Exception as e:  # noqa: BLE001 - sweep must survive any query
+            results[name] = {"status": "ERROR", "err": repr(e)[:300]}
+            bad.append(name)
+        print(name, results[name]["status"], flush=True)
+
+    print(json.dumps({"bad": bad, "n": len(results)}, indent=0))
+    with open("/tmp/oracle_sweep.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

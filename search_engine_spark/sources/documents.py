@@ -95,6 +95,13 @@ def load_documents(
     re-scanned the parquet k times — measured ~half the pack-stage wall
     at k=512 — and its giant plan stressed codegen)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # input normalization, pinned here as the engine's single NULL
+    # boundary: a Common-Crawl record with a missing text conversion is
+    # an EMPTY page, not a NULL that poisons concat/tokenize downstream
+    # (html_col's concat would return NULL html for the whole row).
+    # Every derived column and operator may therefore assume text IS NOT
+    # NULL; oracle mirrors coalesce identically at view registration.
+    df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     if multiply > 1:
         # the copy stride must exceed every base doc_id or copies collide
         # and duplicate ids silently corrupt index builds (segment ingest

@@ -78,6 +78,52 @@ def test_build_and_search_cli_end_to_end(tmp_path):
     assert "<b>" in hit["snippet"]
 
 
+@pytest.mark.slow
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    """The north-rule deployment path, literally: `spark-submit --py-files
+    dist/search_engine_spark.zip` for build then query, launched from a
+    cwd OUTSIDE the repo with no PYTHONPATH, so every engine import must
+    resolve from the shipped zip alone (not the source tree)."""
+    import shutil
+
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit launcher not on this host")
+    zpath = os.path.join(REPO, "dist", "search_engine_spark.zip")
+    idx = str(tmp_path / "ss_idx")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    common = [spark_submit, "--master", "local[8]", "--py-files", zpath]
+    out = subprocess.run(
+        common
+        + [
+            os.path.join(REPO, "scripts", "build_index.py"),
+            "--input", "/root/testdata/sf0.001", "--index-dir", idx,
+            "--n-buckets", "4", "--groups", "2",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, check=True,
+        cwd=str(tmp_path),
+    )
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["n_docs"] == 500 and len(report["built_buckets"]) == 4
+
+    out = subprocess.run(
+        common
+        + [
+            os.path.join(REPO, "scripts", "search_cli.py"),
+            "--index-dir", idx, "--input", "/root/testdata/sf0.001",
+            "--query", "data fast", "--mode", "compat", "--limit", "5",
+            "--presented",
+        ],
+        capture_output=True, text=True, timeout=600, env=env, check=True,
+        cwd=str(tmp_path),
+    )
+    page = json.loads(out.stdout.strip().splitlines()[-1])
+    assert page["result"] is True and page["count"] > 0
+    assert 0 < len(page["data"]) <= 5 and "<b>" in page["data"][0]["snippet"]
+
+
 def test_dist_zip_matches_source_tree():
     """ADVICE r01: the committed spark-submit artifact must not go stale —
     every member of dist/search_engine_spark.zip must be byte-identical to
