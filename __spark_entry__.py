@@ -1443,9 +1443,13 @@ def _q_explain_score(spark, sf_dir):
     top = se.search_bm25(
         postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, limit=1
     ).collect()
+    # No conjunctive hit (possible on adversarial corpora): the oracle's
+    # top1 CTE is empty, so mirror with an impossible doc_id — same
+    # schema, zero rows.
+    doc_id = top[0]["doc_id"] if top else -1
     return se.explain_score(
         postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
-        doc_id=top[0]["doc_id"],
+        doc_id=doc_id,
     )
 
 

@@ -7,6 +7,10 @@ hashing of rendered values: DuckDB Decimal -> float, DATE -> naive
 datetime, None-safe ordering.
 
 Usage: python scripts/oracle_sweep.py [sf_dir] [only_query ...]
+       python scripts/oracle_sweep.py --adversarial [only_query ...]
+
+--adversarial stages tests/adversarial_corpus.py (edge-case documents +
+symlinked sf0.001 side tables) into a temp dir and sweeps against it.
 """
 import datetime
 import decimal
@@ -44,8 +48,19 @@ def _multiset(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    adversarial = "--adversarial" in args
+    if adversarial:
+        args.remove("--adversarial")
+        import tempfile
+
+        from tests.adversarial_corpus import build_adversarial_dir
+
+        sf_dir = build_adversarial_dir(tempfile.mkdtemp(prefix="adv_sf_"))
+        only = set(args)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
 
     import duckdb
 
@@ -58,6 +73,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    if adversarial:
+        from tests.adversarial_corpus import register_oracle_views
+
+        register_oracle_views(con, sf_dir)
 
     queries = m.queries()
     oracles = m.oracle_sql()

@@ -97,6 +97,12 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="append this N→4N pair as an additional section instead of "
+        "rewriting BENCH/BASELINE.md (second datapoint, e.g. 8→32)",
+    )
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -124,12 +130,23 @@ def main() -> None:
         vals = sorted(qs.values())
         return vals[len(vals) // 2]
 
-    md = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}])
+    if args.append:
+        head = f"""
+
+## Second datapoint: local[{n}] vs local[{n4}]
+
+Same methodology (fresh pinned JVM per level, same {small['docs']}-doc
+input, best of 2); this pair uses the host's full {n4} cores as 4N, so N=4N/4
+shares nothing with the primary pair's core sets.
+"""
+    else:
+        head = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}])
 
 Same job (full index build into compressed posting blocks + warm BM25/compat
 query suite, `bench.run`), same input ({small['docs']} docs =
 sf{small['sf']} × multiply={args.multiply}), fresh JVM per level.
-
+"""
+    md = f"""{head}
 | parallelism | build sec | docs/sec | query p50 sec | total sec |
 |---|---|---|---|---|
 | local[{n}] (N) | {small['queries']['build']} | {tput_n} | {qsec(small)} | {small['value']} |
@@ -156,7 +173,7 @@ Raw JSON:
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(out_path, "w") as f:
+    with open(out_path, "a" if args.append else "w") as f:
         f.write(md)
     print(md)
     print(f"written: {out_path}")

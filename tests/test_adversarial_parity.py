@@ -3,66 +3,37 @@
 The driver fixtures (`/root/testdata/sf*`) are single-line, punctuation-free
 ASCII word soup, so fixture-parity alone cannot catch Spark-vs-DuckDB
 divergence on the characters real Common-Crawl text is full of (ADVICE r01
-flagged exactly this for Unicode whitespace). This test builds a
-deterministic corpus of edge-case documents — NBSP/thin/ideographic spaces,
-tabs/CRLF, punctuation, apostrophes, Cyrillic (the morphology path), CJK,
-accents, empty / whitespace-only / NULL text, a 2400-word document, html-ish
-angle brackets — and re-runs a cross-section of the contract's
-(queries, oracle_sql) pairs on it. Parity must hold on THIS corpus exactly
-as on the fixtures: same three-implementation frozen spec, nastier input.
+flagged exactly this for Unicode whitespace). tests/adversarial_corpus.py
+defines a deterministic corpus of edge-case documents; this test re-runs a
+broad cross-section of the contract's (queries, oracle_sql) pairs on it.
+Parity must hold on THIS corpus exactly as on the fixtures: same
+three-implementation frozen spec, nastier input.
+
+It already earned its keep: the NULL-text document exposed an unpinned
+NULL boundary (three queries diverged three different ways) now fixed in
+sources/documents.py::load_documents.
+
+The full 161-pair gate can be run against this corpus ad hoc with
+`python scripts/oracle_sweep.py --adversarial`.
 """
 
 from __future__ import annotations
 
-import os
-
-import pandas as pd
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
+from tests.adversarial_corpus import build_adversarial_dir, register_oracle_views
 from tests.conftest import compare_frames, make_duckdb
 
 import __spark_entry__ as entrymod
 
-ADV_DOCS = [
-    # (doc_id, text, lang) — doc_ids hit every derived-column branch:
-    # %3 site spread, %5/%7 raw_url variants, %53 http_code error slices.
-    (0, "alpha beta gamma nbsp joined words", "en"),
-    (1, "thin space and　ideographic　space tokens", "en"),
-    (2, "one\ttwo\nthree\r\nfour  five   six", "en"),
-    (3, "Hello, world! It's a test-case; (parens) \"quotes\" end.", "en"),
-    (4, "быстрый поиск данных и запросы работают хорошо", "ru"),
-    (5, "Spark СПАРК Data ДАННЫЕ Mixed СмЕшАнНыЙ", "ru"),
-    (6, "", "en"),
-    (7, "   \t   ", "en"),
-    (8, "data", "en"),
-    (9, "data data data data data", "en"),
-    (10, "abc123 456 7x 99.5 v2.0 x_y __dunder__", "en"),
-    (11, " ".join(["data fast query"] * 800), "en"),
-    (12, "<b>bold</b> & <i>ital</i> five > four < six", "en"),
-    (13, "café naïve résumé über façade", "fr"),
-    (14, "数据 快速 检索 データ 高速 🚀 검색 엔진", "zh"),
-    (15, "it's don't o'clock rock'n'roll 'quoted'", "en"),
-    (16, "trailing space ", "en"),
-    (17, " leading space", "en"),
-    (18, "UPPER CASE SHOUTING WORDS", "en"),
-    (19, "hyphen-ated words co-operate re-index", "en"),
-    (20, None, "en"),
-    (26, "duplicate of doc nine: data data data data data", "en"),
-    (27, "dead page content behind an error code", "en"),
-    (35, "page at a raw-url with trailing slash", "en"),
-    (49, "page at a raw-url with tracking query", "en"),
-    (52, "last id of the http_code modulus cycle", "en"),
-    (105, "a second 404 slice member (105 % 53 == 52... no, 13-ish)", "en"),
-    (9_999_999, "largest doc id below the multiply stride", "en"),
-]
-
-# Documents-only contract queries spanning the pipeline: build, dictionary,
-# text stats, curation, dedup, URL handling, search (some legitimately
-# return 0 rows here — 0-vs-0 with matching schema is still parity).
+# Doc-centric contract queries spanning the pipeline: build, dictionary,
+# text stats, curation, dedup, URL/link handling, search and suggesters
+# (some legitimately return 0 rows here — 0-vs-0 with matching schema is
+# still parity). Heavy iterative composites (curation funnels, MMR) are
+# exercised at fixture scale and by the ad-hoc sweep instead.
 ADV_QUERIES = [
     "postings",
+    "postings_positional",
     "term_dict",
     "term_dict_site",
     "doc_stats",
@@ -70,65 +41,70 @@ ADV_QUERIES = [
     "lang_id",
     "token_counts",
     "quality_scores",
+    "quality_model",
     "fingerprints",
     "line_dedup",
     "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_jaccard",
+    "dedup_clusters",
     "minhash",
     "simhash",
+    "simhash_pairs",
+    "pii_redact",
     "url_normalize",
-    "status_filter",
+    "url_reorder",
     "surt_keys",
+    "status_filter",
+    "link_extract",
+    "mirror_hosts",
+    "latest_revisions",
     "c4_clean",
     "repetition_stats",
+    "lm_scores",
     "dl_histogram",
+    "length_quantiles",
+    "hll_vocab",
+    "cm_heavy_hitters",
+    "induced_stopwords",
+    "collocations",
+    "next_word",
+    "doc_keywords",
+    "significant_terms",
+    "related_terms",
+    "term_vectors",
+    "sample_split",
+    "sample_stratified",
+    "temperature_sample",
     "search_bm25",
+    "search_bm25_or",
     "search_and2",
     "search_site",
+    "search_phrase",
+    "search_proximity",
+    "search_fuzzy",
+    "search_wildcard",
+    "search_boolean",
+    "search_qstring",
+    "search_regexp",
+    "spell_suggest",
+    "prefix_suggest",
+    "more_like_this",
+    "explain_score",
+    "best_passage",
+    "warc_roundtrip",
 ]
 
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("adversarial_sf")
-    rows = [
-        {
-            "doc_id": i,
-            "text": t,
-            "lang": lang,
-            "source": f"adv{i % 4}",
-            "n_chars": len(t) if t is not None else 0,
-        }
-        for i, t, lang in ADV_DOCS
-    ]
-    table = pa.Table.from_pandas(
-        pd.DataFrame(rows),
-        schema=pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("text", pa.string()),
-                ("lang", pa.string()),
-                ("source", pa.string()),
-                ("n_chars", pa.int64()),
-            ]
-        ),
-        preserve_index=False,
-    )
-    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
-    return str(d)
+    return build_adversarial_dir(str(tmp_path_factory.mktemp("adversarial_sf")))
 
 
 @pytest.fixture(scope="module")
 def adv_oracle(adv_dir):
     con = make_duckdb(adv_dir)
-    # mirror the engine's input normalization (sources/documents.py::
-    # load_documents coalesces NULL text to '' at its single NULL
-    # boundary): shadow the raw parquet view with the normalized one.
-    con.execute("DROP VIEW documents")
-    con.execute(
-        "CREATE VIEW documents AS SELECT doc_id, coalesce(text, '') AS text,"
-        " lang, source, n_chars FROM"
-        f" '{os.path.join(adv_dir, 'documents.parquet')}'"
-    )
+    register_oracle_views(con, adv_dir)
     yield con
     con.close()
 
