@@ -52,8 +52,16 @@ def calibrate(cpus: int) -> int:
     cmd = [sys.executable, "-c", BURN_SNIPPET, str(cpus)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=120, check=True)
-    return int(out.stdout.strip().splitlines()[-1])
+    # best-of-3: a single 6 s burn window is vulnerable to transient host
+    # contention (co-tenant load, steal-time spikes); the max is the
+    # closest observable to the true silicon capability of the core set
+    best = 0
+    for _ in range(3):
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=120, check=True
+        )
+        best = max(best, int(out.stdout.strip().splitlines()[-1]))
+    return best
 
 
 def run_level(cpus: int, sf_dir: str, multiply: int) -> dict:
@@ -135,9 +143,9 @@ def main() -> None:
 
 ## Second datapoint: local[{n}] vs local[{n4}]
 
-Same methodology (fresh pinned JVM per level, same {small['docs']}-doc
-input, best of 2); this pair uses the host's full {n4} cores as 4N, so N=4N/4
-shares nothing with the primary pair's core sets.
+Same methodology (fresh pinned JVM per level, same input shape, best
+of 2); this pair extends to the host's full {n4} cores as 4N, probing the
+upper end of the machine rather than re-measuring the primary pair.
 """
     else:
         head = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}])
@@ -146,13 +154,21 @@ Same job (full index build into compressed posting blocks + warm BM25/compat
 query suite, `bench.run`), same input ({small['docs']} docs =
 sf{small['sf']} × multiply={args.multiply}), fresh JVM per level.
 """
-    md = f"""{head}
-| parallelism | build sec | docs/sec | query p50 sec | total sec |
-|---|---|---|---|---|
-| local[{n}] (N) | {small['queries']['build']} | {tput_n} | {qsec(small)} | {small['value']} |
-| local[{n4}] (4N) | {large['queries']['build']} | {tput_4n} | {qsec(large)} | {large['value']} |
+    if eff_hw > 1.0:
+        # a pure-CPU engine cannot beat the silicon ceiling; if the burn
+        # ratio came out BELOW the engine's own ratio, the burn window hit
+        # transient host contention and the calibration is invalid — say
+        # so instead of publishing an impossible >1.0 "efficiency"
+        calib = f"""**Raw scaling efficiency (N → 4N) = throughput_4N / (4 · throughput_N) =
+{eff:.3f}** (target ≥ 0.8, BASELINE.json north_rule).
 
-**Raw scaling efficiency (N → 4N) = throughput_4N / (4 · throughput_N) =
+Calibration for this pair is NOT meaningful: the pure-CPU burn on the same
+pinned core sets measured only {hw_ratio:.2f}× going {n}→{n4} cores, *below*
+the engine's own {tput_4n / tput_n:.2f}× — impossible for a true ceiling, so
+the burn window hit transient host contention and is discarded rather than
+used to inflate the figure. The raw number stands on its own."""
+    else:
+        calib = f"""**Raw scaling efficiency (N → 4N) = throughput_4N / (4 · throughput_N) =
 {eff:.3f}**; **hardware-calibrated efficiency = {eff_hw:.3f}** (target ≥ 0.8,
 BASELINE.json north_rule).
 
@@ -162,7 +178,14 @@ host — the achievable silicon ratio (it drifts around 4× with host load
 and turbo). The calibrated figure divides the
 engine's throughput ratio ({tput_4n / tput_n:.2f}×) by that ceiling; it is
 the number comparable to N→4N *executors* on a real cluster, where each
-executor brings its own memory bus instead of sharing one VM's.
+executor brings its own memory bus instead of sharing one VM's."""
+    md = f"""{head}
+| parallelism | build sec | docs/sec | query p50 sec | total sec |
+|---|---|---|---|---|
+| local[{n}] (N) | {small['queries']['build']} | {tput_n} | {qsec(small)} | {small['value']} |
+| local[{n4}] (4N) | {large['queries']['build']} | {tput_4n} | {qsec(large)} | {large['value']} |
+
+{calib}
 
 Raw JSON:
 

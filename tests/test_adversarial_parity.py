@@ -13,7 +13,7 @@ It already earned its keep: the NULL-text document exposed an unpinned
 NULL boundary (three queries diverged three different ways) now fixed in
 sources/documents.py::load_documents.
 
-The full 161-pair gate can be run against this corpus ad hoc with
+The full 160-pair gate can be run against this corpus ad hoc with
 `python scripts/oracle_sweep.py --adversarial`.
 """
 
