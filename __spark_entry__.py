@@ -1646,6 +1646,113 @@ def _q_pack_sequences(spark, sf_dir):
                           buckets=64)
 
 
+CONTAIN_THRESHOLD = 0.6
+ANN_FILTER_LABELS = [0, 2, 4, 6, 8]
+
+
+def _q_search_dismax(spark, sf_dir):
+    """ES multi_match best_fields (dis_max + tie_breaker) over the body
+    and inbound-anchor fields, each scored as its own BM25 index."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_dismax,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    anchor = anchor_postings(anchored_html(docs))
+    return search_dismax(
+        postings, anchor, doc_stats, n_docs, avgdl, Q_BM25F
+    )
+
+
+def _q_search_prox_boost(spark, sf_dir):
+    """Tao-Zhai MinDist proximity-boosted conjunctive BM25."""
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_prox_boost,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return search_prox_boost(
+        build_positional(docs), postings, term_dict, doc_stats,
+        n_docs, avgdl, Q_AND2,
+    )
+
+
+def _q_search_vsm(spark, sf_dir):
+    """SMART lnc.ltc vector-space cosine ranking (the third classical
+    similarity family beside BM25 and LM-Dirichlet)."""
+    from search_engine_spark.operators.search import search_vsm
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return search_vsm(postings, term_dict, n_docs, Q_BM25)
+
+
+def _q_impact_postings(spark, sf_dir):
+    """Anh-Moffat 8-bit quantized impact postings (index-time scores)."""
+    from search_engine_spark.operators.impact import quantized_impacts
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return quantized_impacts(
+        postings, term_dict, doc_stats, n_docs, avgdl
+    )
+
+
+def _q_search_impact(spark, sf_dir):
+    """Integer-add disjunctive top-k over the quantized impact index."""
+    from search_engine_spark.operators.impact import (
+        quantized_impacts,
+        search_impact,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_impact(imp, Q_BM25)
+
+
+def _q_containment(spark, sf_dir):
+    """Broder containment pairs (asymmetric near-dup: quoted-inside
+    detection), candidate-driven from LSH band collisions."""
+    from search_engine_spark.operators.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    return containment_pairs(
+        docs, CONTAIN_THRESHOLD, candidates=lsh_candidate_pairs(docs)
+    )
+
+
+def _q_ann_filtered(spark, sf_dir):
+    """Filtered vector search: exact cosine top-k among label-allowed
+    candidates (ES knn.filter pre-filter semantics)."""
+    from search_engine_spark.operators.similarity import ann_filtered
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return ann_filtered(
+        load_embeddings(spark, sf_dir), ANN_QUERY_IDS, ANN_FILTER_LABELS
+    )
+
+
+def _q_cdx_lines(spark, sf_dir):
+    """CDXJ capture-index lines (SURT key + ts14 + pinned JSON block)."""
+    from search_engine_spark.sources.warc import cdx_lines
+
+    return cdx_lines(load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1683,6 +1790,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_parseable": _q_postings_parseable,
         "url_normalize": _q_url_normalize,
         "url_reorder": _q_url_reorder,
+        "search_dismax": _q_search_dismax,
+        "search_prox_boost": _q_search_prox_boost,
+        "search_vsm": _q_search_vsm,
+        "impact_postings": _q_impact_postings,
+        "search_impact": _q_search_impact,
+        "containment": _q_containment,
+        "ann_filtered": _q_ann_filtered,
+        "cdx_lines": _q_cdx_lines,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -1862,6 +1977,18 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": pipe.warc_roundtrip_sql(),
         "url_normalize": ora.url_normalize_sql(),
         "url_reorder": ora.url_reorder_sql(),
+        "search_dismax": pipe.search_dismax_sql(Q_BM25F),
+        "search_prox_boost": ora.search_prox_boost_sql(Q_AND2),
+        "search_vsm": ora.search_vsm_sql(Q_BM25),
+        "impact_postings": ora.impact_postings_sql(),
+        "search_impact": ora.search_impact_sql(Q_BM25),
+        "containment": pipe.containment_pairs_sql(
+            threshold=CONTAIN_THRESHOLD, lsh_candidates=True
+        ),
+        "ann_filtered": pipe.ann_filtered_sql(
+            ANN_QUERY_IDS, ANN_FILTER_LABELS
+        ),
+        "cdx_lines": pipe.cdx_lines_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

@@ -1663,3 +1663,161 @@ FROM feat
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {limit}
 """
+
+
+def search_vsm_sql(query_terms: list[str], limit: int = 20,
+                   table: str = "documents") -> str:
+    """SMART lnc.ltc vector-space cosine — mirrors
+    operators/search.py::search_vsm: log-tf no-idf cosine-normalized doc
+    vectors, idf on the query side only, OR semantics."""
+    uniq = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  GROUP BY doc_id, term
+),
+norms AS (
+  SELECT doc_id, sqrt(sum((1 + ln(tf)) * (1 + ln(tf)))) AS norm
+  FROM post GROUP BY doc_id
+),
+stats AS (SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM post
+  WHERE term IN {_terms_in(uniq)} GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(s.n_docs / df.df) * (1 + ln(p.tf)) / n.norm ) AS score
+  FROM post p
+  JOIN df USING (term) JOIN norms n USING (doc_id) CROSS JOIN stats s
+  WHERE p.term IN {_terms_in(uniq)}
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit}
+"""
+
+
+def _impact_expr(k1: float, b: float, scale: float, levels: int) -> str:
+    """The quantized-impact expression over (post p, dl, df d, stats s)."""
+    return (
+        f"least({levels - 1}, floor(round("
+        f"ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))"
+        f" * p.tf * ({k1} + 1)"
+        f" / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))"
+        f", 6) * {scale}))"
+    )
+
+
+def _impact_ctes(k1: float, b: float, table: str) -> str:
+    from ..operators import impact as imp
+
+    expr = _impact_expr(k1, b, imp.QUANT_SCALE, imp.QUANT_LEVELS)
+    return f"""post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} t LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+impacts AS (
+  SELECT p.term, p.doc_id, {expr}::INT AS impact
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df d USING (term) CROSS JOIN stats s
+)"""
+
+
+def impact_postings_sql(k1: float = 1.2, b: float = 0.75,
+                        table: str = "documents") -> str:
+    """Anh-Moffat quantized impact postings — mirrors
+    operators/impact.py::quantized_impacts (8-bit saturating fixed point,
+    frozen 1/16 step over the 6dp-rounded BM25 partial score)."""
+    return f"""
+WITH {terms_cte(table)},
+{_impact_ctes(k1, b, table)}
+SELECT term, doc_id, impact FROM impacts
+"""
+
+
+def search_impact_sql(query_terms: list[str], k: int = 20,
+                      k1: float = 1.2, b: float = 0.75,
+                      table: str = "documents") -> str:
+    """Disjunctive top-k by summed integer impact — mirrors
+    operators/impact.py::search_impact."""
+    uniq = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+{_impact_ctes(k1, b, table)}
+SELECT doc_id, sum(impact)::BIGINT AS score_q
+FROM impacts WHERE term IN {_terms_in(uniq)}
+GROUP BY doc_id
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def search_prox_boost_sql(query_terms: list[str], k1: float = 1.2,
+                          b: float = 0.75, prox_weight: float = 1.0,
+                          alpha: float = 1.0, limit: int = 20,
+                          table: str = "documents") -> str:
+    """Tao-Zhai MinDist proximity-boosted conjunctive BM25 — mirrors
+    operators/positional.py::search_prox_boost for ≥2 distinct query
+    terms: score = round(bm25_4dp + w·ln(α + e^(−mindist)), 4), where
+    mindist = min position gap between adjacent different-term
+    occurrences of the query terms in the doc's retained-token stream."""
+    uniq = sorted(set(query_terms))
+    n = len(uniq)
+    return f"""
+WITH {positional_terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pos_terms
+  WHERE term IN {_terms_in(uniq)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM pos_terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} t LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM pos_terms
+  WHERE term IN {_terms_in(uniq)} GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score,
+         count(DISTINCT p.term) AS nt
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+conj AS (
+  SELECT doc_id, round(score, 4) AS bm25 FROM scored WHERE nt = {n}
+),
+adj AS (
+  SELECT doc_id, term, pos,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pterm,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos
+  FROM pos_terms WHERE term IN {_terms_in(uniq)}
+),
+md AS (
+  SELECT doc_id, min(pos - ppos) AS mindist
+  FROM adj WHERE pterm IS NOT NULL AND pterm <> term
+  GROUP BY doc_id
+)
+SELECT c.doc_id, md.mindist::BIGINT AS mindist,
+       round(c.bm25 + {prox_weight}
+             * ln({alpha} + exp(-md.mindist)), 4) AS score
+FROM conj c JOIN md USING (doc_id)
+ORDER BY score DESC, c.doc_id ASC
+LIMIT {limit}
+"""

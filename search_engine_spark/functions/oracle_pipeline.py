@@ -301,6 +301,65 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
 """
 
 
+def containment_pairs_sql(table: str = "documents", threshold: float = 0.8,
+                          lsh_candidates: bool = True) -> str:
+    """Broder containment c(A,B) = |S(A)∩S(B)| / |S(A)| — mirrors
+    operators/dedup.py::containment_pairs (both orientations of each
+    candidate pair, kept at containment ≥ threshold)."""
+    h = h60_sql("(perm::VARCHAR || ':' || shingle)")
+    cand_ctes = f""",
+sig AS (
+  SELECT doc_id, perm::INT AS perm, min({h}) AS minhash
+  FROM shingles, unnest(range(0, {dd.N_PERM})) AS p(perm)
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, (perm // {dd.PERM_BAND}) AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)""" if lsh_candidates else ""
+    inter_src = (
+        """
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b"""
+        if lsh_candidates
+        else """
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b"""
+    )
+    return f"""
+WITH {_shingles_cte(table)}{cand_ctes},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS ({inter_src}
+),
+sized AS (
+  SELECT doc_a, doc_b, n_inter, sa.n_sh AS na, sb.n_sh AS nb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+oriented AS (
+  SELECT doc_a AS contained, doc_b AS container,
+         round(n_inter / na, 4) AS containment FROM sized
+  UNION ALL
+  SELECT doc_b AS contained, doc_a AS container,
+         round(n_inter / nb, 4) AS containment FROM sized
+)
+SELECT contained, container, containment
+FROM oriented WHERE containment >= {threshold}
+"""
+
+
 def simhash_sql(table: str = "documents") -> str:
     h = h60_sql("term")
     return f"""
@@ -524,6 +583,32 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_filtered_sql(query_ids: list[int], labels: list[int], k: int = 5,
+                     table: str = "embeddings") -> str:
+    """Filtered vector search — mirrors operators/similarity.py::
+    ann_filtered: exact cosine top-k among label-allowed candidates
+    (pre-filter semantics), queries looked up in the full table."""
+    cos = COS_SQL.format(a="q.embedding", b="c.embedding")
+    labels_in = "(" + ", ".join(str(x) for x in labels) + ")"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM {table}
+           WHERE vec_id IN {_ids_in(query_ids)}),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({cos}, 4) AS cos, c.label
+  FROM q JOIN {table} c ON c.vec_id <> q.query_id
+  WHERE c.label IN {labels_in}
+),
+ranked AS (
+  SELECT query_id, vec_id, cos, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos, rank::INT AS rank, label
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1761,6 +1846,135 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {limit} OFFSET {offset}
+"""
+
+
+def search_dismax_sql(
+    query_terms: list[str],
+    k1: float | None = None,
+    b_body: float | None = None,
+    b_anchor: float | None = None,
+    tie_breaker: float | None = None,
+    limit: int = 20,
+    offset: int = 0,
+    table: str = "documents",
+) -> str:
+    """ES multi_match best_fields / Lucene DisjunctionMaxQuery over
+    (body, anchor) — mirrors operators/anchors.py::search_dismax: each
+    field scored as its own BM25 index (field-scoped df/dl/avgdl), then
+    score = max_f + tie_breaker · (Σ_f − max_f)."""
+    from ..operators import anchors as an
+
+    k1 = an.K1_DEFAULT if k1 is None else k1
+    b_body = an.B_BODY if b_body is None else b_body
+    b_anchor = an.B_ANCHOR if b_anchor is None else b_anchor
+    tie = an.TIE_BREAKER if tie_breaker is None else tie_breaker
+    uniq = sorted(set(query_terms))
+    terms_in = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_terms_ctes(table).strip()},
+bpost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+apost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM aterms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+adl AS (SELECT doc_id, sum(tf)::DOUBLE AS adl FROM (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM aterms
+  GROUP BY doc_id, term
+) GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(bdl.dl,0))
+          FROM {table} d LEFT JOIN bdl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl,
+         (SELECT coalesce(sum(adl.adl),0) FROM adl)
+           / (SELECT count(*) FROM {table}) AS avg_adl
+),
+bdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM bpost GROUP BY term),
+adf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM apost GROUP BY term),
+sbody AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * ({repr(k1)} + 1)
+              / (p.tf + {repr(k1)}
+                 * (1 - {repr(b_body)}
+                    + {repr(b_body)} * bdl.dl / s.avgdl)) ) AS s
+  FROM bpost p JOIN bdl USING (doc_id) JOIN bdf d USING (term)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+sanchor AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * p.tf * ({repr(k1)} + 1)
+              / (p.tf + {repr(k1)}
+                 * (1 - {repr(b_anchor)}
+                    + {repr(b_anchor)} * adl.adl / s.avg_adl)) ) AS s
+  FROM apost p JOIN adl USING (doc_id) JOIN adf d USING (term)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+combined AS (
+  SELECT coalesce(sb.doc_id, sa.doc_id) AS doc_id,
+         coalesce(sb.s, 0) AS s_body, coalesce(sa.s, 0) AS s_anchor
+  FROM sbody sb FULL OUTER JOIN sanchor sa ON sb.doc_id = sa.doc_id
+)
+SELECT doc_id,
+       round(greatest(s_body, s_anchor)
+             + {repr(tie)} * (s_body + s_anchor
+                              - greatest(s_body, s_anchor)), 4) AS score
+FROM combined
+ORDER BY round(greatest(s_body, s_anchor)
+               + {repr(tie)} * (s_body + s_anchor
+                                - greatest(s_body, s_anchor)), 4) DESC,
+         doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""
+
+
+def cdx_lines_sql(table: str = "documents") -> str:
+    """CDXJ capture-index lines — mirrors sources/warc.py::cdx_lines
+    (SURT key over raw_url, 14-digit UTC timestamp from the frozen epoch
+    derivation, concat-pinned JSON block)."""
+    from .oracle_fragments import HTTP_CODE_SQL, RAW_URL_SQL
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, lower({RAW_URL_SQL}) AS u, {HTML_SQL} AS html,
+         {HTTP_CODE_SQL} AS status, {RAW_URL_SQL} AS raw_url
+  FROM {table}
+),
+p AS (SELECT *, regexp_replace(u, '^[a-z]+://', '') AS rest FROM u),
+h AS (
+  SELECT doc_id, raw_url, html, status,
+         regexp_replace(regexp_extract(rest, '^([^/?#]+)', 1),
+                        '^www\\.', '') AS host,
+         regexp_replace(regexp_replace(regexp_replace(rest, '^[^/?#]+', ''),
+                        '[?#].*$', ''), '/+$', '') AS path
+  FROM p
+),
+s AS (
+  SELECT doc_id, raw_url, html, status,
+         array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')' || path AS surt,
+         strftime(make_timestamp((1704067200 + 60 * doc_id) * 1000000),
+                  '%Y%m%d%H%M%S') AS ts14
+  FROM h
+)
+SELECT doc_id, surt, ts14,
+       surt || ' ' || ts14 || ' ' ||
+       '{{"url": "' || raw_url ||
+       '", "mime": "text/html", "status": "' || status ||
+       '", "digest": "' || md5(html) ||
+       '", "length": "' || octet_length(encode(html)) || '"}}' AS cdxj
+FROM s
 """
 
 

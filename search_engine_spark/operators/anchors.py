@@ -147,6 +147,140 @@ def anchor_postings(docs_anchored: DataFrame) -> DataFrame:
     )
 
 
+TIE_BREAKER = 0.3
+
+
+def _field_bm25_scored(
+    post: DataFrame,
+    dl_frame: DataFrame,
+    dl_col: str,
+    avg_dl: float,
+    n_docs: int,
+    terms: list[str],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """One field's disjunctive BM25 scored set → (doc_id, fscore).
+
+    Field-scoped statistics: df counted over THIS field's postings only
+    (a term common in anchors but rare in bodies is rare for the body
+    scorer), dl/avgdl are the field's own lengths — the per-field
+    sub-scorer of Elasticsearch's `best_fields` multi_match. df for the
+    ≤|terms| query terms is collected driver-side into a literal idf map
+    exactly like search.py::bm25_scored; dl_frame is per-document
+    (corpus-scaling) so that join stays sort-merge, never hint-broadcast."""
+    from .search import bm25_idf
+
+    pq = post.filter(F.col("term").isin(terms))
+    df_rows = (
+        pq.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
+    empty = post.select(
+        F.col("doc_id"), F.lit(0.0).alias("fscore")
+    ).limit(0)
+    if not idf or avg_dl <= 0.0:
+        return empty
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    return (
+        pq.join(dl_frame, "doc_id")
+        .withColumn(
+            "part",
+            idf_col[F.col("term")]
+            * (F.col("tf").cast("double") * (k1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col(dl_col).cast("double") / float(avg_dl)
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("fscore"))
+    )
+
+
+def search_dismax(
+    body: DataFrame,
+    anchor: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b_body: float = B_BODY,
+    b_anchor: float = B_ANCHOR,
+    tie_breaker: float = TIE_BREAKER,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """Elasticsearch `multi_match` best_fields over (body, anchor) →
+    (doc_id, score): each field is scored as its OWN BM25 index
+    (field-scoped df, dl, avgdl), then combined per doc with dis_max —
+
+        score(d) = max_f s_f(d) + tie_breaker · Σ_{f ≠ argmax} s_f(d)
+
+    (Lucene DisjunctionMaxQuery). This is the OTHER canonical multi-field
+    mode next to BM25F (`search_bm25f`): BM25F fuses evidence before
+    saturation (one virtual document), best_fields bets on the single
+    best field and only tie-breaks with the rest — the ES default for
+    multi-field `multi_match`. Disjunctive OR semantics; deterministic
+    (rounded score desc, doc_id asc) tiebreak.
+
+    Plan: two independent field scorers (filter → dl join → one
+    map-side-combinable groupBy each) merged by a full-outer join on
+    doc_id — every stage keyed on doc_id, no global window, nothing
+    corpus-scaling is broadcast."""
+    uniq = sorted(set(terms))
+    empty = body.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    if not uniq:
+        return empty
+
+    anchor_dl = anchor.groupBy("doc_id").agg(F.sum("tf").alias("adl"))
+    total_anchor = anchor.agg(F.sum("tf")).collect()[0][0] or 0
+    avg_adl = float(total_anchor) / float(n_docs) if n_docs else 0.0
+
+    sb = _field_bm25_scored(
+        body, doc_stats, "dl", avgdl, n_docs, uniq, k1, b_body
+    ).withColumnRenamed("fscore", "s_body")
+    sa = _field_bm25_scored(
+        anchor, anchor_dl, "adl", avg_adl, n_docs, uniq, k1, b_anchor
+    ).withColumnRenamed("fscore", "s_anchor")
+
+    both = (
+        sb.join(sa, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("s_body"), F.lit(0.0)).alias("s_body"),
+            F.coalesce(F.col("s_anchor"), F.lit(0.0)).alias("s_anchor"),
+        )
+        .withColumn("best", F.greatest("s_body", "s_anchor"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("best")
+                + tie_breaker
+                * (F.col("s_body") + F.col("s_anchor") - F.col("best")),
+                4,
+            ).alias("score"),
+        )
+    )
+    return (
+        both.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )
+
+
 def search_bm25f(
     body: DataFrame,
     anchor: DataFrame,

@@ -211,6 +211,74 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(contained, container, containment) — Broder's CONTAINMENT
+    c(A,B) = |S(A)∩S(B)| / |S(A)| (resemblance's asymmetric twin,
+    Broder 1997 §2): how much of doc A's shingle set lives inside doc B.
+    Catches what Jaccard misses — a page quoted wholesale inside a much
+    longer page scores near-1 containment but low Jaccard (the union is
+    dominated by the container). Emits BOTH orientations of each
+    candidate pair that clear the threshold, rounded 4 dp.
+
+    Same candidate-driven plan as jaccard_pairs (one intersection count
+    per unordered candidate pair, then two orientation rows derived from
+    it) — with candidates from LSH band collisions the cost is
+    O(|candidates| · shingles-per-doc); the corpus-wide self-join default
+    is verification scale only."""
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if candidates is not None:
+        sh_a = sh.select(
+            F.col("doc_id").alias("ca"), F.col("shingle").alias("sh_a")
+        )
+        sh_b = sh.select(
+            F.col("doc_id").alias("cb"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            candidates.join(sh_a, F.col("doc_a") == F.col("ca"))
+            .join(
+                sh_b,
+                (F.col("doc_b") == F.col("cb"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sized = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = sized.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        F.round(F.col("n_inter") / F.col("na"), 4).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        F.round(F.col("n_inter") / F.col("nb"), 4).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 # ---------------------------------------------------------- decontamination
 
 CONTAM_K = 8  # contamination shingle width (word 8-grams)

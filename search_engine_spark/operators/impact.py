@@ -1,0 +1,122 @@
+"""Impact-ordered postings — precomputed quantized score contributions.
+
+Anh & Moffat (SIGIR 2001 "Vector-space ranking with effective early
+termination"; CIKM 2006 "Pruned query evaluation using pre-computed
+impacts") replace index-time (doc_id, tf) postings with (doc_id, impact):
+the per-posting SCORE CONTRIBUTION is computed at build time — when df,
+dl and avgdl are all known — quantized to a small integer, and stored.
+Query evaluation then degenerates to summing small ints: no floats, no
+per-posting length-norm arithmetic, and because postings can be laid out
+impact-DESCENDING, an anytime evaluator can stop after the high-impact
+prefix with bounded score error (each unread posting of term t adds at
+most t's current max remaining impact — the same upper-bound algebra the
+engine's MaxScore pruning in wand.py already uses, shifted to ints).
+
+This module is the indexing-side twin of wand.py's query-side pruning:
+
+  * `quantized_impacts` — (term, doc_id, impact): the full-precision
+    BM25 partial score (Robertson idf × saturated length-normalized tf —
+    bit-identical arithmetic to search.bm25_scored) rounded to 6 dp, then
+    uniform-quantized with a FROZEN fixed-point scale: 1/QUANT_SCALE per
+    level, saturating at QUANT_LEVELS-1 (8-bit). A frozen scale (rather
+    than the corpus-max scale of the original paper) keeps the codebook
+    data-independent: segments quantized at different times merge without
+    requantization, and the DuckDB oracle can state the identical
+    arithmetic with no side-channel scalar.
+  * `search_impact` — disjunctive top-k by summed integer impact
+    (score_q desc, doc_id asc): the degenerate-cheap query evaluator the
+    layout exists for.
+
+Quantization error is bounded by (#query terms)/QUANT_SCALE on any doc's
+score, so rank inversions happen only between docs whose true scores sit
+within that band — tests/test_impact.py pins a top-k overlap floor vs
+the exact float ranking at sf0.001.
+
+Scale shape: quantization is one codegen map over the postings scan
+joined to the per-doc dl relation (sort-merge on doc_id, corpus-scaling
+side never broadcast; the ≤|vocab| df side rides an AQE broadcast);
+search is filter → one map-side-combinable groupBy — integer sums
+combine associatively, unlike the float path where only the rounded
+total is pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 16.0  # levels per unit of BM25 partial score (1/16 step)
+QUANT_LEVELS = 256  # 8-bit saturating fixed point
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def quantized_impacts(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """(term, doc_id, impact) — 8-bit quantized BM25 partial scores for
+    EVERY posting (index-time transform, no query terms involved).
+
+    impact = min(QUANT_LEVELS−1, floor(round(part, 6) · QUANT_SCALE))
+    where part is bm25_scored's per-posting contribution. The 6 dp
+    rounding before the floor collapses last-ulp float divergence across
+    engines so the bucket edge is deterministic."""
+    df_map = term_dict.select("term", "df")
+    part = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
+        )
+    )
+    idf = F.log(
+        1.0
+        + (float(n_docs) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    quant = F.least(
+        F.lit(QUANT_LEVELS - 1),
+        F.floor(F.round(part, 6) * QUANT_SCALE),
+    )
+    return (
+        postings.join(df_map, "term")
+        .join(doc_stats, "doc_id")
+        .withColumn("idf", idf)
+        .select(
+            "term",
+            "doc_id",
+            quant.cast("int").alias("impact"),
+        )
+    )
+
+
+def search_impact(
+    impacts: DataFrame,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, score_q) — disjunctive top-k over the impact-ordered
+    index: score_q = Σ impact over the doc's matching query terms, ranked
+    score_q desc / doc_id asc. Integer adds only — the whole scorer is
+    one isin filter plus one groupBy(sum), and ties broken exactly like
+    every other search surface."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        return impacts.select(
+            F.col("doc_id"), F.lit(0).cast("bigint").alias("score_q")
+        ).limit(0)
+    return (
+        impacts.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.sum("impact").cast("bigint").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -164,6 +164,110 @@ def search_phrase(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
     ).limit(k)
 
 
+PROX_WEIGHT = 1.0
+PROX_ALPHA = 1.0
+
+
+def min_pair_distance(positional: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, mindist) — the minimum position distance between
+    occurrences of any two DISTINCT query terms in each document that
+    contains ≥2 distinct query terms (Tao & Zhai's MinDist, SIGIR 2007).
+
+    Correctness of the adjacent-pair reduction: sort the query-term
+    occurrences of a doc by position; the minimal cross-term pair has no
+    occurrence strictly between its endpoints (any in-between occurrence
+    would form a closer-or-equal cross-term pair with one endpoint,
+    whichever endpoint its term differs from), so it is ADJACENT in the
+    sorted stream. mindist is therefore min(pos − prev_pos) over adjacent
+    pairs with different terms — one lag window per doc.
+
+    Scale shape: the positional relation filtered to the ≤|terms| query
+    terms FIRST (scan-prunable isin), then a window partitioned by doc_id
+    — the maximal-cardinality key, no global window — and one
+    map-side-combinable min aggregate."""
+    from pyspark.sql import Window
+
+    uniq = sorted(set(terms))
+    pq = positional.filter(F.col("term").isin(uniq))
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    adj = pq.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.lag("term").over(w).alias("prev_term"),
+        F.lag("pos").over(w).alias("prev_pos"),
+    ).filter(
+        F.col("prev_term").isNotNull() & (F.col("prev_term") != F.col("term"))
+    )
+    return adj.groupBy("doc_id").agg(
+        F.min(F.col("pos") - F.col("prev_pos")).alias("mindist")
+    )
+
+
+def search_prox_boost(
+    positional: DataFrame,
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: float = PROX_WEIGHT,
+    limit: int = 20,
+) -> DataFrame:
+    """Proximity-boosted conjunctive BM25 (Tao & Zhai 2007, the best of
+    their five proximity measures): (doc_id, mindist, score) with
+
+        score(d) = BM25(d) + prox_weight · ln(α + e^(−MinDist(d)))
+
+    ranked score desc, doc_id asc. Bag-of-words BM25 cannot tell "data …
+    3000 words … fast" from "fast data"; the MinDist boost rewards docs
+    where the query terms sit close together without requiring phrase or
+    window containment. Conjunctive (all terms present) like the
+    reference's AND mode, so MinDist is defined for every hit when the
+    query has ≥2 distinct terms; single-term queries degrade to plain
+    BM25 with mindist = NULL.
+
+    The BM25 part reuses search.bm25_scored (its rounded-4dp score, so
+    this surface can never drift from search_bm25); the boost is a pure
+    per-doc column expression, and the mindist join is doc_id-keyed on
+    the already-tiny conjunctive hit set."""
+    import math
+
+    from .search import bm25_scored
+
+    uniq = sorted(set(terms))
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, uniq,
+        k1=k1, b=b, conjunctive=True,
+    )
+    if len(uniq) < 2:
+        out = scored.select(
+            "doc_id",
+            F.lit(None).cast("long").alias("mindist"),
+            F.round(
+                F.col("score") + prox_weight * math.log(PROX_ALPHA), 4
+            ).alias("score"),
+        )
+    else:
+        md = min_pair_distance(positional, uniq)
+        out = scored.join(md, "doc_id").select(
+            "doc_id",
+            F.col("mindist").cast("long").alias("mindist"),
+            F.round(
+                F.col("score")
+                + prox_weight
+                * F.log(PROX_ALPHA + F.exp(-F.col("mindist").cast("double"))),
+                4,
+            ).alias("score"),
+        )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        limit
+    )
+
+
 PASSAGE_WIDTH = 30
 
 

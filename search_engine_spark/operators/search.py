@@ -592,6 +592,74 @@ def search_lmd(
     )
 
 
+def search_vsm(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    terms: list[str],
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """Classic vector-space cosine ranking, SMART lnc.ltc (Salton &
+    Buckley 1988; the pre-BM25 similarity Lucene shipped as
+    ClassicSimilarity) → (doc_id, score):
+
+        score(d) = Σ_{t ∈ q∩d} (1 + ln tf_{t,d}) / ‖d‖ · ln(N/df_t)
+        ‖d‖      = sqrt( Σ_{t ∈ d} (1 + ln tf_{t,d})² )
+
+    docs are log-tf, NO-idf, cosine-normalized vectors (lnc); the query
+    carries the idf (ltc; its own norm is constant across docs and is
+    dropped, the standard simplification). Disjunctive OR semantics,
+    rounded 4 dp, deterministic (score desc, doc_id asc) tiebreak.
+
+    Next to BM25 (saturating, length-prior) and LM-Dirichlet (generative)
+    this completes the third classical similarity family (geometric) over
+    the SAME postings relation — the pluggable-similarity seam.
+
+    Plan: the doc norm is one map-side-combinable groupBy over the full
+    postings scan (an index-time column in a persisted deployment, like
+    the norms-in-blocks path); the query side is the usual isin filter +
+    driver-literal idf map + one groupBy(sum). The norm join is
+    doc_id-keyed sort-merge against the filtered (tiny) hit set."""
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    df_rows = (
+        term_dict.filter(F.col("term").isin(uniq))
+        .select("term", "df")
+        .collect()
+    )
+    idf = {
+        r["term"]: math.log(float(n_docs) / float(r["df"])) for r in df_rows
+    }
+    if not idf:
+        return empty
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    ltf = 1.0 + F.log(F.col("tf").cast("double"))
+    norms = (
+        postings.select("doc_id", (ltf * ltf).alias("w2"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum("w2")).alias("norm"))
+    )
+    scored = (
+        postings.filter(F.col("term").isin(sorted(idf)))
+        .join(norms, "doc_id")
+        .withColumn("part", idf_col[F.col("term")] * ltf / F.col("norm"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )
+
+
 def collapse_hits(
     hits: DataFrame,
     group_col: str = "site_key",

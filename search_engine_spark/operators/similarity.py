@@ -91,6 +91,46 @@ def ann_bruteforce(
     )
 
 
+def ann_filtered(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    labels: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank, label) — FILTERED vector search
+    (Elasticsearch `knn.filter` / pgvector WHERE): exact cosine top-k
+    among candidates whose `label` is in the allow-list. The filter gates
+    WHICH vectors may match but never HOW they score — pre-filter
+    semantics, so a query always gets the k best PASSING vectors (the
+    post-filter alternative, filtering after an unfiltered top-k, can
+    return < k or even 0 passing hits; ES chose pre-filter for exactly
+    this reason). Query vectors are looked up in the FULL table: a query
+    may itself carry a filtered-out label.
+
+    Plan: the label predicate lands in the candidate scan (pushed to the
+    parquet reader), queries broadcast, per-query bounded top-k — the
+    brute-force scan shape of ann_bruteforce over a smaller scan."""
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = embeddings.filter(F.col("label").isin(labels)).select(
+        "vec_id", "embedding", "label"
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "cos", F.round(cosine_expr(F.col("qe"), F.col("embedding")), 4)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank", "label")
+    )
+
+
 def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, sig) — hyperplane-LSH bucket assignment for every vector."""
     return embeddings.select(

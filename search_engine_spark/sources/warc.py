@@ -127,3 +127,44 @@ def parse_warc(files: DataFrame, blob_col: str = "blob") -> DataFrame:
             n_bytes.alias("n_bytes"),
         )
     )
+
+
+def cdx_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, surt, ts14, cdxj) — a CDXJ capture-index line per page,
+    the lookup sidecar every WARC collection ships (Common Crawl's
+    `cc-index`, IA's OpenWayback CDX server): SURT key + 14-digit UTC
+    timestamp + a JSON block with the original url, mime, fetch status,
+    content digest, and stored length. Sorting by (surt, ts14) gives the
+    CDX property the key was designed for: all captures of a domain are
+    one contiguous range, binary-searchable without touching the WARCs.
+
+    Digest is the engine's md5 content fingerprint (the spec's default is
+    SHA1-Base32; md5 keeps the digest shared with warc_roundtrip /
+    exact-dedup so one fingerprint column serves all three). The JSON is
+    assembled with concat — not to_json — so the byte layout is pinned
+    for the DuckDB oracle twin. Pure codegen over the documents scan;
+    writing the sorted file is a sortWithinPartitions on a
+    range-partitioned (surt, ts14) write, no global sort needed."""
+    ts14 = F.date_format(F.col("warc_ts"), "yyyyMMddHHmmss")
+    digest = F.md5(F.col("html"))
+    cdxj = F.concat(
+        F.lit('{"url": "'),
+        F.col("raw_url"),
+        F.lit('", "mime": "text/html", "status": "'),
+        F.col("http_code").cast("string"),
+        F.lit('", "digest": "'),
+        digest,
+        F.lit('", "length": "'),
+        F.octet_length(F.col("html")).cast("string"),
+        F.lit('"}'),
+    )
+    from ..functions.text_columns import surt_key_col
+
+    return docs.select(
+        "doc_id",
+        surt_key_col("raw_url").alias("surt"),
+        ts14.alias("ts14"),
+        F.concat(
+            surt_key_col("raw_url"), F.lit(" "), ts14, F.lit(" "), cdxj
+        ).alias("cdxj"),
+    )

@@ -146,3 +146,81 @@ def test_harvest_anchors_survives_external_anchor(spark):
     assert [(r["src_doc"], r["dst_doc"], r["anchor_text"]) for r in got] == [
         (1, 2, "ok")
     ]
+
+
+# ------------------------------------------------------------------ dis_max
+
+def test_dismax_endpoints_and_anchor_only_hit(spark):
+    """tie_breaker=0 ≡ best single field; tie_breaker=1 ≡ field sum; a doc
+    matching ONLY in the anchor field still hits (per-field OR union)."""
+    from search_engine_spark.operators.anchors import search_dismax
+
+    body = spark.createDataFrame(
+        [(1, "data", 2), (2, "data", 2)], "doc_id long, term string, tf long"
+    )
+    anchor = spark.createDataFrame(
+        [(1, "data", 3), (3, "data", 1)], "doc_id long, term string, tf long"
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "doc_id long, dl long"
+    )
+    n_docs, avgdl = 3, 10.0
+
+    def run(tie):
+        return {
+            r["doc_id"]: r["score"]
+            for r in search_dismax(
+                body, anchor, doc_stats, n_docs, avgdl, ["data"],
+                tie_breaker=tie,
+            ).collect()
+        }
+
+    # field scores by hand (field-scoped df: body df=2, anchor df=2)
+    avg_adl = 4.0 / 3.0
+    idf_b = bm25_idf(3.0, 2.0)
+    idf_a = bm25_idf(3.0, 2.0)
+
+    def s_body(tf):
+        return idf_b * tf * 2.2 / (tf + 1.2 * (1 - B_BODY + B_BODY * 1.0))
+
+    def s_anchor(tf, adl):
+        return idf_a * tf * 2.2 / (
+            tf + 1.2 * (1 - B_ANCHOR + B_ANCHOR * adl / avg_adl)
+        )
+
+    sb1, sa1 = s_body(2.0), s_anchor(3.0, 3.0)
+    sb2 = s_body(2.0)
+    sa3 = s_anchor(1.0, 1.0)
+
+    got0 = run(0.0)
+    assert got0[1] == round(max(sb1, sa1), 4)
+    assert got0[2] == round(sb2, 4)
+    assert got0[3] == round(sa3, 4)  # anchor-only doc present
+
+    got1 = run(1.0)
+    assert got1[1] == round(sb1 + sa1, 4)
+    assert got1[2] == round(sb2, 4)
+
+
+def test_dismax_vs_bm25f_rank_divergence(spark):
+    """The two multi-field modes are genuinely different rankers: a doc
+    with balanced evidence across both fields can out-rank under BM25F
+    (evidence fuses) while best_fields prefers one dominant field."""
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_dismax,
+    )
+
+    docs = anchored_html(_docs(spark, n=20))
+    body = ib.build_postings(docs)
+    anchor = anchor_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, body)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    hits = search_dismax(
+        body, anchor, doc_stats, n_docs, avgdl, ["data", "fast"]
+    ).collect()
+    assert hits  # fixture anchors carry both words
+    scores = [r["score"] for r in hits]
+    assert scores == sorted(scores, reverse=True)

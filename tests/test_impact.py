@@ -1,0 +1,119 @@
+"""Unit tests for operators/impact.py — Anh-Moffat quantized impact
+postings (oracle parity at fixture scale: impact_postings /
+search_impact)."""
+
+import math
+
+import __spark_entry__ as entrymod
+from search_engine_spark.operators import search as se
+from search_engine_spark.operators.impact import (
+    QUANT_LEVELS,
+    QUANT_SCALE,
+    quantized_impacts,
+    search_impact,
+)
+from tests.conftest import SF_TEST
+
+
+def _crafted(spark):
+    postings = spark.createDataFrame(
+        [(1, "data", 2), (1, "rare", 100), (2, "data", 1)],
+        "doc_id long, term string, tf long",
+    )
+    term_dict = spark.createDataFrame(
+        [("data", 2), ("rare", 1)], "term string, df long"
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, dl long"
+    )
+    return postings, term_dict, doc_stats
+
+
+def test_quantized_impact_exact_value(spark):
+    postings, term_dict, doc_stats = _crafted(spark)
+    n_docs, avgdl = 2, 10.0
+    got = {
+        (r["doc_id"], r["term"]): r["impact"]
+        for r in quantized_impacts(
+            postings, term_dict, doc_stats, n_docs, avgdl
+        ).collect()
+    }
+
+    def expect(tf, df):
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        part = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * 1.0))
+        return min(QUANT_LEVELS - 1, math.floor(round(part, 6) * QUANT_SCALE))
+
+    assert got[(1, "data")] == expect(2.0, 2.0)
+    assert got[(2, "data")] == expect(1.0, 2.0)
+    assert got[(1, "rare")] == expect(100.0, 1.0)
+
+
+def test_quantized_impact_saturates_at_max_level(spark):
+    """A df=1 term in a huge corpus with a short doc exceeds the 8-bit
+    range and must clamp to QUANT_LEVELS-1, not overflow."""
+    postings, term_dict, doc_stats = _crafted(spark)
+    got = {
+        (r["doc_id"], r["term"]): r["impact"]
+        for r in quantized_impacts(
+            postings, term_dict, doc_stats, n_docs=1_000_000, avgdl=500.0
+        ).collect()
+    }
+    assert got[(1, "rare")] == QUANT_LEVELS - 1
+    assert all(0 <= v <= QUANT_LEVELS - 1 for v in got.values())
+
+
+def test_impact_range_on_fixture(spark):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, SF_TEST
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    stats = imp.selectExpr(
+        "min(impact) AS lo", "max(impact) AS hi", "count(*) AS n"
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= QUANT_LEVELS - 1
+    assert stats["n"] == postings.count()  # one impact per posting
+
+
+def test_search_impact_partition_invariant(spark):
+    """Integer impact sums are exact under any partitioning (the property
+    float scores only have after rounding)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, SF_TEST
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    a = [tuple(r) for r in search_impact(imp, entrymod.Q_BM25).collect()]
+    b = [
+        tuple(r)
+        for r in search_impact(imp.repartition(7), entrymod.Q_BM25).collect()
+    ]
+    assert a == b
+
+
+def test_search_impact_topk_tracks_exact_bm25(spark):
+    """Quantization error is bounded (≤ |q|/QUANT_SCALE per doc), so the
+    impact top-10 must substantially overlap the exact float BM25 OR
+    top-10 — pin a floor on the fixture."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, SF_TEST
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    approx = {
+        r["doc_id"] for r in search_impact(imp, entrymod.Q_BM25, k=10).collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in se.search_bm25(
+            postings, term_dict, doc_stats, n_docs, avgdl, entrymod.Q_BM25,
+            limit=10, conjunctive=False,
+        ).collect()
+    }
+    assert len(approx & exact) >= 7
+
+
+def test_search_impact_empty_terms(spark):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, SF_TEST
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    assert search_impact(imp, []).count() == 0

@@ -139,3 +139,98 @@ def test_best_passage_earliest_tie(spark):
     )
     (r,) = best_passage(pos, ["q"], width=10).collect()
     assert r["p_start"] == 5  # both windows hold 1 match → earliest wins
+
+
+# --------------------------------------------------- proximity boost (MinDist)
+
+def test_min_pair_distance_adjacent_pair_reduction(spark):
+    """Hand-checkable position sets, incl. the same-term-adjacency case
+    the reduction must skip over."""
+    from search_engine_spark.operators.positional import min_pair_distance
+
+    pos = spark.createDataFrame(
+        # doc 1: a@0 a@10 b@11  -> min cross gap 1 (a@10,b@11)
+        # doc 2: a@0 b@5 a@7    -> min(5, 2) = 2
+        # doc 3: a@3 only       -> no cross pair, absent from output
+        [(1, "a", 0), (1, "a", 10), (1, "b", 11),
+         (2, "a", 0), (2, "b", 5), (2, "a", 7),
+         (3, "a", 3)],
+        "doc_id long, term string, pos long",
+    )
+    got = {
+        r["doc_id"]: r["mindist"]
+        for r in min_pair_distance(pos, ["a", "b"]).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_prox_boost_breaks_bm25_ties_by_closeness(spark):
+    """Two docs with identical BM25 quantities but different term
+    proximity: the closer doc must score higher, by exactly the pinned
+    ln(1 + e^(-d)) differential."""
+    import math
+
+    from search_engine_spark.operators.positional import search_prox_boost
+
+    postings = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 1), (2, "a", 1), (2, "b", 1)],
+        "doc_id long, term string, tf long",
+    )
+    term_dict = spark.createDataFrame(
+        [("a", 2), ("b", 2)], "term string, df long"
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 20), (2, 20)], "doc_id long, dl long"
+    )
+    pos = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 1), (2, "a", 0), (2, "b", 9)],
+        "doc_id long, term string, pos long",
+    )
+    rows = search_prox_boost(
+        pos, postings, term_dict, doc_stats, 2, 20.0, ["a", "b"]
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["mindist"] == 1 and rows[1]["mindist"] == 9
+    from search_engine_spark.operators.search import bm25_scored
+
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scored(
+            postings, term_dict, doc_stats, 2, 20.0, ["a", "b"]
+        ).collect()
+    }
+    assert rows[0]["score"] == round(
+        base[1] + math.log(1 + math.exp(-1.0)), 4
+    )
+    assert rows[1]["score"] == round(
+        base[2] + math.log(1 + math.exp(-9.0)), 4
+    )
+
+
+def test_prox_boost_single_term_degrades_to_bm25(spark):
+    from search_engine_spark.operators.positional import search_prox_boost
+    from search_engine_spark.operators.search import bm25_scored
+
+    postings = spark.createDataFrame(
+        [(1, "a", 3), (2, "a", 1)], "doc_id long, term string, tf long"
+    )
+    term_dict = spark.createDataFrame([("a", 2)], "term string, df long")
+    doc_stats = spark.createDataFrame(
+        [(1, 5), (2, 5)], "doc_id long, dl long"
+    )
+    pos = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", 0)], "doc_id long, term string, pos long"
+    )
+    got = search_prox_boost(
+        pos, postings, term_dict, doc_stats, 2, 5.0, ["a"]
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scored(
+            postings, term_dict, doc_stats, 2, 5.0, ["a"]
+        ).collect()
+    }
+    # alpha=1 -> ln(1)=0 additive term; mindist undefined (NULL)
+    for r in got:
+        assert r["mindist"] is None
+        assert r["score"] == base[r["doc_id"]]

@@ -655,3 +655,41 @@ def test_ltr_features_consistency_with_scorers(spark, ctx):
         assert f["max_tf"] == max_tf[d]
         assert 1 <= f["n_matched"] <= len(q)
         assert f["idf_sum"] > 0
+
+
+# ------------------------------------------------------------- VSM (lnc.ltc)
+
+def test_vsm_exact_arithmetic_and_norm_covers_offquery_terms(spark):
+    """Hand-check the lnc.ltc score, incl. that the doc norm runs over
+    ALL the doc's terms (off-query mass dilutes the cosine)."""
+    import math
+
+    postings = spark.createDataFrame(
+        [(1, "a", 2), (2, "a", 2), (2, "x", 3)],
+        "doc_id long, term string, tf long",
+    )
+    term_dict = spark.createDataFrame(
+        [("a", 2), ("x", 1)], "term string, df long"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in se.search_vsm(postings, term_dict, 4, ["a"]).collect()
+    }
+    idf = math.log(4.0 / 2.0)
+    w_a = 1 + math.log(2.0)
+    w_x = 1 + math.log(3.0)
+    assert got[1] == round(idf * w_a / math.sqrt(w_a**2), 4)
+    assert got[2] == round(idf * w_a / math.sqrt(w_a**2 + w_x**2), 4)
+    assert got[1] > got[2]  # off-query mass dilutes doc 2
+
+
+def test_vsm_or_semantics_and_absent_term(spark, ctx):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    hits = se.search_vsm(
+        postings, term_dict, n_docs, ["data", "zzabsent"], limit=10
+    )
+    rows = hits.collect()
+    assert rows  # absent term drops out (OR), 'data' still matches
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert se.search_vsm(postings, term_dict, n_docs, ["zzabsent"]).count() == 0

@@ -73,3 +73,61 @@ def test_record_col_is_single_header_block(spark):
     assert "WARC-Target-URI: https://a.example/h" in head
     assert "Content-Length: 8" in head
     assert rest == "<p>x</p>\r\n\r\n"
+
+
+# ---------------------------------------------------------------- CDX lines
+
+def test_cdx_lines_shape_digest_and_ts(spark):
+    import datetime
+    import hashlib
+    import re
+
+    from search_engine_spark.sources.documents import load_documents
+    from search_engine_spark.sources.warc import cdx_lines
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").filter(
+        "doc_id < 40"
+    )
+    raw = {
+        r["doc_id"]: (r["raw_url"], bytes(r["html"]), r["http_code"])
+        for r in docs.select("doc_id", "raw_url", "html", "http_code")
+        .collect()
+    }
+    rows = cdx_lines(docs).collect()
+    assert len(rows) == len(raw)
+    pat = re.compile(r'^(\S+) (\d{14}) (\{.*\})$')
+    for r in rows:
+        m = pat.match(r["cdxj"])
+        assert m, r["cdxj"]
+        assert m.group(1) == r["surt"]
+        assert m.group(2) == r["ts14"]
+        url, html, code = raw[r["doc_id"]]
+        want_ts = datetime.datetime.fromtimestamp(
+            1704067200 + 60 * r["doc_id"], datetime.timezone.utc
+        ).strftime("%Y%m%d%H%M%S")
+        assert r["ts14"] == want_ts
+        assert f'"status": "{code}"' in r["cdxj"]
+        assert f'"url": "{url}"' in r["cdxj"]
+        assert hashlib.md5(html).hexdigest() in r["cdxj"]
+        assert f'"length": "{len(html)}"' in r["cdxj"]
+
+
+def test_cdx_surt_keys_are_domain_contiguous(spark):
+    """The SURT property the key exists for: sorting by (surt, ts14)
+    groups every site's captures into one contiguous run."""
+    from search_engine_spark.sources.documents import load_documents
+    from search_engine_spark.sources.warc import cdx_lines
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").filter(
+        "doc_id < 30"
+    )
+    rows = sorted(
+        cdx_lines(docs).collect(), key=lambda r: (r["surt"], r["ts14"])
+    )
+    hosts = [r["surt"].split(")")[0] for r in rows]
+    seen, prev = set(), None
+    for h in hosts:
+        if h != prev:
+            assert h not in seen, f"host {h} split into two runs"
+            seen.add(h)
+            prev = h
