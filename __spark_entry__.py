@@ -1753,6 +1753,31 @@ def _q_cdx_lines(spark, sf_dir):
     return cdx_lines(load_documents(spark, sf_dir))
 
 
+def _q_search_near(spark, sf_dir):
+    """Unordered SpanNear: both terms within a window of 2+slop
+    positions in any order (minimal-cover reduction)."""
+    from search_engine_spark.operators.positional import (
+        search_near_unordered,
+    )
+
+    return search_near_unordered(
+        load_documents(spark, sf_dir), "data fast", slop=2
+    )
+
+
+def _q_dict_blocks_roundtrip(spark, sf_dir):
+    """Front-coded dictionary blocks: decode∘encode must reproduce the
+    term dictionary exactly (Lucene .tim-style prefix compression)."""
+    from search_engine_spark.operators.dictionary import (
+        decode_front_blocks,
+        front_code_blocks,
+    )
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    term_dict = ib.build_term_dict(postings)
+    return decode_front_blocks(front_code_blocks(term_dict))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1798,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": _q_containment,
         "ann_filtered": _q_ann_filtered,
         "cdx_lines": _q_cdx_lines,
+        "search_near": _q_search_near,
+        "dict_blocks_roundtrip": _q_dict_blocks_roundtrip,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -1989,6 +2016,8 @@ def oracle_sql() -> dict[str, str]:
             ANN_QUERY_IDS, ANN_FILTER_LABELS
         ),
         "cdx_lines": pipe.cdx_lines_sql(),
+        "search_near": ora.search_near_unordered_sql(Q_AND2, slop=2),
+        "dict_blocks_roundtrip": ora.term_dict_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

@@ -1821,3 +1821,34 @@ FROM conj c JOIN md USING (doc_id)
 ORDER BY score DESC, c.doc_id ASC
 LIMIT {limit}
 """
+
+
+def search_near_unordered_sql(terms: list[str], slop: int = 0, k: int = 20,
+                              table: str = "documents") -> str:
+    """Unordered SpanNear — mirrors operators/positional.py::
+    unordered_near_match + search_near_unordered: minimal-cover
+    reduction with one running max per query term."""
+    uniq = sorted(set(terms))
+    window = len(uniq) - 1 + slop
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{i}"
+        for i, t in enumerate(uniq)
+    )
+    not_null = " AND ".join(f"l{i} IS NOT NULL" for i in range(len(uniq)))
+    least = "least(" + ", ".join(f"l{i}" for i in range(len(uniq))) + ")"
+    return f"""
+WITH {positional_terms_cte(table)},
+covered AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM pos_terms WHERE term IN {_terms_in(uniq)}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, count(*)::BIGINT AS near_tf
+FROM covered
+WHERE {not_null} AND pos - {least} <= {window}
+GROUP BY doc_id
+ORDER BY near_tf DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -164,6 +164,76 @@ def search_phrase(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
     ).limit(k)
 
 
+def unordered_near_match(
+    positional: DataFrame, terms: list[str], slop: int = 0
+) -> DataFrame:
+    """(doc_id, near_tf) for docs where the DISTINCT `terms` all occur —
+    in ANY order — within a window of len(terms)+slop positions: Lucene's
+    SpanNearQuery(inOrder=false). near_tf counts window END positions
+    (occurrences of any query term) at which the minimal cover of all
+    terms fits the window.
+
+    Minimal-cover reduction: scan the doc's query-term occurrences in
+    position order; at each occurrence, the smallest window ENDING there
+    that covers every term spans back to the OLDEST of the per-term
+    latest occurrences. Because positions ascend within the doc-window,
+    "latest occurrence of t so far" is max(pos) FILTER (term = t) over
+    the running frame — one running-max column per query term, no
+    IGNORE-NULLS lag gymnastics, portable to the oracle verbatim.
+
+    Scale shape: isin-filter to the ≤|terms| query terms first, then ONE
+    window partitioned by doc_id (maximal-cardinality key) carrying
+    |terms| running maxes, then a map-side-combinable count."""
+    from pyspark.sql import Window
+
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("empty term set")
+    window = len(uniq) - 1 + slop
+    pq = positional.filter(F.col("term").isin(uniq))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lasts = [
+        F.max(F.when(F.col("term") == t, F.col("pos"))).over(w).alias(f"_l{i}")
+        for i, t in enumerate(uniq)
+    ]
+    covered = pq.select("doc_id", "pos", *lasts)
+    cover_ok = (
+        F.col("pos") - F.least(*[F.col(f"_l{i}") for i in range(len(uniq))])
+        <= window
+    )
+    # explicit conjunction — least() SKIPS nulls in both engines, so it
+    # cannot express "every term seen"
+    all_seen = F.lit(True)
+    for i in range(len(uniq)):
+        all_seen = all_seen & F.col(f"_l{i}").isNotNull()
+    return (
+        covered.filter(all_seen & cover_ok)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("near_tf"))
+    )
+
+
+def search_near_unordered(
+    docs: DataFrame, phrase: str, slop: int = 0, k: int = 20
+) -> DataFrame:
+    """Unordered-window proximity top-k: (doc_id, near_tf) ranked near_tf
+    desc, doc_id asc. The phrase is analyzed like any query; duplicate
+    lemmas collapse (unordered windows are over the distinct term SET)."""
+    terms = sorted(set(analyze_phrase(phrase)))
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, near_tf long"
+        )
+    hits = unordered_near_match(build_positional(docs), terms, slop=slop)
+    return hits.orderBy(
+        F.col("near_tf").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 PROX_WEIGHT = 1.0
 PROX_ALPHA = 1.0
 

@@ -234,3 +234,70 @@ def test_prox_boost_single_term_degrades_to_bm25(spark):
     for r in got:
         assert r["mindist"] is None
         assert r["score"] == base[r["doc_id"]]
+
+
+# ------------------------------------------------- unordered SpanNear
+
+def test_unordered_near_matches_any_order(spark):
+    from search_engine_spark.operators.positional import (
+        unordered_near_match,
+    )
+
+    pos = spark.createDataFrame(
+        # doc 1: b a   (reversed order, adjacent)     -> matches slop 0
+        # doc 2: a x b (gap 2)                         -> needs slop >= 1
+        # doc 3: a only                                -> never
+        [(1, "b", 0), (1, "a", 1),
+         (2, "a", 0), (2, "x", 1), (2, "b", 2),
+         (3, "a", 5)],
+        "doc_id long, term string, pos long",
+    )
+    got0 = {
+        r["doc_id"]: r["near_tf"]
+        for r in unordered_near_match(pos, ["a", "b"], slop=0).collect()
+    }
+    assert got0 == {1: 1}
+    got1 = {
+        r["doc_id"]: r["near_tf"]
+        for r in unordered_near_match(pos, ["a", "b"], slop=1).collect()
+    }
+    assert got1 == {1: 1, 2: 1}
+
+
+def test_unordered_near_counts_window_ends(spark):
+    """near_tf counts END positions admitting a cover: a b a -> ends at
+    the b (covers a,b) and at the trailing a (covers b,a)."""
+    from search_engine_spark.operators.positional import (
+        unordered_near_match,
+    )
+
+    pos = spark.createDataFrame(
+        [(1, "a", 0), (1, "b", 1), (1, "a", 2)],
+        "doc_id long, term string, pos long",
+    )
+    got = unordered_near_match(pos, ["a", "b"], slop=0).collect()
+    assert got[0]["near_tf"] == 2
+
+
+def test_unordered_near_superset_of_ordered(spark):
+    """Every ordered-proximity hit is an unordered hit at the same slop
+    (on the fixture corpus)."""
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        proximity_match,
+        unordered_near_match,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").filter(
+        "doc_id < 200"
+    )
+    pos = build_positional(docs).persist()
+    terms = ["data", "fast"]
+    ordered = {r["doc_id"] for r in proximity_match(pos, terms, 2).collect()}
+    unordered = {
+        r["doc_id"]
+        for r in unordered_near_match(pos, terms, 2).collect()
+    }
+    assert ordered <= unordered
+    pos.unpersist()
