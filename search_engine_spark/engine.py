@@ -14,6 +14,8 @@ mode='*_df' for cross-checking.
 
 from __future__ import annotations
 
+import copy
+from collections import OrderedDict
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +44,11 @@ from .sources.documents import load_documents
 # should hold) queries fall back to the filtered cached-scan probe
 DICT_CACHE_MAX_TERMS = 1_000_000
 
+# bounded response LRU for search_page (ES request-cache layer): entries
+# are whole rendered envelopes — small (≤ limit rows of strings) — and the
+# cache resets whenever engine state is (re)installed, so no TTL is needed
+PAGE_CACHE_MAX = 128
+
 
 class SearchEngine:
     def __init__(
@@ -63,6 +70,7 @@ class SearchEngine:
         self._built = False
         self._df_map: dict[str, int] | None = None
         self._index_thread = None
+        self._page_cache: "OrderedDict" = OrderedDict()
 
     # ------------------------------------------------------------- build
     @classmethod
@@ -107,6 +115,7 @@ class SearchEngine:
         eng._built = True
         eng._df_map = None
         eng._index_thread = None
+        eng._page_cache = OrderedDict()
         eng._maybe_cache_dictionary()
         return eng
 
@@ -258,6 +267,7 @@ class SearchEngine:
         self.avgdl = float(sum_dl) / self.n_docs if self.n_docs else 0.0
         packed.unpersist()
         self._built = True
+        self._page_cache = OrderedDict()  # a new index invalidates pages
         return self
 
     def _require_built(self):
@@ -497,7 +507,20 @@ class SearchEngine:
     ) -> dict:
         """Reference GET /api/search envelope (A2, README.md:244-270):
         {result, count, data[]} — count is the PRE-pagination match total
-        (SearchServiceImpl.java:105)."""
+        (SearchServiceImpl.java:105).
+
+        Responses are served from a bounded per-engine LRU (Elasticsearch's
+        request cache, at the same layer: the rendered response, keyed by
+        the full request). Invalidation is structural, not TTL: build(),
+        build_persistent() and index_page() all install fresh engine state
+        (the latter two via open()), and every path starts with an empty
+        cache — a stale page can never survive an index change. Deep
+        copies in and out so callers can't mutate cached entries."""
+        ck = (query, mode, site_key, limit, offset, fuzzy, collapse)
+        hit = self._page_cache.get(ck)
+        if hit is not None:
+            self._page_cache.move_to_end(ck)
+            return copy.deepcopy(hit)
         terms = se.analyze_query(query)
         if not terms:
             return {"result": False, "error": "Задан пустой поисковый запрос",
@@ -545,7 +568,11 @@ class SearchEngine:
             }
             for r in rows
         ]
-        return {"result": True, "count": count, "data": data}
+        resp = {"result": True, "count": count, "data": data}
+        self._page_cache[ck] = copy.deepcopy(resp)
+        while len(self._page_cache) > PAGE_CACHE_MAX:
+            self._page_cache.popitem(last=False)
+        return resp
 
     # --------------------------------------------------------------- admin
     def suggest(self, text: str, k: int = 10) -> dict:

@@ -151,3 +151,43 @@ def test_suggest_prefix_spell_and_none_routes(spark, tmp_path):
 
     assert eng.suggest("zzqj")["mode"] == "none"
     assert eng.suggest("   ")["suggestions"] == []
+
+
+def test_search_page_cache_hit_and_rebuild_invalidation(spark, tmp_path):
+    """The request cache returns an equal envelope without recomputing,
+    callers cannot mutate cached state, and installing fresh engine state
+    (rebuild / index_page via open()) empties the cache."""
+    eng = SearchEngine(spark, SF_TEST, n_buckets=8)
+    first = eng.search_page("data fast", limit=5)
+    assert ("data fast", "bm25", None, 5, 0, False, False) in eng._page_cache
+    again = eng.search_page("data fast", limit=5)
+    assert again == first
+    # mutating the returned envelope must not poison the cache
+    again["data"].clear()
+    assert eng.search_page("data fast", limit=5) == first
+    # cache is keyed on the FULL request
+    other = eng.search_page("data fast", limit=5, offset=5)
+    assert other != first
+    assert len(eng._page_cache) == 2
+    # rebuild installs fresh state -> empty cache
+    eng.build()
+    assert len(eng._page_cache) == 0
+    assert eng.search_page("data fast", limit=5) == first
+
+
+def test_search_page_cache_is_bounded(spark):
+    from search_engine_spark import engine as eng_mod
+
+    eng = SearchEngine(spark, SF_TEST, n_buckets=8)
+    eng.build()
+    eng._page_cache.clear()
+    for i in range(eng_mod.PAGE_CACHE_MAX + 10):
+        eng._page_cache[("q", i)] = {"result": True, "count": 0, "data": []}
+        while len(eng._page_cache) > eng_mod.PAGE_CACHE_MAX:
+            eng._page_cache.popitem(last=False)
+    assert len(eng._page_cache) == eng_mod.PAGE_CACHE_MAX
+    # a real query still lands and evicts the oldest synthetic key
+    eng.search_page("data", limit=3)
+    assert len(eng._page_cache) == eng_mod.PAGE_CACHE_MAX
+    # the real query evicted the oldest surviving synthetic key
+    assert ("q", 11) in eng._page_cache and ("q", 10) not in eng._page_cache
