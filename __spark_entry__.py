@@ -1778,6 +1778,23 @@ def _q_dict_blocks_roundtrip(spark, sf_dir):
     return decode_front_blocks(front_code_blocks(term_dict))
 
 
+def _q_terms_agg(spark, sf_dir):
+    """ES sharded terms aggregation: per-shard top-N cut, coordinator
+    merge, honest doc_count_error_upper_bound per bucket."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.terms_agg_sharded(postings, size=10, shard_size=5)
+
+
+def _q_index_stats(spark, sf_dir):
+    """One-row index introspection over the compressed block metadata
+    (posting-tier _stats)."""
+    from search_engine_spark.operators.blocks import build_posting_blocks
+    from search_engine_spark.plans.statistics import index_stats
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    return index_stats(build_posting_blocks(postings, 16))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1825,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_lines": _q_cdx_lines,
         "search_near": _q_search_near,
         "dict_blocks_roundtrip": _q_dict_blocks_roundtrip,
+        "terms_agg": _q_terms_agg,
+        "index_stats": _q_index_stats,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -2018,6 +2037,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_lines": pipe.cdx_lines_sql(),
         "search_near": ora.search_near_unordered_sql(Q_AND2, slop=2),
         "dict_blocks_roundtrip": ora.term_dict_sql(),
+        "terms_agg": ora.terms_agg_sharded_sql(size=10, shard_size=5),
+        "index_stats": ora.index_stats_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

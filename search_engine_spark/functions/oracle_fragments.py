@@ -1852,3 +1852,62 @@ GROUP BY doc_id
 ORDER BY near_tf DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def terms_agg_sharded_sql(size: int = 10, shard_size: int = 15,
+                          n_shards: int = 8,
+                          table: str = "documents") -> str:
+    """ES sharded `terms` aggregation with doc_count_error_upper_bound —
+    mirrors operators/search.py::terms_agg_sharded (per-shard top
+    shard_size cut, coordinator merge, per-term error = Σ eff_min over
+    non-reporting shards)."""
+    return f"""
+WITH {terms_cte(table)},
+per AS (
+  SELECT (doc_id % {n_shards})::INT AS shard, term,
+         count(DISTINCT doc_id)::BIGINT AS sdf
+  FROM terms GROUP BY shard, term
+),
+tops AS (
+  SELECT shard, term, sdf FROM (
+    SELECT shard, term, sdf,
+           row_number() OVER (PARTITION BY shard
+                              ORDER BY sdf DESC, term ASC) AS rn
+    FROM per
+  ) WHERE rn <= {shard_size}
+),
+hdr AS (SELECT shard, count(*) AS n_terms FROM per GROUP BY shard),
+sent AS (SELECT shard, min(sdf) AS min_sent FROM tops GROUP BY shard),
+eff AS (
+  SELECT hdr.shard,
+         CASE WHEN hdr.n_terms <= {shard_size} THEN 0
+              ELSE sent.min_sent END AS eff_min
+  FROM hdr JOIN sent USING (shard)
+),
+tot AS (SELECT coalesce(sum(eff_min), 0) AS total_min FROM eff),
+merged AS (
+  SELECT t.term, sum(t.sdf)::BIGINT AS doc_count,
+         sum(e.eff_min) AS reported_min
+  FROM tops t JOIN eff e USING (shard)
+  GROUP BY t.term
+)
+SELECT term, doc_count,
+       (tot.total_min - reported_min)::BIGINT AS error_ub
+FROM merged CROSS JOIN tot
+ORDER BY doc_count DESC, term ASC
+LIMIT {size}
+"""
+
+
+def index_stats_sql(table: str = "documents", n_buckets: int = 16) -> str:
+    """Index introspection rollup — mirrors plans/statistics.py::
+    index_stats over the block_meta re-derivation."""
+    return f"""
+WITH meta AS ({block_meta_sql(table, n_buckets)})
+SELECT count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS n_blocks,
+       sum(n_postings)::BIGINT AS n_postings,
+       sum(sum_tf)::BIGINT AS total_tokens,
+       max(max_tf)::BIGINT AS max_tf
+FROM meta
+"""

@@ -46,6 +46,34 @@ BLOCKS_SCHEMA = (
 )
 
 
+def front_code(terms: list[str]):
+    """Pure front coder for ONE sorted block → (head, lcps, suffixes,
+    raw_bytes, coded_bytes). coded_bytes counts head + per-follower
+    (1-byte lcp field + utf-8 suffix) — the on-disk layout's size."""
+    head = terms[0]
+    lcps, suffixes = [], []
+    raw = sum(len(t.encode("utf-8")) for t in terms)
+    coded = len(head.encode("utf-8"))
+    for prev, cur in zip(terms, terms[1:]):
+        n = min(len(prev), len(cur))
+        lcp = 0
+        while lcp < n and prev[lcp] == cur[lcp]:
+            lcp += 1
+        lcps.append(lcp)
+        suffixes.append(cur[lcp:])
+        coded += 1 + len(cur[lcp:].encode("utf-8"))
+    return head, lcps, suffixes, raw, coded
+
+
+def front_decode(head: str, lcps: list[int], suffixes: list[str]) -> list[str]:
+    """Pure inverse of front_code — the same fold decode_front_blocks
+    states declaratively (hypothesis pins the pair on arbitrary input)."""
+    out = [head]
+    for lcp, suf in zip(lcps, suffixes):
+        out.append(out[-1][:lcp] + suf)
+    return out
+
+
 def term_ranks(term_dict: DataFrame, n_parts: int | None = None) -> DataFrame:
     """(term, df, cf, rank) — rank is the 0-based position of the term in
     global lexicographic order, assigned by the distributed zip-with-index
@@ -92,18 +120,7 @@ def front_code_blocks(
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("slot")
         terms = pdf["term"].tolist()
-        head = terms[0]
-        lcps, suffixes = [], []
-        raw = sum(len(t.encode("utf-8")) for t in terms)
-        coded = len(head.encode("utf-8"))
-        for prev, cur in zip(terms, terms[1:]):
-            n = min(len(prev), len(cur))
-            lcp = 0
-            while lcp < n and prev[lcp] == cur[lcp]:
-                lcp += 1
-            lcps.append(lcp)
-            suffixes.append(cur[lcp:])
-            coded += 1 + len(cur[lcp:].encode("utf-8"))  # 1-byte lcp field
+        head, lcps, suffixes, raw, coded = front_code(terms)
         return pd.DataFrame(
             {
                 "block_id": [int(pdf["block_id"].iloc[0])],

@@ -592,6 +592,96 @@ def search_lmd(
     )
 
 
+TERMS_AGG_SHARDS = 8
+
+
+def terms_agg_sharded(
+    postings: DataFrame,
+    size: int = 10,
+    shard_size: int = 15,
+    n_shards: int = TERMS_AGG_SHARDS,
+) -> DataFrame:
+    """Elasticsearch `terms` aggregation, DISTRIBUTED the way ES actually
+    runs it → (term, doc_count, error_ub): each shard reports only its
+    local top `shard_size` terms by document count, the coordinator sums
+    what was reported, and because a term can be just below the cut on
+    shards that didn't report it, every row carries the honest
+    `doc_count_error_upper_bound` — the sum, over non-reporting shards,
+    of the smallest count that shard DID report (a shard that returned
+    its whole term list contributes 0). ES's exactness guarantee follows:
+    true_count ∈ [doc_count, doc_count + error_ub] (pinned by test).
+
+    This is the one aggregation surface where the DISTRIBUTION PROTOCOL
+    is the semantics — the approximation and its error bound exist
+    because shards cut their lists independently. Shard = doc_id %
+    n_shards (frozen, deterministic, mirrors the index's doc-bucket
+    sharding).
+
+    Plan: per-shard counts are one groupBy; the per-shard cut is a
+    WindowGroupLimit over shard (n_shards partitions, never global);
+    shard stats collapse to ≤n_shards rows collected driver-side (the
+    coordinator's per-shard header, a literal at plan time); the merge
+    is one groupBy(term) over ≤ n_shards·shard_size rows."""
+    from pyspark.sql import Window
+
+    per = (
+        postings.select("term", "doc_id")
+        .distinct()
+        .withColumn(
+            "shard", (F.col("doc_id") % n_shards).cast("int")
+        )
+        .groupBy("shard", "term")
+        .agg(F.count("*").alias("sdf"))
+    ).persist()
+    w = Window.partitionBy("shard").orderBy(
+        F.col("sdf").desc(), F.col("term").asc()
+    )
+    tops = per.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= shard_size
+    )
+    # coordinator-side per-shard headers: term count + smallest reported
+    # count (≤ n_shards rows — a literal, exactly what ES ships back)
+    shard_stats = {
+        r["shard"]: (r["n_terms"], r["min_sent"])
+        for r in per.groupBy("shard")
+        .agg(F.count("*").alias("n_terms"))
+        .join(
+            tops.groupBy("shard").agg(F.min("sdf").alias("min_sent")),
+            "shard",
+        )
+        .collect()
+    }
+    eff_min = {
+        s: (0 if n_terms <= shard_size else min_sent)
+        for s, (n_terms, min_sent) in shard_stats.items()
+    }
+    total_min = sum(eff_min.values())
+    min_map = F.create_map(
+        *[F.lit(x) for s in sorted(eff_min) for x in (s, eff_min[s])]
+    )
+    merged = (
+        tops.withColumn("eff_min", min_map[F.col("shard")])
+        .groupBy("term")
+        .agg(
+            F.sum("sdf").alias("doc_count"),
+            F.sum("eff_min").alias("reported_min"),
+        )
+        .select(
+            "term",
+            F.col("doc_count").cast("long").alias("doc_count"),
+            (F.lit(total_min) - F.col("reported_min"))
+            .cast("long")
+            .alias("error_ub"),
+        )
+    )
+    # per stays persisted for the life of the session (same convention as
+    # reorder.term_ranks): the returned plan re-reads it, and the
+    # shard-header collect above must see the SAME counts the plan sees
+    return merged.orderBy(
+        F.col("doc_count").desc(), F.col("term").asc()
+    ).limit(size)
+
+
 def search_vsm(
     postings: DataFrame,
     term_dict: DataFrame,

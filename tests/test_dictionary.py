@@ -86,3 +86,43 @@ def test_heads_sorted_across_blocks(spark):
     rows = front_code_blocks(td).orderBy("block_id").collect()
     heads = [r["head"] for r in rows]
     assert heads == sorted(heads)
+
+
+# ----------------------------------------------------------- property suite
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.operators.dictionary import front_code, front_decode
+
+_term = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FFF),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(st.lists(_term, min_size=1, max_size=40, unique=True))
+@settings(max_examples=300, deadline=None)
+def test_front_code_roundtrip_arbitrary_terms(terms):
+    block = sorted(terms)
+    head, lcps, suffixes, raw, coded = front_code(block)
+    assert front_decode(head, lcps, suffixes) == block
+    # every lcp really is a common prefix with the predecessor
+    for prev, cur, lcp in zip(block, block[1:], lcps):
+        assert prev[:lcp] == cur[:lcp]
+        assert lcp == len(cur) or lcp == len(prev) or prev[lcp] != cur[lcp]
+
+
+@given(st.lists(_term, min_size=2, max_size=40, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_front_decode_matches_spark_fold_semantics(terms):
+    """The pure decoder and the declarative F.aggregate fold state the
+    same recurrence: out[i] = out[i-1][:lcp] + suffix. Checked by
+    recomputing the fold by hand."""
+    block = sorted(terms)
+    head, lcps, suffixes, _, _ = front_code(block)
+    acc = [head]
+    for lcp, suf in zip(lcps, suffixes):
+        acc.append(acc[-1][:lcp] + suf)
+    assert acc == front_decode(head, lcps, suffixes) == block

@@ -693,3 +693,69 @@ def test_vsm_or_semantics_and_absent_term(spark, ctx):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert se.search_vsm(postings, term_dict, n_docs, ["zzabsent"]).count() == 0
+
+
+# --------------------------------------------------- sharded terms agg
+
+def test_terms_agg_error_bound_brackets_truth(spark, ctx):
+    """ES's exactness guarantee: for every returned bucket,
+    true_df ∈ [doc_count, doc_count + error_ub]."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    true_df = {
+        r["term"]: r["df"] for r in term_dict.select("term", "df").collect()
+    }
+    rows = se.terms_agg_sharded(postings, size=10, shard_size=3).collect()
+    assert rows
+    for r in rows:
+        t = true_df[r["term"]]
+        assert r["doc_count"] <= t <= r["doc_count"] + r["error_ub"], (
+            r.asDict(), t
+        )
+
+
+def test_terms_agg_exact_when_shard_size_covers_vocab(spark, ctx):
+    """shard_size ≥ per-shard vocabulary ⇒ every shard reports everything:
+    doc_count == true df and error_ub == 0 (the bound collapses)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    n_vocab = term_dict.count()
+    true_df = {
+        r["term"]: r["df"] for r in term_dict.select("term", "df").collect()
+    }
+    rows = se.terms_agg_sharded(
+        postings, size=5, shard_size=n_vocab + 1
+    ).collect()
+    top_true = sorted(
+        true_df.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    assert [(r["term"], r["doc_count"]) for r in rows] == top_true
+    assert all(r["error_ub"] == 0 for r in rows)
+
+
+def test_terms_agg_tight_cut_produces_nonzero_bound(spark, ctx):
+    """With a cut far below the vocabulary size, at least one shard must
+    withhold terms — some bucket carries a positive error bound."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    rows = se.terms_agg_sharded(postings, size=10, shard_size=2).collect()
+    assert any(r["error_ub"] > 0 for r in rows)
+
+
+# -------------------------------------------------------- index stats
+
+def test_index_stats_cross_checks_postings(spark, ctx):
+    """The rollup must reconcile exactly with the logical postings —
+    catching any posting lost or duplicated by block segmentation."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.blocks import build_posting_blocks
+    from search_engine_spark.plans.statistics import index_stats
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    row = index_stats(build_posting_blocks(postings, 16)).collect()[0]
+    assert row["n_postings"] == postings.count()
+    assert row["n_terms"] == term_dict.count()
+    agg = postings.agg(
+        F.sum("tf").alias("tot"), F.max("tf").alias("mx")
+    ).collect()[0]
+    assert row["total_tokens"] == agg["tot"]
+    assert row["max_tf"] == agg["mx"]
+    assert row["n_blocks"] >= row["n_terms"]  # ≥ one block per (bucket,term)
