@@ -1795,6 +1795,42 @@ def _q_index_stats(spark, sf_dir):
     return index_stats(build_posting_blocks(postings, 16))
 
 
+def _q_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation: exact long-tail terms (df ≤ cap)."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.rare_terms_agg(postings, max_doc_count=300, k=50)
+
+
+def _q_search_boosting(spark, sf_dir):
+    """ES boosting query: positive BM25 ranking with negative-term
+    demotion (score × 0.5), never exclusion."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return se.search_boosting(
+        postings, term_dict, doc_stats, n_docs, avgdl,
+        positive=Q_BM25, negative=["merge"],
+    )
+
+
+def _q_search_phrase_prefix(spark, sf_dir):
+    """match_phrase_prefix: exact body + term-asc capped prefix expansion
+    at the final position (search-as-you-type phrase)."""
+    from search_engine_spark.operators.positional import (
+        search_phrase_prefix,
+    )
+
+    return search_phrase_prefix(load_documents(spark, sf_dir), "merge da")
+
+
+def _q_search_span_first(spark, sf_dir):
+    """SpanFirstQuery: first occurrence of the word within the first 10
+    retained positions (lead-paragraph matching)."""
+    from search_engine_spark.operators.positional import search_span_first
+
+    return search_span_first(load_documents(spark, sf_dir), "data", n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1844,6 +1880,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_blocks_roundtrip": _q_dict_blocks_roundtrip,
         "terms_agg": _q_terms_agg,
         "index_stats": _q_index_stats,
+        "rare_terms": _q_rare_terms,
+        "search_boosting": _q_search_boosting,
+        "search_phrase_prefix": _q_search_phrase_prefix,
+        "search_span_first": _q_search_span_first,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -2039,6 +2079,12 @@ def oracle_sql() -> dict[str, str]:
         "dict_blocks_roundtrip": ora.term_dict_sql(),
         "terms_agg": ora.terms_agg_sharded_sql(size=10, shard_size=5),
         "index_stats": ora.index_stats_sql(),
+        "rare_terms": ora.rare_terms_sql(max_doc_count=300, k=50),
+        "search_boosting": ora.search_boosting_sql(Q_BM25, ["merge"]),
+        "search_phrase_prefix": ora.search_phrase_prefix_sql(
+            ["merge"], "da"
+        ),
+        "search_span_first": ora.search_span_first_sql("data", n=10),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

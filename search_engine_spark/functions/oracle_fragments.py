@@ -1911,3 +1911,90 @@ SELECT count(DISTINCT term)::BIGINT AS n_terms,
        max(max_tf)::BIGINT AS max_tf
 FROM meta
 """
+
+
+def rare_terms_sql(max_doc_count: int = 1, k: int = 50,
+                   table: str = "documents") -> str:
+    """ES rare_terms aggregation — mirrors operators/search.py::
+    rare_terms_agg (exact long-tail df, asc order, k cap)."""
+    return f"""
+WITH {terms_cte(table)}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_count
+FROM terms GROUP BY term
+HAVING count(DISTINCT doc_id) <= {int(max_doc_count)}
+ORDER BY doc_count ASC, term ASC
+LIMIT {k}
+"""
+
+
+def search_boosting_sql(positive: list[str], negative: list[str],
+                        negative_boost: float = 0.4, k1: float = 1.2,
+                        b: float = 0.75, limit: int = 20,
+                        table: str = "documents") -> str:
+    """ES boosting query — mirrors operators/search.py::search_boosting:
+    disjunctive BM25 over the positive terms, docs matching any negative
+    term demoted to score·negative_boost (never excluded)."""
+    neg = sorted(set(negative))
+    neg_in = "(" + ", ".join(f"'{t}'" for t in neg) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(positive, k1, b, table)},
+neg AS (SELECT DISTINCT doc_id FROM terms WHERE term IN {neg_in})
+SELECT s.doc_id,
+       CASE WHEN n.doc_id IS NOT NULL
+            THEN round(round(s.score, 4) * {repr(negative_boost)}, 4)
+            ELSE round(s.score, 4) END AS score
+FROM scored s LEFT JOIN neg n ON n.doc_id = s.doc_id
+ORDER BY score DESC, s.doc_id ASC
+LIMIT {limit}
+"""
+
+
+def search_phrase_prefix_sql(body: list[str], prefix: str,
+                             max_expansions: int = 50, k: int = 20,
+                             table: str = "documents") -> str:
+    """match_phrase_prefix — mirrors operators/positional.py::
+    phrase_prefix_match (exact body chain + term-asc capped prefix
+    expansion at the final position)."""
+    n = len(body)
+    sel = f"(SELECT doc_id, pos FROM pos_terms WHERE term = '{body[0]}') p0"
+    for i, t in enumerate(body[1:], start=1):
+        sel += (
+            f"\n  JOIN (SELECT doc_id, pos FROM pos_terms WHERE term = '{t}') p{i}"
+            f" ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        )
+    sel += (
+        f"\n  JOIN lastpos pl"
+        f" ON pl.doc_id = p0.doc_id AND pl.pos = p0.pos + {n}"
+    )
+    return f"""
+WITH {positional_terms_cte(table)},
+exp AS (
+  SELECT DISTINCT term FROM pos_terms
+  WHERE term LIKE '{prefix}%' ORDER BY term ASC LIMIT {max_expansions}
+),
+lastpos AS (
+  SELECT pt.doc_id, pt.pos FROM pos_terms pt
+  WHERE pt.term IN (SELECT term FROM exp)
+)
+SELECT p0.doc_id, count(*)::BIGINT AS phrase_tf
+FROM {sel}
+GROUP BY p0.doc_id
+ORDER BY phrase_tf DESC, p0.doc_id ASC
+LIMIT {k}
+"""
+
+
+def search_span_first_sql(term: str, n: int = 10, k: int = 20,
+                          table: str = "documents") -> str:
+    """SpanFirstQuery — mirrors operators/positional.py::
+    search_span_first (first occurrence within the first n positions)."""
+    return f"""
+WITH {positional_terms_cte(table)}
+SELECT doc_id, min(pos)::BIGINT AS first_pos
+FROM pos_terms WHERE term = '{term}'
+GROUP BY doc_id
+HAVING min(pos) < {int(n)}
+ORDER BY first_pos ASC, doc_id ASC
+LIMIT {k}
+"""

@@ -164,6 +164,101 @@ def search_phrase(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
     ).limit(k)
 
 
+MAX_PREFIX_EXPANSIONS = 50
+
+
+def phrase_prefix_match(
+    positional: DataFrame,
+    terms: list[str],
+    prefix: str,
+    max_expansions: int = MAX_PREFIX_EXPANSIONS,
+) -> DataFrame:
+    """(doc_id, phrase_tf) for ES `match_phrase_prefix`: the exact term
+    sequence `terms` immediately followed by ANY dictionary term starting
+    with `prefix` — the search-as-you-type phrase query ("new yo" matches
+    "new york" and "new yorker" mid-keystroke).
+
+    The expansion set is Lucene's MultiTermQuery rewrite: the first
+    max_expansions matching dictionary terms in TERM-ASC order, derived
+    relationally from the positional relation itself (sargable startswith
+    over the distinct-term projection — the oracle derives the identical
+    set, so no driver-side collect). The last join consumes the expansion
+    frame as a broadcast-small semi side; everything else is
+    phrase_match's equi-join chain."""
+    if not terms:
+        raise ValueError("empty phrase body")
+    exp = (
+        positional.filter(F.col("term").startswith(prefix))
+        .select("term")
+        .distinct()
+        .orderBy(F.col("term").asc())
+        .limit(max_expansions)
+    )
+    anchor = positional.filter(F.col("term") == terms[0]).select(
+        "doc_id", F.col("pos").alias("pos0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = positional.filter(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos0")
+        )
+        anchor = anchor.join(nxt, ["doc_id", "pos0"], "inner")
+    # left_semi: one row per qualifying position, never duplicated by the
+    # expansion list (a position holds exactly one term)
+    last = positional.join(exp, "term", "left_semi").select(
+        "doc_id", (F.col("pos") - len(terms)).alias("pos0")
+    )
+    anchor = anchor.join(last, ["doc_id", "pos0"], "inner")
+    return anchor.groupBy("doc_id").agg(F.count("*").alias("phrase_tf"))
+
+
+def search_phrase_prefix(
+    docs: DataFrame, text: str, max_expansions: int = MAX_PREFIX_EXPANSIONS,
+    k: int = 20,
+) -> DataFrame:
+    """match_phrase_prefix top-k over the documents table: the trailing
+    word of `text` is the prefix-in-progress, the words before it the
+    exact phrase body. (doc_id, phrase_tf) ranked phrase_tf desc, doc_id
+    asc; an unanalyzable body empties the result (Q1 gate)."""
+    words = [w for w in text.strip().lower().split() if w]
+    if len(words) < 2:
+        raise ValueError("need at least one body word + the prefix")
+    body = analyze_phrase(" ".join(words[:-1]))
+    prefix = words[-1]
+    if not body:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, phrase_tf long"
+        )
+    hits = phrase_prefix_match(
+        build_positional(docs), body, prefix, max_expansions
+    )
+    return hits.orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+def search_span_first(
+    docs: DataFrame, word: str, n: int = 10, k: int = 20
+) -> DataFrame:
+    """(doc_id, first_pos) — Lucene SpanFirstQuery: documents whose FIRST
+    occurrence of the analyzed `word` falls within the document's first
+    `n` retained-token positions (title-ish / lead-paragraph matching
+    without a separate field). Ranked first_pos asc (earlier = better),
+    doc_id asc, top-k. One isin-sliced scan + one min aggregate."""
+    terms = analyze_phrase(word)
+    if len(terms) != 1:
+        raise ValueError("span_first takes exactly one analyzable word")
+    pos = build_positional(docs)
+    firsts = (
+        pos.filter(F.col("term") == terms[0])
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("long").alias("first_pos"))
+        .filter(F.col("first_pos") < int(n))
+    )
+    return firsts.orderBy(
+        F.col("first_pos").asc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 def unordered_near_match(
     positional: DataFrame, terms: list[str], slop: int = 0
 ) -> DataFrame:

@@ -682,6 +682,89 @@ def terms_agg_sharded(
     ).limit(size)
 
 
+def rare_terms_agg(
+    postings: DataFrame, max_doc_count: int = 1, k: int = 50
+) -> DataFrame:
+    """ES `rare_terms` aggregation → (term, doc_count): the long-tail
+    complement of `terms` (which surfaces heads) — terms appearing in at
+    most max_doc_count documents, ordered doc_count asc / term asc,
+    k-capped. ES approximates membership with a CuckooFilter at scale;
+    this engine computes it exactly — the df aggregate is one map-side-
+    combinable groupBy and the df ≤ max filter prunes before the cap.
+    The long tail is where misspellings, PII-ish tokens and boilerplate
+    ids live, so this doubles as a curation probe."""
+    df = (
+        postings.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= int(max_doc_count))
+    )
+    return (
+        df.select("term", F.col("doc_count").cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").asc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+# 0.4, not the ES-doc-default 0.5: the demoted score is round(round(x,4)
+# * boost, 4), and halving a 4dp decimal lands EXACTLY on the .00005
+# rounding boundary whenever the last digit is odd — where Spark's
+# BigDecimal HALF_UP and the oracle's float-path rounding can disagree by
+# one ulp. A 0.4 factor keeps the 5th decimal even ({0,2,4,6,8}), so the
+# boundary is never hit and the pair stays hash-identical.
+NEGATIVE_BOOST = 0.4
+
+
+def search_boosting(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    positive: list[str],
+    negative: list[str],
+    negative_boost: float = NEGATIVE_BOOST,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Elasticsearch `boosting` query → (doc_id, score): rank by the
+    positive query (disjunctive BM25), but docs matching ANY negative
+    term keep only score·negative_boost — demotion WITHOUT exclusion
+    (boolean NOT throws matches away; boosting keeps them, lower). The
+    canonical use is demoting near-spam or off-topic senses ("apple
+    -fruit" without losing fruit pages entirely).
+
+    Plan: the positive half is verbatim bm25_scored; the negative match
+    set is one distinct doc_id projection of the isin-filtered postings
+    scan, applied as a LEFT join + conditional multiply — no second
+    scoring pass, no window."""
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, positive,
+        k1=k1, b=b, conjunctive=False,
+    )
+    neg = sorted(set(negative))
+    if neg:
+        neg_docs = (
+            postings.filter(F.col("term").isin(neg))
+            .select("doc_id")
+            .distinct()
+            .withColumn("_neg", F.lit(True))
+        )
+        scored = scored.join(neg_docs, "doc_id", "left").select(
+            "doc_id",
+            F.round(
+                F.when(F.col("_neg"), F.col("score") * negative_boost)
+                .otherwise(F.col("score")),
+                4,
+            ).alias("score"),
+        )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(limit)
+
+
 def search_vsm(
     postings: DataFrame,
     term_dict: DataFrame,

@@ -301,3 +301,56 @@ def test_unordered_near_superset_of_ordered(spark):
     }
     assert ordered <= unordered
     pos.unpersist()
+
+
+# ---------------------------------------- phrase prefix + span first
+
+def test_phrase_prefix_matches_any_expansion(spark):
+    docs = _docs(spark, [(1, "merge data now"), (2, "merge database now"),
+                         (3, "merge nothing"), (4, "data merge")])
+    from search_engine_spark.operators.positional import (
+        search_phrase_prefix,
+    )
+
+    got = {
+        r["doc_id"]: r["phrase_tf"]
+        for r in search_phrase_prefix(spark.createDataFrame(
+            [(i, t) for i, t in [(1, "merge data now"),
+                                 (2, "merge database now"),
+                                 (3, "merge nothing"),
+                                 (4, "data merge")]],
+            "doc_id long, text string",
+        ), "merge da").collect()
+    }
+    assert got == {1: 1, 2: 1}  # both expansions; order matters (doc 4 no)
+
+
+def test_phrase_prefix_expansion_cap_is_term_asc(spark):
+    """max_expansions=1 keeps only the term-asc first expansion
+    ('data' < 'database'), exactly Lucene's rewrite cap."""
+    from search_engine_spark.operators.positional import (
+        search_phrase_prefix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge data now"), (2, "merge database now")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in search_phrase_prefix(docs, "merge da",
+                                      max_expansions=1).collect()
+    }
+    assert got == {1}
+
+
+def test_span_first_boundary_and_order(spark):
+    from search_engine_spark.operators.positional import search_span_first
+
+    docs = spark.createDataFrame(
+        [(1, "data starts here"), (2, "x y data"),
+         (3, " ".join(["w"] * 10) + " data")],  # first_pos = 10 -> out
+        "doc_id long, text string",
+    )
+    rows = search_span_first(docs, "data", n=10).collect()
+    assert [(r["doc_id"], r["first_pos"]) for r in rows] == [(1, 0), (2, 2)]

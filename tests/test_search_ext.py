@@ -759,3 +759,51 @@ def test_index_stats_cross_checks_postings(spark, ctx):
     assert row["total_tokens"] == agg["tot"]
     assert row["max_tf"] == agg["mx"]
     assert row["n_blocks"] >= row["n_terms"]  # ≥ one block per (bucket,term)
+
+
+# ------------------------------------------------ rare terms + boosting
+
+def test_rare_terms_tail_order_and_cap(spark):
+    postings = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (3, "a", 1),
+         (1, "b", 1), (2, "b", 1), (1, "c", 1), (2, "z", 1)],
+        "doc_id long, term string, tf long",
+    )
+    rows = se.rare_terms_agg(postings, max_doc_count=2, k=10).collect()
+    assert [(r["term"], r["doc_count"]) for r in rows] == [
+        ("c", 1), ("z", 1), ("b", 2)
+    ]
+    capped = se.rare_terms_agg(postings, max_doc_count=2, k=2).collect()
+    assert [r["term"] for r in capped] == ["c", "z"]
+
+
+def test_boosting_demotes_without_excluding(spark, ctx):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = ctx
+    import __spark_entry__ as em
+
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in se.search_bm25(
+            postings, term_dict, doc_stats, n_docs, avgdl, em.Q_BM25,
+            limit=1_000_000, conjunctive=False,
+        ).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in se.search_boosting(
+            postings, term_dict, doc_stats, n_docs, avgdl,
+            positive=em.Q_BM25, negative=["merge"], limit=1_000_000,
+        ).collect()
+    }
+    neg_docs = {
+        r["doc_id"]
+        for r in postings.filter("term = 'merge'")
+        .select("doc_id").distinct().collect()
+    }
+    assert set(boosted) == set(plain)  # demotion never excludes
+    assert neg_docs & set(plain)  # the fixture does overlap
+    for d, s in boosted.items():
+        if d in neg_docs:
+            assert s == round(plain[d] * se.NEGATIVE_BOOST, 4)
+        else:
+            assert s == plain[d]
