@@ -120,3 +120,132 @@ def search_impact(
         .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+ANYTIME_BUCKETS = 16
+
+
+def search_impact_anytime(
+    impacts: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    budget_per_bucket: int = 8,
+    n_buckets: int = ANYTIME_BUCKETS,
+) -> DataFrame:
+    """Anytime top-k over impact-ORDERED postings → (doc_id, score_q,
+    error_ub): evaluate only the `budget_per_bucket` highest-impact
+    postings of each query term within each doc bucket, and report, per
+    returned doc, the exact upper bound on what the unread tail could
+    still add — Anh & Moffat's anytime evaluation (CIKM'06 §4), in the
+    engine's doc-sharded layout.
+
+    The budget cut is per (doc_bucket, term) — the SAME bounded window
+    key the block builder and the static pruner use, never a
+    term-partitioned window (a head term's full posting list through one
+    partition is the round-1 scale-killer shape). A (bucket, term) run
+    whose postings all fit the budget contributes cutoff 0; otherwise
+    its cutoff is the smallest impact it DID evaluate, and a doc missing
+    term t in the prefix can gain at most cutoff(bucket(doc), t) from
+    the tail:
+
+        true_score(d) ∈ [score_q(d), score_q(d) + error_ub(d)]
+
+    (pinned by test against the exhaustive search_impact). The bound is
+    computed with the same two-sided trick as terms_agg_sharded:
+    error_ub = bucket_total_cutoff − Σ_{seen terms} cutoff, where the
+    ≤ n_buckets bucket totals fold in as a literal map and the per-term
+    cutoffs ride a broadcast-small join (≤ n_buckets·|terms| rows)."""
+    from pyspark.sql import Window
+
+    uniq = sorted(set(terms))
+    empty = impacts.select(
+        F.col("doc_id"),
+        F.lit(0).cast("bigint").alias("score_q"),
+        F.lit(0).cast("bigint").alias("error_ub"),
+    ).limit(0)
+    if not uniq:
+        return empty
+    pq = impacts.filter(F.col("term").isin(uniq)).withColumn(
+        "doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    w = Window.partitionBy("doc_bucket", "term").orderBy(
+        F.col("impact").desc(), F.col("doc_id").asc()
+    )
+    ranked = pq.select(
+        "doc_bucket", "term", "doc_id", "impact",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("doc_bucket", "term")
+        ).alias("n_run"),
+    ).persist()
+    kept = ranked.filter(F.col("rn") <= budget_per_bucket)
+    cut_rows = (
+        ranked.filter(F.col("rn") == budget_per_bucket)
+        .filter(F.col("n_run") > budget_per_bucket)
+        .select(
+            "doc_bucket", "term", F.col("impact").alias("cutoff")
+        )
+        .collect()
+    )
+    cutoff = {(r["doc_bucket"], r["term"]): r["cutoff"] for r in cut_rows}
+    if not cutoff:
+        # every (bucket, term) run fit the budget: the evaluation was
+        # exhaustive and the bound collapses to zero
+        return (
+            kept.groupBy("doc_id")
+            .agg(F.sum("impact").cast("bigint").alias("score_q"))
+            .select(
+                "doc_id", "score_q",
+                F.lit(0).cast("bigint").alias("error_ub"),
+            )
+            .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+    bucket_tot = {}
+    for (b, t), c in cutoff.items():
+        bucket_tot[b] = bucket_tot.get(b, 0) + c
+    tot_map = F.create_map(
+        *[F.lit(x) for b in sorted(bucket_tot) for x in (b, bucket_tot[b])]
+    )
+    cut_col = F.create_map(
+        *[
+            F.lit(x)
+            for (b, t) in sorted(cutoff)
+            for x in (f"{b}:{t}", cutoff[(b, t)])
+        ]
+    )
+    seen = kept.withColumn(
+        "seen_cut",
+        F.coalesce(
+            cut_col[
+                F.concat(
+                    F.col("doc_bucket").cast("string"), F.lit(":"),
+                    F.col("term"),
+                )
+            ],
+            F.lit(0),
+        ),
+    )
+    scored = (
+        seen.groupBy("doc_id", "doc_bucket")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.sum("seen_cut").alias("seen_total"),
+        )
+        .select(
+            "doc_id",
+            "score_q",
+            (
+                F.coalesce(tot_map[F.col("doc_bucket")], F.lit(0))
+                - F.col("seen_total")
+            )
+            .cast("bigint")
+            .alias("error_ub"),
+        )
+    )
+    out = scored.orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    # ranked stays persisted for the session (the cutoff collect above and
+    # the returned plan must see the same ranking)
+    return out

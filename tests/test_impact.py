@@ -117,3 +117,53 @@ def test_search_impact_empty_terms(spark):
     )
     imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
     assert search_impact(imp, []).count() == 0
+
+
+def test_anytime_bound_brackets_exhaustive(spark):
+    """For every returned doc: score_q <= true <= score_q + error_ub,
+    with the exhaustive integer scorer as truth; budget large enough
+    collapses the bound to 0 and reproduces search_impact exactly."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, entrymod.SF0001
+    )
+    from search_engine_spark.operators.impact import search_impact_anytime
+
+    imp = quantized_impacts(
+        postings, term_dict, doc_stats, n_docs, avgdl
+    ).persist()
+    truth = {
+        r["doc_id"]: r["score_q"]
+        for r in search_impact(imp, entrymod.Q_BM25, k=10**6).collect()
+    }
+    tight = search_impact_anytime(
+        imp, entrymod.Q_BM25, k=10**6, budget_per_bucket=3
+    ).collect()
+    assert any(r["error_ub"] > 0 for r in tight)  # the cut really cut
+    for r in tight:
+        t = truth[r["doc_id"]]
+        assert r["score_q"] <= t <= r["score_q"] + r["error_ub"], r.asDict()
+    loose = search_impact_anytime(
+        imp, entrymod.Q_BM25, k=10**6, budget_per_bucket=10**6
+    ).collect()
+    assert all(r["error_ub"] == 0 for r in loose)
+    assert {r["doc_id"]: r["score_q"] for r in loose} == truth
+    imp.unpersist()
+
+
+def test_anytime_prefix_is_highest_impact(spark):
+    """Crafted run: with budget 1 per bucket, only each (bucket, term)'s
+    highest-impact posting scores, and every unseen doc's potential is
+    bounded by that bucket's cutoff."""
+    from search_engine_spark.operators.impact import search_impact_anytime
+
+    imp = spark.createDataFrame(
+        # one bucket (doc_ids ≡ 0 mod 16), one term, impacts 9 > 7 > 3
+        [("a", 0, 9), ("a", 16, 7), ("a", 32, 3)],
+        "term string, doc_id long, impact int",
+    )
+    rows = search_impact_anytime(
+        imp, ["a"], budget_per_bucket=1, n_buckets=16
+    ).collect()
+    assert [(r["doc_id"], r["score_q"], r["error_ub"]) for r in rows] == [
+        (0, 9, 0)  # the evaluated doc saw its term: no residual error
+    ]
