@@ -1831,6 +1831,25 @@ def _q_search_span_first(spark, sf_dir):
     return search_span_first(load_documents(spark, sf_dir), "data", n=10)
 
 
+def _q_search_cross_fields(spark, sf_dir):
+    """ES multi_match cross_fields: per-term best-field contribution,
+    blended (max-of-fields) document frequency — completes the
+    multi-field trilogy with search_bm25f and search_dismax."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_cross_fields,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    anchor = anchor_postings(anchored_html(docs))
+    return search_cross_fields(
+        postings, anchor, doc_stats, n_docs, avgdl, Q_BM25F
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1884,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boosting": _q_search_boosting,
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_span_first": _q_search_span_first,
+        "search_cross_fields": _q_search_cross_fields,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -2085,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
             ["merge"], "da"
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
+        "search_cross_fields": pipe.search_cross_fields_sql(Q_BM25F),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

@@ -1939,6 +1939,95 @@ LIMIT {limit} OFFSET {offset}
 """
 
 
+def search_cross_fields_sql(
+    query_terms: list[str],
+    k1: float | None = None,
+    b_body: float | None = None,
+    b_anchor: float | None = None,
+    limit: int = 20,
+    offset: int = 0,
+    table: str = "documents",
+) -> str:
+    """ES multi_match cross_fields / Lucene BlendedTermQuery — mirrors
+    operators/anchors.py::search_cross_fields: per term the best field's
+    saturated contribution, idf over the blended (max-of-fields) df."""
+    from ..operators import anchors as an
+
+    k1 = an.K1_DEFAULT if k1 is None else k1
+    b_body = an.B_BODY if b_body is None else b_body
+    b_anchor = an.B_ANCHOR if b_anchor is None else b_anchor
+    uniq = sorted(set(query_terms))
+    terms_in = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_terms_ctes(table).strip()},
+bpost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+apost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM aterms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+adl AS (SELECT doc_id, sum(tf)::DOUBLE AS adl FROM (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM aterms
+  GROUP BY doc_id, term
+) GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(bdl.dl,0))
+          FROM {table} d LEFT JOIN bdl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl,
+         (SELECT coalesce(sum(adl.adl),0) FROM adl)
+           / (SELECT count(*) FROM {table}) AS avg_adl
+),
+bdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM bpost GROUP BY term),
+adf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM apost GROUP BY term),
+bl AS (
+  SELECT coalesce(b.term, a.term) AS term,
+         greatest(coalesce(b.df, 0), coalesce(a.df, 0)) AS df
+  FROM bdf b FULL OUTER JOIN adf a ON b.term = a.term
+),
+pb AS (
+  SELECT p.doc_id, p.term,
+         p.tf * ({repr(k1)} + 1)
+           / (p.tf + {repr(k1)}
+              * (1 - {repr(b_body)}
+                 + {repr(b_body)} * bdl.dl / s.avgdl)) AS part
+  FROM bpost p JOIN bdl USING (doc_id) CROSS JOIN stats s
+),
+pa AS (
+  SELECT p.doc_id, p.term,
+         p.tf * ({repr(k1)} + 1)
+           / (p.tf + {repr(k1)}
+              * (1 - {repr(b_anchor)}
+                 + {repr(b_anchor)} * adl.adl / s.avg_adl)) AS part
+  FROM apost p JOIN adl USING (doc_id) CROSS JOIN stats s
+),
+mergedtf AS (
+  SELECT coalesce(pb.doc_id, pa.doc_id) AS doc_id,
+         coalesce(pb.term, pa.term) AS term,
+         greatest(coalesce(pb.part, 0), coalesce(pa.part, 0)) AS best
+  FROM pb FULL OUTER JOIN pa
+    ON pb.doc_id = pa.doc_id AND pb.term = pa.term
+),
+scored AS (
+  SELECT m.doc_id,
+         sum( ln(1 + (s.n_docs - bl.df + 0.5) / (bl.df + 0.5)) * m.best
+            ) AS score
+  FROM mergedtf m JOIN bl USING (term) CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""
+
+
 def cdx_lines_sql(table: str = "documents") -> str:
     """CDXJ capture-index lines — mirrors sources/warc.py::cdx_lines
     (SURT key over raw_url, 14-digit UTC timestamp from the frozen epoch

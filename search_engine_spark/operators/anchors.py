@@ -375,3 +375,117 @@ def search_bm25f(
         .offset(offset)
         .limit(limit)
     )
+
+
+def search_cross_fields(
+    body: DataFrame,
+    anchor: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b_body: float = B_BODY,
+    b_anchor: float = B_ANCHOR,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """ES `multi_match` cross_fields over (body, anchor) → (doc_id,
+    score): the TERM-CENTRIC multi-field mode (Lucene BlendedTermQuery)
+    that completes the trilogy —
+
+      * BM25F (`search_bm25f`): fuse evidence per term BEFORE saturation
+        (one virtual document);
+      * best_fields (`search_dismax`): score whole query per field, bet
+        on the best field;
+      * cross_fields (here): per TERM take the best field's contribution,
+        then sum over terms —
+
+          score(d) = Σ_t  idf_blended(t) · max_f sat_f(tf_{f,t,d})
+
+        with BLENDED document frequency idf over max_f df_f(t) (ES
+        blends dfs so a term rare in one field but common in another
+        is not over-rewarded; "first name in field A, last name in
+        field B" is the canonical query this mode exists for).
+
+    Plan: per-field saturated parts (filter → dl join → codegen map),
+    full-outer on (doc_id, term), greatest(), one groupBy(doc_id) — all
+    doc-keyed, no window, field dfs collected driver-side (≤|terms| rows
+    each) into one blended idf literal."""
+    from .search import bm25_idf
+
+    uniq = sorted(set(terms))
+    empty = body.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    if not uniq:
+        return empty
+
+    anchor_dl = anchor.groupBy("doc_id").agg(F.sum("tf").alias("adl"))
+    total_anchor = anchor.agg(F.sum("tf")).collect()[0][0] or 0
+    avg_adl = float(total_anchor) / float(n_docs) if n_docs else 0.0
+
+    bq = body.filter(F.col("term").isin(uniq))
+    aq = anchor.filter(F.col("term").isin(uniq))
+
+    def field_df(pq):
+        return {
+            r["term"]: float(r["df"])
+            for r in pq.select("doc_id", "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+
+    df_b, df_a = field_df(bq), field_df(aq)
+    blended = {
+        t: max(df_b.get(t, 0.0), df_a.get(t, 0.0))
+        for t in set(df_b) | set(df_a)
+    }
+    idf = {t: bm25_idf(float(n_docs), d) for t, d in blended.items() if d > 0}
+    if not idf:
+        return empty
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )
+
+    def sat(pq, dl_frame, dl_col, avg, b):
+        if avg <= 0.0:
+            return pq.select(
+                "doc_id", "term", F.lit(0.0).alias("part")
+            ).limit(0)
+        return pq.join(dl_frame, "doc_id").select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double") * (k1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + k1
+                    * (1.0 - b + b * F.col(dl_col).cast("double") / float(avg))
+                )
+            ).alias("part"),
+        )
+    pb = sat(bq, doc_stats, "dl", avgdl, b_body).withColumnRenamed(
+        "part", "p_body"
+    )
+    pa = sat(aq, anchor_dl, "adl", avg_adl, b_anchor).withColumnRenamed(
+        "part", "p_anchor"
+    )
+    both = pb.join(pa, ["doc_id", "term"], "full_outer").select(
+        "doc_id",
+        "term",
+        F.greatest(
+            F.coalesce(F.col("p_body"), F.lit(0.0)),
+            F.coalesce(F.col("p_anchor"), F.lit(0.0)),
+        ).alias("best"),
+    )
+    scored = (
+        both.withColumn("part", idf_col[F.col("term")] * F.col("best"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )

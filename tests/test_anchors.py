@@ -224,3 +224,66 @@ def test_dismax_vs_bm25f_rank_divergence(spark):
     assert hits  # fixture anchors carry both words
     scores = [r["score"] for r in hits]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cross_fields_blended_df_and_term_max(spark):
+    """Hand-check: per term the BEST field's saturated part scores (not
+    the sum), idf over max-of-fields df."""
+    from search_engine_spark.operators.anchors import search_cross_fields
+
+    body = spark.createDataFrame(
+        [(1, "data", 2), (2, "data", 2)], "doc_id long, term string, tf long"
+    )
+    anchor = spark.createDataFrame(
+        [(1, "data", 5)], "doc_id long, term string, tf long"
+    )
+    doc_stats = spark.createDataFrame(
+        [(1, 10), (2, 10)], "doc_id long, dl long"
+    )
+    n_docs, avgdl = 2, 10.0
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_cross_fields(
+            body, anchor, doc_stats, n_docs, avgdl, ["data"]
+        ).collect()
+    }
+    avg_adl = 5.0 / 2.0
+    idf = bm25_idf(2.0, 2.0)  # blended df = max(2, 1) = 2
+
+    def sat(tf, b, dl, avg):
+        return tf * 2.2 / (tf + 1.2 * (1 - b + b * dl / avg))
+
+    p1 = max(sat(2.0, B_BODY, 10.0, avgdl), sat(5.0, B_ANCHOR, 5.0, avg_adl))
+    p2 = sat(2.0, B_BODY, 10.0, avgdl)
+    assert got[1] == round(idf * p1, 4)
+    assert got[2] == round(idf * p2, 4)
+
+
+def test_three_multifield_modes_agree_on_match_set(spark):
+    """BM25F, best_fields and cross_fields are different RANKERS over the
+    same disjunctive match set (body∪anchor occurrences)."""
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_bm25f,
+        search_cross_fields,
+        search_dismax,
+    )
+
+    docs = anchored_html(_docs(spark, n=30))
+    body = ib.build_postings(docs)
+    anchor = anchor_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, body)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    q = ["data", "merge"]
+    big = 10**6
+    sets = []
+    for fn in (search_bm25f, search_dismax, search_cross_fields):
+        sets.append({
+            r["doc_id"]
+            for r in fn(
+                body, anchor, doc_stats, n_docs, avgdl, q, limit=big
+            ).collect()
+        })
+    assert sets[0] == sets[1] == sets[2] and sets[0]
