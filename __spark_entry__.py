@@ -1850,6 +1850,14 @@ def _q_search_cross_fields(spark, sf_dir):
     )
 
 
+def _q_trending_terms(spark, sf_dir):
+    """Per-crawl-window top-k terms (the trending board; streaming twin
+    in streaming/stream_trends.py)."""
+    from search_engine_spark.operators.textstats import trending_terms
+
+    return trending_terms(load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1904,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_span_first": _q_search_span_first,
         "search_cross_fields": _q_search_cross_fields,
+        "trending_terms": _q_trending_terms,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -2106,6 +2115,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
         "search_cross_fields": pipe.search_cross_fields_sql(Q_BM25F),
+        "trending_terms": ora.trending_terms_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

@@ -1998,3 +1998,26 @@ HAVING min(pos) < {int(n)}
 ORDER BY first_pos ASC, doc_id ASC
 LIMIT {k}
 """
+
+
+def trending_terms_sql(bucket_secs: int = 3600, k: int = 5,
+                       table: str = "documents") -> str:
+    """Per-crawl-window top-k terms — mirrors operators/textstats.py::
+    trending_terms (epoch bucketing over the frozen warc_ts derivation,
+    occurrence counts, n desc / term asc cut)."""
+    b = int(bucket_secs)
+    return f"""
+WITH {terms_cte(table, extra_cols="(1704067200 + 60 * doc_id) AS epoch_s")},
+counts AS (
+  SELECT (epoch_s - epoch_s % {b})::BIGINT AS bucket_epoch, term,
+         count(*)::BIGINT AS n
+  FROM terms GROUP BY bucket_epoch, term
+),
+ranked AS (
+  SELECT bucket_epoch, term, n,
+         row_number() OVER (PARTITION BY bucket_epoch
+                            ORDER BY n DESC, term ASC) AS rn
+  FROM counts
+)
+SELECT bucket_epoch, term, n FROM ranked WHERE rn <= {k}
+"""

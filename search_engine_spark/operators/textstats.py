@@ -530,3 +530,46 @@ def ccnet_buckets(docs: DataFrame, postings: DataFrame) -> DataFrame:
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), nt
         ).alias("bucket"),
     )
+
+
+TREND_BUCKET_SECS = 3600
+
+
+def trending_terms(
+    docs: DataFrame,
+    bucket_secs: int = TREND_BUCKET_SECS,
+    k: int = 5,
+) -> DataFrame:
+    """(bucket_epoch, term, n) — the top-k terms of each crawl-time
+    window, by retained-token occurrence count: the "trending now" board
+    every search engine runs over its query/ingest logs, here over the
+    corpus's event time (warc_ts). TZ-independent epoch bucketing (the
+    facet_date_histogram convention); deterministic (n desc, term asc)
+    cut per bucket.
+
+    Plan: tokenize → one groupBy(bucket, term) with map-side combine →
+    WindowGroupLimit per bucket (bounded: buckets × k rows survive).
+    The streaming twin (streaming/stream_trends.py) runs the SAME
+    aggregation with a watermark; top-k happens on the sink table there
+    because append-mode can only emit closed windows."""
+    from pyspark.sql import Window
+
+    from ..functions.text_columns import explode_terms
+
+    terms = explode_terms(docs, keep=["doc_id", "warc_ts"])
+    epoch = F.col("warc_ts").cast("long")
+    counts = (
+        terms.withColumn(
+            "bucket_epoch", (epoch - epoch % bucket_secs).cast("long")
+        )
+        .groupBy("bucket_epoch", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("bucket_epoch").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("bucket_epoch", "term", F.col("n").cast("long").alias("n"))
+    )

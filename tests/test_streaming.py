@@ -477,3 +477,66 @@ def test_stream_percolate_replay_is_idempotent(spark, tmp_path):
         ).collect()
     )
     assert second == first
+
+
+def test_stream_trending_counts_match_batch(spark, tmp_path):
+    """Streaming trending-term counts == the batch board's underlying
+    counts for every watermark-closed window (the tokenizer + the
+    stream-static lemma join run identically in both)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.text_columns import explode_terms
+    from search_engine_spark.sources.documents import load_documents
+    from search_engine_spark.streaming.stream_trends import (
+        run_trends_to_memory,
+    )
+
+    docs = load_documents(spark, "/root/testdata/sf0.001").select(
+        "doc_id", "warc_ts", "text"
+    )
+    landing = str(tmp_path / "docs_in")
+    docs.coalesce(2).write.parquet(landing)
+
+    streamed = run_trends_to_memory(
+        spark, landing, str(tmp_path / "tckpt"), table_name="trend_test"
+    )
+    got = {
+        (r["bucket_epoch"], r["term"]): r["n"] for r in streamed.collect()
+    }
+    epoch = F.col("warc_ts").cast("long")
+    want_rows = (
+        explode_terms(docs, keep=["doc_id", "warc_ts"])
+        .withColumn("bucket_epoch", (epoch - epoch % 3600).cast("long"))
+        .groupBy("bucket_epoch", "term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
+    )
+    want = {(r["bucket_epoch"], r["term"]): r["n"] for r in want_rows}
+    assert got, "stream emitted no closed windows"
+    for k, v in got.items():
+        assert want[k] == v
+    # append mode emits a window once the watermark passes its END:
+    # closed ⇔ win_start + 3600 ≤ max(warc_ts) − 30 min
+    max_ts = docs.agg(F.max(epoch)).collect()[0][0]
+    missing = {
+        k for k in want if k not in got and k[0] + 3600 <= max_ts - 1800
+    }
+    assert not missing
+
+
+def test_trending_board_topk_is_deterministic(spark):
+    """The batch board keeps exactly k rows per bucket, ordered n desc /
+    term asc (cross-checked against its own counts)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.textstats import trending_terms
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    board = trending_terms(docs, k=3).collect()
+    per = {}
+    for r in board:
+        per.setdefault(r["bucket_epoch"], []).append((r["n"], r["term"]))
+    for b, rows in per.items():
+        assert len(rows) <= 3
+        assert rows == sorted(rows, key=lambda x: (-x[0], x[1]))
