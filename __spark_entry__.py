@@ -1858,6 +1858,31 @@ def _q_trending_terms(spark, sf_dir):
     return trending_terms(load_documents(spark, sf_dir))
 
 
+PINNED_IDS = [7, 3]
+
+
+def _q_search_ltr(spark, sf_dir):
+    """LTR inference: frozen linear model over the single-pass feature
+    matrix (serving half of the ES-LTR loop; ltr_features logs)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return se.search_ltr(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25
+    )
+
+
+def _q_search_pinned(spark, sf_dir):
+    """ES pinned query: editorial promotions first (given order),
+    organic BM25 after, position explicit in the value."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return se.search_pinned(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25, PINNED_IDS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1913,6 +1938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_span_first": _q_search_span_first,
         "search_cross_fields": _q_search_cross_fields,
         "trending_terms": _q_trending_terms,
+        "search_ltr": _q_search_ltr,
+        "search_pinned": _q_search_pinned,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -2116,6 +2143,8 @@ def oracle_sql() -> dict[str, str]:
         "search_span_first": ora.search_span_first_sql("data", n=10),
         "search_cross_fields": pipe.search_cross_fields_sql(Q_BM25F),
         "trending_terms": ora.trending_terms_sql(),
+        "search_ltr": ora.search_ltr_sql(Q_BM25),
+        "search_pinned": ora.search_pinned_sql(Q_BM25, PINNED_IDS),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

@@ -2021,3 +2021,63 @@ ranked AS (
 )
 SELECT bucket_epoch, term, n FROM ranked WHERE rn <= {k}
 """
+
+
+def search_ltr_sql(query_terms: list[str], weights: dict | None = None,
+                   candidates: int = 50, limit: int = 20,
+                   table: str = "documents") -> str:
+    """LTR inference — mirrors operators/search.py::search_ltr (frozen
+    linear model over the single-pass feature matrix, stated in the SAME
+    term order so the float arithmetic is bit-identical)."""
+    from ..operators.search import LTR_WEIGHTS
+
+    w = weights or LTR_WEIGHTS
+    expr = (
+        f"{w['bm25']!r} * bm25"
+        f" + {w['n_matched']!r} * n_matched"
+        f" + {w['dl']!r} * dl"
+        f" + {w['sum_tf']!r} * sum_tf"
+        f" + {w['max_tf']!r} * max_tf"
+        f" + {w['idf_sum']!r} * idf_sum"
+    )
+    return f"""
+WITH f AS ({ltr_features_sql(query_terms, limit=candidates, table=table)})
+SELECT doc_id, round({expr}, 4) AS ltr_score
+FROM f
+ORDER BY ltr_score DESC, doc_id ASC
+LIMIT {limit}
+"""
+
+
+def search_pinned_sql(query_terms: list[str], pinned_ids: list[int],
+                      limit: int = 20, k1: float = 1.2, b: float = 0.75,
+                      table: str = "documents") -> str:
+    """ES pinned query — mirrors operators/search.py::search_pinned
+    (promoted docs first in given order, organic BM25 after, position
+    explicit in the value)."""
+    npin = len(pinned_ids)
+    n_org = max(limit - npin, 0)
+    vals = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(pinned_ids))
+    ids_in = "(" + ", ".join(str(int(d)) for d in pinned_ids) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+sc AS (SELECT doc_id, round(score, 4) AS score FROM scored),
+pin(doc_id, position) AS (VALUES {vals}),
+pinned_rows AS (
+  SELECT p.position::BIGINT AS position, p.doc_id, sc.score,
+         TRUE AS pinned
+  FROM pin p LEFT JOIN sc USING (doc_id)
+),
+organic AS (
+  SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC)
+          - 1 + {npin})::BIGINT AS position,
+         doc_id, score, FALSE AS pinned
+  FROM sc WHERE doc_id NOT IN {ids_in}
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {n_org}
+)
+SELECT position, doc_id, score, pinned FROM pinned_rows
+UNION ALL
+SELECT position, doc_id, score, pinned FROM organic
+"""

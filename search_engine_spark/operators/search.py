@@ -765,6 +765,116 @@ def search_boosting(
     ).limit(limit)
 
 
+# Frozen linear LTR model over the ltr_features columns. 4dp features
+# (bm25, idf_sum) get weights that are multiples of 0.2 so their products
+# keep an EVEN 5th decimal — the re-round can never land on a .00005
+# midpoint where HALF_UP and float-path rounding could split (same
+# reasoning as NEGATIVE_BOOST). Integer features take free-form weights.
+LTR_WEIGHTS = {
+    "bm25": 1.0,
+    "n_matched": 0.4,
+    "dl": -0.002,
+    "sum_tf": 0.01,
+    "max_tf": 0.05,
+    "idf_sum": 0.2,
+}
+
+
+def search_ltr(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    weights: dict[str, float] | None = None,
+    candidates: int = 50,
+    limit: int = 20,
+) -> DataFrame:
+    """Learning-to-rank INFERENCE → (doc_id, ltr_score): apply the frozen
+    linear model to the single-pass feature matrix and re-rank the
+    candidate set — the serving half of the ES-LTR loop whose logging
+    half is `ltr_features` (features → train offline → freeze weights →
+    re-rank the BM25 candidates at query time; `quality_model_scores` is
+    the same frozen-model pattern on the curation side).
+
+    Plan: verbatim ltr_features (one aggregation, no extra shuffle) plus
+    one codegen Project for the dot product and a TakeOrderedAndProject
+    re-rank of ≤candidates rows."""
+    w = weights or LTR_WEIGHTS
+    feats = ltr_features(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        limit=candidates,
+    )
+    score = F.round(
+        w["bm25"] * F.col("bm25")
+        + w["n_matched"] * F.col("n_matched").cast("double")
+        + w["dl"] * F.col("dl").cast("double")
+        + w["sum_tf"] * F.col("sum_tf").cast("double")
+        + w["max_tf"] * F.col("max_tf").cast("double")
+        + w["idf_sum"] * F.col("idf_sum"),
+        4,
+    )
+    return (
+        feats.select("doc_id", score.alias("ltr_score"))
+        .orderBy(F.col("ltr_score").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
+
+
+def search_pinned(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    pinned_ids: list[int],
+    limit: int = 20,
+) -> DataFrame:
+    """Elasticsearch `pinned` query → (position, doc_id, score, pinned):
+    editorially promoted documents occupy the first positions IN THE
+    GIVEN ORDER regardless of relevance, organic BM25 hits follow
+    (pinned docs excluded from the organic list). position makes the
+    ordering part of the VALUE so the order-insensitive oracle compare
+    still pins it. Pinned docs carry their organic score when they match
+    the query and NULL otherwise (they are returned either way — that is
+    the point of pinning).
+
+    Plan: the organic half is bm25_scored + the bounded no-Window
+    ranked_topk; the pinned half is a ≤|pinned| literal frame left-joined
+    to the scored set. Nothing corpus-scaling moves for the pin."""
+    spark = postings.sparkSession
+    uniq = sorted(set(terms))
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, uniq,
+        conjunctive=False,
+    )
+    pin = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(pinned_ids)],
+        "doc_id long, position int",
+    )
+    pinned_rows = pin.join(scored, "doc_id", "left").select(
+        F.col("position").cast("long").alias("position"),
+        "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.lit(True).alias("pinned"),
+    )
+    n_org = max(limit - len(pinned_ids), 0)
+    organic_top = (
+        scored.join(pin.select("doc_id"), "doc_id", "left_anti")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(n_org)
+    )
+    organic = ranked_topk(organic_top, "score").select(
+        (F.col("rank") - 1 + len(pinned_ids)).cast("long").alias("position"),
+        "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.lit(False).alias("pinned"),
+    )
+    return pinned_rows.unionByName(organic).orderBy("position").limit(limit)
+
+
 def search_vsm(
     postings: DataFrame,
     term_dict: DataFrame,

@@ -807,3 +807,71 @@ def test_boosting_demotes_without_excluding(spark, ctx):
             assert s == round(plain[d] * se.NEGATIVE_BOOST, 4)
         else:
             assert s == plain[d]
+
+
+# ------------------------------------------------ LTR inference + pinned
+
+def test_ltr_inference_recomputes_from_features(spark, ctx):
+    """The frozen dot product over the logged features, recomputed in
+    pure Python, must equal the operator's scores exactly."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["dup", "data", "fast"]
+    feats = {
+        r["doc_id"]: r.asDict()
+        for r in se.ltr_features(
+            postings, td, ds, n, avgdl, q, limit=50
+        ).collect()
+    }
+    got = se.search_ltr(postings, td, ds, n, avgdl, q, limit=50).collect()
+    assert got
+    w = se.LTR_WEIGHTS
+    for r in got:
+        f = feats[r["doc_id"]]
+        want = round(
+            w["bm25"] * f["bm25"] + w["n_matched"] * f["n_matched"]
+            + w["dl"] * f["dl"] + w["sum_tf"] * f["sum_tf"]
+            + w["max_tf"] * f["max_tf"] + w["idf_sum"] * f["idf_sum"], 4
+        )
+        assert abs(r["ltr_score"] - want) < 1e-9
+    scores = [r["ltr_score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ltr_reranks_differently_from_bm25(spark, ctx):
+    """The model must actually change the ordering relative to raw BM25
+    (otherwise the inference stage is vacuous on this corpus)."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["dup", "data", "fast"]
+    bm = [r["doc_id"] for r in se.search_bm25(
+        postings, td, ds, n, avgdl, q, limit=20, conjunctive=False
+    ).collect()]
+    ltr = [r["doc_id"] for r in se.search_ltr(
+        postings, td, ds, n, avgdl, q, limit=20
+    ).collect()]
+    assert bm != ltr
+
+
+def test_pinned_order_and_semantics(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["dup", "data", "fast"]
+    organic = se.search_bm25(
+        postings, td, ds, n, avgdl, q, limit=10**6, conjunctive=False
+    ).collect()
+    top = organic[0]["doc_id"]
+    all_scores = {r["doc_id"]: r["score"] for r in organic}
+    nonmatch = next(d for d in range(500) if d not in all_scores)
+    pinned = se.search_pinned(
+        postings, td, ds, n, avgdl, q, [nonmatch, top], limit=10
+    ).collect()
+    rows = sorted(pinned, key=lambda r: r["position"])
+    # pinned first, in the GIVEN order, regardless of relevance
+    assert [r["doc_id"] for r in rows[:2]] == [nonmatch, top]
+    assert rows[0]["pinned"] and rows[1]["pinned"]
+    assert rows[0]["score"] is None  # returned although unmatched
+    assert rows[1]["score"] == organic[0]["score"]
+    # organic tail excludes pinned docs and keeps BM25 order
+    tail = rows[2:]
+    assert top not in [r["doc_id"] for r in tail]
+    tail_scores = [r["score"] for r in tail]
+    assert tail_scores == sorted(tail_scores, reverse=True)
+    assert [r["position"] for r in rows] == list(range(len(rows)))
