@@ -1883,6 +1883,16 @@ def _q_search_pinned(spark, sf_dir):
     )
 
 
+ADJ_FILTERS = {"d": "data", "f": "fast", "m": "merge"}
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix: named term-filter co-occurrence counts
+    (singles + pairwise intersections)."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.adjacency_matrix(postings, ADJ_FILTERS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -1940,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": _q_trending_terms,
         "search_ltr": _q_search_ltr,
         "search_pinned": _q_search_pinned,
+        "adjacency_matrix": _q_adjacency_matrix,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -2145,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_terms": ora.trending_terms_sql(),
         "search_ltr": ora.search_ltr_sql(Q_BM25),
         "search_pinned": ora.search_pinned_sql(Q_BM25, PINNED_IDS),
+        "adjacency_matrix": ora.adjacency_matrix_sql(ADJ_FILTERS),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

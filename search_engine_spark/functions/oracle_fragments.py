@@ -2081,3 +2081,32 @@ SELECT position, doc_id, score, pinned FROM pinned_rows
 UNION ALL
 SELECT position, doc_id, score, pinned FROM organic
 """
+
+
+def adjacency_matrix_sql(filters: dict, table: str = "documents") -> str:
+    """ES adjacency_matrix — mirrors operators/search.py::
+    adjacency_matrix (named single-term filters; singles + name-sorted
+    pairwise intersections)."""
+    names = sorted(filters)
+    cases = " ".join(
+        f"WHEN '{filters[nm]}' THEN '{nm}'" for nm in names
+    )
+    terms_in = "(" + ", ".join(f"'{filters[nm]}'" for nm in names) + ")"
+    return f"""
+WITH {terms_cte(table)},
+m AS (
+  SELECT DISTINCT doc_id, CASE term {cases} END AS name
+  FROM terms WHERE term IN {terms_in}
+),
+singles AS (
+  SELECT name AS key, count(*)::BIGINT AS doc_count FROM m GROUP BY name
+),
+pairs AS (
+  SELECT a.name || '&' || b.name AS key, count(*)::BIGINT AS doc_count
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.name < b.name
+  GROUP BY a.name, b.name
+)
+SELECT key, doc_count FROM singles
+UNION ALL
+SELECT key, doc_count FROM pairs
+"""

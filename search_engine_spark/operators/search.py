@@ -875,6 +875,59 @@ def search_pinned(
     return pinned_rows.unionByName(organic).orderBy("position").limit(limit)
 
 
+def adjacency_matrix(
+    postings: DataFrame, filters: dict[str, str]
+) -> DataFrame:
+    """ES `adjacency_matrix` aggregation → (key, doc_count): document
+    counts for every named term-filter and every pairwise intersection
+    ("a", "b", "a&b" — ES's key syntax), the co-occurrence matrix that
+    drives entity/topic overlap dashboards. Filters here are single
+    terms (name → term); ES sorts the pair key by filter NAME, mirrored
+    exactly.
+
+    Plan: one isin-filtered distinct (doc_id, term) projection; singles
+    are a groupBy(term); intersections are one self-join on doc_id over
+    the already term-sliced relation (each side only filter-matching
+    docs — never the corpus against itself) + a groupBy on the name
+    pair. |filters| is query-sized, so the join fan-out per doc is at
+    most C(|filters|, 2)."""
+    names = sorted(filters)
+    term_to_names = {}
+    for nm in names:
+        term_to_names.setdefault(filters[nm], []).append(nm)
+    terms = sorted(term_to_names)
+    name_map = F.create_map(
+        *[
+            x
+            for t in terms
+            for x in (F.lit(t), F.lit(term_to_names[t][0]))
+        ]
+    )
+    # one name per term in this engine's shape (documented); a duplicate
+    # term under two names would need an explode over term_to_names
+    m = (
+        postings.filter(F.col("term").isin(terms))
+        .select("doc_id", name_map[F.col("term")].alias("name"))
+        .distinct()
+    )
+    singles = m.groupBy("name").agg(F.count("*").alias("doc_count")).select(
+        F.col("name").alias("key"), F.col("doc_count").cast("long")
+    )
+    a = m.select(F.col("doc_id"), F.col("name").alias("na"))
+    b = m.select(F.col("doc_id"), F.col("name").alias("nb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count("*").alias("doc_count"))
+        .select(
+            F.concat(F.col("na"), F.lit("&"), F.col("nb")).alias("key"),
+            F.col("doc_count").cast("long"),
+        )
+    )
+    return singles.unionByName(pairs)
+
+
 def search_vsm(
     postings: DataFrame,
     term_dict: DataFrame,

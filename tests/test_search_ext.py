@@ -875,3 +875,21 @@ def test_pinned_order_and_semantics(spark, ctx):
     tail_scores = [r["score"] for r in tail]
     assert tail_scores == sorted(tail_scores, reverse=True)
     assert [r["position"] for r in rows] == list(range(len(rows)))
+
+
+def test_adjacency_matrix_counts_and_keys(spark):
+    postings = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2), (2, "x", 1), (3, "y", 1), (3, "z", 1),
+         (1, "z", 4)],
+        "doc_id long, term string, tf long",
+    )
+    got = {
+        r["key"]: r["doc_count"]
+        for r in se.adjacency_matrix(
+            postings, {"a": "x", "b": "y", "c": "z"}
+        ).collect()
+    }
+    assert got == {
+        "a": 2, "b": 2, "c": 2,        # singles (distinct docs)
+        "a&b": 1, "a&c": 1, "b&c": 2,  # name-sorted intersections
+    }
