@@ -1013,6 +1013,24 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(load_documents(spark, sf_dir))
 
 
+def _q_extended_stats(spark, sf_dir):
+    from search_engine_spark.operators.textstats import extended_stats
+
+    return extended_stats(load_documents(spark, sf_dir))
+
+
+def _q_matrix_stats(spark, sf_dir):
+    from search_engine_spark.operators.textstats import matrix_stats
+
+    return matrix_stats(load_documents(spark, sf_dir))
+
+
+def _q_range_agg(spark, sf_dir):
+    from search_engine_spark.operators.textstats import range_agg
+
+    return range_agg(load_documents(spark, sf_dir))
+
+
 def _q_quality_model(spark, sf_dir):
     """Frozen-weight logistic quality classifier (LR filter) over the
     rounded quality-feature frame."""
@@ -2001,6 +2019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "extended_stats": _q_extended_stats,
+        "matrix_stats": _q_matrix_stats,
+        "range_agg": _q_range_agg,
         "quality_model": _q_quality_model,
         "fingerprints": _q_fingerprints,
         "lm_scores": _q_lm_scores,
@@ -2210,6 +2231,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),
+        "extended_stats": pipe.extended_stats_sql(),
+        "matrix_stats": pipe.matrix_stats_sql(),
+        "range_agg": pipe.range_agg_sql(),
         "quality_model": pipe.quality_model_sql(),
         "fingerprints": pipe.fingerprints_sql(),
         "lm_scores": pipe.unigram_lm_scores_sql(),

@@ -2733,3 +2733,115 @@ JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = '{brand}'
 JOIN stats s ON s.l_partkey = l.l_partkey
 WHERE l.l_quantity::DECIMAL(18,2) * 5 * s.n_li < s.sum_qty
 """
+
+
+# ----------------------------------------------- moment-based aggregations
+
+
+def extended_stats_sql(table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::extended_stats: exact BIGINT
+    moments per site, then the identical double expression
+    var = sum_sq/n - avg^2 (clamped at 0), std = sqrt, bounds avg±2σ."""
+    return f"""
+WITH g AS (
+  SELECT {SITE_KEY_SQL} AS site_key,
+         count(*)::BIGINT AS n,
+         min(len(text))::BIGINT AS min_chars,
+         max(len(text))::BIGINT AS max_chars,
+         sum(len(text)::BIGINT)::BIGINT AS sum_chars,
+         sum((len(text)::BIGINT) * (len(text)::BIGINT))::BIGINT AS sum_sq
+  FROM {table} GROUP BY 1
+),
+m AS (
+  SELECT *, sum_chars::DOUBLE / n::DOUBLE AS avg_raw,
+         greatest(sum_sq::DOUBLE / n::DOUBLE
+                  - (sum_chars::DOUBLE / n::DOUBLE)
+                    * (sum_chars::DOUBLE / n::DOUBLE), 0.0) AS var_raw
+  FROM g
+)
+SELECT site_key, n, min_chars, max_chars, sum_chars, sum_sq,
+       round(avg_raw, 4) AS avg_chars,
+       round(var_raw, 4) AS variance,
+       round(sqrt(var_raw), 4) AS std,
+       round(avg_raw + 2.0 * sqrt(var_raw), 4) AS std_upper,
+       round(avg_raw - 2.0 * sqrt(var_raw), 4) AS std_lower
+FROM m
+"""
+
+
+def matrix_stats_sql(table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::matrix_stats: exact BIGINT moments
+    of (n_chars, n_ws_tokens) per lang; cov = sxy/n - mx*my; corr pinned
+    0.0 when either variance is 0."""
+    y = (f"(CASE WHEN trim(text) = '' THEN 0 ELSE "
+         f"len(string_split_regex(trim(text), '{WS_SPLIT}')) END)::BIGINT")
+    return f"""
+WITH g AS (
+  SELECT lang,
+         count(*)::BIGINT AS n,
+         sum(len(text)::BIGINT)::BIGINT AS sx,
+         sum({y})::BIGINT AS sy,
+         sum((len(text)::BIGINT) * (len(text)::BIGINT))::BIGINT AS sxx,
+         sum({y} * {y})::BIGINT AS syy,
+         sum((len(text)::BIGINT) * {y})::BIGINT AS sxy
+  FROM {table} GROUP BY lang
+),
+m AS (
+  SELECT lang, n,
+         sx::DOUBLE / n::DOUBLE AS mx, sy::DOUBLE / n::DOUBLE AS my,
+         greatest(sxx::DOUBLE / n::DOUBLE
+                  - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE),
+                  0.0) AS vx,
+         greatest(syy::DOUBLE / n::DOUBLE
+                  - (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE),
+                  0.0) AS vy,
+         sxy::DOUBLE / n::DOUBLE
+           - (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE) AS cov
+  FROM g
+)
+SELECT lang, n,
+       round(mx, 4) AS mean_chars, round(my, 4) AS mean_tokens,
+       round(vx, 4) AS var_chars, round(vy, 4) AS var_tokens,
+       round(cov, 4) AS covariance,
+       round(CASE WHEN vx > 0.0 AND vy > 0.0
+                  THEN cov / sqrt(vx * vy) ELSE 0.0 END, 4) AS correlation
+FROM m
+"""
+
+
+def range_agg_sql(table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::range_agg: frozen RANGE_BUCKETS
+    (from inclusive, to exclusive), empty buckets kept with zero-filled
+    stats."""
+    rows = ", ".join(
+        f"({i}, '{ts._range_key(lo, hi)}')"
+        for i, (lo, hi) in enumerate(ts.RANGE_BUCKETS)
+    )
+    case = "CASE "
+    for i, (lo, hi) in enumerate(ts.RANGE_BUCKETS):
+        conds = []
+        if lo is not None:
+            conds.append(f"len(text) >= {lo}")
+        if hi is not None:
+            conds.append(f"len(text) < {hi}")
+        case += f"WHEN {' AND '.join(conds) or 'TRUE'} THEN {i} "
+    case += "END"
+    return f"""
+WITH buckets(bucket_idx, range_key) AS (VALUES {rows}),
+c AS (
+  SELECT {case} AS bucket_idx,
+         count(*)::BIGINT AS doc_count,
+         min(len(text))::BIGINT AS min_chars,
+         max(len(text))::BIGINT AS max_chars,
+         sum(len(text)::BIGINT)::BIGINT AS sum_chars
+  FROM {table} GROUP BY 1
+)
+SELECT b.bucket_idx::INT AS bucket_idx, b.range_key,
+       coalesce(c.doc_count, 0)::BIGINT AS doc_count,
+       coalesce(c.min_chars, 0)::BIGINT AS min_chars,
+       coalesce(c.max_chars, 0)::BIGINT AS max_chars,
+       coalesce(CASE WHEN c.doc_count > 0
+                     THEN round(c.sum_chars::DOUBLE / c.doc_count::DOUBLE, 4)
+                     END, 0.0) AS avg_chars
+FROM buckets b LEFT JOIN c USING (bucket_idx)
+"""

@@ -573,3 +573,169 @@ def trending_terms(
         .filter(F.col("rn") <= k)
         .select("bucket_epoch", "term", F.col("n").cast("long").alias("n"))
     )
+
+
+# ----------------------------------------------- moment-based aggregations
+
+# frozen range-aggregation buckets over n_chars (from inclusive, to
+# exclusive — Elasticsearch `range` agg semantics); mirrored in
+# oracle_pipeline.range_agg_sql
+RANGE_BUCKETS = [(None, 100), (100, 400), (400, 1200), (1200, None)]
+
+
+def _range_key(lo, hi) -> str:
+    return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+
+def extended_stats(docs: DataFrame) -> DataFrame:
+    """Per-site extended statistics of document length → (site_key, n,
+    min_chars, max_chars, sum_chars, avg_chars, sum_sq, variance, std,
+    std_upper, std_lower): Elasticsearch's `extended_stats` aggregation
+    (population variance, ±2σ bounds).
+
+    Parity is guaranteed by construction, not by trusting each engine's
+    variance builtin: both engines aggregate EXACT integer moments
+    (count, Σx, Σx² as BIGINT — no float accumulation order to disagree
+    on) and then derive avg/var/std with the IDENTICAL IEEE-double
+    expression  var = Σx²/n − avg²  (clamped at 0 before sqrt), rounded
+    4 dp at the edge. Never var_pop()/stddev_pop() builtins, whose
+    single-pass accumulators differ in last-bit rounding across engines.
+
+    Plan: one narrow scan (doc_id, text) → length → groupBy(site_key)
+    with map-side-combinable integer sums; output is ≤ |sites| rows.
+    At 100 TB this is the canonical one-shuffle moment sketch."""
+    from ..sources.documents import site_key_col
+
+    n_chars = F.length("text").cast("bigint")
+    g = (
+        docs.select(site_key_col().alias("site_key"), n_chars.alias("x"))
+        .groupBy("site_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("x").cast("bigint").alias("min_chars"),
+            F.max("x").cast("bigint").alias("max_chars"),
+            F.sum("x").cast("bigint").alias("sum_chars"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_sq"),
+        )
+    )
+    avg = F.col("sum_chars").cast("double") / F.col("n").cast("double")
+    var = F.col("sum_sq").cast("double") / F.col("n").cast("double") - avg * avg
+    var0 = F.greatest(var, F.lit(0.0))
+    std = F.sqrt(var0)
+    return g.select(
+        "site_key", "n", "min_chars", "max_chars", "sum_chars", "sum_sq",
+        F.round(avg, 4).alias("avg_chars"),
+        F.round(var0, 4).alias("variance"),
+        F.round(std, 4).alias("std"),
+        F.round(avg + 2.0 * std, 4).alias("std_upper"),
+        F.round(avg - 2.0 * std, 4).alias("std_lower"),
+    )
+
+
+def matrix_stats(docs: DataFrame) -> DataFrame:
+    """Per-language covariance/correlation between document length and
+    whitespace token count → (lang, n, mean_chars, mean_tokens, var_chars,
+    var_tokens, covariance, correlation): Elasticsearch's `matrix_stats`
+    aggregation over the field pair (n_chars, n_ws_tokens).
+
+    Same exact-integer-moment discipline as `extended_stats`: both
+    engines reduce to BIGINT (n, Σx, Σy, Σx², Σy², Σxy) and derive
+    cov = Σxy/n − x̄·ȳ and corr = cov/√(varx·vary) with the identical
+    double expression (corr pinned to 0.0 when either variance is 0),
+    rounded 4 dp. One narrow scan, one map-side-combinable groupBy."""
+    t = F.trim(F.col("text"))
+    x = F.length("text").cast("bigint")
+    y = (
+        F.when(t == "", F.lit(0))
+        .otherwise(F.size(F.split(t, WS_SPLIT)))
+        .cast("bigint")
+    )
+    g = (
+        docs.select(F.col("lang"), x.alias("x"), y.alias("y"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.greatest(F.col("sxx").cast("double") / nd - mx * mx, F.lit(0.0))
+    vy = F.greatest(F.col("syy").cast("double") / nd - my * my, F.lit(0.0))
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    corr = F.when(
+        (vx > 0.0) & (vy > 0.0), cov / F.sqrt(vx * vy)
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "lang", "n",
+        F.round(mx, 4).alias("mean_chars"),
+        F.round(my, 4).alias("mean_tokens"),
+        F.round(vx, 4).alias("var_chars"),
+        F.round(vy, 4).alias("var_tokens"),
+        F.round(cov, 4).alias("covariance"),
+        F.round(corr, 4).alias("correlation"),
+    )
+
+
+def range_agg(docs: DataFrame) -> DataFrame:
+    """Document-length range buckets → (bucket_idx, range_key, doc_count,
+    min_chars, max_chars, avg_chars): Elasticsearch's `range` aggregation
+    (from inclusive, to exclusive, frozen RANGE_BUCKETS), EMPTY BUCKETS
+    INCLUDED with doc_count 0 (the ES contract — a dashboard histogram
+    must not drop axes), zero-filled stats.
+
+    Plan: per-doc bucket assignment is a branch-free CASE over one
+    length() projection; one groupBy(bucket) with map-side combine; the
+    4-row literal bucket frame left-joins the counts (broadcast by
+    construction). Output is exactly |RANGE_BUCKETS| rows at any scale."""
+    n_chars = F.length("text").cast("bigint")
+    bucket = F.lit(None).cast("int")
+    expr = None
+    for i, (lo, hi) in enumerate(RANGE_BUCKETS):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (n_chars >= lo)
+        if hi is not None:
+            cond = cond & (n_chars < hi)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    counts = (
+        docs.select(expr.alias("bucket_idx"), n_chars.alias("x"))
+        .groupBy("bucket_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_count"),
+            F.min("x").cast("bigint").alias("min_chars"),
+            F.max("x").cast("bigint").alias("max_chars"),
+            F.sum("x").cast("bigint").alias("sum_chars"),
+        )
+    )
+    spark = docs.sparkSession
+    frame = spark.createDataFrame(
+        [(i, _range_key(lo, hi)) for i, (lo, hi) in enumerate(RANGE_BUCKETS)],
+        "bucket_idx INT, range_key STRING",
+    )
+    avg = (
+        F.when(
+            F.col("doc_count") > 0,
+            F.round(
+                F.col("sum_chars").cast("double")
+                / F.col("doc_count").cast("double"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        frame.join(counts, "bucket_idx", "left")
+        .select(
+            "bucket_idx",
+            "range_key",
+            F.coalesce("doc_count", F.lit(0)).cast("bigint").alias("doc_count"),
+            F.coalesce("min_chars", F.lit(0)).cast("bigint").alias("min_chars"),
+            F.coalesce("max_chars", F.lit(0)).cast("bigint").alias("max_chars"),
+            F.coalesce(avg, F.lit(0.0)).alias("avg_chars"),
+        )
+    )

@@ -537,3 +537,64 @@ def test_media_features_null_payload_yields_null_features(spark):
     assert got[1]["feat_hash"] is not None
     assert got[2]["n_bytes"] is None
     assert got[2]["feat_hash"] is None and got[2]["feat0"] is None
+
+
+# --------------------------------------------- moment-based aggregations
+
+
+@pytest.fixture(scope="module")
+def stat_docs(spark):
+    rows = [
+        (0, "aa bb cc", "en"),
+        (1, "aaaa bbbb", "en"),
+        (2, "a" * 150, "en"),
+        (3, "x " * 300, "ru"),          # 600 chars (trailing space)
+        (4, "", "ru"),
+        (5, "слово два три", "ru"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_extended_stats_matches_numpy(spark, stat_docs):
+    import numpy as np
+
+    rows = {r["site_key"]: r for r in textstats.extended_stats(stat_docs).collect()}
+    # site key = 'site-' + chr(97 + doc_id % 3): site-a={0,3}, site-b={1,4}, site-c={2,5}
+    lens = {"site-a": [8, 600], "site-b": [9, 0], "site-c": [150, 13]}
+    for site, xs in lens.items():
+        r = rows[site]
+        arr = np.array(xs, dtype=float)
+        assert r["n"] == len(xs)
+        assert r["sum_chars"] == int(arr.sum())
+        assert r["variance"] == pytest.approx(arr.var(), abs=1e-3)
+        assert r["std"] == pytest.approx(arr.std(), abs=1e-3)
+        assert r["std_upper"] == pytest.approx(arr.mean() + 2 * arr.std(), abs=1e-3)
+
+
+def test_matrix_stats_correlation_bounds(spark, stat_docs):
+    import numpy as np
+
+    rows = {r["lang"]: r for r in textstats.matrix_stats(stat_docs).collect()}
+    assert set(rows) == {"en", "ru"}
+    for r in rows.values():
+        assert -1.0 <= r["correlation"] <= 1.0
+    # verify 'en' against numpy: x = len(text), y = ws token count
+    x = np.array([8.0, 9.0, 150.0])
+    y = np.array([3.0, 2.0, 1.0])
+    cov = (x * y).mean() - x.mean() * y.mean()
+    corr = cov / (x.std() * y.std())
+    assert rows["en"]["covariance"] == pytest.approx(cov, abs=1e-3)
+    assert rows["en"]["correlation"] == pytest.approx(corr, abs=1e-3)
+
+
+def test_range_agg_partitions_corpus(spark, stat_docs):
+    rows = sorted(textstats.range_agg(stat_docs).collect(), key=lambda r: r["bucket_idx"])
+    assert [r["range_key"] for r in rows] == ["*-100", "100-400", "400-1200", "1200-*"]
+    assert sum(r["doc_count"] for r in rows) == stat_docs.count()
+    # empty bucket present and zero-filled (no doc is >= 1200 chars)
+    tail = rows[3]
+    assert tail["doc_count"] == 0 and tail["avg_chars"] == 0.0
+    # boundary: from-inclusive / to-exclusive
+    assert rows[0]["doc_count"] == 4  # 8, 9, 0, 13 chars
+    assert rows[1]["doc_count"] == 1  # doc 2 (150 chars)
+    assert rows[2]["doc_count"] == 1  # doc 3 (600 chars)
