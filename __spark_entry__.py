@@ -746,6 +746,7 @@ def _q_pagerank(spark, sf_dir):
 
 
 Q_FUZZY = ["dat", "fast"]  # 'dat' is a typo; distance-1 correction → 'data'
+SUGGEST_TOKEN = "dta"      # term-suggester probe: transposition typo of 'data'
 Q_BATCH = {
     "q_rare": Q_BM25,
     "q_common": Q_BM25_COMMON,
@@ -1609,6 +1610,24 @@ def _q_datehist_pipeline(spark, sf_dir):
     return se.datehist_pipeline(docs, postings, Q_AND2, bucket_secs=3600)
 
 
+def _q_datehist_pipeline2(spark, sf_dir):
+    """cumulative_sum + serial_diff + bucket_script + bucket_selector."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.datehist_pipeline2(docs, postings, Q_AND2, bucket_secs=3600)
+
+
+def _q_terms_set(spark, sf_dir):
+    """Per-doc dynamic minimum-should-match (minimum_should_match_field)."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.terms_set_query(docs, postings, Q_BM25)
+
+
+def _q_term_suggester(spark, sf_dir):
+    """'Did you mean' — Levenshtein ≤ 2 dictionary candidates for a typo."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.term_suggester(ib.build_term_dict(postings), SUGGEST_TOKEN)
+
+
 def _q_rank_eval(spark, sf_dir):
     """NDCG@10 / MRR / P@10 of disjunctive BM25 vs tf-derived qrels."""
     from search_engine_spark.operators.evaluation import rank_eval
@@ -2092,6 +2111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid": _q_search_hybrid,
         "search_rerank": _q_search_rerank,
         "datehist_pipeline": _q_datehist_pipeline,
+        "datehist_pipeline2": _q_datehist_pipeline2,
+        "terms_set": _q_terms_set,
+        "term_suggester": _q_term_suggester,
         "rank_eval": _q_rank_eval,
         "hll_vocab": _q_hll_vocab,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
@@ -2325,6 +2347,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "datehist_pipeline": ora.datehist_pipeline_sql(Q_AND2,
                                                        bucket_secs=3600),
+        "datehist_pipeline2": ora.datehist_pipeline2_sql(Q_AND2,
+                                                         bucket_secs=3600),
+        "terms_set": ora.terms_set_sql(Q_BM25),
+        "term_suggester": ora.term_suggester_sql(SUGGEST_TOKEN),
         "rank_eval": ora.rank_eval_sql(Q_BM25_COMMON, k=10),
         "hll_vocab": pipe.hll_vocab_sql(),
         "cm_heavy_hitters": pipe.cm_heavy_hitters_sql(k=20),

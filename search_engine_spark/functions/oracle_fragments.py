@@ -81,6 +81,7 @@ HTTP_CODE_SQL = (
     "WHEN 50 THEN 102 ELSE 200 END)"
 )
 PARSEABLE_SQL = f"({HTTP_CODE_SQL} = 200 AND trim(text) <> '')"
+REQUIRED_MATCHES_SQL = "((doc_id % 3 + 1)::INT)"
 
 
 def status_filter_sql(table: str = "documents") -> str:
@@ -1318,6 +1319,77 @@ SELECT bucket_epoch, n_hits,
                                ROWS BETWEEN {w - 1} PRECEDING
                                AND CURRENT ROW), 4) AS mov_avg
 FROM base
+"""
+
+
+def datehist_pipeline2_sql(query_terms: list[str], bucket_secs: int = 3600,
+                           lag: int = 2, min_hits: int = 2,
+                           table: str = "documents") -> str:
+    """Mirrors operators/search.py::datehist_pipeline2 — cumulative_sum,
+    serial_diff (0-padded head), bucket_script share-of-total, and the
+    bucket_selector filter applied AFTER the metrics."""
+    b = int(bucket_secs)
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()},
+base AS (
+  SELECT ((1704067200 + 60 * doc_id)
+          - (1704067200 + 60 * doc_id) % {b})::BIGINT AS bucket_epoch,
+         count(*)::BIGINT AS n_hits
+  FROM hits GROUP BY 1
+),
+piped AS (
+  SELECT bucket_epoch, n_hits,
+         sum(n_hits) OVER (ORDER BY bucket_epoch)::BIGINT AS cum_hits,
+         (n_hits - coalesce(lag(n_hits, {int(lag)})
+                            OVER (ORDER BY bucket_epoch), 0))::BIGINT
+           AS sdiff,
+         round(n_hits::DOUBLE
+               / (sum(n_hits) OVER ())::DOUBLE, 4) AS share
+  FROM base
+)
+SELECT * FROM piped WHERE n_hits >= {int(min_hits)}
+"""
+
+
+def terms_set_sql(query_terms: list[str], table: str = "documents") -> str:
+    """Mirrors operators/search.py::terms_set_query — per-doc dynamic
+    minimum-should-match (REQUIRED_MATCHES_SQL, clamped to the candidate
+    set size)."""
+    uniq = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+m AS (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+  FROM terms WHERE term IN {_terms_in(uniq)}
+  GROUP BY doc_id
+)
+SELECT doc_id, n_matched,
+       least({len(uniq)}, {REQUIRED_MATCHES_SQL})::INT AS required
+FROM m
+WHERE n_matched >= least({len(uniq)}, {REQUIRED_MATCHES_SQL})
+"""
+
+
+def term_suggester_sql(token: str, max_edits: int = 2, k: int = 10,
+                       table: str = "documents") -> str:
+    """Mirrors operators/search.py::term_suggester — dictionary terms
+    within Levenshtein max_edits of the token (exact match excluded),
+    (distance asc, df desc, term asc) top-k."""
+    t = token.strip().lower().replace("'", "''")
+    return f"""
+WITH {terms_cte(table)},
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM terms GROUP BY term
+)
+SELECT term AS suggestion,
+       levenshtein(term, '{t}')::INT AS distance,
+       df
+FROM dict
+WHERE levenshtein(term, '{t}') <= {int(max_edits)} AND term <> '{t}'
+ORDER BY distance ASC, df DESC, suggestion ASC
+LIMIT {int(k)}
 """
 
 

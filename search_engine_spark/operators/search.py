@@ -2292,6 +2292,72 @@ def datehist_pipeline(
     )
 
 
+def datehist_pipeline2(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    bucket_secs: int = 3600,
+    lag: int = 2,
+    min_hits: int = 2,
+) -> DataFrame:
+    """The second Elasticsearch pipeline-agg family over the date
+    histogram → (bucket_epoch, n_hits, cum_hits, sdiff, share):
+
+      * `cumulative_sum`  — cum_hits: running total in epoch order;
+      * `serial_diff`     — sdiff: n_hits − n_hits[lag buckets earlier]
+                            (head buckets diff against 0, the same
+                            0-padding convention datehist_pipeline pins
+                            for `derivative`);
+      * `bucket_script`   — share: this bucket's fraction of total hits
+                            (n_hits / Σ n_hits, rounded 4 dp — exact
+                            integer division, identical double in both
+                            engines);
+      * `bucket_selector` — only buckets with n_hits ≥ min_hits survive
+                            to the output, but cum/sdiff/share are
+                            computed BEFORE the drop (ES applies the
+                            selector to the presentation, not the
+                            upstream metrics).
+
+    Plan: identical bounded shape to `datehist_pipeline` — the
+    histogram's map-side-combinable count reduces the corpus first; the
+    ≤ time-span/bucket_secs surviving buckets collect into ONE sorted
+    array and every pipeline metric is element_at/slice arithmetic on
+    exploded positions. No Window, no second pass over the corpus."""
+    base = facet_date_histogram(docs, postings, terms, bucket_secs)
+    xs = F.array_sort(
+        F.collect_list(F.struct(
+            F.col("bucket_epoch").alias("e"), F.col("n_hits").alias("h"),
+        ))
+    )
+    rows = base.agg(xs.alias("xs")).select(
+        F.col("xs"), F.posexplode("xs").alias("_pos", "_x")
+    )
+    cum = F.aggregate(
+        F.slice(F.col("xs"), 1, F.col("_pos") + 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.getField("h"),
+    )
+    lag_h = F.when(
+        F.col("_pos") >= int(lag),
+        F.element_at("xs", F.col("_pos") + 1 - int(lag)).getField("h"),
+    ).otherwise(F.lit(0))
+    total = F.aggregate(
+        F.col("xs"), F.lit(0).cast("bigint"), lambda acc, x: acc + x.getField("h")
+    )
+    return (
+        rows.select(
+            F.col("_x.e").alias("bucket_epoch"),
+            F.col("_x.h").alias("n_hits"),
+            cum.cast("bigint").alias("cum_hits"),
+            (F.col("_x.h") - lag_h).cast("bigint").alias("sdiff"),
+            F.round(
+                F.col("_x.h").cast("double") / total.cast("double"), 4
+            ).alias("share"),
+        )
+        .filter(F.col("n_hits") >= int(min_hits))
+    )
+
+
 # ------------------------------------------------- query relaxation (AND→OR)
 
 
@@ -2935,4 +3001,81 @@ def ltr_features(
     return (
         agg.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(int(limit))
+    )
+
+
+# ----------------------------------------------- terms_set / term suggester
+
+
+def terms_set_query(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """Elasticsearch `terms_set` query → (doc_id, n_matched, required):
+    match documents containing at least `required` of the candidate
+    terms, where `required` is a PER-DOCUMENT field
+    (minimum_should_match_field — here the frozen fixture derivation
+    required_matches_col, 1 + doc_id % 3), clamped to the candidate-set
+    size (ES's `Math.min(params.num_terms, doc.required)` convention so
+    a 1-term query can still satisfy required=3).
+
+    Plan: one postings scan filtered to the candidate terms (predicate
+    pushes into the scan; on the persisted index it partition-prunes to
+    |terms| term files) → groupBy(doc_id) count-distinct → the dynamic
+    threshold is pure column arithmetic, no join against documents
+    needed because `required` derives from doc_id. Bounded by the
+    candidate terms' total df, never the corpus."""
+    from ..sources.documents import required_matches_col
+
+    uniq = sorted(set(terms))
+    required = F.least(
+        F.lit(len(uniq)).cast("int"), required_matches_col()
+    )
+    return (
+        postings.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").cast("bigint").alias("n_matched"))
+        .withColumn("required", required)
+        .filter(F.col("n_matched") >= F.col("required"))
+        .select("doc_id", "n_matched", F.col("required").cast("int").alias("required"))
+    )
+
+
+def term_suggester(
+    term_dict: DataFrame,
+    token: str,
+    max_edits: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Elasticsearch/Lucene `term` suggester ("did you mean") →
+    (suggestion, distance, df): dictionary terms within Levenshtein
+    distance ≤ max_edits of the input token, the exact match excluded,
+    ranked by (distance asc, df desc, term asc), top-k.
+
+    Both engines compute true Levenshtein (Spark `levenshtein`, DuckDB
+    `levenshtein`) — integer-exact, no float parity risk.
+
+    Plan: ONE narrow scan of the term dictionary (|vocab| rows — already
+    the corpus's smallest reduction) with a codegen levenshtein
+    projection and a TakeOrderedAndProject top-k; no shuffle beyond the
+    final k rows. At web scale the dictionary is the bounded artifact
+    (10^7-ish terms for 10^12 docs), so brute Levenshtein over it is the
+    standard Lucene DirectSpellChecker strategy; an FST/deletes-index
+    variant would only change the scan's constant."""
+    t = token.strip().lower()
+    d = F.levenshtein(F.col("term"), F.lit(t))
+    return (
+        term_dict.select("term", "df")
+        .filter((d <= int(max_edits)) & (F.col("term") != t))
+        .select(
+            F.col("term").alias("suggestion"),
+            d.cast("int").alias("distance"),
+            F.col("df").cast("bigint").alias("df"),
+        )
+        .orderBy(
+            F.col("distance").asc(), F.col("df").desc(),
+            F.col("suggestion").asc(),
+        )
+        .limit(int(k))
     )

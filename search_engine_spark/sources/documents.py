@@ -39,6 +39,14 @@ def site_key_col(doc_id="doc_id"):
     return F.concat(F.lit("site-"), F.char(F.col(doc_id) % 3 + 97))
 
 
+def required_matches_col(doc_id="doc_id"):
+    """Per-document minimum-should-match field for the terms_set query
+    (Elasticsearch's minimum_should_match_field), derived
+    deterministically (FIXTURES pattern): 1 + doc_id % 3 ∈ {1,2,3}.
+    Mirrored as REQUIRED_MATCHES_SQL in oracle_fragments.py."""
+    return (F.col(doc_id) % 3 + 1).cast("int")
+
+
 def http_code_col(doc_id="doc_id"):
     """S2 fetch-status classification, derived deterministically (FIXTURES
     pattern): most pages 200; sparse slices model the reference's stored

@@ -893,3 +893,60 @@ def test_adjacency_matrix_counts_and_keys(spark):
         "a": 2, "b": 2, "c": 2,        # singles (distinct docs)
         "a&b": 1, "a&c": 1, "b&c": 2,  # name-sorted intersections
     }
+
+
+# --------------------------------- pipeline aggs 2 / terms_set / suggester
+
+def test_datehist_pipeline2_invariants(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    # selector off (min_hits=0): cum is a running total ending at the
+    # histogram's grand total; shares sum to 1; head sdiff == n_hits
+    rows = sorted(
+        se.datehist_pipeline2(docs, postings, q, bucket_secs=3600,
+                              lag=2, min_hits=0).collect(),
+        key=lambda r: r["bucket_epoch"],
+    )
+    total = sum(r["n_hits"] for r in rows)
+    running = 0
+    for i, r in enumerate(rows):
+        running += r["n_hits"]
+        assert r["cum_hits"] == running
+        expect_lag = rows[i - 2]["n_hits"] if i >= 2 else 0
+        assert r["sdiff"] == r["n_hits"] - expect_lag
+    assert rows[-1]["cum_hits"] == total
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-2)
+    # selector on: only the filtered buckets disappear, metrics unchanged
+    kept = sorted(
+        se.datehist_pipeline2(docs, postings, q, bucket_secs=3600,
+                              lag=2, min_hits=2).collect(),
+        key=lambda r: r["bucket_epoch"],
+    )
+    by_epoch = {r["bucket_epoch"]: r for r in rows}
+    assert all(r["n_hits"] >= 2 for r in kept)
+    for r in kept:
+        assert by_epoch[r["bucket_epoch"]]["cum_hits"] == r["cum_hits"]
+
+
+def test_terms_set_dynamic_threshold(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "merge"]
+    rows = se.terms_set_query(docs, postings, q).collect()
+    assert rows, "fixture must produce terms_set hits"
+    for r in rows:
+        assert r["required"] == min(3, r["doc_id"] % 3 + 1)
+        assert r["n_matched"] >= r["required"]
+    # clamp: a single-candidate query can satisfy docs whose field says 3
+    one = se.terms_set_query(docs, postings, ["data"]).collect()
+    assert any(r["doc_id"] % 3 + 1 == 3 and r["required"] == 1 for r in one)
+
+
+def test_term_suggester_ranks_and_excludes_exact(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    got = se.term_suggester(td, "dta", max_edits=2, k=10).collect()
+    assert got, "dictionary must contain distance<=2 candidates for 'dta'"
+    assert all(s["suggestion"] != "dta" for s in got)
+    assert all(1 <= s["distance"] <= 2 for s in got)
+    keys = [(s["distance"], -s["df"], s["suggestion"]) for s in got]
+    assert keys == sorted(keys)
+    assert any(s["suggestion"] == "data" for s in got)
