@@ -1014,6 +1014,12 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(load_documents(spark, sf_dir))
 
 
+def _q_gopher_rules(spark, sf_dir):
+    from search_engine_spark.operators.curation import gopher_rules
+
+    return gopher_rules(load_documents(spark, sf_dir))
+
+
 def _q_extended_stats(spark, sf_dir):
     from search_engine_spark.operators.textstats import extended_stats
 
@@ -2038,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
+        "gopher_rules": _q_gopher_rules,
         "extended_stats": _q_extended_stats,
         "matrix_stats": _q_matrix_stats,
         "range_agg": _q_range_agg,
@@ -2253,6 +2260,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": pipe.language_id_sql(),
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),
+        "gopher_rules": pipe.gopher_rules_sql(),
         "extended_stats": pipe.extended_stats_sql(),
         "matrix_stats": pipe.matrix_stats_sql(),
         "range_agg": pipe.range_agg_sql(),

@@ -2845,3 +2845,79 @@ SELECT b.bucket_idx::INT AS bucket_idx, b.range_key,
                      END, 0.0) AS avg_chars
 FROM buckets b LEFT JOIN c USING (bucket_idx)
 """
+
+
+def gopher_rules_sql(width: int = cu.LINE_WIDTH,
+                     table: str = "documents") -> str:
+    """Mirrors curation.py::gopher_rules — MassiveText document-quality
+    rules; raw-double comparisons, 4-dp rounded outputs, doc_lines chunk
+    derivation for the two line-level ratios."""
+    stops = " + ".join(
+        f"(CASE WHEN list_contains(lk, '{w}') THEN 1 ELSE 0 END)"
+        for w in cu.GOPHER_STOPS
+    )
+    ws = cu.LINE_WS
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(trim(text), '{ws}') AS tk,
+         string_split_regex(lower(trim(text)), '{ws}') AS lk
+  FROM {table}
+),
+w AS (
+  SELECT doc_id,
+         (CASE WHEN t = '' THEN 0 ELSE len(tk) END)::BIGINT AS n_words,
+         CASE WHEN t = '' OR len(tk) = 0 THEN 0.0
+              ELSE len(regexp_replace(t, '{ws}', '', 'g'))::DOUBLE
+                   / len(tk)::DOUBLE END AS mwl,
+         CASE WHEN t = '' OR len(tk) = 0 THEN 0.0
+              ELSE (len(regexp_extract_all(t, '#'))
+                    + len(regexp_extract_all(t, '\\.\\.\\.'))
+                    + len(regexp_extract_all(t, '…')))::DOUBLE
+                   / len(tk)::DOUBLE END AS sym,
+         CASE WHEN t = '' OR len(tk) = 0 THEN 0.0
+              ELSE len(list_filter(tk,
+                       x -> regexp_matches(x, '{cu._ALPHA_CLASS}')))::DOUBLE
+                   / len(tk)::DOUBLE END AS alpha,
+         ({stops})::INT AS n_stop
+  FROM w0
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '{ws}') AS tk
+  FROM {table}
+),
+lines0 AS (
+  SELECT doc_id,
+         array_to_string(tk[(r.i*{width}+1):((r.i+1)*{width})], ' ') AS line
+  FROM toks, LATERAL unnest(
+    generate_series(0, CAST(ceil(len(tk)/{width}.0) AS BIGINT) - 1)) AS r(i)
+),
+ln AS (
+  SELECT doc_id, count(*)::DOUBLE AS nl,
+         sum(CASE WHEN regexp_matches(line, '^[-*•] ') THEN 1 ELSE 0 END)::DOUBLE
+           AS bullets,
+         sum(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$') THEN 1 ELSE 0 END)::DOUBLE
+           AS ellipses
+  FROM lines0 WHERE line <> '' GROUP BY doc_id
+),
+j AS (
+  SELECT w.*, coalesce(ln.bullets / ln.nl, 0.0) AS bullet_ratio,
+         coalesce(ln.ellipses / ln.nl, 0.0) AS ellipsis_ratio
+  FROM w LEFT JOIN ln USING (doc_id)
+)
+SELECT doc_id, n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(sym, 4) AS symbol_ratio,
+       round(bullet_ratio, 4) AS bullet_ratio,
+       round(ellipsis_ratio, 4) AS ellipsis_ratio,
+       round(alpha, 4) AS alpha_ratio,
+       n_stop,
+       (n_words >= {cu.GOPHER_MIN_WORDS} AND n_words <= {cu.GOPHER_MAX_WORDS}
+        AND mwl >= {cu.GOPHER_MWL_LO} AND mwl <= {cu.GOPHER_MWL_HI}
+        AND sym <= {cu.GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_ratio <= {cu.GOPHER_MAX_BULLET_RATIO}
+        AND ellipsis_ratio <= {cu.GOPHER_MAX_ELLIPSIS_RATIO}
+        AND alpha >= {cu.GOPHER_MIN_ALPHA_RATIO}
+        AND n_stop >= {cu.GOPHER_MIN_STOPS}) AS keep_doc
+FROM j
+"""

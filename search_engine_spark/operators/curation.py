@@ -673,3 +673,114 @@ def snapshot_delta(
         )
         .filter(F.col("status").isNotNull())
     )
+
+
+# ------------------------------------------------- Gopher quality rules
+
+# Gopher / MassiveText document-quality thresholds (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Appendix A.1.1) — frozen, mirrored
+# in oracle_pipeline.gopher_rules_sql. The repetition rules of the same
+# appendix (duplicate n-gram fractions) live in repetition_stats.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1    # '#' or ellipsis per word
+GOPHER_MAX_BULLET_RATIO = 0.9    # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3  # lines ending with an ellipsis
+GOPHER_MIN_ALPHA_RATIO = 0.8     # words containing an alphabetic char
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPS = 2
+_ALPHA_CLASS = "[A-Za-zА-Яа-яЁё]"
+
+
+def gopher_rules(docs: DataFrame, width: int = LINE_WIDTH) -> DataFrame:
+    """Gopher quality filter → (doc_id, n_words, mean_word_len,
+    symbol_ratio, bullet_ratio, ellipsis_ratio, alpha_ratio, n_stop,
+    keep_doc): the MassiveText document-level rules, every signal
+    surfaced so downstream mixes can re-threshold without re-scanning.
+
+      * 50 ≤ word count ≤ 100 000
+      * 3 ≤ mean word length ≤ 10
+      * symbol-to-word ratio ('#' / '...' / '…') ≤ 0.1
+      * ≤ 90% of lines start with a bullet (-, *, •)
+      * ≤ 30% of lines end with an ellipsis
+      * ≥ 80% of words contain an alphabetic character
+      * ≥ 2 of the 8 frozen English stop words present
+
+    Rule comparisons run on the RAW doubles (identical expressions both
+    engines); the emitted ratio columns are rounded 4 dp at the edge.
+    Lines come from ``doc_lines`` (the fixture's deterministic chunks
+    standing in for newline splits, as in c4_clean).
+
+    Plan: one narrow (doc_id, text) scan computes every word-level
+    signal as pure column arithmetic (split → size/filter/intersect —
+    no explode, no shuffle); only the two line-level ratios take the
+    doc_lines explode + one map-side-combinable groupBy(doc_id), joined
+    back on doc_id. At 100 TB: 2-column scan, one bounded shuffle."""
+    t = F.trim(F.col("text"))
+    toks = F.split(t, LINE_WS)
+    n_words = F.when(t == "", F.lit(0)).otherwise(F.size(toks)).cast("bigint")
+    non_ws = F.length(F.regexp_replace(t, LINE_WS, ""))
+    nwd = n_words.cast("double")
+    mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(non_ws / nwd)
+    symbols = (
+        F.regexp_count(t, F.lit("#"))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.regexp_count(t, F.lit("…"))
+    ).cast("double")
+    sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(symbols / nwd)
+    alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike(_ALPHA_CLASS))
+    ).cast("double")
+    alpha_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(alpha_words / nwd)
+    lower_toks = F.split(F.lower(t), LINE_WS)
+    n_stop = sum(
+        F.array_contains(lower_toks, w).cast("int") for w in GOPHER_STOPS
+    ).cast("int")
+    word_side = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("_mwl"),
+        sym_ratio.alias("_sym"),
+        alpha_ratio.alias("_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    lines = doc_lines(docs, width=width)
+    line_side = (
+        lines.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("double").alias("_nl"),
+            F.sum(F.col("line").rlike("^[-*•] ").cast("long"))
+            .cast("double")
+            .alias("_bullets"),
+            F.sum(F.col("line").rlike(r"(\.\.\.|…)$").cast("long"))
+            .cast("double")
+            .alias("_ellipses"),
+        )
+    )
+    j = word_side.join(line_side, "doc_id", "left")
+    bullet_ratio = F.coalesce(F.col("_bullets") / F.col("_nl"), F.lit(0.0))
+    ellipsis_ratio = F.coalesce(F.col("_ellipses") / F.col("_nl"), F.lit(0.0))
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("_mwl") >= GOPHER_MWL_LO)
+        & (F.col("_mwl") <= GOPHER_MWL_HI)
+        & (F.col("_sym") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (F.col("_alpha") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("n_stop") >= GOPHER_MIN_STOPS)
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        F.round("_mwl", 4).alias("mean_word_len"),
+        F.round("_sym", 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 4).alias("ellipsis_ratio"),
+        F.round("_alpha", 4).alias("alpha_ratio"),
+        "n_stop",
+        keep.alias("keep_doc"),
+    )

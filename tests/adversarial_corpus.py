@@ -53,6 +53,12 @@ ADV_DOCS = [
     (52, "last id of the http_code modulus cycle", "en"),
     (105, "another error-slice member for the status queries", "en"),
     (9_999_999, "largest doc id below the multiply stride", "en"),
+    # gopher_rules probes (width-4 derived lines): bullet-led chunks,
+    # ellipsis-ended chunks, symbol dumps, numeric gibberish
+    (21, "- item one here - item two too - item three ok", "en"),
+    (22, "these words trail off... and then resume again later…", "en"),
+    (23, "### #tag # hash # dump # everywhere # now", "en"),
+    (24, "12345 67890 11111 22222 33333 44444 55555 66666", "en"),
 ]
 
 DOCUMENTS_VIEW_SQL = (

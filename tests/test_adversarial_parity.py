@@ -60,6 +60,10 @@ ADV_QUERIES = [
     "mirror_hosts",
     "latest_revisions",
     "c4_clean",
+    "gopher_rules",
+    "extended_stats",
+    "matrix_stats",
+    "range_agg",
     "repetition_stats",
     "lm_scores",
     "dl_histogram",
@@ -89,6 +93,9 @@ ADV_QUERIES = [
     "search_regexp",
     "spell_suggest",
     "prefix_suggest",
+    "term_suggester",
+    "terms_set",
+    "datehist_pipeline2",
     "more_like_this",
     "explain_score",
     "best_passage",

@@ -407,3 +407,49 @@ def test_snapshot_delta_drops_pages_dead_in_both(spark):
     )
     out = snapshot_delta(docs, 1704067200 + 60 * 100).collect()
     assert out == []
+
+
+# ------------------------------------------------- Gopher quality rules
+
+def test_gopher_rules_each_signal(spark):
+    from search_engine_spark.operators import curation as cu
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that have with be to of"] * 5
+    )  # 70 words, stopword-rich, alphabetic, mean wl ~3.5
+    rows = [
+        (0, good, "en"),                                     # passes all
+        (1, "tiny doc", "en"),                               # n_words < 50
+        (2, " ".join(["supercalifragilistic"] * 60), "en"),  # mean wl > 10
+        (3, good + " " + "# " * 20, "en"),                   # symbol ratio
+        (4, " ".join(["12345 678 90 11"] * 20), "en"),       # alpha < 0.8
+        (5, " ".join(["plain words without stopwords here"] * 15), "en"),  # stops < 2
+        (6, "", "en"),                                       # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in cu.gopher_rules(docs).collect()}
+    assert got[0]["keep_doc"] is True
+    assert got[1]["keep_doc"] is False and got[1]["n_words"] < 50
+    assert got[2]["keep_doc"] is False and got[2]["mean_word_len"] > 10
+    assert got[3]["keep_doc"] is False and got[3]["symbol_ratio"] > 0.1
+    assert got[4]["keep_doc"] is False and got[4]["alpha_ratio"] < 0.8
+    assert got[5]["keep_doc"] is False and got[5]["n_stop"] < 2
+    assert got[6]["keep_doc"] is False and got[6]["n_words"] == 0
+
+
+def test_gopher_rules_line_signals(spark):
+    from search_engine_spark.operators import curation as cu
+
+    stop_pad = "the and that have with be to of the and that have with be to of"
+    bullets = " ".join(["- item aa bb"] * 6)  # every width-4 line bullet-led
+    dots = " ".join(["aa bb cc dd..."] * 6)   # every line ellipsis-ended
+    rows = [
+        (0, bullets + " " + stop_pad + " " + stop_pad + " " + stop_pad, "en"),
+        (1, dots + " " + stop_pad + " " + stop_pad + " " + stop_pad, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in cu.gopher_rules(docs).collect()}
+    # 6 of 18 lines bullet-led (ratio 1/3 <= 0.9 passes); ellipsis 6/18 > 0.3 fails
+    assert got[0]["bullet_ratio"] == pytest.approx(6 / 18, abs=1e-3)
+    assert got[1]["ellipsis_ratio"] == pytest.approx(6 / 18, abs=1e-3)
+    assert got[1]["keep_doc"] is False
