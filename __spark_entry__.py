@@ -1622,6 +1622,17 @@ def _q_datehist_pipeline2(spark, sf_dir):
     return se.datehist_pipeline2(docs, postings, Q_AND2, bucket_secs=3600)
 
 
+def _q_auto_datehist(spark, sf_dir):
+    """Pick a bucket interval from the ladder to hit ~20 bars, then bucket."""
+    docs, postings = _search_ctx(spark, sf_dir)
+    return se.auto_date_histogram(docs, postings, Q_AND2, target_buckets=20)
+
+
+def _q_top_metrics(spark, sf_dir):
+    """Per-site argmax: the newest crawl's metrics via ONE struct-max agg."""
+    return se.top_metrics(load_documents(spark, sf_dir))
+
+
 def _q_terms_set(spark, sf_dir):
     """Per-doc dynamic minimum-should-match (minimum_should_match_field)."""
     docs, postings = _search_ctx(spark, sf_dir)
@@ -2121,6 +2132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datehist_pipeline2": _q_datehist_pipeline2,
         "terms_set": _q_terms_set,
         "term_suggester": _q_term_suggester,
+        "auto_datehist": _q_auto_datehist,
+        "top_metrics": _q_top_metrics,
         "rank_eval": _q_rank_eval,
         "hll_vocab": _q_hll_vocab,
         "cm_heavy_hitters": _q_cm_heavy_hitters,
@@ -2359,6 +2372,9 @@ def oracle_sql() -> dict[str, str]:
                                                          bucket_secs=3600),
         "terms_set": ora.terms_set_sql(Q_BM25),
         "term_suggester": ora.term_suggester_sql(SUGGEST_TOKEN),
+        "auto_datehist": ora.auto_date_histogram_sql(Q_AND2,
+                                                     target_buckets=20),
+        "top_metrics": ora.top_metrics_sql(),
         "rank_eval": ora.rank_eval_sql(Q_BM25_COMMON, k=10),
         "hll_vocab": pipe.hll_vocab_sql(),
         "cm_heavy_hitters": pipe.cm_heavy_hitters_sql(k=20),

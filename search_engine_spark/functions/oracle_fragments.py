@@ -1393,6 +1393,54 @@ LIMIT {int(k)}
 """
 
 
+def auto_date_histogram_sql(query_terms: list[str],
+                            target_buckets: int = 20,
+                            table: str = "documents") -> str:
+    """Mirrors operators/search.py::auto_date_histogram — smallest frozen
+    ladder rung with floor(span/rung)+1 <= target_buckets (top rung as
+    fallback), then modulo bucketing of the conjunctive hit epochs."""
+    from ..operators.search import AUTO_DH_LADDER
+
+    ladder = AUTO_DH_LADDER
+    case = "CASE "
+    for secs in ladder[:-1]:
+        case += (f"WHEN (span // {secs}) + 1 <= {int(target_buckets)} "
+                 f"THEN {secs} ")
+    case += f"ELSE {ladder[-1]} END"
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()},
+ep AS (SELECT (1704067200 + 60 * doc_id)::BIGINT AS epoch FROM hits),
+sp AS (SELECT max(epoch) - min(epoch) AS span FROM ep),
+iv AS (SELECT ({case})::BIGINT AS interval_secs FROM sp
+       WHERE span IS NOT NULL)
+SELECT iv.interval_secs,
+       (ep.epoch - ep.epoch % iv.interval_secs)::BIGINT AS bucket_epoch,
+       count(*)::BIGINT AS n_hits
+FROM ep CROSS JOIN iv
+GROUP BY 1, 2
+"""
+
+
+def top_metrics_sql(table: str = "documents") -> str:
+    """Mirrors operators/search.py::top_metrics — per-site argmax by
+    (epoch, doc_id) with the doc's length as the carried metric."""
+    return f"""
+WITH ranked AS (
+  SELECT {SITE_KEY_SQL} AS site_key,
+         (1704067200 + 60 * doc_id)::BIGINT AS epoch,
+         doc_id, len(text)::BIGINT AS n_chars,
+         row_number() OVER (PARTITION BY {SITE_KEY_SQL}
+                            ORDER BY (1704067200 + 60 * doc_id) DESC,
+                                     doc_id DESC) AS rn
+  FROM {table}
+)
+SELECT site_key, epoch AS latest_epoch, doc_id AS latest_doc_id,
+       n_chars AS latest_n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
 def rank_eval_sql(query_terms: list[str], k: int = 10,
                   rel_threshold: int = 2, k1: float = 1.2, b: float = 0.75,
                   table: str = "documents") -> str:

@@ -3079,3 +3079,97 @@ def term_suggester(
         )
         .limit(int(k))
     )
+
+
+# --------------------------------------- auto_date_histogram / top_metrics
+
+# frozen interval ladder (seconds) — Elasticsearch auto_date_histogram's
+# rounding units, minute→week; mirrored in oracle_fragments
+AUTO_DH_LADDER = [60, 300, 1800, 3600, 21600, 86400, 604800]
+
+
+def auto_date_histogram(
+    docs: DataFrame,
+    postings: DataFrame,
+    terms: list[str],
+    target_buckets: int = 20,
+) -> DataFrame:
+    """Elasticsearch `auto_date_histogram` → (interval_secs, bucket_epoch,
+    n_hits): pick the SMALLEST interval from the frozen ladder such that
+    the hit set's time span fits in ≤ target_buckets buckets (falling
+    back to the ladder's top rung), then bucket the hits at that
+    interval. The agg the dashboard uses when it wants "about N bars"
+    without knowing the data's span.
+
+    Pinned spec: span = max(epoch) − min(epoch) over the conjunctive hit
+    set; interval = first ladder rung with floor(span/rung) + 1 ≤
+    target_buckets; empty hit set → 0 rows.
+
+    Plan: the hit set reduces once to a single (min, max) scalar row,
+    which cross-joins back as a BROADCAST (never a driver collect, never
+    an empty-spec Window — the compat-mode lesson); the interval choice
+    is pure column arithmetic on that row; then the same
+    map-side-combinable count as facet_date_histogram. Two passes over
+    the bounded hit set, zero passes over the corpus beyond the postings
+    filter."""
+    hits = _conjunctive_hits(postings, list(set(terms))).select("doc_id")
+    epochs = docs.join(hits, "doc_id").select(
+        F.unix_timestamp(F.col("warc_ts")).cast("bigint").alias("epoch")
+    )
+    span = epochs.agg(
+        (F.max("epoch") - F.min("epoch")).alias("span")
+    )
+    rung = F.lit(AUTO_DH_LADDER[-1])
+    for secs in reversed(AUTO_DH_LADDER[:-1]):
+        rung = F.when(
+            F.floor(F.col("span") / F.lit(secs)) + 1
+            <= int(target_buckets),
+            F.lit(secs),
+        ).otherwise(rung)
+    chosen = span.select(rung.cast("bigint").alias("interval_secs"))
+    return (
+        epochs.crossJoin(F.broadcast(chosen))
+        .select(
+            "interval_secs",
+            (F.col("epoch") - F.col("epoch") % F.col("interval_secs"))
+            .cast("bigint")
+            .alias("bucket_epoch"),
+        )
+        .groupBy("interval_secs", "bucket_epoch")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+
+
+def top_metrics(docs: DataFrame) -> DataFrame:
+    """Elasticsearch `top_metrics` aggregation → (site_key,
+    latest_epoch, latest_doc_id, latest_n_chars): per bucket, the metric
+    values of the document at the top of a sort — here the most recent
+    crawl (warc_ts desc, doc_id desc as the deterministic tiebreak) and
+    its length. The "current value per group" surface (latest price,
+    newest revision) that otherwise costs a self-join.
+
+    Plan: ONE groupBy(site_key) with max(struct(epoch, doc_id, metric))
+    — the struct max IS the lexicographic argmax, map-side combinable,
+    no window, no join. The deterministic tiebreak is the struct's field
+    order, pinned identically in the oracle's row() comparison."""
+    from ..sources.documents import site_key_col
+
+    epoch = F.unix_timestamp(F.col("warc_ts")).cast("bigint")
+    top = F.max(
+        F.struct(
+            epoch.alias("e"),
+            F.col("doc_id").alias("d"),
+            F.length("text").cast("bigint").alias("m"),
+        )
+    )
+    return (
+        docs.select(site_key_col().alias("site_key"), "warc_ts", "doc_id", "text")
+        .groupBy("site_key")
+        .agg(top.alias("t"))
+        .select(
+            "site_key",
+            F.col("t.e").alias("latest_epoch"),
+            F.col("t.d").alias("latest_doc_id"),
+            F.col("t.m").alias("latest_n_chars"),
+        )
+    )

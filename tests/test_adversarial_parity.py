@@ -96,6 +96,8 @@ ADV_QUERIES = [
     "term_suggester",
     "terms_set",
     "datehist_pipeline2",
+    "auto_datehist",
+    "top_metrics",
     "more_like_this",
     "explain_score",
     "best_passage",

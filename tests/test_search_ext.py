@@ -950,3 +950,36 @@ def test_term_suggester_ranks_and_excludes_exact(spark, ctx):
     keys = [(s["distance"], -s["df"], s["suggestion"]) for s in got]
     assert keys == sorted(keys)
     assert any(s["suggestion"] == "data" for s in got)
+
+
+def test_auto_date_histogram_targets_bucket_count(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    rows = se.auto_date_histogram(docs, postings, ["data", "fast"],
+                                  target_buckets=20).collect()
+    assert rows
+    ivs = {r["interval_secs"] for r in rows}
+    assert len(ivs) == 1 and ivs.pop() in se.AUTO_DH_LADDER
+    # bucket count within target unless the ladder topped out
+    if rows[0]["interval_secs"] != se.AUTO_DH_LADDER[-1]:
+        assert len(rows) <= 20
+    # conservation: bucketed hits == conjunctive hit count
+    n_hits = se._conjunctive_hits(postings, ["data", "fast"]).count()
+    assert sum(r["n_hits"] for r in rows) == n_hits
+    # absent term -> empty
+    assert se.auto_date_histogram(docs, postings, ["zzabsent"]).count() == 0
+
+
+def test_top_metrics_is_per_site_argmax(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    got = {r["site_key"]: r for r in se.top_metrics(docs).collect()}
+    import pyspark.sql.functions as F
+    from search_engine_spark.sources.documents import site_key_col
+
+    manual = (
+        docs.select(site_key_col().alias("site_key"), "doc_id")
+        .groupBy("site_key").agg(F.max("doc_id").alias("d"))
+    ).collect()
+    # warc_ts = base + 60*doc_id is monotone in doc_id, so the newest doc
+    # per site is simply its max doc_id
+    for r in manual:
+        assert got[r["site_key"]]["latest_doc_id"] == r["d"]
