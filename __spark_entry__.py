@@ -1014,6 +1014,18 @@ def _q_quality_scores(spark, sf_dir):
     return quality_scores(load_documents(spark, sf_dir))
 
 
+def _q_string_stats(spark, sf_dir):
+    from search_engine_spark.operators.textstats import string_stats
+
+    return string_stats(load_documents(spark, sf_dir))
+
+
+def _q_weighted_avg(spark, sf_dir):
+    from search_engine_spark.operators.textstats import weighted_avg_quality
+
+    return weighted_avg_quality(load_documents(spark, sf_dir))
+
+
 def _q_gopher_rules(spark, sf_dir):
     from search_engine_spark.operators.curation import gopher_rules
 
@@ -2056,6 +2068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "gopher_rules": _q_gopher_rules,
+        "string_stats": _q_string_stats,
+        "weighted_avg": _q_weighted_avg,
         "extended_stats": _q_extended_stats,
         "matrix_stats": _q_matrix_stats,
         "range_agg": _q_range_agg,
@@ -2274,6 +2288,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": pipe.token_counts_sql(),
         "quality_scores": pipe.quality_scores_sql(),
         "gopher_rules": pipe.gopher_rules_sql(),
+        "string_stats": pipe.string_stats_sql(),
+        "weighted_avg": pipe.weighted_avg_quality_sql(),
         "extended_stats": pipe.extended_stats_sql(),
         "matrix_stats": pipe.matrix_stats_sql(),
         "range_agg": pipe.range_agg_sql(),

@@ -2921,3 +2921,48 @@ SELECT doc_id, n_words,
         AND n_stop >= {cu.GOPHER_MIN_STOPS}) AS keep_doc
 FROM j
 """
+
+
+def string_stats_sql(table: str = "documents") -> str:
+    """Mirrors textstats.py::string_stats — exact length stats + Shannon
+    entropy (bits) of the corpus character distribution from exact BIGINT
+    counts."""
+    return f"""
+WITH lens AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         min(len(text))::BIGINT AS min_len,
+         max(len(text))::BIGINT AS max_len,
+         sum(len(text)::BIGINT)::BIGINT AS sum_len
+  FROM {table}
+),
+chars AS (
+  SELECT c.ch AS c, count(*)::BIGINT AS cnt
+  FROM {table}, unnest(string_split(text, '')) AS c(ch)
+  WHERE c.ch <> ''
+  GROUP BY c.ch
+),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM chars),
+ent AS (
+  SELECT round(-sum((cnt::DOUBLE / total::DOUBLE)
+                    * log2(cnt::DOUBLE / total::DOUBLE)), 4) AS entropy
+  FROM chars CROSS JOIN tot
+)
+SELECT n_docs, min_len, max_len,
+       round(sum_len::DOUBLE / n_docs::DOUBLE, 4) AS avg_len,
+       entropy
+FROM lens CROSS JOIN ent
+"""
+
+
+def weighted_avg_quality_sql(table: str = "documents") -> str:
+    """Mirrors textstats.py::weighted_avg_quality — length-weighted mean
+    of the 4-dp quality score per lang, zero-weight docs excluded."""
+    return f"""
+WITH q AS ({quality_scores_sql(table).strip()})
+SELECT d.lang, count(*)::BIGINT AS n,
+       round(sum(q.quality * q.n_chars::DOUBLE)
+             / sum(q.n_chars::DOUBLE), 4) AS w_avg_quality
+FROM {table} d JOIN q USING (doc_id)
+WHERE q.n_chars > 0
+GROUP BY d.lang
+"""

@@ -739,3 +739,83 @@ def range_agg(docs: DataFrame) -> DataFrame:
             F.coalesce(avg, F.lit(0.0)).alias("avg_chars"),
         )
     )
+
+
+def string_stats(docs: DataFrame) -> DataFrame:
+    """Elasticsearch `string_stats` (show_distribution shape collapsed to
+    the headline metrics) → one row (n_docs, min_len, max_len, avg_len,
+    entropy): corpus-level Shannon entropy (bits) of the CHARACTER
+    distribution of `text`, plus exact length stats.
+
+    Entropy = −Σ_c p_c·log2(p_c) with p_c = count_c/total from exact
+    BIGINT character counts; the per-character terms are identical
+    doubles in both engines and the final sum is rounded 4 dp (the same
+    float-sum discipline as BM25 score sums). min/max/avg lengths come
+    from the usual exact-moment reduction.
+
+    Plan: lengths are the standard one-shuffle scalar aggregate; the
+    character histogram is explode(chars) → ONE map-side-combinable
+    groupBy(char) — bounded by the alphabet (≤ a few thousand
+    codepoints at web scale), so the second aggregate's reduce side is
+    tiny no matter the corpus."""
+    lens = docs.select(F.length("text").cast("bigint").alias("l")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("l").cast("bigint").alias("min_len"),
+        F.max("l").cast("bigint").alias("max_len"),
+        F.sum("l").cast("bigint").alias("sum_len"),
+    )
+    # codepoint-wise split: '(?s).' matches one CODE POINT in Java regex
+    # (a zero-width '(?!^)' split would cut astral chars into lone
+    # surrogates and diverge from the oracle's UTF-8 string_split — the
+    # adversarial emoji doc caught exactly this)
+    chars = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("(?s)."), 0)
+            ).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    total = chars.agg(F.sum("cnt").cast("bigint").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total").cast("double")
+    ent = (
+        chars.crossJoin(F.broadcast(total))
+        .select((p * F.log2(p)).alias("term"))
+        .agg(F.round(-F.sum("term"), 4).alias("entropy"))
+    )
+    return lens.crossJoin(F.broadcast(ent)).select(
+        "n_docs", "min_len", "max_len",
+        F.round(
+            F.col("sum_len").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("avg_len"),
+        "entropy",
+    )
+
+
+def weighted_avg_quality(docs: DataFrame) -> DataFrame:
+    """Elasticsearch `weighted_avg` → per-language (lang, n, w_avg_quality):
+    the quality score weighted by document length — long documents count
+    proportionally more, the standard corpus-health headline number.
+
+    Weighted mean = Σ(q·w)/Σ(w) with q the 4-dp-rounded quality score
+    (shared frozen spec with quality_scores) and w = n_chars exact
+    BIGINT; docs with zero weight drop out of both sums (the ES
+    convention: missing/zero weight excluded). One narrow scan, one
+    map-side-combinable groupBy(lang)."""
+    q = quality_scores(docs).select("doc_id", "quality", "n_chars")
+    base = docs.select("doc_id", "lang").join(q, "doc_id")
+    g = (
+        base.filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("quality") * F.col("n_chars").cast("double")).alias("_num"),
+            F.sum(F.col("n_chars").cast("double")).alias("_den"),
+        )
+    )
+    return g.select(
+        "lang", "n",
+        F.round(F.col("_num") / F.col("_den"), 4).alias("w_avg_quality"),
+    )

@@ -61,6 +61,8 @@ ADV_QUERIES = [
     "latest_revisions",
     "c4_clean",
     "gopher_rules",
+    "string_stats",
+    "weighted_avg",
     "extended_stats",
     "matrix_stats",
     "range_agg",

@@ -598,3 +598,34 @@ def test_range_agg_partitions_corpus(spark, stat_docs):
     assert rows[0]["doc_count"] == 4  # 8, 9, 0, 13 chars
     assert rows[1]["doc_count"] == 1  # doc 2 (150 chars)
     assert rows[2]["doc_count"] == 1  # doc 3 (600 chars)
+
+
+def test_string_stats_entropy(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "aab", "en"), (1, "b", "en")], "doc_id long, text string, lang string"
+    )
+    r = textstats.string_stats(docs).collect()[0]
+    # chars: a×2, b×2 → entropy = 1 bit exactly
+    assert r["entropy"] == pytest.approx(1.0, abs=1e-9)
+    assert r["n_docs"] == 2 and r["min_len"] == 1 and r["max_len"] == 3
+    assert r["avg_len"] == pytest.approx(2.0)
+    # skewed: a×3, b×1
+    docs2 = spark.createDataFrame(
+        [(0, "aaab", "en")], "doc_id long, text string, lang string"
+    )
+    r2 = textstats.string_stats(docs2).collect()[0]
+    expect = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert r2["entropy"] == pytest.approx(expect, abs=1e-3)
+
+
+def test_weighted_avg_quality_weights_by_length(spark, stat_docs):
+    rows = {r["lang"]: r for r in textstats.weighted_avg_quality(stat_docs).collect()}
+    q = {r["doc_id"]: (r["quality"], r["n_chars"])
+         for r in textstats.quality_scores(stat_docs).collect()}
+    for lang, ids in {"en": [0, 1, 2], "ru": [3, 5]}.items():  # doc 4 empty → excluded
+        num = sum(q[i][0] * q[i][1] for i in ids)
+        den = sum(q[i][1] for i in ids)
+        assert rows[lang]["w_avg_quality"] == pytest.approx(num / den, abs=1e-3)
+        assert rows[lang]["n"] == len(ids)
