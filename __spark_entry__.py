@@ -1949,6 +1949,69 @@ def _q_search_pinned(spark, sf_dir):
     )
 
 
+def _decay_ctx(spark, sf_dir):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, limit=50
+    )
+    return docs, hits
+
+
+def _q_search_decay_gauss(spark, sf_dir):
+    """ES function_score gauss date decay over the BM25 top-50."""
+    from search_engine_spark.operators import scoring_boosts as sb
+
+    docs, hits = _decay_ctx(spark, sf_dir)
+    return sb.decay_function_score(hits, docs, mode="gauss")
+
+
+def _q_search_decay_exp(spark, sf_dir):
+    """ES function_score exp date decay over the BM25 top-50."""
+    from search_engine_spark.operators import scoring_boosts as sb
+
+    docs, hits = _decay_ctx(spark, sf_dir)
+    return sb.decay_function_score(hits, docs, mode="exp")
+
+
+def _q_search_decay_linear(spark, sf_dir):
+    """ES function_score linear date decay over the BM25 top-50 (docs
+    past offset + scale/(1-decay) days drop to exactly 0)."""
+    from search_engine_spark.operators import scoring_boosts as sb
+
+    docs, hits = _decay_ctx(spark, sf_dir)
+    return sb.decay_function_score(hits, docs, mode="linear")
+
+
+def _q_search_rank_feature(spark, sf_dir):
+    """ES rank_feature (saturation) — additive bounded boost from the
+    frozen per-doc quality score over the BM25 top-50."""
+    from search_engine_spark.operators import scoring_boosts as sb
+    from search_engine_spark.operators import textstats as ts
+
+    docs, hits = _decay_ctx(spark, sf_dir)
+    return sb.rank_feature_boost(hits, ts.quality_scores(docs))
+
+
+def _q_search_rank_feature_log(spark, sf_dir):
+    """ES rank_feature (log function) over the same feature."""
+    from search_engine_spark.operators import scoring_boosts as sb
+    from search_engine_spark.operators import textstats as ts
+
+    docs, hits = _decay_ctx(spark, sf_dir)
+    return sb.rank_feature_boost(hits, ts.quality_scores(docs), fn="log")
+
+
+def _q_random_score(spark, sf_dir):
+    """ES function_score random_score: deterministic seeded per-doc
+    uniform draw (h60-keyed — stable across engines and cluster sizes)."""
+    from search_engine_spark.operators import scoring_boosts as sb
+
+    docs = load_documents(spark, sf_dir)
+    return sb.random_score(docs)
+
+
 ADJ_FILTERS = {"d": "data", "f": "fast", "m": "merge"}
 
 
@@ -2042,6 +2105,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": _q_search_fuzzy,
         "search_bm25_batch": _q_search_bm25_batch,
         "search_recency": _q_search_recency,
+        "search_decay_gauss": _q_search_decay_gauss,
+        "search_decay_exp": _q_search_decay_exp,
+        "search_decay_linear": _q_search_decay_linear,
+        "search_rank_feature": _q_search_rank_feature,
+        "search_rank_feature_log": _q_search_rank_feature_log,
+        "random_score": _q_random_score,
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "robots_rules": _q_robots_rules,
@@ -2262,6 +2331,14 @@ def oracle_sql() -> dict[str, str]:
         "search_fuzzy": ora.search_fuzzy_sql(Q_FUZZY),
         "search_bm25_batch": ora.search_bm25_batch_sql(Q_BATCH),
         "search_recency": pipe.search_recency_sql(Q_BM25_COMMON),
+        "search_decay_gauss": pipe.search_decay_sql(Q_BM25_COMMON, "gauss"),
+        "search_decay_exp": pipe.search_decay_sql(Q_BM25_COMMON, "exp"),
+        "search_decay_linear": pipe.search_decay_sql(Q_BM25_COMMON, "linear"),
+        "search_rank_feature": pipe.search_rank_feature_sql(Q_BM25_COMMON),
+        "search_rank_feature_log": pipe.search_rank_feature_sql(
+            Q_BM25_COMMON, fn="log"
+        ),
+        "random_score": pipe.random_score_sql(),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "robots_rules": pipe.robots_rules_sql(),

@@ -2966,3 +2966,113 @@ FROM {table} d JOIN q USING (doc_id)
 WHERE q.n_chars > 0
 GROUP BY d.lang
 """
+
+
+# ------------------------------------------------------ function_score family
+
+def search_decay_sql(
+    query_terms: list[str],
+    mode: str = "gauss",
+    scale_days: float | None = None,
+    offset_days: float | None = None,
+    decay: float | None = None,
+    rerank_window: int = 50,
+    limit: int = 20,
+    table: str = "documents",
+) -> str:
+    """Mirrors operators/scoring_boosts.py::decay_function_score — the ES
+    function_score date-decay trio over the BM25 top-`rerank_window`
+    (origin = corpus max warc_ts; warc_ts ≡ 1704067200 + 60·doc_id by
+    fixture). Decay constants are computed once in Python from the SAME
+    module constants the Spark plan uses, so the two engines share one
+    parameterization."""
+    import math
+
+    from ..operators import scoring_boosts as sb
+    from .oracle_fragments import search_bm25_sql
+
+    scale = float(sb.DECAY_SCALE_DAYS if scale_days is None else scale_days)
+    offset = float(
+        sb.DECAY_OFFSET_DAYS if offset_days is None else offset_days
+    )
+    dec = float(sb.DECAY_VALUE if decay is None else decay)
+    dist = f"greatest(0.0, ((mx.ep - (1704067200 + 60 * h.doc_id)) / 86400.0) - {repr(offset)})"
+    if mode == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(dec))
+        mult = f"exp(-({dist} * {dist}) / {repr(2.0 * sigma2)})"
+    elif mode == "exp":
+        lam = math.log(dec) / scale
+        mult = f"exp({repr(lam)} * {dist})"
+    elif mode == "linear":
+        s = scale / (1.0 - dec)
+        mult = f"greatest(0.0, ({repr(s)} - {dist}) / {repr(s)})"
+    else:
+        raise ValueError(f"unknown decay mode: {mode}")
+    return f"""
+WITH hits AS ({search_bm25_sql(query_terms, limit=rerank_window, table=table)}),
+mx AS (SELECT max(1704067200 + 60 * doc_id) AS ep FROM {table}),
+b AS (
+  SELECT h.doc_id, round(h.score * {mult}, 4) AS score
+  FROM hits h, mx
+)
+SELECT doc_id, score FROM b
+ORDER BY score DESC, doc_id ASC
+LIMIT {limit}
+"""
+
+
+def search_rank_feature_sql(
+    query_terms: list[str],
+    fn: str = "saturation",
+    rerank_window: int = 50,
+    limit: int = 20,
+    table: str = "documents",
+) -> str:
+    """Mirrors operators/scoring_boosts.py::rank_feature_boost — additive
+    saturating boost from the frozen 4-dp quality score over the BM25
+    top-`rerank_window`."""
+    from ..operators import scoring_boosts as sb
+    from .oracle_fragments import search_bm25_sql
+
+    pivot, weight = repr(float(sb.RF_PIVOT)), repr(float(sb.RF_WEIGHT))
+    if fn == "saturation":
+        s = f"(f.quality / (f.quality + {pivot}))"
+    elif fn == "log":
+        s = f"ln({repr(float(sb.RF_LOG_SCALING))} + f.quality)"
+    elif fn == "sigmoid":
+        e = float(sb.RF_SIGMOID_EXP)
+        s = (
+            f"(pow(f.quality, {repr(e)})"
+            f" / (pow(f.quality, {repr(e)}) + {repr(float(sb.RF_PIVOT) ** e)}))"
+        )
+    else:
+        raise ValueError(f"unknown rank_feature function: {fn}")
+    return f"""
+WITH hits AS ({search_bm25_sql(query_terms, limit=rerank_window, table=table)}),
+feat AS (SELECT doc_id, quality FROM ({quality_scores_sql(table).strip()})),
+b AS (
+  SELECT h.doc_id, round(h.score + {weight} * {s}, 4) AS score
+  FROM hits h JOIN feat f USING (doc_id)
+)
+SELECT doc_id, score FROM b
+ORDER BY score DESC, doc_id ASC
+LIMIT {limit}
+"""
+
+
+def random_score_sql(
+    seed: int | None = None, limit: int = 20, table: str = "documents"
+) -> str:
+    """Mirrors operators/scoring_boosts.py::random_score — deterministic
+    seeded uniform draw via the portable h60 hash."""
+    from ..operators import scoring_boosts as sb
+
+    sd = int(sb.RANDOM_SEED if seed is None else seed)
+    rng = repr(float(1 << 60))
+    key = f"('rs{sd}:' || doc_id::VARCHAR)"
+    return f"""
+SELECT doc_id, round({h60_sql(key)} / {rng}, 4) AS rscore
+FROM {table}
+ORDER BY rscore DESC, doc_id ASC
+LIMIT {limit}
+"""
