@@ -2003,6 +2003,59 @@ def _q_search_rank_feature_log(spark, sf_dir):
     return sb.rank_feature_boost(hits, ts.quality_scores(docs), fn="log")
 
 
+def _q_multi_terms(spark, sf_dir):
+    """ES multi_terms: compound-key (site, lang) terms agg ranked by
+    combined doc_count."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    return ba.multi_terms_agg(load_documents(spark, sf_dir))
+
+
+def _q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks: exact inverse quantiles of the token count
+    (one conditional-sum aggregate — no sort)."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    return ba.percentile_ranks(load_documents(spark, sf_dir))
+
+
+def _q_dl_histogram_dense(spark, sf_dir):
+    """ES histogram with min_doc_count=0: zero-filled buckets between the
+    observed min and max (sequence-spine left join)."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    return ba.dl_histogram_dense(load_documents(spark, sf_dir))
+
+
+def _q_sampler_terms(spark, sf_dir):
+    """ES sampler agg: lang facet over only the 30 best-scoring hits."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        limit=200,
+    )
+    return ba.sampler_agg(hits, docs)
+
+
+def _q_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler: the same facet with at most 5 docs per
+    site admitted to the sample."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        limit=200,
+    )
+    return ba.diversified_sampler_agg(hits, docs)
+
+
 def _q_random_score(spark, sf_dir):
     """ES function_score random_score: deterministic seeded per-doc
     uniform draw (h60-keyed — stable across engines and cluster sizes)."""
@@ -2111,6 +2164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rank_feature": _q_search_rank_feature,
         "search_rank_feature_log": _q_search_rank_feature_log,
         "random_score": _q_random_score,
+        "multi_terms": _q_multi_terms,
+        "percentile_ranks": _q_percentile_ranks,
+        "dl_histogram_dense": _q_dl_histogram_dense,
+        "sampler_terms": _q_sampler_terms,
+        "diversified_sampler": _q_diversified_sampler,
         "search_authority": _q_search_authority,
         "crawl_frontier_robots": _q_crawl_frontier_robots,
         "robots_rules": _q_robots_rules,
@@ -2339,6 +2397,11 @@ def oracle_sql() -> dict[str, str]:
             Q_BM25_COMMON, fn="log"
         ),
         "random_score": pipe.random_score_sql(),
+        "multi_terms": pipe.multi_terms_sql(),
+        "percentile_ranks": pipe.percentile_ranks_sql(),
+        "dl_histogram_dense": pipe.dl_histogram_dense_sql(),
+        "sampler_terms": pipe.sampler_agg_sql(Q_BM25_COMMON),
+        "diversified_sampler": pipe.diversified_sampler_sql(Q_BM25_COMMON),
         "search_authority": pipe.search_authority_sql(Q_BM25_COMMON),
         "crawl_frontier_robots": pipe.crawl_frontier_robots_sql(),
         "robots_rules": pipe.robots_rules_sql(),

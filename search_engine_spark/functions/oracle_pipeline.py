@@ -3076,3 +3076,128 @@ FROM {table}
 ORDER BY rscore DESC, doc_id ASC
 LIMIT {limit}
 """
+
+
+# ------------------------------------------------------- bucket aggregations
+
+def multi_terms_sql(size: int = 10, table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::multi_terms_agg — compound-key
+    terms aggregation ranked by combined doc_count."""
+    return f"""
+SELECT {SITE_KEY_SQL} AS site_key, lang,
+       count(*)::BIGINT AS doc_count, sum(n_chars)::BIGINT AS sum_chars
+FROM {table}
+GROUP BY 1, 2
+ORDER BY doc_count DESC, site_key ASC, lang ASC
+LIMIT {size}
+"""
+
+
+def percentile_ranks_sql(
+    values: tuple[float, ...] | None = None, table: str = "documents"
+) -> str:
+    """Mirrors operators/bucket_aggs.py::percentile_ranks — exact inverse
+    quantiles of the whitespace token count, one conditional sum per
+    probe value."""
+    from ..operators import bucket_aggs as ba
+
+    vals = ba.PR_VALUES if values is None else values
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)"
+    )
+    blocks = []
+    for v in vals:
+        blocks.append(
+            f"SELECT {repr(float(v))}::DOUBLE AS value,\n"
+            f"  round(CASE WHEN t.t > 0 THEN"
+            f" (SELECT sum(CASE WHEN n <= {repr(float(v))} THEN 1 ELSE 0 END)"
+            f" FROM n) / t.t * 100.0 ELSE 0.0 END, 4) AS rank_pct FROM t"
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH n AS (SELECT {ntok}::DOUBLE AS n FROM {table}),
+t AS (SELECT count(*)::DOUBLE AS t FROM n)
+{union}
+"""
+
+
+def dl_histogram_dense_sql(width: int = 50, table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::dl_histogram_dense — min_doc_count=0
+    histogram: zero-filled buckets between the observed min and max."""
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)"
+    )
+    return f"""
+WITH b AS (SELECT ({ntok} // {width}) * {width} AS bucket_lo FROM {table}),
+bounds AS (SELECT min(bucket_lo) AS lo, max(bucket_lo) AS hi FROM b),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, {width})) AS bucket_lo FROM bounds
+),
+c AS (SELECT bucket_lo, count(*)::BIGINT AS cnt FROM b GROUP BY bucket_lo)
+SELECT s.bucket_lo::BIGINT AS bucket_lo,
+       coalesce(c.cnt, 0)::BIGINT AS n_docs
+FROM spine s LEFT JOIN c USING (bucket_lo)
+ORDER BY bucket_lo
+"""
+
+
+def sampler_agg_sql(
+    query_terms: list[str],
+    sample_size: int | None = None,
+    table: str = "documents",
+) -> str:
+    """Mirrors operators/bucket_aggs.py::sampler_agg — sub-aggregation over
+    only the `sample_size` best-scoring hits (pinned total order)."""
+    from ..operators import bucket_aggs as ba
+    from .oracle_fragments import search_bm25_sql
+
+    k = int(ba.SAMPLER_SIZE if sample_size is None else sample_size)
+    return f"""
+WITH hits AS ({search_bm25_sql(query_terms, limit=k, table=table)})
+SELECT d.lang, count(*)::BIGINT AS doc_count
+FROM hits h JOIN {table} d USING (doc_id)
+GROUP BY d.lang
+ORDER BY doc_count DESC, lang ASC
+"""
+
+
+def diversified_sampler_sql(
+    query_terms: list[str],
+    sample_size: int | None = None,
+    max_per_site: int | None = None,
+    rerank_window: int = 200,
+    table: str = "documents",
+) -> str:
+    """Mirrors operators/bucket_aggs.py::diversified_sampler_agg — at most
+    `max_per_site` docs per site admitted to the sample before the size
+    cut."""
+    from ..operators import bucket_aggs as ba
+    from .oracle_fragments import search_bm25_sql
+
+    k = int(ba.SAMPLER_SIZE if sample_size is None else sample_size)
+    m = int(
+        ba.DIVERSIFIED_MAX_PER_SITE if max_per_site is None else max_per_site
+    )
+    return f"""
+WITH hits AS ({search_bm25_sql(query_terms, limit=rerank_window, table=table)}),
+r AS (
+  SELECT h.doc_id, h.score, {SITE_KEY_SQL} AS site_key
+  FROM hits h JOIN {table} USING (doc_id)
+),
+rn AS (
+  SELECT doc_id, score,
+         row_number() OVER (PARTITION BY site_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM r
+),
+samp AS (
+  SELECT doc_id FROM rn WHERE rn <= {m}
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT d.lang, count(*)::BIGINT AS doc_count
+FROM samp JOIN {table} d USING (doc_id)
+GROUP BY d.lang
+ORDER BY doc_count DESC, lang ASC
+"""

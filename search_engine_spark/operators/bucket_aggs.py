@@ -1,0 +1,202 @@
+"""Bucket-aggregation surfaces — the remaining Elasticsearch aggregation
+shapes the engine did not yet cover: `multi_terms` (compound-key terms),
+`percentile_ranks` (inverse quantiles), dense `histogram`
+(min_doc_count=0 zero-filled buckets), and the `sampler` /
+`diversified_sampler` pair (aggregate over only the best-scoring docs).
+
+The reference has a single aggregate surface (per-site statistics,
+StatisticsServiceImpl.java); these generalize it the way an analytics UI
+over a web index needs. All are single-pass DataFrame plans with map-side
+combine; none collect more than scalar bounds driver-side.
+
+Scale notes (100 TB): multi_terms groups on a (site, lang)-cardinality
+key — thousands of groups, partial aggregation collapses each partition
+to its local groups before the one shuffle. percentile_ranks is ONE
+conditional-sum aggregate (no sort, unlike exact quantiles — ranks of
+GIVEN values need only counts). The dense histogram joins a
+sequence-generated bucket spine (driver-side scalar bounds → literal
+range) against the sparse counts. The samplers bound the aggregated set
+to `sample_size` rows by construction, so their group-by never sees the
+full corpus — exactly why ES offers them."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..textproc.tokenize import WS_SPLIT
+
+PR_VALUES = (10.0, 50.0, 100.0, 250.0)
+SAMPLER_SIZE = 30
+DIVERSIFIED_MAX_PER_SITE = 5
+
+
+def _n_tok():
+    return (
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), WS_SPLIT)))
+        .cast("long")
+    )
+
+
+def multi_terms_agg(docs: DataFrame, size: int = 10) -> DataFrame:
+    """ES `multi_terms` → (site_key, lang, doc_count, sum_chars): terms
+    aggregation over the COMPOUND key (site, lang) — one bucket per
+    observed combination, ordered by doc_count (ties: key order), top
+    `size`. Differs from nested terms-in-terms: buckets are ranked by
+    the combined count, not per-parent.
+
+    Plan: one groupBy on the pair; compound-key cardinality is the
+    product of two tiny vocabularies, so partial agg collapses all rows
+    map-side and the shuffle carries only group headers."""
+    return (
+        docs.groupBy("site_key", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy(
+            F.col("doc_count").desc(),
+            F.col("site_key").asc(),
+            F.col("lang").asc(),
+        )
+        .limit(size)
+    )
+
+
+def percentile_ranks(
+    docs: DataFrame, values: tuple[float, ...] = PR_VALUES
+) -> DataFrame:
+    """ES `percentile_ranks` → (value, rank_pct): for each GIVEN value v,
+    the percentage of documents whose token count is ≤ v — the inverse
+    of the quantile query (`length_quantiles`), answering "how much of
+    the corpus would a ≤v-token filter keep?".
+
+    Exact by counting, not by sorting: ranks of given values need one
+    conditional sum per value, so the whole answer is a single aggregate
+    row (no percentile buffer, no shuffle of values) unpivoted to one
+    row per probe. That is also why this stays exact at 10^12 docs when
+    exact quantiles cannot."""
+    n = _n_tok()
+    aggs = [F.count(F.lit(1)).cast("double").alias("_t")] + [
+        F.sum(F.when(n <= v, 1).otherwise(0)).cast("double").alias(f"_c{i}")
+        for i, v in enumerate(values)
+    ]
+    one = docs.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.round(
+                    F.when(
+                        F.col("_t") > 0,
+                        F.col(f"_c{i}") / F.col("_t") * 100.0,
+                    ).otherwise(F.lit(0.0)),
+                    4,
+                ).alias("rank_pct"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return (
+        one.select(F.explode(pairs).alias("z"))
+        .select(F.col("z.value").alias("value"), F.col("z.rank_pct").alias("rank_pct"))
+    )
+
+
+def dl_histogram_dense(docs: DataFrame, width: int = 50) -> DataFrame:
+    """ES `histogram` with min_doc_count=0 → (bucket_lo, n_docs): fixed-
+    width token-count buckets INCLUDING empty ones between the observed
+    min and max bucket — chart-ready output where a missing bar means
+    zero, not "bucket absent" (the sparse variant is `dl_histogram`).
+
+    Plan: sparse counts via one groupBy; the bucket spine comes from
+    F.sequence over the single-row (min, max) aggregate — generated
+    JVM-side, exploded, and left-joined against the counts (broadcast:
+    the spine is bounded by value range / width, not by corpus size)."""
+    n = _n_tok()
+    b = docs.select(((n / width).cast("long") * width).alias("bucket_lo"))
+    counts = b.groupBy("bucket_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    spine = (
+        b.agg(
+            F.min("bucket_lo").alias("lo"), F.max("bucket_lo").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.lit(int(width)).cast("long"))
+            ).alias("bucket_lo")
+        )
+    )
+    return (
+        spine.join(counts, "bucket_lo", "left")
+        .select(
+            "bucket_lo",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def sampler_agg(
+    hits: DataFrame,
+    docs: DataFrame,
+    sample_size: int = SAMPLER_SIZE,
+    by: str = "lang",
+) -> DataFrame:
+    """ES `sampler` aggregation → (lang, doc_count): run the sub-
+    aggregation over only the `sample_size` BEST-scoring documents of
+    the query, not every match — the standard trick for "characterize
+    the top of the result list" facets whose cost must not grow with
+    hit count. Deterministic cut: (score desc, doc_id asc), the engine's
+    pinned total order.
+
+    Plan: TakeOrderedAndProject bounds the sample; the join back to the
+    document attributes broadcasts the sample side; the final groupBy
+    sees ≤ sample_size rows."""
+    top = hits.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(sample_size)
+    return (
+        top.join(docs.select("doc_id", by), "doc_id")
+        .groupBy(by)
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col(by).asc())
+    )
+
+
+def diversified_sampler_agg(
+    hits: DataFrame,
+    docs: DataFrame,
+    sample_size: int = SAMPLER_SIZE,
+    max_per_site: int = DIVERSIFIED_MAX_PER_SITE,
+    by: str = "lang",
+) -> DataFrame:
+    """ES `diversified_sampler` → (lang, doc_count): like `sampler`, but
+    the sample admits at most `max_per_site` documents per site before
+    the size cut, so one dominant host cannot monopolize the facet (the
+    de-duplication field is the reference's site, its one grouping
+    dimension). Same pinned total order; the per-site cut is a
+    row_number window PARTITIONED by site — bounded partitions, never a
+    global window.
+
+    The sampler/diversified pair is the aggregation-side mirror of
+    result diversification (`search_collapsed` / `search_diversified`):
+    there the OUTPUT is deduped, here the AGGREGATED EVIDENCE is."""
+    ranked = hits.join(docs.select("doc_id", "site_key"), "doc_id")
+    w = Window.partitionBy("site_key").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    sample = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_site)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(sample_size)
+    )
+    return (
+        sample.join(docs.select("doc_id", by), "doc_id")
+        .groupBy(by)
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col(by).asc())
+    )

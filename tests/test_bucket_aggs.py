@@ -1,0 +1,63 @@
+"""Property tests for bucket_aggs.py: dense-histogram spine contiguity,
+percentile-rank monotonicity, and the samplers' cardinality guarantees."""
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import bucket_aggs as ba
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).withColumn("site_key", F.concat(F.lit("site-"), F.char(F.col("doc_id") % 3 + 97)))
+
+
+def test_dense_histogram_fills_gaps(spark):
+    # token counts 1, 2, and 201 with width 50 → buckets 0 and 200
+    # observed; 50/100/150 must appear with n_docs = 0
+    texts = ["a", "a b", " ".join(["w"] * 201)]
+    rows = ba.dl_histogram_dense(_docs(spark, texts), width=50).collect()
+    got = {r["bucket_lo"]: r["n_docs"] for r in rows}
+    assert sorted(got) == [0, 50, 100, 150, 200]
+    assert got[0] == 2 and got[200] == 1
+    assert got[50] == got[100] == got[150] == 0
+
+
+def test_dense_histogram_empty_corpus(spark):
+    rows = ba.dl_histogram_dense(_docs(spark, []), width=50).collect()
+    assert rows == []
+
+
+def test_percentile_ranks_monotone_and_bounded(spark):
+    texts = [" ".join(["w"] * n) for n in (1, 5, 20, 80, 300)]
+    rows = ba.percentile_ranks(_docs(spark, texts)).collect()
+    by_v = sorted((r["value"], r["rank_pct"]) for r in rows)
+    ranks = [p for _, p in by_v]
+    assert ranks == sorted(ranks)  # CDF is monotone
+    assert all(0.0 <= p <= 100.0 for p in ranks)
+    assert by_v[-1] == (250.0, 80.0)  # 4 of 5 docs ≤ 250 tokens
+
+
+def test_diversified_sampler_caps_per_site(spark):
+    # 30 hits all on one site: diversified sample admits max_per_site,
+    # so the facet count is exactly that cap
+    docs = _docs(spark, ["t"] * 30).withColumn(
+        "site_key", F.lit("site-a")
+    )
+    hits = spark.createDataFrame(
+        [(i, 1000.0 - i) for i in range(30)], "doc_id long, score double"
+    )
+    rows = ba.diversified_sampler_agg(
+        hits, docs, sample_size=20, max_per_site=3
+    ).collect()
+    assert len(rows) == 1 and rows[0]["doc_count"] == 3
+
+
+def test_sampler_bounds_sample(spark):
+    docs = _docs(spark, ["t"] * 50)
+    hits = spark.createDataFrame(
+        [(i, 1000.0 - i) for i in range(50)], "doc_id long, score double"
+    )
+    rows = ba.sampler_agg(hits, docs, sample_size=10).collect()
+    assert sum(r["doc_count"] for r in rows) == 10
