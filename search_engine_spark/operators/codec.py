@@ -27,6 +27,21 @@ Codecs:
            outliers as fixed-width uint16 positions + v-byte high bits.
            Degenerates gracefully: uniform small gaps pack at
            ~b bits/posting vs v-byte's hard 8-bit floor.
+  TAG_EF  (0x02) — Elias-Fano over the prefix sums (Vigna, WSDM'13
+           "Quasi-succinct indices"): the payload values v are summed to a
+           monotone sequence x = cumsum(v); each x_i splits into l low bits
+           (bit-packed) and a high part stored as a set bit at position
+           (x_i >> l) + i in a bitvector. Size is n·l + n + (u >> l) + 1
+           bits ≈ n·(2 + log2(u/n)) — within a constant of the
+           information-theoretic bound for a monotone sequence, and unlike
+           PFor it is immune to gap skew (one huge gap costs ~its own log,
+           not a widened b or an exception for every other value). l is
+           chosen by exact size minimization, not the canonical
+           floor(log2(u/n)), so the encoder never regresses on edge shapes.
+
+The three codecs compete per payload on EXACT encoded size (PFor via an
+estimate re-checked against real bytes); ties keep the earlier tag
+(VB < PFD < EF) so scalar and batched encoders stay byte-identical.
 """
 
 from __future__ import annotations
@@ -37,6 +52,12 @@ BLOCK_SIZE = 128
 
 TAG_VB = 0x00
 TAG_PFD = 0x01
+TAG_EF = 0x02
+
+# EF eligibility: prefix sums must not overflow uint64. Payload arrays are
+# capped at PFOR_MAX_N (2^16) values; requiring every value < 2^47 bounds
+# the sum below 2^63. Gaps/tfs/dls/position-deltas are all far below this.
+EF_MAX_WIDTH = 47
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
@@ -201,15 +222,80 @@ def pfor_decode(buf: bytes, count: int) -> np.ndarray:
     return low.astype(np.int64)
 
 
+_EF_LGRID = np.arange(64, dtype=np.uint64)
+
+
+def _ef_cost(n: int | np.ndarray, u: int | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(best_l, body_bytes) minimizing exact Elias-Fano size; vectorized over
+    blocks when n/u are arrays. body = 1 header byte (l) + ceil(n·l/8) low
+    bytes + ceil((n + (u>>l) + 1)/8) high-bitvector bytes. Ties pick the
+    smallest l (np.argmin keeps the first minimum) — load-bearing for the
+    scalar/batched byte-identity invariant."""
+    n_arr = np.atleast_1d(np.asarray(n, dtype=np.uint64))[:, None]
+    u_arr = np.atleast_1d(np.asarray(u, dtype=np.uint64))[:, None]
+    lg = _EF_LGRID[None, :]
+    cost = (
+        1
+        + (n_arr * lg + np.uint64(7)) // np.uint64(8)
+        + (n_arr + (u_arr >> lg) + np.uint64(8)) // np.uint64(8)
+    )
+    best_l = np.argmin(cost, axis=1)
+    return best_l.astype(np.int64), cost[np.arange(best_l.size), best_l].astype(np.int64)
+
+
+def ef_encode(values: np.ndarray, l: int | None = None) -> bytes:
+    """Elias-Fano encode: [l:uint8][packed low l bits][high bitvector].
+
+    Works on the prefix sums of `values`, so any non-negative payload (gaps,
+    tfs, position deltas) is admissible — the transform is inverted by diff
+    in ef_decode. Callers must enforce EF_MAX_WIDTH so the cumsum cannot
+    overflow uint64."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return bytes([0])
+    x = np.cumsum(v)
+    u = int(x[-1])
+    if l is None:
+        best_l, _ = _ef_cost(n, u)
+        l = int(best_l[0])
+    if l:
+        low = _pack_bits(x & ((np.uint64(1) << np.uint64(l)) - np.uint64(1)), l)
+    else:
+        low = b""
+    hi_pos = (x >> np.uint64(l)) + np.arange(n, dtype=np.uint64)
+    bits = np.zeros(n + (u >> l) + 1, dtype=np.uint8)
+    bits[hi_pos] = 1
+    return bytes([l]) + low + np.packbits(bits).tobytes()
+
+
+def ef_decode(buf: bytes, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    l = buf[0]
+    low_nbytes = (count * l + 7) // 8
+    low = _unpack_bits(buf[1 : 1 + low_nbytes], count, l)
+    hb = np.unpackbits(np.frombuffer(buf[1 + low_nbytes :], dtype=np.uint8))
+    idx = np.flatnonzero(hb)[:count].astype(np.uint64)
+    high = idx - np.arange(count, dtype=np.uint64)
+    x = (high << np.uint64(l)) | low
+    out = np.empty(count, dtype=np.int64)
+    out[0] = x[0]
+    out[1:] = np.diff(x).astype(np.int64)
+    return out
+
+
 def encode_payload(values: np.ndarray) -> bytes:
-    """Tag-prefixed payload: v-byte or PForDelta, whichever is smaller.
+    """Tag-prefixed payload: v-byte, PForDelta, or Elias-Fano — smallest wins.
 
     Selection is analytic — exact v-byte size from the bit widths, PFor size
     from the same widths via _pfd_cost's exception estimate — so the common
     case runs exactly one encoder. The estimate can be off when exception
     high bits span multiple v-bytes, so the real PFor bytes are re-checked
     against the v-byte size before being chosen; the ≤ v-byte+1 size
-    invariant therefore always holds."""
+    invariant therefore always holds. EF's cost formula is exact, so it is
+    chosen (strictly smaller only — ties keep the earlier codec) without a
+    trial encode."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return bytes([TAG_VB])
@@ -217,12 +303,19 @@ def encode_payload(values: np.ndarray) -> bytes:
         return bytes([TAG_VB]) + varbyte_encode(values)
     widths = _bit_widths(v)
     vb_size = int(np.maximum((widths + 6) // 7, 1).sum())
+    tag, body, best_size = TAG_VB, None, vb_size
     b, pfd_est = _pfd_cost(np.sort(widths), v.size)
     if pfd_est < vb_size:
         pfd = pfor_encode(values, b=b, widths=widths)
         if len(pfd) < vb_size:
-            return bytes([TAG_PFD]) + pfd
-    return bytes([TAG_VB]) + varbyte_encode(values)
+            tag, body, best_size = TAG_PFD, pfd, len(pfd)
+    if int(widths.max()) <= EF_MAX_WIDTH:
+        best_l, ef_size = _ef_cost(v.size, int(np.cumsum(v)[-1]))
+        if int(ef_size[0]) < best_size:
+            return bytes([TAG_EF]) + ef_encode(v, l=int(best_l[0]))
+    if body is None:
+        body = varbyte_encode(values)
+    return bytes([tag]) + body
 
 
 def decode_payload(buf: bytes, count: int) -> np.ndarray:
@@ -231,6 +324,8 @@ def decode_payload(buf: bytes, count: int) -> np.ndarray:
     tag, body = buf[0], buf[1:]
     if tag == TAG_PFD:
         return pfor_decode(body, count)
+    if tag == TAG_EF:
+        return ef_decode(body, count)
     return varbyte_decode(body, count)
 
 
@@ -355,6 +450,21 @@ def _encode_column_blocks(
 
     for i in np.flatnonzero(~cand):
         out[i] = vb_slice(i)
+
+    # Elias-Fano pass — mirrors encode_payload's final step exactly: EF
+    # replaces the chosen VB/PFD payload only on STRICTLY smaller exact
+    # size, so this post-pass keeps byte identity with the scalar path.
+    blk_maxw = np.maximum.reduceat(widths, starts)
+    eligible = np.flatnonzero(blk_maxw <= EF_MAX_WIDTH)
+    if eligible.size:
+        blk_u = np.add.reduceat(v, starts)
+        ef_l, ef_size = _ef_cost(counts[eligible], blk_u[eligible])
+        for j, i in enumerate(eligible):
+            i = int(i)
+            if int(ef_size[j]) < len(out[i]) - 1:
+                out[i] = bytes([TAG_EF]) + ef_encode(
+                    v[starts[i] : ends[i]], l=int(ef_l[j])
+                )
     return out  # type: ignore[return-value]
 
 

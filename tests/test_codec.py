@@ -1,4 +1,4 @@
-"""Property + unit tests for the posting-block codec (delta + varbyte/PFor)."""
+"""Property + unit tests for the posting-block codec (delta + varbyte/PFor/EF)."""
 
 import numpy as np
 from hypothesis import given, settings
@@ -6,8 +6,12 @@ from hypothesis import strategies as st
 
 from search_engine_spark.operators.codec import (
     BLOCK_SIZE,
+    EF_MAX_WIDTH,
+    TAG_EF,
     TAG_PFD,
     TAG_VB,
+    ef_decode,
+    ef_encode,
     decode_block,
     decode_payload,
     delta_decode,
@@ -104,7 +108,7 @@ def test_pfor_roundtrip_with_outliers(small, outliers):
 def test_payload_roundtrip_and_never_larger_than_varbyte(values):
     arr = np.array(values, dtype=np.int64)
     enc = encode_payload(arr)
-    assert enc[0] in (TAG_VB, TAG_PFD)
+    assert enc[0] in (TAG_VB, TAG_PFD, TAG_EF)
     assert decode_payload(enc, len(arr)).tolist() == values
     # tag byte is the only possible overhead vs plain v-byte
     assert len(enc) <= len(varbyte_encode(arr)) + 1
@@ -141,6 +145,62 @@ def test_batched_encode_matches_per_block_scalar_path(ids, tf_seed):
         assert got[b]["doc_bytes"] == encode_payload(delta_encode(doc_ids[lo:hi]))
         assert got[b]["tf_bytes"] == encode_payload(tfs[lo:hi])
         assert got[b]["dl_bytes"] == encode_payload(dls[lo:hi])
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**EF_MAX_WIDTH - 1),
+        min_size=1,
+        max_size=BLOCK_SIZE,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ef_roundtrip(values):
+    """Elias-Fano inverts exactly for any non-negative payload (the prefix-sum
+    transform makes gaps, tfs, and zero runs all admissible)."""
+    arr = np.array(values, dtype=np.int64)
+    assert ef_decode(ef_encode(arr), len(arr)).tolist() == values
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**20), min_size=1, max_size=BLOCK_SIZE
+    ),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=100, deadline=None)
+def test_ef_roundtrip_any_l(values, l):
+    """Correctness must not depend on the size-optimal l — any split works."""
+    arr = np.array(values, dtype=np.int64)
+    assert ef_decode(ef_encode(arr, l=l), len(arr)).tolist() == values
+
+
+def test_ef_wins_on_geometric_gaps():
+    """Geometric gaps (a term hitting ~1/50 docs — the Bernoulli-occurrence
+    model) have widths spread over ~7 values; PFor pays exceptions or a wide
+    b, v-byte pays its 8-bit floor, and EF's n·(2+log2(mean_gap)) wins. This
+    pins that the EF tag actually fires on the realistic mid-frequency-term
+    shape, not just constructed corner cases."""
+    rng = np.random.default_rng(11)
+    wins = 0
+    for _ in range(20):
+        gaps = rng.geometric(1 / 50.0, BLOCK_SIZE).astype(np.int64)
+        if encode_payload(gaps)[0] == TAG_EF:
+            wins += 1
+    assert wins >= 15
+
+
+def test_ef_zero_run_tiny_n():
+    # all-zero payload, n=3: EF is 2 bytes body (l header + 1 bitvector byte)
+    # vs PFor's 3-byte header floor and v-byte's 3 — the one regime where EF
+    # beats PFor on zeros (PFor b=0 wins for larger n; pinned here so the
+    # three-way selection stays honest at the boundary)
+    arr = np.zeros(3, dtype=np.int64)
+    enc = encode_payload(arr)
+    assert enc[0] == TAG_EF and len(enc) == 3
+    assert decode_payload(enc, 3).tolist() == [0, 0, 0]
+    # larger zero runs flip to PFor's 3-byte header — EF must not override
+    assert encode_payload(np.zeros(64, dtype=np.int64))[0] == TAG_PFD
 
 
 def test_compression_wins():
