@@ -303,16 +303,23 @@ def encode_payload(values: np.ndarray) -> bytes:
         return bytes([TAG_VB]) + varbyte_encode(values)
     widths = _bit_widths(v)
     vb_size = int(np.maximum((widths + 6) // 7, 1).sum())
-    tag, body, best_size = TAG_VB, None, vb_size
     b, pfd_est = _pfd_cost(np.sort(widths), v.size)
+    ef_l = ef_size = -1
+    if int(widths.max()) <= EF_MAX_WIDTH:
+        lv, sv = _ef_cost(v.size, int(v.sum()))
+        ef_l, ef_size = int(lv[0]), int(sv[0])
+        # pfd_est omits PFor's 3 header bytes and underestimates exception
+        # bytes, so actual PFor size ≥ pfd_est + 3: EF under that bound (and
+        # under v-byte) wins regardless of the trial encode — skip it.
+        if 0 <= ef_size < min(vb_size, pfd_est + 3):
+            return bytes([TAG_EF]) + ef_encode(v, l=ef_l)
+    tag, body, best_size = TAG_VB, None, vb_size
     if pfd_est < vb_size:
         pfd = pfor_encode(values, b=b, widths=widths)
         if len(pfd) < vb_size:
             tag, body, best_size = TAG_PFD, pfd, len(pfd)
-    if int(widths.max()) <= EF_MAX_WIDTH:
-        best_l, ef_size = _ef_cost(v.size, int(np.cumsum(v)[-1]))
-        if int(ef_size[0]) < best_size:
-            return bytes([TAG_EF]) + ef_encode(v, l=int(best_l[0]))
+    if 0 <= ef_size < best_size:
+        return bytes([TAG_EF]) + ef_encode(v, l=ef_l)
     if body is None:
         body = varbyte_encode(values)
     return bytes([tag]) + body
@@ -394,7 +401,21 @@ def _encode_column_blocks(
     def vb_slice(i: int) -> bytes:
         return vb_tag + vb_all[blk_byte_start[i] : blk_byte_end[i]]
 
-    cand = pfd_est < blk_vb_size
+    # Elias-Fano exact costs up front: blocks where EF beats v-byte AND the
+    # pfd_est + 3 lower bound on real PFor size need no PFor trial at all
+    # (same short-circuit as encode_payload — outcome-identical, and it
+    # avoids bit-packing those blocks twice).
+    blk_maxw = np.maximum.reduceat(widths, starts)
+    ef_eligible = blk_maxw <= EF_MAX_WIDTH
+    ef_l = np.zeros(nb, dtype=np.int64)
+    ef_est = np.full(nb, np.iinfo(np.int64).max, dtype=np.int64)
+    if ef_eligible.any():
+        blk_u = np.add.reduceat(v, starts)
+        eidx = np.flatnonzero(ef_eligible)
+        ef_l[eidx], ef_est[eidx] = _ef_cost(counts[eidx], blk_u[eidx])
+    ef_certain = ef_eligible & (ef_est < np.minimum(blk_vb_size, pfd_est + 3))
+
+    cand = (pfd_est < blk_vb_size) & ~ef_certain
     full = counts == BLOCK_SIZE
     # partial candidate blocks (the run tail): scalar path, same selection
     for i in np.flatnonzero(cand & ~full):
@@ -454,16 +475,47 @@ def _encode_column_blocks(
     # Elias-Fano pass — mirrors encode_payload's final step exactly: EF
     # replaces the chosen VB/PFD payload only on STRICTLY smaller exact
     # size, so this post-pass keeps byte identity with the scalar path.
-    blk_maxw = np.maximum.reduceat(widths, starts)
-    eligible = np.flatnonzero(blk_maxw <= EF_MAX_WIDTH)
-    if eligible.size:
-        blk_u = np.add.reduceat(v, starts)
-        ef_l, ef_size = _ef_cost(counts[eligible], blk_u[eligible])
-        for j, i in enumerate(eligible):
+    # Full winning blocks are encoded in (k × BLOCK_SIZE) batches grouped
+    # by chosen l (cumsum + bit ops across the whole group, one packbits
+    # per group for lows and one for the padded high bitvectors — trailing
+    # pad bits are the zeros packbits emits anyway, so slicing each row to
+    # its own ceil(nbits/8) bytes reproduces the scalar encoding); only
+    # partial tails (≤ 1 per run) fall back to scalar ef_encode.
+    if ef_eligible.any():
+        idx = np.flatnonzero(ef_eligible)
+        cur_size = np.fromiter((len(out[int(i)]) - 1 for i in idx), np.int64)
+        win = ef_est[idx] < cur_size
+        ef_tag = bytes([TAG_EF])
+        for i in idx[win & (counts[idx] != BLOCK_SIZE)]:
             i = int(i)
-            if int(ef_size[j]) < len(out[i]) - 1:
-                out[i] = bytes([TAG_EF]) + ef_encode(
-                    v[starts[i] : ends[i]], l=int(ef_l[j])
+            out[i] = ef_tag + ef_encode(v[starts[i] : ends[i]], l=int(ef_l[i]))
+        batch = idx[win & (counts[idx] == BLOCK_SIZE)]
+        batch_l = ef_l[batch]
+        pos128 = np.arange(BLOCK_SIZE, dtype=np.uint64)[None, :]
+        for l in np.unique(batch_l):
+            l = int(l)
+            sel = batch[batch_l == l]
+            k = sel.size
+            x = np.cumsum(v[starts[sel][:, None] + col_range], axis=1)
+            if l:
+                mask = (np.uint64(1) << np.uint64(l)) - np.uint64(1)
+                bits = (
+                    ((x & mask)[:, :, None] >> _shifts(l)[None, None, :])
+                    & np.uint64(1)
+                ).astype(np.uint8)
+                lows = np.packbits(bits.reshape(k, -1), axis=1)
+            else:
+                lows = np.zeros((k, 0), dtype=np.uint8)
+            hi_pos = (x >> np.uint64(l)) + pos128
+            u = x[:, -1]
+            nbytes = (BLOCK_SIZE + (u >> np.uint64(l)) + np.uint64(8)) // np.uint64(8)
+            mat = np.zeros((k, int(nbytes.max()) * 8), dtype=np.uint8)
+            mat[np.arange(k)[:, None], hi_pos] = 1
+            highs = np.packbits(mat, axis=1)
+            head = ef_tag + bytes([l])
+            for j in range(k):
+                out[int(sel[j])] = (
+                    head + lows[j].tobytes() + highs[j, : int(nbytes[j])].tobytes()
                 )
     return out  # type: ignore[return-value]
 
