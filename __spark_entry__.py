@@ -519,6 +519,10 @@ def _q_search_results(spark, sf_dir):
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 EMB_NEAR_THRESHOLD = 0.4
+# within-IVF-cell SemDeDup bar: the synthetic fixture's same-cell cosine
+# q90 is ~0.23, so 0.3 drops a real (but minority) slice — both branches
+# of the keep verdict are exercised at gate scale
+SEMDEDUP_THRESHOLD = 0.3
 JACCARD_THRESHOLD = 0.5
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}  # zh/es dropped
 HOLDOUT_FRACTION = 0.1
@@ -1239,6 +1243,24 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     return embedding_near_pairs_lsh(
         load_embeddings(spark, sf_dir), EMB_NEAR_THRESHOLD
     )
+
+
+def _q_knn_graph(spark, sf_dir):
+    """Per-vector top-k neighbors inside IVF cells — the SemDeDup/curation
+    backbone artifact; cell restriction bounds the quadratic term."""
+    from search_engine_spark.operators.similarity import knn_graph
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return knn_graph(load_embeddings(spark, sf_dir), k=5)
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup keep/drop verdicts (Abbas et al. 2023): min-id
+    representative per same-cell near-dup group."""
+    from search_engine_spark.operators.similarity import semdedup
+    from search_engine_spark.sources.documents import load_embeddings
+
+    return semdedup(load_embeddings(spark, sf_dir), SEMDEDUP_THRESHOLD)
 
 
 def _q_ann_bruteforce(spark, sf_dir):
@@ -2229,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": _q_ivf_assign,
         "ann_ivf": _q_ann_ivf,
         "kmeans_assign": _q_kmeans_assign,
+        "knn_graph": _q_knn_graph,
+        "semdedup": _q_semdedup,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -2475,6 +2499,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": pipe.ann_lsh_sql(ANN_QUERY_IDS),
         "ivf_assign": pipe.ivf_assign_sql(),
         "kmeans_assign": pipe.kmeans_assign_sql(),
+        "knn_graph": pipe.knn_graph_sql(k=5),
+        "semdedup": pipe.semdedup_sql(threshold=SEMDEDUP_THRESHOLD),
         "ann_ivf": pipe.ann_ivf_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),

@@ -1032,6 +1032,63 @@ SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
+def knn_graph_sql(k: int = 5, n_centroids: int = 16,
+                  table: str = "embeddings") -> str:
+    """Mirrors operators/similarity.py::knn_graph — top-k cosine neighbors
+    within each IVF cell (ties -> smallest nbr_id)."""
+    cos_a = COS_SQL.format(a="e.embedding", b="c.cvec")
+    cos_p = COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH {_centroids_cte(table, n_centroids)},
+assign AS (
+  SELECT vec_id, centroid_id, embedding FROM (
+    SELECT e.vec_id, c.centroid_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_a}, 4) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN cent c) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, round({cos_p}, 4) AS cos
+  FROM assign a JOIN assign b USING (centroid_id)
+  WHERE b.vec_id <> a.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, nbr_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def semdedup_sql(threshold: float, n_centroids: int = 16,
+                 table: str = "embeddings") -> str:
+    """Mirrors operators/similarity.py::semdedup — drop a vector when its
+    IVF cell holds a near-duplicate (cos >= threshold) with smaller id."""
+    cos_a = COS_SQL.format(a="e.embedding", b="c.cvec")
+    cos_p = COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH {_centroids_cte(table, n_centroids)},
+assign AS (
+  SELECT vec_id, centroid_id, embedding FROM (
+    SELECT e.vec_id, c.centroid_id, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({cos_a}, 4) DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM {table} e CROSS JOIN cent c) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b USING (centroid_id)
+  WHERE b.vec_id < a.vec_id AND round({cos_p}, 4) >= {threshold}
+)
+SELECT e.vec_id, (d.vec_id IS NULL) AS keep
+FROM {table} e LEFT JOIN dup d USING (vec_id)
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 HTML_SQL = (

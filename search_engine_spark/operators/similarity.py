@@ -612,3 +612,97 @@ def kmeans_refine(
             (cid, updated.get(cid, vec)) for cid, vec in cents
         ]
     return ivf_assign(embeddings, cents)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """(vec_id, nbr_id, cos, rank) — k-nearest-neighbor graph restricted
+    to IVF cells: each vector's top-k cosine neighbors among vectors
+    assigned to the SAME coarse cell. The kNN graph is the backbone
+    artifact of embedding-space curation (SemDeDup-style dedup, density
+    estimation, cluster pruning); cell restriction is what makes it
+    buildable at corpus scale — the quadratic term is bounded per cell at
+    (n/K)² instead of n², the standard IVF trade (recall loss only at
+    cell boundaries, recovered in production with multi-probe or a
+    trained K ∝ √n quantizer through the same centroid seam).
+
+    Plan shape: one zero-shuffle assignment projection (ivf_assign), one
+    hash-shuffle of the narrow (vec_id, centroid_id, embedding) frame on
+    centroid_id for the self-join, per-vector top-k via window — state
+    bounded by k, never the cell. No UDFs; exact float64 cosine."""
+    if centroids is None:
+        centroids = ivf_centroid_rows(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, centroids, keep_embedding=True).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    pairs = assign.alias("a").join(
+        assign.alias("b"),
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nbr_id"),
+        F.round(
+            cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 4
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "nbr_id", "cos", "rank")
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_centroids: int = N_CENTROIDS,
+) -> DataFrame:
+    """(vec_id, keep) — semantic deduplication: inside each IVF cell,
+    drop every vector that has a same-cell near-duplicate (cosine ≥
+    threshold, 4 dp) with a SMALLER vec_id, keeping exactly one
+    deterministic representative per near-dup group reachable through
+    such chains. This is SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+    with min-id representative selection instead of the paper's
+    lowest-centroid-similarity choice — id order is reproducible across
+    engines and needs no second pass.
+
+    Scale shape mirrors knn_graph: the pair join never leaves the cell,
+    the duplicate set reduces by a distinct on vec_id (map-side
+    combinable), and the final verdict is a left join of the narrow id
+    column against that set — the embedding column is touched only inside
+    the cell join."""
+    if centroids is None:
+        centroids = ivf_centroid_rows(embeddings, n_centroids)
+    assign = ivf_assign(embeddings, centroids, keep_embedding=True).select(
+        "vec_id", "centroid_id", "embedding"
+    )
+    dups = (
+        assign.alias("a")
+        .join(
+            assign.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            F.round(
+                cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 4
+            )
+            >= threshold
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", F.col("_dup").isNull().alias("keep"))
+    )
