@@ -1150,6 +1150,17 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    """Same pipeline via alternating large/small-star CC (Kiveris et al.
+    SoCC'14) — O(log n) rounds regardless of component diameter; must
+    match the same recursive-CTE oracle as the propagation variant."""
+    from search_engine_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        load_documents(spark, sf_dir), JACCARD_THRESHOLD, algorithm="star"
+    )
+
+
 def _q_dedup_canonical(spark, sf_dir):
     """Near-dup cluster representative election (keep-longest policy)."""
     from search_engine_spark.operators.dedup import cluster_representatives
@@ -2234,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
         "dedup_canonical": _q_dedup_canonical,
         "dup_spans": _q_dup_spans,
         "mirror_hosts": _q_mirror_hosts,
@@ -2471,6 +2483,11 @@ def oracle_sql() -> dict[str, str]:
             threshold=JACCARD_THRESHOLD, lsh_candidates=True
         ),
         "dedup_clusters": pipe.dedup_clusters_sql(
+            threshold=JACCARD_THRESHOLD
+        ),
+        # the star variant must agree with the SAME transitive-closure
+        # oracle — two independent Spark algorithms, one ground truth
+        "dedup_clusters_star": pipe.dedup_clusters_sql(
             threshold=JACCARD_THRESHOLD
         ),
         "dedup_canonical": pipe.cluster_representatives_sql(

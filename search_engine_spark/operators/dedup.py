@@ -613,17 +613,110 @@ def connected_components(
         edges.unpersist()
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): cluster_id = min doc_id reachable,
+    identical output contract to connected_components.
+
+    Why a second CC implementation: min-label propagation converges in
+    O(component diameter) rounds. Near-dup graphs are USUALLY shallow
+    hubs, but threshold-boundary chains (A≈B≈C≈… where only adjacent
+    pairs clear the bar) have diameter ~ component size — at web scale a
+    10⁵-long chain stalls propagation while this algorithm contracts any
+    topology in O(log n) rounds (each star step at least halves the
+    distance to the component minimum).
+
+    Per round both steps are one groupBy(min) + one join over the edge
+    frame — no collect_set, so a hub of any degree never materializes a
+    neighbor array; lineage is truncated per round (localCheckpoint) for
+    the same plan-growth reason documented in connected_components.
+    Convergence = the oriented edge set reaches a fixed point (star
+    forest), checked exactly with subtract — one extra shuffle per round,
+    bounded by the O(log n) round count."""
+    # canonical orientation: (src > dst) — every undirected edge once
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("src"),
+            F.least("doc_a", "doc_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # large-star: for every node u (as BOTH endpoints), m(u) = min
+        # neighbor ∪ {u}; strictly larger neighbors v re-attach to m(u)
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the (big→small) orientation: u and all its
+        # ≤-neighbors re-attach to m(u)
+        mins2 = large.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        small = (
+            large.join(mins2, "src")
+            .select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+            .union(mins2.select(F.col("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if (
+            small.subtract(edges).limit(1).count() == 0
+            and edges.subtract(small).limit(1).count() == 0
+        ):
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point in "
+            f"{max_rounds} alternating rounds — raise max_rounds"
+        )
+    # fixed point is a star forest: every edge points at its component
+    # min; roots appear only as dst
+    members = edges.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+    roots = edges.select(F.col("dst").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.union(roots).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame, threshold: float = 0.5, algorithm: str = "prop"
+) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) — the full near-dup pipeline a
     training-data curation pass needs: MinHash-LSH candidates → exact
     candidate-driven Jaccard verification → connected components. The
     keep-one-per-cluster decision is then `filter(doc_id == cluster_id)`.
     Only docs that belong to some near-dup pair appear (singletons are
-    implicitly their own cluster)."""
+    implicitly their own cluster). algorithm: "prop" (min-label
+    propagation, O(diameter) rounds — the shallow-hub default) or "star"
+    (alternating large/small-star, O(log n) rounds — the defense against
+    threshold-boundary chains)."""
     pairs = jaccard_pairs(
         docs, threshold, candidates=lsh_candidate_pairs(docs)
     ).select("doc_a", "doc_b")
-    comp = connected_components(pairs)
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs)
     sizes = comp.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )

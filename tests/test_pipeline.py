@@ -248,6 +248,53 @@ def test_connected_components_raises_instead_of_wrong_labels(spark):
     assert got == {(i, 0) for i in range(13)}
 
 
+def test_star_cc_matches_propagation_and_handles_long_chains(spark):
+    """Alternating large/small-star must produce byte-identical components
+    to min-label propagation on arbitrary graphs AND converge on a chain
+    far longer than any sane propagation round cap (O(log n) vs
+    O(diameter)) — the threshold-boundary-chain scale defense."""
+    import random
+
+    rng = random.Random(7)
+    # random sparse graph: 120 vertices, 100 edges → many components of
+    # mixed shapes (hubs, chains, cycles)
+    edges = list({
+        tuple(sorted(rng.sample(range(120), 2))) for _ in range(100)
+    })
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    prop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components(pairs, max_iterations=40).collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert star == prop
+
+    # 150-long path: propagation at its default 20-round cap fails loudly;
+    # the star algorithm needs only O(log n) alternating rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_star(chain, max_rounds=16).collect()
+    }
+    assert got == {(i, 0) for i in range(151)}
+
+
+def test_star_cc_empty_and_single_edge(spark):
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.connected_components_star(empty).collect() == []
+    one = spark.createDataFrame([(5, 9)], "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.connected_components_star(one).collect()
+    }
+    assert got == {(5, 5), (9, 5)}
+
+
 def test_dedup_clusters_contains_exact_dups(spark, mini_docs):
     """Exact and whitespace-variant duplicates land in one cluster with the
     min doc_id as canonical."""
