@@ -1745,6 +1745,15 @@ def _q_pack_sequences(spark, sf_dir):
                           buckets=64)
 
 
+def _q_chunk_docs(spark, sf_dir):
+    """Sliding token-window chunking (32-token windows, 8 overlap) — the
+    RAG/embedding-indexing twin of pack_sequences; zero-shuffle codegen."""
+    from search_engine_spark.operators.export import chunk_documents
+
+    return chunk_documents(load_documents(spark, sf_dir), chunk_size=32,
+                           overlap=8)
+
+
 CONTAIN_THRESHOLD = 0.6
 ANN_FILTER_LABELS = [0, 2, 4, 6, 8]
 
@@ -2317,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": _q_export_shards,
         "export_manifest": _q_export_manifest,
         "pack_sequences": _q_pack_sequences,
+        "chunk_docs": _q_chunk_docs,
     }
 
 
@@ -2580,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": pipe.export_shards_sql(n_shards=16),
         "export_manifest": pipe.export_manifest_sql(n_shards=16),
         "pack_sequences": pipe.pack_sequences_sql(cap=512, buckets=64),
+        "chunk_docs": pipe.chunk_documents_sql(chunk_size=32, overlap=8),
         # search_results intentionally has no oracle (snippet strings are
         # pinned by pure-Python goldens in tests/test_snippet.py)
     }

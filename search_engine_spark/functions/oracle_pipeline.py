@@ -860,6 +860,35 @@ FROM assigned GROUP BY shard
 """
 
 
+def chunk_documents_sql(chunk_size: int = 32, overlap: int = 8,
+                        table: str = "documents") -> str:
+    """Mirrors operators/export.py::chunk_documents — sliding token
+    windows, stride = chunk_size - overlap, no pure-suffix runts."""
+    stride = chunk_size - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '{WS_SPLIT}') END AS tk
+  FROM {table}
+),
+n AS (SELECT doc_id, tk, len(tk) AS n_tok FROM t),
+k AS (
+  SELECT doc_id, tk, n_tok,
+         unnest(range(0, CASE WHEN n_tok <= 0 THEN 0
+                              ELSE 1 + greatest((n_tok - {overlap} - 1)
+                                                // {stride}, 0) END)) AS k
+  FROM n
+)
+SELECT doc_id, k::BIGINT AS chunk_id, (k * {stride})::BIGINT AS start_tok,
+       len(tk[k * {stride} + 1 : k * {stride} + {chunk_size}])::BIGINT
+         AS n_tokens,
+       array_to_string(tk[k * {stride} + 1 : k * {stride} + {chunk_size}],
+                       ' ') AS chunk_text
+FROM k
+"""
+
+
 def hll_vocab_sql(table: str = "documents") -> str:
     """Mirrors operators/sketches.py::hll_distinct over per-site terms —
     the SAME h60-derived registers and fixed-point estimator, so the

@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..textproc.tokenize import WS_SPLIT
 from .textstats import BPE_SPLIT
 
 N_SHARDS_DEFAULT = 16
@@ -261,3 +262,59 @@ def shards_py(weights: list[tuple[int, int]], n_shards: int) -> dict[int, int]:
         out[doc_id] = min(cum // budget, n_shards - 1)
         cum += w
     return out
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 32, overlap: int = 8
+) -> DataFrame:
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_text) — sliding
+    token-window chunking, the retrieval-side twin of pack_sequences:
+    where packing concatenates docs UP to a cap for pretraining, chunking
+    splits docs DOWN to bounded passages for embedding/RAG indexing.
+
+    Pinned spec (stride = chunk_size - overlap, whitespace = the shared
+    WS_SPLIT class so all three engines tokenize identically):
+
+      toks     = split(trim(text), WS_SPLIT); [] for NULL/blank text
+      chunk k  covers token positions [k·stride, k·stride + chunk_size)
+      emitted  iff k == 0 or k·stride + overlap < n_toks   (i.e. the
+                chunk contains ≥ 1 token not already in chunk k-1 —
+                no trailing runt that is a pure suffix of its
+                predecessor)
+      text     = tokens joined with a single space (original whitespace
+                 is canonicalized, same as the snippet builder)
+
+    Scale shape: pure per-row projection — split, a bounded sequence()
+    fan-out, slice, array_join; zero shuffle, zero UDF, whole-stage
+    codegen. The fan-out factor is n_toks/stride, so output rows stay
+    proportional to corpus tokens regardless of document length skew."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.when(
+        F.trim(F.coalesce(F.col("text"), F.lit(""))) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col("text")), WS_SPLIT))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            ((n - F.lit(overlap) - F.lit(1)) / F.lit(stride)).cast("long"),
+            F.lit(0).cast("long"),
+        )
+    )
+    ks = F.when(
+        n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    base = docs.select(
+        "doc_id", toks.alias("_tk"), F.explode(ks).alias("chunk_id")
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    piece = F.slice(F.col("_tk"), start + 1, chunk_size)
+    return base.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

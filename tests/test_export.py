@@ -122,3 +122,51 @@ def test_pack_oversized_doc_gets_own_example(spark):
 
     packed = pack_py([(0, 10), (1, 999), (2, 10), (3, 10)], cap=100)
     assert packed == {0: 0, 1: 1, 2: 2, 3: 2}
+
+
+def test_chunk_documents_pinned_spec(spark):
+    """Boundary behavior of the sliding window: exact-fit docs produce one
+    chunk, one extra token opens a second, pure-suffix runts are never
+    emitted, and NULL/blank text yields zero chunks."""
+    from search_engine_spark.operators.export import chunk_documents
+
+    def doc(doc_id, n_tokens):
+        return (doc_id, " ".join(f"t{i}" for i in range(n_tokens)))
+
+    rows = [doc(0, 8), doc(1, 9), doc(2, 10), doc(3, 1), (4, ""), (5, None),
+            doc(6, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(docs, chunk_size=8, overlap=2)  # stride 6
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tokens, r.chunk_text)
+        for r in out.collect()
+    }
+    by_doc = {}
+    for (d, k) in got:
+        by_doc.setdefault(d, []).append(k)
+    # n=8 → exactly one chunk (chunk 1 at start 6 would add nothing new)
+    assert by_doc[0] == [0] and got[(0, 0)][1] == 8
+    # n=9 → second chunk holds tokens 6..8 (3 tokens, 1 new)
+    assert sorted(by_doc[1]) == [0, 1]
+    assert got[(1, 1)] == (6, 3, "t6 t7 t8")
+    # n=10 → still two chunks; second covers 6..9
+    assert got[(2, 1)] == (6, 4, "t6 t7 t8 t9")
+    # single-token and empty docs
+    assert got[(3, 0)] == (0, 1, "t0")
+    assert 4 not in by_doc and 5 not in by_doc
+    # n=20, stride 6 → chunks at 0, 6, 12; a fourth at 18 would cover
+    # t18..t19 only — a pure suffix of chunk 2 (12..19) — so suppressed
+    assert sorted(by_doc[6]) == [0, 1, 2]
+    assert got[(6, 2)] == (12, 8, "t12 t13 t14 t15 t16 t17 t18 t19")
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    # when both are full
+    assert got[(6, 0)][2].split()[6:] == got[(6, 1)][2].split()[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+    from search_engine_spark.operators.export import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=8, overlap=8)
