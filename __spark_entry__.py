@@ -2053,6 +2053,22 @@ def _q_multi_terms(spark, sf_dir):
     return ba.multi_terms_agg(load_documents(spark, sf_dir))
 
 
+def _q_filters_agg(spark, sf_dir):
+    """ES filters: non-exclusive named predicate buckets, one corpus pass
+    of conditional sums unpivoted with stack()."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    return ba.filters_agg(load_documents(spark, sf_dir))
+
+
+def _q_date_range_agg(spark, sf_dir):
+    """ES date_range: overlapping half-open [from, to) warc_ts buckets,
+    open ends; same single-pass conditional-sum shape."""
+    from search_engine_spark.operators import bucket_aggs as ba
+
+    return ba.date_range_agg(load_documents(spark, sf_dir))
+
+
 def _q_percentile_ranks(spark, sf_dir):
     """ES percentile_ranks: exact inverse quantiles of the token count
     (one conditional-sum aggregate — no sort)."""
@@ -2207,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rank_feature_log": _q_search_rank_feature_log,
         "random_score": _q_random_score,
         "multi_terms": _q_multi_terms,
+        "filters_agg": _q_filters_agg,
+        "date_range_agg": _q_date_range_agg,
         "percentile_ranks": _q_percentile_ranks,
         "dl_histogram_dense": _q_dl_histogram_dense,
         "sampler_terms": _q_sampler_terms,
@@ -2444,6 +2462,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "random_score": pipe.random_score_sql(),
         "multi_terms": pipe.multi_terms_sql(),
+        "filters_agg": pipe.filters_agg_sql(),
+        "date_range_agg": pipe.date_range_agg_sql(),
         "percentile_ranks": pipe.percentile_ranks_sql(),
         "dl_histogram_dense": pipe.dl_histogram_dense_sql(),
         "sampler_terms": pipe.sampler_agg_sql(Q_BM25_COMMON),

@@ -3179,6 +3179,44 @@ LIMIT {size}
 """
 
 
+def filters_agg_sql(table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::filters_agg — non-exclusive named
+    predicate buckets via conditional sums + UNPIVOT-style union."""
+    from ..operators.bucket_aggs import FILTERS_SPEC
+
+    parts = [
+        f"""SELECT '{key}' AS bucket,
+       count(*) FILTER ({pred})::BIGINT AS doc_count,
+       coalesce(sum(n_chars) FILTER ({pred}), 0)::BIGINT AS sum_chars
+FROM {table}"""
+        for key, pred in FILTERS_SPEC
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def date_range_agg_sql(table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::date_range_agg — overlapping
+    half-open [from, to) buckets over warc_ts (fixture: epoch+60·doc_id)."""
+    from ..operators.bucket_aggs import DATE_RANGES, _EPOCH
+
+    parts = []
+    for key, lo, hi in DATE_RANGES:
+        conds = []
+        if lo is not None:
+            conds.append(f"({_EPOCH} + 60 * doc_id) >= {_EPOCH + 60 * lo}")
+        if hi is not None:
+            conds.append(f"({_EPOCH} + 60 * doc_id) < {_EPOCH + 60 * hi}")
+        where = " AND ".join(conds) if conds else "TRUE"
+        f_ts = "CAST(NULL AS BIGINT)" if lo is None else str(_EPOCH + 60 * lo)
+        t_ts = "CAST(NULL AS BIGINT)" if hi is None else str(_EPOCH + 60 * hi)
+        parts.append(
+            f"""SELECT '{key}' AS bucket, {f_ts} AS from_ts, {t_ts} AS to_ts,
+       count(*) FILTER ({where})::BIGINT AS doc_count
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def percentile_ranks_sql(
     values: tuple[float, ...] | None = None, table: str = "documents"
 ) -> str:

@@ -200,3 +200,97 @@ def diversified_sampler_agg(
         .agg(F.count(F.lit(1)).cast("long").alias("doc_count"))
         .orderBy(F.col("doc_count").desc(), F.col(by).asc())
     )
+
+
+FILTERS_SPEC = (
+    # (bucket_key, SQL-expressible predicate) — ES `filters` buckets are
+    # NON-exclusive: a doc counts in every bucket it matches
+    ("english", "lang = 'en'"),
+    ("cjk", "lang = 'zh'"),
+    ("short", "n_chars < 200"),
+    ("longform", "n_chars >= 400"),
+)
+
+
+def filters_agg(docs: DataFrame) -> DataFrame:
+    """ES `filters` aggregation → (bucket, doc_count, sum_chars): one
+    NAMED bucket per predicate, non-exclusive membership (a 150-char
+    English doc lands in both `english` and `short`).
+
+    Plan: conditional sums — one corpus pass producing a single row of
+    2·|filters| aggregates, unpivoted to bucket rows with stack(). The
+    shuffle carries exactly one partial-agg row per task regardless of
+    corpus size; an explode-based encoding would instead multiply the
+    corpus by the bucket fan-out before aggregating."""
+    aggs = []
+    for key, pred in FILTERS_SPEC:
+        cond = F.expr(pred)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"c_{key}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias(f"s_{key}")
+        )
+    one = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{key}', c_{key}, s_{key}" for key, _ in FILTERS_SPEC
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(FILTERS_SPEC)}, {stack}) "
+            "AS (bucket, doc_count, sum_chars)"
+        )
+    )
+
+
+DATE_RANGES = (
+    # (key, from_doc_id, to_doc_id) in warc_ts space — warc_ts ≡
+    # 1704067200 + 60·doc_id by fixture; None = open end. Ranges OVERLAP
+    # (ES date_range semantics: each range counts independently).
+    ("early", None, 150),
+    ("q1", 0, 250),
+    ("mid", 100, 400),
+    ("late", 350, None),
+)
+_EPOCH = 1704067200
+
+
+def date_range_agg(docs: DataFrame) -> DataFrame:
+    """ES `date_range` aggregation → (bucket, from_ts, to_ts, doc_count):
+    half-open [from, to) buckets over the warc_ts capture timestamp, open
+    ends allowed, ranges may overlap (each counts independently — the ES
+    contract, which is why this is conditional sums and not a CASE-ladder
+    groupBy).
+
+    Plan: same single-pass conditional-sum + stack shape as filters_agg —
+    bucket bounds are literals, the corpus is read once, the shuffle
+    moves one partial row per task."""
+    ts = F.col("warc_ts").cast("long")
+    aggs = []
+    for key, lo, hi in DATE_RANGES:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ts >= _EPOCH + 60 * lo)
+        if hi is not None:
+            cond = cond & (ts < _EPOCH + 60 * hi)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"c_{key}")
+        )
+    one = docs.agg(*aggs)
+    def _ts_lit(bound):
+        if bound is None:
+            return "CAST(NULL AS BIGINT)"
+        return f"CAST({_EPOCH + 60 * bound} AS BIGINT)"
+
+    rows = ", ".join(
+        f"'{key}', {_ts_lit(lo)}, {_ts_lit(hi)}, c_{key}"
+        for key, lo, hi in DATE_RANGES
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(DATE_RANGES)}, {rows}) "
+            "AS (bucket, from_ts, to_ts, doc_count)"
+        )
+    )
