@@ -1939,6 +1939,40 @@ def _q_search_span_first(spark, sf_dir):
     return search_span_first(load_documents(spark, sf_dir), "data", n=10)
 
 
+def _q_search_intervals(spark, sf_dir):
+    """Lucene intervals query: minimal ordered intervals of
+    data..fast within 8 gaps, dropping intervals that contain an
+    occurrence of 'join' (not_containing combinator), ranked by
+    surviving-interval count."""
+    from search_engine_spark.operators.intervals import search_intervals
+
+    return search_intervals(
+        load_documents(spark, sf_dir),
+        ["data", "fast"],
+        max_gaps=8,
+        not_containing="join",
+    )
+
+
+def _q_search_intervals_containing(spark, sf_dir):
+    """Lucene intervals query, unordered source + containing
+    combinator: minimal unordered covers of {data, merge} within 10
+    gaps that contain an occurrence of 'fast', ranked by
+    surviving-interval count."""
+    from search_engine_spark.operators.intervals import (
+        intervals_containing,
+        rank_intervals,
+        term_intervals,
+        unordered_intervals,
+    )
+    from search_engine_spark.operators.positional import build_positional
+
+    positional = build_positional(load_documents(spark, sf_dir))
+    iv = unordered_intervals(positional, ["data", "merge"], max_gaps=10)
+    kept = intervals_containing(iv, term_intervals(positional, "fast"))
+    return rank_intervals(kept, k=20)
+
+
 def _q_search_cross_fields(spark, sf_dir):
     """ES multi_match cross_fields: per-term best-field contribution,
     blended (max-of-fields) document frequency — completes the
@@ -2186,6 +2220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boosting": _q_search_boosting,
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_span_first": _q_search_span_first,
+        "search_intervals": _q_search_intervals,
+        "search_intervals_containing": _q_search_intervals_containing,
         "search_cross_fields": _q_search_cross_fields,
         "trending_terms": _q_trending_terms,
         "search_ltr": _q_search_ltr,
@@ -2420,6 +2456,12 @@ def oracle_sql() -> dict[str, str]:
             ["merge"], "da"
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
+        "search_intervals": ora.search_intervals_sql(
+            ["data", "fast"], max_gaps=8, not_containing="join"
+        ),
+        "search_intervals_containing": ora.search_intervals_containing_sql(
+            ["data", "merge"], max_gaps=10, containing="fast"
+        ),
         "search_cross_fields": pipe.search_cross_fields_sql(Q_BM25F),
         "trending_terms": ora.trending_terms_sql(),
         "search_ltr": ora.search_ltr_sql(Q_BM25),

@@ -2230,3 +2230,136 @@ SELECT key, doc_count FROM singles
 UNION ALL
 SELECT key, doc_count FROM pairs
 """
+
+
+# ------------------------------------------------------ interval queries
+
+def _ordered_intervals_ctes(terms: list[str], max_gaps: int,
+                            out: str = "outer_iv") -> str:
+    """CTE chain producing `out`(doc_id, istart, iend) — the MINIMAL
+    ordered intervals of `terms` within max_gaps. Mirrors
+    operators/intervals.py::ordered_intervals + _minimalize: greedy-
+    earliest stepwise min per anchor, width filter, then the
+    start-desc running-min-of-ends minimality prune (strict <)."""
+    n = len(terms)
+    ctes = [
+        f"s0 AS (SELECT doc_id, pos AS istart, pos AS prev\n"
+        f"        FROM pos_terms WHERE term = '{terms[0]}')"
+    ]
+    for i, t in enumerate(terms[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT s{i-1}.doc_id, s{i-1}.istart, min(p.pos) AS prev\n"
+            f"        FROM s{i-1} JOIN pos_terms p\n"
+            f"          ON p.doc_id = s{i-1}.doc_id AND p.term = '{t}'\n"
+            f"         AND p.pos > s{i-1}.prev\n"
+            f"        GROUP BY s{i-1}.doc_id, s{i-1}.istart)"
+        )
+    gap = (f"\n  WHERE prev - istart - {n - 1} <= {max_gaps}"
+           if max_gaps >= 0 else "")
+    ctes.append(
+        f"cand AS (SELECT doc_id, istart, prev AS iend FROM s{n-1}{gap})"
+    )
+    ctes.append(f"""{out} AS (
+  SELECT doc_id, istart, iend FROM (
+    SELECT doc_id, istart, iend,
+           min(iend) OVER (PARTITION BY doc_id
+                           ORDER BY istart DESC, iend ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mprev
+    FROM cand)
+  WHERE mprev IS NULL OR iend < mprev
+)""")
+    return ",\n".join(ctes)
+
+
+def _unordered_intervals_ctes(terms: list[str], max_gaps: int,
+                              out: str = "outer_iv") -> str:
+    """CTE chain producing `out`(doc_id, istart, iend) — MINIMAL
+    unordered covers of the distinct terms within max_gaps. Mirrors
+    operators/intervals.py::unordered_intervals (running max per term
+    over the merged stream, candidate cover per complete row, distinct,
+    minimality prune)."""
+    uniq = sorted(set(terms))
+    n = len(uniq)
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN term = '{t}' THEN pos END) OVER w AS l{i}"
+        for i, t in enumerate(uniq)
+    )
+    not_null = " AND ".join(f"l{i} IS NOT NULL" for i in range(n))
+    least = "least(" + ", ".join(f"l{i}" for i in range(n)) + ")"
+    gap = (f" AND pos - {least} - {n - 1} <= {max_gaps}"
+           if max_gaps >= 0 else "")
+    return f"""covered AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM pos_terms WHERE term IN {_terms_in(uniq)}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cand AS (
+  SELECT DISTINCT doc_id, {least} AS istart, pos AS iend
+  FROM covered WHERE {not_null}{gap}
+),
+{out} AS (
+  SELECT doc_id, istart, iend FROM (
+    SELECT doc_id, istart, iend,
+           min(iend) OVER (PARTITION BY doc_id
+                           ORDER BY istart DESC, iend ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS mprev
+    FROM cand)
+  WHERE mprev IS NULL OR iend < mprev
+)"""
+
+
+def _rank_intervals_sql(src: str, k: int) -> str:
+    return f"""
+SELECT doc_id, count(*)::BIGINT AS interval_tf
+FROM {src}
+GROUP BY doc_id
+ORDER BY interval_tf DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def search_intervals_sql(terms: list[str], max_gaps: int,
+                         not_containing: str | None = None, k: int = 20,
+                         table: str = "documents") -> str:
+    """Mirrors operators/intervals.py::search_intervals: ordered minimal
+    intervals within max_gaps, minus intervals containing an occurrence
+    of `not_containing`, ranked by interval_tf."""
+    filt = ""
+    if not_containing is not None:
+        filt = f"""
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos_terms t
+  WHERE t.doc_id = outer_iv.doc_id AND t.term = '{not_containing}'
+    AND t.pos >= outer_iv.istart AND t.pos <= outer_iv.iend
+)"""
+    return f"""
+WITH {positional_terms_cte(table)},
+{_ordered_intervals_ctes(terms, max_gaps)},
+kept AS (SELECT doc_id FROM outer_iv{filt})
+{_rank_intervals_sql("kept", k)}
+"""
+
+
+def search_intervals_containing_sql(terms: list[str], max_gaps: int,
+                                    containing: str, k: int = 20,
+                                    table: str = "documents") -> str:
+    """Mirrors search_intervals_containing in __spark_entry__: UNORDERED
+    minimal covers within max_gaps that contain an occurrence of
+    `containing`, ranked by interval_tf."""
+    return f"""
+WITH {positional_terms_cte(table)},
+{_unordered_intervals_ctes(terms, max_gaps)},
+kept AS (
+  SELECT doc_id FROM outer_iv
+  WHERE EXISTS (
+    SELECT 1 FROM pos_terms t
+    WHERE t.doc_id = outer_iv.doc_id AND t.term = '{containing}'
+      AND t.pos >= outer_iv.istart AND t.pos <= outer_iv.iend
+  )
+)
+{_rank_intervals_sql("kept", k)}
+"""
