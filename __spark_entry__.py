@@ -1973,6 +1973,21 @@ def _q_search_intervals_containing(spark, sf_dir):
     return rank_intervals(kept, k=20)
 
 
+def _q_search_rescore(spark, sf_dir):
+    """ES rescore: disjunctive BM25 first pass, top-100 window, exact
+    phrase 'fast table' second pass at rescore_weight 2.0."""
+    from search_engine_spark.operators.positional import build_positional
+    from search_engine_spark.operators.scoring_boosts import search_rescore
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return search_rescore(
+        postings, term_dict, doc_stats, n_docs, avgdl,
+        build_positional(docs), Q_BM25_COMMON, ["fast", "table"],
+    )
+
+
 def _q_search_cross_fields(spark, sf_dir):
     """ES multi_match cross_fields: per-term best-field contribution,
     blended (max-of-fields) document frequency — completes the
@@ -2221,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_span_first": _q_search_span_first,
         "search_intervals": _q_search_intervals,
+        "search_rescore": _q_search_rescore,
         "search_intervals_containing": _q_search_intervals_containing,
         "search_cross_fields": _q_search_cross_fields,
         "trending_terms": _q_trending_terms,
@@ -2456,6 +2472,9 @@ def oracle_sql() -> dict[str, str]:
             ["merge"], "da"
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
+        "search_rescore": ora.search_rescore_sql(
+            Q_BM25_COMMON, ["fast", "table"]
+        ),
         "search_intervals": ora.search_intervals_sql(
             ["data", "fast"], max_gaps=8, not_containing="join"
         ),

@@ -2363,3 +2363,47 @@ kept AS (
 )
 {_rank_intervals_sql("kept", k)}
 """
+
+
+# ------------------------------------------------------------- ES rescore
+
+def search_rescore_sql(query_terms: list[str], rescore_terms: list[str],
+                       window_size: int = 100, query_weight: float = 1.0,
+                       rescore_weight: float = 2.0, k: int = 20,
+                       k1: float = 1.2, b: float = 0.75,
+                       table: str = "documents") -> str:
+    """Mirrors operators/scoring_boosts.py::search_rescore: disjunctive
+    BM25 window cut (rounded score desc, doc_id asc), exact-phrase
+    second pass over the window, score_mode total with the two weights.
+    `terms` derives from pos_terms (identical retained-lemma stream) so
+    the bag-of-words and positional CTEs share one tokenizer chain."""
+    sel = (f"(SELECT doc_id, pos FROM pos_terms"
+           f" WHERE term = '{rescore_terms[0]}') p0")
+    for i, t in enumerate(rescore_terms[1:], start=1):
+        sel += (
+            f"\n  JOIN (SELECT doc_id, pos FROM pos_terms"
+            f" WHERE term = '{t}') p{i}"
+            f" ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        )
+    return f"""
+WITH {positional_terms_cte(table)},
+terms AS (SELECT doc_id, term FROM pos_terms),
+{bm25_scored_ctes(query_terms, k1, b, table)},
+win AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored
+  ORDER BY round(score, 4) DESC, doc_id ASC
+  LIMIT {int(window_size)}
+),
+ph AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS phrase_tf
+  FROM {sel}
+  GROUP BY p0.doc_id
+)
+SELECT w.doc_id,
+       round({float(query_weight)} * w.score
+             + {float(rescore_weight)} * coalesce(ph.phrase_tf, 0), 4)
+         AS score
+FROM win w LEFT JOIN ph ON ph.doc_id = w.doc_id
+ORDER BY score DESC, w.doc_id ASC
+LIMIT {int(k)}
+"""

@@ -180,3 +180,77 @@ def random_score(
     return out.orderBy(
         F.col("rscore").desc(), F.col("doc_id").asc()
     ).limit(limit)
+
+
+# ------------------------------------------------------------- ES rescore
+
+RESCORE_WINDOW = 100
+RESCORE_QUERY_WEIGHT = 1.0
+RESCORE_WEIGHT = 2.0
+
+
+def search_rescore(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    positional: DataFrame,
+    terms: list[str],
+    rescore_terms: list[str],
+    window_size: int = RESCORE_WINDOW,
+    query_weight: float = RESCORE_QUERY_WEIGHT,
+    rescore_weight: float = RESCORE_WEIGHT,
+    k: int = 20,
+) -> DataFrame:
+    """Elasticsearch `rescore`: a cheap first pass ranks the corpus, an
+    expensive second query re-scores ONLY the top `window_size` hits.
+
+    First pass: disjunctive BM25 (`bm25_scored`, OR mode) cut to the
+    window on the engine tiebreak (rounded score desc, doc_id asc).
+    Second pass: exact-phrase match count over the positional relation
+    (`phrase_match`) — the classic proximity rescorer. Combined score is
+    ES's `score_mode: total` with the two weights:
+
+        query_weight * bm25 + rescore_weight * phrase_tf
+
+    Docs in the window that miss the phrase keep query_weight * bm25
+    (phrase_tf coalesces to 0), matching ES. With k <= window_size the
+    result is exactly the re-sorted window, i.e. full ES semantics
+    (below-window hits keep first-pass order and can't enter a k-cut
+    that the window already covers).
+
+    Scale shape: the corpus-dependent work is one bm25_scored pass (the
+    same plan search_bm25 runs) + one phrase chain restricted to the
+    phrase's term slices; the join of window x phrase_tf is a broadcast
+    of the <= window_size-row side. The second query never sees a doc
+    outside the window relation, which is the entire point of the
+    surface at 100 TB — rescoring cost is O(window), not O(corpus).
+    """
+    from .positional import phrase_match
+    from .search import bm25_scored
+
+    scored = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        conjunctive=False,
+    )
+    window = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(window_size))
+    )
+    ph = phrase_match(positional, rescore_terms)
+    return (
+        window.join(ph, "doc_id", "left")
+        .withColumn(
+            "score_combined",
+            F.round(
+                F.lit(float(query_weight)) * F.col("score")
+                + F.lit(float(rescore_weight))
+                * F.coalesce(F.col("phrase_tf"), F.lit(0)).cast("double"),
+                4,
+            ),
+        )
+        .orderBy(F.col("score_combined").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+        .select("doc_id", F.col("score_combined").alias("score"))
+    )
