@@ -220,12 +220,16 @@ def search_rescore(
     (below-window hits keep first-pass order and can't enter a k-cut
     that the window already covers).
 
-    Scale shape: the corpus-dependent work is one bm25_scored pass (the
-    same plan search_bm25 runs) + one phrase chain restricted to the
-    phrase's term slices; the join of window x phrase_tf is a broadcast
-    of the <= window_size-row side. The second query never sees a doc
-    outside the window relation, which is the entire point of the
-    surface at 100 TB — rescoring cost is O(window), not O(corpus).
+    Scale shape: the corpus-dependent work is ONE bm25_scored pass (the
+    same plan search_bm25 runs). The phrase chain runs over positional
+    slices pre-restricted to the window's doc_ids (broadcast left-semi —
+    the window is <= window_size rows BY CONSTRUCTION, so the broadcast
+    is safe at any corpus size), so the second query never scans a doc
+    outside the window — rescoring cost is O(window), not O(corpus).
+    The final outer join broadcasts the <= window_size-row phrase side
+    (an outer join can't broadcast its preserved side, so the window
+    streams and the phrase hash table ships). phrase_tf is doc-local,
+    so restricting docs never changes a surviving doc's value.
     """
     from .positional import phrase_match
     from .search import bm25_scored
@@ -238,9 +242,12 @@ def search_rescore(
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(window_size))
     )
-    ph = phrase_match(positional, rescore_terms)
+    pos_w = positional.join(
+        F.broadcast(window.select("doc_id")), "doc_id", "left_semi"
+    )
+    ph = phrase_match(pos_w, rescore_terms)
     return (
-        window.join(ph, "doc_id", "left")
+        window.join(F.broadcast(ph), "doc_id", "left")
         .withColumn(
             "score_combined",
             F.round(
