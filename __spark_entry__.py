@@ -1973,6 +1973,16 @@ def _q_search_intervals_containing(spark, sf_dir):
     return rank_intervals(kept, k=20)
 
 
+def _q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination: membership probe of every doc's
+    normalized text against a 1024-bit filter built over the
+    deterministic holdout slice (doc_id % 97 == 0) — bloom_hit including
+    its false positives is bit-reproducible vs the oracle."""
+    from search_engine_spark.operators.bloom import decontaminate
+
+    return decontaminate(load_documents(spark, sf_dir))
+
+
 def _q_search_rescore(spark, sf_dir):
     """ES rescore: disjunctive BM25 first pass, top-100 window, exact
     phrase 'fast table' second pass at rescore_weight 2.0."""
@@ -2237,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_span_first": _q_search_span_first,
         "search_intervals": _q_search_intervals,
         "search_rescore": _q_search_rescore,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "search_intervals_containing": _q_search_intervals_containing,
         "search_cross_fields": _q_search_cross_fields,
         "trending_terms": _q_trending_terms,
@@ -2472,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
             ["merge"], "da"
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
+        "decontaminate_bloom": ora.decontaminate_bloom_sql(),
         "search_rescore": ora.search_rescore_sql(
             Q_BM25_COMMON, ["fast", "table"]
         ),

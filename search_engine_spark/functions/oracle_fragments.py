@@ -2407,3 +2407,59 @@ FROM win w LEFT JOIN ph ON ph.doc_id = w.doc_id
 ORDER BY score DESC, w.doc_id ASC
 LIMIT {int(k)}
 """
+
+
+# ------------------------------------------------------------ bloom filter
+
+def decontaminate_bloom_sql(holdout_mod: int = 97, m_words: int = 32,
+                            k: int = 2, table: str = "documents") -> str:
+    """Mirrors operators/bloom.py::decontaminate bit-for-bit: same h60
+    re-hash family, same mod-m_bits positions, same 32-bit word packing
+    — so bloom_hit INCLUDING false positives hashes identically."""
+    bits_per_word = 32
+    m_bits = m_words * bits_per_word
+    hashes = [h60_sql(f"('b{i}:' || hk)") for i in range(k)]
+    key_hashes = [h60_sql(f"('b{i}:' || key)") for i in range(k)]
+    pos_union = "\n  UNION ALL\n".join(
+        f"  SELECT {h} % {m_bits} AS pos FROM holdout" for h in hashes
+    )
+    p_cols = ",\n         ".join(
+        f"{h} % {m_bits} AS p{i}" for i, h in enumerate(key_hashes)
+    )
+    joins = "\n".join(
+        f"  LEFT JOIN words w{i} ON w{i}.widx = pr.p{i} // {bits_per_word}"
+        for i in range(k)
+    )
+    hit = "\n    AND ".join(
+        f"(((coalesce(w{i}.w, 0) >> (pr.p{i} % {bits_per_word})) & 1) = 1)"
+        for i in range(k)
+    )
+    return f"""
+WITH holdout AS (
+  SELECT lower(trim(text)) AS hk FROM {table}
+  WHERE doc_id % {holdout_mod} = 0
+),
+pos AS (
+{pos_union}
+),
+words AS (
+  SELECT pos // {bits_per_word} AS widx,
+         bit_or((1::BIGINT) << (pos % {bits_per_word})) AS w
+  FROM pos GROUP BY widx
+),
+pr AS (
+  SELECT doc_id, lower(trim(text)) AS key,
+         {p_cols}
+  FROM {table}
+),
+hit AS (
+  SELECT pr.doc_id, pr.key,
+         ({hit}) AS bloom_hit
+  FROM pr
+{joins}
+)
+SELECT h.doc_id, h.bloom_hit,
+       (hd.hk IS NOT NULL) AS exact_member
+FROM hit h
+LEFT JOIN (SELECT DISTINCT hk FROM holdout) hd ON hd.hk = h.key
+"""
