@@ -7,7 +7,10 @@ jobs from driver threads; the cached, doc_bucket-partitioned index makes
 every query a shuffle-free scan, so concurrent queries share executor
 cores without queueing on exchanges).
 
-Usage: python scripts/query_bench.py [n_docs] [cpus] [threads] [rounds]
+Usage: python scripts/query_bench.py [n_docs] [cpus] [threads] [rounds] [fifo|fair]
+`fair` turns on spark.scheduler.mode=FAIR with one pool per client
+thread — jobs from different clients share cores instead of queueing in
+submission order, trading p50 for tail fairness under load.
 Prints one JSON line: {qps, p50, p95, serial_p50, ...}.
 """
 from __future__ import annotations
@@ -15,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -44,13 +48,18 @@ def main():
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     threads = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    sched = sys.argv[5] if len(sys.argv) > 5 else "fifo"
 
     from search_engine_spark.engine import SearchEngine
     from search_engine_spark.session import get_spark
     from search_engine_spark.sources.documents import load_documents
 
+    extra = (
+        {"spark.scheduler.mode": "FAIR"} if sched == "fair" else None
+    )
     spark = get_spark(
-        app_name=f"qbench[{cpus}]", parallelism=cpus, shuffle_partitions=cpus
+        app_name=f"qbench[{cpus}]", parallelism=cpus,
+        shuffle_partitions=cpus, extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     mult = max(1, n_docs // 5000)
@@ -61,6 +70,10 @@ def main():
 
     def one(args):
         q, kw = args
+        if sched == "fair":
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"client-{threading.get_ident()}"
+            )
         t0 = time.perf_counter()
         eng.search(q, limit=kw.get("limit", 20), **{
             k: v for k, v in kw.items() if k != "limit"
@@ -83,6 +96,7 @@ def main():
 
     print(json.dumps({
         "metric": "concurrent_query_suite",
+        "scheduler": sched,
         "n_docs": n_docs, "cpus": cpus, "threads": threads,
         "n_queries": len(work),
         "qps": round(len(work) / wall, 2),
