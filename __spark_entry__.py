@@ -704,6 +704,25 @@ def _q_search_bm25f(spark, sf_dir):
     )
 
 
+def _q_search_combined_fields(spark, sf_dir):
+    """ES combined_fields: body+anchor merge into ONE synthetic field
+    (weighted tf and length addition) before a single BM25 — the fourth
+    multi-field model beside BM25F / dis_max / cross_fields."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_combined_fields,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    anchor = anchor_postings(anchored_html(docs))
+    return search_combined_fields(
+        postings, anchor, doc_stats, n_docs, avgdl, Q_BM25F
+    )
+
+
 def _q_web_ranking(spark, sf_dir):
     """The composed web-search ranking stack, one plan end-to-end:
     BM25F over body+inbound-anchor fields -> PageRank authority blend ->
@@ -2267,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapsed": _q_search_collapsed,
         "anchor_terms": _q_anchor_terms,
         "search_bm25f": _q_search_bm25f,
+        "search_combined_fields": _q_search_combined_fields,
         "web_ranking": _q_web_ranking,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
@@ -2514,6 +2534,9 @@ def oracle_sql() -> dict[str, str]:
         "search_collapsed": ora.search_collapsed_sql(Q_BM25_COMMON),
         "anchor_terms": pipe.anchor_postings_sql(),
         "search_bm25f": pipe.search_bm25f_sql(Q_BM25F),
+        "search_combined_fields": pipe.search_combined_fields_bm25_sql(
+            Q_BM25F
+        ),
         "web_ranking": pipe.web_ranking_sql(Q_BM25F),
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),

@@ -3325,3 +3325,84 @@ FROM samp JOIN {table} d USING (doc_id)
 GROUP BY d.lang
 ORDER BY doc_count DESC, lang ASC
 """
+
+
+def search_combined_fields_bm25_sql(
+    query_terms: list[str],
+    k1: float | None = None,
+    b: float = 0.75,
+    w_body: float | None = None,
+    w_anchor: float | None = None,
+    limit: int = 20,
+    offset: int = 0,
+    table: str = "documents",
+) -> str:
+    """ES combined_fields / Lucene CombinedFieldQuery — mirrors
+    operators/anchors.py::search_combined_fields: weighted term freqs
+    and field lengths ADD into one synthetic field, ONE BM25 with a
+    single (k1, b) over the merged statistics, idf from
+    union-of-fields df."""
+    from ..operators import anchors as an
+
+    k1 = an.K1_DEFAULT if k1 is None else k1
+    w_body = an.W_BODY if w_body is None else w_body
+    w_anchor = an.W_ANCHOR if w_anchor is None else w_anchor
+    uniq = sorted(set(query_terms))
+    terms_in = "(" + ", ".join(f"'{t}'" for t in uniq) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_terms_ctes(table).strip()},
+bpost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+apost AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM aterms
+  WHERE term IN {terms_in} GROUP BY doc_id, term
+),
+bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+adl AS (SELECT doc_id, count(*)::DOUBLE AS adl FROM aterms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(bdl.dl,0))
+          FROM {table} d LEFT JOIN bdl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl,
+         (SELECT coalesce(sum(adl.adl),0) FROM adl)
+           / (SELECT count(*) FROM {table}) AS avg_adl
+),
+dfu AS (
+  SELECT term, count(*)::DOUBLE AS df FROM (
+    SELECT doc_id, term FROM bpost
+    UNION
+    SELECT doc_id, term FROM apost
+  ) GROUP BY term
+),
+merged AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         coalesce(b.term, a.term) AS term,
+         {repr(w_body)} * coalesce(b.tf, 0)
+           + {repr(w_anchor)} * coalesce(a.tf, 0) AS tf_c
+  FROM bpost b FULL OUTER JOIN apost a
+    ON a.doc_id = b.doc_id AND a.term = b.term
+),
+scored AS (
+  SELECT m.doc_id,
+         sum( ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * m.tf_c * ({repr(k1)} + 1)
+              / (m.tf_c + {repr(k1)} * (1 - {repr(b)} + {repr(b)}
+                  * ({repr(w_body)} * coalesce(bdl.dl, 0)
+                     + {repr(w_anchor)} * coalesce(adl.adl, 0))
+                  / ({repr(w_body)} * s.avgdl
+                     + {repr(w_anchor)} * s.avg_adl))) ) AS score
+  FROM merged m
+  JOIN dfu d USING (term)
+  LEFT JOIN bdl ON bdl.doc_id = m.doc_id
+  LEFT JOIN adl ON adl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {limit} OFFSET {offset}
+"""

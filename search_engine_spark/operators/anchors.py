@@ -489,3 +489,110 @@ def search_cross_fields(
         .offset(offset)
         .limit(limit)
     )
+
+
+def search_combined_fields(
+    body: DataFrame,
+    anchor: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = 0.75,
+    w_body: float = W_BODY,
+    w_anchor: float = W_ANCHOR,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """ES `combined_fields` (Lucene CombinedFieldQuery) — the FOURTH
+    multi-field model beside BM25F / dis_max / cross_fields: the fields
+    merge into one SYNTHETIC field before any saturation. Term
+    frequencies add (weighted), field lengths add (weighted), and ONE
+    BM25 with a single (k1, b) runs over the merged statistics:
+
+        tf_c  = w_body·tf_body + w_anchor·tf_anchor
+        dl_c  = w_body·dl      + w_anchor·adl
+        idf   = Robertson idf over union-of-fields df
+
+    vs BM25F, which length-normalizes each field separately BEFORE
+    summing (per-field b) — combined_fields is what you get when the
+    fields genuinely form one text (title+body), BM25F when they have
+    different verbosity priors (body vs anchors). Disjunctive OR
+    semantics, deterministic (rounded score desc, doc_id asc) tiebreak.
+
+    Plan shape (same strategy as search_bm25f): per-field term-filtered
+    slices full-outer-merge on (doc_id, term) — doc_id-led shuffle keys
+    AQE coalesces; idf and the two avg-length scalars are driver
+    literals; one final groupBy(doc_id); top-k is
+    TakeOrderedAndProject. No UDF, no window."""
+    uniq = sorted(set(terms))
+    empty = body.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+    if not uniq:
+        return empty
+
+    anchor_dl = anchor.groupBy("doc_id").agg(F.sum("tf").alias("adl"))
+    total_anchor = anchor.agg(F.sum("tf")).collect()[0][0] or 0
+    avg_adl = float(total_anchor) / float(n_docs) if n_docs else 0.0
+    avgdl_c = w_body * float(avgdl) + w_anchor * avg_adl
+
+    bq = body.filter(F.col("term").isin(uniq)).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("tf_b")
+    )
+    aq = anchor.filter(F.col("term").isin(uniq)).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("tf_a")
+    )
+
+    from .search import bm25_idf
+
+    df_rows = (
+        bq.select("doc_id", "term")
+        .union(aq.select("doc_id", "term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    idf = {r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows}
+    if not idf:
+        return empty
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )
+
+    merged = (
+        bq.join(aq, ["doc_id", "term"], "full_outer")
+        .select(
+            "doc_id",
+            "term",
+            (
+                w_body * F.coalesce(F.col("tf_b"), F.lit(0.0))
+                + w_anchor * F.coalesce(F.col("tf_a"), F.lit(0.0))
+            ).alias("tf_c"),
+        )
+        .join(doc_stats, "doc_id")
+        .join(anchor_dl, "doc_id", "left")
+        .withColumn(
+            "dl_c",
+            w_body * F.col("dl").cast("double")
+            + w_anchor * F.coalesce(F.col("adl"), F.lit(0)).cast("double"),
+        )
+    )
+    scored = (
+        merged.withColumn(
+            "part",
+            idf_col[F.col("term")]
+            * (F.col("tf_c") * (k1 + 1.0))
+            / (
+                F.col("tf_c")
+                + k1 * (1.0 - b + b * F.col("dl_c") / float(avgdl_c))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .offset(offset)
+        .limit(limit)
+    )

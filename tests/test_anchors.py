@@ -287,3 +287,63 @@ def test_three_multifield_modes_agree_on_match_set(spark):
             ).collect()
         })
     assert sets[0] == sets[1] == sets[2] and sets[0]
+
+
+# ------------------------------------------------- combined_fields model
+
+
+def _cf_ctx(spark, n=20):
+    from search_engine_spark.operators import index_build as ib
+
+    docs = _docs(spark, n=n)
+    postings = ib.build_postings(docs)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    return docs, postings, doc_stats, n_docs, avgdl
+
+
+def test_combined_fields_reduces_to_bm25_without_anchors(spark):
+    """w_anchor=0 over an EMPTY anchor relation is exactly disjunctive
+    single-field BM25 — merged tf/dl/idf all collapse to body stats."""
+    from search_engine_spark.operators.anchors import search_combined_fields
+    from search_engine_spark.operators import index_build as ib
+    from search_engine_spark.operators.search import search_bm25
+
+    docs, postings, doc_stats, n_docs, avgdl = _cf_ctx(spark)
+    term_dict = ib.build_term_dict(postings)
+    empty_anchor = postings.limit(0)
+    terms = ["data", "fast"]
+    got = search_combined_fields(
+        postings, empty_anchor, doc_stats, n_docs, avgdl, terms,
+        w_anchor=0.0,
+    ).collect()
+    want = search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        conjunctive=False,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_combined_fields_matches_on_anchor_only_docs(spark):
+    """A term present ONLY in a doc's inbound anchors still matches —
+    the synthetic merged field sees it (cross-field matching)."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_combined_fields,
+    )
+
+    docs, postings, doc_stats, n_docs, avgdl = _cf_ctx(spark)
+    anchor = anchor_postings(anchored_html(docs))
+    # find a (doc, term) in anchors but not in body
+    arows = {(r["doc_id"], r["term"]) for r in anchor.collect()}
+    brows = {(r["doc_id"], r["term"]) for r in postings.collect()}
+    only = sorted(arows - brows)
+    assert only, "fixture has no anchor-only (doc, term) pair"
+    d, t = only[0]
+    got = search_combined_fields(
+        postings, anchor, doc_stats, n_docs, avgdl, [t], limit=100
+    ).collect()
+    assert d in {r["doc_id"] for r in got}
