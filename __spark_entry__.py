@@ -704,6 +704,22 @@ def _q_search_bm25f(spark, sf_dir):
     )
 
 
+def _q_search_synonym_graph(spark, sf_dir):
+    """Multi-word synonym graph (Lucene SynonymGraphFilter): phrase
+    variants form one pseudo-term per group — (fast table | sort table)
+    AND (hash join | merge), Σ-variant-tf scoring."""
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_synonym_graph,
+    )
+    from search_engine_spark.textproc.synonyms import expand_phrase_groups
+
+    return search_synonym_graph(
+        build_positional(load_documents(spark, sf_dir)),
+        expand_phrase_groups(),
+    )
+
+
 def _q_search_combined_fields(spark, sf_dir):
     """ES combined_fields: body+anchor merge into ONE synthetic field
     (weighted tf and length addition) before a single BM25 — the fourth
@@ -2287,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": _q_anchor_terms,
         "search_bm25f": _q_search_bm25f,
         "search_combined_fields": _q_search_combined_fields,
+        "search_synonym_graph": _q_search_synonym_graph,
         "web_ranking": _q_web_ranking,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
@@ -2432,6 +2449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from search_engine_spark.textproc.synonyms import expand_phrase_groups
+
     empty_search = (
         "SELECT doc_id, '' AS url, 0::BIGINT AS score_abs, 0.0::DOUBLE AS rel "
         "FROM documents WHERE FALSE"
@@ -2536,6 +2555,9 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25f": pipe.search_bm25f_sql(Q_BM25F),
         "search_combined_fields": pipe.search_combined_fields_bm25_sql(
             Q_BM25F
+        ),
+        "search_synonym_graph": ora.search_synonym_graph_sql(
+            expand_phrase_groups()
         ),
         "web_ranking": pipe.web_ranking_sql(Q_BM25F),
         "link_extract": pipe.link_extract_sql(),

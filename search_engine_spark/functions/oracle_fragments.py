@@ -2463,3 +2463,56 @@ SELECT h.doc_id, h.bloom_hit,
 FROM hit h
 LEFT JOIN (SELECT DISTINCT hk FROM holdout) hd ON hd.hk = h.key
 """
+
+
+# ----------------------------------------------- multi-word synonym graph
+
+def _variant_tf_select(variant: list[str]) -> str:
+    """SELECT (doc_id, tf) for one synonym-graph variant — exact-phrase
+    chain for multi-token sequences, plain term tf for singletons
+    (mirrors operators/positional.py::variant_phrase_tf)."""
+    if len(variant) == 1:
+        return (
+            f"SELECT doc_id, count(*)::BIGINT AS tf FROM pos_terms"
+            f" WHERE term = '{variant[0]}' GROUP BY doc_id"
+        )
+    sel = f"(SELECT doc_id, pos FROM pos_terms WHERE term = '{variant[0]}') p0"
+    for i, t in enumerate(variant[1:], start=1):
+        sel += (
+            f"\n    JOIN (SELECT doc_id, pos FROM pos_terms"
+            f" WHERE term = '{t}') p{i}"
+            f" ON p{i}.doc_id = p0.doc_id AND p{i}.pos = p0.pos + {i}"
+        )
+    return (
+        f"SELECT p0.doc_id, count(*)::BIGINT AS tf\n  FROM {sel}"
+        f"\n  GROUP BY p0.doc_id"
+    )
+
+
+def search_synonym_graph_sql(groups: list[list[list[str]]], k: int = 20,
+                             table: str = "documents") -> str:
+    """Mirrors operators/positional.py::search_synonym_graph: per-group
+    Σ over variant phrase tfs, conjunctive across groups, ranked
+    (score_abs desc, doc_id asc)."""
+    ctes = []
+    for gi, g in enumerate(groups):
+        union = "\n  UNION ALL\n  ".join(
+            f"({_variant_tf_select(v)})" for v in g
+        )
+        ctes.append(
+            f"g{gi} AS (\n  SELECT doc_id, sum(tf)::BIGINT AS s{gi}"
+            f" FROM (\n  {union}\n  ) GROUP BY doc_id\n)"
+        )
+    joins = "".join(
+        f"\nJOIN g{gi} USING (doc_id)" for gi in range(1, len(groups))
+    )
+    total = " + ".join(f"s{gi}" for gi in range(len(groups)))
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {positional_terms_cte(table)},
+{cte_block}
+SELECT doc_id, ({total})::BIGINT AS score_abs
+FROM g0{joins}
+ORDER BY score_abs DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -524,3 +524,71 @@ def term_vectors(
             ",",
         ).alias("positions"),
     )
+
+
+def variant_phrase_tf(
+    positional: DataFrame, variant: list[str]
+) -> DataFrame:
+    """(doc_id, tf) for one synonym-graph variant: exact-phrase
+    occurrences for a multi-token sequence, plain term tf for a
+    single-token one (both are the same 'pseudo-term occurrence count'
+    to the synonym group)."""
+    if len(variant) == 1:
+        return (
+            positional.filter(F.col("term") == variant[0])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("tf"))
+        )
+    return phrase_match(positional, variant).withColumnRenamed(
+        "phrase_tf", "tf"
+    )
+
+
+def search_synonym_graph(
+    positional: DataFrame,
+    groups: list[list[list[str]]],
+    k: int = 20,
+) -> DataFrame:
+    """Multi-word synonym graph search (Lucene SynonymGraphFilter
+    semantics, the query-time graph form): each group is a set of
+    token-SEQUENCE variants forming one pseudo-term — a doc matches the
+    group if ANY variant occurs as an exact phrase, the group's tf is
+    the Σ over variant occurrences, and groups combine conjunctively.
+    Ranked (score_abs = Σ group tfs desc, doc_id asc) — the same
+    absolute-Σtf scale as search_synonyms, whose single-word groups are
+    the degenerate all-singleton case.
+
+    Plan shape: per-variant phrase chains are scan-pruned term slices
+    joined on (doc_id, adjacent positions); each group reduces with ONE
+    groupBy(doc_id); groups conjoin with inner equi-joins on doc_id
+    (AQE broadcasts the rarer group). Variant fan-out is driver-side
+    frozen config — a handful of bounded subtrees in one plan, no
+    per-variant job."""
+    groups = [g for g in groups if g]
+    if not groups:
+        return positional.sparkSession.createDataFrame(
+            [], "doc_id long, score_abs long"
+        )
+    per_group = []
+    for gi, g in enumerate(groups):
+        tfs = None
+        for v in g:
+            t = variant_phrase_tf(positional, v)
+            tfs = t if tfs is None else tfs.unionByName(t)
+        per_group.append(
+            tfs.groupBy("doc_id").agg(F.sum("tf").alias(f"g{gi}"))
+        )
+    joined = per_group[0]
+    for nxt in per_group[1:]:
+        joined = joined.join(nxt, "doc_id", "inner")
+    score = None
+    for gi in range(len(groups)):
+        c = F.col(f"g{gi}")
+        score = c if score is None else (score + c)
+    return (
+        joined.select(
+            "doc_id", score.cast("long").alias("score_abs")
+        )
+        .orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

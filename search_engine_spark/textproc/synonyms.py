@@ -63,3 +63,25 @@ def expand_terms(terms: list[str]) -> list[list[str]]:
         if hit is None:
             out.append(g)
     return [sorted(g) for g in out]
+
+
+# --------------------------------------------------- multi-word synonyms
+
+# Variant groups for the synonym GRAPH (Lucene SynonymGraphFilter): each
+# group is a set of token-sequence variants treated as ONE pseudo-term at
+# query time — a document matches the group if ANY variant occurs as an
+# exact phrase, and the group's tf is the sum over variant phrase
+# occurrences. Frozen config like SYNONYMS above; sequences are
+# POST-morphology lemma tuples.
+MULTIWORD_SYNONYMS: tuple[tuple[tuple[str, ...], ...], ...] = (
+    (("fast", "table"), ("sort", "table")),
+    (("hash", "join"), ("merge",)),
+)
+
+
+def expand_phrase_groups(
+    groups: tuple[tuple[tuple[str, ...], ...], ...] = MULTIWORD_SYNONYMS,
+) -> list[list[list[str]]]:
+    """Frozen config → deterministic [[variant tokens, ...], ...] with
+    variants sorted (driver-side, a few-entry literal at any scale)."""
+    return [sorted([list(v) for v in g]) for g in groups]

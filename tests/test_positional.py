@@ -354,3 +354,49 @@ def test_span_first_boundary_and_order(spark):
     )
     rows = search_span_first(docs, "data", n=10).collect()
     assert [(r["doc_id"], r["first_pos"]) for r in rows] == [(1, 0), (2, 2)]
+
+
+# ------------------------------------------- multi-word synonym graph
+
+
+def test_synonym_graph_variant_or_and_group_and(spark):
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_synonym_graph,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "fast table merge"),        # variant A of g0, variant B of g1
+            (2, "sort table hash join"),    # variant B of g0, variant A of g1
+            (3, "fast table"),              # only g0 -> conjunctive drop
+            (4, "merge merge"),             # only g1 -> drop
+            (5, "table fast merge"),        # wrong phrase order -> no g0
+        ],
+    )
+    groups = [
+        [["fast", "table"], ["sort", "table"]],
+        [["hash", "join"], ["merge"]],
+    ]
+    got = search_synonym_graph(build_positional(docs), groups).collect()
+    assert [(r["doc_id"], r["score_abs"]) for r in got] == [(1, 2), (2, 2)]
+
+
+def test_synonym_graph_sums_variant_occurrences(spark):
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_synonym_graph,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "fast table sort table merge merge merge")],
+    )
+    groups = [
+        [["fast", "table"], ["sort", "table"]],
+        [["merge"]],
+    ]
+    got = search_synonym_graph(build_positional(docs), groups).collect()
+    # g0 = 1 (fast table) + 1 (sort table) = 2, g1 = 3 -> score 5
+    assert [(r["doc_id"], r["score_abs"]) for r in got] == [(1, 5)]
