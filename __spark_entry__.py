@@ -1390,6 +1390,15 @@ def _q_events_props(spark, sf_dir):
     return props_extract(_load_events(spark, sf_dir))
 
 
+def _q_events_coec(spark, sf_dir):
+    """COEC position-bias-corrected CTR over the click log (Zhang &
+    Jones 2007): clicks / expected clicks under the global position
+    prior — the relevance-feedback miner."""
+    from search_engine_spark.operators.events import coec_scores
+
+    return coec_scores(_load_events(spark, sf_dir))
+
+
 def _q_events_rollup(spark, sf_dir):
     from search_engine_spark.operators.events import type_rollup
 
@@ -2408,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_touch": _q_events_last_touch,
         "events_sessionize": _q_events_sessionize,
         "events_props": _q_events_props,
+        "events_coec": _q_events_coec,
         "events_rollup": _q_events_rollup,
         "search_keyset": _q_search_keyset,
         "term_vectors": _q_term_vectors,
@@ -2683,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         "events_last_touch": pipe.last_touch_attribution_sql(),
         "events_sessionize": pipe.events_sessionize_sql(),
         "events_props": pipe.events_props_sql(),
+        "events_coec": pipe.coec_sql(),
         "events_rollup": pipe.events_rollup_sql(),
         "search_keyset": ora.search_bm25_sql(Q_BM25_COMMON, limit=10, offset=10),
         "term_vectors": ora.term_vectors_sql(TV_DOC_IDS),

@@ -3406,3 +3406,34 @@ FROM scored
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {limit} OFFSET {offset}
 """
+
+
+def coec_sql(n_positions: int = 10, min_views: int = 1,
+             table: str = "events") -> str:
+    """Mirrors operators/events.py::coec_scores — position priors from
+    the same derived (item = props.k, pos = event_id % n + 1) log,
+    EC = Σ view-event priors, COEC = clicks / EC."""
+    return f"""
+WITH base AS (
+  SELECT json_extract(props, '$.k')::INT AS k,
+         (event_id % {n_positions}) + 1 AS pos,
+         (event_type = 'click')::BIGINT AS is_click,
+         (event_type = 'view')::BIGINT AS is_view
+  FROM {table} WHERE event_type IN ('view', 'click')
+),
+prior AS (
+  SELECT pos, sum(is_click)::DOUBLE / sum(is_view) AS prior
+  FROM base GROUP BY pos HAVING sum(is_view) > 0
+),
+per AS (
+  SELECT k, sum(is_view)::BIGINT AS views,
+         sum(is_click)::BIGINT AS clicks,
+         sum(is_view * coalesce(prior, 0)) AS ec
+  FROM base LEFT JOIN prior USING (pos)
+  GROUP BY k HAVING sum(is_view) >= {int(min_views)}
+)
+SELECT k, views, clicks, round(ec, 4) AS expected_clicks,
+       round(clicks / ec, 4) AS coec
+FROM per
+ORDER BY coec DESC, k ASC
+"""

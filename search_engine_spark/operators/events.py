@@ -199,3 +199,76 @@ def last_touch_attribution(
             F.col("b.lag_s").alias("lag_s"),
         )
     )
+
+
+N_SERP_POSITIONS = 10
+
+
+def coec_scores(
+    events: DataFrame,
+    n_positions: int = N_SERP_POSITIONS,
+    min_views: int = 1,
+) -> DataFrame:
+    """COEC — Clicks Over Expected Clicks (Zhang & Jones 2007), the
+    position-bias-corrected click-through rate used to mine relevance
+    feedback from search logs: raw CTR rewards items shown at high SERP
+    positions; COEC divides an item's clicks by the clicks EXPECTED
+    from its impression positions under the global position prior:
+
+        prior(p)  = clicks_at(p) / views_at(p)
+        EC(item)  = Σ over the item's view events of prior(position)
+        COEC      = clicks(item) / EC(item)      (> 1 → beats its slots)
+
+    Derivations on the synthetic log: item = props.k, position =
+    (event_id % n_positions) + 1 — deterministic, mirrored in the
+    oracle. Items with < min_views views drop (COEC of a sparse item
+    is noise; EC > 0 is also guaranteed since every view's position
+    prior exists — the view itself counts in the prior's denominator).
+
+    Output: (k, views, clicks, expected_clicks, coec) ranked coec desc,
+    k asc. Scale shape: two map-side-combinable aggregations (position
+    priors — n_positions rows — then per-item), one broadcast-sized
+    prior join; the events table streams through exactly twice with a
+    two-column projection, no window, no UDF.
+    """
+    base = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        ((F.col("event_id") % n_positions) + 1).alias("pos"),
+        (F.col("event_type") == "click").cast("long").alias("is_click"),
+        (F.col("event_type") == "view").cast("long").alias("is_view"),
+    )
+    prior = (
+        base.groupBy("pos")
+        .agg(
+            F.sum("is_click").alias("c_p"),
+            F.sum("is_view").alias("v_p"),
+        )
+        .filter(F.col("v_p") > 0)
+        .select(
+            "pos", (F.col("c_p") / F.col("v_p")).alias("prior")
+        )
+    )
+    per_item = (
+        base.join(F.broadcast(prior), "pos", "left")
+        .groupBy("k")
+        .agg(
+            F.sum("is_view").alias("views"),
+            F.sum("is_click").alias("clicks"),
+            F.sum(
+                F.col("is_view") * F.coalesce(F.col("prior"), F.lit(0.0))
+            ).alias("ec"),
+        )
+        .filter(F.col("views") >= int(min_views))
+    )
+    return (
+        per_item.select(
+            "k",
+            "views",
+            "clicks",
+            F.round(F.col("ec"), 4).alias("expected_clicks"),
+            F.round(F.col("clicks") / F.col("ec"), 4).alias("coec"),
+        )
+        .orderBy(F.col("coec").desc(), F.col("k").asc())
+    )
