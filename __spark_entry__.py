@@ -704,6 +704,16 @@ def _q_search_bm25f(spark, sf_dir):
     )
 
 
+def _q_query_clarity(spark, sf_dir):
+    """Query-performance prediction (Cronen-Townsend clarity): KL
+    contributions of the hit-set language model vs the collection
+    model for the standard 2-term query."""
+    from search_engine_spark.operators.textstats import clarity_score
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    return clarity_score(postings, Q_AND2)
+
+
 def _q_search_synonym_graph(spark, sf_dir):
     """Multi-word synonym graph (Lucene SynonymGraphFilter): phrase
     variants form one pseudo-term per group — (fast table | sort table)
@@ -2313,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25f": _q_search_bm25f,
         "search_combined_fields": _q_search_combined_fields,
         "search_synonym_graph": _q_search_synonym_graph,
+        "query_clarity": _q_query_clarity,
         "web_ranking": _q_web_ranking,
         "link_extract": _q_link_extract,
         "pagerank": _q_pagerank,
@@ -2569,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
         "search_synonym_graph": ora.search_synonym_graph_sql(
             expand_phrase_groups()
         ),
+        "query_clarity": ora.clarity_score_sql(Q_AND2),
         "web_ranking": pipe.web_ranking_sql(Q_BM25F),
         "link_extract": pipe.link_extract_sql(),
         "pagerank": pipe.pagerank_sql(),

@@ -2516,3 +2516,35 @@ FROM g0{joins}
 ORDER BY score_abs DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+# ------------------------------------------------------------ query clarity
+
+def clarity_score_sql(query_terms: list[str], top_terms: int = 30,
+                      table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::clarity_score — result-set vs
+    collection language-model KL contributions, conjunctive hit set,
+    6-dp rounding, (contrib desc, term asc) top cut."""
+    uniq = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+  GROUP BY doc_id, term
+),
+hits AS (
+  SELECT doc_id FROM post WHERE term IN {_terms_in(uniq)}
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(uniq)}
+),
+rel AS (SELECT p.* FROM post p JOIN hits USING (doc_id)),
+rel_tf AS (SELECT term, sum(tf)::BIGINT AS rtf FROM rel GROUP BY term),
+rtot AS (SELECT sum(tf)::DOUBLE AS rtot FROM rel),
+ctf AS (SELECT term, sum(tf)::BIGINT AS ctf FROM post GROUP BY term),
+ctot AS (SELECT sum(tf)::DOUBLE AS ctot FROM post)
+SELECT term,
+       round((rtf / rtot) * ln((rtf / rtot) / (ctf / ctot)), 6) AS contrib
+FROM rel_tf JOIN ctf USING (term)
+CROSS JOIN rtot CROSS JOIN ctot
+ORDER BY contrib DESC, term ASC
+LIMIT {int(top_terms)}
+"""

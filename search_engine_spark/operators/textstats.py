@@ -819,3 +819,59 @@ def weighted_avg_quality(docs: DataFrame) -> DataFrame:
         "lang", "n",
         F.round(F.col("_num") / F.col("_den"), 4).alias("w_avg_quality"),
     )
+
+
+def clarity_score(
+    postings: DataFrame,
+    terms: list[str],
+    top_terms: int = 30,
+) -> DataFrame:
+    """Query clarity (Cronen-Townsend, Zhou & Croft, SIGIR'02) — query
+    PERFORMANCE PREDICTION: the KL divergence between the language model
+    of the query's result set and the collection model. Ambiguous
+    queries draw a result set whose word distribution looks like the
+    whole collection (clarity → 0); crisp queries concentrate (high
+    clarity). The standard pre-retrieval triage for query routing,
+    suggestion triggering, and relevance-feedback gating.
+
+    Pinned spec (the simplified document-model form): R = conjunctive
+    hit set; P(w|R) = Σ_{d∈R} tf(w,d) / Σ_{d∈R} |d|_retained;
+    P(w|C) = ctf(w) / total retained tokens; per-term contribution
+    P(w|R)·ln(P(w|R)/P(w|C)), rounded 6 dp, top `top_terms` by
+    (contrib desc, term asc). Σ contrib = the clarity score; per-term
+    rows are returned because the top contributors ARE the query's
+    induced topic — the diagnostic a ranking engineer reads.
+
+    Plan shape: the hit set (bounded by query selectivity) semi-drives
+    one postings re-scan; both LM aggregations are map-side combinable
+    single-shuffle groupBys; the collection ctf joins on term AFTER the
+    result-set vocabulary has collapsed cardinality; the two totals are
+    scalar broadcast cross-joins. No window, no UDF.
+    """
+    from .search import _conjunctive_hits  # local import avoids a cycle
+
+    hits = _conjunctive_hits(postings, terms).select("doc_id")
+    rel = postings.join(hits, "doc_id", "left_semi")
+    rel_tf = rel.groupBy("term").agg(F.sum("tf").alias("rtf"))
+    rel_total = rel.agg(F.sum("tf").cast("double").alias("rtot"))
+    coll_tf = postings.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    coll_total = postings.agg(F.sum("tf").cast("double").alias("ctot"))
+    return (
+        rel_tf.join(coll_tf, "term")
+        .crossJoin(F.broadcast(rel_total))
+        .crossJoin(F.broadcast(coll_total))
+        .select(
+            "term",
+            (F.col("rtf") / F.col("rtot")).alias("p_rel"),
+            (F.col("ctf") / F.col("ctot")).alias("p_coll"),
+        )
+        .select(
+            "term",
+            F.round(
+                F.col("p_rel") * F.log(F.col("p_rel") / F.col("p_coll")),
+                6,
+            ).alias("contrib"),
+        )
+        .orderBy(F.col("contrib").desc(), F.col("term").asc())
+        .limit(int(top_terms))
+    )
