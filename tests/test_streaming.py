@@ -540,3 +540,84 @@ def test_trending_board_topk_is_deterministic(spark):
     for b, rows in per.items():
         assert len(rows) <= 3
         assert rows == sorted(rows, key=lambda x: (-x[0], x[1]))
+
+
+def test_stream_coec_windows_match_batch_under_frozen_priors(spark, tmp_path):
+    """Streaming COEC accumulation == the batch aggregation restricted
+    to each closed window, under the SAME frozen position priors (the
+    production split: batch refreshes priors, the stream accumulates
+    per-item windowed clicks/EC)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.streaming.stream_coec import (
+        EVENTS_SCHEMA,
+        run_coec_to_memory,
+    )
+
+    events = spark.read.schema(EVENTS_SCHEMA).parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    )
+    landing = str(tmp_path / "coec_in")
+    events.coalesce(2).write.parquet(landing)
+
+    # batch-side frozen priors from the full log (mirrors coec_scores)
+    base = events.filter(F.col("event_type").isin("view", "click")).select(
+        ((F.col("event_id") % 10) + 1).alias("pos"),
+        (F.col("event_type") == "click").cast("long").alias("is_click"),
+        (F.col("event_type") == "view").cast("long").alias("is_view"),
+    )
+    priors = {
+        r["pos"]: r["c"] / r["v"]
+        for r in base.groupBy("pos")
+        .agg(F.sum("is_click").alias("c"), F.sum("is_view").alias("v"))
+        .collect()
+        if r["v"] > 0
+    }
+
+    streamed = run_coec_to_memory(
+        spark, landing, priors, str(tmp_path / "coec_ckpt"),
+        table_name="coec_test",
+    )
+    got = {
+        (r["bucket_epoch"], r["k"]): (
+            r["views"], r["clicks"], r["expected_clicks"]
+        )
+        for r in streamed.collect()
+    }
+    assert got, "stream emitted no closed windows"
+
+    # batch reference: same derivations, same hourly windows, same priors
+    pr = F.create_map(
+        *[x for p, v in sorted(priors.items()) for x in (F.lit(p), F.lit(v))]
+    )
+    want_rows = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "ts",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            ((F.col("event_id") % 10) + 1).alias("pos"),
+            (F.col("event_type") == "click").cast("long").alias("is_click"),
+            (F.col("event_type") == "view").cast("long").alias("is_view"),
+        )
+        .withColumn("prior", F.coalesce(pr[F.col("pos")], F.lit(0.0)))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(
+            F.sum("is_view").alias("views"),
+            F.sum("is_click").alias("clicks"),
+            F.round(F.sum(F.col("is_view") * F.col("prior")), 4).alias("ec"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("b"), "k",
+            "views", "clicks", "ec",
+        )
+        .collect()
+    )
+    want = {
+        (r["b"], r["k"]): (r["views"], r["clicks"], r["ec"])
+        for r in want_rows
+    }
+    for key, v in got.items():
+        assert want[key] == v
+    max_b = max(r["b"] for r in want_rows)
+    missing = {k for k in want if k not in got and k[0] < max_b}
+    assert not missing
