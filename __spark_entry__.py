@@ -2037,6 +2037,15 @@ def _q_decontaminate_bloom(spark, sf_dir):
     return decontaminate(load_documents(spark, sf_dir))
 
 
+def _q_ngram_contamination(spark, sf_dir):
+    """Fuzzy decontamination tier: per-doc word-shingle overlap ratio
+    vs the holdout's shingle Bloom filter (join-free at corpus scale,
+    FP-inflated upper bound — the safe drop-gate direction)."""
+    from search_engine_spark.operators.bloom import ngram_contamination
+
+    return ngram_contamination(load_documents(spark, sf_dir))
+
+
 def _q_search_rescore(spark, sf_dir):
     """ES rescore: disjunctive BM25 first pass, top-100 window, exact
     phrase 'fast table' second pass at rescore_weight 2.0."""
@@ -2302,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_intervals": _q_search_intervals,
         "search_rescore": _q_search_rescore,
         "decontaminate_bloom": _q_decontaminate_bloom,
+        "ngram_contamination": _q_ngram_contamination,
         "search_intervals_containing": _q_search_intervals_containing,
         "search_cross_fields": _q_search_cross_fields,
         "trending_terms": _q_trending_terms,
@@ -2544,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
         "decontaminate_bloom": ora.decontaminate_bloom_sql(),
+        "ngram_contamination": pipe.ngram_contamination_sql(),
         "search_rescore": ora.search_rescore_sql(
             Q_BM25_COMMON, ["fast", "table"]
         ),

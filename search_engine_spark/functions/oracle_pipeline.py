@@ -3437,3 +3437,57 @@ SELECT k, views, clicks, round(ec, 4) AS expected_clicks,
 FROM per
 ORDER BY coec DESC, k ASC
 """
+
+
+def ngram_contamination_sql(holdout_mod: int = 97, m_words: int = 64,
+                            k_hashes: int = 2,
+                            table: str = "documents") -> str:
+    """Mirrors operators/bloom.py::ngram_contamination bit-for-bit: the
+    holdout's word-shingle Bloom filter (same h60 re-hashes, 32-bit
+    word packing) probed by every document's shingles, per-doc overlap
+    ratio."""
+    bits_per_word = 32
+    m_bits = m_words * bits_per_word
+    build_hashes = [h60_sql(f"('b{i}:' || shingle)") for i in range(k_hashes)]
+    pos_union = "\n  UNION ALL\n".join(
+        f"  SELECT {h} % {m_bits} AS pos FROM hsh" for h in build_hashes
+    )
+    p_cols = ",\n         ".join(
+        f"{h} % {m_bits} AS p{i}" for i, h in enumerate(build_hashes)
+    )
+    joins = "\n".join(
+        f"  LEFT JOIN words w{i} ON w{i}.widx = pr.p{i} // {bits_per_word}"
+        for i in range(k_hashes)
+    )
+    hit = "\n    AND ".join(
+        f"(((coalesce(w{i}.w, 0) >> (pr.p{i} % {bits_per_word})) & 1) = 1)"
+        for i in range(k_hashes)
+    )
+    return f"""
+WITH {_shingles_cte(table)},
+hsh AS (SELECT shingle FROM shingles WHERE doc_id % {holdout_mod} = 0),
+pos AS (
+{pos_union}
+),
+words AS (
+  SELECT pos // {bits_per_word} AS widx,
+         bit_or((1::BIGINT) << (pos % {bits_per_word})) AS w
+  FROM pos GROUP BY widx
+),
+pr AS (
+  SELECT doc_id, shingle,
+         {p_cols}
+  FROM shingles
+),
+hit AS (
+  SELECT pr.doc_id,
+         ({hit})::BIGINT AS flagged
+  FROM pr
+{joins}
+)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       sum(flagged)::BIGINT AS n_flagged,
+       round(sum(flagged)::DOUBLE / count(*), 4) AS overlap_ratio
+FROM hit
+GROUP BY doc_id
+"""

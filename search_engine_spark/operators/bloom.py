@@ -159,3 +159,62 @@ def decontaminate(
             F.coalesce(F.col("_m"), F.lit(False)).alias("exact_member"),
         )
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    holdout_mod: int = HOLDOUT_MOD_DEFAULT,
+    shingle_k: int | None = None,
+    m_words: int = 64,
+    k: int = K_HASHES_DEFAULT,
+) -> DataFrame:
+    """Per-document n-gram overlap vs the holdout's shingle Bloom filter
+    — the FUZZY tier of decontamination. `decontaminate` drops exact
+    full-text members; real eval-set leakage usually arrives as
+    paraphrase-with-copied-passages, which full-text hashing misses.
+    This scores every document by the fraction of its word k-shingles
+    present in the holdout filter:
+
+        (doc_id, n_shingles, n_flagged, overlap_ratio)
+
+    High ratio → quarantine (the Dolma/RefinedWeb-style passage-overlap
+    gate, made join-free at corpus scale by the broadcast filter —
+    corpus-side cost is one shingle fan-out + a codegen probe per
+    shingle, no shuffle touches the holdout). overlap_ratio is a
+    conservative UPPER bound on true overlap (Bloom false positives
+    inflate, never deflate), the safe direction for a drop gate.
+    Holdout members themselves score 1.0 by construction — the gate's
+    sanity anchor. Shingling reuses dedup's `word_shingles` (distinct
+    k-grams, short docs contribute their full text as one shingle).
+    """
+    from .dedup import SHINGLE_K, word_shingles
+
+    sk = SHINGLE_K if shingle_k is None else shingle_k
+    sh = word_shingles(docs, sk)
+    holdout_sh = sh.join(
+        docs.filter((F.col("doc_id") % holdout_mod) == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).select("shingle")
+    words = bloom_words(holdout_sh, F.col("shingle"), m_words, k)
+    return (
+        sh.withColumn(
+            "hit",
+            bloom_probe_col(F.col("shingle"), words, m_words, k).cast(
+                "long"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("hit").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged") / F.col("n_shingles"), 4
+            ).alias("overlap_ratio"),
+        )
+    )

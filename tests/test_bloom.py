@@ -111,3 +111,34 @@ def test_decontaminate_superset_invariant(spark):
     assert sum(1 for r in out if r["exact_member"]) == len(
         [i for i in range(300) if i % 29 == 0]
     )
+
+
+def test_ngram_contamination_scores_partial_overlap(spark):
+    """Holdout docs anchor at 1.0; a doc copying a passage from the
+    holdout scores in between; an unrelated doc scores 0 (filter sized
+    so FPs vanish at this key count)."""
+    from search_engine_spark.operators.bloom import ngram_contamination
+
+    holdout_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, holdout_text),                                  # 0 % 3 == 0 -> holdout
+        (1, "alpha beta gamma delta nu xi omicron pi rho"), # copied prefix
+        (2, "one two three four five six seven eight"),     # unrelated
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_contamination(
+            docs, holdout_mod=3, m_words=256
+        ).collect()
+    }
+    assert got[0]["overlap_ratio"] == 1.0
+    assert got[2]["overlap_ratio"] == 0.0
+    r1 = got[1]
+    # doc 1 has 7 shingles (9 tokens, k=3); the first two ('alpha beta
+    # gamma', 'beta gamma delta') are holdout shingles
+    assert r1["n_shingles"] == 7 and r1["n_flagged"] == 2
+    assert r1["overlap_ratio"] == round(2 / 7, 4)
