@@ -2037,6 +2037,16 @@ def _q_decontaminate_bloom(spark, sf_dir):
     return decontaminate(load_documents(spark, sf_dir))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup gate: the doc_id % 13 == 0 slice plays the
+    new crawl batch, its bands probe the corpus band table, collisions
+    verify with candidate-driven exact Jaccard — the daily-increment
+    complement of the corpus-wide LSH self-join."""
+    from search_engine_spark.operators.dedup import dedup_incremental
+
+    return dedup_incremental(load_documents(spark, sf_dir), JACCARD_THRESHOLD)
+
+
 def _q_ngram_contamination(spark, sf_dir):
     """Fuzzy decontamination tier: per-doc word-shingle overlap ratio
     vs the holdout's shingle Bloom filter (join-free at corpus scale,
@@ -2312,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rescore": _q_search_rescore,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "ngram_contamination": _q_ngram_contamination,
+        "dedup_incremental": _q_dedup_incremental,
         "search_intervals_containing": _q_search_intervals_containing,
         "search_cross_fields": _q_search_cross_fields,
         "trending_terms": _q_trending_terms,
@@ -2555,6 +2566,9 @@ def oracle_sql() -> dict[str, str]:
         "search_span_first": ora.search_span_first_sql("data", n=10),
         "decontaminate_bloom": ora.decontaminate_bloom_sql(),
         "ngram_contamination": pipe.ngram_contamination_sql(),
+        "dedup_incremental": pipe.dedup_incremental_sql(
+            threshold=JACCARD_THRESHOLD
+        ),
         "search_rescore": ora.search_rescore_sql(
             Q_BM25_COMMON, ["fast", "table"]
         ),

@@ -3491,3 +3491,44 @@ SELECT doc_id, count(*)::BIGINT AS n_shingles,
 FROM hit
 GROUP BY doc_id
 """
+
+
+def dedup_incremental_sql(table: str = "documents", threshold: float = 0.5,
+                          new_mod: int = 13) -> str:
+    """Mirrors operators/dedup.py::dedup_incremental — the NEW batch
+    (doc_id % new_mod == 0) probes the corpus band table; collisions
+    verify with candidate-driven exact Jaccard."""
+    h = h60_sql("(perm::VARCHAR || ':' || shingle)")
+    return f"""
+WITH {_shingles_cte(table)},
+sig AS (
+  SELECT doc_id, perm::INT AS perm, min({h}) AS minhash
+  FROM shingles, unnest(range(0, {dd.N_PERM})) AS p(perm)
+  GROUP BY doc_id, perm
+),
+banded AS (
+  SELECT doc_id, (perm // {dd.PERM_BAND}) AS band,
+         string_agg(minhash::VARCHAR, '-' ORDER BY perm) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM banded n JOIN banded c
+    ON n.band = c.band AND n.band_key = c.band_key
+  WHERE n.doc_id % {new_mod} = 0 AND c.doc_id % {new_mod} <> 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+"""

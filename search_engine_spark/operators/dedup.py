@@ -101,13 +101,17 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_table(
     docs: DataFrame, n_perm: int = N_PERM, band_rows: int = PERM_BAND
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs: docs sharing at least one
-    LSH band (band key = concat of the band's min-hashes)."""
+    """(doc_id, band, band_key) — the LSH bucket relation (band key =
+    concat of the band's min-hashes). This IS the stored artifact of an
+    incremental dedup deployment: the corpus's band table persists (a
+    few rows per doc), and each new crawl batch probes it
+    (`lsh_probe_pairs`) instead of re-running the corpus-wide
+    self-join."""
     sig = minhash_signatures(docs, n_perm)
-    banded = (
+    return (
         sig.withColumn("band", (F.col("perm") / band_rows).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -122,6 +126,14 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n_perm: int = N_PERM, band_rows: int = PERM_BAND
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs: docs sharing at least one
+    LSH band (band key = concat of the band's min-hashes)."""
+    banded = lsh_band_table(docs, n_perm, band_rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -791,3 +803,50 @@ def mirror_hosts(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return m.groupBy("site_a", "site_b").agg(
         F.count("*").alias("n_shared")
     )
+
+
+def lsh_probe_pairs(
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    n_perm: int = N_PERM,
+    band_rows: int = PERM_BAND,
+) -> DataFrame:
+    """(doc_a = new, doc_b = existing) candidate pairs: each NEW doc's
+    bands probe the corpus band table. The incremental complement of
+    `lsh_candidate_pairs`: cost is O(|batch| · bands) probe rows against
+    a stored relation, never the corpus-wide self-join — the shape a
+    daily crawl increment needs at 10^12 docs (the corpus side is a
+    persisted, bucket-partitioned table; the batch side is small enough
+    that AQE broadcasts it)."""
+    corpus = lsh_band_table(corpus_docs, n_perm, band_rows)
+    new = lsh_band_table(new_docs, n_perm, band_rows)
+    n = new.alias("n")
+    c = corpus.alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def dedup_incremental(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    new_mod: int = 13,
+) -> DataFrame:
+    """The incremental near-dup gate end-to-end: the deterministic
+    doc_id % new_mod == 0 slice plays the NEW BATCH, the rest the
+    existing corpus; batch bands probe the corpus band table and the
+    collisions verify with candidate-driven exact Jaccard. Returns
+    (doc_a = new, doc_b = existing, jaccard >= threshold) — the rows a
+    production increment would anti-join against before appending."""
+    is_new = (F.col("doc_id") % new_mod) == 0
+    cand = lsh_probe_pairs(docs.filter(~is_new), docs.filter(is_new))
+    return jaccard_pairs(docs, threshold, candidates=cand)

@@ -453,3 +453,29 @@ def test_gopher_rules_line_signals(spark):
     assert got[0]["bullet_ratio"] == pytest.approx(6 / 18, abs=1e-3)
     assert got[1]["ellipsis_ratio"] == pytest.approx(6 / 18, abs=1e-3)
     assert got[1]["keep_doc"] is False
+
+
+def test_dedup_incremental_probes_only_new_vs_corpus(spark):
+    """The incremental gate emits (new, existing) pairs only: two
+    near-identical CORPUS docs never pair, a new doc pairs with its
+    corpus near-duplicate, and an unrelated new doc stays silent."""
+    import pandas as pd
+
+    from search_engine_spark.operators.dedup import dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                       # corpus
+        (2, base + " lambda"),           # corpus near-dup of 1 (no pair: both old)
+        (13, base + " mu"),              # NEW (13 % 13 == 0) near-dup of corpus
+        (26, "one two three four five"), # NEW, unrelated
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_incremental(docs, threshold=0.5).collect()
+    }
+    assert got == {(13, 1), (13, 2)}
