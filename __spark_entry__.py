@@ -1697,6 +1697,42 @@ def _q_search_lmd(spark, sf_dir):
     )
 
 
+def _q_search_lmjm(spark, sf_dir):
+    """Jelinek-Mercer query likelihood (Lucene LMJelinekMercerSimilarity)
+    — fixed-interpolation smoothing beside LMD's Dirichlet prior."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_lmjm(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25
+    )
+
+
+def _q_search_dfr(spark, sf_dir):
+    """Divergence-from-randomness I(n)L2 (Lucene DFRSimilarity) — the
+    third pluggable similarity family over the same postings."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_dfr(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
+def _q_search_ib(spark, sf_dir):
+    """Information-based log-logistic/TTF/H2 (Lucene IBSimilarity) — the
+    Clinchant-Gaussier family; absent query terms drop out (OR set)."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_ib(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_OR
+    )
+
+
+def _q_search_bm25_plus(spark, sf_dir):
+    """BM25+ (Lv & Zhai CIKM'11): δ-lower-bounded tf normalization —
+    long docs can't score below a short doc's single occurrence."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_plus(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
 def _q_search_rerank(spark, sf_dir):
     """Retrieve-then-rerank: BM25 top-50 candidates re-ordered by
     embedding cosine (the bi-encoder rerank stage of a RAG stack)."""
@@ -2468,6 +2504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_per_lang": _q_search_per_lang,
         "search_diversified": _q_search_diversified,
         "search_lmd": _q_search_lmd,
+        "search_lmjm": _q_search_lmjm,
+        "search_dfr": _q_search_dfr,
+        "search_ib": _q_search_ib,
+        "search_bm25_plus": _q_search_bm25_plus,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
         "facet_top_hits": _q_facet_top_hits,
@@ -2751,6 +2791,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_diversified": ora.search_diversified_sql(Q_BM25_COMMON),
         "search_lmd": ora.search_lmd_sql(Q_BM25_COMMON),
+        "search_lmjm": ora.search_lmjm_sql(Q_BM25),
+        "search_dfr": ora.search_dfr_sql(Q_BM25_COMMON),
+        "search_ib": ora.search_ib_sql(Q_OR),
+        "search_bm25_plus": ora.search_bm25_plus_sql(Q_BM25_COMMON),
         "search_filtered": ora.search_bm25_filtered_sql(
             Q_BM25_COMMON,
             f"d.lang = 'en' AND (1704067200 + 60 * d.doc_id) >= {FILTER_EPOCH}",

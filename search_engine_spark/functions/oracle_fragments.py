@@ -387,6 +387,143 @@ LIMIT {int(limit)}
 """
 
 
+def search_lmjm_sql(query_terms: list[str], lam: float = 0.1,
+                    limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_lmjm — Jelinek-Mercer-smoothed
+    query likelihood (Lucene LMJelinekMercerSimilarity): per matched term
+    ln(1 + ((1-λ)·tf/dl) / (λ·cf/T)), summed per doc, disjunctive.
+    Returns (doc_id, score)."""
+    one_minus = 1.0 - float(lam)
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY term
+),
+tot AS (SELECT count(*)::DOUBLE AS t FROM terms),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + ({one_minus!r} * p.tf / dl.dl)
+                     / ({float(lam)!r} * cf.cf / tot.t)) ) AS score
+  FROM post p JOIN dl USING (doc_id) JOIN cf USING (term) CROSS JOIN tot
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def search_dfr_sql(query_terms: list[str], c: float = 1.0,
+                   limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_dfr — DFR I(n)L2 (Lucene
+    DFRSimilarity(In, L, H2), Amati & Van Rijsbergen TOIS'02): with
+    tfn = tf·log2(1 + c·avgdl/dl), per matched term
+    tfn·log2((N+1)/(df+0.5))/(tfn+1), summed per doc, disjunctive.
+    Returns (doc_id, score)."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( (p.tf * log2(1 + {float(c)!r} * s.avgdl / dl.dl))
+              * log2((s.n_docs + 1) / (df.df + 0.5))
+              / ((p.tf * log2(1 + {float(c)!r} * s.avgdl / dl.dl)) + 1) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def search_ib_sql(query_terms: list[str], c: float = 1.0,
+                  limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_ib — information-based
+    log-logistic with LambdaTTF (Lucene IBSimilarity(LL, TTF, H2),
+    Clinchant & Gaussier SIGIR'10): with tfn = tf·log2(1 + c·avgdl/dl)
+    and λ = (cf+1)/(N+1), per matched term ln(1 + tfn/λ), summed per
+    doc, disjunctive. Returns (doc_id, score)."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+cf AS (
+  SELECT term, count(*)::DOUBLE AS cf FROM terms
+  WHERE term IN {_terms_in(query_terms)} GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (p.tf * log2(1 + {float(c)!r} * s.avgdl / dl.dl))
+                     / ((cf.cf + 1) / (s.n_docs + 1))) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id) JOIN cf USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def search_bm25_plus_sql(query_terms: list[str], k1: float = 1.2,
+                         b: float = 0.75, delta: float = 1.0,
+                         limit: int = 20,
+                         table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bm25_plus — BM25+ (Lv & Zhai
+    CIKM'11): Robertson idf · (tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) + δ),
+    summed per doc, disjunctive. Returns (doc_id, score)."""
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+plus AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * ( p.tf * ({k1} + 1)
+                  / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))
+                  + {float(delta)!r} ) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM plus
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
 def url_normalize_sql(table: str = "documents") -> str:
     """S4 normalizer over the deterministically-derived raw_url.
     Returns (doc_id, raw_url, norm_path)."""

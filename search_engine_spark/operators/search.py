@@ -592,6 +592,286 @@ def search_lmd(
     )
 
 
+LAMBDA_JM_DEFAULT = 0.1
+DFR_C_DEFAULT = 1.0
+BM25_DELTA_DEFAULT = 1.0
+
+
+def search_lmjm(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    lam: float = LAMBDA_JM_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Query likelihood with Jelinek-Mercer smoothing → top-k
+    (doc_id, score) — Lucene's LMJelinekMercerSimilarity (Zhai &
+    Lafferty 2001), the fixed-interpolation sibling of `search_lmd`'s
+    Dirichlet prior. Per matched query term:
+
+        part = ln(1 + ((1-λ) · tf/dl) / (λ · cf_t/T))
+
+    with λ = 0.1 (Lucene's short-query default), cf_t the collection
+    term frequency and T the total retained token count. Disjunctive:
+    absent terms contribute nothing (their smoothed probability is a
+    rank-constant the per-term decomposition drops, exactly as Lucene
+    scores only postings hits). The reference has one hard-coded Σtf
+    scorer (services/SearchServiceImpl.java:172-175); this extends the
+    pluggable-similarity surface beside LMD/VSM/BM25.
+
+    Plan shape mirrors `search_lmd`: cf for the ≤|q| query terms and the
+    scalar T are driver-side literals (precomputed corpus stats on a
+    persisted index), then one term-pruned postings scan + dl join +
+    map-side-combinable groupBy — no corpus-sized work before the
+    pruned scan."""
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    cf_rows = (
+        postings.filter(F.col("term").isin(uniq))
+        .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+    )
+    cf = {r["term"]: float(r["cf"]) for r in cf_rows}
+    if not cf:
+        return empty
+    total = float(doc_stats.agg(F.sum("dl")).collect()[0][0])
+    matched = sorted(cf)
+    one_minus = 1.0 - float(lam)
+    cf_col = F.create_map(
+        *[x for t in matched for x in (F.lit(t), F.lit(cf[t]))]
+    )
+    scored = (
+        postings.filter(F.col("term").isin(matched))
+        .join(doc_stats, "doc_id")
+        .withColumn(
+            "part_score",
+            F.log(
+                1.0
+                + (one_minus * F.col("tf").cast("double")
+                   / F.col("dl").cast("double"))
+                / (float(lam) * cf_col[F.col("term")] / total)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score_raw"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.col("score_raw"), 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )
+
+
+def _dfr_tfn(avgdl: float, c: float):
+    """H2 length normalization (Amati & Van Rijsbergen TOIS'02; Lucene
+    NormalizationH2): tfn = tf · log2(1 + c·avgdl/dl). Shared by the DFR
+    and IB scorers — both re-state tf on a length-normalized scale
+    before their probability models."""
+    return F.col("tf").cast("double") * F.log2(
+        1.0 + float(c) * float(avgdl) / F.col("dl").cast("double")
+    )
+
+
+def search_dfr(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    c: float = DFR_C_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Divergence-from-randomness ranking, model I(n)L2 → top-k
+    (doc_id, score) — Lucene's DFRSimilarity(BasicModelIn, AfterEffectL,
+    NormalizationH2) per Amati & Van Rijsbergen (TOIS 2002). Per matched
+    term, with tfn = tf·log2(1 + c·avgdl/dl):
+
+        part = tfn · log2((N+1)/(df+0.5)) / (tfn + 1)
+
+    i.e. the inverse-document-frequency information content I(n), damped
+    by the Laplace after-effect 1/(tfn+1). Disjunctive top-k with the
+    engine's pinned tiebreak. df comes from the term dictionary exactly
+    like BM25's idf — collected driver-side for the ≤|q| query terms and
+    baked into the plan as literals; the only distributed work is the
+    term-pruned postings scan, the dl join, and one combinable groupBy."""
+    import math
+
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    df_rows = (
+        term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
+    )
+    info = {
+        r["term"]: math.log2((float(n_docs) + 1.0) / (float(r["df"]) + 0.5))
+        for r in df_rows
+    }
+    if not info:
+        return empty
+    matched = sorted(info)
+    info_col = F.create_map(
+        *[x for t in matched for x in (F.lit(t), F.lit(info[t]))]
+    )
+    tfn = _dfr_tfn(avgdl, c)
+    scored = (
+        postings.filter(F.col("term").isin(matched))
+        .join(doc_stats, "doc_id")
+        .withColumn(
+            "part_score",
+            tfn * info_col[F.col("term")] / (tfn + 1.0),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score_raw"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.col("score_raw"), 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )
+
+
+def search_ib(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    c: float = DFR_C_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Information-based ranking, log-logistic distribution with the
+    total-term-frequency lambda → top-k (doc_id, score) — Lucene's
+    IBSimilarity(DistributionLL, LambdaTTF, NormalizationH2) after
+    Clinchant & Gaussier (SIGIR 2010). Per matched term, with
+    tfn = tf·log2(1 + c·avgdl/dl) and λ_t = (cf_t + 1)/(N + 1):
+
+        part = -ln(λ_t / (tfn + λ_t)) = ln(1 + tfn/λ_t)
+
+    Disjunctive. cf (collection term frequency) is collected driver-side
+    for the query terms like `search_lmjm`; same pruned-scan + dl-join +
+    combinable-groupBy plan as every similarity in this family."""
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    cf_rows = (
+        postings.filter(F.col("term").isin(uniq))
+        .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+    )
+    lam = {
+        r["term"]: (float(r["cf"]) + 1.0) / (float(n_docs) + 1.0)
+        for r in cf_rows
+    }
+    if not lam:
+        return empty
+    matched = sorted(lam)
+    lam_col = F.create_map(
+        *[x for t in matched for x in (F.lit(t), F.lit(lam[t]))]
+    )
+    tfn = _dfr_tfn(avgdl, c)
+    scored = (
+        postings.filter(F.col("term").isin(matched))
+        .join(doc_stats, "doc_id")
+        .withColumn("part_score", F.log(1.0 + tfn / lam_col[F.col("term")]))
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score_raw"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.col("score_raw"), 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )
+
+
+def search_bm25_plus(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    delta: float = BM25_DELTA_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """BM25+ → top-k (doc_id, score) — Lv & Zhai (CIKM 2011, "Lower-
+    bounding term frequency normalization"): classic BM25 penalizes very
+    long documents past the point where a single occurrence is worth
+    less than a nonoccurrence in a short doc; BM25+ lower-bounds the tf
+    normalization with an additive δ. Per matched term:
+
+        part = idf · ( tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) + δ )
+
+    with δ = 1.0 (the paper's recommended default) and the same
+    Robertson idf literal map as `bm25_scored`. Disjunctive (the δ term
+    rewards every match, so OR semantics are the interesting surface).
+    Identical plan shape to BM25 — the δ folds into the per-posting
+    expression, nothing new shuffles."""
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    df_rows = (
+        term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
+    )
+    idf = {
+        r["term"]: bm25_idf(float(n_docs), float(r["df"])) for r in df_rows
+    }
+    if not idf:
+        return empty
+    matched = sorted(idf)
+    idf_col = F.create_map(
+        *[x for t in matched for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    k1f, bf, df_ = float(k1), float(b), float(delta)
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    scored = (
+        postings.filter(F.col("term").isin(matched))
+        .join(doc_stats, "doc_id")
+        .withColumn(
+            "part_score",
+            idf_col[F.col("term")]
+            * (
+                tf * (k1f + 1.0)
+                / (tf + k1f * (1.0 - bf + bf * dl / float(avgdl)))
+                + df_
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score_raw"))
+    )
+    return (
+        scored.select(
+            "doc_id", F.round(F.col("score_raw"), 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )
+
+
 TERMS_AGG_SHARDS = 8
 
 

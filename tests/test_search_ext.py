@@ -983,3 +983,103 @@ def test_top_metrics_is_per_site_argmax(spark, ctx):
     # per site is simply its max doc_id
     for r in manual:
         assert got[r["site_key"]]["latest_doc_id"] == r["d"]
+
+
+# ------------------------------------------------- similarity-family pins
+
+def test_bm25_plus_is_bm25_shifted_by_delta_idf_mass(spark, ctx):
+    """BM25+ decomposes exactly: for every doc the δ term adds
+    δ·Σ idf(matched terms), so on a conjunctive-complete doc set
+    score⁺ − score = δ·Σ_q idf — the Lv & Zhai lower-bound mass."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    base = {
+        r["doc_id"]: r["score"]
+        for r in se.bm25_scored(
+            postings, td, ds, n, avgdl, q, conjunctive=False
+        ).collect()
+    }
+    plus = {
+        r["doc_id"]: r["score"]
+        for r in se.search_bm25_plus(
+            postings, td, ds, n, avgdl, q, limit=10_000
+        ).collect()
+    }
+    idf = {
+        r["term"]: se.bm25_idf(float(n), float(r["df"]))
+        for r in td.filter(td.term.isin(q)).collect()
+    }
+    # per-doc matched-term sets (which idf mass applies depends on them)
+    matched = {
+        r["doc_id"]: [t for t in r["ts"]]
+        for r in postings.filter(postings.term.isin(q))
+        .groupBy("doc_id").agg(se.F.collect_set("term").alias("ts"))
+        .collect()
+    }
+    assert set(plus) == set(base)
+    for d, s_plus in plus.items():
+        mass = sum(idf[t] for t in matched[d])
+        assert s_plus == pytest.approx(base[d] + 1.0 * mass, abs=2e-4)
+
+
+def test_dfr_part_score_bounded_by_information_content(spark, ctx):
+    """DFR I(n)L2's after-effect damps each term part strictly below the
+    term's information content log2((N+1)/(df+0.5)) — a single-term
+    query's score can never exceed it, and grows with tf."""
+    docs, postings, td, ds, n, avgdl = ctx
+    import math
+    term = "data"
+    df = float(td.filter(td.term == term).collect()[0]["df"])
+    info = math.log2((n + 1.0) / (df + 0.5))
+    scores = se.search_dfr(
+        postings, td, ds, n, avgdl, [term], limit=10_000
+    ).collect()
+    assert scores, "probe term must match"
+    assert all(0.0 < r["score"] < info for r in scores)
+
+
+def test_lmjm_absent_term_drops_out(spark, ctx):
+    """Disjunctive LMJM: a corpus-absent query term contributes nothing —
+    the result equals the query without it (Lucene scores hits only)."""
+    docs, postings, td, ds, n, avgdl = ctx
+    with_absent = se.search_lmjm(
+        postings, td, ds, n, avgdl, ["data", "zzabsent"]
+    ).collect()
+    without = se.search_lmjm(postings, td, ds, n, avgdl, ["data"]).collect()
+    assert [(r["doc_id"], r["score"]) for r in with_absent] == [
+        (r["doc_id"], r["score"]) for r in without
+    ]
+
+
+def test_ib_tfn_monotone_in_tf(spark, ctx):
+    """IB log-logistic: between two docs of equal length, the one with
+    higher tf for a single-term query scores strictly higher (tfn is
+    monotone in tf; ln(1 + tfn/λ) is monotone in tfn)."""
+    docs, postings, td, ds, n, avgdl = ctx
+    rows = (
+        postings.filter(postings.term == "data")
+        .join(ds, "doc_id")
+        .select("doc_id", "tf", "dl")
+        .collect()
+    )
+    by_dl = {}
+    for r in rows:
+        by_dl.setdefault(r["dl"], []).append((r["tf"], r["doc_id"]))
+    pair = None
+    for dl, lst in by_dl.items():
+        tfs = sorted(set(t for t, _ in lst))
+        if len(tfs) >= 2:
+            lo = next(d for t, d in lst if t == tfs[0])
+            hi = next(d for t, d in lst if t == tfs[-1])
+            pair = (lo, hi)
+            break
+    if pair is None:
+        pytest.skip("fixture has no equal-length tf-contrast pair")
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in se.search_ib(
+            postings, td, ds, n, avgdl, ["data"], limit=10_000
+        ).collect()
+    }
+    lo, hi = pair
+    assert scores[hi] > scores[lo]
