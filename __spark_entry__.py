@@ -1733,6 +1733,48 @@ def _q_search_bm25_plus(spark, sf_dir):
     )
 
 
+GEO_PARIS = (48.8566, 2.3522)
+GEO_NYC = (40.7128, -74.006)
+GEO_RADIUS_M = 3_000_000.0
+GEO_RING_EDGES = [2_000_000.0, 5_000_000.0, 10_000_000.0]
+
+
+def _q_geo_distance(spark, sf_dir):
+    """ES geo_distance query + _geo_distance sort: closest docs within
+    3,000 km of Paris over the derived deterministic geo_point."""
+    from search_engine_spark.operators.geo import geo_distance_search
+
+    docs = load_documents(spark, sf_dir)
+    return geo_distance_search(docs, *GEO_PARIS, GEO_RADIUS_M)
+
+
+def _q_geo_bbox(spark, sf_dir):
+    """ES geo_bounding_box with ANTIMERIDIAN WRAP (min_lon > max_lon):
+    the Pacific band ±30° lat, 150°E → 150°W — integer-exact edges."""
+    from search_engine_spark.operators.geo import geo_bounding_box
+
+    docs = load_documents(spark, sf_dir)
+    return geo_bounding_box(docs, -30.0, 30.0, 150.0, -150.0)
+
+
+def _q_geotile_grid(spark, sf_dir):
+    """ES geotile_grid aggregation at zoom 4: web-mercator z/x/y tile
+    doc counts, top 15 buckets (pinned tiebreak: tile key asc)."""
+    from search_engine_spark.operators.geo import geotile_grid
+
+    docs = load_documents(spark, sf_dir)
+    return geotile_grid(docs, zoom=4, size=15)
+
+
+def _q_geo_rings(spark, sf_dir):
+    """ES geo_distance aggregation: concentric half-open rings around
+    NYC with min/max distance sub-metrics."""
+    from search_engine_spark.operators.geo import geo_distance_rings
+
+    docs = load_documents(spark, sf_dir)
+    return geo_distance_rings(docs, *GEO_NYC, GEO_RING_EDGES)
+
+
 def _q_search_rerank(spark, sf_dir):
     """Retrieve-then-rerank: BM25 top-50 candidates re-ordered by
     embedding cosine (the bi-encoder rerank stage of a RAG stack)."""
@@ -2508,6 +2550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dfr": _q_search_dfr,
         "search_ib": _q_search_ib,
         "search_bm25_plus": _q_search_bm25_plus,
+        "geo_distance": _q_geo_distance,
+        "geo_bbox": _q_geo_bbox,
+        "geotile_grid": _q_geotile_grid,
+        "geo_rings": _q_geo_rings,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
         "facet_top_hits": _q_facet_top_hits,
@@ -2795,6 +2841,10 @@ def oracle_sql() -> dict[str, str]:
         "search_dfr": ora.search_dfr_sql(Q_BM25_COMMON),
         "search_ib": ora.search_ib_sql(Q_OR),
         "search_bm25_plus": ora.search_bm25_plus_sql(Q_BM25_COMMON),
+        "geo_distance": ora.geo_distance_sql(*GEO_PARIS, GEO_RADIUS_M),
+        "geo_bbox": ora.geo_bbox_sql(-30.0, 30.0, 150.0, -150.0),
+        "geotile_grid": ora.geotile_grid_sql(zoom=4, size=15),
+        "geo_rings": ora.geo_rings_sql(*GEO_NYC, GEO_RING_EDGES),
         "search_filtered": ora.search_bm25_filtered_sql(
             Q_BM25_COMMON,
             f"d.lang = 'en' AND (1704067200 + 60 * d.doc_id) >= {FILTER_EPOCH}",

@@ -524,6 +524,142 @@ LIMIT {int(limit)}
 """
 
 
+GEO_LAT_E4_SQL = (
+    "((('0x' || substr(md5('geo:lat:' || doc_id), 1, 15))::BIGINT"
+    " % 1600001 - 800000))"
+)
+GEO_LON_E4_SQL = (
+    "((('0x' || substr(md5('geo:lon:' || doc_id), 1, 15))::BIGINT"
+    " % 3600001 - 1800000))"
+)
+
+
+def _geo_cte(table: str = "documents") -> str:
+    """Derived geo_point (FIXTURES pattern) — mirrors
+    operators/geo.py::with_geo exactly (integer micro-degrees / 1e4)."""
+    return f"""geo AS (
+  SELECT doc_id,
+         {GEO_LAT_E4_SQL} AS lat_e4, {GEO_LON_E4_SQL} AS lon_e4,
+         {GEO_LAT_E4_SQL} / 10000.0 AS lat,
+         {GEO_LON_E4_SQL} / 10000.0 AS lon
+  FROM {table}
+)"""
+
+
+def _haversine_sql(clat: float, clon: float) -> str:
+    """Same operation order as operators/geo.py::_haversine_m."""
+    return (
+        f"2.0 * 6371000.0 * asin(sqrt("
+        f"sin(radians(lat - {float(clat)!r}) / 2.0)"
+        f" * sin(radians(lat - {float(clat)!r}) / 2.0)"
+        f" + cos(radians({float(clat)!r})) * cos(radians(lat))"
+        f" * sin(radians(lon - {float(clon)!r}) / 2.0)"
+        f" * sin(radians(lon - {float(clon)!r}) / 2.0)))"
+    )
+
+
+def geo_distance_sql(clat: float, clon: float, radius_m: float,
+                     limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geo_distance_search — ES geo_distance
+    query + _geo_distance sort. Returns (doc_id, dist_m)."""
+    return f"""
+WITH {_geo_cte(table)},
+d AS (
+  SELECT doc_id, round({_haversine_sql(clat, clon)}, 4) AS dist_m FROM geo
+)
+SELECT doc_id, dist_m FROM d
+WHERE dist_m <= {float(radius_m)!r}
+ORDER BY dist_m ASC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def geo_bbox_sql(min_lat: float, max_lat: float, min_lon: float,
+                 max_lon: float, table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geo_bounding_box — integer-exact box,
+    ES antimeridian wrap when min_lon > max_lon.
+    Returns (doc_id, lat, lon)."""
+    lo_lat, hi_lat = int(round(min_lat * 10000)), int(round(max_lat * 10000))
+    lo_lon, hi_lon = int(round(min_lon * 10000)), int(round(max_lon * 10000))
+    if lo_lon > hi_lon:
+        lon_pred = f"(lon_e4 >= {lo_lon} OR lon_e4 <= {hi_lon})"
+    else:
+        lon_pred = f"(lon_e4 >= {lo_lon} AND lon_e4 <= {hi_lon})"
+    return f"""
+WITH {_geo_cte(table)}
+SELECT doc_id, lat, lon FROM geo
+WHERE lat_e4 >= {lo_lat} AND lat_e4 <= {hi_lat} AND {lon_pred}
+"""
+
+
+def geotile_grid_sql(zoom: int = 5, size: int = 20,
+                     table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geotile_grid — web-mercator z/x/y tile
+    buckets, top `size` by count. Returns (tile, doc_count)."""
+    n = float(1 << int(zoom))
+    return f"""
+WITH {_geo_cte(table)},
+t AS (
+  SELECT doc_id,
+         floor((lon + 180.0) / 360.0 * {n!r}) AS x_raw,
+         floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                / pi()) / 2.0 * {n!r}) AS y_raw
+  FROM geo
+),
+k AS (
+  SELECT doc_id,
+         '{int(zoom)}' || '/' ||
+         CAST(greatest(0.0, least(x_raw, {n - 1.0!r})) AS BIGINT)::VARCHAR
+         || '/' ||
+         CAST(greatest(0.0, least(y_raw, {n - 1.0!r})) AS BIGINT)::VARCHAR
+           AS tile
+  FROM t
+)
+SELECT tile, count(*)::BIGINT AS doc_count
+FROM k GROUP BY tile
+ORDER BY doc_count DESC, tile ASC
+LIMIT {int(size)}
+"""
+
+
+def geo_rings_sql(clat: float, clon: float, edges_m: list[float],
+                  table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geo_distance_rings — ES geo_distance
+    aggregation (concentric half-open rings) with min/max sub-metrics.
+    Returns (ring, doc_count, min_dist, max_dist)."""
+    edges = [float(e) for e in edges_m]
+    bounds = [(None, edges[0])]
+    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    bounds += [(edges[-1], None)]
+    label_cases, order_cases = [], []
+    for i, (lo, hi) in enumerate(bounds):
+        label = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = []
+        if lo is not None:
+            conds.append(f"dist_m >= {lo!r}")
+        if hi is not None:
+            conds.append(f"dist_m < {hi!r}")
+        pred = " AND ".join(conds) if conds else "TRUE"
+        label_cases.append(f"WHEN {pred} THEN '{label}'")
+        order_cases.append(f"WHEN {pred} THEN {i}")
+    return f"""
+WITH {_geo_cte(table)},
+d AS (
+  SELECT doc_id, round({_haversine_sql(clat, clon)}, 4) AS dist_m FROM geo
+),
+r AS (
+  SELECT dist_m,
+         CASE {' '.join(label_cases)} END AS ring,
+         CASE {' '.join(order_cases)} END AS ord
+  FROM d
+)
+SELECT ring, count(*)::BIGINT AS doc_count,
+       min(dist_m) AS min_dist, max(dist_m) AS max_dist
+FROM r GROUP BY ring, ord
+ORDER BY ord ASC
+"""
+
+
 def url_normalize_sql(table: str = "documents") -> str:
     """S4 normalizer over the deterministically-derived raw_url.
     Returns (doc_id, raw_url, norm_path)."""

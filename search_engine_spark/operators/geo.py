@@ -1,0 +1,208 @@
+"""Geo query + aggregation family — Elasticsearch's geo surface over the
+documents table.
+
+The reference has no geo support at all; Elasticsearch (the system a
+full-text-engine user would otherwise reach for) treats `geo_point` as a
+first-class field with distance queries, bounding-box filters, and grid
+aggregations. This module supplies that surface over a deterministic
+geo_point derived from doc_id (the FIXTURES pattern used for http_code /
+warc_ts / required_matches: the sandbox parquet has no geo column, so both
+the engine and the DuckDB oracle derive the SAME point from the row key).
+
+Derivation (integer-exact in all engines, no float divergence possible):
+
+    lat_e4 = h60('geo:lat:' || doc_id) % 1600001 - 800000   # ±80.0000°×1e4
+    lon_e4 = h60('geo:lon:' || doc_id) % 3600001 - 1800000  # ±180.000°×1e4
+    lat = lat_e4 / 10000.0,  lon = lon_e4 / 10000.0
+
+Latitude stays inside ±80° so every point is far from the web-mercator
+singularity (ES clamps at ±85.05112878°).
+
+Scale notes: every operator here is a narrow codegen projection/filter over
+the documents scan — no joins, no UDFs; the only shuffles are the grid/ring
+groupBy aggregations (map-side combinable, cardinality = tiles/rings, tiny).
+At 100 TB the bounding-box and distance filters push down to the scan; a
+production layout would additionally cluster the table by a space-filling
+curve (geotile/geohash prefix) so file pruning kicks in — the tile key
+computed here IS that clustering key.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.hashing import h60_col
+
+EARTH_RADIUS_M = 6371000.0
+LAT_MOD = 1_600_001
+LAT_OFF = 800_000
+LON_MOD = 3_600_001
+LON_OFF = 1_800_000
+
+
+def lat_e4_col(doc_id="doc_id"):
+    """Integer micro-degree latitude (×1e4), derived via h60."""
+    key = F.concat(F.lit("geo:lat:"), F.col(doc_id).cast("string"))
+    return (h60_col(key) % LAT_MOD - LAT_OFF).cast("long")
+
+
+def lon_e4_col(doc_id="doc_id"):
+    key = F.concat(F.lit("geo:lon:"), F.col(doc_id).cast("string"))
+    return (h60_col(key) % LON_MOD - LON_OFF).cast("long")
+
+
+def with_geo(docs: DataFrame) -> DataFrame:
+    """documents + (lat_e4, lon_e4, lat, lon). The float columns are exact
+    (integer / 1e4 is correctly rounded identically everywhere); filters
+    that must be knife-edge-exact compare on the integer columns."""
+    return (
+        docs.withColumn("lat_e4", lat_e4_col())
+        .withColumn("lon_e4", lon_e4_col())
+        .withColumn("lat", F.col("lat_e4") / 10000.0)
+        .withColumn("lon", F.col("lon_e4") / 10000.0)
+    )
+
+
+def _haversine_m(lat_col, lon_col, clat: float, clon: float):
+    """Great-circle distance in meters from (clat, clon) literals — the
+    textbook haversine, stated in the EXACT operation order the DuckDB
+    oracle mirrors (geo_distance_sql) so both engines agree to ~1e-9 m."""
+    dphi = F.radians(lat_col - float(clat))
+    dlmb = F.radians(lon_col - float(clon))
+    a = (
+        F.sin(dphi / 2.0) * F.sin(dphi / 2.0)
+        + F.cos(F.radians(F.lit(float(clat))))
+        * F.cos(F.radians(lat_col))
+        * F.sin(dlmb / 2.0)
+        * F.sin(dlmb / 2.0)
+    )
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def geo_distance_search(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    limit: int = 20,
+) -> DataFrame:
+    """ES `geo_distance` query + `_geo_distance` sort → the `limit`
+    closest docs within `radius_m` of the center: (doc_id, dist_m) with
+    dist rounded 4 dp, ordered dist asc, doc_id asc. One pass over the
+    scan; the radius filter applies BEFORE the top-k heap so the sort
+    never sees the far corpus."""
+    g = with_geo(docs)
+    dist = _haversine_m(F.col("lat"), F.col("lon"), center_lat, center_lon)
+    return (
+        g.withColumn("dist_m", F.round(dist, 4))
+        .filter(F.col("dist_m") <= float(radius_m))
+        .select("doc_id", "dist_m")
+        .orderBy(F.col("dist_m").asc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )
+
+
+def geo_bounding_box(
+    docs: DataFrame,
+    min_lat: float,
+    max_lat: float,
+    min_lon: float,
+    max_lon: float,
+) -> DataFrame:
+    """ES `geo_bounding_box` filter → (doc_id, lat, lon). Comparisons run
+    on the INTEGER micro-degree columns (exact; a point on the edge can
+    never flip between engines). Antimeridian crossing follows ES: when
+    min_lon > max_lon the box wraps — longitude matches `>= min OR
+    <= max` instead of the AND band."""
+    g = with_geo(docs)
+    lo_lat = int(round(min_lat * 10000))
+    hi_lat = int(round(max_lat * 10000))
+    lo_lon = int(round(min_lon * 10000))
+    hi_lon = int(round(max_lon * 10000))
+    lat_ok = (F.col("lat_e4") >= lo_lat) & (F.col("lat_e4") <= hi_lat)
+    if lo_lon > hi_lon:  # wraps the antimeridian
+        lon_ok = (F.col("lon_e4") >= lo_lon) | (F.col("lon_e4") <= hi_lon)
+    else:
+        lon_ok = (F.col("lon_e4") >= lo_lon) & (F.col("lon_e4") <= hi_lon)
+    return g.filter(lat_ok & lon_ok).select("doc_id", "lat", "lon")
+
+
+def geotile_grid(docs: DataFrame, zoom: int = 5, size: int = 20) -> DataFrame:
+    """ES `geotile_grid` aggregation → (tile, doc_count): web-mercator
+    z/x/y tile keys at `zoom`, top `size` buckets by count desc (tie:
+    tile key asc — pinned, where ES leaves ties unspecified).
+
+        x = floor((lon + 180)/360 · 2^z)
+        y = floor((1 − ln(tan(φ) + 1/cos(φ))/π)/2 · 2^z)
+
+    clamped to [0, 2^z − 1]. The derivation keeps |lat| ≤ 80° so the
+    mercator term is well-conditioned. groupBy cardinality ≤ 4^z —
+    map-side combinable, trivially small shuffle."""
+    n = float(1 << int(zoom))
+    g = with_geo(docs)
+    phi = F.radians(F.col("lat"))
+    merc = F.log(F.tan(phi) + 1.0 / F.cos(phi))
+    x = F.floor((F.col("lon") + 180.0) / 360.0 * n)
+    y = F.floor((1.0 - merc / math.pi) / 2.0 * n)
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(0.0), F.least(c.cast("double"), F.lit(n - 1.0))
+    ).cast("long")
+    tile = F.concat_ws("/", F.lit(str(int(zoom))), clamp(x), clamp(y))
+    return (
+        g.groupBy(tile.alias("tile"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("tile").asc())
+        .limit(int(size))
+    )
+
+
+def geo_distance_rings(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    edges_m: list[float],
+) -> DataFrame:
+    """ES `geo_distance` aggregation → (ring, doc_count, min_dist,
+    max_dist): concentric half-open rings [from, to) around the center,
+    first ring open below, last open above — exactly ES's range-agg
+    bucketing applied to the haversine distance. Ring label format
+    mirrors ES: '*-500000.0', '500000.0-2000000.0', '2000000.0-*'.
+    min/max of the (rounded) distance per ring are the range-agg
+    sub-metrics; ordered by ring lower edge."""
+    g = with_geo(docs)
+    dist = F.round(
+        _haversine_m(F.col("lat"), F.col("lon"), center_lat, center_lon), 4
+    )
+    edges = [float(e) for e in edges_m]
+    bounds = [(None, edges[0])]
+    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    bounds += [(edges[-1], None)]
+    ring = None
+    order = None
+    for i, (lo, hi) in enumerate(bounds):
+        label = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("dist_m") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("dist_m") < hi)
+        ring = F.when(cond, F.lit(label)) if ring is None else ring.when(
+            cond, F.lit(label)
+        )
+        order = F.when(cond, F.lit(i)) if order is None else order.when(
+            cond, F.lit(i)
+        )
+    return (
+        g.withColumn("dist_m", dist)
+        .groupBy(ring.alias("ring"), order.alias("ord"))
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.min("dist_m").alias("min_dist"),
+            F.max("dist_m").alias("max_dist"),
+        )
+        .orderBy(F.col("ord").asc())
+        .drop("ord")
+    )

@@ -56,6 +56,9 @@ ADV_QUERIES = [
     "url_reorder",
     "surt_keys",
     "status_filter",
+    "geo_distance",
+    "geotile_grid",
+    "geo_rings",
     "link_extract",
     "mirror_hosts",
     "latest_revisions",
