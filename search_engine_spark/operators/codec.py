@@ -39,9 +39,20 @@ Codecs:
            chosen by exact size minimization, not the canonical
            floor(log2(u/n)), so the encoder never regresses on edge shapes.
 
-The three codecs compete per payload on EXACT encoded size (PFor via an
+  TAG_RLE (0x03) — run-length container in the Roaring spirit (Lemire et
+           al., "Better bitmap performance with Roaring bitmaps", SPE'16:
+           Roaring's run container wins exactly when the data is runny),
+           adapted from bitmap sets to value arrays: [n_runs:uint16 LE]
+           [v-byte of interleaved (run_value, run_length) pairs]. The
+           dominant index shapes it targets: tf columns that are a
+           constant 1 for hundreds of postings, dl columns of equal-length
+           docs, and gap columns of consecutive doc ids (gap ≡ 1 after
+           the first) — each collapses to one or two runs where even
+           Elias-Fano still pays ~2 bits/posting.
+
+The four codecs compete per payload on EXACT encoded size (PFor via an
 estimate re-checked against real bytes); ties keep the earlier tag
-(VB < PFD < EF) so scalar and batched encoders stay byte-identical.
+(VB < PFD < EF < RLE) so scalar and batched encoders stay byte-identical.
 """
 
 from __future__ import annotations
@@ -53,6 +64,7 @@ BLOCK_SIZE = 128
 TAG_VB = 0x00
 TAG_PFD = 0x01
 TAG_EF = 0x02
+TAG_RLE = 0x03
 
 # EF eligibility: prefix sums must not overflow uint64. Payload arrays are
 # capped at PFOR_MAX_N (2^16) values; requiring every value < 2^47 bounds
@@ -285,8 +297,39 @@ def ef_decode(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+def rle_encode(values: np.ndarray) -> bytes:
+    """Run-length encode: [n_runs:uint16 LE][v-byte of interleaved
+    (run_value, run_length) pairs]. Run count ≤ value count ≤ PFOR_MAX_N,
+    so the uint16 header always fits."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size > PFOR_MAX_N:
+        raise ValueError(f"rle_encode supports ≤ {PFOR_MAX_N} values")
+    chg = np.empty(v.size, dtype=bool)
+    chg[0] = True
+    chg[1:] = v[1:] != v[:-1]
+    starts = np.flatnonzero(chg)
+    lens = np.diff(np.append(starts, v.size)).astype(np.uint64)
+    inter = np.empty(2 * starts.size, dtype=np.uint64)
+    inter[0::2] = v[starts]
+    inter[1::2] = lens
+    return int(starts.size).to_bytes(2, "little") + varbyte_encode(inter)
+
+
+def rle_decode(buf: bytes, count: int) -> np.ndarray:
+    if count == 0:
+        return np.empty(0, dtype=np.int64)
+    n_runs = int.from_bytes(buf[:2], "little")
+    inter = varbyte_decode(buf[2:], 2 * n_runs).astype(np.uint64)
+    return np.repeat(
+        inter[0::2].astype(np.int64), inter[1::2].astype(np.int64)
+    )
+
+
 def encode_payload(values: np.ndarray) -> bytes:
-    """Tag-prefixed payload: v-byte, PForDelta, or Elias-Fano — smallest wins.
+    """Tag-prefixed payload: v-byte, PForDelta, Elias-Fano, or run-length —
+    smallest wins.
 
     Selection is analytic — exact v-byte size from the bit widths, PFor size
     from the same widths via _pfd_cost's exception estimate — so the common
@@ -295,7 +338,10 @@ def encode_payload(values: np.ndarray) -> bytes:
     against the v-byte size before being chosen; the ≤ v-byte+1 size
     invariant therefore always holds. EF's cost formula is exact, so it is
     chosen (strictly smaller only — ties keep the earlier codec) without a
-    trial encode."""
+    trial encode. RLE runs last under the 2 + 2·n_runs lower bound screen:
+    a trial encode happens only when that bound beats the current winner,
+    and RLE is kept only on STRICTLY smaller real bytes — the same
+    rule/order the batched encoder replays, keeping byte identity."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return bytes([TAG_VB])
@@ -305,6 +351,7 @@ def encode_payload(values: np.ndarray) -> bytes:
     vb_size = int(np.maximum((widths + 6) // 7, 1).sum())
     b, pfd_est = _pfd_cost(np.sort(widths), v.size)
     ef_l = ef_size = -1
+    tag, body, best_size = TAG_VB, None, vb_size
     if int(widths.max()) <= EF_MAX_WIDTH:
         lv, sv = _ef_cost(v.size, int(v.sum()))
         ef_l, ef_size = int(lv[0]), int(sv[0])
@@ -312,13 +359,20 @@ def encode_payload(values: np.ndarray) -> bytes:
         # bytes, so actual PFor size ≥ pfd_est + 3: EF under that bound (and
         # under v-byte) wins regardless of the trial encode — skip it.
         if 0 <= ef_size < min(vb_size, pfd_est + 3):
-            return bytes([TAG_EF]) + ef_encode(v, l=ef_l)
-    tag, body, best_size = TAG_VB, None, vb_size
-    if pfd_est < vb_size:
-        pfd = pfor_encode(values, b=b, widths=widths)
-        if len(pfd) < vb_size:
-            tag, body, best_size = TAG_PFD, pfd, len(pfd)
-    if 0 <= ef_size < best_size:
+            tag, body, best_size = TAG_EF, None, ef_size
+    if tag != TAG_EF:
+        if pfd_est < vb_size:
+            pfd = pfor_encode(values, b=b, widths=widths)
+            if len(pfd) < vb_size:
+                tag, body, best_size = TAG_PFD, pfd, len(pfd)
+        if 0 <= ef_size < best_size:
+            tag, body, best_size = TAG_EF, None, ef_size
+    n_runs = 1 + int(np.count_nonzero(v[1:] != v[:-1]))
+    if 2 + 2 * n_runs < best_size:
+        rle = rle_encode(v)
+        if len(rle) < best_size:
+            return bytes([TAG_RLE]) + rle
+    if tag == TAG_EF:
         return bytes([TAG_EF]) + ef_encode(v, l=ef_l)
     if body is None:
         body = varbyte_encode(values)
@@ -333,6 +387,8 @@ def decode_payload(buf: bytes, count: int) -> np.ndarray:
         return pfor_decode(body, count)
     if tag == TAG_EF:
         return ef_decode(body, count)
+    if tag == TAG_RLE:
+        return rle_decode(body, count)
     return varbyte_decode(body, count)
 
 
@@ -517,6 +573,24 @@ def _encode_column_blocks(
                 out[int(sel[j])] = (
                     head + lows[j].tobytes() + highs[j, : int(nbytes[j])].tobytes()
                 )
+
+    # RLE pass — mirrors encode_payload's final step exactly: candidate
+    # blocks under the 2 + 2·n_runs lower-bound screen get a trial encode,
+    # kept only on STRICTLY smaller real bytes than the VB/PFD/EF winner.
+    # Run counts come from one global change mask (runs restart at block
+    # boundaries by construction of the per-block count); winners are rare
+    # and cheap (few runs), so the trial itself stays scalar.
+    chg = np.empty(v.size, dtype=np.int64)
+    chg[0] = 0
+    chg[1:] = (v[1:] != v[:-1]).astype(np.int64)
+    ccum = np.concatenate(([0], np.cumsum(chg)))
+    n_runs = 1 + (ccum[ends] - ccum[starts + 1])
+    cur_size = np.fromiter((len(x) - 1 for x in out), np.int64, nb)
+    for i in np.flatnonzero(2 + 2 * n_runs < cur_size):
+        i = int(i)
+        rle = rle_encode(v[starts[i] : ends[i]])
+        if len(rle) < cur_size[i]:
+            out[i] = bytes([TAG_RLE]) + rle
     return out  # type: ignore[return-value]
 
 

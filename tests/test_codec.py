@@ -9,6 +9,7 @@ from search_engine_spark.operators.codec import (
     EF_MAX_WIDTH,
     TAG_EF,
     TAG_PFD,
+    TAG_RLE,
     TAG_VB,
     ef_decode,
     ef_encode,
@@ -20,6 +21,8 @@ from search_engine_spark.operators.codec import (
     encode_payload,
     pfor_decode,
     pfor_encode,
+    rle_decode,
+    rle_encode,
     varbyte_decode,
     varbyte_encode,
 )
@@ -108,16 +111,17 @@ def test_pfor_roundtrip_with_outliers(small, outliers):
 def test_payload_roundtrip_and_never_larger_than_varbyte(values):
     arr = np.array(values, dtype=np.int64)
     enc = encode_payload(arr)
-    assert enc[0] in (TAG_VB, TAG_PFD, TAG_EF)
+    assert enc[0] in (TAG_VB, TAG_PFD, TAG_EF, TAG_RLE)
     assert decode_payload(enc, len(arr)).tolist() == values
     # tag byte is the only possible overhead vs plain v-byte
     assert len(enc) <= len(varbyte_encode(arr)) + 1
 
 
 def test_pfor_beats_varbyte_on_dense_gaps():
-    """A full block of small uniform gaps — the common dense-posting case —
-    must pick PFor and land well under v-byte's 1-byte/value floor."""
-    gaps = np.full(BLOCK_SIZE, 2, dtype=np.int64)
+    """A full block of small NON-UNIFORM gaps — dense postings without
+    runs — must pick PFor and land well under v-byte's 1-byte/value
+    floor (a uniform block would be runny and fall to RLE instead)."""
+    gaps = np.where(np.arange(BLOCK_SIZE) % 2 == 0, 2, 3).astype(np.int64)
     enc = encode_payload(gaps)
     assert enc[0] == TAG_PFD
     # 2 bits/value packed + 3 header bytes = 35 ≪ v-byte's 129
@@ -213,3 +217,53 @@ def test_compression_wins():
         for b in encode_blocks(ids, tfs, dls)
     )
     assert total < ids.size * 3  # ≥ 5x smaller than raw 24B/posting
+
+
+# ------------------------------------------------------------------ RLE
+
+@given(st.lists(st.integers(min_value=0, max_value=2**61 - 1), min_size=1, max_size=BLOCK_SIZE))
+@settings(max_examples=200, deadline=None)
+def test_rle_roundtrip(values):
+    arr = np.array(values, dtype=np.int64)
+    assert rle_decode(rle_encode(arr), len(arr)).tolist() == values
+
+
+def test_rle_wins_on_constant_tf_block():
+    """The dominant tf shape — tf = 1 for a full block — collapses to one
+    run: 6 tagged bytes where EF needs ~33 and v-byte 129."""
+    tfs = np.ones(BLOCK_SIZE, dtype=np.int64)
+    enc = encode_payload(tfs)
+    assert enc[0] == TAG_RLE
+    assert len(enc) <= 6
+    assert decode_payload(enc, BLOCK_SIZE).tolist() == [1] * BLOCK_SIZE
+
+
+def test_rle_wins_on_consecutive_doc_gaps():
+    """Consecutive doc ids → gaps [first+1, 1, 1, ...] = two runs."""
+    gaps = np.ones(BLOCK_SIZE, dtype=np.int64)
+    gaps[0] = 9_000_001
+    enc = encode_payload(gaps)
+    assert enc[0] == TAG_RLE
+    assert decode_payload(enc, BLOCK_SIZE).tolist() == gaps.tolist()
+
+
+def test_rle_loses_on_alternating_values():
+    """Every value its own run → the 2+2·n_runs bound can never beat the
+    packed codecs; selection must not regress."""
+    vals = np.where(np.arange(BLOCK_SIZE) % 2 == 0, 5, 9).astype(np.int64)
+    enc = encode_payload(vals)
+    assert enc[0] != TAG_RLE
+    assert decode_payload(enc, BLOCK_SIZE).tolist() == vals.tolist()
+
+
+def test_rle_never_chosen_unless_strictly_smaller():
+    """Exhaustive small shapes: whenever RLE is chosen its real size is
+    strictly below every competitor's tagged size."""
+    import itertools
+    for n_runs, run_len in itertools.product((1, 2, 3, 5), (1, 2, 7, 40)):
+        vals = np.repeat(np.arange(n_runs, dtype=np.int64) * 3 + 1, run_len)
+        enc = encode_payload(vals)
+        vb = len(varbyte_encode(vals)) + 1
+        if enc[0] == TAG_RLE:
+            assert len(enc) < vb
+        assert decode_payload(enc, len(vals)).tolist() == vals.tolist()
