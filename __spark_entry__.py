@@ -1739,6 +1739,21 @@ GEO_RADIUS_M = 3_000_000.0
 GEO_RING_EDGES = [2_000_000.0, 5_000_000.0, 10_000_000.0]
 
 
+def _q_bp_reorder(spark, sf_dir):
+    """Recursive-graph-bisection doc-id reordering (Dhulipala et al.
+    KDD'16; Lucene 9 BPIndexReorderer) — the compression-optimal
+    upgrade of url_reorder. NO ORACLE by design: the mapping is an
+    iterative local optimization (per-shard bisection with gain-ranked
+    swaps), not SQL-expressible; correctness is pinned by
+    tests/test_reorder.py (permutation validity, determinism,
+    spark==pure-python per shard, and measured index shrinkage with the
+    real codec)."""
+    from search_engine_spark.operators.reorder import bp_ordered_ids
+
+    docs = load_documents(spark, sf_dir)
+    return bp_ordered_ids(docs, ib.build_postings(docs), n_shards=4)
+
+
 def _q_geo_distance(spark, sf_dir):
     """ES geo_distance query + _geo_distance sort: closest docs within
     3,000 km of Paris over the derived deterministic geo_point."""
@@ -2550,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dfr": _q_search_dfr,
         "search_ib": _q_search_ib,
         "search_bm25_plus": _q_search_bm25_plus,
+        "bp_reorder": _q_bp_reorder,
         "geo_distance": _q_geo_distance,
         "geo_bbox": _q_geo_bbox,
         "geotile_grid": _q_geotile_grid,
