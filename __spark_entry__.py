@@ -1400,6 +1400,22 @@ def _q_events_props(spark, sf_dir):
     return props_extract(_load_events(spark, sf_dir))
 
 
+def _q_events_transitions(spark, sf_dir):
+    """Query-flow-graph edges (Boldi et al. CIKM'08): consecutive
+    same-user views within the session gap, self-loops dropped."""
+    from search_engine_spark.operators.events import item_transitions
+
+    return item_transitions(_load_events(spark, sf_dir))
+
+
+def _q_events_abandonment(spark, sf_dir):
+    """SERP-abandonment analytics: per day, sessions with views but no
+    clicks vs engaged sessions."""
+    from search_engine_spark.operators.events import session_abandonment
+
+    return session_abandonment(_load_events(spark, sf_dir))
+
+
 def _q_events_coec(spark, sf_dir):
     """COEC position-bias-corrected CTR over the click log (Zhang &
     Jones 2007): clicks / expected clicks under the global position
@@ -2541,6 +2557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "events_last_touch": _q_events_last_touch,
         "events_sessionize": _q_events_sessionize,
+        "events_transitions": _q_events_transitions,
+        "events_abandonment": _q_events_abandonment,
         "events_props": _q_events_props,
         "events_coec": _q_events_coec,
         "events_rollup": _q_events_rollup,
@@ -2831,6 +2849,8 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution": pipe.attribution_pairs_sql(),
         "events_last_touch": pipe.last_touch_attribution_sql(),
         "events_sessionize": pipe.events_sessionize_sql(),
+        "events_transitions": pipe.item_transitions_sql(),
+        "events_abandonment": pipe.session_abandonment_sql(),
         "events_props": pipe.events_props_sql(),
         "events_coec": pipe.coec_sql(),
         "events_rollup": pipe.events_rollup_sql(),

@@ -3532,3 +3532,71 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
 """
+
+
+def item_transitions_sql(
+    gap_min: int = 30, limit: int = 50, table: str = "events"
+) -> str:
+    """Mirrors operators/events.py::item_transitions — query-flow-graph
+    edges over consecutive same-user views within the gap, self-loops
+    dropped. Returns (prev_k, next_k, n)."""
+    return f"""
+WITH views AS (
+  SELECT user_id, ts, event_id,
+         json_extract(props, '$.k')::INT AS k
+  FROM {table} WHERE event_type = 'view'
+),
+lagged AS (
+  SELECT user_id, k,
+         lag(k) OVER w AS prev_k,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM views
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_k, k AS next_k, count(*)::BIGINT AS n
+FROM lagged
+WHERE prev_k IS NOT NULL AND gap_us <= {gap_min * 60 * 1000000}
+  AND prev_k != k
+GROUP BY prev_k, k
+ORDER BY n DESC, prev_k ASC, next_k ASC
+LIMIT {int(limit)}
+"""
+
+
+def session_abandonment_sql(gap_min: int = 30, table: str = "events") -> str:
+    """Mirrors operators/events.py::session_abandonment — per day of
+    session start: sessions / engaged (≥1 click) / abandoned (≥1 view,
+    0 clicks) / rate. Shares the sessionize window logic."""
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_min * 60 * 1000000}
+              THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, ts, event_type, sum(new_session) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         min(ts) AS start_ts,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click
+  FROM ids GROUP BY user_id, session_id
+)
+SELECT date_trunc('day', start_ts) AS day,
+       count(*)::BIGINT AS sessions,
+       sum(has_click)::BIGINT AS engaged,
+       sum(CASE WHEN has_view = 1 AND has_click = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS abandoned,
+       round(sum(CASE WHEN has_view = 1 AND has_click = 0 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS abandonment_rate
+FROM per_session
+GROUP BY 1
+ORDER BY day
+"""

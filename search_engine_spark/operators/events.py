@@ -272,3 +272,98 @@ def coec_scores(
         )
         .orderBy(F.col("coec").desc(), F.col("k").asc())
     )
+
+
+def item_transitions(
+    events: DataFrame,
+    gap_min: int = SESSION_GAP_MIN,
+    limit: int = 50,
+) -> DataFrame:
+    """Query-flow-graph edge mining (Boldi et al., CIKM'08 "The
+    query-flow graph") → (prev_k, next_k, n): within one user's stream,
+    consecutive `view` events whose gap is ≤ gap_min minutes form a
+    directed transition between their items (props.k — the stand-in for
+    the query/page id); corpus-wide counts are the flow-graph edge
+    weights. Self-loops are dropped (a re-view is a refresh, not a
+    reformulation). Top `limit` edges, count desc with a pinned (prev,
+    next) tiebreak.
+
+    Plan: one repartition by user_id feeding a lag window over the
+    view-filtered stream, then one combinable groupBy on the edge key —
+    the same two-exchange shape as sessionize; per-user state is two
+    scalar lags, no skew concern."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    trans = (
+        views.withColumn("prev_k", F.lag("k", 1).over(w))
+        .withColumn("gap_us", ts_us - F.lag(ts_us, 1).over(w))
+        .filter(
+            F.col("prev_k").isNotNull()
+            & (F.col("gap_us") <= gap_us)
+            & (F.col("prev_k") != F.col("k"))
+        )
+    )
+    return (
+        trans.groupBy(
+            F.col("prev_k"), F.col("k").alias("next_k")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("prev_k").asc(), F.col("next_k").asc())
+        .limit(int(limit))
+    )
+
+
+def session_abandonment(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Search-abandonment analytics → per day of session start:
+    (day, sessions, engaged, abandoned, abandonment_rate). A session
+    ABANDONS when it contains ≥1 `view` but no `click` — the classic
+    SERP-abandonment proxy; ENGAGED sessions have ≥1 click. Sessions are
+    the same gap-based ids `sessionize` builds (shared window logic, so
+    the two surfaces can never drift). Rate = abandoned/sessions rounded
+    4 dp.
+
+    Plan: sessionize's repartition-by-user + stacked windows, then per
+    (user, session) conditional flags in ONE combinable groupBy, then
+    the tiny per-day rollup."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    with_id = (
+        events.withColumn(
+            "new_session",
+            F.coalesce(
+                (ts_us - F.lag(ts_us, 1).over(w) > gap_us).cast("int"),
+                F.lit(1),
+            ),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    per_session = with_id.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+    )
+    return (
+        per_session.groupBy(F.date_trunc("day", "start_ts").alias("day"))
+        .agg(
+            F.count("*").alias("sessions"),
+            F.sum(F.col("has_click")).cast("long").alias("engaged"),
+            F.sum(
+                ((F.col("has_view") == 1) & (F.col("has_click") == 0)).cast("int")
+            ).cast("long").alias("abandoned"),
+        )
+        .withColumn(
+            "abandonment_rate",
+            F.round(
+                F.col("abandoned").cast("double") / F.col("sessions"), 4
+            ),
+        )
+        .orderBy("day")
+    )

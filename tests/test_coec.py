@@ -64,3 +64,80 @@ def test_coec_click_only_position_keeps_clicks(spark):
     r = got[0]
     assert r["clicks"] == 2 and r["views"] == 1
     assert r["expected_clicks"] == 1.0 and r["coec"] == 2.0
+
+
+# ------------------------------------------ flow graph + abandonment pins
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TEST
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type, k)"""
+    data = [
+        (eid, ts, uid, et, 1.0, '{"k": %d}' % k)
+        for eid, ts, uid, et, k in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_item_transitions_crafted_graph(spark):
+    """Hand-built stream: u1 views 1→2→2→3 (gap ok), the 2→2 self-loop
+    drops; u2's second view is beyond the gap, so no edge; a click
+    between views does not break the view chain."""
+    from search_engine_spark.operators.events import item_transitions
+
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 1),
+        (1, "2024-01-01 10:05:00", 1, "view", 2),
+        (2, "2024-01-01 10:06:00", 1, "click", 2),
+        (3, "2024-01-01 10:07:00", 1, "view", 2),
+        (4, "2024-01-01 10:10:00", 1, "view", 3),
+        (5, "2024-01-01 09:00:00", 2, "view", 7),
+        (6, "2024-01-01 11:00:00", 2, "view", 8),
+    ]
+    got = {
+        (r["prev_k"], r["next_k"]): r["n"]
+        for r in item_transitions(_mk_events(spark, rows)).collect()
+    }
+    assert got == {(1, 2): 1, (2, 3): 1}
+
+
+def test_abandonment_crafted_sessions(spark):
+    """u1 session: view+click → engaged. u2 session: view only →
+    abandoned. u3 session: click only → engaged, not abandoned (no
+    view). One day, rate = 1/3."""
+    from search_engine_spark.operators.events import session_abandonment
+
+    rows = [
+        (0, "2024-01-02 10:00:00", 1, "view", 1),
+        (1, "2024-01-02 10:01:00", 1, "click", 1),
+        (2, "2024-01-02 10:00:00", 2, "view", 2),
+        (3, "2024-01-02 10:00:00", 3, "click", 3),
+    ]
+    out = session_abandonment(_mk_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["sessions"] == 3 and r["engaged"] == 2 and r["abandoned"] == 1
+    assert r["abandonment_rate"] == pytest.approx(0.3333)
+
+
+def test_abandonment_sessions_match_sessionize(spark):
+    """Session population equals sessionize's on the fixture — the shared
+    window logic can't drift."""
+    from search_engine_spark.operators.events import (
+        session_abandonment,
+        sessionize,
+    )
+
+    ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    n_sessions = sessionize(ev).count()
+    got = session_abandonment(ev).agg(F.sum("sessions")).collect()[0][0]
+    assert got == n_sessions
