@@ -140,7 +140,11 @@ def geotile_grid(docs: DataFrame, zoom: int = 5, size: int = 20) -> DataFrame:
 
     clamped to [0, 2^z − 1]. The derivation keeps |lat| ≤ 80° so the
     mercator term is well-conditioned. groupBy cardinality ≤ 4^z —
-    map-side combinable, trivially small shuffle."""
+    map-side combinable, trivially small shuffle. `size` is clamped to
+    min(4^z, 65536): the tile space bounds the bucket count, 65536 is
+    ES's search.max_buckets guard, and an unbounded top-k limit would
+    make TakeOrdered allocate an O(size) heap per task."""
+    size = min(int(size), (1 << int(zoom)) ** 2, 65536)
     n = float(1 << int(zoom))
     g = with_geo(docs)
     phi = F.radians(F.col("lat"))
