@@ -595,7 +595,9 @@ WHERE lat_e4 >= {lo_lat} AND lat_e4 <= {hi_lat} AND {lon_pred}
 def geotile_grid_sql(zoom: int = 5, size: int = 20,
                      table: str = "documents") -> str:
     """Mirrors operators/geo.py::geotile_grid — web-mercator z/x/y tile
-    buckets, top `size` by count. Returns (tile, doc_count)."""
+    buckets, top `size` by count, with the engine's same clamp to
+    min(4^zoom, 65536). Returns (tile, doc_count)."""
+    size = min(int(size), (1 << int(zoom)) ** 2, 65536)
     n = float(1 << int(zoom))
     return f"""
 WITH {_geo_cte(table)},

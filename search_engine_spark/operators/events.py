@@ -48,14 +48,13 @@ def windowed_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
-    """Gap-based sessionization per user: a new session starts when the
-    user's inter-event gap exceeds ``gap_min`` minutes. Returns one row per
-    session: (user_id, session_id, n_events, start_ts, end_ts).
-
-    Shuffle-wise this is ONE repartition by user_id feeding two stacked
-    window functions (lag → running sum) — the standard distributed
-    sessionization; user_id count bounds state, no skew concern here."""
+def _with_session_ids(
+    events: DataFrame, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """events + session_id: the ONE definition of the gap-based session
+    boundary (a new session when a user's inter-event gap exceeds
+    gap_min minutes), shared by every session-scoped surface so the
+    session populations cannot drift between them."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_min * 60 * 1_000_000
     # microsecond-exact epoch on both engines (a seconds-truncated cast
@@ -68,10 +67,21 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     ).withColumn(
         "new_session", F.coalesce("new_session", F.lit(1))
     )
-    with_id = with_flag.withColumn(
+    return with_flag.withColumn(
         "session_id", F.sum("new_session").over(w)
-    )
-    return with_id.groupBy("user_id", "session_id").agg(
+    ).drop("new_session")
+
+
+def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user: one row per session —
+    (user_id, session_id, n_events, start_ts, end_ts).
+
+    Shuffle-wise this is ONE repartition by user_id feeding two stacked
+    window functions (lag → running sum) — the standard distributed
+    sessionization; user_id count bounds state, no skew concern here."""
+    return _with_session_ids(events, gap_min).groupBy(
+        "user_id", "session_id"
+    ).agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
@@ -329,23 +339,13 @@ def session_abandonment(
     the two surfaces can never drift). Rate = abandoned/sessions rounded
     4 dp.
 
-    Plan: sessionize's repartition-by-user + stacked windows, then per
-    (user, session) conditional flags in ONE combinable groupBy, then
-    the tiny per-day rollup."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = gap_min * 60 * 1_000_000
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    with_id = (
-        events.withColumn(
-            "new_session",
-            F.coalesce(
-                (ts_us - F.lag(ts_us, 1).over(w) > gap_us).cast("int"),
-                F.lit(1),
-            ),
-        )
-        .withColumn("session_id", F.sum("new_session").over(w))
-    )
-    per_session = with_id.groupBy("user_id", "session_id").agg(
+    Plan: sessionize's repartition-by-user + stacked windows (the SHARED
+    `_with_session_ids` subtree — one definition of the session
+    boundary), then per (user, session) conditional flags in ONE
+    combinable groupBy, then the tiny per-day rollup."""
+    per_session = _with_session_ids(events, gap_min).groupBy(
+        "user_id", "session_id"
+    ).agg(
         F.min("ts").alias("start_ts"),
         F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
         F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),

@@ -57,6 +57,7 @@ ADV_QUERIES = [
     "surt_keys",
     "status_filter",
     "geo_distance",
+    "geo_bbox",
     "geotile_grid",
     "geo_rings",
     "link_extract",
