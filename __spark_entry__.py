@@ -252,6 +252,35 @@ def _q_postings_positional(spark, sf_dir):
     return build_positional(load_documents(spark, sf_dir))
 
 
+def _q_nextword_postings(spark, sf_dir):
+    """Nextword auxiliary index (Bahle-Williams-Zobel SIGIR'02): one row
+    per adjacent retained-token pair per doc."""
+    from search_engine_spark.operators.positional import build_nextword
+
+    return build_nextword(load_documents(spark, sf_dir))
+
+
+def _q_search_phrase_nextword(spark, sf_dir):
+    """Two-word phrase served from the nextword index — held to the
+    positional phrase oracle, so the auxiliary index can never disagree
+    with the main one."""
+    from search_engine_spark.operators.positional import (
+        search_phrase_nextword,
+    )
+
+    return search_phrase_nextword(load_documents(spark, sf_dir), PHRASE)
+
+
+def _q_search_sharded(spark, sf_dir):
+    """ES query_then_fetch (the DEFAULT search type): each shard scores
+    BM25 with its local (N_s, df_s, avgdl_s) — the distributed-scoring
+    artifact dfs_query_then_fetch exists to remove."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bm25_sharded(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
+    )
+
+
 def _q_search_phrase(spark, sf_dir):
     """Exact-phrase top-k (Lucene PhraseQuery semantics): documents where
     the phrase's lemmas occur at consecutive retained-token positions,
@@ -2396,6 +2425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "nextword_postings": _q_nextword_postings,
+        "search_phrase_nextword": _q_search_phrase_nextword,
+        "search_sharded": _q_search_sharded,
         "search_phrase": _q_search_phrase,
         "positional_blocks_roundtrip": _q_positional_blocks_roundtrip,
         "search_phrase_blocks": _q_search_phrase_blocks,
@@ -2640,6 +2672,11 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "nextword_postings": ora.nextword_postings_sql(),
+        "search_phrase_nextword": ora.search_phrase_sql(
+            analyze_phrase(PHRASE)
+        ),
+        "search_sharded": ora.search_bm25_sharded_sql(Q_BM25_COMMON),
         "search_phrase": ora.search_phrase_sql(analyze_phrase(PHRASE)),
         "positional_blocks_roundtrip": ora.positional_postings_sql(),
         "search_phrase_blocks": ora.search_phrase_sql(analyze_phrase(PHRASE)),

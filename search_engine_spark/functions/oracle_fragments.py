@@ -2823,3 +2823,66 @@ CROSS JOIN rtot CROSS JOIN ctot
 ORDER BY contrib DESC, term ASC
 LIMIT {int(top_terms)}
 """
+
+
+def nextword_postings_sql(table: str = "documents") -> str:
+    """(w1, w2, doc_id, pair_tf) — the nextword auxiliary index (mirrors
+    operators/positional.py::build_nextword): adjacent retained-token
+    pairs of the SAME positional stream pos_terms numbers."""
+    return f"""
+WITH {positional_terms_cte(table)},
+pairs AS (
+  SELECT doc_id, term AS w1,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM pos_terms
+)
+SELECT w1, w2, doc_id, count(*)::BIGINT AS pair_tf
+FROM pairs WHERE w2 IS NOT NULL
+GROUP BY w1, w2, doc_id
+"""
+
+
+def search_bm25_sharded_sql(query_terms: list[str], n_shards: int = 8,
+                            k1: float = 1.2, b: float = 0.75,
+                            limit: int = 20,
+                            table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bm25_sharded (dfs=False) — ES
+    `query_then_fetch`: each shard (doc_id % n_shards) scores with its
+    LOCAL (N_s, df_s, avgdl_s); coordinator merge = global top-k.
+    Returns (doc_id, score)."""
+    return f"""
+WITH {terms_cte(table)},
+post AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard, term,
+         count(*)::DOUBLE AS tf
+  FROM terms WHERE term IN {_terms_in(query_terms)}
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+sstats AS (
+  SELECT d.doc_id % {n_shards} AS shard,
+         count(*)::DOUBLE AS n_s,
+         sum(coalesce(dl.dl, 0)) / count(*) AS avgdl_s
+  FROM {table} d LEFT JOIN dl USING (doc_id)
+  GROUP BY 1
+),
+sdf AS (
+  SELECT shard, term, count(DISTINCT doc_id)::DOUBLE AS df_s
+  FROM post GROUP BY shard, term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_s - sdf.df_s + 0.5) / (sdf.df_s + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl_s)) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id)
+  JOIN sdf ON sdf.shard = p.shard AND sdf.term = p.term
+  JOIN sstats s ON s.shard = p.shard
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""

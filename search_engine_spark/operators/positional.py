@@ -592,3 +592,53 @@ def search_synonym_graph(
         .orderBy(F.col("score_abs").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def build_nextword(docs: DataFrame) -> DataFrame:
+    """documents → nextword postings (w1, w2, doc_id, pair_tf): one row
+    per document per ADJACENT retained-token pair — the auxiliary
+    phrase index of Bahle, Williams & Zobel (SIGIR 2002, "Efficient
+    phrase querying with an auxiliary index"). Two-word phrases — the
+    dominant phrase-query shape in query logs — resolve with ONE lookup
+    on (w1, w2) instead of a positional join, and longer phrases can
+    seed their positional intersection from the rarest contained pair.
+
+    Adjacency is position p → p+1 of the SAME retained stream the
+    positional index numbers, so nextword and positional phrase answers
+    can never disagree (pinned by test + the shared oracle). Built as
+    lead(term) over (doc_id, pos) — one window partitioned by doc_id
+    (state bounded by dl) + one combinable groupBy; persisted
+    term-pair-bucketed in production so the pair probe prunes files."""
+    from pyspark.sql import Window
+
+    pos = build_positional(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        pos.withColumn("w2", F.lead("term", 1).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("term").alias("w1"), "w2", "doc_id")
+    )
+    return pairs.groupBy("w1", "w2", "doc_id").agg(
+        F.count("*").alias("pair_tf")
+    )
+
+
+def search_phrase_nextword(docs: DataFrame, phrase: str, k: int = 20) -> DataFrame:
+    """Two-word exact-phrase top-k served from the nextword index:
+    (doc_id, phrase_tf) ranked phrase_tf desc, doc_id asc — IDENTICAL
+    output contract to `search_phrase` (the oracle pair reuses the
+    positional phrase SQL, so the auxiliary index is held to the main
+    index's answers). Raises on phrases that do not analyze to exactly
+    two terms — longer phrases belong to the positional path."""
+    terms = analyze_phrase(phrase)
+    if len(terms) != 2:
+        raise ValueError(
+            f"nextword serves 2-term phrases; got {len(terms)} from {phrase!r}"
+        )
+    nw = build_nextword(docs)
+    hits = nw.filter(
+        (F.col("w1") == terms[0]) & (F.col("w2") == terms[1])
+    ).select("doc_id", F.col("pair_tf").alias("phrase_tf"))
+    return hits.orderBy(
+        F.col("phrase_tf").desc(), F.col("doc_id").asc()
+    ).limit(k)

@@ -3453,3 +3453,99 @@ def top_metrics(docs: DataFrame) -> DataFrame:
             F.col("t.m").alias("latest_n_chars"),
         )
     )
+
+
+N_SCORING_SHARDS = 8
+
+
+def search_bm25_sharded(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    n_shards: int = N_SCORING_SHARDS,
+    dfs: bool = False,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Distributed-scoring semantics made explicit → top-k (doc_id,
+    score): Elasticsearch's two search types over a sharded index
+    (shard = doc_id % n_shards, the engine's frozen doc-bucket rule).
+
+    dfs=False — `query_then_fetch`, the ES DEFAULT: each shard scores
+    with its own LOCAL statistics (N_s, df_s(t), avgdl_s); the
+    coordinator merges per-shard top-k by score. The same document can
+    therefore score differently depending on which shard it landed on —
+    the well-known ranking artifact users hit with small or skewed
+    indices (why ES docs recommend dfs for small corpora).
+
+    dfs=True — `dfs_query_then_fetch`: a first phase collects the
+    term's GLOBAL df and corpus stats, every shard scores with them. By
+    construction this returns exactly `search_bm25(conjunctive=False)`
+    — an identity the pytest pins, and the reason engines pay the extra
+    round-trip.
+
+    Plan: the local-stats branch computes per-shard (N_s, avgdl_s) and
+    df_s in two map-side-combinable aggregates over the shard column —
+    no new shuffle axis beyond the term-pruned scan; the global branch
+    delegates wholesale to `bm25_scored`. Merge is the usual
+    TakeOrdered."""
+    if dfs:
+        scored = bm25_scored(
+            postings, term_dict, doc_stats, n_docs, avgdl, terms,
+            k1=k1, b=b, conjunctive=False,
+        )
+        return (
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(limit))
+        )
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    shard = (F.col("doc_id") % n_shards).cast("long")
+    # per-shard corpus stats (N_s, avgdl_s) — n_shards rows, driver-safe
+    sstats = (
+        doc_stats.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_s"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl_s"),
+        )
+    )
+    base = postings.filter(F.col("term").isin(uniq)).withColumn("shard", shard)
+    # per-shard df — ≤ n_shards·|q| rows
+    sdf = base.groupBy("shard", "term").agg(
+        F.count_distinct("doc_id").alias("df_s")
+    )
+    k1f, bf = float(k1), float(b)
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf_s = F.log(
+        1.0
+        + (F.col("n_s").cast("double") - F.col("df_s") + 0.5)
+        / (F.col("df_s") + 0.5)
+    )
+    scored = (
+        base.join(doc_stats, "doc_id")
+        .join(F.broadcast(sdf), ["shard", "term"])
+        .join(F.broadcast(sstats), "shard")
+        .withColumn(
+            "part_score",
+            idf_s
+            * tf * (k1f + 1.0)
+            / (tf + k1f * (1.0 - bf + bf * dl / F.col("avgdl_s"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score_raw"))
+        .select("doc_id", F.round(F.col("score_raw"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )

@@ -400,3 +400,65 @@ def test_synonym_graph_sums_variant_occurrences(spark):
     got = search_synonym_graph(build_positional(docs), groups).collect()
     # g0 = 1 (fast table) + 1 (sort table) = 2, g1 = 3 -> score 5
     assert [(r["doc_id"], r["score_abs"]) for r in got] == [(1, 5)]
+
+
+# ------------------------------------------------------- nextword index
+
+def test_nextword_matches_positional_phrase(spark):
+    """The auxiliary index answers 2-word phrases identically to the
+    positional join — same docs, same phrase_tf, same order."""
+    from search_engine_spark.operators.positional import (
+        search_phrase,
+        search_phrase_nextword,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    a = [(r["doc_id"], r["phrase_tf"])
+         for r in search_phrase(docs, "fast table").collect()]
+    b = [(r["doc_id"], r["phrase_tf"])
+         for r in search_phrase_nextword(docs, "fast table").collect()]
+    assert a == b and a
+
+
+def test_nextword_pair_counts_are_positional_adjacency(spark):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.positional import (
+        build_nextword,
+        build_positional,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST).limit(50)
+    nw = build_nextword(docs)
+    pos = build_positional(docs).collect()
+    by_doc = {}
+    for r in pos:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    expect = {}
+    for d, lst in by_doc.items():
+        lst.sort()
+        for (p1, t1), (p2, t2) in zip(lst, lst[1:]):
+            assert p2 == p1 + 1
+            expect[(t1, t2, d)] = expect.get((t1, t2, d), 0) + 1
+    got = {
+        (r["w1"], r["w2"], r["doc_id"]): r["pair_tf"] for r in nw.collect()
+    }
+    assert got == expect
+
+
+def test_nextword_rejects_non_two_term_phrase(spark):
+    import pytest as _pytest
+
+    from search_engine_spark.operators.positional import (
+        search_phrase_nextword,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    with _pytest.raises(ValueError):
+        search_phrase_nextword(docs, "fast slow table")

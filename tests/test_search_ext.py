@@ -1083,3 +1083,52 @@ def test_ib_tfn_monotone_in_tf(spark, ctx):
     }
     lo, hi = pair
     assert scores[hi] > scores[lo]
+
+
+# --------------------------------------------- distributed scoring modes
+
+def test_dfs_mode_is_exactly_global_bm25(spark, ctx):
+    """dfs_query_then_fetch == the single-index disjunctive BM25 — the
+    identity the extra stats round-trip buys."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    a = [(r["doc_id"], r["score"]) for r in se.search_bm25_sharded(
+        postings, td, ds, n, avgdl, q, dfs=True).collect()]
+    b = [(r["doc_id"], r["score"]) for r in se.search_bm25(
+        postings, td, ds, n, avgdl, q, conjunctive=False).collect()]
+    assert a == b
+
+
+def test_single_shard_local_equals_global(spark, ctx):
+    """With one shard, local statistics ARE the global statistics."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    a = [(r["doc_id"], r["score"]) for r in se.search_bm25_sharded(
+        postings, td, ds, n, avgdl, q, n_shards=1).collect()]
+    b = [(r["doc_id"], r["score"]) for r in se.search_bm25_sharded(
+        postings, td, ds, n, avgdl, q, dfs=True).collect()]
+    assert a == b
+
+
+def test_local_idf_skew_changes_scores(spark):
+    """The query_then_fetch artifact, crafted: 'rare' lives ONLY on shard
+    0 docs, so shard 0 sees df_s=4/N_s=4 (idf ≈ ln(1+1/4.5)) while the
+    global view has df=4/N=8 — local and global scores must differ, and
+    the other shards' docs simply don't match."""
+    import search_engine_spark.operators.index_build as ib
+
+    rows = []
+    for i in range(8):
+        tok = "rare" if i % 2 == 0 else "filler"
+        rows.append((i, f"u{i}", f"{tok} common words here"))
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    postings = ib.build_postings(docs)
+    td = ib.build_term_dict(postings)
+    ds = ib.build_doc_stats(docs, postings)
+    n, avgdl = ib.corpus_stats(docs, ds)
+    local = {r["doc_id"]: r["score"] for r in se.search_bm25_sharded(
+        postings, td, ds, n, avgdl, ["rare"], n_shards=2).collect()}
+    glob = {r["doc_id"]: r["score"] for r in se.search_bm25_sharded(
+        postings, td, ds, n, avgdl, ["rare"], dfs=True).collect()}
+    assert set(local) == set(glob)  # same matching docs
+    assert all(local[d] != glob[d] for d in local)  # different scores
