@@ -1139,24 +1139,27 @@ FROM m
 
 
 def frame_sample_sql(table: str = "documents") -> str:
-    """Mirrors operators/multimodal.py::frame_sample. The fixture payload
-    is ASCII so char slicing == byte slicing; md5 runs over the encoded
-    slice bytes, matching Spark's binary substring + md5."""
+    """Mirrors operators/multimodal.py::frame_sample. Byte-exact for ANY
+    payload: the slice runs over hex(encode(s)) — 2 hex chars per byte,
+    uppercase in both engines — and md5 hashes that ASCII string, so
+    non-UTF-8 frame boundaries cannot diverge (DuckDB md5 is
+    VARCHAR-only; hashing raw bytes was the adversarial-corpus bug)."""
     from ..operators import multimodal as mm
 
     fs, k = mm.FRAME_SIZE, mm.FRAME_SAMPLES
     return f"""
-WITH m AS (SELECT doc_id, {HTML_SQL} AS s FROM {table}),
+WITH m AS (SELECT doc_id, hex(encode({HTML_SQL})) AS hx FROM {table}),
 base AS (
-  SELECT doc_id, s, (octet_length(encode(s)) // {fs})::BIGINT AS nf
-  FROM m WHERE octet_length(encode(s)) >= {fs}
+  SELECT doc_id, hx, (length(hx) // {2 * fs})::BIGINT AS nf
+  FROM m WHERE length(hx) >= {2 * fs}
 ),
 sampled AS (
-  SELECT DISTINCT doc_id, s, ((j * nf) // {k})::BIGINT AS frame_idx
+  SELECT DISTINCT doc_id, hx, ((j * nf) // {k})::BIGINT AS frame_idx
   FROM base, unnest(range(0, {k})) AS u(j)
 )
 SELECT doc_id, frame_idx, (frame_idx * {fs})::BIGINT AS byte_offset,
-       md5(substring(s, (frame_idx * {fs} + 1)::BIGINT, {fs})) AS frame_md5
+       md5(substring(hx, (frame_idx * {2 * fs} + 1)::BIGINT, {2 * fs}))
+         AS frame_md5
 FROM sampled
 """
 

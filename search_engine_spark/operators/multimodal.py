@@ -117,9 +117,11 @@ def frame_sample(
     expressions — substring on binary stays JVM-side, no Python at all);
     a real deployment replaces the fixed frame_size with container-parsed
     frame offsets and the md5 with a frame encoder in a mapInPandas stage
-    (media_features shows that plumbing). Oracle-mirrored in
-    functions/oracle_pipeline.py (byte==char slicing holds for the ASCII
-    fixture payloads; Spark slices true bytes)."""
+    (media_features shows that plumbing). The fingerprint is md5 of the
+    HEX of the frame bytes (both engines hex uppercase): DuckDB's md5
+    only accepts VARCHAR, so hashing raw bytes could not be mirrored for
+    payloads whose slices aren't valid UTF-8 — the adversarial-corpus
+    sweep caught exactly that divergence on non-ASCII media."""
     col = F.col(media_col)
     n_frames = (F.length(col) / frame_size).cast("long")
     j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
@@ -139,7 +141,11 @@ def frame_sample(
         "frame_idx",
         offset.alias("byte_offset"),
         F.md5(
-            F.substring(F.col("_media"), offset.cast("int") + 1, frame_size)
+            F.hex(
+                F.substring(
+                    F.col("_media"), offset.cast("int") + 1, frame_size
+                )
+            )
         ).alias("frame_md5"),
     )
 
