@@ -252,6 +252,37 @@ def _q_postings_positional(spark, sf_dir):
     return build_positional(load_documents(spark, sf_dir))
 
 
+def _folded_query_terms() -> list[str]:
+    """The folded-analyzer query used by search_folded, analyzed once —
+    shared by the Spark path and the oracle so they cannot drift."""
+    from search_engine_spark.textproc.folding import fold_py
+    from search_engine_spark.textproc.tokenize import tokenize
+
+    return tokenize(fold_py("café data fast".lower()))
+
+
+def _q_postings_folded(spark, sf_dir):
+    """ES asciifolding analyzer variant: accented Latin words index as
+    their ASCII base forms instead of being dropped by the letter-word
+    filter."""
+    return ib.build_postings_folded(load_documents(spark, sf_dir))
+
+
+def _q_search_folded(spark, sf_dir):
+    """Disjunctive BM25 over the folded chain; the query runs through
+    the SAME folding, so 'café' finds 'cafe' and vice versa."""
+    docs = load_documents(spark, sf_dir)
+    postings = ib.build_postings_folded(docs)
+    term_dict = ib.build_term_dict(postings)
+    doc_stats = ib.build_doc_stats(docs, postings)
+    n_docs, avgdl = ib.corpus_stats(docs, doc_stats)
+    terms = _folded_query_terms()
+    return se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, terms,
+        conjunctive=False,
+    )
+
+
 def _q_nextword_postings(spark, sf_dir):
     """Nextword auxiliary index (Bahle-Williams-Zobel SIGIR'02): one row
     per adjacent retained-token pair per doc."""
@@ -2431,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "postings_folded": _q_postings_folded,
+        "search_folded": _q_search_folded,
         "nextword_postings": _q_nextword_postings,
         "search_phrase_nextword": _q_search_phrase_nextword,
         "search_sharded": _q_search_sharded,
@@ -2678,6 +2711,8 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "postings_folded": ora.postings_folded_sql(),
+        "search_folded": ora.search_bm25_folded_sql(_folded_query_terms()),
         "nextword_postings": ora.nextword_postings_sql(),
         "search_phrase_nextword": ora.search_phrase_sql(
             analyze_phrase(PHRASE)

@@ -2886,3 +2886,40 @@ FROM scored
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {int(limit)}
 """
+
+
+def folded_cte(table: str = "documents") -> str:
+    """CTE `folded(doc_id, text)` — ascii-folded text (mirrors
+    textproc/folding.py: lower → multi-char expansions → translate)."""
+    from ..textproc.folding import fold_sql
+
+    return (
+        f"folded AS (SELECT doc_id, {fold_sql('lower(text)')} AS text "
+        f"FROM {table})"
+    )
+
+
+def postings_folded_sql(table: str = "documents") -> str:
+    """Mirrors operators/index_build.py::build_postings_folded."""
+    return f"""
+WITH {folded_cte(table)},
+{terms_cte('folded').lstrip()}
+SELECT doc_id, term, count(*)::BIGINT AS tf
+FROM terms GROUP BY doc_id, term
+"""
+
+
+def search_bm25_folded_sql(query_terms: list[str], k1: float = 1.2,
+                           b: float = 0.75, limit: int = 20,
+                           table: str = "documents") -> str:
+    """Disjunctive BM25 over the folded analyzer chain; query terms are
+    pre-folded by the caller. Returns (doc_id, score)."""
+    return f"""
+WITH {folded_cte(table)},
+{terms_cte('folded').lstrip()},
+{bm25_scored_ctes(query_terms, k1, b, 'folded')}
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""

@@ -118,3 +118,19 @@ def corpus_stats(docs: DataFrame, doc_stats: DataFrame) -> tuple[int, float]:
     # avg() over zero rows is NULL — an empty corpus yields (0, 0.0) like
     # corpus_stats_from_packed, not a float(None) TypeError
     return int(row["n"]), float(row["avgdl"] or 0)
+
+
+def build_postings_folded(docs: DataFrame) -> DataFrame:
+    """postings over ASCII-FOLDED text — the ES `asciifolding` analyzer
+    variant. The base analyzer's letter-word filter DROPS accented Latin
+    words outright (café fails the [a-zA-Zа-яёА-ЯЁ] full-match); folding
+    first (textproc/folding.py: lower → ß/æ/œ expansion → one translate,
+    all codegen) lets them index as their ASCII base forms, exactly the
+    cross-language recall fix Lucene's ASCIIFoldingFilter exists for.
+    Everything downstream (tf, dictionary, scoring) is the unchanged
+    build over the folded stream."""
+    from ..textproc.folding import fold_col
+
+    return build_postings(
+        docs.withColumn("text", fold_col(F.lower(F.col("text"))))
+    )

@@ -255,3 +255,58 @@ def test_surt_key_collapses_repeated_trailing_slashes(spark):
     )
     keys = {r["k"] for r in df.select(surt_key_col().alias("k")).collect()}
     assert keys == {"example,a)/docs"}
+
+
+# ---------------------------------------------------------- ascii folding
+
+def test_fold_py_spec():
+    from search_engine_spark.textproc.folding import fold_py
+
+    assert fold_py("café crème brûlée") == "cafe creme brulee"
+    assert fold_py("straße œuvre ærø") == "strasse oeuvre aero"
+    assert fold_py("łódź žižek ñandú") == "lodz zizek nandu"
+    assert fold_py("plain ascii") == "plain ascii"
+
+
+def test_fold_col_matches_fold_py(spark):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.textproc.folding import fold_col, fold_py
+
+    samples = [
+        "café crème brûlée", "straße œuvre ærø", "łódź žižek ñandú",
+        "mixed CAFÉ keeps case-insensitivity via lower()", "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["f"] for r in df.select(
+        fold_col(F.lower(F.col("s"))).alias("f")).collect()]
+    assert got == [fold_py(s.lower()) for s in samples]
+
+
+def test_folded_postings_index_accented_words(spark):
+    """The base analyzer DROPS accented Latin words; the folded chain
+    indexes them as ASCII base forms — the recall fix the surface is
+    for."""
+    from search_engine_spark.operators.index_build import (
+        build_postings,
+        build_postings_folded,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "u0", "café société"), (1, "u1", "plain cafe")],
+        "doc_id long, url string, text string",
+    )
+    base = {
+        (r["doc_id"], r["term"]) for r in build_postings(docs).collect()
+    }
+    folded = {
+        (r["doc_id"], r["term"])
+        for r in build_postings_folded(docs).collect()
+    }
+    # base analyzer: doc 0's accented words are DROPPED (neither the
+    # accented nor the folded spelling indexes)
+    assert (0, "café") not in base and (0, "cafe") not in base
+    assert (0, "société") not in base and (0, "societe") not in base
+    # folded chain: both docs co-index under the ASCII base forms
+    assert (0, "cafe") in folded and (0, "societe") in folded
+    assert (1, "cafe") in folded
