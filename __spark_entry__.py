@@ -1821,6 +1821,14 @@ GEO_RADIUS_M = 3_000_000.0
 GEO_RING_EDGES = [2_000_000.0, 5_000_000.0, 10_000_000.0]
 
 
+def _q_geo_centroid(spark, sf_dir):
+    """ES geo_centroid per site — exact integer-micro-degree sums, one
+    combinable groupBy."""
+    from search_engine_spark.operators.geo import geo_centroid
+
+    return geo_centroid(load_documents(spark, sf_dir))
+
+
 def _q_bp_reorder(spark, sf_dir):
     """Recursive-graph-bisection doc-id reordering (Dhulipala et al.
     KDD'16; Lucene 9 BPIndexReorderer) — the compression-optimal
@@ -2659,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox": _q_geo_bbox,
         "geotile_grid": _q_geotile_grid,
         "geo_rings": _q_geo_rings,
+        "geo_centroid": _q_geo_centroid,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
         "facet_top_hits": _q_facet_top_hits,
@@ -2959,6 +2968,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_bbox": ora.geo_bbox_sql(-30.0, 30.0, 150.0, -150.0),
         "geotile_grid": ora.geotile_grid_sql(zoom=4, size=15),
         "geo_rings": ora.geo_rings_sql(*GEO_NYC, GEO_RING_EDGES),
+        "geo_centroid": ora.geo_centroid_sql(),
         "search_filtered": ora.search_bm25_filtered_sql(
             Q_BM25_COMMON,
             f"d.lang = 'en' AND (1704067200 + 60 * d.doc_id) >= {FILTER_EPOCH}",

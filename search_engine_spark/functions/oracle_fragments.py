@@ -2923,3 +2923,21 @@ FROM scored
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {int(limit)}
 """
+
+
+def geo_centroid_sql(table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geo_centroid — exact integer-sum
+    centroid per site. Returns (site_key, n, centroid_lat,
+    centroid_lon)."""
+    return f"""
+WITH g AS (
+  SELECT {SITE_KEY_SQL} AS site_key,
+         {GEO_LAT_E4_SQL} AS lat_e4, {GEO_LON_E4_SQL} AS lon_e4
+  FROM {table}
+)
+SELECT site_key, count(*)::BIGINT AS n,
+       round(sum(lat_e4)::DOUBLE / count(*) / 10000.0, 4) AS centroid_lat,
+       round(sum(lon_e4)::DOUBLE / count(*) / 10000.0, 4) AS centroid_lon
+FROM g GROUP BY site_key
+ORDER BY site_key
+"""

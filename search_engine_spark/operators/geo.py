@@ -210,3 +210,35 @@ def geo_distance_rings(
         .orderBy(F.col("ord").asc())
         .drop("ord")
     )
+
+
+def geo_centroid(docs: DataFrame) -> DataFrame:
+    """ES `geo_centroid` aggregation per site → (site_key, n,
+    centroid_lat, centroid_lon): the arithmetic mean point of each
+    bucket's documents. Computed from the INTEGER micro-degree sums
+    (exact int64 arithmetic in every engine — no float summation-order
+    divergence), divided once at the end and rounded 4 dp. One
+    map-side-combinable groupBy over a projected scan; bucket
+    cardinality = sites."""
+    from search_engine_spark.sources.documents import site_key_col
+
+    g = with_geo(docs).withColumn("site_key", site_key_col())
+    return (
+        g.groupBy("site_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lat_e4").alias("_slat"),
+            F.sum("lon_e4").alias("_slon"),
+        )
+        .select(
+            "site_key",
+            "n",
+            F.round(
+                F.col("_slat").cast("double") / F.col("n") / 10000.0, 4
+            ).alias("centroid_lat"),
+            F.round(
+                F.col("_slon").cast("double") / F.col("n") / 10000.0, 4
+            ).alias("centroid_lon"),
+        )
+        .orderBy("site_key")
+    )

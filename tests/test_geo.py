@@ -117,3 +117,28 @@ def test_geo_distance_sorted_filtered_and_exact(spark, docs):
         lat, lon = _py_point(r["doc_id"])
         expect = _py_haversine(lat, lon, 48.8566, 2.3522)
         assert r["dist_m"] == pytest.approx(expect, abs=1e-3)
+
+
+def test_geo_centroid_is_exact_integer_mean(spark, docs):
+    from search_engine_spark.operators.geo import geo_centroid
+
+    rows = geo_centroid(docs).collect()
+    assert {r["site_key"] for r in rows} == {"site-a", "site-b", "site-c"}
+    n_docs = docs.count()
+    assert sum(r["n"] for r in rows) == n_docs
+    # exact recomputation from the pure-python derivation
+    by_site = {}
+    for r in docs.select("doc_id").collect():
+        d = r["doc_id"]
+        lat_e4 = h60_py(f"geo:lat:{d}") % 1_600_001 - 800_000
+        lon_e4 = h60_py(f"geo:lon:{d}") % 3_600_001 - 1_800_000
+        key = "site-" + chr(97 + d % 3)
+        s = by_site.setdefault(key, [0, 0, 0])
+        s[0] += 1
+        s[1] += lat_e4
+        s[2] += lon_e4
+    for r in rows:
+        n, slat, slon = by_site[r["site_key"]]
+        assert r["n"] == n
+        assert r["centroid_lat"] == round(slat / n / 10000.0, 4)
+        assert r["centroid_lon"] == round(slon / n / 10000.0, 4)
