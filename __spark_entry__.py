@@ -261,6 +261,22 @@ def _folded_query_terms() -> list[str]:
     return tokenize(fold_py("café data fast".lower()))
 
 
+def _q_search_nested(spark, sf_dir):
+    """ES `nested` conjunctive query: all terms must co-occur INSIDE one
+    chunk-object; parent score = avg of matching chunks."""
+    from search_engine_spark.operators.nested import nested_match
+
+    return nested_match(load_documents(spark, sf_dir), Q_AND2)
+
+
+def _q_nested_vs_flat(spark, sf_dir):
+    """The cross-object false-positive diagnostic: flat bool match vs
+    nested per-chunk match over the same chunked corpus."""
+    from search_engine_spark.operators.nested import flat_vs_nested
+
+    return flat_vs_nested(load_documents(spark, sf_dir), Q_AND2)
+
+
 def _q_postings_folded(spark, sf_dir):
     """ES asciifolding analyzer variant: accented Latin words index as
     their ASCII base forms instead of being dropped by the letter-word
@@ -2470,6 +2486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "search_nested": _q_search_nested,
+        "nested_vs_flat": _q_nested_vs_flat,
         "postings_folded": _q_postings_folded,
         "search_folded": _q_search_folded,
         "nextword_postings": _q_nextword_postings,
@@ -2720,6 +2738,8 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "search_nested": pipe.nested_match_sql(Q_AND2),
+        "nested_vs_flat": pipe.flat_vs_nested_sql(Q_AND2),
         "postings_folded": ora.postings_folded_sql(),
         "search_folded": ora.search_bm25_folded_sql(_folded_query_terms()),
         "nextword_postings": ora.nextword_postings_sql(),

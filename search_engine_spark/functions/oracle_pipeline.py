@@ -3603,3 +3603,61 @@ FROM per_session
 GROUP BY 1
 ORDER BY day
 """
+
+
+def _nested_terms_ctes(chunk_size: int, table: str = "documents") -> str:
+    """Shared CTE chain: non-overlapping chunks → analyzed terms keyed
+    (doc_id, chunk_id). Mirrors operators/nested.py's chunk+analyze."""
+    return f"""chunks AS ({chunk_documents_sql(chunk_size, 0, table)}),
+cdocs AS (SELECT doc_id, chunk_id, chunk_text AS text FROM chunks),
+{terms_cte('cdocs', extra_cols='d.chunk_id AS chunk_id').lstrip()}"""
+
+
+def nested_match_sql(query_terms: list[str], chunk_size: int = 32,
+                     limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/nested.py::nested_match (score_mode=avg).
+    Returns (doc_id, n_chunks, score)."""
+    q = sorted(set(query_terms))
+    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    return f"""
+WITH {_nested_terms_ctes(chunk_size, table)},
+per_chunk AS (
+  SELECT doc_id, chunk_id, count(DISTINCT term) AS nt,
+         count(*)::DOUBLE AS chunk_score
+  FROM terms WHERE term IN {in_list}
+  GROUP BY doc_id, chunk_id
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       round(avg(chunk_score), 4) AS score
+FROM per_chunk WHERE nt = {len(q)}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def flat_vs_nested_sql(query_terms: list[str], chunk_size: int = 32,
+                       table: str = "documents") -> str:
+    """Mirrors operators/nested.py::flat_vs_nested.
+    Returns (doc_id, flat_match, nested_match)."""
+    q = sorted(set(query_terms))
+    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    return f"""
+WITH {_nested_terms_ctes(chunk_size, table)},
+hits AS (SELECT doc_id, chunk_id, term FROM terms WHERE term IN {in_list}),
+per_chunk AS (
+  SELECT doc_id, chunk_id, count(DISTINCT term) AS nt
+  FROM hits GROUP BY doc_id, chunk_id
+),
+flat AS (
+  SELECT doc_id FROM hits GROUP BY doc_id
+  HAVING count(DISTINCT term) = {len(q)}
+),
+nested AS (
+  SELECT DISTINCT doc_id FROM per_chunk WHERE nt = {len(q)}
+)
+SELECT f.doc_id, TRUE AS flat_match,
+       (n.doc_id IS NOT NULL) AS nested_match
+FROM flat f LEFT JOIN nested n ON n.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""
