@@ -261,6 +261,22 @@ def _folded_query_terms() -> list[str]:
     return tokenize(fold_py("café data fast".lower()))
 
 
+def _q_has_child(spark, sf_dir):
+    """ES has_child over the anchor join-field: parents ranked by the
+    sum of their matching inbound-anchor children's scores."""
+    from search_engine_spark.operators.anchors import has_child
+
+    return has_child(load_documents(spark, sf_dir), Q_AND2)
+
+
+def _q_has_parent(spark, sf_dir):
+    """ES has_parent: anchor children of parents whose body matches the
+    conjunctive term set (constant-score children, pinned order)."""
+    from search_engine_spark.operators.anchors import has_parent
+
+    return has_parent(load_documents(spark, sf_dir), Q_AND2)
+
+
 def _q_search_nested(spark, sf_dir):
     """ES `nested` conjunctive query: all terms must co-occur INSIDE one
     chunk-object; parent score = avg of matching chunks."""
@@ -2486,6 +2502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "has_child": _q_has_child,
+        "has_parent": _q_has_parent,
         "search_nested": _q_search_nested,
         "nested_vs_flat": _q_nested_vs_flat,
         "postings_folded": _q_postings_folded,
@@ -2738,6 +2756,8 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "has_child": pipe.has_child_sql(Q_AND2),
+        "has_parent": pipe.has_parent_sql(Q_AND2),
         "search_nested": pipe.nested_match_sql(Q_AND2),
         "nested_vs_flat": pipe.flat_vs_nested_sql(Q_AND2),
         "postings_folded": ora.postings_folded_sql(),

@@ -3661,3 +3661,88 @@ SELECT f.doc_id, TRUE AS flat_match,
 FROM flat f LEFT JOIN nested n ON n.doc_id = f.doc_id
 ORDER BY f.doc_id
 """
+
+
+def _anchor_child_ctes(table: str = "documents") -> str:
+    """CTE chain `edgesc → canchors → ctoks → cterms` — like
+    _anchor_terms_ctes but KEEPING the (src, dst) child key, for the
+    parent-child join-field oracles. Reuses `lemma_dict` from a
+    preceding terms_cte(...)."""
+    from ..operators import anchors as an
+    from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+
+    aw_rows = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(an.ANCHOR_WORDS)
+    )
+    n = len(an.ANCHOR_WORDS)
+    return f"""
+edges0c AS (
+  SELECT doc_id AS src, t.dst
+  FROM {table}, LATERAL unnest([doc_id + 1, doc_id // 2]) AS t(dst)
+  WHERE t.dst <> doc_id
+),
+edgesc AS (
+  SELECT src, dst FROM edges0c WHERE dst IN (SELECT doc_id FROM {table})
+),
+awc AS (SELECT * FROM (VALUES {aw_rows}) v(i, w)),
+canchors AS (
+  SELECT e.src, e.dst, wd.w || ' ' || ws.w AS text
+  FROM edgesc e
+  JOIN awc wd ON wd.i = (e.dst % {n})
+  JOIN awc ws ON ws.i = (e.src % {n})
+),
+ctoks AS (
+  SELECT d.src, d.dst,
+         regexp_replace(t.tok, '{BOUNDARY_STRIP}', '', 'g') AS term
+  FROM canchors d,
+       unnest(string_split_regex(lower(trim(d.text)), '{WS_SPLIT}')) AS t(tok)
+),
+cterms AS (
+  SELECT ctoks.src, ctoks.dst, coalesce(ld.normal, ctoks.term) AS term
+  FROM ctoks LEFT JOIN lemma_dict ld ON ld.word = ctoks.term
+  WHERE ctoks.term <> ''
+    AND regexp_matches(ctoks.term, '{WORD_PATTERN}')
+    AND ctoks.term NOT IN {sql_not_in_list()}
+)"""
+
+
+def has_child_sql(query_terms: list[str], min_children: int = 1,
+                  limit: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/anchors.py::has_child (score_mode=sum).
+    Returns (doc_id, n_children, score)."""
+    q = sorted(set(query_terms))
+    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_child_ctes(table).strip()},
+child AS (
+  SELECT src, dst, count(*)::DOUBLE AS child_score
+  FROM cterms WHERE term IN {in_list}
+  GROUP BY src, dst
+)
+SELECT dst AS doc_id, count(*)::BIGINT AS n_children,
+       round(sum(child_score), 4) AS score
+FROM child GROUP BY dst
+HAVING count(*) >= {int(min_children)}
+ORDER BY score DESC, n_children DESC, doc_id ASC
+LIMIT {int(limit)}
+"""
+
+
+def has_parent_sql(query_terms: list[str],
+                   table: str = "documents") -> str:
+    """Mirrors operators/anchors.py::has_parent.
+    Returns (src_doc, dst_doc)."""
+    q = sorted(set(query_terms))
+    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    return f"""
+WITH {terms_cte(table)},
+{_anchor_child_ctes(table).strip()},
+parents AS (
+  SELECT doc_id FROM terms WHERE term IN {in_list}
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(q)}
+)
+SELECT e.src AS src_doc, e.dst AS dst_doc
+FROM edgesc e JOIN parents p ON p.doc_id = e.dst
+ORDER BY src_doc, dst_doc
+"""

@@ -596,3 +596,104 @@ def search_combined_fields(
         .offset(offset)
         .limit(limit)
     )
+
+
+# ------------------------------------------------- parent-child join field
+
+def has_child(
+    docs: DataFrame,
+    terms: list[str],
+    min_children: int = 1,
+    score_mode: str = "sum",
+    limit: int = 20,
+) -> DataFrame:
+    """ES `has_child` query over the anchor join-field → (doc_id,
+    n_children, score): parent pages whose inbound-anchor CHILD
+    documents match the query. A child (one (src,dst) anchor annotation,
+    analyzed with the shared tokenizer chain) matches when it contains
+    ≥1 query term; its score is the matched-term occurrence count.
+    Parents keep ≥ `min_children` matching children (ES
+    min_children) and fold child scores via score_mode (ES default for
+    has_child is none→constant; sum/max/avg supported here, sum
+    default). Order score desc, n_children desc, doc_id asc.
+
+    Plan: the anchor harvest is pure codegen (regexp zip + explode +
+    spine join); child matching is one term-pruned filter + a
+    two-level combinable aggregate ((src,dst) then parent) — the same
+    one-extra-aggregation shape as the nested type, because ES
+    implements both on the same block-join machinery."""
+    from ..functions.text_columns import explode_terms
+
+    q = sorted(set(terms))
+    empty = docs.select(
+        F.col("doc_id"),
+        F.lit(0).cast("bigint").alias("n_children"),
+        F.lit(0.0).alias("score"),
+    ).limit(0)
+    if not q:
+        return empty
+    edges = harvest_anchors(anchored_html(docs))
+    aterm = explode_terms(
+        edges.select(
+            "src_doc", "dst_doc", F.col("anchor_text").alias("text")
+        ),
+        keep=["src_doc", "dst_doc"],
+    )
+    child = (
+        aterm.filter(F.col("term").isin(q))
+        .groupBy("src_doc", "dst_doc")
+        .agg(F.count("*").alias("child_score"))
+    )
+    agg = {
+        "sum": F.sum(F.col("child_score").cast("double")),
+        "max": F.max(F.col("child_score").cast("double")),
+        "avg": F.avg(F.col("child_score").cast("double")),
+    }[score_mode]
+    return (
+        child.groupBy(F.col("dst_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_children"), agg.alias("score_raw"))
+        .filter(F.col("n_children") >= int(min_children))
+        .select(
+            "doc_id",
+            "n_children",
+            F.round(F.col("score_raw"), 4).alias("score"),
+        )
+        .orderBy(
+            F.col("score").desc(),
+            F.col("n_children").desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(int(limit))
+    )
+
+
+def has_parent(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """ES `has_parent` query → (src_doc, dst_doc): the anchor CHILD
+    documents whose PARENT page's body conjunctively matches `terms`
+    (ES semantics: children returned, parent provides the predicate;
+    score=false → constant-score children, so rows come back unscored
+    in the pinned (src, dst) order).
+
+    Plan: the parent hit set is the usual conjunctive count-distinct
+    aggregate over term-pruned body postings; children join it on the
+    parent key — a semi-join that AQE broadcasts when the hit set is
+    small."""
+    from ..functions.text_columns import explode_terms
+
+    q = sorted(set(terms))
+    edges = harvest_anchors(anchored_html(docs))
+    if not q:
+        return edges.select("src_doc", "dst_doc").limit(0)
+    parents = (
+        explode_terms(docs)
+        .filter(F.col("term").isin(q))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(q))
+        .select(F.col("doc_id").alias("dst_doc"))
+    )
+    return (
+        edges.join(parents, "dst_doc")
+        .select("src_doc", "dst_doc")
+        .orderBy("src_doc", "dst_doc")
+    )

@@ -347,3 +347,69 @@ def test_combined_fields_matches_on_anchor_only_docs(spark):
         postings, anchor, doc_stats, n_docs, avgdl, [t], limit=100
     ).collect()
     assert d in {r["doc_id"] for r in got}
+
+
+# ------------------------------------------------- parent-child join field
+
+def test_has_child_min_children_gate(spark):
+    """Raising min_children can only shrink the parent set, and every
+    surviving parent reports at least that many children."""
+    from search_engine_spark.operators.anchors import has_child
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    one = has_child(docs, ["data", "fast"], min_children=1, limit=10_000)
+    three = has_child(docs, ["data", "fast"], min_children=3, limit=10_000)
+    ids1 = {r["doc_id"] for r in one.collect()}
+    rows3 = three.collect()
+    assert {r["doc_id"] for r in rows3} <= ids1
+    assert all(r["n_children"] >= 3 for r in rows3)
+
+
+def test_has_parent_children_of_matching_parents_only(spark):
+    """Every returned child's parent conjunctively matches; a child of a
+    non-matching parent never appears."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.text_columns import explode_terms
+    from search_engine_spark.operators.anchors import has_parent
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    q = ["data", "fast"]
+    matching = {
+        r["doc_id"]
+        for r in explode_terms(docs)
+        .filter(F.col("term").isin(q))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .collect()
+    }
+    rows = has_parent(docs, q).collect()
+    assert rows
+    assert {r["dst_doc"] for r in rows} <= matching
+
+
+def test_has_child_score_modes(spark):
+    """sum ≥ max for every parent; avg = sum / n_children."""
+    import pytest
+
+    from search_engine_spark.operators.anchors import has_child
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    by_mode = {
+        m: {r["doc_id"]: r for r in has_child(
+            docs, ["data", "fast"], score_mode=m, limit=10_000).collect()}
+        for m in ("sum", "max", "avg")
+    }
+    assert set(by_mode["sum"]) == set(by_mode["max"]) == set(by_mode["avg"])
+    for d, r in by_mode["sum"].items():
+        assert r["score"] >= by_mode["max"][d]["score"]
+        assert by_mode["avg"][d]["score"] == pytest.approx(
+            round(r["score"] / r["n_children"], 4), abs=1e-4
+        )
