@@ -1607,15 +1607,14 @@ def _q_search_keyset(spark, sf_dir):
     oracle states the page as OFFSET/LIMIT — equality proves the keyset
     predicate reproduces offset paging under the pinned total order."""
     docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
-    page1 = se.search_bm25(
+    page1_df = se.search_bm25(
         postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON, limit=10
-    ).collect()
+    )
+    page1 = page1_df.collect()
     if not page1:
         # no page 1 (query terms absent from this corpus) → the page
         # after it is empty too, matching the oracle's OFFSET past-end
-        return se.search_bm25(
-            postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
-        ).limit(0)
+        return page1_df.limit(0)
     last = page1[-1]
     return se.search_bm25_after(
         postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,

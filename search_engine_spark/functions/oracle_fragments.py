@@ -2842,14 +2842,20 @@ GROUP BY w1, w2, doc_id
 """
 
 
-def search_bm25_sharded_sql(query_terms: list[str], n_shards: int = 8,
+def search_bm25_sharded_sql(query_terms: list[str],
+                            n_shards: int | None = None,
                             k1: float = 1.2, b: float = 0.75,
                             limit: int = 20,
                             table: str = "documents") -> str:
     """Mirrors operators/search.py::search_bm25_sharded (dfs=False) — ES
     `query_then_fetch`: each shard (doc_id % n_shards) scores with its
     LOCAL (N_s, df_s, avgdl_s); coordinator merge = global top-k.
-    Returns (doc_id, score)."""
+    n_shards defaults to the engine's N_SCORING_SHARDS (single source
+    of truth — the pair cannot drift). Returns (doc_id, score)."""
+    if n_shards is None:
+        from ..operators.search import N_SCORING_SHARDS
+
+        n_shards = N_SCORING_SHARDS
     return f"""
 WITH {terms_cte(table)},
 post AS (

@@ -3613,18 +3613,24 @@ cdocs AS (SELECT doc_id, chunk_id, chunk_text AS text FROM chunks),
 {terms_cte('cdocs', extra_cols='d.chunk_id AS chunk_id').lstrip()}"""
 
 
-def nested_match_sql(query_terms: list[str], chunk_size: int = 32,
+def nested_match_sql(query_terms: list[str], chunk_size: int | None = None,
                      limit: int = 20, table: str = "documents") -> str:
-    """Mirrors operators/nested.py::nested_match (score_mode=avg).
-    Returns (doc_id, n_chunks, score)."""
+    """Mirrors operators/nested.py::nested_match (score_mode=avg);
+    chunk_size defaults to the operator's NESTED_CHUNK_SIZE (single
+    source of truth). Returns (doc_id, n_chunks, score)."""
+    from ..operators.nested import NESTED_CHUNK_SIZE
+    from .oracle_fragments import _terms_in
+
+    if chunk_size is None:
+        chunk_size = NESTED_CHUNK_SIZE
     q = sorted(set(query_terms))
-    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    in_pred = f"term IN {_terms_in(q)}" if q else "FALSE"
     return f"""
 WITH {_nested_terms_ctes(chunk_size, table)},
 per_chunk AS (
   SELECT doc_id, chunk_id, count(DISTINCT term) AS nt,
          count(*)::DOUBLE AS chunk_score
-  FROM terms WHERE term IN {in_list}
+  FROM terms WHERE {in_pred}
   GROUP BY doc_id, chunk_id
 )
 SELECT doc_id, count(*)::BIGINT AS n_chunks,
@@ -3636,15 +3642,21 @@ LIMIT {int(limit)}
 """
 
 
-def flat_vs_nested_sql(query_terms: list[str], chunk_size: int = 32,
+def flat_vs_nested_sql(query_terms: list[str], chunk_size: int | None = None,
                        table: str = "documents") -> str:
-    """Mirrors operators/nested.py::flat_vs_nested.
+    """Mirrors operators/nested.py::flat_vs_nested; chunk_size defaults
+    to the operator's NESTED_CHUNK_SIZE.
     Returns (doc_id, flat_match, nested_match)."""
+    from ..operators.nested import NESTED_CHUNK_SIZE
+    from .oracle_fragments import _terms_in
+
+    if chunk_size is None:
+        chunk_size = NESTED_CHUNK_SIZE
     q = sorted(set(query_terms))
-    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    in_pred = f"term IN {_terms_in(q)}" if q else "FALSE"
     return f"""
 WITH {_nested_terms_ctes(chunk_size, table)},
-hits AS (SELECT doc_id, chunk_id, term FROM terms WHERE term IN {in_list}),
+hits AS (SELECT doc_id, chunk_id, term FROM terms WHERE {in_pred}),
 per_chunk AS (
   SELECT doc_id, chunk_id, count(DISTINCT term) AS nt
   FROM hits GROUP BY doc_id, chunk_id
@@ -3663,18 +3675,10 @@ ORDER BY f.doc_id
 """
 
 
-def _anchor_child_ctes(table: str = "documents") -> str:
-    """CTE chain `edgesc → canchors → ctoks → cterms` — like
-    _anchor_terms_ctes but KEEPING the (src, dst) child key, for the
-    parent-child join-field oracles. Reuses `lemma_dict` from a
-    preceding terms_cte(...)."""
-    from ..operators import anchors as an
-    from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
-
-    aw_rows = ", ".join(
-        f"({i}, '{w}')" for i, w in enumerate(an.ANCHOR_WORDS)
-    )
-    n = len(an.ANCHOR_WORDS)
+def _anchor_edges_cte(table: str = "documents") -> str:
+    """CTE chain `edges0c → edgesc` — the bare resolved anchor-edge
+    relation (fixture derivation: chain + tree back-edge), shared by the
+    parent-child oracles."""
     return f"""
 edges0c AS (
   SELECT doc_id AS src, t.dst
@@ -3683,7 +3687,23 @@ edges0c AS (
 ),
 edgesc AS (
   SELECT src, dst FROM edges0c WHERE dst IN (SELECT doc_id FROM {table})
-),
+)"""
+
+
+def _anchor_child_ctes(table: str = "documents") -> str:
+    """CTE chain `edgesc → canchors → ctoks → cterms` — like
+    _anchor_terms_ctes but KEEPING the (src, dst) child key, for the
+    parent-child join-field oracles. Requires `lemma_dict` in scope
+    (has_child_sql emits it directly)."""
+    from ..operators import anchors as an
+    from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN
+
+    aw_rows = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(an.ANCHOR_WORDS)
+    )
+    n = len(an.ANCHOR_WORDS)
+    return f"""
+{_anchor_edges_cte(table).strip()},
 awc AS (SELECT * FROM (VALUES {aw_rows}) v(i, w)),
 canchors AS (
   SELECT e.src, e.dst, wd.w || ' ' || ws.w AS text
@@ -3710,14 +3730,16 @@ def has_child_sql(query_terms: list[str], min_children: int = 1,
                   limit: int = 20, table: str = "documents") -> str:
     """Mirrors operators/anchors.py::has_child (score_mode=sum).
     Returns (doc_id, n_children, score)."""
+    from .oracle_fragments import _terms_in, lemma_dict_values
+
     q = sorted(set(query_terms))
-    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    in_pred = f"term IN {_terms_in(q)}" if q else "FALSE"
     return f"""
-WITH {terms_cte(table)},
+WITH lemma_dict AS ({lemma_dict_values()}),
 {_anchor_child_ctes(table).strip()},
 child AS (
   SELECT src, dst, count(*)::DOUBLE AS child_score
-  FROM cterms WHERE term IN {in_list}
+  FROM cterms WHERE {in_pred}
   GROUP BY src, dst
 )
 SELECT dst AS doc_id, count(*)::BIGINT AS n_children,
@@ -3731,15 +3753,18 @@ LIMIT {int(limit)}
 
 def has_parent_sql(query_terms: list[str],
                    table: str = "documents") -> str:
-    """Mirrors operators/anchors.py::has_parent.
-    Returns (src_doc, dst_doc)."""
+    """Mirrors operators/anchors.py::has_parent — body terms for the
+    parent predicate + the bare edge relation (the child analyzer chain
+    is not a dependency here). Returns (src_doc, dst_doc)."""
+    from .oracle_fragments import _terms_in
+
     q = sorted(set(query_terms))
-    in_list = "(" + ", ".join(f"'{t}'" for t in q) + ")"
+    in_pred = f"term IN {_terms_in(q)}" if q else "FALSE"
     return f"""
 WITH {terms_cte(table)},
-{_anchor_child_ctes(table).strip()},
+{_anchor_edges_cte(table).strip()},
 parents AS (
-  SELECT doc_id FROM terms WHERE term IN {in_list}
+  SELECT doc_id FROM terms WHERE {in_pred}
   GROUP BY doc_id HAVING count(DISTINCT term) = {len(q)}
 )
 SELECT e.src AS src_doc, e.dst AS dst_doc
