@@ -621,3 +621,44 @@ def test_stream_coec_windows_match_batch_under_frozen_priors(spark, tmp_path):
     max_b = max(r["b"] for r in want_rows)
     missing = {k for k in want if k not in got and k[0] < max_b}
     assert not missing
+
+
+def test_stream_lsh_probe_matches_batch_incremental(spark, tmp_path):
+    """The streaming increment gate == the batch dedup_incremental over
+    the same new/corpus split, replayed as MULTIPLE micro-batches (one
+    per landed file) — per-batch probing loses nothing because all of a
+    doc's bands travel with its arrival."""
+    from search_engine_spark.operators.dedup import dedup_incremental
+    from search_engine_spark.sources.documents import load_documents
+    from search_engine_spark.streaming.stream_lsh_probe import (
+        run_probe_collect,
+    )
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    new_mod = 13
+    is_new = F.col("doc_id") % new_mod == 0
+    corpus = docs.filter(~is_new)
+    new_docs = docs.filter(is_new)
+
+    landing = str(tmp_path / "landing")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    new_docs.filter(F.col("doc_id") < 250).select(*STREAM_COLS).coalesce(
+        1
+    ).write.parquet(landing + "/p1")
+    new_docs.filter(F.col("doc_id") >= 250).select(*STREAM_COLS).coalesce(
+        1
+    ).write.parquet(landing + "/p2")
+
+    got = run_probe_collect(
+        spark,
+        landing + "/p*",
+        corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    expect = sorted(
+        tuple(r) for r in dedup_incremental(docs, threshold=0.5,
+                                            new_mod=new_mod).collect()
+    )
+    assert got == expect and expect
