@@ -261,6 +261,25 @@ def _folded_query_terms() -> list[str]:
     return tokenize(fold_py("café data fast".lower()))
 
 
+def _q_search_most_fields(spark, sf_dir):
+    """ES multi_match most_fields: per-field BM25 scores SUM (the
+    dis_max tie_breaker=1.0 degenerate — Lucene's documented identity),
+    completing the multi-field quartet."""
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_most_fields,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    anchor = anchor_postings(anchored_html(docs))
+    return search_most_fields(
+        postings, anchor, doc_stats, n_docs, avgdl, Q_BM25F
+    )
+
+
 def _q_has_child(spark, sf_dir):
     """ES has_child over the anchor join-field: parents ranked by the
     sum of their matching inbound-anchor children's scores."""
@@ -2501,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "search_most_fields": _q_search_most_fields,
         "has_child": _q_has_child,
         "has_parent": _q_has_parent,
         "search_nested": _q_search_nested,
@@ -2755,6 +2775,9 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "search_most_fields": pipe.search_dismax_sql(
+            Q_BM25F, tie_breaker=1.0
+        ),
         "has_child": pipe.has_child_sql(Q_AND2),
         "has_parent": pipe.has_parent_sql(Q_AND2),
         "search_nested": pipe.nested_match_sql(Q_AND2),

@@ -697,3 +697,38 @@ def has_parent(docs: DataFrame, terms: list[str]) -> DataFrame:
         .select("src_doc", "dst_doc")
         .orderBy("src_doc", "dst_doc")
     )
+
+
+def search_most_fields(
+    body: DataFrame,
+    anchor: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    k1: float = K1_DEFAULT,
+    b_body: float = B_BODY,
+    b_anchor: float = B_ANCHOR,
+    limit: int = 20,
+    offset: int = 0,
+) -> DataFrame:
+    """ES `multi_match` most_fields → (doc_id, score): every field is
+    scored as its own BM25 index and the per-field scores SUM — the
+    mode for fields that hold the SAME text analyzed differently
+    (stemmed body + raw body, body + anchors), where each extra field a
+    term matches should reinforce, not shadow. Completes the
+    multi-field quartet beside best_fields (`search_dismax`),
+    cross_fields, BM25F, and combined_fields.
+
+    Implementation note (and the reason this cannot drift from
+    best_fields): sum = max + 1.0·(sum − max), i.e. most_fields IS
+    dis_max with tie_breaker = 1.0 — Lucene documents exactly this
+    degenerate identity — so this delegates to `search_dismax` with the
+    tie-breaker pinned. Same plan, same oracle family; the identity is
+    also pinned by a pytest against an independently-registered oracle
+    pair."""
+    return search_dismax(
+        body, anchor, doc_stats, n_docs, avgdl, terms,
+        k1=k1, b_body=b_body, b_anchor=b_anchor,
+        tie_breaker=1.0, limit=limit, offset=offset,
+    )

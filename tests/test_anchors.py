@@ -413,3 +413,39 @@ def test_has_child_score_modes(spark):
         assert by_mode["avg"][d]["score"] == pytest.approx(
             round(r["score"] / r["n_children"], 4), abs=1e-4
         )
+
+
+def test_most_fields_is_sum_of_field_scores(spark):
+    """most_fields == s_body + s_anchor for every doc (the tie_breaker=1
+    identity), and differs from best_fields wherever both fields match."""
+    import pytest
+
+    from search_engine_spark.operators.anchors import (
+        anchor_postings,
+        anchored_html,
+        search_dismax,
+        search_most_fields,
+    )
+    from search_engine_spark.operators.index_build import (
+        build_doc_stats,
+        build_postings,
+        corpus_stats,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    postings = build_postings(docs)
+    ds = build_doc_stats(docs, postings)
+    n, avgdl = corpus_stats(docs, ds)
+    anchor = anchor_postings(anchored_html(docs))
+    q = ["data", "merge", "query"]
+    mf = {r["doc_id"]: r["score"] for r in search_most_fields(
+        postings, anchor, ds, n, avgdl, q, limit=10_000).collect()}
+    bf = {r["doc_id"]: r["score"] for r in search_dismax(
+        postings, anchor, ds, n, avgdl, q, limit=10_000).collect()}
+    assert set(mf) == set(bf)
+    # sum >= dis_max score everywhere; strictly greater where the
+    # tie-broken remainder is non-zero
+    assert all(mf[d] >= bf[d] - 1e-9 for d in mf)
+    assert any(mf[d] > bf[d] + 1e-6 for d in mf)
