@@ -261,6 +261,15 @@ def _folded_query_terms() -> list[str]:
     return tokenize(fold_py("café data fast".lower()))
 
 
+def _q_search_common_terms(spark, sf_dir):
+    """Lucene CommonTermsQuery: rare 'dup' selects (required), common
+    'data'/'fast' only boost the selected docs' scores."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_common_terms(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25
+    )
+
+
 def _q_search_most_fields(spark, sf_dir):
     """ES multi_match most_fields: per-field BM25 scores SUM (the
     dis_max tie_breaker=1.0 degenerate — Lucene's documented identity),
@@ -2520,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "search_common_terms": _q_search_common_terms,
         "search_most_fields": _q_search_most_fields,
         "has_child": _q_has_child,
         "has_parent": _q_has_parent,
@@ -2775,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "search_common_terms": ora.search_common_terms_sql(Q_BM25),
         "search_most_fields": pipe.search_dismax_sql(
             Q_BM25F, tie_breaker=1.0
         ),

@@ -2947,3 +2947,50 @@ SELECT site_key, count(*)::BIGINT AS n,
 FROM g GROUP BY site_key
 ORDER BY site_key
 """
+
+
+def search_common_terms_sql(query_terms: list[str],
+                            cutoff: float | None = None,
+                            k1: float = 1.2, b: float = 0.75,
+                            limit: int = 20,
+                            table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_common_terms — Lucene
+    CommonTermsQuery: low-df terms (df/N < cutoff) select conjunctively,
+    high-df terms only score; all-high falls back to conjunctive; an
+    absent term is low ⇒ required ⇒ empty (expressed by requiring every
+    LOW term to exist: an absent term yields no selector rows and the
+    doc-level nt can never reach the target). cutoff defaults from the
+    engine constant. Returns (doc_id, score)."""
+    if cutoff is None:
+        from ..operators.search import COMMON_CUTOFF_DEFAULT
+
+        cutoff = COMMON_CUTOFF_DEFAULT
+    q = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+{bm25_scored_ctes(query_terms, k1, b, table)},
+qterms AS (SELECT unnest({[*q]!r}::VARCHAR[]) AS term),
+n_docs AS (SELECT count(*)::DOUBLE AS n FROM {table}),
+classed AS (
+  SELECT q.term,
+         coalesce(d.df, 0) / n.n < {float(cutoff)!r} AS is_low
+  FROM qterms q
+  LEFT JOIN df d ON d.term = q.term
+  CROSS JOIN n_docs n
+),
+selector AS (
+  -- low terms if any exist, else every query term (all-high fallback)
+  SELECT term FROM classed
+  WHERE is_low OR NOT EXISTS (SELECT 1 FROM classed WHERE is_low)
+),
+hits AS (
+  SELECT p.doc_id
+  FROM post p JOIN selector s ON s.term = p.term
+  GROUP BY p.doc_id
+  HAVING count(DISTINCT p.term) = (SELECT count(*) FROM selector)
+)
+SELECT sc.doc_id, round(sc.score, 4) AS score
+FROM scored sc JOIN hits h ON h.doc_id = sc.doc_id
+ORDER BY round(sc.score, 4) DESC, sc.doc_id ASC
+LIMIT {int(limit)}
+"""

@@ -3549,3 +3549,74 @@ def search_bm25_sharded(
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(limit))
     )
+
+
+COMMON_CUTOFF_DEFAULT = 0.05
+
+
+def search_common_terms(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str],
+    cutoff: float = COMMON_CUTOFF_DEFAULT,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+) -> DataFrame:
+    """Lucene CommonTermsQuery → top-k (doc_id, score): query terms
+    split at `cutoff` (df/N): LOW-frequency terms SELECT (conjunctive —
+    every low term required), HIGH-frequency terms only SCORE — they
+    boost ranking on the selected docs but cannot admit a doc by
+    themselves, which was the pre-BM25 way to keep stop-ish words from
+    exploding the candidate set. Degenerate cases follow Lucene: all
+    terms high → the high group becomes the selector (plain conjunctive
+    BM25); all low → identical to conjunctive BM25. Scoring is the
+    engine's Robertson BM25 for BOTH groups, so when every query term
+    is on one side the result equals `search_bm25` exactly (pinned by
+    pytest).
+
+    Plan: the split needs only the driver-side df lookup the idf map
+    already does; selection is the usual conjunctive count-distinct over
+    the LOW terms' pruned scan, and scoring joins the full term set's
+    parts back on doc_id — one extra semi-shaped join over plain BM25,
+    nothing new shuffles wide."""
+    uniq = sorted(set(terms))
+    empty = postings.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq:
+        return empty
+    df_rows = (
+        term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
+    )
+    dfs = {r["term"]: float(r["df"]) for r in df_rows}
+    # a corpus-absent term has df = 0 < cutoff·N → it is LOW, i.e.
+    # REQUIRED, and unsatisfiable: the result is empty (Lucene: a
+    # required term with no postings matches nothing)
+    if set(uniq) - set(dfs):
+        return empty
+    low = sorted(
+        t for t in dfs if dfs[t] / float(n_docs) < float(cutoff)
+    )
+    # all-high fallback (Lucene): the high group becomes the selector —
+    # plain conjunctive semantics
+    selector = low if low else sorted(dfs)
+    scored_all = bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, uniq,
+        k1=k1, b=b, conjunctive=False,
+    )
+    hits = (
+        postings.filter(F.col("term").isin(selector))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == len(selector))
+        .select("doc_id")
+    )
+    return (
+        scored_all.join(hits, "doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+    )

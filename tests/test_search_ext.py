@@ -1132,3 +1132,48 @@ def test_local_idf_skew_changes_scores(spark):
         postings, td, ds, n, avgdl, ["rare"], dfs=True).collect()}
     assert set(local) == set(glob)  # same matching docs
     assert all(local[d] != glob[d] for d in local)  # different scores
+
+
+# ------------------------------------------------- common terms query
+
+def test_common_terms_selected_by_rare_scored_by_all(spark, ctx):
+    """'dup' (rare) selects; every hit contains it. Scores equal the
+    full disjunctive BM25 on the selected set — high terms boost but
+    cannot admit."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["dup", "data", "fast"]
+    hits = se.search_common_terms(
+        postings, td, ds, n, avgdl, q, limit=10_000
+    ).collect()
+    assert hits
+    dup_docs = {
+        r["doc_id"] for r in postings.filter(postings.term == "dup").collect()
+    }
+    assert {r["doc_id"] for r in hits} <= dup_docs
+    full = {
+        r["doc_id"]: r["score"]
+        for r in se.bm25_scored(
+            postings, td, ds, n, avgdl, q, conjunctive=False
+        ).collect()
+    }
+    for r in hits:
+        assert r["score"] == full[r["doc_id"]]
+
+
+def test_common_terms_all_high_equals_conjunctive_bm25(spark, ctx):
+    """cutoff=0 makes every term high → Lucene's fallback: the high
+    group selects conjunctively; equals search_bm25 conjunctive."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast", "join"]
+    a = [(r["doc_id"], r["score"]) for r in se.search_common_terms(
+        postings, td, ds, n, avgdl, q, cutoff=0.0).collect()]
+    b = [(r["doc_id"], r["score"]) for r in se.search_bm25(
+        postings, td, ds, n, avgdl, q, conjunctive=True).collect()]
+    assert a == b and a
+
+
+def test_common_terms_absent_required_term_empties(spark, ctx):
+    docs, postings, td, ds, n, avgdl = ctx
+    assert se.search_common_terms(
+        postings, td, ds, n, avgdl, ["data", "zzabsent"]
+    ).collect() == []
