@@ -261,6 +261,27 @@ def _folded_query_terms() -> list[str]:
     return tokenize(fold_py("café data fast".lower()))
 
 
+def _q_trigram_index(spark, sf_dir):
+    """The character-3-gram dictionary index inside ES's wildcard field
+    type — the accelerator behind search_substring."""
+    from search_engine_spark.operators.dictionary import term_trigram_index
+
+    docs = load_documents(spark, sf_dir)
+    return term_trigram_index(ib.build_term_dict(ib.build_postings(docs)))
+
+
+def _q_search_substring(spark, sf_dir):
+    """Infix wildcard via the trigram index; the oracle states the SPEC
+    (plain LIKE '%ast%' dictionary scan + disjunctive BM25), so parity
+    proves the accelerated path lossless."""
+    from search_engine_spark.operators.dictionary import search_substring
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return search_substring(
+        postings, term_dict, doc_stats, n_docs, avgdl, "ast"
+    )
+
+
 def _q_search_common_terms(spark, sf_dir):
     """Lucene CommonTermsQuery: rare 'dup' selects (required), common
     'data'/'fast' only boost the selected docs' scores."""
@@ -2529,6 +2550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "trigram_index": _q_trigram_index,
+        "search_substring": _q_search_substring,
         "search_common_terms": _q_search_common_terms,
         "search_most_fields": _q_search_most_fields,
         "has_child": _q_has_child,
@@ -2785,6 +2808,8 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "trigram_index": ora.trigram_index_sql(),
+        "search_substring": ora.search_wildcard_sql("*ast*"),
         "search_common_terms": ora.search_common_terms_sql(Q_BM25),
         "search_most_fields": pipe.search_dismax_sql(
             Q_BM25F, tie_breaker=1.0

@@ -2994,3 +2994,23 @@ FROM scored sc JOIN hits h ON h.doc_id = sc.doc_id
 ORDER BY round(sc.score, 4) DESC, sc.doc_id ASC
 LIMIT {int(limit)}
 """
+
+
+def trigram_index_sql(table: str = "documents") -> str:
+    """Mirrors operators/dictionary.py::term_trigram_index — distinct
+    character 3-grams per dictionary term (whole term for len < 3).
+    Returns (gram, term, df)."""
+    return f"""
+WITH {terms_cte(table)},
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY term
+),
+grams0 AS (
+  SELECT substring(term, u.i::INT, 3) AS gram, term, df
+  FROM dict, LATERAL unnest(range(1, greatest(length(term) - 1, 1))) u(i)
+  WHERE length(term) >= 3
+  UNION ALL
+  SELECT term AS gram, term, df FROM dict WHERE length(term) < 3
+)
+SELECT DISTINCT gram, term, df FROM grams0
+"""

@@ -126,3 +126,49 @@ def test_front_decode_matches_spark_fold_semantics(terms):
     for lcp, suf in zip(lcps, suffixes):
         acc.append(acc[-1][:lcp] + suf)
     assert acc == front_decode(head, lcps, suffixes) == block
+
+
+# -------------------------------------------------- trigram substring index
+
+def test_trigram_candidates_equal_bruteforce_contains(spark):
+    """The accelerator is lossless: for every pattern, the trigram-probe
+    candidate set equals the plain contains() dictionary scan."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.dictionary import (
+        substring_candidates,
+    )
+    from search_engine_spark.operators.index_build import (
+        build_postings,
+        build_term_dict,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    td = build_term_dict(build_postings(load_documents(spark, SF_TEST)))
+    for pat in ("ast", "erg", "que", "xyz", "at", "data"):
+        got = [(r["term"], r["df"])
+               for r in substring_candidates(td, pat).collect()]
+        want = [(r["term"], r["df"]) for r in td.filter(
+            F.col("term").contains(pat)).orderBy("term").limit(128).collect()]
+        assert got == want, pat
+
+
+def test_trigram_index_covers_every_term(spark):
+    """Every dictionary term appears in the gram index (short terms via
+    their whole form), and each gram really occurs in its term."""
+    from search_engine_spark.operators.dictionary import term_trigram_index
+    from search_engine_spark.operators.index_build import (
+        build_postings,
+        build_term_dict,
+    )
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    td = build_term_dict(build_postings(load_documents(spark, SF_TEST)))
+    idx = term_trigram_index(td).collect()
+    terms = {r["term"] for r in td.collect()}
+    assert {r["term"] for r in idx} == terms
+    for r in idx:
+        assert r["gram"] in r["term"]
+        assert len(r["gram"]) == 3 or r["gram"] == r["term"]
