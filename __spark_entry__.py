@@ -261,6 +261,15 @@ def _folded_query_terms() -> list[str]:
     return tokenize(fold_py("café data fast".lower()))
 
 
+def _q_search_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix ('data fa' mid-keystroke): 'data' exact OR
+    + 'fa*' dictionary prefix expansion, no position constraint."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
+    return se.search_bool_prefix(
+        postings, term_dict, doc_stats, n_docs, avgdl, ["data"], "fa"
+    )
+
+
 def _q_trigram_index(spark, sf_dir):
     """The character-3-gram dictionary index inside ES's wildcard field
     type — the accelerator behind search_substring."""
@@ -2550,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_word": _q_next_word,
         "phrase_suggest": _q_phrase_suggest,
         "postings_positional": _q_postings_positional,
+        "search_bool_prefix": _q_search_bool_prefix,
         "trigram_index": _q_trigram_index,
         "search_substring": _q_search_substring,
         "search_common_terms": _q_search_common_terms,
@@ -2808,6 +2818,7 @@ def oracle_sql() -> dict[str, str]:
         "next_word": ora.next_word_suggest_sql("data"),
         "phrase_suggest": ora.phrase_suggest_sql(Q_PHRASE_TYPO),
         "postings_positional": ora.positional_postings_sql(),
+        "search_bool_prefix": ora.search_bool_prefix_sql(["data"], "fa"),
         "trigram_index": ora.trigram_index_sql(),
         "search_substring": ora.search_wildcard_sql("*ast*"),
         "search_common_terms": ora.search_common_terms_sql(Q_BM25),

@@ -3014,3 +3014,54 @@ grams0 AS (
 )
 SELECT DISTINCT gram, term, df FROM grams0
 """
+
+
+def search_bool_prefix_sql(query_terms: list[str], prefix: str,
+                           k1: float = 1.2, b: float = 0.75,
+                           limit: int = 20, max_expansions: int = 50,
+                           table: str = "documents") -> str:
+    """Mirrors operators/search.py::search_bool_prefix — completed terms
+    + prefix expansion of the last token, one disjunctive BM25.
+    Returns (doc_id, score)."""
+    pre = prefix.strip().lower()
+    fixed = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH {terms_cte(table)},
+wterms AS (
+  SELECT term FROM (
+    SELECT term FROM terms GROUP BY term
+  ) WHERE starts_with(term, '{pre}')
+  ORDER BY term ASC LIMIT {int(max_expansions)}
+),
+qset AS (
+  SELECT term FROM wterms
+  UNION SELECT * FROM (VALUES ({fixed.replace(", ", "), (")})) v(term)
+),
+post AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
+  WHERE term IN (SELECT term FROM qset) GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM terms GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table})::DOUBLE AS n_docs,
+         (SELECT sum(coalesce(dl.dl,0)) FROM {table} d LEFT JOIN dl USING (doc_id))
+           / (SELECT count(*) FROM {table}) AS avgdl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM terms
+  WHERE term IN (SELECT term FROM qset) GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * p.tf * ({k1} + 1)
+              / (p.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl)) ) AS score
+  FROM post p
+  JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, doc_id ASC
+LIMIT {int(limit)}
+"""

@@ -3620,3 +3620,52 @@ def search_common_terms(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(limit))
     )
+
+
+def search_bool_prefix(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    query_terms: list[str],
+    prefix: str,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    limit: int = 20,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES `match_bool_prefix` (the search-as-you-type workhorse) → BM25
+    top-k (doc_id, score): the completed words of the in-flight query
+    match as ordinary OR terms and the LAST, still-being-typed token
+    matches as a PREFIX — expanded against the dictionary (startswith →
+    sargable range probe on the term-sorted dictionary, term asc, capped
+    at max_expansions like every multi-term rewrite here) and OR-ed into
+    the same disjunction. Unlike `match_phrase_prefix` there is no
+    position constraint — ES documents exactly this split: bool_prefix
+    ranks by relevance wherever the words occur, the phrase variant
+    requires adjacency.
+
+    Plan: one sargable dictionary probe collected driver-side (≤
+    max_expansions rows) + the standard disjunctive `bm25_scored` over
+    the union term set — identical cost class to `search_wildcard`."""
+    pre = prefix.strip().lower()
+    expansions = [
+        r["term"]
+        for r in (
+            term_dict.filter(F.col("term").startswith(pre))
+            .select("term")
+            .orderBy(F.col("term").asc())
+            .limit(int(max_expansions))
+            .collect()
+        )
+    ]
+    all_terms = sorted(set(query_terms) | set(expansions))
+    if not all_terms:
+        return postings.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    return search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, all_terms,
+        k1=k1, b=b, limit=limit, conjunctive=False,
+    )

