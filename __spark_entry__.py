@@ -1696,6 +1696,16 @@ def _q_facet_datehist(spark, sf_dir):
     return se.facet_date_histogram(docs, postings, Q_AND2, bucket_secs=3600)
 
 
+def _q_stats_bucket(spark, sf_dir):
+    """ES sibling pipeline agg stats_bucket: one summary row over the
+    query's hourly hit histogram — the sibling-family complement of the
+    per-bucket parent pipeline aggs."""
+    from search_engine_spark.operators.bucket_aggs import stats_bucket
+
+    docs, postings = _search_ctx(spark, sf_dir)
+    return stats_bucket(docs, postings, Q_AND2, bucket_secs=3600)
+
+
 def _q_significant_terms(spark, sf_dir):
     docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(spark, sf_dir)
     return se.significant_terms(postings, term_dict, n_docs, Q_AND2)
@@ -2742,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_keyset": _q_search_keyset,
         "term_vectors": _q_term_vectors,
         "facet_datehist": _q_facet_datehist,
+        "stats_bucket": _q_stats_bucket,
         "significant_terms": _q_significant_terms,
         "search_wildcard": _q_search_wildcard,
         "search_regexp": _q_search_regexp,
@@ -3053,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "search_keyset": ora.search_bm25_sql(Q_BM25_COMMON, limit=10, offset=10),
         "term_vectors": ora.term_vectors_sql(TV_DOC_IDS),
         "facet_datehist": ora.facet_date_histogram_sql(Q_AND2, bucket_secs=3600),
+        "stats_bucket": ora.stats_bucket_sql(Q_AND2, bucket_secs=3600),
         "significant_terms": ora.significant_terms_sql(Q_AND2),
         "search_wildcard": ora.search_wildcard_sql(WILDCARD_PAT),
         "search_regexp": ora.search_regexp_sql(REGEXP_PAT),

@@ -3065,3 +3065,27 @@ FROM scored
 ORDER BY round(score, 4) DESC, doc_id ASC
 LIMIT {int(limit)}
 """
+
+
+def stats_bucket_sql(query_terms: list[str], bucket_secs: int = 3600,
+                     table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::stats_bucket — one-row sibling
+    stats over the hourly hit histogram.
+    Returns (n_buckets, min_hits, max_hits, avg_hits, sum_hits)."""
+    b = int(bucket_secs)
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()},
+hist AS (
+  SELECT ((1704067200 + 60 * doc_id)
+          - (1704067200 + 60 * doc_id) % {b})::BIGINT AS bucket_epoch,
+         count(*)::BIGINT AS n_hits
+  FROM hits GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets,
+       min(n_hits)::BIGINT AS min_hits,
+       max(n_hits)::BIGINT AS max_hits,
+       round(avg(n_hits::DOUBLE), 4) AS avg_hits,
+       sum(n_hits)::BIGINT AS sum_hits
+FROM hist
+"""

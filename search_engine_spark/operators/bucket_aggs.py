@@ -294,3 +294,37 @@ def date_range_agg(docs: DataFrame) -> DataFrame:
             "AS (bucket, from_ts, to_ts, doc_count)"
         )
     )
+
+
+def stats_bucket(
+    docs: "DataFrame",
+    postings: "DataFrame",
+    terms: list[str],
+    bucket_secs: int = 3600,
+) -> "DataFrame":
+    """ES SIBLING pipeline aggregation `stats_bucket` (family:
+    avg/min/max/sum/stats_bucket) → ONE summary row over a sibling
+    aggregation's bucket series: here the query's hourly date_histogram
+    (facet_date_histogram). Where the PARENT pipeline aggs already
+    shipped (derivative, moving_fn, cumulative_sum, …) emit one value
+    per bucket, the sibling family collapses the whole series —
+    "what did the per-hour hit counts look like overall".
+
+    Output: (n_buckets, min_hits, max_hits, avg_hits, sum_hits) with
+    avg rounded 4 dp. Non-empty buckets only (the histogram emits no
+    empty rows — matching ES, where stats_bucket skips gaps unless the
+    sibling uses min_doc_count=0).
+
+    Plan: the audited datehist subtree + ONE more single-row aggregate
+    — the coordinator-side fold ES runs, exact here because the bucket
+    series is tiny by construction."""
+    from .search import facet_date_histogram
+
+    hist = facet_date_histogram(docs, postings, terms, bucket_secs)
+    return hist.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("n_hits").alias("min_hits"),
+        F.max("n_hits").alias("max_hits"),
+        F.round(F.avg(F.col("n_hits").cast("double")), 4).alias("avg_hits"),
+        F.sum("n_hits").alias("sum_hits"),
+    )

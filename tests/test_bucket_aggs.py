@@ -61,3 +61,26 @@ def test_sampler_bounds_sample(spark):
     )
     rows = ba.sampler_agg(hits, docs, sample_size=10).collect()
     assert sum(r["doc_count"] for r in rows) == 10
+
+
+def test_stats_bucket_folds_the_histogram_exactly(spark):
+    """The sibling fold equals a hand recomputation over the sibling's
+    own bucket rows (min/max/avg/sum/count of the n_hits series)."""
+    from search_engine_spark.operators.bucket_aggs import stats_bucket
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.search import facet_date_histogram
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    postings = build_postings(docs)
+    q = ["data", "fast"]
+    hist = [r["n_hits"] for r in facet_date_histogram(
+        docs, postings, q, bucket_secs=3600).collect()]
+    assert hist
+    row = stats_bucket(docs, postings, q, bucket_secs=3600).collect()[0]
+    assert row["n_buckets"] == len(hist)
+    assert row["min_hits"] == min(hist)
+    assert row["max_hits"] == max(hist)
+    assert row["sum_hits"] == sum(hist)
+    assert row["avg_hits"] == round(sum(hist) / len(hist), 4)
