@@ -603,9 +603,9 @@ def geotile_grid_sql(zoom: int = 5, size: int = 20,
 WITH {_geo_cte(table)},
 t AS (
   SELECT doc_id,
-         floor((lon + 180.0) / 360.0 * {n!r}) AS x_raw,
-         floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
-                / pi()) / 2.0 * {n!r}) AS y_raw
+         floor(round((lon + 180.0) / 360.0 * {n!r}, 9)) AS x_raw,
+         floor(round((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+                / pi()) / 2.0 * {n!r}, 9)) AS y_raw
   FROM geo
 ),
 k AS (
@@ -3025,6 +3025,17 @@ def search_bool_prefix_sql(query_terms: list[str], prefix: str,
     Returns (doc_id, score)."""
     pre = prefix.strip().lower()
     fixed = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    # Empty fixed-term list: VALUES () is invalid SQL — the qset is the
+    # prefix expansion alone (mirrors the engine path, which unions an
+    # empty completed-terms set without a special case).
+    if fixed:
+        qset = (
+            "qset AS (\n  SELECT term FROM wterms\n"
+            f"  UNION SELECT * FROM (VALUES ({fixed.replace(', ', '), (')}))"
+            " v(term)\n)"
+        )
+    else:
+        qset = "qset AS (\n  SELECT term FROM wterms\n)"
     return f"""
 WITH {terms_cte(table)},
 wterms AS (
@@ -3033,10 +3044,7 @@ wterms AS (
   ) WHERE starts_with(term, '{pre}')
   ORDER BY term ASC LIMIT {int(max_expansions)}
 ),
-qset AS (
-  SELECT term FROM wterms
-  UNION SELECT * FROM (VALUES ({fixed.replace(", ", "), (")})) v(term)
-),
+{qset},
 post AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM terms
   WHERE term IN (SELECT term FROM qset) GROUP BY doc_id, term

@@ -322,6 +322,13 @@ def rle_decode(buf: bytes, count: int) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     n_runs = int.from_bytes(buf[:2], "little")
     inter = varbyte_decode(buf[2:], 2 * n_runs).astype(np.uint64)
+    # A corrupt/truncated buffer must fail like the other decoders (which
+    # size their output from count), not silently return the wrong length.
+    total = int(inter[1::2].sum())
+    if total != int(count):
+        raise ValueError(
+            f"rle_decode: run lengths sum to {total}, expected {count}"
+        )
     return np.repeat(
         inter[0::2].astype(np.int64), inter[1::2].astype(np.int64)
     )

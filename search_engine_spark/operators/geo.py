@@ -143,14 +143,25 @@ def geotile_grid(docs: DataFrame, zoom: int = 5, size: int = 20) -> DataFrame:
     map-side combinable, trivially small shuffle. `size` is clamped to
     min(4^z, 65536): the tile space bounds the bucket count, 65536 is
     ES's search.max_buckets guard, and an unbounded top-k limit would
-    make TakeOrdered allocate an O(size) heap per task."""
+    make TakeOrdered allocate an O(size) heap per task.
+
+    Cross-engine determinism: unlike geo_bounding_box (integer
+    micro-degree compares, exactly reproducible), the tile key passes
+    through tan/cos/ln, where JVM and DuckDB libm may differ by 1 ULP —
+    enough to flip floor() when the raw coordinate sits on a knife edge.
+    Both engines therefore round the raw tile coordinate to 9 dp (same
+    half-away mode) BEFORE floor: a 1-ULP divergence (~1e-16 relative)
+    is absorbed, and the residual risk window shrinks to |coord −
+    boundary| < 5e-10, which no e4-quantized input point occupies. The
+    x path is already exact ((lon+180)/360·2^z is exact FP arithmetic on
+    e4-grid inputs); the rounding is applied to both for symmetry."""
     size = min(int(size), (1 << int(zoom)) ** 2, 65536)
     n = float(1 << int(zoom))
     g = with_geo(docs)
     phi = F.radians(F.col("lat"))
     merc = F.log(F.tan(phi) + 1.0 / F.cos(phi))
-    x = F.floor((F.col("lon") + 180.0) / 360.0 * n)
-    y = F.floor((1.0 - merc / math.pi) / 2.0 * n)
+    x = F.floor(F.round((F.col("lon") + 180.0) / 360.0 * n, 9))
+    y = F.floor(F.round((1.0 - merc / math.pi) / 2.0 * n, 9))
     clamp = lambda c: F.greatest(  # noqa: E731
         F.lit(0.0), F.least(c.cast("double"), F.lit(n - 1.0))
     ).cast("long")

@@ -69,13 +69,16 @@ def run_probe_collect(
     reader = spark.readStream.schema(STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    q = (
-        reader.parquet(input_glob)
-        .writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    corpus.unpersist()
+    try:
+        q = (
+            reader.parquet(input_glob)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # A failed query must not leak the cached corpus for the session.
+        corpus.unpersist()
     return sorted(out)

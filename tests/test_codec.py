@@ -1,6 +1,7 @@
 """Property + unit tests for the posting-block codec (delta + varbyte/PFor/EF)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -226,6 +227,17 @@ def test_compression_wins():
 def test_rle_roundtrip(values):
     arr = np.array(values, dtype=np.int64)
     assert rle_decode(rle_encode(arr), len(arr)).tolist() == values
+
+
+def test_rle_decode_rejects_wrong_count():
+    """A truncated/corrupt buffer must fail loudly (the other decoders
+    size output from count; RLE must check, not silently mis-size)."""
+    arr = np.array([5, 5, 5, 7, 7], dtype=np.int64)
+    buf = rle_encode(arr)
+    with pytest.raises(ValueError, match="run lengths sum"):
+        rle_decode(buf, len(arr) + 1)
+    with pytest.raises(ValueError, match="run lengths sum"):
+        rle_decode(buf, len(arr) - 1)
 
 
 def test_rle_wins_on_constant_tf_block():

@@ -26,6 +26,21 @@ def test_query_matches_oracle(name, spark, oracle_small):
     compare_frames(q(spark, SF_TEST), oracle_small.sql(sql))
 
 
+def test_bool_prefix_empty_fixed_terms_oracle(spark, oracle_small):
+    """Prefix-only match_bool_prefix (no completed terms): the oracle SQL
+    must stay valid (no 'VALUES ()') and match the engine — guards the
+    r02-ADVICE asymmetry where only the engine handled the empty list."""
+    import search_engine_spark.operators.search as se
+    from search_engine_spark.functions import oracle_fragments as ora
+    from __spark_entry__ import _bm25_ctx
+
+    docs, postings, td, ds, n, avgdl = _bm25_ctx(spark, SF_TEST)
+    eng = se.search_bool_prefix(postings, td, ds, n, avgdl, [], "fa")
+    sql = ora.search_bool_prefix_sql([], "fa")
+    assert "VALUES ()" not in sql
+    compare_frames(eng, oracle_small.sql(sql))
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
