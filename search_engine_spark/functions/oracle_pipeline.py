@@ -997,12 +997,23 @@ SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
-def _centroids_cte(table: str, n_centroids: int) -> str:
+def _centroids_cte(table: str, n_centroids: int | None) -> str:
+    """n_centroids=None mirrors similarity.adaptive_n_centroids: the
+    K = greatest(16, ceil(sqrt(n))) smallest vec_ids. Computed inside
+    the CTE (count(*) OVER ()) so one static SQL string is correct at
+    every scale the driver runs it at."""
+    if n_centroids is None:
+        return (
+            "cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM ("
+            f"SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn, "
+            f"count(*) OVER () AS n FROM {table}) "
+            "WHERE rn <= greatest(16, CAST(ceil(sqrt(n)) AS BIGINT)))"
+        )
     return (f"cent AS (SELECT vec_id AS centroid_id, embedding AS cvec "
             f"FROM {table} ORDER BY vec_id LIMIT {n_centroids})")
 
 
-def ivf_assign_sql(n_centroids: int = 16, table: str = "embeddings") -> str:
+def ivf_assign_sql(n_centroids: int | None = None, table: str = "embeddings") -> str:
     """Mirrors operators/similarity.py::ivf_assign — nearest-centroid
     assignment (cos rounded 4 dp, ties -> smallest centroid_id)."""
     cos = COS_SQL.format(a="e.embedding", b="c.cvec")
@@ -1019,7 +1030,7 @@ SELECT vec_id, centroid_id, cos FROM scored WHERE rn = 1
 """
 
 
-def ann_ivf_sql(query_ids: list[int], k: int = 5, n_centroids: int = 16,
+def ann_ivf_sql(query_ids: list[int], k: int = 5, n_centroids: int | None = None,
                 nprobe: int = 4, table: str = "embeddings") -> str:
     """Mirrors operators/similarity.py::ann_ivf — IVF-flat probe of the
     nprobe nearest inverted lists, exact-cosine re-rank."""
@@ -1061,7 +1072,7 @@ SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
-def knn_graph_sql(k: int = 5, n_centroids: int = 16,
+def knn_graph_sql(k: int = 5, n_centroids: int | None = None,
                   table: str = "embeddings") -> str:
     """Mirrors operators/similarity.py::knn_graph — top-k cosine neighbors
     within each IVF cell (ties -> smallest nbr_id)."""
@@ -1092,7 +1103,7 @@ SELECT vec_id, nbr_id, cos, rank::INT AS rank FROM ranked WHERE rank <= {k}
 """
 
 
-def semdedup_sql(threshold: float, n_centroids: int = 16,
+def semdedup_sql(threshold: float, n_centroids: int | None = None,
                  table: str = "embeddings") -> str:
     """Mirrors operators/similarity.py::semdedup — drop a vector when its
     IVF cell holds a near-duplicate (cos >= threshold) with smaller id."""
@@ -2441,7 +2452,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {limit}
 
 
 def kmeans_assign_sql(
-    n_centroids: int = sim.N_CENTROIDS, table: str = "embeddings"
+    n_centroids: int | None = None, table: str = "embeddings"
 ) -> str:
     """One Lloyd round of k-means — mirrors
     similarity.py::kmeans_refine(rounds=1): assign to the deterministic

@@ -21,6 +21,8 @@ The same hyperplanes are emitted as SQL literal lists so the DuckDB oracle
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -178,12 +180,30 @@ def ann_lsh(
 
 # ------------------------------------------------------------------ IVF
 
-N_CENTROIDS = 16
+N_CENTROIDS = 16      # FLOOR for the adaptive quantizer, not the default K
 NPROBE = 4
+# Above this K the nearest-centroid argmax switches from a literal-array
+# projection to a broadcast join: a 31k-centroid corpus (K = √10⁹) as
+# ~2M literal doubles would blow the codegen expression tree, while a
+# broadcast of 31k × 64-dim doubles is ~16 MB — well inside the default
+# 8 GB broadcast-join ceiling.
+LITERAL_CENTROID_MAX = 256
+
+
+def adaptive_n_centroids(embeddings: DataFrame) -> int:
+    """K = max(16, ⌈√n⌉) — the standard IVF sizing (FAISS guideline:
+    K ∝ √n keeps both the assignment pass (n·K) and the per-cell
+    quadratic ((n/K)² per cell, n²/K total → n^1.5) sub-quadratic).
+    One COUNT over the narrow vec_id column; IEEE-correctly-rounded
+    sqrt + ceil matches DuckDB's identical expression in the oracle CTE
+    exactly (sqrt of a perfect square ≤ 2^52 is exact, and of a
+    non-square is never an integer, so ceil cannot diverge)."""
+    n = embeddings.count()
+    return max(N_CENTROIDS, math.ceil(math.sqrt(n)))
 
 
 def ivf_centroid_rows(
-    embeddings: DataFrame, n_centroids: int = N_CENTROIDS
+    embeddings: DataFrame, n_centroids: int | None = None
 ) -> list[tuple[int, list[float]]]:
     """The coarse quantizer: n_centroids (centroid_id, vector) pairs,
     collected driver-side (a few KB — the same driver-side-scalar pattern
@@ -193,8 +213,15 @@ def ivf_centroid_rows(
     smallest vec_ids — i.e. FAISS's random-selection initializer without
     Lloyd refinement, chosen because it is reproducible in ANSI SQL
     (ORDER BY vec_id LIMIT n). A production deployment would train k-means
-    offline and feed the trained table through this same seam; every plan
-    below only sees a list of (id, vector) literals."""
+    offline (kmeans_refine is that loop) and feed the trained table
+    through this same seam; every plan below only sees a list of
+    (id, vector) pairs.
+
+    n_centroids=None (the default everywhere) resolves to
+    adaptive_n_centroids — K ∝ √n — so cell populations stay O(√n) as
+    the corpus grows instead of the fixed-K quadratic cliff."""
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(embeddings)
     rows = (
         embeddings.orderBy("vec_id")
         .limit(n_centroids)
@@ -222,7 +249,13 @@ def ivf_assign(
     array<struct(cos, -centroid_id)> of the K literal centroids reduced
     with array_max (struct ordering = cos desc then centroid_id asc) —
     pure whole-stage codegen over a narrow scan: zero shuffle, zero join,
-    zero UDF for the corpus-wide assignment pass."""
+    zero UDF for the corpus-wide assignment pass. Past
+    LITERAL_CENTROID_MAX centroids (adaptive K on a large corpus) the
+    literal expression tree would sink codegen, so the same argmax runs
+    as a broadcast crossJoin + map-side-combined max_by — one n-row
+    shuffle of the pre-reduced frame, never n·K."""
+    if len(centroids) > LITERAL_CENTROID_MAX:
+        return _ivf_assign_join(embeddings, centroids, keep_embedding)
     entries = F.array(
         *[
             F.struct(
@@ -245,11 +278,50 @@ def ivf_assign(
     return embeddings.select(*cols)
 
 
+def _ivf_assign_join(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_embedding: bool = False,
+) -> DataFrame:
+    """Large-K assignment twin of ivf_assign: broadcast the centroid
+    table, score every (vector, centroid) pair in the join projection,
+    reduce to the argmax with max(struct(cos, -centroid_id)) — Spark's
+    partial aggregation collapses the n·K scored rows to n per map task
+    before the single hash shuffle on vec_id. Bit-identical ordering
+    semantics to the literal path (cos 4 dp desc, centroid_id asc) —
+    pinned equal by test_ivf_assign_join_path_matches_literal."""
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "centroid_id bigint, cvec array<double>",
+    )
+    scored = embeddings.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        *(["embedding"] if keep_embedding else []),
+        F.struct(
+            F.round(cosine_expr(F.col("embedding"), F.col("cvec")), 4).alias(
+                "cos"
+            ),
+            (-F.col("centroid_id")).alias("neg_id"),
+        ).alias("entry"),
+    )
+    keys = ["vec_id"] + (["embedding"] if keep_embedding else [])
+    best = scored.groupBy(*keys).agg(F.max("entry").alias("best"))
+    cols = [
+        F.col("vec_id"),
+        (-F.col("best.neg_id")).cast("long").alias("centroid_id"),
+        F.col("best.cos").alias("cos"),
+    ]
+    if keep_embedding:
+        cols.append(F.col("embedding"))
+    return best.select(*cols)
+
+
 def ann_ivf(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     nprobe: int = NPROBE,
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank) — IVF-flat approximate top-k: probe
@@ -573,7 +645,7 @@ def ann_sq8(
 
 def kmeans_refine(
     embeddings: DataFrame,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     rounds: int = 1,
 ) -> DataFrame:
     """(vec_id, centroid_id, cos) — Lloyd's k-means over the embedding
@@ -618,17 +690,19 @@ def knn_graph(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]] | None = None,
     k: int = 5,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """(vec_id, nbr_id, cos, rank) — k-nearest-neighbor graph restricted
     to IVF cells: each vector's top-k cosine neighbors among vectors
     assigned to the SAME coarse cell. The kNN graph is the backbone
     artifact of embedding-space curation (SemDeDup-style dedup, density
     estimation, cluster pruning); cell restriction is what makes it
-    buildable at corpus scale — the quadratic term is bounded per cell at
-    (n/K)² instead of n², the standard IVF trade (recall loss only at
-    cell boundaries, recovered in production with multi-probe or a
-    trained K ∝ √n quantizer through the same centroid seam).
+    buildable at corpus scale — with the default adaptive quantizer
+    (K = ⌈√n⌉) cells hold O(√n) vectors, so the per-cell quadratic is
+    O(n) and the corpus-wide pair count O(n^1.5), the standard IVF trade
+    (recall loss only at cell boundaries, recovered in production with
+    multi-probe or Lloyd-trained centroids via kmeans_refine through the
+    same seam).
 
     Plan shape: one zero-shuffle assignment projection (ivf_assign), one
     hash-shuffle of the narrow (vec_id, centroid_id, embedding) frame on
@@ -663,7 +737,7 @@ def semdedup(
     embeddings: DataFrame,
     threshold: float,
     centroids: list[tuple[int, list[float]]] | None = None,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """(vec_id, keep) — semantic deduplication: inside each IVF cell,
     drop every vector that has a same-cell near-duplicate (cosine ≥
