@@ -196,11 +196,15 @@ def _finalize_dictionary(store: IndexStore, build_id: str, fp: str) -> None:
     blocks = store.read_blocks()
     store.replace_table(term_dict_from_blocks(blocks), store.term_dict_path)
     row = store.read_doc_stats().agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).collect()[0]
     stats = {
         "n_docs": int(row["n"]),
         "avgdl": float(row["avgdl"] or 0.0),
+        # exact Σdl (total retained tokens) — the T scalar the LM-family
+        # similarities need; persisting it makes a served query zero-scan
+        "sum_dl": int(row["sum_dl"] or 0),
         "build_id": build_id,
         "fingerprint": fp,
         "n_buckets": store.n_buckets,

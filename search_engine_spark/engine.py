@@ -69,6 +69,7 @@ class SearchEngine:
         self.index_dir = index_dir
         self._built = False
         self._df_map: dict[str, int] | None = None
+        self._cf_map: dict[str, int] | None = None
         self._index_thread = None
         self._page_cache: "OrderedDict" = OrderedDict()
 
@@ -112,8 +113,11 @@ class SearchEngine:
         )
         eng.n_docs = stats["n_docs"]
         eng.avgdl = stats["avgdl"]
+        # older corpus_stats.json lacks sum_dl; n·avgdl reproduces it
+        eng.sum_dl = float(stats.get("sum_dl", stats["n_docs"] * stats["avgdl"]))
         eng._built = True
         eng._df_map = None
+        eng._cf_map = None
         eng._index_thread = None
         eng._page_cache = OrderedDict()
         eng._maybe_cache_dictionary()
@@ -265,6 +269,7 @@ class SearchEngine:
         # the cached packed frame, no raw-corpus re-scan.
         self.n_docs, sum_dl = fb.corpus_stats_from_packed(packed)
         self.avgdl = float(sum_dl) / self.n_docs if self.n_docs else 0.0
+        self.sum_dl = float(sum_dl)
         packed.unpersist()
         self._built = True
         self._page_cache = OrderedDict()  # a new index invalidates pages
@@ -275,15 +280,41 @@ class SearchEngine:
             self.build()
 
     def _maybe_cache_dictionary(self) -> None:
-        """Collect (term → df) to the driver when the dictionary is small
-        enough — the per-query probe becomes a dict lookup (no Spark job).
-        One count + one collect at build/open time."""
+        """Collect (term → df, cf) to the driver when the dictionary is
+        small enough — the per-query probe becomes a dict lookup (no
+        Spark job). One count + one collect at build/open time."""
         self._df_map = None
+        self._cf_map = None
         if self.term_dict.count() <= DICT_CACHE_MAX_TERMS:
-            self._df_map = {
-                r["term"]: r["df"]
-                for r in self.term_dict.select("term", "df").collect()
-            }
+            rows = self.term_dict.select("term", "df", "cf").collect()
+            self._df_map = {r["term"]: r["df"] for r in rows}
+            self._cf_map = {r["term"]: int(r["cf"]) for r in rows}
+
+    def corpus_stat_maps(
+        self, terms: list[str]
+    ) -> tuple[dict[str, float], dict[str, float], float]:
+        """(cf_map, df_map, total_tokens) for a served similarity query
+        (search_lmd/lmjm/dfr/ib's optional precomputed-stat params).
+        cf/df come from the term DICTIONARY (driver-cached → pure dict
+        lookup; else one term-pruned probe of the small dict table —
+        never a postings or doc_stats scan), total_tokens from the
+        build-time Σdl persisted in corpus_stats.json. With the
+        dictionary cached, constructing a similarity query plan launches
+        ZERO Spark jobs — pinned by tests/test_served_stats.py."""
+        self._require_built()
+        uniq = sorted(set(terms))
+        if self._cf_map is not None and self._df_map is not None:
+            cf = {t: float(self._cf_map[t]) for t in uniq if t in self._cf_map}
+            df = {t: float(self._df_map[t]) for t in uniq if t in self._df_map}
+        else:
+            rows = (
+                self.term_dict.filter(F.col("term").isin(uniq))
+                .select("term", "df", "cf")
+                .collect()
+            )
+            cf = {r["term"]: float(r["cf"]) for r in rows}
+            df = {r["term"]: float(r["df"]) for r in rows}
+        return cf, df, float(self.sum_dl)
 
     def _dict_probe(self, terms: list[str]) -> dict[str, int]:
         """Q2 dictionary probe: df per query term (absent terms omitted)."""

@@ -522,6 +522,8 @@ def search_lmd(
     mu: float = MU_DEFAULT,
     limit: int = 20,
     conjunctive: bool = False,
+    cf_map: dict[str, float] | None = None,
+    total_tokens: float | None = None,
 ) -> DataFrame:
     """Query-likelihood ranking with Dirichlet smoothing → top-k
     (doc_id, score) — Lucene's LMDirichletSimilarity (Zhai & Lafferty
@@ -540,25 +542,36 @@ def search_lmd(
 
     Plan shape (mirrors `bm25_scored`): cf for the ≤|q| query terms and
     the scalar T are collected driver-side and baked into the plan as
-    literals — on a persisted index both are precomputed corpus stats,
-    so no corpus-sized work precedes the term-pruned postings scan +
-    one map-side-combinable groupBy."""
+    literals. A served query supplies both precomputed (`cf_map` from
+    the persisted term dictionary's cf column, `total_tokens` = Σdl from
+    corpus_stats.json — see SearchEngine.corpus_stat_maps), making
+    construction zero-job: no corpus-stat scan of any kind precedes the
+    term-pruned postings scan + one map-side-combinable groupBy
+    (pinned by tests/test_served_stats.py). Standalone calls fall back
+    to collecting the two stats here."""
     uniq = sorted(set(terms))
     empty = postings.select(
         F.col("doc_id"), F.lit(0.0).alias("score")
     ).limit(0)
     if not uniq:
         return empty
-    cf_rows = (
-        postings.filter(F.col("term").isin(uniq))
-        .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
-    )
-    cf = {r["term"]: float(r["cf"]) for r in cf_rows}
+    if cf_map is not None:
+        cf = {t: float(cf_map[t]) for t in uniq if cf_map.get(t)}
+    else:
+        cf_rows = (
+            postings.filter(F.col("term").isin(uniq))
+            .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+        )
+        cf = {r["term"]: float(r["cf"]) for r in cf_rows}
     if conjunctive and len(cf) < len(uniq):
         return empty
     if not cf:
         return empty
-    total = float(doc_stats.agg(F.sum("dl")).collect()[0][0])
+    total = (
+        float(total_tokens)
+        if total_tokens is not None
+        else float(doc_stats.agg(F.sum("dl")).collect()[0][0])
+    )
     matched = sorted(cf)
     cf_col = F.create_map(
         *[x for t in matched for x in (F.lit(t), F.lit(cf[t]))]
@@ -606,6 +619,8 @@ def search_lmjm(
     terms: list[str],
     lam: float = LAMBDA_JM_DEFAULT,
     limit: int = 20,
+    cf_map: dict[str, float] | None = None,
+    total_tokens: float | None = None,
 ) -> DataFrame:
     """Query likelihood with Jelinek-Mercer smoothing → top-k
     (doc_id, score) — Lucene's LMJelinekMercerSimilarity (Zhai &
@@ -623,8 +638,9 @@ def search_lmjm(
     pluggable-similarity surface beside LMD/VSM/BM25.
 
     Plan shape mirrors `search_lmd`: cf for the ≤|q| query terms and the
-    scalar T are driver-side literals (precomputed corpus stats on a
-    persisted index), then one term-pruned postings scan + dl join +
+    scalar T are driver-side literals — supplied precomputed by a served
+    query (`cf_map`/`total_tokens`, zero-job construction) or collected
+    here standalone — then one term-pruned postings scan + dl join +
     map-side-combinable groupBy — no corpus-sized work before the
     pruned scan."""
     uniq = sorted(set(terms))
@@ -633,14 +649,21 @@ def search_lmjm(
     ).limit(0)
     if not uniq:
         return empty
-    cf_rows = (
-        postings.filter(F.col("term").isin(uniq))
-        .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
-    )
-    cf = {r["term"]: float(r["cf"]) for r in cf_rows}
+    if cf_map is not None:
+        cf = {t: float(cf_map[t]) for t in uniq if cf_map.get(t)}
+    else:
+        cf_rows = (
+            postings.filter(F.col("term").isin(uniq))
+            .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+        )
+        cf = {r["term"]: float(r["cf"]) for r in cf_rows}
     if not cf:
         return empty
-    total = float(doc_stats.agg(F.sum("dl")).collect()[0][0])
+    total = (
+        float(total_tokens)
+        if total_tokens is not None
+        else float(doc_stats.agg(F.sum("dl")).collect()[0][0])
+    )
     matched = sorted(cf)
     one_minus = 1.0 - float(lam)
     cf_col = F.create_map(
@@ -689,6 +712,7 @@ def search_dfr(
     terms: list[str],
     c: float = DFR_C_DEFAULT,
     limit: int = 20,
+    df_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Divergence-from-randomness ranking, model I(n)L2 → top-k
     (doc_id, score) — Lucene's DFRSimilarity(BasicModelIn, AfterEffectL,
@@ -700,9 +724,11 @@ def search_dfr(
     i.e. the inverse-document-frequency information content I(n), damped
     by the Laplace after-effect 1/(tfn+1). Disjunctive top-k with the
     engine's pinned tiebreak. df comes from the term dictionary exactly
-    like BM25's idf — collected driver-side for the ≤|q| query terms and
-    baked into the plan as literals; the only distributed work is the
-    term-pruned postings scan, the dl join, and one combinable groupBy."""
+    like BM25's idf — supplied precomputed by a served query (`df_map`,
+    zero-job construction) or collected driver-side here for the ≤|q|
+    query terms — and baked into the plan as literals; the only
+    distributed work is the term-pruned postings scan, the dl join, and
+    one combinable groupBy."""
     import math
 
     uniq = sorted(set(terms))
@@ -711,12 +737,17 @@ def search_dfr(
     ).limit(0)
     if not uniq:
         return empty
-    df_rows = (
-        term_dict.filter(F.col("term").isin(uniq)).select("term", "df").collect()
-    )
+    if df_map is not None:
+        dfs = {t: float(df_map[t]) for t in uniq if df_map.get(t)}
+    else:
+        df_rows = (
+            term_dict.filter(F.col("term").isin(uniq))
+            .select("term", "df").collect()
+        )
+        dfs = {r["term"]: float(r["df"]) for r in df_rows}
     info = {
-        r["term"]: math.log2((float(n_docs) + 1.0) / (float(r["df"]) + 0.5))
-        for r in df_rows
+        t: math.log2((float(n_docs) + 1.0) / (d + 0.5))
+        for t, d in dfs.items()
     }
     if not info:
         return empty
@@ -753,6 +784,7 @@ def search_ib(
     terms: list[str],
     c: float = DFR_C_DEFAULT,
     limit: int = 20,
+    cf_map: dict[str, float] | None = None,
 ) -> DataFrame:
     """Information-based ranking, log-logistic distribution with the
     total-term-frequency lambda → top-k (doc_id, score) — Lucene's
@@ -762,22 +794,27 @@ def search_ib(
 
         part = -ln(λ_t / (tfn + λ_t)) = ln(1 + tfn/λ_t)
 
-    Disjunctive. cf (collection term frequency) is collected driver-side
-    for the query terms like `search_lmjm`; same pruned-scan + dl-join +
-    combinable-groupBy plan as every similarity in this family."""
+    Disjunctive. cf (collection term frequency) is supplied precomputed
+    by a served query (`cf_map`, zero-job construction) or collected
+    driver-side for the query terms like `search_lmjm`; same pruned-scan
+    + dl-join + combinable-groupBy plan as every similarity in this
+    family."""
     uniq = sorted(set(terms))
     empty = postings.select(
         F.col("doc_id"), F.lit(0.0).alias("score")
     ).limit(0)
     if not uniq:
         return empty
-    cf_rows = (
-        postings.filter(F.col("term").isin(uniq))
-        .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
-    )
+    if cf_map is not None:
+        cfs = {t: float(cf_map[t]) for t in uniq if cf_map.get(t)}
+    else:
+        cf_rows = (
+            postings.filter(F.col("term").isin(uniq))
+            .groupBy("term").agg(F.sum("tf").alias("cf")).collect()
+        )
+        cfs = {r["term"]: float(r["cf"]) for r in cf_rows}
     lam = {
-        r["term"]: (float(r["cf"]) + 1.0) / (float(n_docs) + 1.0)
-        for r in cf_rows
+        t: (c_ + 1.0) / (float(n_docs) + 1.0) for t, c_ in cfs.items()
     }
     if not lam:
         return empty
