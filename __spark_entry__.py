@@ -1935,8 +1935,9 @@ def _q_bp_reorder(spark, sf_dir):
     iterative local optimization (per-shard bisection with gain-ranked
     swaps), not SQL-expressible; correctness is pinned by
     tests/test_reorder.py (permutation validity, determinism,
-    spark==pure-python per shard, and measured index shrinkage with the
-    real codec)."""
+    spark==pure-python per shard, measured index shrinkage with the
+    real codec, and the committed sf0.001 golden permutation
+    tests/golden_bp_reorder_sf001.json that catches silent drift)."""
     from search_engine_spark.operators.reorder import bp_ordered_ids
 
     docs = load_documents(spark, sf_dir)

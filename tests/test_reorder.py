@@ -209,3 +209,29 @@ def test_bp_spark_matches_local_per_shard(spark):
         for rank, d in enumerate(expect):
             assert mapping[d] == offset + rank, (s, d)
         offset += len(ids)
+
+
+def test_bp_reorder_matches_committed_golden(spark):
+    """Drift pin for the one contract entry with neither oracle nor
+    content golden (r02 item #6): the sf0.001 mapping is deterministic
+    (canonical id-order start, fixed iteration budget, stable tie keys),
+    so the full 500-row permutation is committed as a golden and the
+    driver-path output must reproduce it exactly. Regenerate ONLY for an
+    intentional algorithm change:
+    python -c "see golden header in git log" (rerun the generator in the
+    round-3 commit message)."""
+    import json
+    import os
+
+    from __spark_entry__ import _q_bp_reorder
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden_bp_reorder_sf001.json"
+    )
+    with open(golden_path) as f:
+        golden = [tuple(x) for x in json.load(f)]
+    got = sorted(
+        (int(r["doc_id"]), int(r["new_id"]))
+        for r in _q_bp_reorder(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == golden
