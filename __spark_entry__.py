@@ -1652,6 +1652,21 @@ def _q_media_features(spark, sf_dir):
     return media_features(load_documents(spark, sf_dir))
 
 
+def _q_image_features(spark, sf_dir):
+    """REAL image decode: deterministic grayscale PNGs are synthesized
+    per document (shared pixel law), then pixel stats are computed from
+    a full dependency-free PNG decode (zlib inflate + all five scanline
+    unfilters — operators/png_codec.py). The oracle computes the same
+    stats directly from the law, so value-hash parity proves the codec
+    round-trip bit-exact."""
+    from search_engine_spark.operators.multimodal import (
+        image_pixel_features,
+        synth_png_images,
+    )
+
+    return image_pixel_features(synth_png_images(load_documents(spark, sf_dir)))
+
+
 def _q_media_frames(spark, sf_dir):
     """Uniform frame sampling over the opaque media payload — real byte
     offsets/slices/hashes, stubbed codec (multimodal.frame_sample)."""
@@ -2732,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "media_stats": _q_media_stats,
         "media_features": _q_media_features,
+        "image_features": _q_image_features,
         "media_frames": _q_media_frames,
         "rel_pricing_summary": _q_rel_pricing,
         "rel_revenue_by_nation": _q_rel_revenue,
@@ -3044,6 +3060,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": pipe.ann_ivf_sql(ANN_QUERY_IDS),
         "media_stats": pipe.media_stats_sql(),
         "media_features": pipe.media_features_sql(),
+        "image_features": pipe.image_features_sql(),
         "media_frames": pipe.frame_sample_sql(),
         "rel_pricing_summary": pipe.pricing_summary_sql(),
         "rel_revenue_by_nation": pipe.revenue_by_nation_sql(),

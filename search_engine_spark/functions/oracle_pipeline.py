@@ -1186,6 +1186,35 @@ FROM d
 """
 
 
+def image_features_sql(table: str = "documents") -> str:
+    """Mirrors operators/multimodal.py::image_pixel_features over
+    synth_png_images: the oracle computes the pixel statistics straight
+    from the shared deterministic pixel law (doc d → (8+d%5)×(8+d%3)
+    grayscale, pixel i = (d·7919 + i) mod 256) — the Spark side must
+    reproduce them through a REAL PNG encode→decode round-trip (cycling
+    row filters), so any codec bug breaks value-hash parity. avg over
+    ≤120 int pixels is an exact integer sum / count in float64 — the
+    4-dp rounding matches bit-for-bit."""
+    from ..operators import multimodal as mm
+
+    p = mm.PIXEL_PRIME
+    return f"""
+WITH dims AS (
+  SELECT doc_id, (8 + doc_id % 5)::BIGINT AS w, (8 + doc_id % 3)::BIGINT AS h
+  FROM {table}
+),
+px AS (
+  SELECT doc_id, w, h, ((doc_id * {p} + t.i) % 256)::BIGINT AS v
+  FROM dims CROSS JOIN range(0, 200) t(i)
+  WHERE t.i < w * h
+)
+SELECT doc_id, w::INT AS width, h::INT AS height, 1::INT AS channels,
+       round(sum(v)::DOUBLE / count(*), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 # ----------------------------------------------------------------- events
 
 def events_windowed_sql(table: str = "events") -> str:

@@ -3,15 +3,20 @@ metadata; decode/feature-extract as Arrow-batched stubs.
 
 The training-data pipeline treats media exactly like this engine treats
 ``html``: an opaque binary column plus derived metadata, with the expensive
-decode isolated in a mapInPandas stage. The sandbox ships no image/audio
-libraries, so the decode step is STUBBED two ways:
+decode isolated in a mapInPandas stage. Three tiers:
 
+* ``image_pixel_features`` / ``decode_image`` — REAL decoding for PNG via
+  the dependency-free stdlib codec (operators/png_codec.py): inflate IDAT,
+  reverse all five scanline filters, reduce actual pixel statistics.
+  Oracle-verified end-to-end by the ``image_features`` pair: Spark
+  round-trips a deterministic pixel law through encode→decode, DuckDB
+  computes the same stats straight from the law.
 * ``media_features`` — a deterministic fake extractor (md5-derived values)
   whose Spark-side plumbing (schema, Arrow batch shape, column pruning) is
   real and oracle-verified; swap ``_fake_feature_vector`` for a real model
-  and nothing else changes.
-* ``decode_image`` — the real-library path; raises NotImplementedError with
-  a clear message when PIL is absent (import-gated, never at module load).
+  (CLIP et al.) and nothing else changes.
+* ``decode_image`` on non-PNG formats — pillow when installed; a loud
+  NotImplementedError otherwise (import-gated, never at module load).
 
 ``media_stats`` is pure column expressions (byte length, magic prefix,
 content hash) — metadata extraction never leaves the JVM.
@@ -161,34 +166,147 @@ IMAGE_SCHEMA = T.StructType(
 
 
 def decode_image(docs: DataFrame, media_col: str = "image") -> DataFrame:
-    """REAL decode path (requires PIL — absent in this sandbox; the stage
-    raises a clear NotImplementedError per batch if so). Kept so the
-    operator surface, schema and batching are in place for a real cluster
-    image with pillow installed."""
+    """REAL decode path. PNG payloads decode with the built-in
+    dependency-free codec (operators/png_codec.py — stdlib zlib, all
+    five filter types, CRC-checked); any other format uses pillow when
+    installed. Only a non-PNG payload WITHOUT pillow raises
+    NotImplementedError — loud, never a wrong pixel."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "decode_image needs pillow; this environment ships no image "
-                "codecs. Use media_features (deterministic stub) for "
-                "plumbing tests."
-            ) from e
         import io
 
-        for pdf in batches:  # pragma: no cover - needs pillow
+        from .png_codec import PNG_SIG, png_decode
+
+        try:
+            from PIL import Image
+        except ImportError:  # env-dependent; PNG still decodes
+            Image = None
+
+        for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[media_col]):
                 if payload is None:
                     rows.append((doc_id, None, None, None))
                     continue
-                img = Image.open(io.BytesIO(bytes(payload)))
-                rows.append((doc_id, img.width, img.height, img.mode))
+                b = bytes(payload)
+                if b[:8] == PNG_SIG:
+                    px, mode = png_decode(b)
+                    rows.append((doc_id, px.shape[1], px.shape[0], mode))
+                elif Image is not None:  # pragma: no cover - needs pillow
+                    img = Image.open(io.BytesIO(b))
+                    rows.append((doc_id, img.width, img.height, img.mode))
+                else:
+                    raise NotImplementedError(
+                        "decode_image: non-PNG payload and pillow is not "
+                        "installed; PNG decodes dependency-free"
+                    )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "mode"]
             )
 
     return docs.select("doc_id", media_col).mapInPandas(
         _decode, schema=IMAGE_SCHEMA
+    )
+
+
+# ------------------------------------------------- real pixel features
+
+# Deterministic synthetic-image law, shared verbatim with the DuckDB
+# oracle (image_features_sql): doc d gets a grayscale
+# (8 + d%5) × (8 + d%3) image whose row-major pixel i has value
+# (d·7919 + i) mod 256. The Spark path round-trips these pixels through
+# a REAL PNG encode→decode (cycling row filters, so every unfilter
+# branch runs); the oracle computes the same stats straight from the
+# law — any codec bug breaks value-hash parity.
+PIXEL_PRIME = 7919
+
+
+def synth_png_images(docs: DataFrame, media_col: str = "image") -> DataFrame:
+    """(doc_id, image: binary) — deterministic PNG payloads per document
+    (the crafted-image fixture for the real decode path)."""
+    import numpy as np
+
+    from .png_codec import png_encode
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            imgs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 5, 8 + d % 3
+                v = (d * PIXEL_PRIME + np.arange(w * h)) % 256
+                imgs.append(
+                    png_encode(v.astype(np.uint8).reshape(h, w), filter_mode="cycle")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], media_col: imgs})
+
+    return docs.select("doc_id").mapInPandas(
+        _synth,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField(media_col, T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+PIXEL_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_px", T.DoubleType(), True),
+        T.StructField("min_px", T.IntegerType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
+def image_pixel_features(docs: DataFrame, media_col: str = "image") -> DataFrame:
+    """(doc_id, width, height, channels, mean_px, min_px, max_px) — REAL
+    pixel statistics from decoded PNG bytes (not the md5 stub): the
+    dependency-free codec inflates IDAT, reverses the scanline filters,
+    and the stats reduce over the actual pixel array. mean_px is the
+    float64 mean rounded 4 dp (exact integer sum / count — bit-equal to
+    the oracle's avg). NULL or undecodable payloads yield NULL features,
+    mirroring media_features' row-preserving contract."""
+    import numpy as np
+
+    from .png_codec import png_decode
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[media_col]):
+                if payload is None:
+                    rows.append((int(doc_id), None, None, None, None, None, None))
+                    continue
+                try:
+                    px, _mode = png_decode(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(doc_id), None, None, None, None, None, None))
+                    continue
+                h, w, ch = px.shape
+                flat = px.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(w),
+                        int(h),
+                        int(ch),
+                        round(float(flat.sum()) / flat.size, 4),
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PIXEL_FEATURE_SCHEMA])
+
+    return docs.select("doc_id", media_col).mapInPandas(
+        _feats, schema=PIXEL_FEATURE_SCHEMA
     )
