@@ -20,11 +20,22 @@ from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 # ---------------------------------------------------------------- tokenizer
 
 def lemma_dict_values() -> str:
-    """The full generated dictionary as a VALUES list (word, normal) —
-    the oracle's mirror of the broadcast dictionary join. A VALUES join
-    parses as data (fast) where a several-thousand-branch CASE would not."""
-    rows = ", ".join(f"('{w}', '{n}')" for w, n in lemma_items())
-    return f"SELECT * FROM (VALUES {rows}) v(word, normal)"
+    """The full generated dictionary (word, normal) — the oracle's
+    mirror of the broadcast dictionary join, embedded verbatim in every
+    lemma-using SQL string so each query stays self-contained.
+
+    Emitted as ONE delimited string literal split with
+    string_split/split_part rather than a VALUES list: at the v3
+    dictionary size (34k+ forms) DuckDB spends ~1.2 s parsing 34k value
+    tuples per query, vs ~0.07 s for a single literal — a 15× win
+    across the ~150 lemma-using gate queries. Both forms are the same
+    frozen table (words are letters/hyphens only, so ' ' and '|' are
+    safe delimiters; pinned equal by test_oracle_lemma_embedding)."""
+    blob = "|".join(f"{w} {n}" for w, n in lemma_items())
+    return (
+        "SELECT split_part(x, ' ', 1) AS word, split_part(x, ' ', 2) AS normal "
+        f"FROM unnest(string_split('{blob}', '|')) AS t(x)"
+    )
 
 
 def terms_cte(table: str = "documents", extra_cols: str = "",

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .morphology import build_lemma_table
 
-DICT_VERSION = 2
+DICT_VERSION = 3
 
 # inflected (lowercase) -> first normal form (lowercase). Both sides must be
 # valid tokens of the tokenizer (letters + interior hyphens only).

@@ -22,9 +22,10 @@ its dictionary: a frozen base lexicon (lemma + POS + paradigm class) is
 expanded through deterministic inflection paradigms — English noun
 plurals / verb forms / comparatives with an irregular table, Russian
 noun declensions / adjective agreement / verb conjugations. The result is
-a versioned ``{inflected_form: first_normal_form}`` table (thousands of
-entries — see DICT_SIZE_MIN guard in tests/test_morphology.py) that every
-emitter shares:
+a versioned ``{inflected_form: first_normal_form}`` table (v3: 34k+
+entries — the frozen v2 core plus the morphology_ext expansion layer,
+v3 ⊇ v2 bit-exactly; see tests/test_morphology.py::TestExpansion) that
+every emitter shares:
 
   * Python:  ``lemmas.lemma()`` (driver-side query analysis, snippets)
   * Arrow:   ``Series.map`` in the pandas tokenizers
@@ -50,9 +51,10 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+from . import morphology_ext as ext
 from .stopwords import STOPWORDS_EN, STOPWORDS_RU
 
-DICT_VERSION = 2
+DICT_VERSION = 3
 
 # Reference PARTICLES tag set verbatim (services/LemmasFinder.java:19).
 PARTICLES = ("МЕЖД", "СОЮЗ", "ПРЕДЛ", "ЧАСТ", "PREP", "VBE")
@@ -498,8 +500,10 @@ def ru_verb_forms(
 # Table generation
 # ---------------------------------------------------------------------------
 
-def _base_lexicon() -> dict[str, str]:
-    """lemma -> POS tag for every content lemma (both languages)."""
+def _core_lexicon() -> dict[str, str]:
+    """lemma -> POS tag for every CORE (v2) content lemma. The core
+    lexicon and its generated table are frozen — the round-3 expansion
+    layers on top without touching a single v2 mapping."""
     lex: dict[str, str] = {}
     for n in EN_NOUNS:
         lex[n] = NOUN
@@ -520,15 +524,138 @@ def _base_lexicon() -> dict[str, str]:
     return lex
 
 
-@lru_cache(maxsize=1)
-def build_lemma_table() -> dict[str, str]:
-    """The generated ``{inflected_form: first_normal_form}`` table.
+# ---------------------------------------------------------------------------
+# Expansion layer (morphology_ext): spelling-derived Russian classes and
+# productive-conjugation verb specs, then candidate generation that can only
+# ADD forms (core wins every collision; PROTECTED_TOKENS never gain one).
+# ---------------------------------------------------------------------------
 
-    Deterministic: iteration order is frozen (lexicon listing order, then
-    alphabetical winner on collisions); identity entries and forms that are
-    themselves base lemmas are EXCLUDED (first-normal-form rule — the form
-    is its own first normal form, reference LemmasFinder.java:327-342)."""
-    lemmas = _base_lexicon()
+_RU_VOWELS = set("аеёиоуыэюя")
+
+
+def ru_ext_class(word: str) -> str:
+    """Spelling-derived paradigm class for an expansion noun (the core
+    classes of ru_noun_forms). The -ь gender call uses the feminine
+    suffix families (-ость/-есть/-знь), orthography (hushing+ь is
+    feminine), and the explicit EXT_RU_SOFT_FEM list; -ок/-ец masculines
+    get the fleeting-vowel oblique stem unless excepted."""
+    w = word
+    if w.endswith("ия"):
+        return "fja"
+    if w.endswith(("ие", "ье")):
+        return "ne"
+    if w.endswith("я"):
+        return "fja"
+    if w.endswith("а"):
+        return "fa"
+    if w.endswith("о"):
+        return "no"
+    if w.endswith("е"):
+        return "ne"
+    if w.endswith("й"):
+        return "ms"
+    if w.endswith("ь"):
+        if (
+            w in ext.EXT_RU_SOFT_FEM
+            or w.endswith(("ость", "есть", "знь"))
+            or (len(w) >= 2 and w[-2] in "жшщч")
+        ):
+            return "fs"
+        return "ms"
+    if (
+        w.endswith("ок")
+        and len(w) > 3
+        and w not in ext.EXT_RU_NO_FLEETING
+        and w[-3] not in _RU_VOWELS
+    ):
+        return f"mh:{w[:-2]}к"
+    if w.endswith("ец") and len(w) > 3 and w not in ext.EXT_RU_NO_FLEETING:
+        if w[-3] in _RU_VOWELS:  # боец → бойц-
+            return f"mh:{w[:-2]}йц"
+        return f"mh:{w[:-2]}ц"
+    return "mh"
+
+
+def ru_ext_verb_spec(inf: str) -> tuple[str, int] | None:
+    """(present stem, conjugation) for the productive classes the
+    expansion restricts itself to; None = skip (don't guess)."""
+    if inf.endswith(("овать", "евать")) and len(inf) > 6:
+        return inf[:-5] + ("у" if inf.endswith("овать") else "ю"), 1
+    if inf.endswith("еять") and len(inf) > 4:  # надеять(ся) → наде-ю
+        return inf[:-3], 1
+    if inf.endswith(("ать", "ять")) and len(inf) > 4:
+        return inf[:-2], 1
+    if inf.endswith(("ить", "еть")) and len(inf) > 4:
+        return inf[:-3], 2
+    return None
+
+
+def _ru_ext_verb_forms(inf: str) -> list[str]:
+    """Expansion verb forms: the core present+past set plus imperatives;
+    reflexive -ся verbs conjugate the base and re-attach -ся/-сь by the
+    standard vowel rule (надеюсь / надеешься / надеялась)."""
+    refl = inf.endswith("ся")
+    base = inf[:-2] if refl else inf
+    spec = ru_ext_verb_spec(base)
+    if spec is None:
+        return []
+    stem, conj = spec
+    forms = ru_verb_forms(base, stem, conj)
+    if stem and stem[-1] in _RU_VOWELS:
+        forms += [stem + "й", stem + "йте"]
+    else:
+        forms += [stem + "и", stem + "ите"]
+    if refl:
+        forms = [
+            f + ("сь" if f[-1] in _RU_VOWELS else "ся") for f in forms
+        ]
+    return forms
+
+
+def _ext_lexicon(core_lex: dict[str, str], core_table: dict[str, str]) -> dict[str, str]:
+    """Expansion lemma -> POS. A candidate lemma colliding with a core
+    lemma OR a core inflected form is dropped (core behavior wins; the
+    first-normal-form identity rule stays exact over the merged set)."""
+    lex: dict[str, str] = {}
+
+    def add(word: str, pos: str) -> None:
+        if word and word not in core_lex and word not in core_table:
+            lex.setdefault(word, pos)
+
+    for n in ext.EXT_EN_NOUNS:
+        add(n, NOUN)
+    for n in ext.EXT_EN_IRREGULAR_PLURALS.values():
+        add(n, NOUN)
+    for v in ext.EXT_EN_VERBS:
+        add(v, VERB)
+    for a in ext.EXT_EN_ADJ_GRADABLE:
+        add(a, ADJ)
+    for a in ext.EXT_EN_ADJ_PLAIN:
+        add(a, ADJ)
+    for n in ext.EXT_RU_NOUNS:
+        add(n, NOUN)
+    for a in ext.EXT_RU_ADJECTIVES:
+        add(a, ADJ)
+    for v in ext.EXT_RU_VERBS:
+        add(v, VERB)
+    return lex
+
+
+@lru_cache(maxsize=1)
+def _base_lexicon() -> dict[str, str]:
+    """lemma -> POS over the MERGED (core + expansion) lexicon — the
+    recognition set analyze()/is_fitting consult."""
+    lex = dict(_core_lexicon())
+    for w, pos in _ext_lexicon(lex, _core_table()).items():
+        lex.setdefault(w, pos)
+    return lex
+
+
+@lru_cache(maxsize=1)
+def _core_table() -> dict[str, str]:
+    """The v2 generated table, byte-identical to the round-2 output —
+    built from the core lexicon ONLY, before the expansion layer."""
+    lemmas = _core_lexicon()
     candidates: dict[str, list[str]] = {}
 
     def add(form: str, lemma: str) -> None:
@@ -568,6 +695,71 @@ def build_lemma_table() -> dict[str, str]:
         # homograph collision (axes←axe/axis): deterministic winner =
         # alphabetically first lemma (frozen rule; mirrors "first normal
         # form" being a fixed pick among analyses)
+        table[form] = sorted(set(candidates[form]))[0]
+    return table
+
+
+@lru_cache(maxsize=1)
+def build_lemma_table() -> dict[str, str]:
+    """The generated ``{inflected_form: first_normal_form}`` table:
+    the frozen v2 core (_core_table, unchanged bit-for-bit) plus the
+    round-3 expansion layer (morphology_ext).
+
+    Deterministic: iteration order is frozen (lexicon listing order,
+    then alphabetical winner on collisions); identity entries and forms
+    that are themselves lemmas are EXCLUDED (first-normal-form rule —
+    the form is its own first normal form, reference
+    LemmasFinder.java:327-342). Expansion candidates are added ONLY for
+    forms the core decided nothing about, are never lemmas of either
+    layer, and never touch PROTECTED_TOKENS — so v3 ⊇ v2 exactly
+    (pinned by tests/test_morphology.py::TestExpansion)."""
+    core_lex = _core_lexicon()
+    table = dict(_core_table())
+    ext_lex = _ext_lexicon(core_lex, table)
+
+    candidates: dict[str, list[str]] = {}
+
+    def add(form: str, lemma: str) -> None:
+        if (
+            form
+            and form != lemma
+            and form not in table
+            and form not in core_lex
+            and form not in ext_lex
+            and form not in ext.PROTECTED_TOKENS
+        ):
+            candidates.setdefault(form, []).append(lemma)
+
+    for n in ext.EXT_EN_NOUNS:
+        if n in ext_lex:
+            add(en_plural(n), n)
+    for form, lemma in ext.EXT_EN_IRREGULAR_PLURALS.items():
+        if lemma in ext_lex or lemma in core_lex:
+            add(form, lemma)
+    for v in ext.EXT_EN_VERBS:
+        if v in ext_lex or (v in core_lex and core_lex[v] != VERB):
+            # a core NOUN reused as an expansion verb still inflects
+            # (answer → answered); core VERBS are already covered
+            for form in en_verb_forms(v):
+                add(form, v)
+    for a in ext.EXT_EN_ADJ_GRADABLE:
+        if a in ext_lex:
+            for form in en_adj_forms(a):
+                add(form, a)
+    for n in ext.EXT_RU_NOUNS:
+        if n in ext_lex:
+            for form in ru_noun_forms(n, ru_ext_class(n)):
+                add(form, n)
+    for a in ext.EXT_RU_ADJECTIVES:
+        if a in ext_lex:
+            for form in ru_adj_forms(a):
+                add(form, a)
+    for v in ext.EXT_RU_VERBS:
+        if v in ext_lex:
+            for form in _ru_ext_verb_forms(v):
+                add(form, v)
+
+    for form in sorted(candidates):
         table[form] = sorted(set(candidates[form]))[0]
     return table
 

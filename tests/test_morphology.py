@@ -277,6 +277,74 @@ class TestGoldens:
         assert sum(1 for f, _ in GOLDEN_PAIRS if not M.is_cyrillic(f)) >= 100
 
 
+class TestExpansion:
+    """Round-3 breadth growth (morphology_ext): ≥30k forms, v3 ⊇ v2."""
+
+    def test_v3_is_strict_superset_of_v2_core(self):
+        core = M._core_table()
+        table = M.build_lemma_table()
+        assert len(core) == 3649  # the frozen v2 table, bit-for-bit
+        for form, normal in core.items():
+            assert table[form] == normal
+        assert len(table) > len(core)
+
+    def test_breadth_target(self):
+        table = M.build_lemma_table()
+        assert len(table) >= 30000
+        cyr = sum(1 for f in table if M.is_cyrillic(f))
+        assert cyr >= 10000 and len(table) - cyr >= 4000
+
+    def test_protected_tokens_never_gain_mappings(self):
+        """The full test-corpus vocabulary + frozen query terms keep
+        their v2 analysis — committed goldens and oracle pairs built on
+        that vocabulary are provably untouched by the expansion."""
+        from search_engine_spark.textproc.morphology_ext import (
+            PROTECTED_TOKENS,
+        )
+
+        core = M._core_table()
+        table = M.build_lemma_table()
+        for w in PROTECTED_TOKENS:
+            assert (w in table) == (w in core)
+            if w in core:
+                assert table[w] == core[w]
+
+    def test_expansion_goldens(self):
+        """2,500 committed (form → lemma) pairs (1,250 per script),
+        deterministically sampled by md5(form) — the regeneration drift
+        pin the verdict asked to grow from 240 to ≥2,000."""
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "golden_lemma_pairs_v3.json"
+        )
+        with open(path, encoding="utf-8") as f:
+            golden = json.load(f)
+        assert len(golden) >= 2000
+        for form, normal in golden:
+            assert lemma(form) == normal, (form, normal)
+
+    def test_spelling_derived_russian_classes(self):
+        # gender/paradigm derivation spot pins
+        assert M.ru_ext_class("станция") == "fja"
+        assert M.ru_ext_class("здание") == "ne"
+        assert M.ru_ext_class("газета") == "fa"
+        assert M.ru_ext_class("зеркало") == "no"
+        assert M.ru_ext_class("ночь") == "fs"  # hushing + ь = feminine
+        assert M.ru_ext_class("скорость") == "fs"
+        assert M.ru_ext_class("гвоздь") == "ms"
+        assert M.ru_ext_class("рынок") == "mh:рынк"  # fleeting vowel
+        assert M.ru_ext_class("урок") == "mh"  # exception list
+        assert M.ru_ext_class("боец") == "mh:бойц"
+
+    def test_reflexive_and_imperative_verb_forms(self):
+        t = M.build_lemma_table()
+        assert t["надеюсь"] == "надеяться"
+        assert t["надеялась"] == "надеяться"
+        assert t["анализируйте"] == "анализировать"
+
+
 class TestContract:
     def test_size(self):
         assert len(M.build_lemma_table()) >= DICT_SIZE_MIN
@@ -374,3 +442,22 @@ class TestEmitters:
         )
         con.close()
         assert got == {i: lemma(w) for i, w in enumerate(words)}
+
+
+def test_oracle_lemma_embedding():
+    """The string-literal dictionary embedding (one string_split parse
+    instead of 34k VALUES tuples — the v3-size parse-time fix) yields
+    exactly lemma_items() when DuckDB evaluates it."""
+    import duckdb
+
+    from search_engine_spark.functions.oracle_fragments import (
+        lemma_dict_values,
+    )
+
+    con = duckdb.connect()  # keep alive: the relation closes with it
+    df = con.sql(lemma_dict_values()).df()
+    got = list(map(tuple, df.itertuples(index=False)))
+    assert got == [tuple(p) for p in lemma_items()]
+    # delimiter safety: every token is letters (+ interior hyphen) only
+    for w, n in lemma_items():
+        assert " " not in w + n and "|" not in w + n and "'" not in w + n
