@@ -111,8 +111,18 @@ def main() -> None:
         help="append this N→4N pair as an additional section instead of "
         "rewriting BENCH/BASELINE.md (second datapoint, e.g. 8→32)",
     )
+    ap.add_argument(
+        "--large",
+        type=int,
+        default=None,
+        help="override the large level (default n*4). The r02-verdict "
+        "wide datapoint uses 8→24: 24-of-32 cores leaves the scheduler "
+        "headroom whose absence made full-width 32-core runs "
+        "uncontrollable on this host (see BENCH/BASELINE.md).",
+    )
     args = ap.parse_args()
-    n, n4 = args.n, args.n * 4
+    n, n4 = args.n, (args.large or args.n * 4)
+    ratio = n4 / n
 
     # best-of-2 per level: single-run variance on this virtualized host is
     # ±20%; the max is the honest capability estimate for a fixed machine
@@ -130,7 +140,7 @@ def main() -> None:
 
     tput_n = small["docs_per_sec"]
     tput_4n = large["docs_per_sec"]
-    eff = tput_4n / (4.0 * tput_n)
+    eff = tput_4n / (ratio * tput_n)
     eff_hw = (tput_4n / tput_n) / hw_ratio
 
     def qsec(r):
@@ -138,14 +148,15 @@ def main() -> None:
         vals = sorted(qs.values())
         return vals[len(vals) // 2]
 
+    ratio_label = f"{ratio:g}N" if ratio != int(ratio) else f"{int(ratio)}N"
     if args.append:
         head = f"""
 
 ## Second datapoint: local[{n}] vs local[{n4}]
 
 Same methodology (fresh pinned JVM per level, same input shape, best
-of 2); this pair extends to the host's full {n4} cores as 4N, probing the
-upper end of the machine rather than re-measuring the primary pair.
+of 2); this pair extends toward the upper end of the machine rather than
+re-measuring the primary pair.
 """
     else:
         head = f"""# BENCH — scaling evidence (local[{n}] vs local[{n4}])
@@ -159,7 +170,7 @@ sf{small['sf']} × multiply={args.multiply}), fresh JVM per level.
         # ratio came out BELOW the engine's own ratio, the burn window hit
         # transient host contention and the calibration is invalid — say
         # so instead of publishing an impossible >1.0 "efficiency"
-        calib = f"""**Raw scaling efficiency (N → 4N) = throughput_4N / (4 · throughput_N) =
+        calib = f"""**Raw scaling efficiency (N → {ratio_label}) = throughput_{ratio_label} / ({ratio:g} · throughput_N) =
 {eff:.3f}** (target ≥ 0.8, BASELINE.json north_rule).
 
 Calibration for this pair is NOT meaningful: the pure-CPU burn on the same
@@ -168,7 +179,7 @@ the engine's own {tput_4n / tput_n:.2f}× — impossible for a true ceiling, so
 the burn window hit transient host contention and is discarded rather than
 used to inflate the figure. The raw number stands on its own."""
     else:
-        calib = f"""**Raw scaling efficiency (N → 4N) = throughput_4N / (4 · throughput_N) =
+        calib = f"""**Raw scaling efficiency (N → {ratio_label}) = throughput_{ratio_label} / ({ratio:g} · throughput_N) =
 {eff:.3f}**; **hardware-calibrated efficiency = {eff_hw:.3f}** (target ≥ 0.8,
 BASELINE.json north_rule).
 
@@ -183,7 +194,7 @@ executor brings its own memory bus instead of sharing one VM's."""
 | parallelism | build sec | docs/sec | query p50 sec | total sec |
 |---|---|---|---|---|
 | local[{n}] (N) | {small['queries']['build']} | {tput_n} | {qsec(small)} | {small['value']} |
-| local[{n4}] (4N) | {large['queries']['build']} | {tput_4n} | {qsec(large)} | {large['value']} |
+| local[{n4}] ({ratio_label}) | {large['queries']['build']} | {tput_4n} | {qsec(large)} | {large['value']} |
 
 {calib}
 
