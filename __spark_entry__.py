@@ -2203,6 +2203,25 @@ def _q_search_impact(spark, sf_dir):
     return search_impact(imp, Q_BM25)
 
 
+def _q_search_champions(spark, sf_dir):
+    """Bounded-error top-k from PERSISTED champion lists (Anh-Moffat
+    pruned impact index): per-(doc_bucket, term) top-8 impact prefix
+    with stored tail cutoffs; error_ub is the exact tail bound. The
+    serving surface that makes head-term latency prefix-bound instead
+    of posting-mass-bound (BENCH/QUERIES.md)."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        quantized_impacts,
+        search_champions,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_champions(champion_lists(imp, budget_per_bucket=8), Q_BM25)
+
+
 def _q_containment(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup: quoted-inside
     detection), candidate-driven from LSH band collisions."""
@@ -2641,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_vsm": _q_search_vsm,
         "impact_postings": _q_impact_postings,
         "search_impact": _q_search_impact,
+        "search_champions": _q_search_champions,
         "containment": _q_containment,
         "ann_filtered": _q_ann_filtered,
         "cdx_lines": _q_cdx_lines,
@@ -2913,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "search_vsm": ora.search_vsm_sql(Q_BM25),
         "impact_postings": ora.impact_postings_sql(),
         "search_impact": ora.search_impact_sql(Q_BM25),
+        "search_champions": ora.search_champions_sql(Q_BM25, budget=8),
         "containment": pipe.containment_pairs_sql(
             threshold=CONTAIN_THRESHOLD, lsh_candidates=True
         ),

@@ -102,6 +102,101 @@ def main() -> None:
         walls = [probe(terms) for _ in range(rounds)]
         out[f"p50_{label}"] = round(statistics.median(walls), 4)
         out[f"min_{label}"] = round(min(walls), 4)
+
+    # ---- champion-list serving (Anh-Moffat pruned impact index) ----
+    # The head-term probe above is decode-bound on the matched posting
+    # mass; the champion table bounds per-query work by |q|·buckets·
+    # budget rows regardless of df. Built once at index time, probed
+    # with the same pushed-In scan; quality reported as top-k overlap
+    # vs the exact blocks path.
+    from search_engine_spark.operators import impact as imp
+    from search_engine_spark.sources.documents import load_documents as _ld
+
+    champ_path = f"{index_dir}/champions"
+    champ_build_sec = None
+    if not os.path.exists(champ_path + "/_SUCCESS"):
+        t0 = time.time()
+        from search_engine_spark.operators import index_build as ib
+
+        docs = _ld(spark, sf_dir, multiply=multiply)
+        postings = ib.build_postings(docs)
+        term_dict = ib.build_term_dict(postings)
+        doc_stats = ib.build_doc_stats(docs, postings)
+        impacts = imp.quantized_impacts(
+            postings,
+            term_dict,
+            doc_stats,
+            stats["n_docs"],
+            float(stats["avgdl"]),
+        )
+        impacts.write.mode("overwrite").parquet(f"{index_dir}/impacts")
+        impacts = spark.read.parquet(f"{index_dir}/impacts")
+        (
+            imp.champion_lists(impacts, n_buckets=32)
+            .repartition(1)
+            .sortWithinPartitions("term", "doc_bucket")
+            .write.mode("overwrite")
+            .parquet(champ_path)
+        )
+        champ_build_sec = round(time.time() - t0, 2)
+    out["champ_build_sec"] = champ_build_sec
+    champions = spark.read.parquet(champ_path)
+    impacts_full = spark.read.parquet(f"{index_dir}/impacts")
+    out["champ_rows"] = champions.count()
+
+    def probe_champ(terms: list[str]):
+        t0 = time.time()
+        rows = imp.search_champions(champions, terms, k=20).collect()
+        return time.time() - t0, rows
+
+    # Quality reference: the EXACT integer ranking over the full impact
+    # table (same quantization, same tie-break) — isolates the champion
+    # PRUNING loss; quantization-vs-float fidelity is pinned separately
+    # (tests/test_impact.py::test_search_impact_topk_tracks_exact_bm25).
+    # NOTE the multiply corpus is thousands of identical shifted copies,
+    # so top-20 ids are pure tie-breaks among equal scores — id overlap
+    # understates quality; the score-mass ratio (champion top-20 summed
+    # TRUE integer score / exact top-20 summed score) is the honest
+    # retrieval-quality number on this input.
+    def exact_int_top(terms: list[str]):
+        return imp.search_impact(impacts_full, terms, k=20).collect()
+
+    probe_champ(QUERIES["3term"])  # warm footers
+    for label, terms in QUERIES.items():
+        walls = []
+        rows = []
+        for _ in range(rounds):
+            w, rows = probe_champ(terms)
+            walls.append(w)
+        out[f"champ_p50_{label}"] = round(statistics.median(walls), 4)
+        exact = exact_int_top(terms)
+        # true integer scores of the champion-returned ids: one pruned
+        # scan filtered to 20 ids (never a sentinel-huge top-k limit —
+        # TakeOrdered allocates an O(k) heap per task)
+        from pyspark.sql import functions as F
+
+        ids = [r["doc_id"] for r in rows]
+        true_rows = (
+            impacts_full.filter(
+                F.col("term").isin(sorted(set(terms)))
+                & F.col("doc_id").isin(ids)
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("impact").cast("bigint").alias("score_q"))
+            .collect()
+        )
+        exact_by_id = {r["doc_id"]: r["score_q"] for r in true_rows}
+        out[f"champ_overlap20_{label}"] = len(
+            {r["doc_id"] for r in rows} & {r["doc_id"] for r in exact}
+        )
+        got_mass = sum(exact_by_id.get(r["doc_id"], 0) for r in rows)
+        true_mass = sum(r["score_q"] for r in exact)
+        out[f"champ_scoremass_{label}"] = (
+            round(got_mass / true_mass, 4) if true_mass else 1.0
+        )
+        out[f"champ_maxerr_{label}"] = max(
+            (r["error_ub"] for r in rows), default=0
+        )
     out.update(
         {
             "n_docs": stats["n_docs"],

@@ -2169,6 +2169,57 @@ LIMIT {k}
 """
 
 
+def search_champions_sql(query_terms: list[str], k: int = 20,
+                         budget: int = 8, n_buckets: int = 16,
+                         k1: float = 1.2, b: float = 0.75,
+                         table: str = "documents") -> str:
+    """Bounded-error top-k over persisted champion lists — mirrors
+    operators/impact.py::champion_lists + search_champions (Anh-Moffat
+    pruned index): per (doc_bucket, term) keep the `budget` highest
+    impacts (desc, doc_id asc), carry the tail cutoff, and report
+    error_ub = Σ_q cutoffs − Σ_seen cutoffs per doc. Filtering to the
+    query terms before the window is equivalent to probing the
+    persisted table (runs are per-term independent)."""
+    uniq = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+{_impact_ctes(k1, b, table)},
+ranked AS (
+  SELECT (doc_id % {n_buckets}) AS doc_bucket, term, doc_id, impact,
+         row_number() OVER (PARTITION BY doc_id % {n_buckets}, term
+                            ORDER BY impact DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id % {n_buckets}, term) AS n_run
+  FROM impacts
+  WHERE term IN {_terms_in(uniq)}
+),
+cuts AS (
+  SELECT doc_bucket, term, impact AS cutoff FROM ranked
+  WHERE rn = {int(budget)} AND n_run > {int(budget)}
+),
+kept AS (
+  SELECT r.doc_bucket, r.term, r.doc_id, r.impact,
+         coalesce(c.cutoff, 0) AS cutoff
+  FROM ranked r LEFT JOIN cuts c USING (doc_bucket, term)
+  WHERE r.rn <= {int(budget)}
+),
+btot AS (
+  SELECT doc_bucket, sum(cutoff) AS tot
+  FROM (SELECT DISTINCT doc_bucket, term, cutoff FROM kept)
+  GROUP BY doc_bucket
+),
+scored AS (
+  SELECT doc_id, doc_bucket, sum(impact)::BIGINT AS score_q,
+         sum(cutoff) AS seen
+  FROM kept GROUP BY doc_id, doc_bucket
+)
+SELECT s.doc_id, s.score_q,
+       (coalesce(b2.tot, 0) - s.seen)::BIGINT AS error_ub
+FROM scored s LEFT JOIN btot b2 USING (doc_bucket)
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def search_prox_boost_sql(query_terms: list[str], k1: float = 1.2,
                           b: float = 0.75, prox_weight: float = 1.0,
                           alpha: float = 1.0, limit: int = 20,

@@ -249,3 +249,122 @@ def search_impact_anytime(
     # ranked stays persisted for the session (the cutoff collect above and
     # the returned plan must see the same ranking)
     return out
+
+
+# ------------------------------------------------- persisted champion lists
+
+CHAMPION_BUDGET = 128  # postings kept per (doc_bucket, term) run
+
+
+def champion_lists(
+    impacts: DataFrame,
+    budget_per_bucket: int = CHAMPION_BUDGET,
+    n_buckets: int = ANYTIME_BUCKETS,
+) -> DataFrame:
+    """(doc_bucket, term, doc_id, impact, cutoff) — the PERSISTED pruned
+    impact index: per (doc_bucket, term), only the `budget_per_bucket`
+    highest-impact postings survive (impact desc, doc_id asc — the
+    deterministic champion prefix), and every kept row carries the run's
+    tail CUTOFF: the smallest evaluated impact when the run overflowed
+    the budget, else 0. Anh & Moffat's pruned index (CIKM'06) /
+    champion lists — `search_champions` serves bounded-error top-k from
+    this table ALONE, with no full-index access and no driver-side
+    state, which is what makes head-term queries latency-bound by the
+    prefix instead of the posting mass (measured: BENCH/QUERIES.md).
+
+    Unlike `search_impact_anytime` (the query-time twin, which collects
+    cutoffs to the driver because its input is transient), everything
+    here is in-plan: one window shuffle keyed (doc_bucket, term) — the
+    same bounded run key as the block builder, so a 100%-df head term
+    still splits across buckets — then a broadcast-small self-join for
+    the cutoff column. Write once at index time, prune forever."""
+    from pyspark.sql import Window
+
+    pq = impacts.withColumn(
+        "doc_bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+    w = Window.partitionBy("doc_bucket", "term").orderBy(
+        F.col("impact").desc(), F.col("doc_id").asc()
+    )
+    ranked = pq.select(
+        "doc_bucket", "term", "doc_id", "impact",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy("doc_bucket", "term")
+        ).alias("n_run"),
+    )
+    kept = ranked.filter(F.col("rn") <= budget_per_bucket)
+    cuts = (
+        ranked.filter(
+            (F.col("rn") == budget_per_bucket)
+            & (F.col("n_run") > budget_per_bucket)
+        )
+        .select("doc_bucket", "term", F.col("impact").alias("cutoff"))
+    )
+    return (
+        kept.join(F.broadcast(cuts), ["doc_bucket", "term"], "left")
+        .select(
+            "doc_bucket",
+            "term",
+            "doc_id",
+            "impact",
+            F.coalesce(F.col("cutoff"), F.lit(0)).cast("int").alias("cutoff"),
+        )
+    )
+
+
+def search_champions(
+    champions: DataFrame,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, score_q, error_ub) — bounded-error top-k from the
+    persisted champion table alone: score_q sums the stored impacts of
+    the doc's matched champion rows; error_ub is the exact upper bound
+    on what pruned tails could still add, from the STORED cutoffs:
+
+        error_ub(d) = Σ_{t ∈ q} cutoff(bucket(d), t) − Σ_{t seen for d}
+                      cutoff(bucket(d), t)
+
+    (a doc absent from term t's champion prefix in its bucket can have
+    gained at most that run's cutoff; seen terms contribute their full
+    stored impact, so their cutoff is subtracted back out). Same
+    interval semantics as `search_impact_anytime`, pinned equal by
+    test. Serving shape: pushed In(term) scan of the small pruned
+    table → map-side-combinable integer groupBy → broadcast of the
+    ≤ n_buckets·|q| cutoff rows → TakeOrdered. Zero Python, zero
+    driver-side state, movement bounded by the champion prefix."""
+    uniq = sorted(set(terms))
+    empty = champions.select(
+        F.col("doc_id"),
+        F.lit(0).cast("bigint").alias("score_q"),
+        F.lit(0).cast("bigint").alias("error_ub"),
+    ).limit(0)
+    if not uniq:
+        return empty
+    cand = champions.filter(F.col("term").isin(uniq))
+    cuts = cand.select("doc_bucket", "term", "cutoff").distinct()
+    bucket_tot = cuts.groupBy("doc_bucket").agg(
+        F.sum("cutoff").alias("bucket_cut_total")
+    )
+    scored = (
+        cand.groupBy("doc_id", "doc_bucket")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.sum("cutoff").alias("seen_cut_total"),
+        )
+        .join(F.broadcast(bucket_tot), "doc_bucket", "left")
+        .select(
+            "doc_id",
+            "score_q",
+            (
+                F.coalesce(F.col("bucket_cut_total"), F.lit(0))
+                - F.col("seen_cut_total")
+            )
+            .cast("bigint")
+            .alias("error_ub"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    ).limit(k)

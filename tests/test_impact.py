@@ -167,3 +167,100 @@ def test_anytime_prefix_is_highest_impact(spark):
     assert [(r["doc_id"], r["score_q"], r["error_ub"]) for r in rows] == [
         (0, 9, 0)  # the evaluated doc saw its term: no residual error
     ]
+
+
+def test_champions_bound_brackets_exhaustive(spark):
+    """Persisted champion lists: for every returned doc score_q <= true
+    <= score_q + error_ub; an oversized budget collapses the bound and
+    reproduces search_impact exactly (round-3 serving surface)."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, entrymod.SF0001
+    )
+    imp = quantized_impacts(
+        postings, term_dict, doc_stats, n_docs, avgdl
+    ).persist()
+    truth = {
+        r["doc_id"]: r["score_q"]
+        for r in search_impact(imp, entrymod.Q_BM25, k=10**6).collect()
+    }
+    tight = search_champions(
+        champion_lists(imp, budget_per_bucket=3), entrymod.Q_BM25, k=10**6
+    ).collect()
+    assert any(r["error_ub"] > 0 for r in tight)  # the prune really cut
+    for r in tight:
+        t = truth[r["doc_id"]]
+        assert r["score_q"] <= t <= r["score_q"] + r["error_ub"], r.asDict()
+    loose = search_champions(
+        champion_lists(imp, budget_per_bucket=10**6), entrymod.Q_BM25, k=10**6
+    ).collect()
+    assert all(r["error_ub"] == 0 for r in loose)
+    assert {r["doc_id"]: r["score_q"] for r in loose} == truth
+    imp.unpersist()
+
+
+def test_champions_matches_anytime_semantics(spark):
+    """champion_lists + search_champions == search_impact_anytime at the
+    same budget: the persisted table carries exactly the state the
+    query-time twin recomputes (cutoffs included)."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions,
+        search_impact_anytime,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, entrymod.SF0001
+    )
+    imp = quantized_impacts(
+        postings, term_dict, doc_stats, n_docs, avgdl
+    ).persist()
+    a = sorted(
+        map(
+            tuple,
+            search_champions(
+                champion_lists(imp, budget_per_bucket=3),
+                entrymod.Q_BM25,
+                k=10**6,
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            search_impact_anytime(
+                imp, entrymod.Q_BM25, k=10**6, budget_per_bucket=3
+            ).collect(),
+        )
+    )
+    assert a == b and a
+    imp.unpersist()
+
+
+def test_champions_crafted_cutoff_rows(spark):
+    """Crafted single run, budget 1: the kept row is the highest impact,
+    its stored cutoff is its own impact (the run overflowed), and an
+    unmatched query term contributes nothing."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions,
+    )
+
+    imp = spark.createDataFrame(
+        [("a", 0, 9), ("a", 16, 7), ("a", 32, 3)],
+        "term string, doc_id long, impact int",
+    )
+    ch = champion_lists(imp, budget_per_bucket=1, n_buckets=16).collect()
+    assert [(r["doc_bucket"], r["term"], r["doc_id"], r["impact"], r["cutoff"])
+            for r in ch] == [(0, "a", 0, 9, 9)]
+    rows = search_champions(
+        champion_lists(imp, budget_per_bucket=1, n_buckets=16),
+        ["a", "zz"],
+    ).collect()
+    assert [(r["doc_id"], r["score_q"], r["error_ub"]) for r in rows] == [
+        (0, 9, 0)
+    ]
