@@ -2222,6 +2222,25 @@ def _q_search_champions(spark, sf_dir):
     return search_champions(champion_lists(imp, budget_per_bucket=8), Q_BM25)
 
 
+def _q_search_champions_and(spark, sf_dir):
+    """Conjunctive (engine-default AND) serving from the persisted
+    champion lists, with per-doc certainty: complete runs make absence
+    definitive (eliminate), truncated runs leave a bounded maybe band."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        quantized_impacts,
+        search_champions_and,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_champions_and(
+        champion_lists(imp, budget_per_bucket=8), Q_BM25
+    )
+
+
 def _q_containment(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup: quoted-inside
     detection), candidate-driven from LSH band collisions."""
@@ -2661,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impact_postings": _q_impact_postings,
         "search_impact": _q_search_impact,
         "search_champions": _q_search_champions,
+        "search_champions_and": _q_search_champions_and,
         "containment": _q_containment,
         "ann_filtered": _q_ann_filtered,
         "cdx_lines": _q_cdx_lines,
@@ -2934,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "impact_postings": ora.impact_postings_sql(),
         "search_impact": ora.search_impact_sql(Q_BM25),
         "search_champions": ora.search_champions_sql(Q_BM25, budget=8),
+        "search_champions_and": ora.search_champions_and_sql(Q_BM25, budget=8),
         "containment": pipe.containment_pairs_sql(
             threshold=CONTAIN_THRESHOLD, lsh_candidates=True
         ),

@@ -2220,6 +2220,61 @@ LIMIT {int(k)}
 """
 
 
+def search_champions_and_sql(query_terms: list[str], k: int = 20,
+                             budget: int = 8, n_buckets: int = 16,
+                             k1: float = 1.2, b: float = 0.75,
+                             table: str = "documents") -> str:
+    """Conjunctive champion serving — mirrors
+    operators/impact.py::search_champions_and: eliminate on certain
+    absence (complete run not containing the doc, or a query term with
+    no run in the bucket), flag certainty, bound the maybe band."""
+    uniq = sorted(set(query_terms))
+    n_q = len(uniq)
+    return f"""
+WITH {terms_cte(table)},
+{_impact_ctes(k1, b, table)},
+ranked AS (
+  SELECT (doc_id % {n_buckets}) AS doc_bucket, term, doc_id, impact,
+         row_number() OVER (PARTITION BY doc_id % {n_buckets}, term
+                            ORDER BY impact DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id % {n_buckets}, term) AS n_run
+  FROM impacts
+  WHERE term IN {_terms_in(uniq)}
+),
+cuts AS (
+  SELECT doc_bucket, term, impact AS cutoff FROM ranked
+  WHERE rn = {int(budget)} AND n_run > {int(budget)}
+),
+kept AS (
+  SELECT r.doc_bucket, r.term, r.doc_id, r.impact,
+         coalesce(c.cutoff, 0) AS cutoff
+  FROM ranked r LEFT JOIN cuts c USING (doc_bucket, term)
+  WHERE r.rn <= {int(budget)}
+),
+census AS (
+  SELECT doc_bucket, count(*) AS n_runs,
+         sum(CASE WHEN cutoff = 0 THEN 1 ELSE 0 END) AS n_complete,
+         sum(cutoff) AS bucket_cut_total
+  FROM (SELECT DISTINCT doc_bucket, term, cutoff FROM kept)
+  GROUP BY doc_bucket
+),
+scored AS (
+  SELECT doc_id, doc_bucket, sum(impact)::BIGINT AS score_q,
+         count(*) AS n_seen,
+         sum(CASE WHEN cutoff = 0 THEN 1 ELSE 0 END) AS seen_complete,
+         sum(cutoff) AS seen_cut_total
+  FROM kept GROUP BY doc_id, doc_bucket
+)
+SELECT s.doc_id, s.score_q,
+       (c.bucket_cut_total - s.seen_cut_total)::BIGINT AS error_ub,
+       (s.n_seen = {n_q}) AS certain
+FROM scored s JOIN census c USING (doc_bucket)
+WHERE c.n_runs = {n_q} AND s.seen_complete = c.n_complete
+ORDER BY certain DESC, score_q DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def search_prox_boost_sql(query_terms: list[str], k1: float = 1.2,
                           b: float = 0.75, prox_weight: float = 1.0,
                           alpha: float = 1.0, limit: int = 20,

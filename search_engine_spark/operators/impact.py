@@ -368,3 +368,84 @@ def search_champions(
     return scored.orderBy(
         F.col("score_q").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def search_champions_and(
+    champions: DataFrame,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, score_q, error_ub, certain) — CONJUNCTIVE (AND) top-k
+    from the persisted champion table, with per-doc certainty: the
+    engine's default search mode served from the pruned index.
+
+    The cutoff column makes absence INFORMATIVE: a (bucket, term) run
+    with cutoff 0 is COMPLETE (every posting survived the budget), so a
+    doc missing from it definitively lacks the term — eliminated. A
+    truncated run (cutoff > 0) makes the missing doc a MAYBE whose
+    hidden impact is bounded by the cutoff. A query term with NO run in
+    the doc's bucket eliminates the whole bucket. Hence per doc d in
+    bucket b with seen terms S:
+
+        eliminated  ⇔ some query term is absent-with-certainty
+        certain     ⇔ S = q           (score exact, error_ub = 0)
+        maybe       ⇔ every unseen term's run is truncated;
+                      true_score ∈ [score_q, score_q + error_ub]
+
+    Ordering: certain first, then score_q desc, doc_id asc — a server
+    rescopes only the maybe band through the exact path (the same
+    two-tier design as the disjunctive variant, but with conjunctive
+    eliminations making the band far smaller). Completeness caveat
+    shared with the disjunctive variant: a doc whose EVERY query-term
+    posting fell below the prefixes is not returned at all — its score
+    is bounded by its bucket's Σ cutoffs, the same quantity error_ub
+    reports, so the k-th returned score_q exceeding that sum certifies
+    the top-k complete. All in-plan: the per-bucket run census
+    (complete/truncated/missing counts) is a broadcast of ≤ n_buckets
+    rows."""
+    uniq = sorted(set(terms))
+    empty = champions.select(
+        F.col("doc_id"),
+        F.lit(0).cast("bigint").alias("score_q"),
+        F.lit(0).cast("bigint").alias("error_ub"),
+        F.lit(True).alias("certain"),
+    ).limit(0)
+    if not uniq:
+        return empty
+    n_q = len(uniq)
+    cand = champions.filter(F.col("term").isin(uniq))
+    runs = cand.select("doc_bucket", "term", "cutoff").distinct()
+    census = runs.groupBy("doc_bucket").agg(
+        F.count("*").alias("n_runs"),
+        F.sum((F.col("cutoff") == 0).cast("int")).alias("n_complete"),
+        F.sum("cutoff").alias("bucket_cut_total"),
+    )
+    scored = (
+        cand.groupBy("doc_id", "doc_bucket")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.count("*").alias("n_seen"),
+            F.sum((F.col("cutoff") == 0).cast("int")).alias("seen_complete"),
+            F.sum("cutoff").alias("seen_cut_total"),
+        )
+        .join(F.broadcast(census), "doc_bucket")
+        # bucket must hold a run for EVERY query term, and the doc must
+        # have been seen in every COMPLETE run
+        .filter(
+            (F.col("n_runs") == n_q)
+            & (F.col("seen_complete") == F.col("n_complete"))
+        )
+        .select(
+            "doc_id",
+            "score_q",
+            (F.col("bucket_cut_total") - F.col("seen_cut_total"))
+            .cast("bigint")
+            .alias("error_ub"),
+            (F.col("n_seen") == n_q).alias("certain"),
+        )
+    )
+    return scored.orderBy(
+        F.col("certain").desc(),
+        F.col("score_q").desc(),
+        F.col("doc_id").asc(),
+    ).limit(k)

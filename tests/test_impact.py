@@ -264,3 +264,81 @@ def test_champions_crafted_cutoff_rows(spark):
     assert [(r["doc_id"], r["score_q"], r["error_ub"]) for r in rows] == [
         (0, 9, 0)
     ]
+
+
+def test_champions_and_semantics(spark):
+    """Conjunctive champion serving: every CERTAIN doc is a true
+    conjunctive match with its exact integer score; every returned
+    MAYBE doc's true conjunctive status is consistent with its bound
+    (if it truly matches, its true score is inside [score_q, score_q +
+    error_ub]); no truly-matching doc that appears in any prefix is
+    eliminated."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions_and,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, entrymod.SF0001
+    )
+    imp = quantized_impacts(
+        postings, term_dict, doc_stats, n_docs, avgdl
+    ).persist()
+    q = entrymod.Q_BM25
+    truth = {
+        r["doc_id"]: r["score_q"]
+        for r in imp.filter(F.col("term").isin(q))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.count_distinct("term").alias("nt"),
+        )
+        .filter(F.col("nt") == len(set(q)))
+        .collect()
+    }
+    assert truth  # the fixture has conjunctive matches
+    got = search_champions_and(
+        champion_lists(imp, budget_per_bucket=8), q, k=10**6
+    ).collect()
+    certain = [r for r in got if r["certain"]]
+    assert certain
+    for r in certain:
+        assert r["error_ub"] == 0
+        assert truth.get(r["doc_id"]) == r["score_q"], r.asDict()
+    for r in got:
+        if not r["certain"] and r["doc_id"] in truth:
+            t = truth[r["doc_id"]]
+            assert r["score_q"] <= t <= r["score_q"] + r["error_ub"]
+    # oversized budget: every run complete -> output IS the exact
+    # conjunctive integer ranking, all certain, zero error
+    loose = search_champions_and(
+        champion_lists(imp, budget_per_bucket=10**6), q, k=10**6
+    ).collect()
+    assert all(r["certain"] and r["error_ub"] == 0 for r in loose)
+    assert {r["doc_id"]: r["score_q"] for r in loose} == truth
+    imp.unpersist()
+
+
+def test_champions_and_complete_run_eliminates(spark):
+    """Crafted: term 'b' has a COMPLETE run (fits budget) not containing
+    doc 16 -> doc 16 is eliminated, not flagged maybe; term 'a' run is
+    truncated so doc 16 would otherwise be a candidate via 'a'."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions_and,
+    )
+
+    imp = spark.createDataFrame(
+        # bucket 0 (mod 16): a -> docs {0,16,32}, b -> {0} only
+        [("a", 0, 9), ("a", 16, 7), ("a", 32, 3), ("b", 0, 5)],
+        "term string, doc_id long, impact int",
+    )
+    rows = search_champions_and(
+        champion_lists(imp, budget_per_bucket=1, n_buckets=16), ["a", "b"]
+    ).collect()
+    # doc 0: seen in both prefixes -> certain, exact 14
+    # doc 16/32: absent from b's COMPLETE run -> eliminated
+    assert [(r["doc_id"], r["score_q"], r["error_ub"], r["certain"])
+            for r in rows] == [(0, 14, 0, True)]
