@@ -2017,6 +2017,32 @@ def _q_geo_rings(spark, sf_dir):
     return geo_distance_rings(docs, *GEO_NYC, GEO_RING_EDGES)
 
 
+def _q_distance_feature(spark, sf_dir):
+    """ES distance_feature query: saturating proximity ranker
+    boost·pivot/(pivot+distance) from Paris, pivot 1,000 km — every doc
+    scores (no radius filter), top-20."""
+    from search_engine_spark.operators.geo import distance_feature
+
+    docs = load_documents(spark, sf_dir)
+    return distance_feature(docs, *GEO_PARIS, pivot_m=1_000_000.0)
+
+
+def _q_boxplot(spark, sf_dir):
+    """ES boxplot aggregation over the token count — exact interpolated
+    quartiles (ES uses TDigest; this engine upgrades to exact)."""
+    from search_engine_spark.operators.bucket_aggs import boxplot_agg
+
+    return boxplot_agg(load_documents(spark, sf_dir))
+
+
+def _q_t_test(spark, sf_dir):
+    """ES t_test (Welch / heteroscedastic) between lang='en' docs and
+    the rest over token counts — exact integer moments."""
+    from search_engine_spark.operators.bucket_aggs import t_test_agg
+
+    return t_test_agg(load_documents(spark, sf_dir))
+
+
 def _q_search_rerank(spark, sf_dir):
     """Retrieve-then-rerank: BM25 top-50 candidates re-ordered by
     embedding cosine (the bi-encoder rerank stage of a RAG stack)."""
@@ -2855,6 +2881,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox": _q_geo_bbox,
         "geotile_grid": _q_geotile_grid,
         "geo_rings": _q_geo_rings,
+        "distance_feature": _q_distance_feature,
+        "boxplot": _q_boxplot,
+        "t_test": _q_t_test,
         "geo_centroid": _q_geo_centroid,
         "search_filtered": _q_search_filtered,
         "facet_stats": _q_facet_stats,
@@ -3171,6 +3200,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_bbox": ora.geo_bbox_sql(-30.0, 30.0, 150.0, -150.0),
         "geotile_grid": ora.geotile_grid_sql(zoom=4, size=15),
         "geo_rings": ora.geo_rings_sql(*GEO_NYC, GEO_RING_EDGES),
+        "distance_feature": ora.distance_feature_sql(
+            *GEO_PARIS, pivot_m=1_000_000.0
+        ),
+        "boxplot": pipe.boxplot_sql(),
+        "t_test": pipe.t_test_sql(),
         "geo_centroid": ora.geo_centroid_sql(),
         "search_filtered": ora.search_bm25_filtered_sql(
             Q_BM25_COMMON,

@@ -603,6 +603,26 @@ WHERE lat_e4 >= {lo_lat} AND lat_e4 <= {hi_lat} AND {lon_pred}
 """
 
 
+def distance_feature_sql(clat: float, clon: float, pivot_m: float,
+                         boost: float = 1.0, k: int = 20,
+                         table: str = "documents") -> str:
+    """Mirrors operators/geo.py::distance_feature — ES distance_feature
+    proximity ranker: boost · pivot / (pivot + haversine), distance
+    rounded 4 dp before the score (the rings' cross-engine pin)."""
+    return f"""
+WITH {_geo_cte(table)},
+d AS (
+  SELECT doc_id, round({_haversine_sql(clat, clon)}, 4) AS dist_m FROM geo
+)
+SELECT doc_id,
+       round({float(boost)!r} * {float(pivot_m)!r}
+             / ({float(pivot_m)!r} + dist_m), 4) AS score
+FROM d
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def geotile_grid_sql(zoom: int = 5, size: int = 20,
                      table: str = "documents") -> str:
     """Mirrors operators/geo.py::geotile_grid — web-mercator z/x/y tile

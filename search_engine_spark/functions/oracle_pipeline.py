@@ -3811,3 +3811,53 @@ SELECT e.src AS src_doc, e.dst AS dst_doc
 FROM edgesc e JOIN parents p ON p.doc_id = e.dst
 ORDER BY src_doc, dst_doc
 """
+
+
+def boxplot_sql(table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::boxplot_agg — exact
+    linear-interpolated quartiles of the whitespace token count
+    (quantile_cont == Spark `percentile` on integer inputs)."""
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)"
+    )
+    return f"""
+WITH n AS (SELECT {ntok}::BIGINT AS v FROM {table})
+SELECT min(v)::BIGINT AS min_v,
+       round(quantile_cont(v, 0.25), 4) AS q1,
+       round(quantile_cont(v, 0.5), 4) AS q2,
+       round(quantile_cont(v, 0.75), 4) AS q3,
+       max(v)::BIGINT AS max_v,
+       count(*)::BIGINT AS n
+FROM n
+"""
+
+
+def t_test_sql(lang: str = "en", table: str = "documents") -> str:
+    """Mirrors operators/bucket_aggs.py::t_test_agg — Welch t statistic
+    between lang==X docs and the rest over token counts, exact integer
+    moments, identical operation order."""
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)"
+    )
+    return f"""
+WITH x AS (SELECT {ntok}::BIGINT AS v, (lang = '{lang}') AS a FROM {table}),
+m AS (
+  SELECT sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN a THEN v ELSE 0 END)::BIGINT AS s_a,
+         sum(CASE WHEN NOT a THEN v ELSE 0 END)::BIGINT AS s_b,
+         sum(CASE WHEN a THEN v * v ELSE 0 END)::BIGINT AS q_a,
+         sum(CASE WHEN NOT a THEN v * v ELSE 0 END)::BIGINT AS q_b
+  FROM x
+)
+SELECT round((s_a::DOUBLE / n_a - s_b::DOUBLE / n_b)
+             / sqrt(((q_a::DOUBLE - s_a::DOUBLE * s_a / n_a) / (n_a - 1.0)) / n_a
+                    + ((q_b::DOUBLE - s_b::DOUBLE * s_b / n_b) / (n_b - 1.0)) / n_b),
+             4) AS t_value,
+       n_a, n_b,
+       round(s_a::DOUBLE / n_a, 4) AS mean_a,
+       round(s_b::DOUBLE / n_b, 4) AS mean_b
+FROM m
+"""

@@ -328,3 +328,69 @@ def stats_bucket(
         F.round(F.avg(F.col("n_hits").cast("double")), 4).alias("avg_hits"),
         F.sum("n_hits").alias("sum_hits"),
     )
+
+
+def boxplot_agg(docs: DataFrame) -> DataFrame:
+    """ES `boxplot` aggregation over the whitespace token count →
+    ONE row (min_v, q1, q2, q3, max_v, n): exact linear-interpolated
+    quartiles (Spark `percentile`, NOT the approximate
+    percentile_approx — ES computes its boxplot from TDigest, this
+    engine upgrades it to exact, the same choice every exact-moment agg
+    here makes). Quartiles round 4 dp; inputs are integers so the
+    (n−1)·p interpolation arithmetic is bit-identical to DuckDB's
+    quantile_cont. One combinable aggregate — no shuffle beyond the
+    final single-group reduce."""
+    n = _n_tok()
+    return docs.select(n.alias("v")).agg(
+        F.min("v").cast("long").alias("min_v"),
+        F.round(F.expr("percentile(v, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(v, 0.5)"), 4).alias("q2"),
+        F.round(F.expr("percentile(v, 0.75)"), 4).alias("q3"),
+        F.max("v").cast("long").alias("max_v"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+def t_test_agg(docs: DataFrame, lang: str = "en") -> DataFrame:
+    """ES `t_test` (heteroscedastic / Welch) between two filter
+    populations — token counts of lang==`lang` docs vs all others →
+    ONE row (t_value, n_a, n_b, mean_a, mean_b):
+
+        t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b),
+        v = (Σx² − (Σx)²/n) / (n − 1)
+
+    Exact: Σx and Σx² are INTEGER sums (token counts), so both engines
+    compute the same doubles in the same operation order; t and means
+    round 4 dp. Scale shape: one conditional aggregate pass — six
+    map-side-combinable integer sums, zero shuffle beyond the final
+    reduce (the same exact-integer-moment pattern as extended_stats)."""
+    v = _n_tok()
+    is_a = F.col("lang") == lang
+    agg = docs.select(v.alias("v"), is_a.alias("a")).agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("a"), F.col("v")).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(~F.col("a"), F.col("v")).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(F.col("a"), F.col("v") * F.col("v")).otherwise(0))
+        .cast("long").alias("q_a"),
+        F.sum(F.when(~F.col("a"), F.col("v") * F.col("v")).otherwise(0))
+        .cast("long").alias("q_b"),
+    )
+    m_a = F.col("s_a").cast("double") / F.col("n_a")
+    m_b = F.col("s_b").cast("double") / F.col("n_b")
+    v_a = (
+        F.col("q_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1.0)
+    v_b = (
+        F.col("q_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1.0)
+    t = (m_a - m_b) / F.sqrt(v_a / F.col("n_a") + v_b / F.col("n_b"))
+    return agg.select(
+        F.round(t, 4).alias("t_value"),
+        "n_a",
+        "n_b",
+        F.round(m_a, 4).alias("mean_a"),
+        F.round(m_b, 4).alias("mean_b"),
+    )

@@ -253,3 +253,33 @@ def geo_centroid(docs: DataFrame) -> DataFrame:
         )
         .orderBy("site_key")
     )
+
+
+def distance_feature(
+    docs: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    pivot_m: float,
+    boost: float = 1.0,
+    k: int = 20,
+) -> DataFrame:
+    """ES `distance_feature` query (geo_point flavour) → top-k
+    (doc_id, score): score = boost · pivot / (pivot + distance), the
+    saturating proximity ranker that contributes smoothly to relevance
+    instead of hard-filtering like geo_distance. The distance is the
+    haversine rounded 4 dp BEFORE entering the score (the same
+    cross-engine pin geo_distance_rings uses), then the score rounds
+    4 dp; ties doc_id asc. One narrow scan + TakeOrdered — no shuffle,
+    no filter (every doc scores; the pivot does the discounting)."""
+    g = with_geo(docs)
+    dist = F.round(
+        _haversine_m(F.col("lat"), F.col("lon"), center_lat, center_lon), 4
+    )
+    score = F.round(
+        float(boost) * float(pivot_m) / (float(pivot_m) + dist), 4
+    )
+    return (
+        g.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

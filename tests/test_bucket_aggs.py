@@ -84,3 +84,53 @@ def test_stats_bucket_folds_the_histogram_exactly(spark):
     assert row["max_hits"] == max(hist)
     assert row["sum_hits"] == sum(hist)
     assert row["avg_hits"] == round(sum(hist) / len(hist), 4)
+
+
+def test_boxplot_matches_numpy_exact(spark):
+    """Exact quartiles == numpy linear interpolation on the same values
+    (the semantic pin the SQL mirror can't state: both engines must
+    agree with the REFERENCE definition, not merely each other)."""
+    import numpy as np
+
+    from search_engine_spark.operators.bucket_aggs import boxplot_agg
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    row = boxplot_agg(docs).collect()[0]
+    vals = np.array(
+        [
+            len(t.split()) if t.strip() else 0
+            for t in [r["text"] for r in docs.select("text").collect()]
+        ],
+        dtype=np.float64,
+    )
+    assert row["n"] == vals.size
+    assert row["min_v"] == int(vals.min()) and row["max_v"] == int(vals.max())
+    for q, col in [(25, "q1"), (50, "q2"), (75, "q3")]:
+        assert row[col] == round(float(np.percentile(vals, q)), 4), col
+    assert row["min_v"] <= row["q1"] <= row["q2"] <= row["q3"] <= row["max_v"]
+
+
+def test_t_test_matches_pure_python_welch(spark):
+    """Welch t recomputed from raw values driver-side — pins the
+    statistic itself (mean/variance/denominator), not just parity."""
+    import math
+
+    from search_engine_spark.operators.bucket_aggs import t_test_agg
+    from search_engine_spark.sources.documents import load_documents
+    from tests.conftest import SF_TEST
+
+    docs = load_documents(spark, SF_TEST)
+    row = t_test_agg(docs, lang="en").collect()[0]
+    a, b = [], []
+    for r in docs.select("text", "lang").collect():
+        v = len(r["text"].split()) if r["text"].strip() else 0
+        (a if r["lang"] == "en" else b).append(v)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["mean_a"] == round(ma, 4) and row["mean_b"] == round(mb, 4)
+    assert abs(row["t_value"] - t) < 5e-4  # 4-dp rounding band

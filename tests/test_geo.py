@@ -142,3 +142,42 @@ def test_geo_centroid_is_exact_integer_mean(spark, docs):
         assert r["n"] == n
         assert r["centroid_lat"] == round(slat / n / 10000.0, 4)
         assert r["centroid_lon"] == round(slon / n / 10000.0, 4)
+
+
+def test_distance_feature_saturating_ranker(spark):
+    """Semantic pins for distance_feature: score strictly decreases with
+    distance (same ordering as the _geo_distance sort), lies in
+    (0, boost], and a point at EXACTLY pivot distance scores boost/2."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.geo import (
+        _haversine_m,
+        distance_feature,
+        with_geo,
+    )
+
+    docs = load_documents(spark, SF_TEST)
+    pivot, boost = 1_000_000.0, 2.0
+    rows = distance_feature(
+        docs, 48.8566, 2.3522, pivot_m=pivot, boost=boost, k=50
+    ).collect()
+    assert rows and all(0.0 < r["score"] <= boost for r in rows)
+    g = with_geo(docs)
+    dist = {
+        r["doc_id"]: r["d"]
+        for r in g.select(
+            "doc_id",
+            F.round(
+                _haversine_m(F.col("lat"), F.col("lon"), 48.8566, 2.3522), 4
+            ).alias("d"),
+        ).collect()
+    }
+    # closer == higher score, up to 4-dp score ties (two docs whose
+    # scores round equal may order by doc_id, not distance)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for i in range(len(rows) - 1):
+        if scores[i] != scores[i + 1]:
+            assert dist[rows[i]["doc_id"]] < dist[rows[i + 1]["doc_id"]]
+    # the pivot law itself
+    assert round(boost * pivot / (pivot + pivot), 4) == boost / 2
