@@ -2017,6 +2017,15 @@ def _q_geo_rings(spark, sf_dir):
     return geo_distance_rings(docs, *GEO_NYC, GEO_RING_EDGES)
 
 
+def _q_search_span_not(spark, sf_dir):
+    """Lucene SpanNotQuery: 'data' occurrences NOT adjacent (±1) to a
+    'fast' occurrence — negative positional filtering, ranked by
+    surviving-occurrence count."""
+    from search_engine_spark.operators.positional import search_span_not
+
+    return search_span_not(load_documents(spark, sf_dir), "data", "fast")
+
+
 def _q_distance_feature(spark, sf_dir):
     """ES distance_feature query: saturating proximity ranker
     boost·pivot/(pivot+distance) from Paris, pivot 1,000 km — every doc
@@ -2718,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_boosting": _q_search_boosting,
         "search_phrase_prefix": _q_search_phrase_prefix,
         "search_span_first": _q_search_span_first,
+        "search_span_not": _q_search_span_not,
         "search_intervals": _q_search_intervals,
         "search_rescore": _q_search_rescore,
         "decontaminate_bloom": _q_decontaminate_bloom,
@@ -3001,6 +3011,7 @@ def oracle_sql() -> dict[str, str]:
             ["merge"], "da"
         ),
         "search_span_first": ora.search_span_first_sql("data", n=10),
+        "search_span_not": ora.search_span_not_sql("data", "fast"),
         "decontaminate_bloom": ora.decontaminate_bloom_sql(),
         "ngram_contamination": pipe.ngram_contamination_sql(),
         "dedup_incremental": pipe.dedup_incremental_sql(

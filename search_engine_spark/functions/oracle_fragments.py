@@ -2532,6 +2532,29 @@ LIMIT {k}
 """
 
 
+def search_span_not_sql(include: str, exclude: str, pre: int = 1,
+                        post: int = 1, k: int = 20,
+                        table: str = "documents") -> str:
+    """SpanNotQuery — mirrors operators/positional.py::search_span_not:
+    include-term occurrences surviving the ±(pre, post) exclusion window
+    around every exclude-term occurrence."""
+    return f"""
+WITH {positional_terms_cte(table)},
+inc AS (SELECT doc_id, pos FROM pos_terms WHERE term = '{include}'),
+exc AS (SELECT doc_id, pos AS epos FROM pos_terms WHERE term = '{exclude}')
+SELECT i.doc_id, count(*)::BIGINT AS kept_tf
+FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM exc e
+  WHERE e.doc_id = i.doc_id
+    AND e.epos >= i.pos - {int(pre)} AND e.epos <= i.pos + {int(post)}
+)
+GROUP BY i.doc_id
+ORDER BY kept_tf DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def trending_terms_sql(bucket_secs: int = 3600, k: int = 5,
                        table: str = "documents") -> str:
     """Per-crawl-window top-k terms — mirrors operators/textstats.py::

@@ -642,3 +642,48 @@ def search_phrase_nextword(docs: DataFrame, phrase: str, k: int = 20) -> DataFra
     return hits.orderBy(
         F.col("phrase_tf").desc(), F.col("doc_id").asc()
     ).limit(k)
+
+
+def search_span_not(
+    docs: DataFrame,
+    include: str,
+    exclude: str,
+    pre: int = 1,
+    post: int = 1,
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, kept_tf) — Lucene SpanNotQuery(include, exclude, pre,
+    post): occurrences of the analyzed `include` term that are NOT
+    within `pre` positions after / `post` positions before any
+    occurrence of the `exclude` term (negative phrase filtering: "data"
+    but not adjacent to "fast"). Docs rank by surviving-occurrence
+    count, kept_tf desc / doc_id asc, top-k; docs whose every include
+    occurrence is excluded disappear (Lucene drops empty span sets).
+
+    Plan: both sides term-prune FIRST (two narrow slices of the
+    zero-shuffle positional stream), then one doc_id-equi left_anti
+    join with the position-window predicate — per-doc work is
+    tf_inc · tf_exc only within a doc, and the anti-join shuffles the
+    two pruned slices, never the positional table."""
+    inc = analyze_phrase(include)
+    exc = analyze_phrase(exclude)
+    if len(inc) != 1 or len(exc) != 1:
+        raise ValueError("span_not takes exactly one analyzable word per side")
+    pos = build_positional(docs)
+    inc_df = pos.filter(F.col("term") == inc[0]).select("doc_id", "pos")
+    exc_df = pos.filter(F.col("term") == exc[0]).select(
+        F.col("doc_id").alias("e_doc"), F.col("pos").alias("epos")
+    )
+    kept = inc_df.join(
+        exc_df,
+        (F.col("doc_id") == F.col("e_doc"))
+        & (F.col("epos") >= F.col("pos") - int(pre))
+        & (F.col("epos") <= F.col("pos") + int(post)),
+        "left_anti",
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("kept_tf"))
+        .orderBy(F.col("kept_tf").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

@@ -462,3 +462,40 @@ def test_nextword_rejects_non_two_term_phrase(spark):
     docs = load_documents(spark, SF_TEST)
     with _pytest.raises(ValueError):
         search_phrase_nextword(docs, "fast slow table")
+
+
+def test_span_not_crafted_window(spark):
+    """Crafted doc 'data fast data x data': with pre=post=1 the first
+    'data' (adjacent to fast) and the second (adjacent on the other
+    side) are excluded... positions: data@0 fast@1 data@2 x@3 data@4 —
+    data@0 and data@2 are within ±1 of fast@1 -> excluded; data@4
+    survives ('x' is OOV-identity, occupies a position). A doc with no
+    exclude term keeps every occurrence; a doc where every occurrence
+    is adjacent vanishes."""
+    from search_engine_spark.operators.positional import search_span_not
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data fast data x data"),
+            (2, "data x data"),
+            (3, "fast data fast"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["kept_tf"]
+        for r in search_span_not(docs, "data", "fast").collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_span_not_zero_window_keeps_all(spark):
+    """pre=post=0 can never exclude (a position holds one term), so the
+    result equals the include term's tf per doc."""
+    from search_engine_spark.operators.positional import search_span_not
+
+    docs = spark.createDataFrame(
+        [(1, "data fast data")], "doc_id long, text string"
+    )
+    got = search_span_not(docs, "data", "fast", pre=0, post=0).collect()
+    assert [(r["doc_id"], r["kept_tf"]) for r in got] == [(1, 2)]
