@@ -57,6 +57,27 @@ _CTX_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def evict_ctx(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Unpersist and drop this session's cached context frames — all of
+    them, or only the ones keyed to `sf_dir`. The weak-key cache frees
+    itself only on session GC, so a long-lived session sweeping several
+    sf_dirs would otherwise accumulate persisted postings/term_dict/
+    doc_stats per directory (r03 ADVICE). Returns the number of cache
+    entries evicted. The single-sf driver sweeps never need this."""
+    per = _CTX_CACHE.get(spark)
+    if not per:
+        return 0
+    victims = [k for k in per if sf_dir is None or k[1] == sf_dir]
+    for k in victims:
+        for item in per.pop(k):
+            if isinstance(item, DataFrame):
+                try:
+                    item.unpersist()
+                except Exception:
+                    pass
+    return len(victims)
+
+
 def _search_ctx(spark: SparkSession, sf_dir: str):
     per = _CTX_CACHE.setdefault(spark, {})
     key = ("search", sf_dir)

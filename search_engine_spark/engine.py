@@ -113,8 +113,15 @@ class SearchEngine:
         )
         eng.n_docs = stats["n_docs"]
         eng.avgdl = stats["avgdl"]
-        # older corpus_stats.json lacks sum_dl; n·avgdl reproduces it
-        eng.sum_dl = float(stats.get("sum_dl", stats["n_docs"] * stats["avgdl"]))
+        # older corpus_stats.json lacks sum_dl; n·avgdl is a FLOAT
+        # product that need not equal the exact integer Σdl (LM-family
+        # scores can flip at the 4-dp rounding boundary), so recompute
+        # it exactly with one aggregate over the persisted doc_stats
+        if "sum_dl" in stats:
+            eng.sum_dl = float(stats["sum_dl"])
+        else:
+            row = eng.doc_stats.agg(F.sum("dl")).collect()[0]
+            eng.sum_dl = float(row[0] or 0)
         eng._built = True
         eng._df_map = None
         eng._cf_map = None

@@ -274,10 +274,17 @@ def champion_lists(
 
     Unlike `search_impact_anytime` (the query-time twin, which collects
     cutoffs to the driver because its input is transient), everything
-    here is in-plan: one window shuffle keyed (doc_bucket, term) — the
-    same bounded run key as the block builder, so a 100%-df head term
-    still splits across buckets — then a broadcast-small self-join for
-    the cutoff column. Write once at index time, prune forever."""
+    here is in-plan with ZERO joins: one window shuffle keyed
+    (doc_bucket, term) — the same bounded run key as the block builder,
+    so a 100%-df head term still splits across buckets — and the cutoff
+    is a conditional max over that SAME partitioning (the run's
+    rn==budget row carries it when the run overflowed), so no cutoff
+    relation ever materializes. The earlier self-join variant
+    force-broadcast a relation with one row per truncated run —
+    O(|vocab|·n_buckets) at web scale, a driver-OOM hazard at the 10M-
+    term × 4096-bucket sharding DEPLOY.md targets; the window form keeps
+    the plan size independent of vocabulary. Write once at index time,
+    prune forever."""
     from pyspark.sql import Window
 
     pq = impacts.withColumn(
@@ -286,30 +293,28 @@ def champion_lists(
     w = Window.partitionBy("doc_bucket", "term").orderBy(
         F.col("impact").desc(), F.col("doc_id").asc()
     )
+    w_run = Window.partitionBy("doc_bucket", "term")
     ranked = pq.select(
         "doc_bucket", "term", "doc_id", "impact",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            Window.partitionBy("doc_bucket", "term")
-        ).alias("n_run"),
-    )
-    kept = ranked.filter(F.col("rn") <= budget_per_bucket)
-    cuts = (
-        ranked.filter(
-            (F.col("rn") == budget_per_bucket)
-            & (F.col("n_run") > budget_per_bucket)
-        )
-        .select("doc_bucket", "term", F.col("impact").alias("cutoff"))
+        F.count("*").over(w_run).alias("n_run"),
     )
     return (
-        kept.join(F.broadcast(cuts), ["doc_bucket", "term"], "left")
-        .select(
-            "doc_bucket",
-            "term",
-            "doc_id",
-            "impact",
-            F.coalesce(F.col("cutoff"), F.lit(0)).cast("int").alias("cutoff"),
+        ranked.withColumn(
+            "cutoff",
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (F.col("rn") == budget_per_bucket)
+                        & (F.col("n_run") > budget_per_bucket),
+                        F.col("impact"),
+                    )
+                ).over(w_run),
+                F.lit(0),
+            ).cast("int"),
         )
+        .filter(F.col("rn") <= budget_per_bucket)
+        .select("doc_bucket", "term", "doc_id", "impact", "cutoff")
     )
 
 

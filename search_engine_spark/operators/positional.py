@@ -654,7 +654,7 @@ def search_span_not(
 ) -> DataFrame:
     """(doc_id, kept_tf) — Lucene SpanNotQuery(include, exclude, pre,
     post): occurrences of the analyzed `include` term that are NOT
-    within `pre` positions after / `post` positions before any
+    within `pre` positions before / `post` positions after any
     occurrence of the `exclude` term (negative phrase filtering: "data"
     but not adjacent to "fast"). Docs rank by surviving-occurrence
     count, kept_tf desc / doc_id asc, top-k; docs whose every include

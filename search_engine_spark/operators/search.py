@@ -556,7 +556,7 @@ def search_lmd(
     if not uniq:
         return empty
     if cf_map is not None:
-        cf = {t: float(cf_map[t]) for t in uniq if cf_map.get(t)}
+        cf = {t: float(cf_map[t]) for t in uniq if t in cf_map}
     else:
         cf_rows = (
             postings.filter(F.col("term").isin(uniq))
@@ -650,7 +650,7 @@ def search_lmjm(
     if not uniq:
         return empty
     if cf_map is not None:
-        cf = {t: float(cf_map[t]) for t in uniq if cf_map.get(t)}
+        cf = {t: float(cf_map[t]) for t in uniq if t in cf_map}
     else:
         cf_rows = (
             postings.filter(F.col("term").isin(uniq))
@@ -738,7 +738,7 @@ def search_dfr(
     if not uniq:
         return empty
     if df_map is not None:
-        dfs = {t: float(df_map[t]) for t in uniq if df_map.get(t)}
+        dfs = {t: float(df_map[t]) for t in uniq if t in df_map}
     else:
         df_rows = (
             term_dict.filter(F.col("term").isin(uniq))
@@ -806,7 +806,7 @@ def search_ib(
     if not uniq:
         return empty
     if cf_map is not None:
-        cfs = {t: float(cf_map[t]) for t in uniq if cf_map.get(t)}
+        cfs = {t: float(cf_map[t]) for t in uniq if t in cf_map}
     else:
         cf_rows = (
             postings.filter(F.col("term").isin(uniq))

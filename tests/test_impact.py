@@ -342,3 +342,25 @@ def test_champions_and_complete_run_eliminates(spark):
     # doc 16/32: absent from b's COMPLETE run -> eliminated
     assert [(r["doc_id"], r["score_q"], r["error_ub"], r["certain"])
             for r in rows] == [(0, 14, 0, True)]
+
+
+def test_champion_lists_plan_has_no_join(spark):
+    """The cutoff column rides the SAME (doc_bucket, term) window
+    partitioning as the prefix rank — no self-join, and in particular
+    no broadcast of a vocabulary-scale cutoff relation (the r03-flagged
+    driver-OOM hazard at 10M-term × 4096-bucket sharding). A refactor
+    reintroducing the join shape fails here."""
+    from search_engine_spark.operators.impact import champion_lists
+
+    imp = spark.createDataFrame(
+        [("a", 0, 9), ("a", 16, 7), ("b", 3, 5)],
+        "term string, doc_id long, impact int",
+    )
+    plan = (
+        champion_lists(imp, budget_per_bucket=1, n_buckets=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan

@@ -394,3 +394,21 @@ def test_job_group_cleared_after_build(spark, docs, tmp_path):
     jsc = spark.sparkContext._jsc
     gid = jsc.getLocalProperty("spark.jobGroup.id")
     assert gid is None or gid != catalog.BUILD_JOB_GROUP
+
+
+def test_open_legacy_stats_recomputes_exact_sum_dl(spark, docs, tmp_path):
+    """A pre-sum_dl corpus_stats.json must NOT reconstruct Σdl as the
+    float product n_docs·avgdl (which can flip 4-dp-rounded LM scores);
+    open() recomputes it exactly from the persisted doc_stats (r03
+    ADVICE)."""
+    import json
+
+    store = _store(spark, tmp_path, "idx_legacy")
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+    exact = stats.pop("sum_dl")
+    with open(store.stats_path, "w") as fh:
+        json.dump(stats, fh)
+    eng = SearchEngine.open(spark, store.dir, docs=docs)
+    assert eng.sum_dl == float(exact)
+    assert float(eng.sum_dl).is_integer()
