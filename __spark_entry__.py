@@ -69,7 +69,9 @@ def evict_ctx(spark: SparkSession, sf_dir: str | None = None) -> int:
         return 0
     victims = [k for k in per if sf_dir is None or k[1] == sf_dir]
     for k in victims:
-        for item in per.pop(k):
+        entry = per.pop(k)
+        items = entry if isinstance(entry, tuple) else (entry,)
+        for item in items:
             if isinstance(item, DataFrame):
                 try:
                     item.unpersist()
@@ -2297,6 +2299,80 @@ def _q_search_champions_and(spark, sf_dir):
     )
 
 
+def _q_search_champions_fused(spark, sf_dir):
+    """search_champions served from the ONE-PASS block-level champion
+    build (champion_lists_fused: numpy quantize+select inside
+    applyInPandas over the compressed block store, dl from dl_bytes, df
+    via vocab-scale join — zero corpus-scale shuffles). Shares
+    search_champions' oracle mirror, so the driver hash-verifies the
+    fused builder emits the identical table."""
+    import tempfile
+
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import (
+        champion_lists_fused,
+        search_champions,
+    )
+
+    docs = load_documents(spark, sf_dir)
+    per = _CTX_CACHE.setdefault(spark, {})
+    key = ("champ_fused_store", sf_dir)
+    if key not in per:
+        d = tempfile.mkdtemp(prefix="champ_fused_idx_")
+        store = catalog.IndexStore(spark, d, n_buckets=16)
+        catalog.build_persistent(docs, store)
+        per[key] = store
+    store = per[key]
+    stats = store.read_corpus_stats()
+    champs = champion_lists_fused(
+        store.read_blocks(),
+        store.read_term_dict(),
+        stats["n_docs"],
+        float(stats["avgdl"]),
+        budget_per_bucket=8,
+        store_n_buckets=16,
+    )
+    return search_champions(champs, Q_BM25)
+
+
+def _q_search_impact_and(spark, sf_dir):
+    """EXACT conjunctive top-k over the full quantized impact table —
+    the ground-truth ranking the two-tier serve is pinned against."""
+    from search_engine_spark.operators.impact import (
+        quantized_impacts,
+        search_impact_and,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_impact_and(imp, Q_BM25)
+
+
+def _q_search_two_tier(spark, sf_dir):
+    """COMPOSED two-tier serve (r03-verdict item #1): champion tier
+    (budget-8 pruned index) scores and certifies; only the maybe band
+    — uncertain candidates whose upper bound crosses the k-th certain
+    score, plus all-runs-truncated buckets that could hide docs — is
+    rescoped through the exact impact path. The oracle mirror is the
+    EXACT conjunctive ranking (search_impact_and_sql), so the driver
+    hash-verifies two-tier == exact, not merely 'close'."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        quantized_impacts,
+        search_two_tier,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_two_tier(
+        imp, champion_lists(imp, budget_per_bucket=8), Q_BM25
+    )
+
+
 def _q_containment(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup: quoted-inside
     detection), candidate-driven from LSH band collisions."""
@@ -2737,6 +2813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_impact": _q_search_impact,
         "search_champions": _q_search_champions,
         "search_champions_and": _q_search_champions_and,
+        "search_impact_and": _q_search_impact_and,
+        "search_champions_fused": _q_search_champions_fused,
+        "search_two_tier": _q_search_two_tier,
         "containment": _q_containment,
         "ann_filtered": _q_ann_filtered,
         "cdx_lines": _q_cdx_lines,
@@ -3015,6 +3094,11 @@ def oracle_sql() -> dict[str, str]:
         "search_impact": ora.search_impact_sql(Q_BM25),
         "search_champions": ora.search_champions_sql(Q_BM25, budget=8),
         "search_champions_and": ora.search_champions_and_sql(Q_BM25, budget=8),
+        "search_impact_and": ora.search_impact_and_sql(Q_BM25),
+        # fused block-level champion build, pinned to the SAME mirror
+        "search_champions_fused": ora.search_champions_sql(Q_BM25, budget=8),
+        # two-tier is pinned against the EXACT conjunctive ranking
+        "search_two_tier": ora.search_impact_and_sql(Q_BM25),
         "containment": pipe.containment_pairs_sql(
             threshold=CONTAIN_THRESHOLD, lsh_candidates=True
         ),

@@ -40,15 +40,27 @@ QUERIES = {
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_240_000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    # --diverse: break the multiply corpus's perfect-copy score ties by
+    # deterministically truncating each copy's text to a doc_id-keyed
+    # length (40..2271 chars). The stock multiply corpus is thousands of
+    # IDENTICAL texts, so per term the whole champion prefix ties at one
+    # impact value and certainty can never close (cutoff == max impact)
+    # — the adversarial worst case for two-tier serving. The diverse
+    # variant restores the score spread a real corpus has, where the
+    # certainty algebra is supposed to (and measurably does) settle most
+    # buckets without rescope.
+    diverse = "--diverse" in sys.argv
+    argv = [a for a in sys.argv if a != "--diverse"]
+    n_docs = int(argv[1]) if len(argv) > 1 else 10_240_000
+    cpus = int(argv[2]) if len(argv) > 2 else 8
+    rounds = int(argv[3]) if len(argv) > 3 else 7
     base = 5_000  # sf0.1 documents rows; scaled via load_documents multiply
     multiply = max(1, n_docs // base)
+    suffix = "_div" if diverse else ""
     index_dir = (
-        sys.argv[4]
-        if len(sys.argv) > 4
-        else f"/tmp/spark_graft_probe_idx_{base * multiply}"
+        argv[4]
+        if len(argv) > 4
+        else f"/tmp/spark_graft_probe_idx_{base * multiply}{suffix}"
     )
 
     from search_engine_spark.engine import SearchEngine
@@ -62,8 +74,19 @@ def main() -> None:
 
     build_sec = None
     if not os.path.exists(f"{index_dir}/corpus_stats.json"):
+        from pyspark.sql import functions as F
+
         t0 = time.time()
         docs = load_documents(spark, sf_dir, multiply=multiply)
+        if diverse:
+            docs = docs.withColumn(
+                "text",
+                F.substring(
+                    F.col("text"),
+                    1,
+                    (40 + F.pmod(F.col("doc_id"), 97) * 23).cast("int"),
+                ),
+            )
         eng = SearchEngine(spark, docs=docs, n_buckets=32)
         eng.index_dir = index_dir
         eng.build_persistent()
@@ -110,29 +133,28 @@ def main() -> None:
     # with the same pushed-In scan; quality reported as top-k overlap
     # vs the exact blocks path.
     from search_engine_spark.operators import impact as imp
-    from search_engine_spark.sources.documents import load_documents as _ld
 
+    # Champion build FOLDED onto the persisted index (r03-verdict #3):
+    # decode the committed blocks (vectorized numpy) → quantize → one
+    # bounded (doc_bucket, term) window → tiny write. No re-tokenize,
+    # no corpus scan, no postings groupBy — the r03 path re-ran all
+    # three and cost 292 s; the fold prices only what the base build
+    # did NOT already pay. The full impacts parquet (exact-tier serving
+    # acceleration + quality reference) is timed separately: it is an
+    # optional materialization, not part of champion selection.
     champ_path = f"{index_dir}/champions"
     champ_build_sec = None
     if not os.path.exists(champ_path + "/_SUCCESS"):
         t0 = time.time()
-        from search_engine_spark.operators import index_build as ib
-
-        docs = _ld(spark, sf_dir, multiply=multiply)
-        postings = ib.build_postings(docs)
-        term_dict = ib.build_term_dict(postings)
-        doc_stats = ib.build_doc_stats(docs, postings)
-        impacts = imp.quantized_impacts(
-            postings,
-            term_dict,
-            doc_stats,
-            stats["n_docs"],
-            float(stats["avgdl"]),
-        )
-        impacts.write.mode("overwrite").parquet(f"{index_dir}/impacts")
-        impacts = spark.read.parquet(f"{index_dir}/impacts")
         (
-            imp.champion_lists(impacts, n_buckets=32)
+            imp.champion_lists_fused(
+                eng.store.read_blocks(),
+                eng.store.read_term_dict(),
+                stats["n_docs"],
+                float(stats["avgdl"]),
+                n_buckets=32,
+                store_n_buckets=32,
+            )
             .repartition(1)
             .sortWithinPartitions("term", "doc_bucket")
             .write.mode("overwrite")
@@ -140,6 +162,38 @@ def main() -> None:
         )
         champ_build_sec = round(time.time() - t0, 2)
     out["champ_build_sec"] = champ_build_sec
+    impacts_write_sec = None
+    if not os.path.exists(f"{index_dir}/impacts/_SUCCESS"):
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.operators.blocks import decode_blocks
+
+        t0 = time.time()
+        (
+            imp.quantized_impacts(
+                decode_blocks(eng.store.read_blocks()).select(
+                    "term", "doc_id", "tf"
+                ),
+                eng.store.read_term_dict(),
+                eng.store.read_doc_stats(),
+                stats["n_docs"],
+                float(stats["avgdl"]),
+            )
+            # bucket-partitioned layout: the two-tier rescope prunes
+            # whole partitions instead of row-filtering a full scan;
+            # term-sorted within each bucket so the In(term) pushdown
+            # prunes row groups via min/max stats
+            .withColumn(
+                "doc_bucket", F.pmod(F.col("doc_id"), F.lit(32)).cast("int")
+            )
+            .repartition(32, "doc_bucket")
+            .sortWithinPartitions("doc_bucket", "term")
+            .write.mode("overwrite")
+            .partitionBy("doc_bucket")
+            .parquet(f"{index_dir}/impacts")
+        )
+        impacts_write_sec = round(time.time() - t0, 2)
+    out["impacts_write_sec"] = impacts_write_sec
     champions = spark.read.parquet(champ_path)
     impacts_full = spark.read.parquet(f"{index_dir}/impacts")
     out["champ_rows"] = champions.count()
@@ -197,12 +251,38 @@ def main() -> None:
         out[f"champ_maxerr_{label}"] = max(
             (r["error_ub"] for r in rows), default=0
         )
+    # ---- composed two-tier serve (champions + maybe-band rescope) ----
+    # The r03-verdict #1 composition: exact-by-construction (pinned by
+    # the search_two_tier oracle pair), measured here against the
+    # champion-only probe to price the exactness. The rescope set is
+    # whatever the certainty algebra leaves open at this corpus/budget.
+    def probe_two_tier(terms: list[str]) -> float:
+        t0 = time.time()
+        imp.search_two_tier(
+            impacts_full, champions, terms, k=20, n_buckets=32
+        ).collect()
+        return time.time() - t0
+
+    probe_two_tier(QUERIES["3term"])  # warm
+    for label, terms in QUERIES.items():
+        walls = [probe_two_tier(terms) for _ in range(rounds)]
+        out[f"twotier_p50_{label}"] = round(statistics.median(walls), 4)
+        d: dict = {}  # diag pass OUTSIDE the timed probes (extra jobs)
+        imp.search_two_tier(
+            impacts_full, champions, terms, k=20, n_buckets=32, diag=d
+        ).collect()
+        out[f"twotier_rescope_buckets_{label}"] = len(
+            d.get("rescope_buckets", [])
+        )
+        out[f"twotier_maybe_docs_{label}"] = d.get("n_maybe_rescoped", 0)
+
     out.update(
         {
             "n_docs": stats["n_docs"],
             "cpus": cpus,
             "rounds": rounds,
             "index_dir": index_dir,
+            "diverse": diverse,
             "metric": "persisted_probe_latency",
             "unit": "sec",
         }

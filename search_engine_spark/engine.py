@@ -58,11 +58,45 @@ class SearchEngine:
         docs: DataFrame | None = None,
         n_buckets: int = N_BUCKETS_DEFAULT,
         index_dir: str | None = None,
+        extractor: str = "column",
     ):
+        """``extractor`` selects the T1 html→text path (r03-verdict #8):
+
+          * "column" (default) — trust the docs' ``text`` column (the
+            corpus contract: text == extract_text(html), golden-pinned);
+          * "regex"  — recompute text from ``html`` with the frozen
+            regex extractor (textproc/extract.py);
+          * "dom"    — recompute with the DOM parser
+            (textproc/extract_dom.py) — Jsoup-parity on malformed
+            real-web HTML, equal to the frozen spec on well-formed
+            corpora (pinned by tests/test_extract_dom.py).
+
+        The recompute runs as an Arrow-batched pandas UDF over html —
+        extraction is inherently per-document, and it happens once per
+        build, upstream of the tokenizer."""
         if docs is None:
             if sf_dir is None:
                 raise ValueError("need sf_dir or docs")
             docs = load_documents(spark, sf_dir)
+        if extractor not in ("column", "regex", "dom"):
+            raise ValueError(f"unknown extractor {extractor!r}")
+        if extractor != "column":
+            from pyspark.sql import types as T
+
+            if extractor == "regex":
+                from .textproc.extract import extract_text as _fn
+            else:
+                from .textproc.extract_dom import extract_text_dom as _fn
+
+            # lambda form: engine.py's `from __future__ import
+            # annotations` turns hints into strings, which pandas_udf's
+            # signature inference rejects
+            _extract = F.pandas_udf(
+                lambda h: h.map(lambda x: _fn(x) if x is not None else ""),
+                T.StringType(),
+            )
+            docs = docs.withColumn("text", _extract(F.col("html")))
+        self.extractor = extractor
         self.spark = spark
         self.docs = docs
         self.n_buckets = n_buckets

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from ..hashing import HEX_DIGITS
 from ..textproc.lemmas import lemma_items
+from ..textproc.ruletier import rule_lemma_sql
 from ..textproc.stopwords import sql_not_in_list
 from ..textproc.tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
@@ -68,7 +69,7 @@ terms AS (
 lemma_dict AS ({lemma_dict_values()}),
 {toks.lstrip()},
 terms AS (
-  SELECT {keep}, coalesce(ld.normal, toks.term) AS term
+  SELECT {keep}, coalesce(ld.normal, {rule_lemma_sql('toks.term')}) AS term
   FROM toks LEFT JOIN lemma_dict ld ON ld.word = toks.term
   WHERE toks.term <> ''
     AND regexp_matches(toks.term, '{WORD_PATTERN}')
@@ -833,7 +834,7 @@ rawtoks AS (
   FROM base
 ),
 pos_terms AS (
-  SELECT rawtoks.doc_id, coalesce(ld.normal, rawtoks.term) AS term,
+  SELECT rawtoks.doc_id, coalesce(ld.normal, {rule_lemma_sql('rawtoks.term')}) AS term,
          row_number() OVER (PARTITION BY rawtoks.doc_id
                             ORDER BY rawtoks.ord) - 1 AS pos
   FROM rawtoks LEFT JOIN lemma_dict ld ON ld.word = rawtoks.term
@@ -2186,6 +2187,27 @@ FROM impacts WHERE term IN {_terms_in(uniq)}
 GROUP BY doc_id
 ORDER BY score_q DESC, doc_id ASC
 LIMIT {k}
+"""
+
+
+def search_impact_and_sql(query_terms: list[str], k: int = 20,
+                          k1: float = 1.2, b: float = 0.75,
+                          table: str = "documents") -> str:
+    """EXACT conjunctive top-k by summed integer impact — mirrors
+    operators/impact.py::search_impact_and, and doubles as the pin for
+    search_two_tier: the two-tier champion+rescope serve must produce
+    exactly this ranking (its certainty algebra makes the equality
+    provable, and this shared mirror makes it driver-verified)."""
+    uniq = sorted(set(query_terms))
+    return f"""
+WITH {terms_cte(table)},
+{_impact_ctes(k1, b, table)}
+SELECT doc_id, sum(impact)::BIGINT AS score_q
+FROM impacts WHERE term IN {_terms_in(uniq)}
+GROUP BY doc_id
+HAVING count(*) = {len(uniq)}
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {int(k)}
 """
 
 

@@ -15,6 +15,7 @@ from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import textstats as ts
 from ..textproc.stopwords import sql_not_in_list
+from ..textproc.ruletier import rule_lemma_sql
 from .oracle_fragments import PARSEABLE_SQL, SITE_KEY_SQL, terms_cte
 from ..textproc.tokenize import WS_SPLIT
 
@@ -1881,7 +1882,7 @@ atoks AS (
        unnest(string_split_regex(lower(trim(d.text)), '{WS_SPLIT}')) AS t(tok)
 ),
 aterms AS (
-  SELECT atoks.doc_id, coalesce(ld.normal, atoks.term) AS term
+  SELECT atoks.doc_id, coalesce(ld.normal, {rule_lemma_sql('atoks.term')}) AS term
   FROM atoks LEFT JOIN lemma_dict ld ON ld.word = atoks.term
   WHERE atoks.term <> ''
     AND regexp_matches(atoks.term, '{WORD_PATTERN}')
@@ -3758,7 +3759,7 @@ ctoks AS (
        unnest(string_split_regex(lower(trim(d.text)), '{WS_SPLIT}')) AS t(tok)
 ),
 cterms AS (
-  SELECT ctoks.src, ctoks.dst, coalesce(ld.normal, ctoks.term) AS term
+  SELECT ctoks.src, ctoks.dst, coalesce(ld.normal, {rule_lemma_sql('ctoks.term')}) AS term
   FROM ctoks LEFT JOIN lemma_dict ld ON ld.word = ctoks.term
   WHERE ctoks.term <> ''
     AND regexp_matches(ctoks.term, '{WORD_PATTERN}')

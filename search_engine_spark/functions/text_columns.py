@@ -71,10 +71,17 @@ def explode_terms(
     if lemmatize:
         from ..textproc.lemmas import lemma_dict_df
 
+        from ..textproc.ruletier import rule_lemma_col
+
         ld = lemma_dict_df(df.sparkSession)
         out = out.join(
             F.broadcast(ld), out["term"] == ld["word"], "left"
-        ).select(*keep, F.coalesce("normal", "term").alias("term"))
+        ).select(
+            *keep,
+            F.coalesce(
+                F.col("normal"), rule_lemma_col(F.col("term"))
+            ).alias("term"),
+        )
     return out
 
 

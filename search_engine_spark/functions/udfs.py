@@ -19,12 +19,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..textproc.lemmas import FULL_LEMMA_MAP
+from ..textproc.ruletier import rule_series
 from ..textproc.morphology import PARTICLES, _form_index, _particle_lexicon
 
 
 def lemmatize_series(s: pd.Series) -> pd.Series:
-    """First-normal-form lookup with identity fallback (T5), vectorized."""
-    return s.map(FULL_LEMMA_MAP).fillna(s)
+    """First-normal-form lookup (T5), vectorized; dictionary misses take
+    the rule tier (applied only to the miss slice)."""
+    m = s.map(FULL_LEMMA_MAP)
+    miss = m.isna()
+    if miss.any():
+        m[miss] = rule_series(s[miss])
+    return m
 
 
 def fitting_mask(s: pd.Series) -> pd.Series:

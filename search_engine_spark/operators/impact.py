@@ -375,6 +375,208 @@ def search_champions(
     ).limit(k)
 
 
+def search_impact_and(
+    impacts: DataFrame,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, score_q) — EXACT conjunctive top-k over the full impact
+    table: docs containing every query term, ranked by summed integer
+    impact (score_q desc, doc_id asc). The ground truth the two-tier
+    serve is pinned against; also the exact tier it rescopes through.
+
+    impacts carries one row per (term, doc_id) (it derives from the
+    postings groupBy), so count(*) == |q| is the conjunction test — no
+    count(distinct). Plan: pushed In(term) scan → one map-side-
+    combinable integer groupBy → TakeOrdered(k)."""
+    uniq = sorted(set(terms))
+    empty = impacts.select(
+        F.col("doc_id"), F.lit(0).cast("bigint").alias("score_q")
+    ).limit(0)
+    if not uniq:
+        return empty
+    return (
+        impacts.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.count("*").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(uniq))
+        .select("doc_id", "score_q")
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def _champions_and_scored(
+    champions: DataFrame, uniq: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tier-1 core of the conjunctive champion serve: the FULL
+    (un-limited) candidate relation and the per-bucket run census.
+
+    Returns (scored, census):
+      scored — (doc_id, doc_bucket, score_q, error_ub, certain) for
+        every candidate doc that survives certain-absence elimination;
+      census — (doc_bucket, n_runs, n_complete, bucket_cut_total), one
+        row per bucket holding ≥1 query-term run (≤ n_buckets rows)."""
+    n_q = len(uniq)
+    cand = champions.filter(F.col("term").isin(uniq))
+    runs = cand.select("doc_bucket", "term", "cutoff").distinct()
+    census = runs.groupBy("doc_bucket").agg(
+        F.count("*").alias("n_runs"),
+        F.sum((F.col("cutoff") == 0).cast("int")).alias("n_complete"),
+        F.sum("cutoff").alias("bucket_cut_total"),
+    )
+    scored = (
+        cand.groupBy("doc_id", "doc_bucket")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.count("*").alias("n_seen"),
+            F.sum((F.col("cutoff") == 0).cast("int")).alias("seen_complete"),
+            F.sum("cutoff").alias("seen_cut_total"),
+        )
+        .join(F.broadcast(census), "doc_bucket")
+        # bucket must hold a run for EVERY query term, and the doc must
+        # have been seen in every COMPLETE run
+        .filter(
+            (F.col("n_runs") == n_q)
+            & (F.col("seen_complete") == F.col("n_complete"))
+        )
+        .select(
+            "doc_id",
+            "doc_bucket",
+            "score_q",
+            (F.col("bucket_cut_total") - F.col("seen_cut_total"))
+            .cast("bigint")
+            .alias("error_ub"),
+            (F.col("n_seen") == n_q).alias("certain"),
+        )
+    )
+    return scored, census
+
+
+def search_two_tier(
+    impacts: DataFrame,
+    champions: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    n_buckets: int = ANYTIME_BUCKETS,
+    diag: dict | None = None,
+) -> DataFrame:
+    """(doc_id, score_q) — the composed TWO-TIER conjunctive serve:
+    champion tier first, then the exact impact path over ONLY the part
+    of the corpus the champion certainty algebra cannot settle. The
+    result is provably value-identical to `search_impact_and` (the
+    exact conjunctive ranking) — pinned by the driver oracle pair,
+    whose SQL mirror IS the exact ranking.
+
+    Tier 1 (champions only): full candidate scoring with per-doc
+    certainty (`_champions_and_scored`). Certain docs carry their EXACT
+    score (seen in every query-term run). θ = the k-th certain score —
+    if k certain docs exist, no doc whose upper bound falls below θ can
+    enter the top-k (ties break doc_id asc, so the crossing test is ≥).
+
+    Tier 2 (exact rescope), two disjoint slices of the impact scan:
+      * rescoped BUCKETS — a doc hidden from tier 1 entirely must
+        appear in NO query-term champion run, which is only possible
+        in a bucket where EVERY run is truncated (a complete run lists
+        all of its term's bucket postings); such a doc's score is ≤ the
+        bucket's Σ cutoffs. Buckets with n_runs == |q|, n_complete == 0
+        and bucket_cut_total ≥ θ are re-scored wholesale.
+      * maybe DOCS — candidates with certain == false and
+        score_q + error_ub ≥ θ in NON-rescoped buckets join the exact
+        scan by doc_id (left-semi; the maybe band is a DataFrame, never
+        collected).
+    Certain docs outside rescoped buckets pass through from tier 1;
+    certain docs inside them re-score to the same value in tier 2 (no
+    union dedup needed — the slices partition the docs).
+
+    Driver-side state: the θ probe (≤ k rows) and the bucket census
+    (≤ n_buckets rows) — both bounded, per the package's .collect()
+    conventions. When every (bucket, term) run fit the champion budget
+    the rescope set is empty and the serve never touches `impacts`.
+
+    `diag`, when given, receives rescope_buckets / theta / n_certain /
+    n_maybe_rescoped for the scope-containment pytest."""
+    uniq = sorted(set(terms))
+    empty = impacts.select(
+        F.col("doc_id"), F.lit(0).cast("bigint").alias("score_q")
+    ).limit(0)
+    if not uniq:
+        return empty
+    n_q = len(uniq)
+    scored, census = _champions_and_scored(champions, uniq)
+    scored = scored.persist()
+    certain_top = (
+        scored.filter(F.col("certain"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    theta = certain_top[-1]["score_q"] if len(certain_top) == k else None
+    census_rows = census.collect()
+    rescope_buckets = sorted(
+        r["doc_bucket"]
+        for r in census_rows
+        if r["n_runs"] == n_q
+        and r["n_complete"] == 0
+        and (
+            r["bucket_cut_total"] >= theta
+            if theta is not None
+            else r["bucket_cut_total"] > 0
+        )
+    )
+    maybe = scored.filter(~F.col("certain"))
+    if theta is not None:
+        maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
+    maybe = maybe.filter(~F.col("doc_bucket").isin(rescope_buckets))
+
+    # a pre-stored doc_bucket column (impacts parquet partitioned by
+    # bucket, as the bench harness writes it) makes the bucket rescope a
+    # PARTITION-PRUNED scan; otherwise derive it, and the filter is
+    # row-level only
+    if "doc_bucket" in impacts.columns:
+        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
+            "doc_bucket", F.col("doc_bucket").cast("int")
+        )
+    else:
+        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
+            "doc_bucket",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
+        )
+    part_rb = imp_q.filter(F.col("doc_bucket").isin(rescope_buckets))
+    part_maybe = imp_q.filter(
+        ~F.col("doc_bucket").isin(rescope_buckets)
+    ).join(maybe.select("doc_id"), "doc_id", "left_semi")
+    exact_scored = (
+        part_rb.unionByName(part_maybe)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.count("*").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == n_q)
+        .select("doc_id", "score_q")
+    )
+    certain_keep = scored.filter(
+        F.col("certain") & ~F.col("doc_bucket").isin(rescope_buckets)
+    ).select("doc_id", "score_q")
+    if diag is not None:
+        diag["rescope_buckets"] = rescope_buckets
+        diag["theta"] = theta
+        diag["n_certain"] = scored.filter(F.col("certain")).count()
+        diag["n_maybe_rescoped"] = maybe.count()
+        diag["maybe_doc_ids"] = sorted(
+            r["doc_id"] for r in maybe.select("doc_id").collect()
+        )
+    return (
+        exact_scored.unionByName(certain_keep)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def search_champions_and(
     champions: DataFrame,
     terms: list[str],
@@ -417,40 +619,198 @@ def search_champions_and(
     ).limit(0)
     if not uniq:
         return empty
-    n_q = len(uniq)
-    cand = champions.filter(F.col("term").isin(uniq))
-    runs = cand.select("doc_bucket", "term", "cutoff").distinct()
-    census = runs.groupBy("doc_bucket").agg(
-        F.count("*").alias("n_runs"),
-        F.sum((F.col("cutoff") == 0).cast("int")).alias("n_complete"),
-        F.sum("cutoff").alias("bucket_cut_total"),
+    scored, _ = _champions_and_scored(champions, uniq)
+    return (
+        scored.select("doc_id", "score_q", "error_ub", "certain")
+        .orderBy(
+            F.col("certain").desc(),
+            F.col("score_q").desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(k)
     )
-    scored = (
-        cand.groupBy("doc_id", "doc_bucket")
-        .agg(
-            F.sum("impact").cast("bigint").alias("score_q"),
-            F.count("*").alias("n_seen"),
-            F.sum((F.col("cutoff") == 0).cast("int")).alias("seen_complete"),
-            F.sum("cutoff").alias("seen_cut_total"),
-        )
-        .join(F.broadcast(census), "doc_bucket")
-        # bucket must hold a run for EVERY query term, and the doc must
-        # have been seen in every COMPLETE run
-        .filter(
-            (F.col("n_runs") == n_q)
-            & (F.col("seen_complete") == F.col("n_complete"))
-        )
-        .select(
-            "doc_id",
-            "score_q",
-            (F.col("bucket_cut_total") - F.col("seen_cut_total"))
-            .cast("bigint")
-            .alias("error_ub"),
-            (F.col("n_seen") == n_q).alias("certain"),
-        )
+
+
+def champion_lists_from_store(
+    blocks: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    budget_per_bucket: int = CHAMPION_BUDGET,
+    n_buckets: int = ANYTIME_BUCKETS,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Champion build folded onto the PERSISTED index (r03-verdict #3):
+    identical table to `champion_lists(quantized_impacts(postings, …))`
+    but sourced from the committed block store instead of re-tokenizing
+    the corpus — the r03 champ build re-ran the whole docs→postings
+    pipeline (Arrow tokenize + postings groupBy) just to re-derive rows
+    the index already holds.
+
+    Plan: pruned block scan → vectorized numpy decode (blocks.decode_
+    blocks, the same path incremental reindex trusts) → the quantize
+    map (join df + dl, both index-resident relations) → the bounded
+    (doc_bucket, term) champion window. One shuffle keyed by the run
+    key; the tokenizer, the corpus scan and the postings groupBy all
+    drop out of the build. Measured in BENCH/QUERIES.md."""
+    from .blocks import decode_blocks
+
+    postings = decode_blocks(blocks).select("term", "doc_id", "tf")
+    imp = quantized_impacts(
+        postings, term_dict, doc_stats, n_docs, avgdl, k1, b
     )
-    return scored.orderBy(
-        F.col("certain").desc(),
-        F.col("score_q").desc(),
-        F.col("doc_id").asc(),
-    ).limit(k)
+    return champion_lists(imp, budget_per_bucket, n_buckets)
+
+
+def _round6_half_up(x):
+    """Vectorized twin of Spark's round(col, 6) on doubles (BigDecimal
+    HALF_UP over the shortest decimal representation). The fast path is
+    plain scale-and-compare; values within 1e-7 of a .5 boundary — where
+    the *1e6 scaling itself could cross the edge — re-round through
+    Decimal(repr(x)), which matches Java's Double.toString shortest
+    round-trip digits. Inputs are the nonnegative BM25 partials (< ~100),
+    so the 1e-7 guard band safely exceeds the scaling error."""
+    import numpy as np
+
+    y = x * 1e6
+    f = np.floor(y)
+    frac = y - f
+    out = np.where(frac >= 0.5, f + 1.0, f) / 1e6
+    sus = np.abs(frac - 0.5) < 1e-7
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        for i in np.nonzero(sus)[0]:
+            out[i] = float(
+                Decimal(repr(float(x[i]))).quantize(q, ROUND_HALF_UP)
+            )
+    return out
+
+
+def champion_lists_fused(
+    blocks: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    budget_per_bucket: int = CHAMPION_BUDGET,
+    n_buckets: int = ANYTIME_BUCKETS,
+    store_n_buckets: int | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Champion build as ONE pass over the compressed block store — the
+    r03-verdict #3 fold, final form: no posting explode, no corpus-scale
+    join, no corpus-scale window. Emits the bit-identical table to
+    `champion_lists(quantized_impacts(postings, …))` (pinned by test and
+    by the shared `search_champions` oracle mirror).
+
+    Why no corpus-scale work is needed: a block row already carries the
+    run's (doc_ids, tfs, DLS) — dl_bytes ships per posting, so the
+    doc_stats join drops out; df rides a VOCAB-scale join (blocks ⋈
+    term_dict on term — both |vocab|·n_buckets-ish relations, never the
+    corpus); quantization and top-budget selection happen in numpy
+    inside one applyInPandas over groupBy(doc_bucket, term) — the only
+    shuffle moves the COMPRESSED blocks (≈ index_bytes, 6× smaller than
+    raw postings), not 224M decoded rows. Measured vs the decode→join→
+    window path in BENCH/QUERIES.md.
+
+    Sharding contract: champion runs must nest inside stored block
+    buckets, i.e. n_buckets % store_n_buckets == 0 (equal by default).
+    With n_buckets a strict multiple, each group splits its postings by
+    doc_id % n_buckets and selects per sub-run. Rounding matches Spark's
+    round(…, 6) exactly (see _round6_half_up)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .codec import decode_payload, delta_decode
+
+    store_n = store_n_buckets if store_n_buckets is not None else n_buckets
+    if n_buckets % store_n != 0:
+        raise ValueError(
+            f"champion n_buckets={n_buckets} must be a multiple of the "
+            f"store's {store_n} (runs must nest inside stored buckets)"
+        )
+    n = float(n_docs)
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    avg = float(avgdl)
+    budget = int(budget_per_bucket)
+    nb = int(n_buckets)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_bucket", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("impact", T.IntegerType(), False),
+            T.StructField("cutoff", T.IntegerType(), False),
+        ]
+    )
+
+    def _champ(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_p, tf_p, dl_p = [], [], []
+        for row in pdf.itertuples(index=False):
+            ids_p.append(delta_decode(decode_payload(row.doc_bytes, row.count)))
+            tf_p.append(decode_payload(row.tf_bytes, row.count))
+            dl_p.append(decode_payload(row.dl_bytes, row.count))
+        ids = np.concatenate(ids_p)
+        tfd = np.concatenate(tf_p).astype(np.float64)
+        dld = np.concatenate(dl_p).astype(np.float64)
+        dfv = float(pdf["df"].iloc[0])
+        idf = math.log(1.0 + ((n - dfv) + 0.5) / (dfv + 0.5))
+        # identical operation ORDER to quantized_impacts' column expr
+        part = (idf * (tfd * k1p1)) / (
+            tfd + k1 * (one_minus_b + (b * dld) / avg)
+        )
+        imp = np.minimum(
+            QUANT_LEVELS - 1, np.floor(_round6_half_up(part) * QUANT_SCALE)
+        ).astype(np.int64)
+        term = pdf["term"].iloc[0]
+        cb = (ids % nb).astype(np.int64)
+        frames = []
+        for c in np.unique(cb):
+            m = cb == c
+            cids, cimp = ids[m], imp[m]
+            order = np.lexsort((cids, -cimp))
+            if order.size > budget:
+                kept = order[:budget]
+                cut = int(cimp[order[budget - 1]])
+            else:
+                kept = order
+                cut = 0
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_bucket": np.full(kept.size, c, dtype=np.int32),
+                        "term": term,
+                        "doc_id": cids[kept],
+                        "impact": cimp[kept].astype(np.int32),
+                        "cutoff": np.full(kept.size, cut, dtype=np.int32),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "doc_bucket": np.empty(0, dtype=np.int32),
+                    "term": pd.Series([], dtype=object),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "impact": np.empty(0, dtype=np.int32),
+                    "cutoff": np.empty(0, dtype=np.int32),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    df_map = term_dict.select("term", "df")
+    joined = blocks.select(
+        "doc_bucket", "term", "count", "doc_bytes", "tf_bytes", "dl_bytes"
+    ).join(df_map, "term")
+    return joined.groupBy("doc_bucket", "term").applyInPandas(
+        _champ, out_schema
+    )

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .lemmas import FULL_LEMMA_MAP
+from .ruletier import rule_series
 from .stopwords import STOPWORDS
 from .tokenize import BOUNDARY_STRIP, WORD_PATTERN, WS_SPLIT
 
@@ -81,7 +82,12 @@ def _analyze_stream(
         & ~uq.isin(STOPWORDS)
         & (uq != "")
     ).to_numpy()
-    lem_u = uq.map(FULL_LEMMA_MAP).fillna(uq)
+    lem_u = uq.map(FULL_LEMMA_MAP)
+    _miss = lem_u.isna()
+    if _miss.any():
+        # rule tier on the UNIQUE-token miss slice only (cheap: the
+        # dictionary-encode above already deduplicated the batch)
+        lem_u[_miss] = rule_series(uq[_miss])
     lcode_u, lem_vocab = pd.factorize(lem_u.to_numpy(dtype=object))
 
     keep = keep_u[codes]

@@ -44,7 +44,8 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .morphology import build_lemma_table
+from .morphology import build_lemma_table, lexicon_lemmas
+from .ruletier import rule_lemma
 
 DICT_VERSION = 3
 
@@ -125,16 +126,45 @@ LEMMA_MAP: dict[str, str] = {
 }
 
 
-# The active table: generated dictionary + hand-frozen overlay (overlay
-# wins — it pins reference-observed first-normal-form choices).
-FULL_LEMMA_MAP: dict[str, str] = {**build_lemma_table(), **LEMMA_MAP}
+# The active table: identity rows for every KNOWN LEMMA (a word that is
+# its own first normal form must never reach the rule tier — 'слово'
+# would otherwise suffix-strip), then the generated dictionary, then the
+# hand-frozen overlay (overlay wins — it pins reference-observed
+# first-normal-form choices). The identity layer is behaviorally inert
+# for lookup (identity in, identity out) — it exists to mark lemmas as
+# dictionary HITS now that misses fall through to ruletier.
+_GENERATED = build_lemma_table()
+from .morphology_ext import PROTECTED_TOKENS
+from .tokenize import WORD_RE as _WORD_RE
+
+# only tokenizer-valid protected tokens join the dictionary (café et al.
+# never survive tokenization, and every dict entry must be a valid token)
+_PROTECTED = {w for w in PROTECTED_TOKENS if _WORD_RE.match(w)}
+
+_IDENTITY: dict[str, str] = {
+    w: w
+    for w in sorted(
+        lexicon_lemmas()
+        | set(_GENERATED.values())
+        | set(LEMMA_MAP.values())
+        # the frozen contract vocabulary: contractually identity — real
+        # words the reference's full Lucene dictionaries recognize too,
+        # so marking them dictionary HITS (not OOV) is the faithful call
+        | _PROTECTED
+    )
+}
+FULL_LEMMA_MAP: dict[str, str] = {**_IDENTITY, **_GENERATED, **LEMMA_MAP}
 
 _SORTED_ITEMS = sorted(FULL_LEMMA_MAP.items())
 
 
 def lemma(word: str) -> str:
-    """First-normal-form lookup with identity fallback (lowercase in/out)."""
-    return FULL_LEMMA_MAP.get(word, word)
+    """First-normal-form lookup; dictionary misses fall through to the
+    rule tier (ruletier.rule_lemma: suffix-stripping conflation for
+    regular unseen inflections, identity for everything else —
+    lowercase in/out)."""
+    got = FULL_LEMMA_MAP.get(word)
+    return got if got is not None else rule_lemma(word)
 
 
 def lemma_items() -> list[tuple[str, str]]:

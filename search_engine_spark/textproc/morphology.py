@@ -786,7 +786,19 @@ def _form_index() -> dict[str, tuple[str, str]]:
     table = build_lemma_table()
     for form, lemma in table.items():
         idx[form] = (lemma, lemmas[lemma])
+    # the frozen contract vocabulary analyzes as invariant nouns: real
+    # words the reference's full Lucene dictionaries recognize (their
+    # identity lemma is contractual — morphology_ext.PROTECTED_TOKENS)
+    for w in sorted(ext.PROTECTED_TOKENS):
+        idx.setdefault(w, (w, NOUN))
     return idx
+
+
+def lexicon_lemmas() -> set[str]:
+    """Every base-lexicon lemma (ru + en, both layers) — words that ARE
+    their own first normal form. The rule tier must never touch these,
+    so lemmas.py materializes them as identity dictionary rows."""
+    return set(_base_lexicon())
 
 
 def analyze(word: str) -> tuple[str, str] | None:

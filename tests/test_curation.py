@@ -479,3 +479,27 @@ def test_dedup_incremental_probes_only_new_vs_corpus(spark):
         for r in dedup_incremental(docs, threshold=0.5).collect()
     }
     assert got == {(13, 1), (13, 2)}
+
+
+def test_ccnet_window_is_language_keyed(spark):
+    """Plan pin (r03-verdict #7): the CCNet tercile ntile windows
+    partition on lang (bounded key set); a refactor widening them to a
+    global sort fails here."""
+    import re
+
+    from search_engine_spark.operators.index_build import build_postings
+    from search_engine_spark.operators.textstats import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "some data here", "en"), (2, "more data", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    plan = (
+        ccnet_buckets(docs, build_postings(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "lang" in spec, spec

@@ -407,3 +407,26 @@ def test_trustrank_empty_seed_intersection_returns_zeros(spark):
     seeds = spark.createDataFrame([(999,)], "doc_id long")
     got = {r["doc_id"]: r["tr"] for r in trustrank(docs, edges, seeds).collect()}
     assert got == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_parse_robots_window_is_host_keyed(spark):
+    """Plan pin (r03-verdict #7): the robots group-segmentation windows
+    partition on host (bounded: one tiny file per host) — a refactor
+    that widens them to a global window fails here."""
+    from search_engine_spark.operators.graph import parse_robots
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    plan = (
+        parse_robots(robots)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "host" in spec, spec

@@ -364,3 +364,196 @@ def test_champion_lists_plan_has_no_join(spark):
     )
     assert "Join" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def _impacts_fixture(spark):
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = entrymod._bm25_ctx(
+        spark, SF_TEST
+    )
+    return quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+
+
+def test_two_tier_equals_exact_across_queries(spark):
+    """The composed two-tier serve (champions + maybe-band rescope) is
+    value-identical to the exact conjunctive ranking for 1/2/3-term
+    queries, a stopword query and an absent term — at the tight budget
+    (8) where many runs truncate AND at a loose budget where none do."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_impact_and,
+        search_two_tier,
+    )
+
+    imp = _impacts_fixture(spark).persist()
+    try:
+        for budget in (2, 8, 10_000):
+            ch = champion_lists(imp, budget_per_bucket=budget).persist()
+            for q in (["data"], ["data", "fast"], ["dup", "data", "fast"],
+                      ["the"], ["data", "zzabsent"]):
+                got = [
+                    (r["doc_id"], r["score_q"])
+                    for r in search_two_tier(imp, ch, q).collect()
+                ]
+                want = [
+                    (r["doc_id"], r["score_q"])
+                    for r in search_impact_and(imp, q).collect()
+                ]
+                assert got == want, (budget, q)
+            ch.unpersist()
+    finally:
+        imp.unpersist()
+
+
+def test_two_tier_scope_containment(spark):
+    """The exact tier touches ONLY the maybe band: rescoped buckets are
+    all-runs-truncated ones, per-doc rescopes are uncertain candidates
+    (never certain docs), and at a budget where nothing truncates the
+    rescope set is empty — the serve never leaves the champion table."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions_and,
+        search_two_tier,
+    )
+
+    imp = _impacts_fixture(spark).persist()
+    try:
+        q = ["dup", "data", "fast"]
+        ch = champion_lists(imp, budget_per_bucket=8).persist()
+        diag: dict = {}
+        search_two_tier(imp, ch, q, diag=diag).collect()
+        # every per-doc rescope is an UNCERTAIN tier-1 candidate
+        from search_engine_spark.operators.impact import (
+            _champions_and_scored,
+        )
+
+        scored, census = _champions_and_scored(ch, sorted(set(q)))
+        certain_ids = {
+            r["doc_id"]
+            for r in scored.filter("certain").select("doc_id").collect()
+        }
+        maybe_ids = {
+            r["doc_id"]
+            for r in scored.filter("NOT certain").select("doc_id").collect()
+        }
+        assert set(diag["maybe_doc_ids"]).isdisjoint(certain_ids)
+        assert set(diag["maybe_doc_ids"]) <= maybe_ids
+        # rescoped buckets hold NO complete run (the only shape that can
+        # hide a conjunctive match from tier 1)
+        trunc_only = {
+            r["doc_bucket"]
+            for r in census.collect()
+            if r["n_complete"] == 0 and r["n_runs"] == len(set(q))
+        }
+        assert set(diag["rescope_buckets"]) <= trunc_only
+        ch.unpersist()
+
+        # loose budget: nothing truncates → zero rescope anywhere
+        ch_all = champion_lists(imp, budget_per_bucket=10_000)
+        diag2: dict = {}
+        rows = search_two_tier(imp, ch_all, q, diag=diag2).collect()
+        assert diag2["rescope_buckets"] == []
+        assert diag2["n_maybe_rescoped"] == 0
+        # and tier 1 alone already equals the serve (all certain)
+        t1 = search_champions_and(ch_all, q).collect()
+        assert [(r["doc_id"], r["score_q"]) for r in rows] == [
+            (r["doc_id"], r["score_q"]) for r in t1
+        ]
+    finally:
+        imp.unpersist()
+
+
+def test_champion_lists_from_store_bit_identical(spark, tmp_path):
+    """The store-folded champion build (decode committed blocks →
+    quantize → window; NO re-tokenize) emits the bit-identical table to
+    the from-postings path — the r03 #3 fold-in is a pure cost change."""
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        champion_lists_from_store,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    store = catalog.IndexStore(spark, str(tmp_path / "idx"), n_buckets=8)
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+
+    got = champion_lists_from_store(
+        store.read_blocks(),
+        store.read_term_dict(),
+        store.read_doc_stats(),
+        stats["n_docs"],
+        float(stats["avgdl"]),
+        budget_per_bucket=8,
+    )
+    docs2, postings, term_dict, doc_stats, n_docs, avgdl = (
+        entrymod._bm25_ctx(spark, SF_TEST)
+    )
+    want = champion_lists(
+        quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl),
+        budget_per_bucket=8,
+    )
+    g = sorted((tuple(r) for r in got.collect()))
+    w = sorted((tuple(r) for r in want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_champion_lists_fused_bit_identical(spark, tmp_path):
+    """The one-pass block-level champion build (numpy quantize+select
+    inside applyInPandas, dl from dl_bytes, df via vocab-scale join —
+    zero corpus-scale shuffles) emits the bit-identical table to the
+    window path, at budgets that truncate and budgets that don't."""
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        champion_lists_fused,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    store = catalog.IndexStore(spark, str(tmp_path / "idx"), n_buckets=8)
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+    docs2, postings, term_dict, doc_stats, n_docs, avgdl = (
+        entrymod._bm25_ctx(spark, SF_TEST)
+    )
+    for budget, champ_nb in ((8, 8), (3, 16), (10_000, 8)):
+        got = sorted(
+            tuple(r)
+            for r in champion_lists_fused(
+                store.read_blocks(),
+                store.read_term_dict(),
+                stats["n_docs"],
+                float(stats["avgdl"]),
+                budget_per_bucket=budget,
+                n_buckets=champ_nb,
+                store_n_buckets=8,
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in champion_lists(
+                quantized_impacts(
+                    postings, term_dict, doc_stats, n_docs, avgdl
+                ),
+                budget_per_bucket=budget,
+                n_buckets=champ_nb,
+            ).collect()
+        )
+        assert got == want and len(got) > 0, (budget, champ_nb)
+
+
+def test_champion_fused_rejects_non_nesting_buckets(spark, tmp_path):
+    import pytest as _pytest
+
+    from search_engine_spark.operators.impact import champion_lists_fused
+
+    blocks = spark.createDataFrame(
+        [], "doc_bucket int, term string, count int, doc_bytes binary,"
+        " tf_bytes binary, dl_bytes binary"
+    )
+    td = spark.createDataFrame([], "term string, df long")
+    with _pytest.raises(ValueError):
+        champion_lists_fused(
+            blocks, td, 1, 1.0, n_buckets=8, store_n_buckets=16
+        )

@@ -53,7 +53,7 @@ def test_evict_ctx_unpersists_and_rebuilds(spark):
     multi-scale session doesn't accumulate caches until GC (r03
     ADVICE); a later query on the same sf_dir rebuilds transparently."""
     entrymod._bm25_ctx(spark, SF_TEST)  # populate both ctx keys
-    assert entrymod.evict_ctx(spark, SF_TEST) == 2
+    assert entrymod.evict_ctx(spark, SF_TEST) >= 2
     assert entrymod.evict_ctx(spark, SF_TEST) == 0
     docs, postings = entrymod._search_ctx(spark, SF_TEST)  # rebuilds
     assert postings.limit(1).count() == 1
