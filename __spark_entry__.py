@@ -2373,6 +2373,26 @@ def _q_search_two_tier(spark, sf_dir):
     )
 
 
+def _q_search_two_tier_or(spark, sf_dir):
+    """Disjunctive two-tier serve (OR certainty algebra: error_ub==0 is
+    certain, hidden docs bounded by the bucket's truncated-run cutoff
+    sum). Oracle mirror is the EXACT disjunctive impact ranking, so the
+    driver hash proves OR-two-tier == exact."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        quantized_impacts,
+        search_two_tier_or,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_two_tier_or(
+        imp, champion_lists(imp, budget_per_bucket=8), Q_BM25
+    )
+
+
 def _q_containment(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup: quoted-inside
     detection), candidate-driven from LSH band collisions."""
@@ -2816,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_impact_and": _q_search_impact_and,
         "search_champions_fused": _q_search_champions_fused,
         "search_two_tier": _q_search_two_tier,
+        "search_two_tier_or": _q_search_two_tier_or,
         "containment": _q_containment,
         "ann_filtered": _q_ann_filtered,
         "cdx_lines": _q_cdx_lines,
@@ -3099,6 +3120,8 @@ def oracle_sql() -> dict[str, str]:
         "search_champions_fused": ora.search_champions_sql(Q_BM25, budget=8),
         # two-tier is pinned against the EXACT conjunctive ranking
         "search_two_tier": ora.search_impact_and_sql(Q_BM25),
+        # OR two-tier is pinned against the EXACT disjunctive ranking
+        "search_two_tier_or": ora.search_impact_sql(Q_BM25),
         "containment": pipe.containment_pairs_sql(
             threshold=CONTAIN_THRESHOLD, lsh_candidates=True
         ),

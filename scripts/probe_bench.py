@@ -134,14 +134,13 @@ def main() -> None:
     # vs the exact blocks path.
     from search_engine_spark.operators import impact as imp
 
-    # Champion build FOLDED onto the persisted index (r03-verdict #3):
-    # decode the committed blocks (vectorized numpy) → quantize → one
-    # bounded (doc_bucket, term) window → tiny write. No re-tokenize,
-    # no corpus scan, no postings groupBy — the r03 path re-ran all
-    # three and cost 292 s; the fold prices only what the base build
-    # did NOT already pay. The full impacts parquet (exact-tier serving
-    # acceleration + quality reference) is timed separately: it is an
-    # optional materialization, not part of champion selection.
+    # Champion build FOLDED onto the persisted index (r03-verdict #3),
+    # final form: champion_lists_fused runs ONE applyInPandas pass over
+    # the compressed block store (numpy decode + quantize + top-budget
+    # select; dl from dl_bytes, df via vocab-scale join). No
+    # re-tokenize, no corpus scan, no postings groupBy, no corpus-scale
+    # window — the r03 path paid all four and cost 292 s; measured
+    # 19-29 s here.
     champ_path = f"{index_dir}/champions"
     champ_build_sec = None
     if not os.path.exists(champ_path + "/_SUCCESS"):
@@ -162,40 +161,20 @@ def main() -> None:
         )
         champ_build_sec = round(time.time() - t0, 2)
     out["champ_build_sec"] = champ_build_sec
-    impacts_write_sec = None
-    if not os.path.exists(f"{index_dir}/impacts/_SUCCESS"):
-        from pyspark.sql import functions as F
+    # NO impacts parquet: the exact tier and the quality reference derive
+    # impacts ON DEMAND from the committed block store itself
+    # (impacts_from_blocks: pushed In(term) block scan -> decode with dl
+    # -> in-plan quantize) -- at 10^12 docs a second postings-sized
+    # impacts table is exactly the artifact you do not want to write.
+    store_blocks = eng.store.read_blocks()
+    store_td = eng.store.read_term_dict()
 
-        from search_engine_spark.operators.blocks import decode_blocks
-
-        t0 = time.time()
-        (
-            imp.quantized_impacts(
-                decode_blocks(eng.store.read_blocks()).select(
-                    "term", "doc_id", "tf"
-                ),
-                eng.store.read_term_dict(),
-                eng.store.read_doc_stats(),
-                stats["n_docs"],
-                float(stats["avgdl"]),
-            )
-            # bucket-partitioned layout: the two-tier rescope prunes
-            # whole partitions instead of row-filtering a full scan;
-            # term-sorted within each bucket so the In(term) pushdown
-            # prunes row groups via min/max stats
-            .withColumn(
-                "doc_bucket", F.pmod(F.col("doc_id"), F.lit(32)).cast("int")
-            )
-            .repartition(32, "doc_bucket")
-            .sortWithinPartitions("doc_bucket", "term")
-            .write.mode("overwrite")
-            .partitionBy("doc_bucket")
-            .parquet(f"{index_dir}/impacts")
+    def impacts_for(terms):
+        return imp.impacts_from_blocks(
+            store_blocks, store_td, stats["n_docs"],
+            float(stats["avgdl"]), terms=terms,
         )
-        impacts_write_sec = round(time.time() - t0, 2)
-    out["impacts_write_sec"] = impacts_write_sec
     champions = spark.read.parquet(champ_path)
-    impacts_full = spark.read.parquet(f"{index_dir}/impacts")
     out["champ_rows"] = champions.count()
 
     def probe_champ(terms: list[str]):
@@ -213,7 +192,7 @@ def main() -> None:
     # TRUE integer score / exact top-20 summed score) is the honest
     # retrieval-quality number on this input.
     def exact_int_top(terms: list[str]):
-        return imp.search_impact(impacts_full, terms, k=20).collect()
+        return imp.search_impact(impacts_for(terms), terms, k=20).collect()
 
     probe_champ(QUERIES["3term"])  # warm footers
     for label, terms in QUERIES.items():
@@ -231,7 +210,7 @@ def main() -> None:
 
         ids = [r["doc_id"] for r in rows]
         true_rows = (
-            impacts_full.filter(
+            impacts_for(terms).filter(
                 F.col("term").isin(sorted(set(terms)))
                 & F.col("doc_id").isin(ids)
             )
@@ -259,7 +238,7 @@ def main() -> None:
     def probe_two_tier(terms: list[str]) -> float:
         t0 = time.time()
         imp.search_two_tier(
-            impacts_full, champions, terms, k=20, n_buckets=32
+            impacts_for(terms), champions, terms, k=20, n_buckets=32
         ).collect()
         return time.time() - t0
 
@@ -269,7 +248,7 @@ def main() -> None:
         out[f"twotier_p50_{label}"] = round(statistics.median(walls), 4)
         d: dict = {}  # diag pass OUTSIDE the timed probes (extra jobs)
         imp.search_two_tier(
-            impacts_full, champions, terms, k=20, n_buckets=32, diag=d
+            impacts_for(terms), champions, terms, k=20, n_buckets=32, diag=d
         ).collect()
         out[f"twotier_rescope_buckets_{label}"] = len(
             d.get("rescope_buckets", [])

@@ -687,6 +687,51 @@ class SearchEngine:
             }
         return {"result": True, "mode": "none", "suggestions": []}
 
+    def search_two_tier(
+        self, query: str, k: int = 20, budget_per_bucket: int = 128,
+        op: str = "and",
+    ) -> DataFrame:
+        """Integer-impact two-tier serve (r03-verdict #1, engine facade):
+        champion tier first, exact-path rescope of only the maybe band —
+        value-identical to the exact conjunctive impact ranking
+        (operators/impact.py::search_two_tier, oracle-pinned). Returns
+        (doc_id, score_q).
+
+        First call per budget builds and session-caches the champion
+        table (one pass over the cached blocks via champion_lists_fused
+        — no corpus re-scan) and the impact relation the exact tier
+        rescopes through (decoded from the same blocks); both share the
+        engine's doc_bucket sharding."""
+        self._require_built()
+        from .operators import impact as imp
+        from .operators.blocks import decode_blocks
+
+        terms = se.analyze_query(query)
+        if not hasattr(self, "_impact_cache"):
+            self._impact_cache: dict = {}
+        key = int(budget_per_bucket)
+        if key not in self._impact_cache:
+            champs = imp.champion_lists_fused(
+                self.blocks,
+                self.term_dict,
+                self.n_docs,
+                self.avgdl,
+                budget_per_bucket=key,
+                n_buckets=self.n_buckets,
+                store_n_buckets=self.n_buckets,
+            ).persist()
+            impacts = imp.quantized_impacts(
+                decode_blocks(self.blocks).select("term", "doc_id", "tf"),
+                self.term_dict,
+                self.doc_stats.select("doc_id", "dl"),
+                self.n_docs,
+                self.avgdl,
+            ).persist()
+            self._impact_cache[key] = (champs, impacts)
+        champs, impacts = self._impact_cache[key]
+        fn = imp.search_two_tier if op != "or" else imp.search_two_tier_or
+        return fn(impacts, champs, terms, k=k, n_buckets=self.n_buckets)
+
     def percolate(self, queries=None) -> DataFrame:
         """Reverse search over the engine's corpus: match the stored
         conjunctive query set against every document (query_id, doc_id).

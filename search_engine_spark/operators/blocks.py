@@ -166,3 +166,54 @@ def write_blocks(blocks: DataFrame, path: str) -> None:
         .partitionBy("doc_bucket")
         .parquet(path)
     )
+
+
+def decode_blocks_with_dl(blocks: DataFrame) -> DataFrame:
+    """decode_blocks plus the per-posting doc length: (doc_bucket, term,
+    doc_id, tf, dl). dl_bytes ships inside every block, so consumers
+    that need length-normalized scores (impact quantization, the
+    two-tier exact rescope) never join the corpus-scale doc_stats
+    relation — the block scan is self-contained, and a term/bucket
+    filter above this operator pushes down to the parquet scan."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_bucket", T.IntegerType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.LongType(), False),
+            T.StructField("dl", T.LongType(), False),
+        ]
+    )
+
+    def _decode(batches):
+        from .codec import decode_block, decode_payload
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_parts, tf_parts, dl_parts = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids, tfs = decode_block(row.doc_bytes, row.tf_bytes, row.count)
+                ids_parts.append(ids)
+                tf_parts.append(tfs)
+                dl_parts.append(decode_payload(row.dl_bytes, row.count))
+            sizes = np.fromiter(
+                (a.size for a in ids_parts), dtype=np.int64,
+                count=len(ids_parts),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_bucket": np.repeat(
+                        pdf["doc_bucket"].to_numpy(np.int32), sizes
+                    ),
+                    "term": np.repeat(pdf["term"].to_numpy(object), sizes),
+                    "doc_id": np.concatenate(ids_parts),
+                    "tf": np.concatenate(tf_parts),
+                    "dl": np.concatenate(dl_parts),
+                }
+            )
+
+    cols = ["doc_bucket", "term", "count", "doc_bytes", "tf_bytes", "dl_bytes"]
+    return blocks.select(*cols).mapInPandas(_decode, schema=out_schema)

@@ -570,6 +570,11 @@ def search_two_tier(
         diag["maybe_doc_ids"] = sorted(
             r["doc_id"] for r in maybe.select("doc_id").collect()
         )
+    # the cache only serves the in-function collects (θ probe, diag);
+    # release it now so repeated serves don't accumulate cached frames —
+    # the returned plan recomputes the champion-scale aggregation once
+    # at collection, which is cheap next to the rescope scan
+    scored.unpersist()
     return (
         exact_scored.unionByName(certain_keep)
         .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
@@ -813,4 +818,230 @@ def champion_lists_fused(
     ).join(df_map, "term")
     return joined.groupBy("doc_bucket", "term").applyInPandas(
         _champ, out_schema
+    )
+
+
+def impacts_from_blocks(
+    blocks: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    terms: list[str] | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """(term, doc_id, impact, doc_bucket) derived ON DEMAND from the
+    committed block store — bit-identical values to `quantized_impacts`
+    (shared arithmetic, pinned by test) with NO second materialized
+    impact table and NO corpus-scale join: dl comes from the blocks' own
+    dl_bytes (decode_blocks_with_dl), df from a vocab-scale term_dict
+    join, and an optional `terms` list filters the BLOCK SCAN itself
+    (pushed In(term) + row-group stats on the term-sorted layout), so a
+    query decodes only its own runs.
+
+    This is the two-tier exact tier's scale-correct input: at 10^12
+    docs you do not write a second postings-sized impacts table — you
+    re-derive the few runs a rescope touches from the index you already
+    have. doc_bucket is the STORE bucket (valid as the champion bucket
+    whenever the two shardings match, the default)."""
+    from .blocks import decode_blocks_with_dl
+
+    src = blocks
+    if terms is not None:
+        uniq = sorted(set(terms))
+        src = blocks.filter(F.col("term").isin(uniq))
+    decoded = decode_blocks_with_dl(src)
+    part = (
+        F.col("idf")
+        * (F.col("tf").cast("double") * (k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
+        )
+    )
+    idf = F.log(
+        1.0
+        + (float(n_docs) - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    quant = F.least(
+        F.lit(QUANT_LEVELS - 1),
+        F.floor(F.round(part, 6) * QUANT_SCALE),
+    )
+    return (
+        decoded.join(term_dict.select("term", "df"), "term")
+        .withColumn("idf", idf)
+        .select(
+            "term",
+            "doc_id",
+            quant.cast("int").alias("impact"),
+            "doc_bucket",
+        )
+    )
+
+
+def refresh_champions(
+    champions: DataFrame,
+    blocks: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    touched_buckets: list[int],
+    budget_per_bucket: int = CHAMPION_BUDGET,
+    n_buckets: int = ANYTIME_BUCKETS,
+    store_n_buckets: int | None = None,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Incremental champion maintenance after a partial reindex: replace
+    ONLY the runs of the touched store buckets (incremental.reindex_docs
+    returns them) with a fresh one-pass fused rebuild over those
+    buckets' blocks; every other champion row passes through untouched.
+
+    Stats epoch semantics: pass the BUILD-EPOCH corpus stats (n_docs,
+    avgdl, the epoch term_dict) — impact values depend on global df /
+    avgdl, so refreshing touched buckets under the epoch stats keeps the
+    whole table internally consistent with the original build, exactly
+    like a Lucene segment index serves slightly-stale idf until a
+    stats refresh; re-epoch (full champion rebuild, 19-29 s at 10M docs)
+    on whatever cadence stats drift warrants. Pinned by test: refreshed
+    == full fused rebuild on the updated blocks under the same epoch,
+    bit-for-bit, and untouched buckets' rows are preserved verbatim.
+
+    Plan shape: the touched-bucket filter prunes the block scan to the
+    reindexed partitions (blocks are stored partitioned by doc_bucket),
+    so the refresh costs O(touched buckets' block bytes) — per-page
+    reindex touches one bucket."""
+    store_n = store_n_buckets if store_n_buckets is not None else n_buckets
+    if n_buckets % store_n != 0:
+        raise ValueError(
+            f"champion n_buckets={n_buckets} must be a multiple of the "
+            f"store's {store_n}"
+        )
+    touched = sorted(set(int(x) for x in touched_buckets))
+    if not touched:
+        return champions
+    fresh = champion_lists_fused(
+        blocks.filter(F.col("doc_bucket").isin(touched)),
+        term_dict,
+        n_docs,
+        avgdl,
+        budget_per_bucket=budget_per_bucket,
+        n_buckets=n_buckets,
+        store_n_buckets=store_n,
+    )
+    # champion buckets nest inside store buckets (factor m = nb/store_n):
+    # champion bucket c belongs to store bucket c % store_n
+    kept = champions.filter(
+        ~F.pmod(F.col("doc_bucket"), F.lit(store_n)).isin(touched)
+    )
+    return kept.unionByName(fresh)
+
+
+def search_two_tier_or(
+    impacts: DataFrame,
+    champions: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    n_buckets: int = ANYTIME_BUCKETS,
+    diag: dict | None = None,
+) -> DataFrame:
+    """(doc_id, score_q) — the DISJUNCTIVE two-tier serve, pinned
+    value-identical to `search_impact` (the exact OR ranking) by the
+    shared oracle mirror. Same architecture as `search_two_tier` with
+    the OR certainty algebra:
+
+      * certain ⇔ error_ub == 0 — the doc was seen in EVERY truncated
+        run of its bucket (complete runs it is absent from contribute
+        exactly 0 to an OR score, so absence there costs nothing);
+      * a hidden doc (in no champion run) lacks every complete run's
+        term entirely, so its score is bounded by the bucket's Σ
+        truncated-run cutoffs = bucket_cut_total — rescope the bucket
+        when that crosses θ (no all-runs-truncated precondition: OR has
+        no conjunctive elimination);
+      * maybe docs (error_ub > 0, score_q + error_ub ≥ θ) rescope
+        per-doc via left-semi join, outside rescoped buckets.
+
+    Driver state: the θ probe (≤ k rows) and the census (≤ n_buckets
+    rows), as in the AND variant."""
+    uniq = sorted(set(terms))
+    empty = impacts.select(
+        F.col("doc_id"), F.lit(0).cast("bigint").alias("score_q")
+    ).limit(0)
+    if not uniq:
+        return empty
+    cand = champions.filter(F.col("term").isin(uniq))
+    runs = cand.select("doc_bucket", "term", "cutoff").distinct()
+    census = runs.groupBy("doc_bucket").agg(
+        F.sum("cutoff").alias("bucket_cut_total"),
+    )
+    scored = (
+        cand.groupBy("doc_id", "doc_bucket")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.sum("cutoff").alias("seen_cut_total"),
+        )
+        .join(F.broadcast(census), "doc_bucket")
+        .select(
+            "doc_id",
+            "doc_bucket",
+            "score_q",
+            (F.col("bucket_cut_total") - F.col("seen_cut_total"))
+            .cast("bigint")
+            .alias("error_ub"),
+        )
+    ).persist()
+    certain_top = (
+        scored.filter(F.col("error_ub") == 0)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    theta = certain_top[-1]["score_q"] if len(certain_top) == k else None
+    census_rows = census.collect()
+    rescope_buckets = sorted(
+        r["doc_bucket"]
+        for r in census_rows
+        if (
+            r["bucket_cut_total"] >= theta
+            if theta is not None
+            else r["bucket_cut_total"] > 0
+        )
+    )
+    maybe = scored.filter(F.col("error_ub") > 0)
+    if theta is not None:
+        maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
+    maybe = maybe.filter(~F.col("doc_bucket").isin(rescope_buckets))
+
+    if "doc_bucket" in impacts.columns:
+        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
+            "doc_bucket", F.col("doc_bucket").cast("int")
+        )
+    else:
+        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
+            "doc_bucket",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
+        )
+    part_rb = imp_q.filter(F.col("doc_bucket").isin(rescope_buckets))
+    part_maybe = imp_q.filter(
+        ~F.col("doc_bucket").isin(rescope_buckets)
+    ).join(maybe.select("doc_id"), "doc_id", "left_semi")
+    exact_scored = (
+        part_rb.unionByName(part_maybe)
+        .groupBy("doc_id")
+        .agg(F.sum("impact").cast("bigint").alias("score_q"))
+    )
+    certain_keep = scored.filter(
+        (F.col("error_ub") == 0)
+        & ~F.col("doc_bucket").isin(rescope_buckets)
+    ).select("doc_id", "score_q")
+    if diag is not None:
+        diag["rescope_buckets"] = rescope_buckets
+        diag["theta"] = theta
+        diag["n_maybe_rescoped"] = maybe.count()
+    scored.unpersist()
+    return (
+        exact_scored.unionByName(certain_keep)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
     )

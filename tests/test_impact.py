@@ -557,3 +557,172 @@ def test_champion_fused_rejects_non_nesting_buckets(spark, tmp_path):
         champion_lists_fused(
             blocks, td, 1, 1.0, n_buckets=8, store_n_buckets=16
         )
+
+
+def test_engine_two_tier_facade(spark):
+    """engine.search_two_tier == the exact conjunctive impact ranking
+    over the engine's own index (facade wiring: fused champion build +
+    decoded impacts share the engine's doc_bucket sharding)."""
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.operators.impact import search_impact_and
+
+    eng = SearchEngine(spark, sf_dir=SF_TEST, n_buckets=8).build()
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in eng.search_two_tier("data fast join", k=20,
+                                     budget_per_bucket=4).collect()
+    ]
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = (
+        entrymod._bm25_ctx(spark, SF_TEST)
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    want = [
+        (r["doc_id"], r["score_q"])
+        for r in search_impact_and(imp, ["data", "fast", "join"]).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_impacts_from_blocks_bit_identical(spark, tmp_path):
+    """On-demand impact derivation from the block store equals the
+    materialized quantized_impacts table value-for-value, with and
+    without the pushed term filter."""
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import impacts_from_blocks
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    store = catalog.IndexStore(spark, str(tmp_path / "idx"), n_buckets=8)
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+    docs2, postings, term_dict, doc_stats, n_docs, avgdl = (
+        entrymod._bm25_ctx(spark, SF_TEST)
+    )
+    want_all = sorted(
+        (r["term"], r["doc_id"], r["impact"])
+        for r in quantized_impacts(
+            postings, term_dict, doc_stats, n_docs, avgdl
+        ).collect()
+    )
+    got_all = sorted(
+        (r["term"], r["doc_id"], r["impact"])
+        for r in impacts_from_blocks(
+            store.read_blocks(), store.read_term_dict(),
+            stats["n_docs"], float(stats["avgdl"]),
+        ).collect()
+    )
+    assert got_all == want_all and len(got_all) > 0
+    q = ["data", "fast", "join"]
+    got_q = sorted(
+        (r["term"], r["doc_id"], r["impact"])
+        for r in impacts_from_blocks(
+            store.read_blocks(), store.read_term_dict(),
+            stats["n_docs"], float(stats["avgdl"]), terms=q,
+        ).collect()
+    )
+    assert got_q == [t for t in want_all if t[0] in set(q)]
+    # the store bucket column is the champion bucket under matched
+    # sharding: pmod(doc_id, 8)
+    for r in impacts_from_blocks(
+        store.read_blocks(), store.read_term_dict(),
+        stats["n_docs"], float(stats["avgdl"]), terms=["data"],
+    ).collect():
+        assert r["doc_bucket"] == r["doc_id"] % 8
+
+
+def test_refresh_champions_converges_to_rebuild(spark, tmp_path):
+    """After an incremental reindex, refreshing ONLY the touched
+    buckets' champion runs (epoch stats) equals a full fused rebuild
+    over the updated blocks bit-for-bit, and untouched buckets' rows
+    pass through verbatim."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import (
+        champion_lists_fused,
+        refresh_champions,
+    )
+    from search_engine_spark.operators.incremental import reindex_docs
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    store = catalog.IndexStore(spark, str(tmp_path / "idx"), n_buckets=8)
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+    epoch_td = store.read_term_dict().persist()
+    epoch = (stats["n_docs"], float(stats["avgdl"]))
+
+    champs0 = champion_lists_fused(
+        store.read_blocks(), epoch_td, *epoch,
+        budget_per_bucket=8, n_buckets=8, store_n_buckets=8,
+    ).persist()
+
+    # reindex one page with changed text (new + removed terms)
+    target = docs.select("doc_id").limit(1).collect()[0]["doc_id"]
+    changed = docs.filter(F.col("doc_id") == target).withColumn(
+        "text", F.lit("freshword data data scan")
+    )
+    report = reindex_docs(store, changed)
+    assert report["touched_buckets"]
+
+    refreshed = refresh_champions(
+        champs0, store.read_blocks(), epoch_td, *epoch,
+        report["touched_buckets"], budget_per_bucket=8, n_buckets=8, store_n_buckets=8,
+    )
+    rebuilt = champion_lists_fused(
+        store.read_blocks(), epoch_td, *epoch,
+        budget_per_bucket=8, n_buckets=8, store_n_buckets=8,
+    )
+    got = sorted(tuple(r) for r in refreshed.collect())
+    want = sorted(tuple(r) for r in rebuilt.collect())
+    assert got == want and len(got) > 0
+    # untouched buckets: rows preserved verbatim from the original table
+    untouched = [
+        b for b in range(8) if b not in set(report["touched_buckets"])
+    ]
+    keep0 = sorted(
+        tuple(r)
+        for r in champs0.filter(
+            F.col("doc_bucket").isin(untouched)
+        ).collect()
+    )
+    keep1 = sorted(
+        t for t in got if (t[0] % 8) in set(untouched)
+    )
+    assert keep0 == keep1
+    # no-op refresh returns the input relation unchanged
+    assert refresh_champions(
+        champs0, store.read_blocks(), epoch_td, *epoch, [],
+        budget_per_bucket=8, n_buckets=8, store_n_buckets=8,
+    ) is champs0
+    champs0.unpersist()
+    epoch_td.unpersist()
+
+
+def test_two_tier_or_equals_exact_across_budgets(spark):
+    """The disjunctive two-tier serve equals search_impact (exact OR
+    ranking) across truncating and non-truncating budgets and query
+    shapes (1/2/3 terms, stopword, absent term)."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_two_tier_or,
+    )
+
+    imp = _impacts_fixture(spark).persist()
+    try:
+        for budget in (2, 8, 10_000):
+            ch = champion_lists(imp, budget_per_bucket=budget).persist()
+            for q in (["data"], ["data", "fast"], ["dup", "data", "fast"],
+                      ["the"], ["data", "zzabsent"]):
+                got = [
+                    (r["doc_id"], r["score_q"])
+                    for r in search_two_tier_or(imp, ch, q).collect()
+                ]
+                want = [
+                    (r["doc_id"], r["score_q"])
+                    for r in search_impact(imp, q).collect()
+                ]
+                assert got == want, (budget, q)
+            ch.unpersist()
+    finally:
+        imp.unpersist()
