@@ -2335,6 +2335,32 @@ def _q_search_champions_fused(spark, sf_dir):
     return search_champions(champs, Q_BM25)
 
 
+BATCH_CHAMP_QUERIES = {
+    "q_common": ["data", "fast", "join"],
+    "q_mixed": ["dup", "data", "fast"],
+    "q_single": ["data"],
+}
+
+
+def _q_search_champions_batch(spark, sf_dir):
+    """Whole query workload served from the champion table in one pass
+    (the batch twin of search_bm25_batch on the pruned tier): shared
+    champion rows across queries, per-query bounded-error top-k."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        quantized_impacts,
+        search_champions_batch,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    imp = quantized_impacts(postings, term_dict, doc_stats, n_docs, avgdl)
+    return search_champions_batch(
+        spark, champion_lists(imp, budget_per_bucket=8), BATCH_CHAMP_QUERIES
+    )
+
+
 def _q_search_impact_and(spark, sf_dir):
     """EXACT conjunctive top-k over the full quantized impact table —
     the ground-truth ranking the two-tier serve is pinned against."""
@@ -2835,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_champions_and": _q_search_champions_and,
         "search_impact_and": _q_search_impact_and,
         "search_champions_fused": _q_search_champions_fused,
+        "search_champions_batch": _q_search_champions_batch,
         "search_two_tier": _q_search_two_tier,
         "search_two_tier_or": _q_search_two_tier_or,
         "containment": _q_containment,
@@ -3118,6 +3145,9 @@ def oracle_sql() -> dict[str, str]:
         "search_impact_and": ora.search_impact_and_sql(Q_BM25),
         # fused block-level champion build, pinned to the SAME mirror
         "search_champions_fused": ora.search_champions_sql(Q_BM25, budget=8),
+        "search_champions_batch": ora.search_champions_batch_sql(
+            BATCH_CHAMP_QUERIES, budget=8
+        ),
         # two-tier is pinned against the EXACT conjunctive ranking
         "search_two_tier": ora.search_impact_and_sql(Q_BM25),
         # OR two-tier is pinned against the EXACT disjunctive ranking

@@ -2262,6 +2262,66 @@ LIMIT {int(k)}
 """
 
 
+def search_champions_batch_sql(queries: dict[str, list[str]], k: int = 20,
+                               budget: int = 8, n_buckets: int = 16,
+                               k1: float = 1.2, b: float = 0.75,
+                               table: str = "documents") -> str:
+    """Batched champion serving — mirrors
+    operators/impact.py::search_champions_batch: one champion table over
+    the workload's UNION term set (runs are per-term independent), a
+    (query_id, term) workload join, per-(query, bucket) cutoff census,
+    per-query top-k via QUALIFY row_number."""
+    qt_rows = sorted(
+        (qid, t) for qid in queries for t in set(queries[qid])
+    )
+    union_terms = sorted({t for _, t in qt_rows})
+    qt_values = ", ".join(f"('{q}', '{t}')" for q, t in qt_rows)
+    return f"""
+WITH {terms_cte(table)},
+{_impact_ctes(k1, b, table)},
+qt(query_id, qterm) AS (VALUES {qt_values}),
+ranked AS (
+  SELECT (doc_id % {n_buckets}) AS doc_bucket, term, doc_id, impact,
+         row_number() OVER (PARTITION BY doc_id % {n_buckets}, term
+                            ORDER BY impact DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id % {n_buckets}, term) AS n_run
+  FROM impacts
+  WHERE term IN {_terms_in(union_terms)}
+),
+cuts AS (
+  SELECT doc_bucket, term, impact AS cutoff FROM ranked
+  WHERE rn = {int(budget)} AND n_run > {int(budget)}
+),
+kept AS (
+  SELECT r.doc_bucket, r.term, r.doc_id, r.impact,
+         coalesce(c.cutoff, 0) AS cutoff
+  FROM ranked r LEFT JOIN cuts c USING (doc_bucket, term)
+  WHERE r.rn <= {int(budget)}
+),
+cand AS (
+  SELECT q.query_id, kp.doc_bucket, kp.term, kp.doc_id, kp.impact,
+         kp.cutoff
+  FROM kept kp JOIN qt q ON q.qterm = kp.term
+),
+btot AS (
+  SELECT query_id, doc_bucket, sum(cutoff) AS tot
+  FROM (SELECT DISTINCT query_id, doc_bucket, term, cutoff FROM cand)
+  GROUP BY query_id, doc_bucket
+),
+scored AS (
+  SELECT query_id, doc_id, doc_bucket, sum(impact)::BIGINT AS score_q,
+         sum(cutoff) AS seen
+  FROM cand GROUP BY query_id, doc_id, doc_bucket
+)
+SELECT s.query_id, s.doc_id, s.score_q,
+       (coalesce(b2.tot, 0) - s.seen)::BIGINT AS error_ub
+FROM scored s LEFT JOIN btot b2 USING (query_id, doc_bucket)
+QUALIFY row_number() OVER (PARTITION BY s.query_id
+                           ORDER BY s.score_q DESC, s.doc_id ASC)
+        <= {int(k)}
+"""
+
+
 def search_champions_and_sql(query_terms: list[str], k: int = 20,
                              budget: int = 8, n_buckets: int = 16,
                              k1: float = 1.2, b: float = 0.75,

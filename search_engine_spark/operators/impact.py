@@ -1045,3 +1045,75 @@ def search_two_tier_or(
         .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def search_champions_batch(
+    spark,
+    champions: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 20,
+) -> DataFrame:
+    """(query_id, doc_id, score_q, error_ub) — a whole query WORKLOAD
+    served from the persisted champion table in ONE pass: top-k per
+    query with the same bounded-error semantics as `search_champions`
+    (pinned per-query-equal by test, and by the shared-arithmetic
+    oracle mirror).
+
+    Shape (the batch twin of search_bm25_batch, on the pruned tier):
+    the (query_id, term) workload relation broadcasts into one join
+    against the champion scan filtered to the UNION term set — champion
+    runs are per-term independent, so sharing rows between queries is
+    free — then per-(query, doc) integer sums, a broadcast per-(query,
+    bucket) cutoff census, and a WindowGroupLimit top-k partitioned by
+    query_id (bounded by the workload, never a global sort). N dashboard
+    queries cost one scan of a vocabulary-bound table instead of N."""
+    from pyspark.sql import Window
+
+    qt_rows = [
+        (qid, t)
+        for qid in sorted(queries)
+        for t in sorted(set(queries[qid]))
+    ]
+    empty = champions.sparkSession.createDataFrame(
+        [], "query_id string, doc_id long, score_q bigint, error_ub bigint"
+    )
+    if not qt_rows:
+        return empty
+    qt = spark.createDataFrame(qt_rows, "query_id string, term string")
+    union_terms = sorted({t for _, t in qt_rows})
+    cand = champions.filter(F.col("term").isin(union_terms)).join(
+        F.broadcast(qt), "term"
+    )
+    runs = cand.select(
+        "query_id", "doc_bucket", "term", "cutoff"
+    ).distinct()
+    census = runs.groupBy("query_id", "doc_bucket").agg(
+        F.sum("cutoff").alias("bucket_cut_total")
+    )
+    scored = (
+        cand.groupBy("query_id", "doc_id", "doc_bucket")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.sum("cutoff").alias("seen_cut_total"),
+        )
+        .join(F.broadcast(census), ["query_id", "doc_bucket"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "score_q",
+            (
+                F.coalesce(F.col("bucket_cut_total"), F.lit(0))
+                - F.col("seen_cut_total")
+            )
+            .cast("bigint")
+            .alias("error_ub"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

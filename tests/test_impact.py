@@ -726,3 +726,68 @@ def test_two_tier_or_equals_exact_across_budgets(spark):
             ch.unpersist()
     finally:
         imp.unpersist()
+
+
+def test_champions_batch_equals_per_query(spark):
+    """Batch champion serving returns exactly each query's
+    search_champions rows (same scores, same error bounds, same
+    tie-broken order per query_id)."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions,
+        search_champions_batch,
+    )
+
+    imp = _impacts_fixture(spark).persist()
+    try:
+        ch = champion_lists(imp, budget_per_bucket=3).persist()
+        workload = {
+            "a": ["data", "fast"],
+            "b": ["dup", "data", "fast"],
+            "c": ["data"],
+            "d": ["zzabsent"],
+        }
+        out = search_champions_batch(spark, ch, workload, k=10).collect()
+        by_q: dict = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score_q"], r["error_ub"])
+            )
+        for qid, terms in workload.items():
+            want = [
+                (r["doc_id"], r["score_q"], r["error_ub"])
+                for r in search_champions(ch, terms, k=10).collect()
+            ]
+            assert by_q.get(qid, []) == want, qid
+        ch.unpersist()
+    finally:
+        imp.unpersist()
+
+
+def test_champions_batch_window_is_query_keyed(spark):
+    """Plan pin: the per-query top-k window partitions on query_id
+    (bounded by the workload) — never a global sort."""
+    import re
+
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_champions_batch,
+    )
+
+    imp = spark.createDataFrame(
+        [("a", 0, 9), ("a", 16, 7), ("b", 3, 5)],
+        "term string, doc_id long, impact int",
+    )
+    plan = (
+        search_champions_batch(
+            spark, champion_lists(imp, budget_per_bucket=1),
+            {"q1": ["a"], "q2": ["b"]},
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        assert "query_id" in spec or "doc_bucket" in spec, spec

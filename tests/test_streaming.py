@@ -662,3 +662,64 @@ def test_stream_lsh_probe_matches_batch_incremental(spark, tmp_path):
                                             new_mod=new_mod).collect()
     )
     assert got == expect and expect
+
+
+def test_stream_champion_maintenance_converges(spark, tmp_path):
+    """Streaming champion maintenance: after N micro-batches (full build
+    then incremental refreshes of touched buckets only), the maintained
+    champion table equals a from-scratch fused build over the final
+    blocks under the frozen first-batch epoch — bit-for-bit."""
+    import json
+
+    from search_engine_spark.operators.impact import champion_lists_fused
+    from search_engine_spark.streaming.stream_champions import (
+        run_champion_maintenance,
+    )
+
+    docs = load_documents(spark, SF_TEST).filter(F.col("doc_id") < 120)
+    landing = str(tmp_path / "landing")
+    docs.filter(F.col("doc_id") < 60).select(*STREAM_COLS).coalesce(
+        1
+    ).write.parquet(landing + "/part1")
+    # second batch: new docs PLUS an update of an existing one
+    upd = docs.filter(F.col("doc_id") >= 60).select(*STREAM_COLS).union(
+        docs.filter(F.col("doc_id") == 3)
+        .withColumn("text", F.lit("freshword data data scan"))
+        .select(*STREAM_COLS)
+    )
+    upd.coalesce(1).write.parquet(landing + "/part2")
+
+    store = catalog.IndexStore(
+        spark, str(tmp_path / "cidx"), n_buckets=N_BUCKETS
+    )
+    champs_path = str(tmp_path / "champions")
+    stream = (
+        spark.readStream.schema(
+            load_documents(spark, SF_TEST).select(*STREAM_COLS).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/part*")
+    )
+    run_champion_maintenance(
+        stream, store, champs_path, str(tmp_path / "cckpt"),
+        budget_per_bucket=8, n_buckets=N_BUCKETS,
+    )
+
+    with open(champs_path + "_epoch/stats.json") as fh:
+        es = json.load(fh)
+    epoch_td = spark.read.parquet(champs_path + "_epoch/term_dict")
+    want = sorted(
+        tuple(r)
+        for r in champion_lists_fused(
+            store.read_blocks(), epoch_td, es["n_docs"],
+            float(es["avgdl"]), budget_per_bucket=8,
+            n_buckets=N_BUCKETS, store_n_buckets=N_BUCKETS,
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(champs_path).collect()
+    )
+    assert got == want and len(got) > 0
+    # the epoch froze at batch 1: its stats describe the FIRST batch's
+    # corpus, not the final one (stale-idf-until-re-epoch semantics)
+    assert es["n_docs"] == 60
