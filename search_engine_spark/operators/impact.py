@@ -1117,3 +1117,112 @@ def search_champions_batch(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ------------------------------------------------ resumable champion build
+
+class ChampionBuildFailed(RuntimeError):
+    pass
+
+
+def build_champions_persistent(
+    store,
+    champions_dir: str,
+    budget_per_bucket: int = CHAMPION_BUDGET,
+    n_buckets: int | None = None,
+    groups: int = 1,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Checkpoint-resumable champion build with per-bucket lineage — the
+    north-rule resumability contract, extended to the serving artifact.
+
+    Commit unit = one STORE bucket's champion runs (the fused build's
+    natural partition): each unit is one partition-pruned
+    `champion_lists_fused` pass over that bucket's blocks written to
+    ``{champions_dir}/sb=<bucket>`` with parquet's own _SUCCESS marker
+    as the commit record. A killed build resumes by skipping committed
+    buckets; `meta.json` pins the epoch (corpus fingerprint + stats +
+    budget + sharding), and a fingerprint/config mismatch invalidates
+    every bucket rather than silently mixing epochs. Returns
+    {build_id, built, skipped}.
+
+    groups: commit units are batched into this many write rounds (the
+    checkpoint granularity, as in catalog.build_persistent).
+    fail_after_groups: test hook — raise after N committed groups to
+    simulate a mid-build kill."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    spark = store.spark
+    stats = store.read_corpus_stats()
+    nb = n_buckets if n_buckets is not None else store.n_buckets
+    if nb % store.n_buckets != 0:
+        raise ValueError(
+            f"champion n_buckets={nb} must be a multiple of the store's "
+            f"{store.n_buckets}"
+        )
+    meta = {
+        "fingerprint": stats.get("fingerprint"),
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+        "budget_per_bucket": int(budget_per_bucket),
+        "n_buckets": int(nb),
+        "store_n_buckets": int(store.n_buckets),
+    }
+    meta_path = f"{champions_dir}/meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            old = json.load(fh)
+        if old != meta:
+            # epoch/config changed: never mix — restart from scratch
+            shutil.rmtree(champions_dir)
+    os.makedirs(champions_dir, exist_ok=True)
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    def _committed(b: int) -> bool:
+        return os.path.exists(f"{champions_dir}/sb={b}/_SUCCESS")
+
+    build_id = uuid.uuid4().hex[:12]
+    all_b = list(range(store.n_buckets))
+    missing = [b for b in all_b if not _committed(b)]
+    skipped = [b for b in all_b if b not in missing]
+    td = store.read_term_dict()
+    done_groups = 0
+    built: list[int] = []
+    n_groups = max(1, min(groups, len(missing)))
+    chunks = [missing[i::n_groups] for i in range(n_groups)]
+    for chunk in chunks:
+        if not chunk:
+            continue
+        for b in chunk:
+            champs = champion_lists_fused(
+                store.read_blocks().filter(F.col("doc_bucket") == b),
+                td,
+                stats["n_docs"],
+                float(stats["avgdl"]),
+                budget_per_bucket=budget_per_bucket,
+                n_buckets=nb,
+                store_n_buckets=store.n_buckets,
+            )
+            champs.write.mode("overwrite").parquet(
+                f"{champions_dir}/sb={b}"
+            )
+            built.append(b)
+        done_groups += 1
+        if fail_after_groups is not None and done_groups >= fail_after_groups:
+            raise ChampionBuildFailed(
+                f"simulated kill after {done_groups} groups"
+            )
+    return {"build_id": build_id, "built": built, "skipped": skipped}
+
+
+def read_champions_persistent(spark, champions_dir: str) -> DataFrame:
+    """The committed champion table (union of per-bucket partitions) —
+    the same 5-column relation `champion_lists_fused` emits."""
+    return spark.read.option("basePath", champions_dir).parquet(
+        f"{champions_dir}/sb=*"
+    ).select("doc_bucket", "term", "doc_id", "impact", "cutoff")

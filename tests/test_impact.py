@@ -791,3 +791,62 @@ def test_champions_batch_window_is_query_keyed(spark):
     assert specs
     for spec in specs:
         assert "query_id" in spec or "doc_bucket" in spec, spec
+
+
+def test_champion_build_resumes_after_kill(spark, tmp_path):
+    """Resumable champion build: a simulated mid-build kill leaves
+    committed buckets; the resume skips them, completes the rest, and
+    the final table equals the one-shot fused build bit-for-bit. An
+    epoch/config change invalidates all buckets instead of mixing."""
+    import pytest as _pytest
+
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import (
+        ChampionBuildFailed,
+        build_champions_persistent,
+        champion_lists_fused,
+        read_champions_persistent,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    store = catalog.IndexStore(spark, str(tmp_path / "idx"), n_buckets=8)
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+    cdir = str(tmp_path / "champs")
+
+    with _pytest.raises(ChampionBuildFailed):
+        build_champions_persistent(
+            store, cdir, budget_per_bucket=8, n_buckets=8,
+            groups=4, fail_after_groups=2,
+        )
+    report = build_champions_persistent(
+        store, cdir, budget_per_bucket=8, n_buckets=8, groups=4,
+    )
+    assert report["skipped"] and report["built"]
+    assert sorted(report["skipped"] + report["built"]) == list(range(8))
+
+    got = sorted(
+        tuple(r) for r in read_champions_persistent(spark, cdir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in champion_lists_fused(
+            store.read_blocks(), store.read_term_dict(),
+            stats["n_docs"], float(stats["avgdl"]),
+            budget_per_bucket=8, n_buckets=8, store_n_buckets=8,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # idempotent re-run: everything already committed
+    again = build_champions_persistent(
+        store, cdir, budget_per_bucket=8, n_buckets=8,
+    )
+    assert again["built"] == [] and sorted(again["skipped"]) == list(range(8))
+
+    # budget change = new epoch: full rebuild, not a silent mix
+    changed = build_champions_persistent(
+        store, cdir, budget_per_bucket=4, n_buckets=8,
+    )
+    assert sorted(changed["built"]) == list(range(8))
