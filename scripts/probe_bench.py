@@ -238,7 +238,8 @@ def main() -> None:
     def probe_two_tier(terms: list[str]) -> float:
         t0 = time.time()
         imp.search_two_tier(
-            impacts_for(terms), champions, terms, k=20, n_buckets=32
+            impacts_for(terms), champions, terms, k=20, n_buckets=32,
+            impacts_bucket_n=32,
         ).collect()
         return time.time() - t0
 
@@ -248,7 +249,8 @@ def main() -> None:
         out[f"twotier_p50_{label}"] = round(statistics.median(walls), 4)
         d: dict = {}  # diag pass OUTSIDE the timed probes (extra jobs)
         imp.search_two_tier(
-            impacts_for(terms), champions, terms, k=20, n_buckets=32, diag=d
+            impacts_for(terms), champions, terms, k=20, n_buckets=32,
+            diag=d, impacts_bucket_n=32,
         ).collect()
         out[f"twotier_rescope_buckets_{label}"] = len(
             d.get("rescope_buckets", [])

@@ -709,26 +709,30 @@ class SearchEngine:
         terms = se.analyze_query(query)
         if not hasattr(self, "_impact_cache"):
             self._impact_cache: dict = {}
-        key = int(budget_per_bucket)
-        if key not in self._impact_cache:
-            champs = imp.champion_lists_fused(
-                self.blocks,
-                self.term_dict,
-                self.n_docs,
-                self.avgdl,
-                budget_per_bucket=key,
-                n_buckets=self.n_buckets,
-                store_n_buckets=self.n_buckets,
-            ).persist()
-            impacts = imp.quantized_impacts(
+        # impacts are budget-INDEPENDENT (one corpus-scale relation):
+        # cache them once under their own key; only the vocabulary-bound
+        # champion table varies per budget (r04 review finding)
+        if "impacts" not in self._impact_cache:
+            self._impact_cache["impacts"] = imp.quantized_impacts(
                 decode_blocks(self.blocks).select("term", "doc_id", "tf"),
                 self.term_dict,
                 self.doc_stats.select("doc_id", "dl"),
                 self.n_docs,
                 self.avgdl,
             ).persist()
-            self._impact_cache[key] = (champs, impacts)
-        champs, impacts = self._impact_cache[key]
+        key = ("champs", int(budget_per_bucket))
+        if key not in self._impact_cache:
+            self._impact_cache[key] = imp.champion_lists_fused(
+                self.blocks,
+                self.term_dict,
+                self.n_docs,
+                self.avgdl,
+                budget_per_bucket=int(budget_per_bucket),
+                n_buckets=self.n_buckets,
+                store_n_buckets=self.n_buckets,
+            ).persist()
+        impacts = self._impact_cache["impacts"]
+        champs = self._impact_cache[key]
         fn = imp.search_two_tier if op != "or" else imp.search_two_tier_or
         return fn(impacts, champs, terms, k=k, n_buckets=self.n_buckets)
 

@@ -2235,7 +2235,7 @@ ranked AS (
   WHERE term IN {_terms_in(uniq)}
 ),
 cuts AS (
-  SELECT doc_bucket, term, impact AS cutoff FROM ranked
+  SELECT doc_bucket, term, greatest(1, impact) AS cutoff FROM ranked
   WHERE rn = {int(budget)} AND n_run > {int(budget)}
 ),
 kept AS (
@@ -2289,7 +2289,7 @@ ranked AS (
   WHERE term IN {_terms_in(union_terms)}
 ),
 cuts AS (
-  SELECT doc_bucket, term, impact AS cutoff FROM ranked
+  SELECT doc_bucket, term, greatest(1, impact) AS cutoff FROM ranked
   WHERE rn = {int(budget)} AND n_run > {int(budget)}
 ),
 kept AS (
@@ -2344,7 +2344,7 @@ ranked AS (
   WHERE term IN {_terms_in(uniq)}
 ),
 cuts AS (
-  SELECT doc_bucket, term, impact AS cutoff FROM ranked
+  SELECT doc_bucket, term, greatest(1, impact) AS cutoff FROM ranked
   WHERE rn = {int(budget)} AND n_run > {int(budget)}
 ),
 kept AS (

@@ -52,23 +52,14 @@ K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
 
-def quantized_impacts(
-    postings: DataFrame,
-    term_dict: DataFrame,
-    doc_stats: DataFrame,
-    n_docs: int,
-    avgdl: float,
-    k1: float = K1_DEFAULT,
-    b: float = B_DEFAULT,
-) -> DataFrame:
-    """(term, doc_id, impact) — 8-bit quantized BM25 partial scores for
-    EVERY posting (index-time transform, no query terms involved).
-
-    impact = min(QUANT_LEVELS−1, floor(round(part, 6) · QUANT_SCALE))
-    where part is bm25_scored's per-posting contribution. The 6 dp
-    rounding before the floor collapses last-ulp float divergence across
-    engines so the bucket edge is deterministic."""
-    df_map = term_dict.select("term", "df")
+def _quant_impact_col(
+    n_docs: int, avgdl: float, k1: float, b: float
+):
+    """The shared quantized-impact Column expression over a relation
+    carrying (tf, dl, df) — THE arithmetic of the impact family, stated
+    once so quantized_impacts and impacts_from_blocks cannot drift
+    (champion_lists_fused's numpy twin mirrors it and is pinned
+    bit-identical by test)."""
     part = (
         F.col("idf")
         * (F.col("tf").cast("double") * (k1 + 1.0))
@@ -86,6 +77,27 @@ def quantized_impacts(
         F.lit(QUANT_LEVELS - 1),
         F.floor(F.round(part, 6) * QUANT_SCALE),
     )
+    return idf, quant
+
+
+def quantized_impacts(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    doc_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """(term, doc_id, impact) — 8-bit quantized BM25 partial scores for
+    EVERY posting (index-time transform, no query terms involved).
+
+    impact = min(QUANT_LEVELS−1, floor(round(part, 6) · QUANT_SCALE))
+    where part is bm25_scored's per-posting contribution. The 6 dp
+    rounding before the floor collapses last-ulp float divergence across
+    engines so the bucket edge is deterministic."""
+    df_map = term_dict.select("term", "df")
+    idf, quant = _quant_impact_col(n_docs, avgdl, k1, b)
     return (
         postings.join(df_map, "term")
         .join(doc_stats, "doc_id")
@@ -299,19 +311,25 @@ def champion_lists(
         F.row_number().over(w).alias("rn"),
         F.count("*").over(w_run).alias("n_run"),
     )
+    # the FLOOR at 1 keeps `cutoff == 0 ⟺ run complete` an exact
+    # equivalence: a truncated run whose budget-th impact quantizes to 0
+    # would otherwise masquerade as complete, and the conjunctive
+    # certainty algebra would wrongly ELIMINATE below-prefix docs that
+    # do hold the term (with contribution 0) — r04 review finding. The
+    # inflated bound stays sound: hidden impacts ≤ boundary ≤ max(1, ·).
+    boundary = F.max(
+        F.when(
+            (F.col("rn") == budget_per_bucket)
+            & (F.col("n_run") > budget_per_bucket),
+            F.col("impact"),
+        )
+    ).over(w_run)
     return (
         ranked.withColumn(
             "cutoff",
-            F.coalesce(
-                F.max(
-                    F.when(
-                        (F.col("rn") == budget_per_bucket)
-                        & (F.col("n_run") > budget_per_bucket),
-                        F.col("impact"),
-                    )
-                ).over(w_run),
-                F.lit(0),
-            ).cast("int"),
+            F.when(boundary.isNull(), F.lit(0))
+            .otherwise(F.greatest(F.lit(1), boundary))
+            .cast("int"),
         )
         .filter(F.col("rn") <= budget_per_bucket)
         .select("doc_bucket", "term", "doc_id", "impact", "cutoff")
@@ -456,6 +474,101 @@ def _champions_and_scored(
     return scored, census
 
 
+def _two_tier_serve(
+    impacts: DataFrame,
+    scored: DataFrame,
+    census: DataFrame,
+    uniq: list[str],
+    k: int,
+    n_buckets: int,
+    diag: dict | None,
+    impacts_bucket_n: int | None,
+    rescope_pred,
+    conjunctive_n: int | None,
+) -> DataFrame:
+    """Shared tier-2 machinery of the AND/OR two-tier serves: θ probe
+    over the certain candidates, bucket-census rescope selection
+    (`rescope_pred(census_row, theta)` decides), the two disjoint exact
+    slices (whole rescoped buckets + maybe docs via left-semi), and the
+    final union/order/limit. `scored` must carry (doc_id, doc_bucket,
+    score_q, error_ub, certain); `conjunctive_n` adds the exact tier's
+    match-all filter for the AND variant. One copy of the subtle parts
+    (r04 review finding — the siblings previously duplicated ~50 lines
+    that had to be bug-fixed in lockstep)."""
+    scored = scored.persist()
+    certain_top = (
+        scored.filter(F.col("certain"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    theta = certain_top[-1]["score_q"] if len(certain_top) == k else None
+    census_rows = census.collect()
+    rescope_buckets = sorted(
+        r["doc_bucket"] for r in census_rows if rescope_pred(r, theta)
+    )
+    maybe = scored.filter(~F.col("certain"))
+    if theta is not None:
+        maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
+    maybe = maybe.filter(~F.col("doc_bucket").isin(rescope_buckets))
+
+    # a pre-stored doc_bucket column (impacts parquet partitioned by
+    # bucket, or the block store's own bucket) makes the bucket rescope
+    # a PARTITION-PRUNED scan — but ONLY when the caller declares (via
+    # impacts_bucket_n) that the stored sharding equals this serve's
+    # champion sharding; silently trusting a column computed under a
+    # DIFFERENT modulus would compare bucket ids across two bucket
+    # spaces and corrupt the rescope slices (r04 review finding).
+    # Otherwise the champion bucket is re-derived row-level.
+    if impacts_bucket_n == n_buckets and "doc_bucket" in impacts.columns:
+        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
+            "doc_bucket", F.col("doc_bucket").cast("int")
+        )
+    else:
+        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
+            "doc_bucket",
+            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
+        )
+    part_rb = imp_q.filter(F.col("doc_bucket").isin(rescope_buckets))
+    part_maybe = imp_q.filter(
+        ~F.col("doc_bucket").isin(rescope_buckets)
+    ).join(maybe.select("doc_id"), "doc_id", "left_semi")
+    exact_scored = (
+        part_rb.unionByName(part_maybe)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("impact").cast("bigint").alias("score_q"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    if conjunctive_n is not None:
+        exact_scored = exact_scored.filter(
+            F.col("n_terms") == conjunctive_n
+        )
+    exact_scored = exact_scored.select("doc_id", "score_q")
+    certain_keep = scored.filter(
+        F.col("certain") & ~F.col("doc_bucket").isin(rescope_buckets)
+    ).select("doc_id", "score_q")
+    if diag is not None:
+        diag["rescope_buckets"] = rescope_buckets
+        diag["theta"] = theta
+        diag["n_certain"] = scored.filter(F.col("certain")).count()
+        diag["n_maybe_rescoped"] = maybe.count()
+        diag["maybe_doc_ids"] = sorted(
+            r["doc_id"] for r in maybe.select("doc_id").collect()
+        )
+    # the cache only serves the in-function collects (θ probe, diag);
+    # release it now so repeated serves don't accumulate cached frames —
+    # the returned plan recomputes the champion-scale aggregation once
+    # at collection, which is cheap next to the rescope scan
+    scored.unpersist()
+    return (
+        exact_scored.unionByName(certain_keep)
+        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def search_two_tier(
     impacts: DataFrame,
     champions: DataFrame,
@@ -463,6 +576,7 @@ def search_two_tier(
     k: int = 20,
     n_buckets: int = ANYTIME_BUCKETS,
     diag: dict | None = None,
+    impacts_bucket_n: int | None = None,
 ) -> DataFrame:
     """(doc_id, score_q) — the composed TWO-TIER conjunctive serve:
     champion tier first, then the exact impact path over ONLY the part
@@ -507,78 +621,22 @@ def search_two_tier(
         return empty
     n_q = len(uniq)
     scored, census = _champions_and_scored(champions, uniq)
-    scored = scored.persist()
-    certain_top = (
-        scored.filter(F.col("certain"))
-        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .collect()
-    )
-    theta = certain_top[-1]["score_q"] if len(certain_top) == k else None
-    census_rows = census.collect()
-    rescope_buckets = sorted(
-        r["doc_bucket"]
-        for r in census_rows
-        if r["n_runs"] == n_q
-        and r["n_complete"] == 0
-        and (
-            r["bucket_cut_total"] >= theta
-            if theta is not None
-            else r["bucket_cut_total"] > 0
-        )
-    )
-    maybe = scored.filter(~F.col("certain"))
-    if theta is not None:
-        maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
-    maybe = maybe.filter(~F.col("doc_bucket").isin(rescope_buckets))
 
-    # a pre-stored doc_bucket column (impacts parquet partitioned by
-    # bucket, as the bench harness writes it) makes the bucket rescope a
-    # PARTITION-PRUNED scan; otherwise derive it, and the filter is
-    # row-level only
-    if "doc_bucket" in impacts.columns:
-        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
-            "doc_bucket", F.col("doc_bucket").cast("int")
+    def rescope(r, theta):
+        # only an all-runs-truncated bucket can hide a conjunctive match
+        return (
+            r["n_runs"] == n_q
+            and r["n_complete"] == 0
+            and (
+                r["bucket_cut_total"] >= theta
+                if theta is not None
+                else r["bucket_cut_total"] > 0
+            )
         )
-    else:
-        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
-            "doc_bucket",
-            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
-        )
-    part_rb = imp_q.filter(F.col("doc_bucket").isin(rescope_buckets))
-    part_maybe = imp_q.filter(
-        ~F.col("doc_bucket").isin(rescope_buckets)
-    ).join(maybe.select("doc_id"), "doc_id", "left_semi")
-    exact_scored = (
-        part_rb.unionByName(part_maybe)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("impact").cast("bigint").alias("score_q"),
-            F.count("*").alias("n_terms"),
-        )
-        .filter(F.col("n_terms") == n_q)
-        .select("doc_id", "score_q")
-    )
-    certain_keep = scored.filter(
-        F.col("certain") & ~F.col("doc_bucket").isin(rescope_buckets)
-    ).select("doc_id", "score_q")
-    if diag is not None:
-        diag["rescope_buckets"] = rescope_buckets
-        diag["theta"] = theta
-        diag["n_certain"] = scored.filter(F.col("certain")).count()
-        diag["n_maybe_rescoped"] = maybe.count()
-        diag["maybe_doc_ids"] = sorted(
-            r["doc_id"] for r in maybe.select("doc_id").collect()
-        )
-    # the cache only serves the in-function collects (θ probe, diag);
-    # release it now so repeated serves don't accumulate cached frames —
-    # the returned plan recomputes the champion-scale aggregation once
-    # at collection, which is cheap next to the rescope scan
-    scored.unpersist()
-    return (
-        exact_scored.unionByName(certain_keep)
-        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-        .limit(k)
+
+    return _two_tier_serve(
+        impacts, scored, census, uniq, k, n_buckets, diag,
+        impacts_bucket_n, rescope, conjunctive_n=n_q,
     )
 
 
@@ -785,7 +843,9 @@ def champion_lists_fused(
             order = np.lexsort((cids, -cimp))
             if order.size > budget:
                 kept = order[:budget]
-                cut = int(cimp[order[budget - 1]])
+                # floor 1: cutoff==0 must mean COMPLETE (see
+                # champion_lists) — a 0-impact boundary still truncates
+                cut = max(1, int(cimp[order[budget - 1]]))
             else:
                 kept = order
                 cut = 0
@@ -851,23 +911,7 @@ def impacts_from_blocks(
         uniq = sorted(set(terms))
         src = blocks.filter(F.col("term").isin(uniq))
     decoded = decode_blocks_with_dl(src)
-    part = (
-        F.col("idf")
-        * (F.col("tf").cast("double") * (k1 + 1.0))
-        / (
-            F.col("tf").cast("double")
-            + k1 * (1.0 - b + b * F.col("dl").cast("double") / float(avgdl))
-        )
-    )
-    idf = F.log(
-        1.0
-        + (float(n_docs) - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-    )
-    quant = F.least(
-        F.lit(QUANT_LEVELS - 1),
-        F.floor(F.round(part, 6) * QUANT_SCALE),
-    )
+    idf, quant = _quant_impact_col(n_docs, avgdl, k1, b)
     return (
         decoded.join(term_dict.select("term", "df"), "term")
         .withColumn("idf", idf)
@@ -945,11 +989,12 @@ def search_two_tier_or(
     k: int = 20,
     n_buckets: int = ANYTIME_BUCKETS,
     diag: dict | None = None,
+    impacts_bucket_n: int | None = None,
 ) -> DataFrame:
     """(doc_id, score_q) — the DISJUNCTIVE two-tier serve, pinned
     value-identical to `search_impact` (the exact OR ranking) by the
-    shared oracle mirror. Same architecture as `search_two_tier` with
-    the OR certainty algebra:
+    shared oracle mirror. Same machinery as `search_two_tier`
+    (_two_tier_serve) with the OR certainty algebra:
 
       * certain ⇔ error_ub == 0 — the doc was seen in EVERY truncated
         run of its bucket (complete runs it is absent from contribute
@@ -958,12 +1003,9 @@ def search_two_tier_or(
         term entirely, so its score is bounded by the bucket's Σ
         truncated-run cutoffs = bucket_cut_total — rescope the bucket
         when that crosses θ (no all-runs-truncated precondition: OR has
-        no conjunctive elimination);
+        no conjunctive elimination and no match-all filter);
       * maybe docs (error_ub > 0, score_q + error_ub ≥ θ) rescope
-        per-doc via left-semi join, outside rescoped buckets.
-
-    Driver state: the θ probe (≤ k rows) and the census (≤ n_buckets
-    rows), as in the AND variant."""
+        per-doc via left-semi join, outside rescoped buckets."""
     uniq = sorted(set(terms))
     empty = impacts.select(
         F.col("doc_id"), F.lit(0).cast("bigint").alias("score_q")
@@ -990,60 +1032,19 @@ def search_two_tier_or(
             .cast("bigint")
             .alias("error_ub"),
         )
-    ).persist()
-    certain_top = (
-        scored.filter(F.col("error_ub") == 0)
-        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .collect()
+        .withColumn("certain", F.col("error_ub") == 0)
     )
-    theta = certain_top[-1]["score_q"] if len(certain_top) == k else None
-    census_rows = census.collect()
-    rescope_buckets = sorted(
-        r["doc_bucket"]
-        for r in census_rows
-        if (
+
+    def rescope(r, theta):
+        return (
             r["bucket_cut_total"] >= theta
             if theta is not None
             else r["bucket_cut_total"] > 0
         )
-    )
-    maybe = scored.filter(F.col("error_ub") > 0)
-    if theta is not None:
-        maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
-    maybe = maybe.filter(~F.col("doc_bucket").isin(rescope_buckets))
 
-    if "doc_bucket" in impacts.columns:
-        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
-            "doc_bucket", F.col("doc_bucket").cast("int")
-        )
-    else:
-        imp_q = impacts.filter(F.col("term").isin(uniq)).withColumn(
-            "doc_bucket",
-            F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"),
-        )
-    part_rb = imp_q.filter(F.col("doc_bucket").isin(rescope_buckets))
-    part_maybe = imp_q.filter(
-        ~F.col("doc_bucket").isin(rescope_buckets)
-    ).join(maybe.select("doc_id"), "doc_id", "left_semi")
-    exact_scored = (
-        part_rb.unionByName(part_maybe)
-        .groupBy("doc_id")
-        .agg(F.sum("impact").cast("bigint").alias("score_q"))
-    )
-    certain_keep = scored.filter(
-        (F.col("error_ub") == 0)
-        & ~F.col("doc_bucket").isin(rescope_buckets)
-    ).select("doc_id", "score_q")
-    if diag is not None:
-        diag["rescope_buckets"] = rescope_buckets
-        diag["theta"] = theta
-        diag["n_maybe_rescoped"] = maybe.count()
-    scored.unpersist()
-    return (
-        exact_scored.unionByName(certain_keep)
-        .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-        .limit(k)
+    return _two_tier_serve(
+        impacts, scored, census, uniq, k, n_buckets, diag,
+        impacts_bucket_n, rescope, conjunctive_n=None,
     )
 
 
@@ -1222,7 +1223,26 @@ def build_champions_persistent(
 
 def read_champions_persistent(spark, champions_dir: str) -> DataFrame:
     """The committed champion table (union of per-bucket partitions) —
-    the same 5-column relation `champion_lists_fused` emits."""
+    the same 5-column relation `champion_lists_fused` emits. REFUSES a
+    partial build: a killed build leaves some buckets uncommitted, and
+    serving the committed subset would silently misreport absent runs
+    as term-has-no-postings (r04 review finding); meta.json records the
+    expected store bucket count, and every bucket must carry _SUCCESS."""
+    import json
+    import os
+
+    with open(f"{champions_dir}/meta.json") as fh:
+        meta = json.load(fh)
+    missing = [
+        b
+        for b in range(int(meta["store_n_buckets"]))
+        if not os.path.exists(f"{champions_dir}/sb={b}/_SUCCESS")
+    ]
+    if missing:
+        raise ChampionBuildFailed(
+            f"champion store incomplete: buckets {missing} uncommitted "
+            f"(resume with build_champions_persistent)"
+        )
     return spark.read.option("basePath", champions_dir).parquet(
         f"{champions_dir}/sb=*"
     ).select("doc_bucket", "term", "doc_id", "impact", "cutoff")

@@ -59,6 +59,11 @@ def _write_champions(df: DataFrame, champions_path: str,
     tmp = f"{champions_path}_tmp_b{batch_id}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{champions_path}_old_b{batch_id}"
+    if os.path.exists(old):
+        # at-least-once replay after a crash between the table swap and
+        # the old-dir cleanup: clear the leftover or the rename below
+        # fails ENOTEMPTY and wedges the stream in a crash loop
+        shutil.rmtree(old)
     if os.path.exists(champions_path):
         os.rename(champions_path, old)
     os.rename(tmp, champions_path)

@@ -850,3 +850,110 @@ def test_champion_build_resumes_after_kill(spark, tmp_path):
         store, cdir, budget_per_bucket=4, n_buckets=8,
     )
     assert sorted(changed["built"]) == list(range(8))
+
+
+def test_persisted_serving_stack_end_to_end(spark, tmp_path):
+    """The full round-4 serving stack composed from PERSISTED artifacts
+    only: resumable champion store + on-demand block-derived impacts →
+    two-tier serve == exact conjunctive ranking; batch serving over the
+    same store == per-query serving."""
+    from search_engine_spark import catalog
+    from search_engine_spark.operators.impact import (
+        build_champions_persistent,
+        impacts_from_blocks,
+        read_champions_persistent,
+        search_champions,
+        search_champions_batch,
+        search_impact_and,
+        search_two_tier,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, SF_TEST)
+    store = catalog.IndexStore(spark, str(tmp_path / "idx"), n_buckets=8)
+    catalog.build_persistent(docs, store)
+    stats = store.read_corpus_stats()
+    cdir = str(tmp_path / "champs")
+    build_champions_persistent(store, cdir, budget_per_bucket=8,
+                               n_buckets=8)
+    champs = read_champions_persistent(spark, cdir)
+    q = ["data", "fast", "join"]
+    imps = impacts_from_blocks(
+        store.read_blocks(), store.read_term_dict(),
+        stats["n_docs"], float(stats["avgdl"]), terms=q,
+    )
+    got = [
+        (r["doc_id"], r["score_q"])
+        for r in search_two_tier(imps, champs, q, n_buckets=8).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score_q"])
+        for r in search_impact_and(
+            impacts_from_blocks(
+                store.read_blocks(), store.read_term_dict(),
+                stats["n_docs"], float(stats["avgdl"]), terms=q,
+            ),
+            q,
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+    batch = search_champions_batch(spark, champs, {"q0": q}, k=20).collect()
+    single = search_champions(champs, q, k=20).collect()
+    assert [
+        (r["doc_id"], r["score_q"], r["error_ub"]) for r in batch
+    ] == [(r["doc_id"], r["score_q"], r["error_ub"]) for r in single]
+
+
+def test_zero_impact_boundary_run_is_not_complete(spark):
+    """r04 review finding: a TRUNCATED run whose budget-th impact
+    quantizes to 0 must not masquerade as complete (cutoff==0) — the
+    conjunctive algebra would wrongly eliminate below-prefix docs that
+    DO hold the term with contribution 0. The floored cutoff (≥1 when
+    truncated) keeps cutoff==0 ⟺ complete exact, and the two-tier
+    serves stay value-identical to the exact rankings."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_impact_and,
+        search_two_tier,
+        search_two_tier_or,
+    )
+
+    # bucket 0 (doc_ids ≡ 0 mod 16): term 'z' is a boilerplate term
+    # whose every posting quantizes to impact 0 — budget 1 truncates
+    # with a 0-impact boundary (cutoff = last KEPT impact = 0 before the
+    # floor); term 'w' gives doc 32 a conjunctive partner score. Exact
+    # AND top-k must contain doc 32 (z:0 + w:9) — the pre-fix algebra
+    # treated the truncated run as complete and dropped it.
+    imp = spark.createDataFrame(
+        [
+            ("z", 0, 0), ("z", 16, 0), ("z", 32, 0),
+            ("w", 16, 1), ("w", 32, 9),
+        ],
+        "term string, doc_id long, impact int",
+    )
+    ch = champion_lists(imp, budget_per_bucket=1, n_buckets=16)
+    rows = {r["doc_id"]: r["cutoff"] for r in ch.filter("term = 'z'").collect()}
+    assert rows == {0: 1}  # truncated: floored cutoff 1, never 0
+    for fn, exact in (
+        (search_two_tier, search_impact_and),
+        (search_two_tier_or, None),
+    ):
+        got = [
+            (r["doc_id"], r["score_q"])
+            for r in fn(imp, ch, ["z", "w"], n_buckets=16).collect()
+        ]
+        if exact is not None:
+            want = [
+                (r["doc_id"], r["score_q"])
+                for r in exact(imp, ["z", "w"]).collect()
+            ]
+        else:
+            want = [
+                (r["doc_id"], r["score_q"])
+                for r in search_impact(imp, ["z", "w"]).collect()
+            ]
+        assert got == want, (fn.__name__, got, want)
+    assert (32, 9) in [
+        (r["doc_id"], r["score_q"])
+        for r in search_two_tier(imp, ch, ["z", "w"], n_buckets=16).collect()
+    ]
