@@ -957,3 +957,54 @@ def test_zero_impact_boundary_run_is_not_complete(spark):
         (r["doc_id"], r["score_q"])
         for r in search_two_tier(imp, ch, ["z", "w"], n_buckets=16).collect()
     ]
+
+
+def test_two_tier_randomized_equivalence(spark):
+    """Seeded randomized frames (impacts INCLUDING zeros, random
+    budgets, random query subsets): both two-tier serves equal their
+    exact rankings on every draw — broad-spectrum cover for the
+    certainty algebra beyond the crafted cases."""
+    import random
+
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_impact_and,
+        search_two_tier,
+        search_two_tier_or,
+    )
+
+    rng = random.Random(20260821)
+    for trial in range(5):
+        rows = []
+        for t in "abc":
+            for did in rng.sample(range(64), rng.randint(3, 12)):
+                rows.append((t, did, rng.randint(0, 6)))
+        imp = spark.createDataFrame(
+            rows, "term string, doc_id long, impact int"
+        ).persist()
+        ch = champion_lists(
+            imp, budget_per_bucket=rng.choice([1, 2, 3]), n_buckets=8
+        ).persist()
+        q = rng.sample(["a", "b", "c"], rng.randint(1, 3))
+        got_and = [
+            (r["doc_id"], r["score_q"])
+            for r in search_two_tier(imp, ch, q, k=50, n_buckets=8).collect()
+        ]
+        want_and = [
+            (r["doc_id"], r["score_q"])
+            for r in search_impact_and(imp, q, k=50).collect()
+        ]
+        assert got_and == want_and, (trial, q)
+        got_or = [
+            (r["doc_id"], r["score_q"])
+            for r in search_two_tier_or(
+                imp, ch, q, k=50, n_buckets=8
+            ).collect()
+        ]
+        want_or = [
+            (r["doc_id"], r["score_q"])
+            for r in search_impact(imp, q, k=50).collect()
+        ]
+        assert got_or == want_or, (trial, q)
+        ch.unpersist()
+        imp.unpersist()
