@@ -2427,6 +2427,51 @@ def _q_search_two_tier_or(spark, sf_dir):
     )
 
 
+def _q_rate_agg(spark, sf_dir):
+    """ES rate agg in a daily date_histogram: per-hour-normalized
+    counts and DECIMAL-exact value sums."""
+    from search_engine_spark.operators.events import rate_agg
+
+    return rate_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_variable_width_histogram(spark, sf_dir):
+    """ES variable_width_histogram: equal-frequency clusters at exact
+    interpolated quantiles of integer cents (deterministic spec for
+    ES's streaming clustering heuristic)."""
+    from search_engine_spark.operators.events import (
+        variable_width_histogram,
+    )
+
+    return variable_width_histogram(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _q_change_point(spark, sf_dir):
+    """ES change_point (ML): deterministic argmax mean-shift split of
+    the daily count series."""
+    from search_engine_spark.operators.events import change_point
+
+    return change_point(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_categorize_text(spark, sf_dir):
+    """ES categorize_text (ML log categorization): digit-collapsed
+    templates, top-k by doc count."""
+    from search_engine_spark.operators.textstats import categorize_text
+
+    return categorize_text(load_documents(spark, sf_dir))
+
+
+def _q_frequent_item_sets(spark, sf_dir):
+    """ES frequent_item_sets (pairwise tier): term-pair co-occurrence
+    support over per-doc distinct retained terms."""
+    from search_engine_spark.operators.textstats import frequent_item_sets
+
+    return frequent_item_sets(load_documents(spark, sf_dir))
+
+
 def _q_containment(spark, sf_dir):
     """Broder containment pairs (asymmetric near-dup: quoted-inside
     detection), candidate-driven from LSH band collisions."""
@@ -2870,6 +2915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_impact_and": _q_search_impact_and,
         "search_champions_fused": _q_search_champions_fused,
         "search_champions_batch": _q_search_champions_batch,
+        "rate_agg": _q_rate_agg,
+        "variable_width_histogram": _q_variable_width_histogram,
+        "change_point": _q_change_point,
+        "categorize_text": _q_categorize_text,
+        "frequent_item_sets": _q_frequent_item_sets,
         "search_two_tier": _q_search_two_tier,
         "search_two_tier_or": _q_search_two_tier_or,
         "containment": _q_containment,
@@ -3156,6 +3206,11 @@ def oracle_sql() -> dict[str, str]:
         "search_champions_batch": ora.search_champions_batch_sql(
             BATCH_CHAMP_QUERIES, budget=8
         ),
+        "rate_agg": pipe.rate_agg_sql(),
+        "variable_width_histogram": pipe.variable_width_histogram_sql(),
+        "change_point": pipe.change_point_sql(),
+        "categorize_text": ora.categorize_text_sql(),
+        "frequent_item_sets": ora.frequent_item_sets_sql(),
         # two-tier is pinned against the EXACT conjunctive ranking
         "search_two_tier": ora.search_impact_and_sql(Q_BM25),
         # OR two-tier is pinned against the EXACT disjunctive ranking

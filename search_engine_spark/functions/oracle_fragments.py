@@ -3339,3 +3339,37 @@ SELECT count(*)::BIGINT AS n_buckets,
        sum(n_hits)::BIGINT AS sum_hits
 FROM hist
 """
+
+
+def categorize_text_sql(k: int = 20, table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::categorize_text — digit runs →
+    '<n>', [ \\t\\n\\r] runs → one space, top-k templates."""
+    return f"""
+WITH cat AS (
+  SELECT trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<n>', 'g'),
+                             '[ \\t\\n\\r]+', ' ', 'g')) AS category,
+         doc_id
+  FROM {table}
+)
+SELECT category, count(*)::BIGINT AS n, min(doc_id) AS example_doc_id
+FROM cat WHERE category <> ''
+GROUP BY category
+ORDER BY n DESC, category ASC
+LIMIT {int(k)}
+"""
+
+
+def frequent_item_sets_sql(min_support: int = 2, k: int = 20,
+                           table: str = "documents") -> str:
+    """Mirrors operators/textstats.py::frequent_item_sets — pairwise
+    co-occurrence support over per-doc distinct retained terms."""
+    return f"""
+WITH {terms_cte(table)},
+dt AS (SELECT DISTINCT doc_id, term FROM terms)
+SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS support
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY a.term, b.term
+HAVING count(*) >= {int(min_support)}
+ORDER BY support DESC, t1 ASC, t2 ASC
+LIMIT {int(k)}
+"""

@@ -3862,3 +3862,73 @@ SELECT round((s_a::DOUBLE / n_a - s_b::DOUBLE / n_b)
        round(s_b::DOUBLE / n_b, 4) AS mean_b
 FROM m
 """
+
+
+def rate_agg_sql(table: str = "events") -> str:
+    """Mirrors operators/events.py::rate_agg — daily buckets normalized
+    to the per-hour unit, DECIMAL-exact value sums, 4-dp rates in the
+    same operation order."""
+    return f"""
+SELECT date_trunc('day', ts) AS day,
+       count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE / 24.0, 4) AS rate_per_hour,
+       sum(value::DECIMAL(18,2))::DECIMAL(18,2)::DOUBLE AS value_per_day
+FROM {table} GROUP BY 1
+"""
+
+
+def variable_width_histogram_sql(buckets: int = 4,
+                                 table: str = "events") -> str:
+    """Mirrors operators/events.py::variable_width_histogram —
+    equal-frequency clusters split at exact interpolated quantiles of
+    the integer-CENTS values (quantile_cont == Spark percentile on
+    ints), bucket id = 1 + Σ (cents > cut_i)."""
+    qs = [i / buckets for i in range(1, buckets)]
+    cut_cols = ", ".join(
+        f"quantile_cont(v, {q!r}) AS c{i}" for i, q in enumerate(qs)
+    )
+    bucket_expr = "1" + "".join(
+        f" + (n.v > c.c{i})::INT" for i in range(len(qs))
+    )
+    return f"""
+WITH n AS (
+  SELECT round(value * 100)::BIGINT AS v FROM {table}
+),
+c AS (SELECT {cut_cols} FROM n),
+assigned AS (
+  SELECT ({bucket_expr})::INT AS bucket, n.v FROM n CROSS JOIN c
+)
+SELECT bucket, count(*)::BIGINT AS n,
+       (min(v)::DOUBLE / 100.0) AS min_v,
+       (max(v)::DOUBLE / 100.0) AS max_v,
+       round(sum(v)::DOUBLE / count(*)::DOUBLE / 100.0, 4) AS avg_v
+FROM assigned GROUP BY bucket
+"""
+
+
+def change_point_sql(table: str = "events") -> str:
+    """Mirrors operators/events.py::change_point — argmax mean-shift
+    split of the daily count series; windows run over the bounded daily
+    series only."""
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM {table} GROUP BY 1
+),
+cum AS (
+  SELECT day,
+         sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_n,
+         row_number() OVER (ORDER BY day) AS i,
+         sum(n) OVER () AS tot,
+         count(*) OVER () AS m,
+         lead(day, 1) OVER (ORDER BY day) AS change_day
+  FROM daily
+)
+SELECT change_day,
+       round(abs(cum_n::DOUBLE / i::DOUBLE
+                 - (tot - cum_n)::DOUBLE / (m - i)::DOUBLE), 4) AS diff
+FROM cum
+WHERE i < m
+ORDER BY diff DESC, day ASC
+LIMIT 1
+"""

@@ -367,3 +367,137 @@ def session_abandonment(
         )
         .orderBy("day")
     )
+
+
+def rate_agg(events: DataFrame) -> DataFrame:
+    """ES `rate` aggregation inside a daily date_histogram →
+    (day, n, rate_per_hour, value_per_day): the count normalized to the
+    per-hour unit (ES semantics: bucket total / bucket span in units)
+    plus the DECIMAL-exact value sum per day. Only the INTEGER count is
+    divided: n·10⁴/24 can never land on a rounding half-point (10⁴ ≡ 16
+    mod 24 and 16n mod 24 ∈ {0, 8, 16}), whereas a 2-dp value sum / 24
+    does (measured: 60.45125 rounded differently by the two engines) —
+    so the value rate is exposed at the exact per-day unit instead. One
+    map-side-combinable groupBy."""
+    return (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("_sv"),
+        )
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / 24.0, 4).alias(
+                "rate_per_hour"
+            ),
+            F.col("_sv").alias("value_per_day"),
+        )
+    )
+
+
+def variable_width_histogram(
+    events: DataFrame, buckets: int = 4
+) -> DataFrame:
+    """ES `variable_width_histogram` over `value` → one row per cluster
+    (bucket, n, min_v, max_v, avg_v): values clustered into `buckets`
+    equal-frequency groups split at exact interpolated quantiles — a
+    DETERMINISTIC spec where ES uses a streaming nearest-neighbor
+    heuristic (same upgrade as boxplot's exact-vs-TDigest choice).
+
+    Exactness across engines: values quantize to integer CENTS first
+    (inputs carry 2 decimals), so the quantile interpolation and every
+    boundary comparison is integer-exact arithmetic (Spark `percentile`
+    == DuckDB quantile_cont on ints, the boxplot precedent); bucket id
+    = 1 + Σ (cents > cut_i) — a codegen map, NO global sort/window.
+    Cut collection is ≤ buckets−1 driver rows. avg rounds 4 dp with the
+    shared (sum/n)/100 operation order."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = events.select(cents.alias("v"))
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts_row = v.agg(
+        *[
+            F.expr(f"percentile(v, {q!r})").alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    cuts = [float(cuts_row[i]) for i in range(len(qs))]
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col("v") > c).cast("int")
+    return (
+        v.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (F.min("v").cast("double") / 100.0).alias("min_v"),
+            (F.max("v").cast("double") / 100.0).alias("max_v"),
+            F.sum("v").cast("double").alias("_sum"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "min_v",
+            "max_v",
+            F.round(
+                F.col("_sum") / F.col("n").cast("double") / 100.0, 4
+            ).alias("avg_v"),
+        )
+    )
+
+
+def change_point(events: DataFrame) -> DataFrame:
+    """ES `change_point` (ML) on the daily event-count series → ONE row
+    (change_day, diff): the split maximizing the absolute difference of
+    the left/right segment mean counts — a deterministic mean-shift
+    detector where ES runs its ML heuristics (the same exact-spec
+    upgrade as variable_width_histogram). change_day = first day of the
+    right segment; ties break earliest day.
+
+    Shape: one daily groupBy, then windows over the DAILY series only
+    (bounded: one row per calendar day — the pipeline-agg precedent),
+    never over events. Means are exact-integer divisions in a shared
+    operation order; diff rounds 4 dp before the argmax ordering."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).alias("cum_n"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("n").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    cand = cum.select(
+        "day",
+        "i",
+        "m",
+        "cum_n",
+        "tot",
+        F.lead("day", 1).over(Window.orderBy("day")).alias("change_day"),
+    ).filter(F.col("i") < F.col("m")).select(
+        "day",
+        "change_day",
+        F.round(
+            F.abs(
+                F.col("cum_n").cast("double") / F.col("i").cast("double")
+                - (F.col("tot") - F.col("cum_n")).cast("double")
+                / (F.col("m") - F.col("i")).cast("double")
+            ),
+            4,
+        ).alias("diff"),
+    )
+    return (
+        cand.orderBy(F.col("diff").desc(), F.col("day").asc())
+        .select("change_day", "diff")
+        .limit(1)
+    )

@@ -875,3 +875,62 @@ def clarity_score(
         .orderBy(F.col("contrib").desc(), F.col("term").asc())
         .limit(int(top_terms))
     )
+
+
+def categorize_text(docs: DataFrame, k: int = 20) -> DataFrame:
+    """ES `categorize_text` (ML log categorization) → (category, n,
+    example_doc_id): documents grouped by their TEMPLATE — the lowercase
+    text with digit runs collapsed to '<n>' and space/tab/newline runs
+    to one space — a deterministic token-pattern spec where ES runs its
+    ML tokenizer (the engine's usual exact-spec upgrade). Top-k by
+    doc_count desc, category asc; example is the smallest doc_id.
+
+    Plan: one codegen map (two regexp_replace) → one map-side-
+    combinable groupBy → TakeOrdered(k). The explicit [ \\t\\n\\r]
+    whitespace class keeps Java-regex and RE2 semantics identical
+    (their \\s classes differ on vertical tab)."""
+    template = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "<n>"),
+            "[ \\t\\n\\r]+",
+            " ",
+        )
+    )
+    return (
+        docs.select(template.alias("category"), "doc_id")
+        .filter(F.col("category") != "")
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .orderBy(F.col("n").desc(), F.col("category").asc())
+        .limit(k)
+    )
+
+
+def frequent_item_sets(
+    docs: DataFrame, min_support: int = 2, k: int = 20
+) -> DataFrame:
+    """ES `frequent_item_sets` (pairwise tier) → (t1, t2, support):
+    term pairs co-occurring in ≥ min_support documents, top-k by
+    support desc / t1 asc / t2 asc. The per-doc distinct term sets are
+    small (bounded by doc length), so the t1 < t2 self-join fans out
+    C(|terms_d|, 2) per doc — a candidate-bounded join keyed on doc_id,
+    never a corpus×corpus product (the dedup-family shape)."""
+    from ..functions.text_columns import explode_terms
+
+    terms = explode_terms(docs).distinct()
+    a = terms.select("doc_id", F.col("term").alias("t1"))
+    b = terms.select("doc_id", F.col("term").alias("t2"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .orderBy(
+            F.col("support").desc(), F.col("t1").asc(), F.col("t2").asc()
+        )
+        .limit(k)
+    )

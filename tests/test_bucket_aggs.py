@@ -134,3 +134,96 @@ def test_t_test_matches_pure_python_welch(spark):
     assert (row["n_a"], row["n_b"]) == (len(a), len(b))
     assert row["mean_a"] == round(ma, 4) and row["mean_b"] == round(mb, 4)
     assert abs(row["t_value"] - t) < 5e-4  # 4-dp rounding band
+
+
+class TestRound4MLAggs:
+    def test_variable_width_histogram_partitions_values(self, spark):
+        from search_engine_spark.operators.events import (
+            variable_width_histogram,
+        )
+        from tests.conftest import SF_TEST
+
+        ev = spark.read.parquet(f"{SF_TEST}/events.parquet")
+        out = variable_width_histogram(ev, buckets=4).orderBy("bucket").collect()
+        assert [r["bucket"] for r in out] == [1, 2, 3, 4]
+        total = sum(r["n"] for r in out)
+        assert total == ev.count()
+        # near-equal frequency split; ranges ordered and disjoint
+        assert max(r["n"] for r in out) - min(r["n"] for r in out) <= max(
+            4, total // 10
+        )
+        for a, b in zip(out, out[1:]):
+            assert a["max_v"] <= b["min_v"]
+            assert a["min_v"] <= a["avg_v"] <= a["max_v"]
+
+    def test_change_point_finds_crafted_shift(self, spark):
+        import datetime
+
+        from search_engine_spark.operators.events import change_point
+
+        rows = []
+        eid = 0
+        for d in range(10):
+            per_day = 2 if d < 6 else 20  # shift at day index 6
+            for i in range(per_day):
+                rows.append(
+                    (eid, datetime.datetime(2024, 3, 1 + d, 12, 0, i), 1,
+                     "view", 1.0, "{}")
+                )
+                eid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        got = change_point(ev).collect()[0]
+        assert got["change_day"] == datetime.datetime(2024, 3, 7)
+        assert got["diff"] == 18.0  # mean 2 vs mean 20
+
+    def test_categorize_text_collapses_numbers(self, spark):
+        from search_engine_spark.operators.textstats import categorize_text
+
+        docs = spark.createDataFrame(
+            [
+                (1, "error 42 in job 7"),
+                (2, "error 9 in job 1234"),
+                (3, "disk   full on node 3"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["category"]: (r["n"], r["example_doc_id"])
+               for r in categorize_text(docs).collect()}
+        assert out["error <n> in job <n>"] == (2, 1)
+        assert out["disk full on node <n>"] == (1, 3)
+
+    def test_frequent_item_sets_supports(self, spark):
+        from search_engine_spark.operators.textstats import (
+            frequent_item_sets,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "data fast"),
+                (2, "data fast join"),
+                (3, "data join"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {(r["t1"], r["t2"]): r["support"]
+               for r in frequent_item_sets(docs, min_support=2).collect()}
+        assert got == {("data", "fast"): 2, ("data", "join"): 2}
+
+    def test_rate_agg_crafted_day(self, spark):
+        import datetime
+
+        from search_engine_spark.operators.events import rate_agg
+
+        ev = spark.createDataFrame(
+            [(i, datetime.datetime(2024, 5, 1, i, 0, 0), 1, "view",
+              1.25, "{}") for i in range(12)],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        r = rate_agg(ev).collect()[0]
+        assert r["n"] == 12 and r["rate_per_hour"] == 0.5
+        assert r["value_per_day"] == 15.0
