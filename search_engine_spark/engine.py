@@ -731,10 +731,38 @@ class SearchEngine:
                 n_buckets=self.n_buckets,
                 store_n_buckets=self.n_buckets,
             ).persist()
+        # LRU cap on the budget-keyed champion tables (r04 ADVICE): a
+        # session sweeping budgets would otherwise accumulate pinned
+        # frames without bound — the leak class evict_ctx was added to
+        # close in the driver context cache. `impacts` is exempt (one
+        # budget-independent relation).
+        order = self._impact_cache.setdefault("_lru", [])
+        if key in order:
+            order.remove(key)
+        order.append(key)
+        while len(order) > self.CHAMPION_CACHE_MAX:
+            old = order.pop(0)
+            self._impact_cache.pop(old).unpersist()
         impacts = self._impact_cache["impacts"]
         champs = self._impact_cache[key]
         fn = imp.search_two_tier if op != "or" else imp.search_two_tier_or
         return fn(impacts, champs, terms, k=k, n_buckets=self.n_buckets)
+
+    CHAMPION_CACHE_MAX = 4
+
+    def evict_impact_cache(self) -> None:
+        """Unpersist and drop every frame `search_two_tier` session-
+        cached (the corpus-scale impacts relation + all champion
+        tables). Mirrors `__spark_entry__.evict_ctx` — call between
+        corpora or to release executor storage in a long-lived
+        session; the next serve rebuilds from the block store."""
+        cache = getattr(self, "_impact_cache", None)
+        if not cache:
+            return
+        for key, val in list(cache.items()):
+            if key != "_lru":
+                val.unpersist()
+        cache.clear()
 
     def percolate(self, queries=None) -> DataFrame:
         """Reverse search over the engine's corpus: match the stored

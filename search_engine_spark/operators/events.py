@@ -424,6 +424,18 @@ def variable_width_histogram(
             for i, q in enumerate(qs)
         ]
     ).collect()[0]
+    if any(cuts_row[i] is None for i in range(len(qs))):
+        # empty (or all-null `value`) input: the percentile aggregate
+        # returns NULL cuts. The DuckDB mirror's CROSS JOIN against the
+        # empty rows frame yields an empty result — mirror that instead
+        # of TypeError-ing on float(None) (r04 ADVICE).
+        return v.limit(0).select(
+            F.lit(1).cast("int").alias("bucket"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(0.0).alias("min_v"),
+            F.lit(0.0).alias("max_v"),
+            F.lit(0.0).alias("avg_v"),
+        )
     cuts = [float(cuts_row[i]) for i in range(len(qs))]
     bucket = F.lit(1)
     for c in cuts:

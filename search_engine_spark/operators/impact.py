@@ -485,6 +485,7 @@ def _two_tier_serve(
     impacts_bucket_n: int | None,
     rescope_pred,
     conjunctive_n: int | None,
+    fallback_frac: float = 0.5,
 ) -> DataFrame:
     """Shared tier-2 machinery of the AND/OR two-tier serves: θ probe
     over the certain candidates, bucket-census rescope selection
@@ -494,7 +495,18 @@ def _two_tier_serve(
     score_q, error_ub, certain); `conjunctive_n` adds the exact tier's
     match-all filter for the AND variant. One copy of the subtle parts
     (r04 review finding — the siblings previously duplicated ~50 lines
-    that had to be bug-fixed in lockstep)."""
+    that had to be bug-fixed in lockstep).
+
+    `fallback_frac` (r04-verdict #1): when the rescope set covers ≥
+    this fraction of the buckets — head-term conjunctions over
+    tie-heavy corpora, where θ sits below every bucket's Σ cutoffs —
+    the composed serve would cost the champion tier PLUS the slice
+    machinery PLUS an (almost-)full exact scan, measured >2× the plain
+    exact path (BENCH/QUERIES.md r04 table: 5.5–5.9 s vs 2.6–2.7 s
+    all-rescope). The census + θ probe reveal that shape BEFORE tier 2
+    is built, so the serve falls back to the one-aggregation exact plan
+    (`search_impact_and` / `search_impact` by construction) and skips
+    the slice plumbing. Pass a value > 1.0 to disable (diagnostics)."""
     scored = scored.persist()
     certain_top = (
         scored.filter(F.col("certain"))
@@ -507,6 +519,33 @@ def _two_tier_serve(
     rescope_buckets = sorted(
         r["doc_bucket"] for r in census_rows if rescope_pred(r, theta)
     )
+    if n_buckets > 0 and len(rescope_buckets) >= fallback_frac * n_buckets:
+        # tier 1 buys (almost) nothing here — serve the plain exact
+        # aggregation directly; value-identical by the shared pinned
+        # semantics (the rescope-everything serve degenerates to it)
+        if diag is not None:
+            diag["rescope_buckets"] = rescope_buckets
+            diag["theta"] = theta
+            diag["fallback"] = True
+            diag["n_certain"] = scored.filter(F.col("certain")).count()
+            diag["n_maybe_rescoped"] = 0
+            diag["maybe_doc_ids"] = []
+        scored.unpersist()
+        exact = (
+            impacts.filter(F.col("term").isin(uniq))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("impact").cast("bigint").alias("score_q"),
+                F.count("*").alias("n_terms"),
+            )
+        )
+        if conjunctive_n is not None:
+            exact = exact.filter(F.col("n_terms") == conjunctive_n)
+        return (
+            exact.select("doc_id", "score_q")
+            .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
     maybe = scored.filter(~F.col("certain"))
     if theta is not None:
         maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
@@ -552,6 +591,7 @@ def _two_tier_serve(
     if diag is not None:
         diag["rescope_buckets"] = rescope_buckets
         diag["theta"] = theta
+        diag["fallback"] = False
         diag["n_certain"] = scored.filter(F.col("certain")).count()
         diag["n_maybe_rescoped"] = maybe.count()
         diag["maybe_doc_ids"] = sorted(
@@ -577,6 +617,7 @@ def search_two_tier(
     n_buckets: int = ANYTIME_BUCKETS,
     diag: dict | None = None,
     impacts_bucket_n: int | None = None,
+    fallback_frac: float = 0.5,
 ) -> DataFrame:
     """(doc_id, score_q) — the composed TWO-TIER conjunctive serve:
     champion tier first, then the exact impact path over ONLY the part
@@ -637,6 +678,7 @@ def search_two_tier(
     return _two_tier_serve(
         impacts, scored, census, uniq, k, n_buckets, diag,
         impacts_bucket_n, rescope, conjunctive_n=n_q,
+        fallback_frac=fallback_frac,
     )
 
 
@@ -990,6 +1032,7 @@ def search_two_tier_or(
     n_buckets: int = ANYTIME_BUCKETS,
     diag: dict | None = None,
     impacts_bucket_n: int | None = None,
+    fallback_frac: float = 0.5,
 ) -> DataFrame:
     """(doc_id, score_q) — the DISJUNCTIVE two-tier serve, pinned
     value-identical to `search_impact` (the exact OR ranking) by the
@@ -1045,6 +1088,7 @@ def search_two_tier_or(
     return _two_tier_serve(
         impacts, scored, census, uniq, k, n_buckets, diag,
         impacts_bucket_n, rescope, conjunctive_n=None,
+        fallback_frac=fallback_frac,
     )
 
 

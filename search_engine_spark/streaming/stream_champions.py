@@ -27,10 +27,12 @@ Delivery semantics: checkpointed file source = exactly-once batch
 tracking; the foreachBatch body is at-least-once on recovery, and both
 halves are convergent re-runs (reindex_docs is idempotent per document
 set; refresh recomputes touched runs from the already-reindexed blocks,
-landing on the same rows). The champion table write goes through a
-tmp-dir + atomic directory swap so a crash mid-write leaves the
-previous table intact (object-store deployments use the equivalent
-rename/commit).
+landing on the same rows). The champion table publishes through
+versioned directories + ONE atomic symlink replace (rename(2)), so a
+reader or a crash at any instant observes either the previous complete
+table or the new one — never a missing or partial table (object-store
+deployments use the equivalent manifest-pointer commit, e.g. an Iceberg
+snapshot swap).
 """
 
 from __future__ import annotations
@@ -56,19 +58,50 @@ def _epoch_dir(champions_path: str) -> str:
 
 def _write_champions(df: DataFrame, champions_path: str,
                      batch_id: int) -> None:
-    tmp = f"{champions_path}_tmp_b{batch_id}"
-    df.write.mode("overwrite").parquet(tmp)
-    old = f"{champions_path}_old_b{batch_id}"
-    if os.path.exists(old):
-        # at-least-once replay after a crash between the table swap and
-        # the old-dir cleanup: clear the leftover or the rename below
-        # fails ENOTEMPTY and wedges the stream in a crash loop
-        shutil.rmtree(old)
-    if os.path.exists(champions_path):
-        os.rename(champions_path, old)
-    os.rename(tmp, champions_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    """Publish via versioned dirs + ONE atomic symlink replace (r04
+    ADVICE): the batch writes to `{path}_v{batch}`, then a tmp symlink
+    is `os.replace`d onto `{path}` — a single rename(2), so a reader
+    (or a crash) at ANY instant sees either the previous complete table
+    or the new one, never a missing/partial table. The previous version
+    dir is kept one generation (a reader that resolved the old link
+    mid-scan keeps its files); older generations are pruned."""
+    vdir = f"{champions_path}_v{batch_id}"
+    if (
+        os.path.islink(champions_path)
+        and os.path.realpath(champions_path) == os.path.realpath(vdir)
+    ):
+        # at-least-once replay after a crash JUST after publish: the
+        # live link already targets this batch's dir — write the
+        # convergent re-run beside it rather than overwriting the
+        # published files under readers
+        vdir = f"{champions_path}_v{batch_id}r"
+    df.write.mode("overwrite").parquet(vdir)
+    if os.path.islink(champions_path):
+        prev = os.path.realpath(champions_path)
+    elif os.path.isdir(champions_path):
+        # legacy real-dir layout (pre-symlink): move it aside once; the
+        # window here is the old two-rename behavior, first swap only
+        prev = f"{champions_path}_v{batch_id}_legacy"
+        os.rename(champions_path, prev)
+    else:
+        prev = None
+    lnk = f"{champions_path}_lnk_tmp"
+    if os.path.lexists(lnk):
+        os.remove(lnk)
+    os.symlink(os.path.basename(vdir), lnk)
+    os.replace(lnk, champions_path)  # the one atomic publish
+    base = os.path.basename(champions_path)
+    parent = os.path.dirname(champions_path) or "."
+    keep = {os.path.basename(vdir)}
+    if prev is not None:
+        keep.add(os.path.basename(prev))
+    for name in os.listdir(parent):
+        if (
+            name.startswith(base + "_v")
+            and name not in keep
+            and os.path.isdir(os.path.join(parent, name))
+        ):
+            shutil.rmtree(os.path.join(parent, name))
 
 
 def run_champion_maintenance(

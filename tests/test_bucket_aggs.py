@@ -156,6 +156,24 @@ class TestRound4MLAggs:
             assert a["max_v"] <= b["min_v"]
             assert a["min_v"] <= a["avg_v"] <= a["max_v"]
 
+    def test_variable_width_histogram_empty_and_null(self, spark):
+        """r04 ADVICE: empty input (or all-null value) yields an EMPTY
+        frame with the full 5-column schema — the DuckDB mirror's
+        CROSS JOIN against zero rows — instead of TypeError(float(None))
+        on the NULL percentile cuts."""
+        from search_engine_spark.operators.events import (
+            variable_width_histogram,
+        )
+
+        empty = spark.createDataFrame([], "value double")
+        out = variable_width_histogram(empty, buckets=4)
+        assert out.columns == ["bucket", "n", "min_v", "max_v", "avg_v"]
+        assert out.count() == 0
+        nulls = spark.createDataFrame(
+            [(None,), (None,)], "value double"
+        )
+        assert variable_width_histogram(nulls, buckets=3).count() == 0
+
     def test_change_point_finds_crafted_shift(self, spark):
         import datetime
 

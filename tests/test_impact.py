@@ -420,7 +420,10 @@ def test_two_tier_scope_containment(spark):
         q = ["dup", "data", "fast"]
         ch = champion_lists(imp, budget_per_bucket=8).persist()
         diag: dict = {}
-        search_two_tier(imp, ch, q, diag=diag).collect()
+        # fallback disabled: this test pins the SLICE machinery's scope
+        # containment, which the r05 exact-path fallback legitimately
+        # skips when the rescope covers most buckets
+        search_two_tier(imp, ch, q, diag=diag, fallback_frac=2.0).collect()
         # every per-doc rescope is an UNCERTAIN tier-1 candidate
         from search_engine_spark.operators.impact import (
             _champions_and_scored,
@@ -458,6 +461,66 @@ def test_two_tier_scope_containment(spark):
         assert [(r["doc_id"], r["score_q"]) for r in rows] == [
             (r["doc_id"], r["score_q"]) for r in t1
         ]
+    finally:
+        imp.unpersist()
+
+
+def test_two_tier_all_rescope_fallback(spark):
+    """r04-verdict #1: when the census + θ probe show the rescope set
+    covering ≥ fallback_frac of the buckets, the serve takes the plain
+    exact path (no slice machinery) — and both routes stay
+    value-identical to the exact ranking. A budget-1 champion table
+    truncates every run, so every bucket rescopes → fallback fires."""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_impact,
+        search_impact_and,
+        search_two_tier,
+        search_two_tier_or,
+    )
+
+    imp = _impacts_fixture(spark).persist()
+    try:
+        q = ["data", "fast"]
+        ch = champion_lists(imp, budget_per_bucket=1).persist()
+        diag: dict = {}
+        got = [
+            (r["doc_id"], r["score_q"])
+            for r in search_two_tier(imp, ch, q, diag=diag).collect()
+        ]
+        assert diag["fallback"] is True
+        want = [
+            (r["doc_id"], r["score_q"])
+            for r in search_impact_and(imp, q).collect()
+        ]
+        assert got == want
+        # forcing the slice path on the same shape gives the same values
+        diag2: dict = {}
+        forced = [
+            (r["doc_id"], r["score_q"])
+            for r in search_two_tier(
+                imp, ch, q, diag=diag2, fallback_frac=2.0
+            ).collect()
+        ]
+        assert diag2["fallback"] is False
+        assert forced == want
+        # OR variant falls back to the exact disjunctive ranking
+        diag3: dict = {}
+        got_or = [
+            (r["doc_id"], r["score_q"])
+            for r in search_two_tier_or(imp, ch, q, diag=diag3).collect()
+        ]
+        assert diag3["fallback"] is True
+        assert got_or == [
+            (r["doc_id"], r["score_q"])
+            for r in search_impact(imp, q).collect()
+        ]
+        ch.unpersist()
+        # loose budget: nothing truncates, fallback must NOT fire
+        ch_all = champion_lists(imp, budget_per_bucket=10_000)
+        diag4: dict = {}
+        search_two_tier(imp, ch_all, q, diag=diag4).collect()
+        assert diag4["fallback"] is False
     finally:
         imp.unpersist()
 
@@ -581,6 +644,31 @@ def test_engine_two_tier_facade(spark):
         for r in search_impact_and(imp, ["data", "fast", "join"]).collect()
     ]
     assert got == want and len(got) > 0
+    # r05 (r04 ADVICE): budget sweep is LRU-capped — the cache never
+    # pins more than CHAMPION_CACHE_MAX champion tables, evicted
+    # tables are unpersisted, and evict_impact_cache() drops it all
+    for b in (2, 3, 5, 6, 8, 12):
+        eng.search_two_tier("data fast", k=5, budget_per_bucket=b).collect()
+    champ_keys = [
+        kk for kk in eng._impact_cache if isinstance(kk, tuple)
+    ]
+    assert len(champ_keys) == eng.CHAMPION_CACHE_MAX
+    assert ("champs", 12) in eng._impact_cache  # most recent kept
+    assert ("champs", 2) not in eng._impact_cache  # oldest evicted
+    assert "impacts" in eng._impact_cache  # budget-independent, exempt
+    # re-using a cached budget refreshes its LRU slot
+    eng.search_two_tier("data", k=5, budget_per_bucket=6).collect()
+    eng.search_two_tier("data", k=5, budget_per_bucket=99).collect()
+    assert ("champs", 6) in eng._impact_cache
+    eng.evict_impact_cache()
+    assert not eng._impact_cache
+    # and the facade still serves after a full eviction (rebuilds)
+    again = [
+        (r["doc_id"], r["score_q"])
+        for r in eng.search_two_tier("data fast join", k=20,
+                                     budget_per_bucket=4).collect()
+    ]
+    assert again == want
 
 
 def test_impacts_from_blocks_bit_identical(spark, tmp_path):

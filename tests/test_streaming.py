@@ -723,3 +723,55 @@ def test_stream_champion_maintenance_converges(spark, tmp_path):
     # the epoch froze at batch 1: its stats describe the FIRST batch's
     # corpus, not the final one (stale-idf-until-re-epoch semantics)
     assert es["n_docs"] == 60
+    # r05 (r04 ADVICE): publish is a versioned dir + ONE atomic symlink
+    # replace — the serving path is a link onto a complete table, and
+    # only current+previous generations are retained
+    import os
+
+    assert os.path.islink(champs_path)
+    assert os.path.exists(os.path.join(champs_path, "_SUCCESS"))
+    vdirs = [
+        n
+        for n in os.listdir(str(tmp_path))
+        if n.startswith("champions_v")
+    ]
+    assert 1 <= len(vdirs) <= 2
+
+
+def test_write_champions_atomic_publish(spark, tmp_path):
+    """_write_champions unit contract: every publish is one symlink
+    replace; a reader that resolved the PREVIOUS link keeps its files
+    (kept one generation); a leftover tmp link from a crash is
+    reclaimed; the legacy real-dir layout upgrades in place."""
+    import os
+
+    from search_engine_spark.streaming.stream_champions import (
+        _write_champions,
+    )
+
+    path = str(tmp_path / "ch")
+    t1 = spark.range(3).selectExpr("id", "id * 2 AS v")
+    t2 = spark.range(5).selectExpr("id", "id * 3 AS v")
+    # legacy layout: a REAL directory at path upgrades to the link
+    t1.write.parquet(path)
+    assert os.path.isdir(path) and not os.path.islink(path)
+    _write_champions(t2, path, 1)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 5
+    prev_target = os.path.realpath(path)
+    # crash leftover: a dangling tmp link must not wedge the publish
+    os.symlink("nowhere", path + "_lnk_tmp")
+    _write_champions(t1, path, 2)
+    assert os.path.islink(path)
+    assert spark.read.parquet(path).count() == 3
+    # previous generation retained for in-flight readers, then pruned
+    assert os.path.isdir(prev_target)
+    _write_champions(t2, path, 3)
+    assert not os.path.exists(prev_target)
+    assert spark.read.parquet(path).count() == 5
+    # replay of the SAME batch id after publish writes beside the live
+    # dir (…r suffix), never overwriting under readers
+    live = os.path.realpath(path)
+    _write_champions(t2, path, 3)
+    assert os.path.realpath(path) == live + "r"
+    assert spark.read.parquet(path).count() == 5
