@@ -141,19 +141,37 @@ from .tokenize import WORD_RE as _WORD_RE
 # never survive tokenization, and every dict entry must be a valid token)
 _PROTECTED = {w for w in PROTECTED_TOKENS if _WORD_RE.match(w)}
 
+from .irregulars import IRREGULAR_MAP
+
+# the closed-class suppletive/irregular overlay (textproc/irregulars.py,
+# r04-verdict missing #1): protected tokens keep identity (same
+# carve-out as the rule tier — their analysis is load-bearing for
+# committed goldens), LEMMA_MAP still wins on conflict
+_IRREGULAR: dict[str, str] = {
+    k: v for k, v in IRREGULAR_MAP.items() if k not in _PROTECTED
+}
+
 _IDENTITY: dict[str, str] = {
     w: w
     for w in sorted(
         lexicon_lemmas()
         | set(_GENERATED.values())
         | set(LEMMA_MAP.values())
+        # every irregular's lemma is itself a dictionary hit (e.g. 'go',
+        # 'идти') — absence would send it to the rule tier
+        | set(_IRREGULAR.values())
         # the frozen contract vocabulary: contractually identity — real
         # words the reference's full Lucene dictionaries recognize too,
         # so marking them dictionary HITS (not OOV) is the faithful call
         | _PROTECTED
     )
 }
-FULL_LEMMA_MAP: dict[str, str] = {**_IDENTITY, **_GENERATED, **LEMMA_MAP}
+FULL_LEMMA_MAP: dict[str, str] = {
+    **_IDENTITY,
+    **_GENERATED,
+    **_IRREGULAR,
+    **LEMMA_MAP,
+}
 
 _SORTED_ITEMS = sorted(FULL_LEMMA_MAP.items())
 
