@@ -2456,6 +2456,54 @@ def _q_change_point(spark, sf_dir):
     return change_point(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_cumulative_cardinality(spark, sf_dir):
+    """ES x-pack cumulative_cardinality pipeline agg: exact
+    distinct-users-to-date via per-user first-seen day (no HLL)."""
+    from search_engine_spark.operators.events import (
+        cumulative_cardinality,
+    )
+
+    return cumulative_cardinality(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _q_events_retention(spark, sf_dir):
+    """Cohort retention triangle: (cohort_day, day_offset, n_users)
+    over distinct (user, day) activity."""
+    from search_engine_spark.operators.events import events_retention
+
+    return events_retention(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _q_normalize_agg(spark, sf_dir):
+    """ES normalize pipeline agg: percent_of_sum + rescale_0_100 over
+    the daily count histogram."""
+    from search_engine_spark.operators.events import normalize_agg
+
+    return normalize_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_significant_text(spark, sf_dir):
+    """ES significant_text (JLH heuristic), exact full-foreground spec
+    over the conjunctive hit set."""
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return se.significant_text(postings, term_dict, n_docs, Q_AND2)
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training pair counts: occurrence-weighted adjacent
+    character pairs over surface tokens, top-50."""
+    from search_engine_spark.operators.bpe import bpe_pairs
+    from search_engine_spark.sources.documents import load_documents
+
+    return bpe_pairs(load_documents(spark, sf_dir))
+
+
 def _q_categorize_text(spark, sf_dir):
     """ES categorize_text (ML log categorization): digit-collapsed
     templates, top-k by doc count."""
@@ -2918,6 +2966,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_agg": _q_rate_agg,
         "variable_width_histogram": _q_variable_width_histogram,
         "change_point": _q_change_point,
+        "cumulative_cardinality": _q_cumulative_cardinality,
+        "events_retention": _q_events_retention,
+        "normalize_agg": _q_normalize_agg,
+        "significant_text": _q_significant_text,
+        "bpe_pairs": _q_bpe_pairs,
         "categorize_text": _q_categorize_text,
         "frequent_item_sets": _q_frequent_item_sets,
         "search_two_tier": _q_search_two_tier,
@@ -3207,6 +3260,11 @@ def oracle_sql() -> dict[str, str]:
             BATCH_CHAMP_QUERIES, budget=8
         ),
         "rate_agg": pipe.rate_agg_sql(),
+        "cumulative_cardinality": pipe.cumulative_cardinality_sql(),
+        "events_retention": pipe.events_retention_sql(),
+        "normalize_agg": pipe.normalize_agg_sql(),
+        "significant_text": ora.significant_text_sql(Q_AND2),
+        "bpe_pairs": ora.bpe_pairs_sql(),
         "variable_width_histogram": pipe.variable_width_histogram_sql(),
         "change_point": pipe.change_point_sql(),
         "categorize_text": ora.categorize_text_sql(),

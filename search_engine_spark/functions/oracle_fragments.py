@@ -1458,6 +1458,64 @@ LIMIT {int(k)}
 """
 
 
+def significant_text_sql(query_terms: list[str], k: int = 20,
+                         min_fg: int = 2,
+                         table: str = "documents") -> str:
+    """Mirrors operators/search.py::significant_text: JLH =
+    (fg% − bg%) · (fg% / bg%) over non-query terms of the conjunctive
+    hit set, fg_df >= min_fg AND fg% > bg%, top-k by (jlh desc,
+    term asc) — same operation order as the Spark expression."""
+    return f"""
+WITH {terms_cte(table)},
+{_conj_hits_cte(query_terms).lstrip()},
+nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM hits),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM {table}),
+fg AS (
+  SELECT t.term, count(DISTINCT t.doc_id)::BIGINT AS fg_df
+  FROM terms t JOIN hits USING (doc_id)
+  WHERE t.term NOT IN {_terms_in(query_terms)}
+  GROUP BY t.term
+  HAVING count(DISTINCT t.doc_id) >= {int(min_fg)}
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df
+  FROM terms GROUP BY term
+)
+SELECT fg.term, fg.fg_df, bg.bg_df,
+       round((fg.fg_df / nfg.n_fg - bg.bg_df / nd.n_docs)
+             * ((fg.fg_df / nfg.n_fg) / (bg.bg_df / nd.n_docs)), 4)
+         AS jlh
+FROM fg JOIN bg USING (term) CROSS JOIN nfg CROSS JOIN nd
+WHERE (fg.fg_df / nfg.n_fg) > (bg.bg_df / nd.n_docs)
+ORDER BY jlh DESC, fg.term ASC
+LIMIT {int(k)}
+"""
+
+
+def bpe_pairs_sql(k: int = 50, table: str = "documents") -> str:
+    """Mirrors operators/bpe.py::bpe_pairs: occurrence-weighted adjacent
+    character-pair counts over the SURFACE tokens (lemmatize=False —
+    tokenizer training sees raw forms), pair = 'a|b', top-k by
+    (n desc, pair asc). DuckDB substring is character-based, matching
+    Spark's split(word, '') symbols (Cyrillic included)."""
+    return f"""
+WITH {terms_cte(table, lemmatize=False)},
+wf AS (
+  SELECT term AS word, count(*)::BIGINT AS c
+  FROM terms WHERE length(term) >= 2 GROUP BY term
+),
+pr AS (
+  SELECT substring(word, i, 1) || '|' || substring(word, i + 1, 1) AS pair,
+         c
+  FROM wf, unnest(range(1, length(word)::BIGINT)) AS t(i)
+)
+SELECT pair, sum(c)::BIGINT AS n
+FROM pr GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {int(k)}
+"""
+
+
 def search_wildcard_sql(pattern: str, k1: float = 1.2, b: float = 0.75,
                         limit: int = 20, max_expansions: int = 128,
                         table: str = "documents") -> str:

@@ -3932,3 +3932,64 @@ WHERE i < m
 ORDER BY diff DESC, day ASC
 LIMIT 1
 """
+
+
+def cumulative_cardinality_sql(table: str = "events") -> str:
+    """Mirrors operators/events.py::cumulative_cardinality — exact
+    distinct-users-to-date via per-user first-seen day; every histogram
+    day emits a row (new_users 0 where none)."""
+    return f"""
+WITH fs AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS day
+  FROM {table} GROUP BY user_id
+),
+nu AS (SELECT day, count(*)::BIGINT AS nu FROM fs GROUP BY day),
+days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM {table})
+SELECT d.day,
+       coalesce(nu.nu, 0)::BIGINT AS new_users,
+       sum(coalesce(nu.nu, 0)) OVER (ORDER BY d.day
+           ROWS UNBOUNDED PRECEDING)::BIGINT AS total_users
+FROM days d LEFT JOIN nu USING (day)
+"""
+
+
+def events_retention_sql(table: str = "events") -> str:
+    """Mirrors operators/events.py::events_retention — cohort = per-user
+    min activity day; activity distinct (user, day); sparse (cohort_day,
+    day_offset, n_users) triangle."""
+    return f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM {table}
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, a.day)::INT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def normalize_agg_sql(table: str = "events") -> str:
+    """Mirrors operators/events.py::normalize_agg — ES `normalize`
+    pipeline agg: percent_of_sum and rescale_0_100 over the daily
+    count histogram, 4-dp rounds in the Spark expression's operation
+    order, flat series rescales to 0."""
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM {table} GROUP BY 1
+),
+st AS (
+  SELECT sum(n)::BIGINT AS tot, min(n)::BIGINT AS mn, max(n)::BIGINT AS mx
+  FROM daily
+)
+SELECT day, n,
+       round(n::DOUBLE / tot::DOUBLE, 4) AS pct_of_sum,
+       CASE WHEN mx = mn THEN 0.0
+            ELSE round((n - mn)::DOUBLE / (mx - mn)::DOUBLE * 100.0, 4)
+       END AS rescaled
+FROM daily CROSS JOIN st
+"""

@@ -513,3 +513,131 @@ def change_point(events: DataFrame) -> DataFrame:
         .select("change_day", "diff")
         .limit(1)
     )
+
+
+def cumulative_cardinality(events: DataFrame) -> DataFrame:
+    """ES x-pack `cumulative_cardinality` pipeline agg over the daily
+    date histogram → (day, new_users, total_users): how many DISTINCT
+    users have been seen up to and including each day — the
+    incremental-reach curve (ES docs motivate it with exactly this
+    "new daily visitors" case).
+
+    Exactness upgrade over ES (which stacks the agg on per-bucket HLL
+    sketches): total cardinality through day D equals the count of
+    users whose FIRST-SEEN day ≤ D, so one map-side-combinable
+    min(day) per user + one bounded daily series gives the EXACT curve
+    — no sketch, no per-bucket distinct-union. Days with events but no
+    new users still emit a row (new_users = 0, total unchanged), the ES
+    histogram contract.
+
+    Plan: user-keyed groupBy(min) reduces the corpus to one row per
+    user; both the first-seen counts and the histogram days are
+    bounded daily series, merged and cumulated via the same
+    collect-into-one-sorted-array pattern as datehist_pipeline (≤
+    time-span rows — no corpus-scale Window)."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    first_seen = (
+        events.select(F.col("user_id"), day)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("nu"))
+    )
+    days = events.select(day).distinct()
+    merged = days.join(first_seen, "day", "left").select(
+        "day", F.coalesce(F.col("nu"), F.lit(0)).cast("long").alias("nu")
+    )
+    xs = F.array_sort(
+        F.collect_list(F.struct(F.col("day").alias("d"),
+                                F.col("nu").alias("u")))
+    )
+    rows = merged.agg(xs.alias("xs")).select(
+        F.col("xs"), F.posexplode("xs").alias("_pos", "_x")
+    )
+    cum = F.aggregate(
+        F.slice(F.col("xs"), 1, F.col("_pos") + 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.getField("u"),
+    )
+    return rows.select(
+        F.col("_x.d").alias("day"),
+        F.col("_x.u").alias("new_users"),
+        cum.cast("bigint").alias("total_users"),
+    )
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix → (cohort_day, day_offset, n_users): of
+    the users whose FIRST event fell on cohort_day, how many were
+    active day_offset days later — the product-analytics retention
+    triangle (Amplitude/Mixpanel's core report; ES reaches it with a
+    scripted terms+filters agg).
+
+    Pinned spec: activity is distinct (user, day); day_offset counts
+    calendar days from the user's cohort day (offset 0 row = cohort
+    size); cells with no surviving users simply don't appear (sparse
+    triangle).
+
+    Plan: one distinct over (user, day) — the only corpus-scale
+    shuffle, user-keyed; the per-user min(day) cohort rides the SAME
+    user-keyed partitioning (AQE reuses the exchange), and the final
+    (cohort, offset) groupBy is triangle-bounded (days² cells max).
+    count(*) == count(DISTINCT user) in the last groupBy because
+    (user, day) rows are already distinct and a user has exactly one
+    cohort day."""
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    activity = events.select(F.col("user_id"), day).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def normalize_agg(events: DataFrame) -> DataFrame:
+    """ES `normalize` pipeline agg over the daily event-count histogram
+    → (day, n, pct_of_sum, rescaled): the two rescaling methods ES
+    ships side by side — `percent_of_sum` (n / Σn) and
+    `rescale_0_100` ((n − min) / (max − min) · 100; a flat series
+    rescales to 0, division guarded). Both round 4 dp from exact
+    integer inputs in a shared operation order.
+
+    Plan: the histogram's map-side-combinable count reduces the corpus
+    first; min/max/sum are ONE scalar aggregate over the bounded daily
+    series, broadcast back by a literal cross join — the Q5
+    max-normalization pattern, no global Window."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = daily.agg(
+        F.sum("n").alias("_tot"),
+        F.min("n").alias("_min"),
+        F.max("n").alias("_max"),
+    )
+    spread = (F.col("_max") - F.col("_min")).cast("double")
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("_tot").cast("double"), 4
+        ).alias("pct_of_sum"),
+        F.when(F.col("_max") == F.col("_min"), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("n") - F.col("_min")).cast("double")
+                / spread
+                * 100.0,
+                4,
+            )
+        )
+        .alias("rescaled"),
+    )

