@@ -120,6 +120,77 @@ def _merge_expr(symbols_col, a: str, b: str):
     )
 
 
+def apply_merges(
+    wf: DataFrame, merges: list[tuple[str, str]], checkpoint_every: int = 16
+) -> DataFrame:
+    """(syms, c) — the word table with the learned merges applied in
+    training order (BPE encoding is replaying merges by priority,
+    Sennrich'16 §3). Each merge is one codegen'd fold over the
+    vocab-bound frame; every `checkpoint_every` merges the frame is
+    persisted and materialized so the chained-select plan never grows
+    past a bounded depth (1000-merge vocabularies would otherwise
+    stress codegen with a 1000-deep expression tree)."""
+    cur = wf.select(F.split(F.col("word"), "").alias("syms"), "c")
+    pinned = []
+    for i, m in enumerate(merges):
+        a, b = m[0], m[1]
+        cur = cur.select(
+            _merge_expr(F.col("syms"), a, b).alias("syms"), "c"
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            cur = cur.persist()
+            cur.count()
+            pinned.append(cur)
+    # earlier pins feed later ones lazily; the caller's first action
+    # materializes the final frame, after which the chain is garbage —
+    # release all but the last so a long encode doesn't pin N/16 copies
+    for p in pinned[:-1]:
+        p.unpersist()
+    return cur
+
+
+def bpe_vocab(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(subword, n) — the occurrence-weighted subword histogram of the
+    corpus encoded under the learned merges: the tokenizer's effective
+    vocabulary usage (what a tokenizer-fertility report draws). All
+    vocab-bound after the one corpus pass inherited from word_freqs."""
+    enc = apply_merges(word_freqs(docs), merges)
+    return (
+        enc.select(F.explode("syms").alias("subword"), "c")
+        .groupBy("subword")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, n_subwords) — per-document token count under the
+    learned BPE vocabulary: the pipeline's cost model for sequence
+    packing / token budgeting (operators/export.py consumes exactly
+    this shape). The encoded word table is vocabulary-bound, so it
+    BROADCASTS into the corpus-scale token stream — the corpus side
+    never shuffles."""
+    from ..functions.text_columns import explode_terms
+
+    # merges only ever CONCATENATE adjacent symbols, so joining the
+    # encoded symbols back with '' reconstructs the original word
+    # exactly: the broadcastable (word -> n_sub) map needs no side
+    # channel to carry the key through the replay
+    word_map = apply_merges(word_freqs(docs), merges).select(
+        F.array_join("syms", "").alias("word"),
+        F.size("syms").cast("long").alias("n_sub"),
+    )
+    toks = explode_terms(docs, lemmatize=False)
+    return (
+        toks.join(F.broadcast(word_map), toks["term"] == word_map["word"])
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").cast("long").alias("n_subwords"))
+    )
+
+
 def bpe_learn(docs: DataFrame, n_merges: int = 10) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges → [(a, b, count), ...] in merge
     order. Greedy argmax per step over the weighted pair counts; ties

@@ -138,3 +138,91 @@ class TestPairsAndLearn:
         top = bpe_pairs(docs, k=1).collect()[0]
         a, b, n = bpe_learn(docs, n_merges=1)[0]
         assert (a + "|" + b, n) == (top["pair"], top["n"])
+
+
+class TestEncode:
+    TEXTS = TestPairsAndLearn.TEXTS
+
+    def test_vocab_matches_python_encode(self, spark):
+        docs = _docs(spark, self.TEXTS)
+        from search_engine_spark.operators.bpe import bpe_vocab
+
+        wf = word_freqs(docs)
+        wc = {r["word"]: r["c"] for r in wf.collect()}
+        merges = [(a, b) for a, b, _ in _py_bpe(wc, 6)]
+        got = {
+            r["subword"]: r["n"]
+            for r in bpe_vocab(docs, merges).collect()
+        }
+        # python twin: replay merges over every word (incl. 1-char)
+        want: dict[str, int] = {}
+        for w, c in wc.items():
+            syms = list(w)
+            for a, b in merges:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            for s in syms:
+                want[s] = want.get(s, 0) + c
+        assert got == want
+        # mass conservation: char occurrences = Σ len(subword)·n
+        total_chars = sum(len(w) * c for w, c in wc.items())
+        assert sum(len(s) * n for s, n in got.items()) == total_chars
+
+    def test_token_counts_shrink_with_merges(self, spark):
+        docs = _docs(spark, self.TEXTS)
+        from search_engine_spark.operators.bpe import bpe_token_counts
+
+        wf = {r["word"]: r["c"] for r in word_freqs(docs).collect()}
+        merges = [(a, b) for a, b, _ in _py_bpe(wf, 6)]
+        base = {
+            r["doc_id"]: r["n_subwords"]
+            for r in bpe_token_counts(docs, []).collect()
+        }
+        enc = {
+            r["doc_id"]: r["n_subwords"]
+            for r in bpe_token_counts(docs, merges).collect()
+        }
+        assert set(base) == set(enc)
+        # zero merges = character counts; merges strictly compress here
+        for d in base:
+            assert enc[d] < base[d]
+        # exact zero-merge pin: chars per doc via the same tokenizer
+        from search_engine_spark.functions.text_columns import (
+            explode_terms,
+        )
+
+        chars = {
+            r["doc_id"]: r["n"]
+            for r in explode_terms(docs, lemmatize=False)
+            .groupBy("doc_id")
+            .agg(F.sum(F.length("term")).alias("n"))
+            .collect()
+        }
+        assert base == chars
+
+    def test_apply_merges_checkpoint_path(self, spark):
+        """checkpoint_every smaller than the merge list exercises the
+        plan-depth pinning path and changes nothing in the result."""
+        docs = _docs(spark, self.TEXTS)
+        from search_engine_spark.operators.bpe import apply_merges
+
+        wf = {r["word"]: r["c"] for r in word_freqs(docs).collect()}
+        merges = [(a, b) for a, b, _ in _py_bpe(wf, 8)]
+        a = sorted(
+            (tuple(r["syms"]), r["c"])
+            for r in apply_merges(
+                word_freqs(docs), merges, checkpoint_every=2
+            ).collect()
+        )
+        b = sorted(
+            (tuple(r["syms"]), r["c"])
+            for r in apply_merges(
+                word_freqs(docs), merges, checkpoint_every=1000
+            ).collect()
+        )
+        assert a == b
