@@ -126,26 +126,23 @@ def apply_merges(
     """(syms, c) — the word table with the learned merges applied in
     training order (BPE encoding is replaying merges by priority,
     Sennrich'16 §3). Each merge is one codegen'd fold over the
-    vocab-bound frame; every `checkpoint_every` merges the frame is
-    persisted and materialized so the chained-select plan never grows
-    past a bounded depth (1000-merge vocabularies would otherwise
-    stress codegen with a 1000-deep expression tree)."""
+    vocab-bound frame; every `checkpoint_every` merges the plan is cut
+    with an eager localCheckpoint so the chained-select tree never
+    grows past a bounded depth (1000-merge vocabularies would
+    otherwise stress codegen with a 1000-deep expression tree).
+    localCheckpoint over persist() deliberately (r05 self-review): its
+    blocks are released by the ContextCleaner when the frame is
+    garbage-collected, so repeated encodes leak nothing — a persist()
+    here would pin one vocab-scale frame per call for the session's
+    lifetime, the exact leak class evict_impact_cache closes."""
     cur = wf.select(F.split(F.col("word"), "").alias("syms"), "c")
-    pinned = []
     for i, m in enumerate(merges):
         a, b = m[0], m[1]
         cur = cur.select(
             _merge_expr(F.col("syms"), a, b).alias("syms"), "c"
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
-            cur = cur.persist()
-            cur.count()
-            pinned.append(cur)
-    # earlier pins feed later ones lazily; the caller's first action
-    # materializes the final frame, after which the chain is garbage —
-    # release all but the last so a long encode doesn't pin N/16 copies
-    for p in pinned[:-1]:
-        p.unpersist()
+            cur = cur.localCheckpoint(eager=True)
     return cur
 
 

@@ -425,20 +425,28 @@ def variable_width_histogram(
         ]
     ).collect()[0]
     if any(cuts_row[i] is None for i in range(len(qs))):
-        # empty (or all-null `value`) input: the percentile aggregate
-        # returns NULL cuts. The DuckDB mirror's CROSS JOIN against the
-        # empty rows frame yields an empty result — mirror that instead
-        # of TypeError-ing on float(None) (r04 ADVICE).
-        return v.limit(0).select(
-            F.lit(1).cast("int").alias("bucket"),
-            F.lit(0).cast("long").alias("n"),
-            F.lit(0.0).alias("min_v"),
-            F.lit(0.0).alias("max_v"),
-            F.lit(0.0).alias("avg_v"),
-        )
-    cuts = [float(cuts_row[i]) for i in range(len(qs))]
+        # the percentile aggregate returns NULL cuts in two cases, and
+        # the DuckDB mirror treats them differently (r04 ADVICE fix,
+        # corrected in r05 self-review): an EMPTY table CROSS JOINs to
+        # zero rows; an all-NULL `value` column keeps its rows, whose
+        # NULL > NULL comparisons group into ONE null-bucket row with
+        # null min/max/avg — letting the null cuts flow through the
+        # expression below reproduces exactly that.
+        if v.limit(1).count() == 0:
+            return v.limit(0).select(
+                F.lit(1).cast("int").alias("bucket"),
+                F.lit(0).cast("long").alias("n"),
+                F.lit(0.0).alias("min_v"),
+                F.lit(0.0).alias("max_v"),
+                F.lit(0.0).alias("avg_v"),
+            )
+        cut_cols = [F.lit(None).cast("long") for _ in qs]
+    else:
+        cut_cols = [
+            F.lit(float(cuts_row[i])) for i in range(len(qs))
+        ]
     bucket = F.lit(1)
-    for c in cuts:
+    for c in cut_cols:
         bucket = bucket + (F.col("v") > c).cast("int")
     return (
         v.withColumn("bucket", bucket.cast("int"))

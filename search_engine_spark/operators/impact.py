@@ -531,21 +531,12 @@ def _two_tier_serve(
             diag["n_maybe_rescoped"] = 0
             diag["maybe_doc_ids"] = []
         scored.unpersist()
-        exact = (
-            impacts.filter(F.col("term").isin(uniq))
-            .groupBy("doc_id")
-            .agg(
-                F.sum("impact").cast("bigint").alias("score_q"),
-                F.count("*").alias("n_terms"),
-            )
-        )
-        if conjunctive_n is not None:
-            exact = exact.filter(F.col("n_terms") == conjunctive_n)
-        return (
-            exact.select("doc_id", "score_q")
-            .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
-            .limit(k)
-        )
+        # delegate to the exact serves themselves rather than inlining
+        # their aggregation (r05 self-review — the same lockstep-copy
+        # class the r04 review removed from these siblings)
+        if conjunctive_n is None:
+            return search_impact(impacts, uniq, k=k)
+        return search_impact_and(impacts, uniq, k=k)
     maybe = scored.filter(~F.col("certain"))
     if theta is not None:
         maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)

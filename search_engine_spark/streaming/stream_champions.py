@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -66,16 +67,16 @@ def _write_champions(df: DataFrame, champions_path: str,
     dir is kept one generation (a reader that resolved the old link
     mid-scan keeps its files); older generations are pruned."""
     vdir = f"{champions_path}_v{batch_id}"
-    if (
-        os.path.islink(champions_path)
-        and os.path.realpath(champions_path) == os.path.realpath(vdir)
-    ):
-        # at-least-once replay after a crash JUST after publish: the
-        # live link already targets this batch's dir — write the
-        # convergent re-run beside it rather than overwriting the
-        # published files under readers
-        vdir = f"{champions_path}_v{batch_id}r"
-    df.write.mode("overwrite").parquet(vdir)
+    while os.path.exists(vdir):
+        # at-least-once replays after crashes write each attempt to a
+        # FRESH directory ('r' suffix per attempt) — an existing dir is
+        # either the live/retained generation (readers hold it) or a
+        # crashed orphan (pruned below once unreferenced); overwriting
+        # EITHER in place would pull files out from under readers
+        # (r05 self-review: the previous live-link-only check missed
+        # the retained-previous-generation case on double replay)
+        vdir += "r"
+    df.write.parquet(vdir)
     if os.path.islink(champions_path):
         prev = os.path.realpath(champions_path)
     elif os.path.isdir(champions_path):
@@ -95,9 +96,14 @@ def _write_champions(df: DataFrame, champions_path: str,
     keep = {os.path.basename(vdir)}
     if prev is not None:
         keep.add(os.path.basename(prev))
+    # prune ONLY this table's generation dirs — the exact name grammar
+    # this function emits (_v<batch>, replay 'r' suffixes, the one-time
+    # _legacy dir), never a prefix scan that could match a SIBLING
+    # table like '{base}_v2's own generations (r05 self-review)
+    gen_re = re.compile(re.escape(base) + r"_v\d+(?:_legacy|r*)$")
     for name in os.listdir(parent):
         if (
-            name.startswith(base + "_v")
+            gen_re.fullmatch(name)
             and name not in keep
             and os.path.isdir(os.path.join(parent, name))
         ):

@@ -158,10 +158,12 @@ class TestRound4MLAggs:
             assert a["min_v"] <= a["avg_v"] <= a["max_v"]
 
     def test_variable_width_histogram_empty_and_null(self, spark):
-        """r04 ADVICE: empty input (or all-null value) yields an EMPTY
-        frame with the full 5-column schema — the DuckDB mirror's
-        CROSS JOIN against zero rows — instead of TypeError(float(None))
-        on the NULL percentile cuts."""
+        """r04 ADVICE (+ r05 self-review correction): empty input yields
+        an EMPTY 5-column frame (the DuckDB mirror's CROSS JOIN against
+        zero rows); an ALL-NULL value column keeps its rows — one
+        null-bucket row with null stats, exactly what the mirror's
+        NULL>NULL comparisons group to — instead of TypeError on the
+        NULL percentile cuts."""
         from search_engine_spark.operators.events import (
             variable_width_histogram,
         )
@@ -173,7 +175,25 @@ class TestRound4MLAggs:
         nulls = spark.createDataFrame(
             [(None,), (None,)], "value double"
         )
-        assert variable_width_histogram(nulls, buckets=3).count() == 0
+        rows = variable_width_histogram(nulls, buckets=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["bucket"] is None and r["n"] == 2
+        assert r["min_v"] is None and r["max_v"] is None
+        assert r["avg_v"] is None
+        # and the DuckDB mirror agrees on the same all-null frame
+        import duckdb
+
+        from search_engine_spark.functions.oracle_pipeline import (
+            variable_width_histogram_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events(value DOUBLE)")
+        con.execute("INSERT INTO events VALUES (NULL), (NULL)")
+        du = con.sql(variable_width_histogram_sql(buckets=3)).fetchall()
+        con.close()
+        assert du == [(None, 2, None, None, None)]
 
     def test_change_point_finds_crafted_shift(self, spark):
         import datetime

@@ -91,7 +91,24 @@ class TestInertOnGateCorpora:
         documents or the adversarial corpus, so every committed golden
         and driver hash is unaffected by construction (the same
         inertness argument the rule tier shipped with)."""
-        keys = sorted(IRREGULAR_MAP)
+        # keys AND analysis-changing values (r05 self-review — the
+        # original scan proved only half the inertness claim): the
+        # overlay also promotes each irregular's LEMMA to an identity
+        # dictionary hit, which changes a corpus word's analysis
+        # exactly when the rule tier used to strip it (быть→быт,
+        # string→str, …). Rule-neutral values (e.g. 'stride', which
+        # does occur in the adversarial corpus) emit the same lemma
+        # either way and are excluded by construction.
+        from search_engine_spark.textproc.ruletier import rule_lemma
+
+        keys = sorted(
+            set(IRREGULAR_MAP)
+            | {
+                v
+                for v in IRREGULAR_MAP.values()
+                if rule_lemma(v) != v
+            }
+        )
         inlist = ",".join(f"'{k}'" for k in keys)
         con = duckdb.connect()
         for sf in ("sf0.001", "sf0.01"):

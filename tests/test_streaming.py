@@ -775,3 +775,18 @@ def test_write_champions_atomic_publish(spark, tmp_path):
     _write_champions(t2, path, 3)
     assert os.path.realpath(path) == live + "r"
     assert spark.read.parquet(path).count() == 5
+    # DOUBLE replay (r05 self-review): the retained previous generation
+    # (live) must survive untouched — the next attempt takes a fresh
+    # 'rr' dir instead of overwriting the retained …r or the old base
+    retained = os.path.realpath(path)       # …_v3r, now the live gen
+    files_before = sorted(os.listdir(retained))
+    _write_champions(t2, path, 3)
+    assert os.path.realpath(path) == live + "rr"
+    assert sorted(os.listdir(retained)) == files_before  # untouched
+    assert spark.read.parquet(path).count() == 5
+    # sibling-table safety: a table whose name extends ours with a _v
+    # suffix must never be pruned by our generation sweep
+    sib = path + "_v99"
+    t1.write.parquet(sib + "_v1")
+    _write_champions(t1, path, 4)
+    assert os.path.isdir(sib + "_v1")  # sibling generation intact
