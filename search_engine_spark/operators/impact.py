@@ -507,7 +507,11 @@ def _two_tier_serve(
     is built, so the serve falls back to the one-aggregation exact plan
     (`search_impact_and` / `search_impact` by construction) and skips
     the slice plumbing. Pass a value > 1.0 to disable (diagnostics)."""
-    scored = scored.persist()
+    # θ probe + census BEFORE any persist: the fallback decision needs
+    # only these two bounded collects, so the all-rescope case pays two
+    # champion-scale jobs and nothing else — persisting scored first
+    # added a third materialization job that the fallback then threw
+    # away (~1 s of pure overhead at 10M docs, measured r05)
     certain_top = (
         scored.filter(F.col("certain"))
         .orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
@@ -530,13 +534,16 @@ def _two_tier_serve(
             diag["n_certain"] = scored.filter(F.col("certain")).count()
             diag["n_maybe_rescoped"] = 0
             diag["maybe_doc_ids"] = []
-        scored.unpersist()
         # delegate to the exact serves themselves rather than inlining
         # their aggregation (r05 self-review — the same lockstep-copy
         # class the r04 review removed from these siblings)
         if conjunctive_n is None:
             return search_impact(impacts, uniq, k=k)
         return search_impact_and(impacts, uniq, k=k)
+    # slice path: NOW pin scored — it feeds the maybe band, the
+    # certain pass-through and the diag collects below (the θ probe
+    # above recomputes once into the cache; champion-scale, cheap)
+    scored = scored.persist()
     maybe = scored.filter(~F.col("certain"))
     if theta is not None:
         maybe = maybe.filter(F.col("score_q") + F.col("error_ub") >= theta)
