@@ -2495,6 +2495,37 @@ def _q_significant_text(spark, sf_dir):
     return se.significant_text(postings, term_dict, n_docs, Q_AND2)
 
 
+def _q_mojibake_stats(spark, sf_dir):
+    """Encoding-corruption signal: frozen mojibake marker-char counts
+    per page, per-1k-chars rate."""
+    from search_engine_spark.operators.curation import mojibake_stats
+    from search_engine_spark.sources.documents import load_documents
+
+    return mojibake_stats(load_documents(spark, sf_dir))
+
+
+def _q_boilerplate_lines(spark, sf_dir):
+    """Per-site boilerplate detector: lines on >=2 pages and >=2% of
+    the site's pages (Kohlschütter-style shallow text features;
+    min_frac=0.02 is the gate-scale parameterization — the synthetic
+    corpus repeats template chunks far more sparsely than real site
+    chrome, where production uses 0.5)."""
+    from search_engine_spark.operators.curation import boilerplate_lines
+    from search_engine_spark.sources.documents import load_documents
+
+    return boilerplate_lines(load_documents(spark, sf_dir), min_frac=0.02)
+
+
+def _q_remove_boilerplate(spark, sf_dir):
+    """Pages reassembled with their site's boilerplate lines dropped
+    (same gate-scale min_frac=0.02 as boilerplate_lines, so the gate
+    actually exercises the removal path)."""
+    from search_engine_spark.operators.curation import remove_boilerplate
+    from search_engine_spark.sources.documents import load_documents
+
+    return remove_boilerplate(load_documents(spark, sf_dir), min_frac=0.02)
+
+
 def _q_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training pair counts: occurrence-weighted adjacent
     character pairs over surface tokens, top-50."""
@@ -2971,6 +3002,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_agg": _q_normalize_agg,
         "significant_text": _q_significant_text,
         "bpe_pairs": _q_bpe_pairs,
+        "mojibake_stats": _q_mojibake_stats,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "remove_boilerplate": _q_remove_boilerplate,
         "categorize_text": _q_categorize_text,
         "frequent_item_sets": _q_frequent_item_sets,
         "search_two_tier": _q_search_two_tier,
@@ -3265,6 +3299,9 @@ def oracle_sql() -> dict[str, str]:
         "normalize_agg": pipe.normalize_agg_sql(),
         "significant_text": ora.significant_text_sql(Q_AND2),
         "bpe_pairs": ora.bpe_pairs_sql(),
+        "mojibake_stats": pipe.mojibake_stats_sql(),
+        "boilerplate_lines": pipe.boilerplate_lines_sql(min_frac=0.02),
+        "remove_boilerplate": pipe.remove_boilerplate_sql(min_frac=0.02),
         "variable_width_histogram": pipe.variable_width_histogram_sql(),
         "change_point": pipe.change_point_sql(),
         "categorize_text": ora.categorize_text_sql(),

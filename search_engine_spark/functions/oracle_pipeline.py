@@ -3993,3 +3993,109 @@ SELECT day, n,
        END AS rescaled
 FROM daily CROSS JOIN st
 """
+
+
+def mojibake_stats_sql(table: str = "documents") -> str:
+    """Mirrors operators/curation.py::mojibake_stats — marker-char
+    counts from the frozen MOJIBAKE_CLASS, per-1k-chars rate 4 dp,
+    char-based length semantics on both engines."""
+    t = "coalesce(text, '')"
+    cls = cu.MOJIBAKE_CLASS
+    marks = (
+        f"(length({t}) - length(regexp_replace({t}, '{cls}', '', 'g')))"
+    )
+    return f"""
+SELECT doc_id,
+       length({t})::BIGINT AS n_chars,
+       {marks}::BIGINT AS n_marks,
+       CASE WHEN length({t}) = 0 THEN 0.0
+            ELSE round({marks}::DOUBLE * 1000.0 / length({t})::DOUBLE, 4)
+       END AS marks_per_kchar,
+       ({marks} = 0) AS clean
+FROM {table}
+"""
+
+
+def _lines_with_site_cte(width: int, table: str) -> str:
+    """doc_lines + the derived site_key, shared by the boilerplate
+    mirrors (same pinned WS_SPLIT class and chunk slicing as
+    line_dedup_sql)."""
+    return f"""toks AS (
+  SELECT doc_id, {SITE_KEY_SQL} AS site_key,
+         string_split_regex(trim(text), '{cu.LINE_WS}') AS tk
+  FROM {table}
+),
+lines0 AS (
+  SELECT doc_id, site_key, r.i AS line_no,
+         array_to_string(tk[(r.i*{width}+1):((r.i+1)*{width})], ' ') AS line
+  FROM toks, LATERAL unnest(
+    generate_series(0, CAST(ceil(len(tk)/{width}.0) AS BIGINT) - 1)) AS r(i)
+),
+occ AS (
+  SELECT doc_id, site_key, line_no, line FROM lines0 WHERE line <> ''
+)"""
+
+
+def boilerplate_lines_sql(min_pages: int = 2, min_frac: float = 0.5,
+                          width: int = cu.LINE_WIDTH,
+                          table: str = "documents") -> str:
+    """Mirrors curation.py::boilerplate_lines — per-site lines on
+    >= min_pages pages and >= min_frac of the site's pages."""
+    lh = h60_sql("line")
+    return f"""
+WITH {_lines_with_site_cte(width, table)},
+per_line AS (
+  SELECT site_key, {lh} AS lh,
+         count(DISTINCT doc_id)::BIGINT AS n_pages,
+         min(line) AS line
+  FROM occ GROUP BY site_key, {lh}
+  HAVING count(DISTINCT doc_id) >= {int(min_pages)}
+),
+sp AS (
+  SELECT {SITE_KEY_SQL} AS site_key,
+         count(DISTINCT doc_id)::BIGINT AS site_n
+  FROM {table} GROUP BY 1
+)
+SELECT p.site_key, p.lh, p.line, p.n_pages,
+       round(p.n_pages::DOUBLE / sp.site_n::DOUBLE, 4) AS frac
+FROM per_line p JOIN sp USING (site_key)
+WHERE p.n_pages::DOUBLE >= {float(min_frac)!r} * sp.site_n::DOUBLE
+"""
+
+
+def remove_boilerplate_sql(min_pages: int = 2, min_frac: float = 0.5,
+                           width: int = cu.LINE_WIDTH,
+                           table: str = "documents") -> str:
+    """Mirrors curation.py::remove_boilerplate — per-page reassembly
+    with the site's boilerplate lines dropped."""
+    lh = h60_sql("line")
+    return f"""
+WITH {_lines_with_site_cte(width, table)},
+per_line AS (
+  SELECT site_key, {lh} AS lh,
+         count(DISTINCT doc_id)::BIGINT AS n_pages
+  FROM occ GROUP BY site_key, {lh}
+  HAVING count(DISTINCT doc_id) >= {int(min_pages)}
+),
+sp AS (
+  SELECT {SITE_KEY_SQL} AS site_key,
+         count(DISTINCT doc_id)::BIGINT AS site_n
+  FROM {table} GROUP BY 1
+),
+bp AS (
+  SELECT p.site_key, p.lh FROM per_line p JOIN sp USING (site_key)
+  WHERE p.n_pages::DOUBLE >= {float(min_frac)!r} * sp.site_n::DOUBLE
+),
+marked AS (
+  SELECT o.doc_id, o.line_no, o.line,
+         (bp.lh IS NULL) AS is_kept
+  FROM occ o LEFT JOIN bp
+    ON o.site_key = bp.site_key AND {h60_sql('o.line')} = bp.lh
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN is_kept THEN line END, chr(10)
+                           ORDER BY line_no), '') AS clean_text,
+       count(*) FILTER (WHERE is_kept)::BIGINT AS n_kept,
+       count(*) FILTER (WHERE NOT is_kept)::BIGINT AS n_dropped
+FROM marked GROUP BY doc_id
+"""

@@ -784,3 +784,143 @@ def gopher_rules(docs: DataFrame, width: int = LINE_WIDTH) -> DataFrame:
         "n_stop",
         keep.alias("keep_doc"),
     )
+
+
+# Mojibake marker class: the classic UTF-8-decoded-as-Latin-1 artifact
+# characters (Ã/Â lead bytes, â€-cluster punctuation ghosts €/™/œ) plus
+# U+FFFD replacement — none are legitimate letters in the engine's en/ru
+# corpus languages, so occurrence counts are a pure corruption signal
+# (the ftfy/"fix text for you" detection heuristic, reduced to a frozen
+# char class portable across Java/RE2/DuckDB regex engines).
+MOJIBAKE_CLASS = "[ÂÃ€™œ�]"
+
+
+def mojibake_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_marks, marks_per_kchar, clean) — encoding-
+    corruption signal per page: how many mojibake marker characters the
+    text carries, normalized per 1,000 chars (4 dp). A curation
+    pipeline drops or re-decodes flagged pages before training export
+    (every Common-Crawl-derived corpus pays this tax — WET files mix
+    mis-declared charsets).
+
+    Plan: one narrow codegen projection (two length() calls over a
+    regexp_replace) — no shuffle at all; char-based length semantics
+    agree across Spark and DuckDB."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_chars = F.length(t)
+    n_marks = n_chars - F.length(
+        F.regexp_replace(t, MOJIBAKE_CLASS, "")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_marks.cast("long").alias("n_marks"),
+        F.when(n_chars == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                n_marks.cast("double") * 1000.0
+                / n_chars.cast("double"),
+                4,
+            )
+        )
+        .alias("marks_per_kchar"),
+        (n_marks == 0).alias("clean"),
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame, min_pages: int = 2, min_frac: float = 0.5
+) -> DataFrame:
+    """(site_key, lh, line, n_pages, frac) — per-SITE boilerplate
+    detector: lines appearing on ≥ min_pages pages and ≥ min_frac of
+    the site's pages (nav bars, footers, cookie banners — the
+    shallow-text-feature boilerplate rule of Kohlschütter et al.
+    WSDM'10, keyed by site the way production extractors apply it).
+    Differs from CCNet line dedup (corpus-global, first-occurrence-
+    wins) in both scope and question: this measures WITHIN-site
+    repetition rate, the signal that separates template chrome from
+    content that merely repeats somewhere.
+
+    Plan: distinct (site, lh, doc) — the one corpus-scale shuffle —
+    then a (site, lh)-keyed count against broadcastable per-site page
+    totals; output is bounded by the distinct line vocabulary. frac
+    rounds 4 dp from exact integer counts."""
+    lines = doc_lines(docs).join(
+        docs.select("doc_id", "site_key"), "doc_id"
+    )
+    occ = lines.select(
+        "site_key",
+        h60_col(F.col("line")).alias("lh"),
+        F.col("line"),
+        "doc_id",
+    )
+    per_line = (
+        occ.groupBy("site_key", "lh")
+        .agg(
+            F.count_distinct("doc_id").alias("n_pages"),
+            F.min("line").alias("line"),
+        )
+        .filter(F.col("n_pages") >= int(min_pages))
+    )
+    site_pages = docs.groupBy("site_key").agg(
+        F.count_distinct("doc_id").alias("_site_n")
+    )
+    frac = F.round(
+        F.col("n_pages").cast("double") / F.col("_site_n").cast("double"),
+        4,
+    )
+    return (
+        per_line.join(F.broadcast(site_pages), "site_key")
+        .filter(
+            F.col("n_pages").cast("double")
+            >= F.lit(float(min_frac)) * F.col("_site_n").cast("double")
+        )
+        .select("site_key", "lh", "line", "n_pages", frac.alias("frac"))
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame, min_pages: int = 2, min_frac: float = 0.5
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_dropped) — pages with their
+    site's boilerplate lines removed: a line occurrence survives iff
+    (site, line-hash) is NOT in the boilerplate table. Same reassembly
+    shape as remove_duplicated_lines (array_sort of surviving (line_no,
+    line) structs, no global sort); the boilerplate side joins on
+    (site_key, lh) after its own aggregation has collapsed it to the
+    line vocabulary."""
+    bp = boilerplate_lines(docs, min_pages, min_frac).select(
+        "site_key", "lh", F.lit(True).alias("_bp")
+    )
+    lines = doc_lines(docs).join(
+        docs.select("doc_id", "site_key"), "doc_id"
+    )
+    occ = lines.select(
+        "doc_id", "site_key", "line_no", "line",
+        h60_col(F.col("line")).alias("lh"),
+    )
+    kept = occ.join(bp, ["site_key", "lh"], "left").withColumn(
+        "is_kept", F.col("_bp").isNull()
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_kept"),
+                                F.struct("line_no", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.col("is_kept").cast("long")).alias("n_kept"),
+            F.sum((~F.col("is_kept")).cast("long")).alias("n_dropped"),
+        )
+        .select("doc_id", "clean_text", "n_kept", "n_dropped")
+    )

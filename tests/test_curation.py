@@ -503,3 +503,91 @@ def test_ccnet_window_is_language_keyed(spark):
     assert "Window" in plan
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "lang" in spec, spec
+
+
+class TestRound5Curation:
+    def _site_docs(self, spark, rows):
+        """rows: (doc_id, text) — site_key derived like load_documents
+        (doc_id % 3), so crafted docs land on controllable sites."""
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).withColumn(
+            "site_key",
+            F.concat(F.lit("site-"), F.char(F.col("doc_id") % 3 + 97)),
+        )
+
+    def test_mojibake_stats_crafted(self, spark):
+        from search_engine_spark.operators.curation import mojibake_stats
+
+        rows = [
+            (0, "clean ascii text"),
+            (1, "bad Ã© decode â€™ here"),      # Ã, €, ™ markers
+            (2, ""),
+            (3, "привет мир"),                   # Cyrillic is NOT mojibake
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_marks"], r["clean"])
+            for r in mojibake_stats(docs).collect()
+        }
+        assert got[0] == (0, True)
+        assert got[1][0] == 3 and got[1][1] is False
+        assert got[2] == (0, True)
+        assert got[3] == (0, True)
+        row1 = {r["doc_id"]: r for r in mojibake_stats(docs).collect()}[1]
+        assert row1["marks_per_kchar"] == round(
+            3 * 1000.0 / row1["n_chars"], 4
+        )
+
+    def test_boilerplate_detected_per_site_only(self, spark):
+        """A 4-token chunk repeated on every page of site-a is flagged
+        for site-a only; the same chunk on ONE page of site-b is not."""
+        from search_engine_spark.operators.curation import (
+            boilerplate_lines,
+        )
+
+        nav = "home about contact login"
+        # doc_ids 0,3,6,9 -> site-a; 1 -> site-b
+        rows = [
+            (0, f"{nav} alpha beta gamma delta"),
+            (3, f"{nav} epsilon zeta eta theta"),
+            (6, f"{nav} iota kappa lam mu"),
+            (9, f"{nav} nu xi omicron pi"),
+            (1, f"{nav} rho sigma tau upsilon"),
+            (4, "phi chi psi omega unique words here now"),
+        ]
+        docs = self._site_docs(spark, rows)
+        got = boilerplate_lines(docs, min_pages=2, min_frac=0.5).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["site_key"] == "site-a" and r["line"] == nav
+        assert r["n_pages"] == 4 and r["frac"] == 1.0
+
+    def test_remove_boilerplate_strips_only_flagged_site(self, spark):
+        from search_engine_spark.operators.curation import (
+            remove_boilerplate,
+        )
+
+        nav = "home about contact login"
+        rows = [
+            (0, f"{nav} alpha beta gamma delta"),
+            (3, f"{nav} epsilon zeta eta theta"),
+            (1, f"{nav} rho sigma tau upsilon"),
+        ]
+        docs = self._site_docs(spark, rows)
+        got = {
+            r["doc_id"]: r
+            for r in remove_boilerplate(
+                docs, min_pages=2, min_frac=0.5
+            ).collect()
+        }
+        # site-a docs lose the nav chunk, keep their content chunk
+        assert got[0]["clean_text"] == "alpha beta gamma delta"
+        assert got[0]["n_dropped"] == 1 and got[0]["n_kept"] == 1
+        assert got[3]["clean_text"] == "epsilon zeta eta theta"
+        # site-b's single page keeps everything (nav not boilerplate
+        # THERE: one page is below min_pages)
+        assert got[1]["n_dropped"] == 0
+        assert got[1]["clean_text"].startswith(nav)
