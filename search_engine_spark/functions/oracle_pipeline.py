@@ -3890,13 +3890,16 @@ def variable_width_histogram_sql(buckets: int = 4,
     bucket_expr = "1" + "".join(
         f" + (n.v > c.c{i})::INT" for i in range(len(qs))
     )
+    # buckets=1: no cuts — drop the (otherwise empty-select) c CTE and
+    # assign everything to cluster 1, the operator's degenerate form
+    c_cte = f"c AS (SELECT {cut_cols} FROM n),\n" if qs else ""
+    joined = "n CROSS JOIN c" if qs else "n"
     return f"""
 WITH n AS (
   SELECT round(value * 100)::BIGINT AS v FROM {table}
 ),
-c AS (SELECT {cut_cols} FROM n),
-assigned AS (
-  SELECT ({bucket_expr})::INT AS bucket, n.v FROM n CROSS JOIN c
+{c_cte}assigned AS (
+  SELECT ({bucket_expr})::INT AS bucket, n.v FROM {joined}
 )
 SELECT bucket, count(*)::BIGINT AS n,
        (min(v)::DOUBLE / 100.0) AS min_v,

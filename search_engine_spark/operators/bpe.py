@@ -121,28 +121,45 @@ def _merge_expr(symbols_col, a: str, b: str):
 
 
 def apply_merges(
-    wf: DataFrame, merges: list[tuple[str, str]], checkpoint_every: int = 16
+    wf: DataFrame,
+    merges: list[tuple[str, str]],
+    checkpoint_every: int = 16,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """(syms, c) — the word table with the learned merges applied in
     training order (BPE encoding is replaying merges by priority,
     Sennrich'16 §3). Each merge is one codegen'd fold over the
     vocab-bound frame; every `checkpoint_every` merges the plan is cut
-    with an eager localCheckpoint so the chained-select tree never
-    grows past a bounded depth (1000-merge vocabularies would
-    otherwise stress codegen with a 1000-deep expression tree).
-    localCheckpoint over persist() deliberately (r05 self-review): its
-    blocks are released by the ContextCleaner when the frame is
-    garbage-collected, so repeated encodes leak nothing — a persist()
-    here would pin one vocab-scale frame per call for the session's
-    lifetime, the exact leak class evict_impact_cache closes."""
+    with an eager checkpoint so the chained-select tree never grows
+    past a bounded depth (1000-merge vocabularies would otherwise
+    stress codegen with a 1000-deep expression tree).
+
+    Checkpoint flavor (r05 self-review, both directions): the default
+    localCheckpoint's blocks are ContextCleaner-released when the
+    frame is garbage-collected, so repeated encodes leak nothing — a
+    persist() here would pin one vocab-scale frame per call for the
+    session's lifetime. The cost is recoverability: localCheckpoint
+    blocks have no lineage, so an executor lost mid-encode fails the
+    job (Spark documents it unsafe under dynamic allocation). A
+    cluster deployment with executor churn passes `reliable_dir` (an
+    HDFS/object-store path) to use RELIABLE checkpoints instead —
+    survives any executor loss; cleanup follows
+    `spark.cleaner.referenceTracking.cleanCheckpoints` or the
+    deployment's checkpoint-dir retention."""
     cur = wf.select(F.split(F.col("word"), "").alias("syms"), "c")
+    if reliable_dir is not None:
+        cur.sparkSession.sparkContext.setCheckpointDir(reliable_dir)
     for i, m in enumerate(merges):
         a, b = m[0], m[1]
         cur = cur.select(
             _merge_expr(F.col("syms"), a, b).alias("syms"), "c"
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
-            cur = cur.localCheckpoint(eager=True)
+            cur = (
+                cur.checkpoint(eager=True)
+                if reliable_dir is not None
+                else cur.localCheckpoint(eager=True)
+            )
     return cur
 
 

@@ -828,6 +828,23 @@ def mojibake_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _site_line_occ(docs: DataFrame) -> DataFrame:
+    """(doc_id, site_key, line_no, line, lh) — one definition of the
+    site-keyed line-occurrence stream, shared by detection and removal
+    (the SQL mirrors share it as the `_lines_with_site_cte` CTE)."""
+    return (
+        doc_lines(docs)
+        .join(docs.select("doc_id", "site_key"), "doc_id")
+        .select(
+            "doc_id",
+            "site_key",
+            "line_no",
+            "line",
+            h60_col(F.col("line")).alias("lh"),
+        )
+    )
+
+
 def boilerplate_lines(
     docs: DataFrame, min_pages: int = 2, min_frac: float = 0.5
 ) -> DataFrame:
@@ -845,15 +862,7 @@ def boilerplate_lines(
     then a (site, lh)-keyed count against broadcastable per-site page
     totals; output is bounded by the distinct line vocabulary. frac
     rounds 4 dp from exact integer counts."""
-    lines = doc_lines(docs).join(
-        docs.select("doc_id", "site_key"), "doc_id"
-    )
-    occ = lines.select(
-        "site_key",
-        h60_col(F.col("line")).alias("lh"),
-        F.col("line"),
-        "doc_id",
-    )
+    occ = _site_line_occ(docs)
     per_line = (
         occ.groupBy("site_key", "lh")
         .agg(
@@ -888,20 +897,22 @@ def remove_boilerplate(
     shape as remove_duplicated_lines (array_sort of surviving (line_no,
     line) structs, no global sort); the boilerplate side joins on
     (site_key, lh) after its own aggregation has collapsed it to the
-    line vocabulary."""
+    line vocabulary.
+
+    Scale shape (r05 self-review): detect-then-remove is inherently
+    two passes over the line stream (the detection aggregate must
+    finish before removal can filter), but the boilerplate side
+    collapses to the line VOCABULARY before the join — broadcast it,
+    so the corpus-scale occurrence stream never shuffles for the
+    removal join. Both passes share ONE occ definition
+    (`_site_line_occ`), mirroring the SQL's shared CTE."""
     bp = boilerplate_lines(docs, min_pages, min_frac).select(
         "site_key", "lh", F.lit(True).alias("_bp")
     )
-    lines = doc_lines(docs).join(
-        docs.select("doc_id", "site_key"), "doc_id"
-    )
-    occ = lines.select(
-        "doc_id", "site_key", "line_no", "line",
-        h60_col(F.col("line")).alias("lh"),
-    )
-    kept = occ.join(bp, ["site_key", "lh"], "left").withColumn(
-        "is_kept", F.col("_bp").isNull()
-    )
+    occ = _site_line_occ(docs)
+    kept = occ.join(
+        F.broadcast(bp), ["site_key", "lh"], "left"
+    ).withColumn("is_kept", F.col("_bp").isNull())
     return (
         kept.groupBy("doc_id")
         .agg(

@@ -418,13 +418,22 @@ def variable_width_histogram(
     cents = F.round(F.col("value") * 100).cast("long")
     v = events.select(cents.alias("v"))
     qs = [i / buckets for i in range(1, buckets)]
-    cuts_row = v.agg(
-        *[
-            F.expr(f"percentile(v, {q!r})").alias(f"c{i}")
-            for i, q in enumerate(qs)
-        ]
-    ).collect()[0]
-    if any(cuts_row[i] is None for i in range(len(qs))):
+    # buckets=1 (valid in ES) has no cuts to probe — everything is
+    # cluster 1, and an empty agg(*[]) would be rejected by Spark
+    # (r05 self-review); empty input still yields an empty frame
+    # (groupBy over zero rows), all-null input one bucket-1 row with
+    # null stats — both matching the mirror's degenerate form
+    cuts_row = (
+        v.agg(
+            *[
+                F.expr(f"percentile(v, {q!r})").alias(f"c{i}")
+                for i, q in enumerate(qs)
+            ]
+        ).collect()[0]
+        if qs
+        else None
+    )
+    if qs and any(cuts_row[i] is None for i in range(len(qs))):
         # the percentile aggregate returns NULL cuts in two cases, and
         # the DuckDB mirror treats them differently (r04 ADVICE fix,
         # corrected in r05 self-review): an EMPTY table CROSS JOINs to

@@ -57,6 +57,10 @@ def _epoch_dir(champions_path: str) -> str:
     return champions_path + "_epoch"
 
 
+# dot-prefixed so Spark/Hadoop parquet listings ignore it
+_GEN_MARKER = ".champion_generation"
+
+
 def _write_champions(df: DataFrame, champions_path: str,
                      batch_id: int) -> None:
     """Publish via versioned dirs + ONE atomic symlink replace (r04
@@ -77,6 +81,13 @@ def _write_champions(df: DataFrame, champions_path: str,
         # the retained-previous-generation case on double replay)
         vdir += "r"
     df.write.parquet(vdir)
+    # ownership marker (r05 self-review #2): a sibling TABLE's name can
+    # itself match our generation grammar ('champions' beside
+    # 'champions_v2'), so name shape alone cannot authorize deletion —
+    # only dirs carrying this sentinel (written by us, dot-prefixed so
+    # parquet readers ignore it) are ever pruned
+    with open(os.path.join(vdir, _GEN_MARKER), "w"):
+        pass
     if os.path.islink(champions_path):
         prev = os.path.realpath(champions_path)
     elif os.path.isdir(champions_path):
@@ -84,6 +95,8 @@ def _write_champions(df: DataFrame, champions_path: str,
         # window here is the old two-rename behavior, first swap only
         prev = f"{champions_path}_v{batch_id}_legacy"
         os.rename(champions_path, prev)
+        with open(os.path.join(prev, _GEN_MARKER), "w"):
+            pass
     else:
         prev = None
     lnk = f"{champions_path}_lnk_tmp"
@@ -96,18 +109,23 @@ def _write_champions(df: DataFrame, champions_path: str,
     keep = {os.path.basename(vdir)}
     if prev is not None:
         keep.add(os.path.basename(prev))
-    # prune ONLY this table's generation dirs — the exact name grammar
+    # prune ONLY this table's generation dirs: the exact name grammar
     # this function emits (_v<batch>, replay 'r' suffixes, the one-time
-    # _legacy dir), never a prefix scan that could match a SIBLING
-    # table like '{base}_v2's own generations (r05 self-review)
+    # _legacy dir) AND the ownership sentinel AND not a symlink — a
+    # SIBLING table named '{base}_v2' matches the grammar with its very
+    # own root (live symlink, or legacy real dir), and only the marker
+    # distinguishes our orphan from their data (r05 self-review ×2)
     gen_re = re.compile(re.escape(base) + r"_v\d+(?:_legacy|r*)$")
     for name in os.listdir(parent):
+        full = os.path.join(parent, name)
         if (
             gen_re.fullmatch(name)
             and name not in keep
-            and os.path.isdir(os.path.join(parent, name))
+            and not os.path.islink(full)
+            and os.path.isdir(full)
+            and os.path.exists(os.path.join(full, _GEN_MARKER))
         ):
-            shutil.rmtree(os.path.join(parent, name))
+            shutil.rmtree(full)
 
 
 def run_champion_maintenance(

@@ -195,6 +195,37 @@ class TestRound4MLAggs:
         con.close()
         assert du == [(None, 2, None, None, None)]
 
+    def test_variable_width_histogram_single_bucket(self, spark):
+        """buckets=1 (valid ES parameterization, r05 self-review): no
+        cuts — one cluster holding everything, and the DuckDB mirror
+        emits the same degenerate form instead of an empty SELECT."""
+        import duckdb
+
+        from search_engine_spark.functions.oracle_pipeline import (
+            variable_width_histogram_sql,
+        )
+        from search_engine_spark.operators.events import (
+            variable_width_histogram,
+        )
+
+        vals = [(1.25,), (2.5,), (10.0,)]
+        ev = spark.createDataFrame(vals, "value double")
+        rows = variable_width_histogram(ev, buckets=1).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["bucket"], r["n"], r["min_v"], r["max_v"]) == (
+            1, 3, 1.25, 10.0,
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE events(value DOUBLE)")
+        con.executemany("INSERT INTO events VALUES (?)", vals)
+        du = con.sql(variable_width_histogram_sql(buckets=1)).fetchall()
+        con.close()
+        assert du == [(1, 3, 1.25, 10.0, r["avg_v"])]
+        # empty input at buckets=1 is still an empty frame
+        empty = spark.createDataFrame([], "value double")
+        assert variable_width_histogram(empty, buckets=1).count() == 0
+
     def test_change_point_finds_crafted_shift(self, spark):
         import datetime
 

@@ -785,8 +785,16 @@ def test_write_champions_atomic_publish(spark, tmp_path):
     assert sorted(os.listdir(retained)) == files_before  # untouched
     assert spark.read.parquet(path).count() == 5
     # sibling-table safety: a table whose name extends ours with a _v
-    # suffix must never be pruned by our generation sweep
+    # suffix must never be pruned by our generation sweep — not its
+    # generation dirs, not its LIVE symlink (grammar-matching name!),
+    # not a legacy real-dir sibling (no ownership marker)
     sib = path + "_v99"
-    t1.write.parquet(sib + "_v1")
+    t1.write.parquet(sib + "_v1")          # sibling's generation dir
+    os.symlink(os.path.basename(sib + "_v1"), sib)  # sibling live link
+    legacy_sib = path + "_v77"
+    t1.write.parquet(legacy_sib)           # pre-symlink sibling table
     _write_champions(t1, path, 4)
-    assert os.path.isdir(sib + "_v1")  # sibling generation intact
+    assert os.path.isdir(sib + "_v1")      # sibling generation intact
+    assert os.path.islink(sib)             # sibling live link intact
+    assert os.path.isdir(legacy_sib)       # legacy sibling intact
+    assert spark.read.parquet(sib).count() == 3
