@@ -2933,6 +2933,48 @@ def _q_adjacency_matrix(spark, sf_dir):
     return se.adjacency_matrix(postings, ADJ_FILTERS)
 
 
+def _q_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) positioned substring fingerprints: leftmost
+    minimal shingle hash per sliding window."""
+    from search_engine_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(load_documents(spark, sf_dir))
+
+
+def _q_mad_agg(spark, sf_dir):
+    """ES median_absolute_deviation (exact tier): per-language median +
+    MAD of token counts."""
+    from search_engine_spark.operators.textstats import mad_agg
+
+    return mad_agg(load_documents(spark, sf_dir))
+
+
+def _q_ip_prefix(spark, sf_dir):
+    """ES ip_prefix aggregation over the h60-derived synthetic client
+    IPv4 (/16 networks: events + distinct users)."""
+    from search_engine_spark.operators.events import ip_prefix_agg
+
+    return ip_prefix_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (the crawl
+    canonicalization pass; oracle walks the same chains recursively)."""
+    from search_engine_spark.operators.graph import redirect_resolve
+
+    return redirect_resolve(load_documents(spark, sf_dir))
+
+
+def _q_search_span_or(spark, sf_dir):
+    """Lucene SpanNear[anchor, SpanOr(alts)]: anchor occurrences with
+    any alternative within ±slop positions."""
+    from search_engine_spark.operators.positional import search_span_or
+
+    return search_span_or(
+        load_documents(spark, sf_dir), "data", ["fast", "merge"], slop=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -3032,6 +3074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_ltr": _q_search_ltr,
         "search_pinned": _q_search_pinned,
         "adjacency_matrix": _q_adjacency_matrix,
+        "winnowing": _q_winnowing,
+        "mad_agg": _q_mad_agg,
+        "ip_prefix": _q_ip_prefix,
+        "redirect_resolve": _q_redirect_resolve,
+        "search_span_or": _q_search_span_or,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -3347,6 +3394,13 @@ def oracle_sql() -> dict[str, str]:
         "search_ltr": ora.search_ltr_sql(Q_BM25),
         "search_pinned": ora.search_pinned_sql(Q_BM25, PINNED_IDS),
         "adjacency_matrix": ora.adjacency_matrix_sql(ADJ_FILTERS),
+        "winnowing": pipe.winnowing_sql(),
+        "mad_agg": pipe.mad_agg_sql(),
+        "ip_prefix": pipe.ip_prefix_sql(),
+        "redirect_resolve": pipe.redirect_resolve_sql(),
+        "search_span_or": ora.search_span_or_sql(
+            "data", ["fast", "merge"], slop=3
+        ),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

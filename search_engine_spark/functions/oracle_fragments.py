@@ -3431,3 +3431,26 @@ HAVING count(*) >= {int(min_support)}
 ORDER BY support DESC, t1 ASC, t2 ASC
 LIMIT {int(k)}
 """
+
+
+def search_span_or_sql(anchor: str, alternatives: list[str], slop: int = 2,
+                       k: int = 20, table: str = "documents") -> str:
+    """SpanNear[anchor, SpanOr(alternatives)] — mirrors
+    operators/positional.py::search_span_or: anchor occurrences with any
+    alternative-term occurrence within ±slop positions."""
+    alts = ", ".join(f"'{t}'" for t in sorted(set(alternatives)))
+    return f"""
+WITH {positional_terms_cte(table)},
+a AS (SELECT doc_id, pos FROM pos_terms WHERE term = '{anchor}'),
+b AS (SELECT doc_id, pos AS bpos FROM pos_terms WHERE term IN ({alts}))
+SELECT a.doc_id, count(*)::BIGINT AS or_tf
+FROM a
+WHERE EXISTS (
+  SELECT 1 FROM b
+  WHERE b.doc_id = a.doc_id
+    AND b.bpos >= a.pos - {int(slop)} AND b.bpos <= a.pos + {int(slop)}
+)
+GROUP BY a.doc_id
+ORDER BY or_tf DESC, doc_id ASC
+LIMIT {int(k)}
+"""

@@ -4102,3 +4102,101 @@ SELECT doc_id,
        count(*) FILTER (WHERE NOT is_kept)::BIGINT AS n_dropped
 FROM marked GROUP BY doc_id
 """
+
+
+def winnowing_sql(table: str = "documents") -> str:
+    """Winnowing fingerprints — mirrors textstats.py::
+    winnowing_fingerprints. The Spark side selects the leftmost minimal
+    shingle hash per sliding window with array expressions; this mirror
+    is the RELATIONAL formulation: expand (shingle i → the windows p
+    that contain it), take min(h) per window, leftmost i among the
+    minima, distinct. Same pinned window maths: n_win = max(n_sh−W+1,1),
+    short docs form one truncated window."""
+    k, w = ts.WINNOW_K, ts.WINNOW_W
+    shingle = f"array_to_string(toks[t.i + 1 : t.i + {k}], ' ')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '{WS_SPLIT}') AS toks
+  FROM {table} WHERE trim(text) <> ''
+),
+sh AS (
+  SELECT doc_id, t.i::BIGINT AS i, {h60_sql(shingle)} AS h,
+         (len(toks) - {k} + 1)::BIGINT AS n_sh
+  FROM base, LATERAL unnest(range(0, len(toks) - {k} + 1)) AS t(i)
+  WHERE len(toks) >= {k}
+),
+w AS (
+  SELECT s.doc_id, p.p, s.i, s.h
+  FROM sh s, LATERAL unnest(range(greatest(s.i - {w} + 1, 0),
+                    least(s.i, greatest(s.n_sh - {w}, 0)) + 1)) AS p(p)
+),
+mh AS (SELECT doc_id, p, min(h) AS fp FROM w GROUP BY doc_id, p),
+sel AS (
+  SELECT w.doc_id, w.p, min(w.i) AS pos, mh.fp
+  FROM w JOIN mh ON mh.doc_id = w.doc_id AND mh.p = w.p AND w.h = mh.fp
+  GROUP BY w.doc_id, w.p, mh.fp
+)
+SELECT DISTINCT doc_id, pos::BIGINT AS pos, fp FROM sel
+"""
+
+
+def mad_agg_sql(table: str = "documents") -> str:
+    """Exact per-language median + MAD of token counts — mirrors
+    textstats.py::mad_agg (quantile_cont == Spark percentile)."""
+    ntok = (
+        f"(CASE WHEN trim(text) = '' THEN 0"
+        f" ELSE len(string_split_regex(trim(text), '{WS_SPLIT}')) END)"
+    )
+    return f"""
+WITH n AS (SELECT lang, {ntok}::BIGINT AS n FROM {table}),
+med AS (SELECT lang, quantile_cont(n, 0.5) AS median_n FROM n GROUP BY lang)
+SELECT n.lang, round(med.median_n, 4) AS median_n,
+       round(quantile_cont(abs(n.n - med.median_n), 0.5), 4) AS mad
+FROM n JOIN med USING (lang) GROUP BY n.lang, med.median_n
+"""
+
+
+def ip_prefix_sql(table: str = "events") -> str:
+    """ES ip_prefix aggregation — mirrors events.py::ip_prefix_agg
+    (identical h60-derived synthetic IPv4 per user)."""
+    from ..operators import events as ev
+
+    bits = ev.IP_PREFIX_BITS
+    shift = 32 - bits
+    ip_str = f"'{ev.IP_SALT}' || user_id::VARCHAR"
+    ip = f"({h60_sql(ip_str)} % 4294967296)"
+    return f"""
+WITH net AS (
+  SELECT (({ip} >> {shift}) << {shift}) AS net, user_id FROM {table}
+)
+SELECT (net >> 24)::VARCHAR || '.' || ((net >> 16) % 256)::VARCHAR || '.'
+         || ((net >> 8) % 256)::VARCHAR || '.' || (net % 256)::VARCHAR
+         || '/{bits}' AS prefix,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM net GROUP BY net
+"""
+
+
+def redirect_resolve_sql(table: str = "documents") -> str:
+    """Redirect-chain resolution — mirrors graph.py::redirect_resolve.
+    The oracle walks the chain with a recursive CTE (safe: the fixture
+    successor map steps strictly downward, so it is acyclic); the Spark
+    side reaches the identical fixpoint by pointer doubling."""
+    mod = gr.REDIR_MOD
+    return f"""
+WITH RECURSIVE redir AS (
+  SELECT doc_id AS src,
+         (CASE WHEN doc_id % 3 <> 0 THEN greatest(doc_id - 4, 0)
+               ELSE greatest(doc_id - 1 - (doc_id % 7), 0) END)::BIGINT AS tgt
+  FROM {table} WHERE doc_id % {mod} = 1 AND doc_id > 0
+),
+walk AS (
+  SELECT src AS src_doc, tgt AS cur, 1::BIGINT AS hops FROM redir
+  UNION ALL
+  SELECT w.src_doc, r.tgt, w.hops + 1
+  FROM walk w JOIN redir r ON r.src = w.cur
+)
+SELECT src_doc, cur AS final_doc, hops FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM redir r WHERE r.src = w.cur)
+"""

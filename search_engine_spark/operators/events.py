@@ -658,3 +658,54 @@ def normalize_agg(events: DataFrame) -> DataFrame:
         )
         .alias("rescaled"),
     )
+
+
+# ip_prefix fixture: a deterministic synthetic IPv4 per user, derived
+# from the portable h60 hash — the FIXTURES.md pattern (no IP column in
+# the events table; the oracle re-derives the identical address).
+IP_SALT = "ip:"
+IP_PREFIX_BITS = 16
+
+
+def client_ip_col(user_col):
+    """Synthetic IPv4 of a user id (32 low bits of h60('ip:'||user))."""
+    from ..hashing import h60_col
+
+    return h60_col(F.concat(F.lit(IP_SALT), user_col.cast("string"))) % F.lit(
+        2**32
+    )
+
+
+def ip_prefix_agg(events: DataFrame, bits: int = IP_PREFIX_BITS) -> DataFrame:
+    """ES `ip_prefix` aggregation → (prefix, n_events, n_users): events
+    bucketed by the /bits CIDR network of the client IPv4 (the abuse /
+    bot-blocking view every crawl-telemetry dashboard draws), with the
+    event count and the distinct-user cardinality per network.
+
+    Plan: the address and its network are pure codegen arithmetic (hash,
+    mod, bit shifts — no UDF); one groupBy on the network key. The group
+    count is bounded by 2^bits (65,536 at /16), so the shuffle is
+    map-side combinable into a tiny apex; count_distinct(user_id) keeps
+    the partial-agg property via Spark's two-phase distinct rewrite."""
+    shift = 32 - int(bits)
+    ip = client_ip_col(F.col("user_id"))
+    net = F.shiftleft(F.shiftright(ip, shift), shift)
+    prefix = F.concat(
+        F.shiftright(net, 24).cast("string"),
+        F.lit("."),
+        (F.shiftright(net, 16) % 256).cast("string"),
+        F.lit("."),
+        (F.shiftright(net, 8) % 256).cast("string"),
+        F.lit("."),
+        (net % 256).cast("string"),
+        F.lit("/"),
+        F.lit(int(bits)).cast("string"),
+    )
+    return (
+        events.select(prefix.alias("prefix"), "user_id")
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        )
+    )

@@ -605,3 +605,76 @@ def crawl_delays(robots: DataFrame) -> DataFrame:
         .groupBy("host")
         .agg(F.min("delay_s").alias("delay_s"))
     )
+
+
+# Redirect fixture (FIXTURES pattern, mirrored in oracle_pipeline):
+# every doc_id ≡ 1 (mod REDIR_MOD) is a 301 source; its target steps
+# strictly DOWNWARD (so the functional graph is acyclic by
+# construction) and lands on another redirect often enough to produce
+# multi-hop chains (the %3 branch re-enters the ≡1 class: e.g.
+# 53→49→45→41→37→33→27, six hops).
+REDIR_MOD = 4
+REDIR_ROUNDS_MAX = 20  # pointer doubling: resolves chains ≤ 2^20 hops
+
+
+def redirect_edges(docs: DataFrame) -> DataFrame:
+    """(src, tgt) — the synthetic one-hop redirect map."""
+    s = F.col("doc_id")
+    tgt = F.when(
+        s % 3 != 0, F.greatest(s - 4, F.lit(0).cast("long"))
+    ).otherwise(F.greatest(s - 1 - (s % 7), F.lit(0).cast("long")))
+    return docs.filter((s % REDIR_MOD == 1) & (s > 0)).select(
+        s.alias("src"), tgt.cast("long").alias("tgt")
+    )
+
+
+def redirect_resolve(docs: DataFrame) -> DataFrame:
+    """(src_doc, final_doc, hops) — resolve every redirect chain to its
+    terminal document. The web-crawl canonicalization step: 3xx chains
+    must collapse to their final landing page before indexing and link
+    analysis, else the link graph credits intermediate hops and the
+    index stores duplicates under pre-redirect URLs (Common Crawl ships
+    this as its redirect-resolution pass over the WARC request logs).
+
+    Algorithm: pointer doubling (path halving) over the functional
+    successor map — each round composes the jump table with itself
+    (jump[src] → jump[jump[src]], hop counts add), so a chain of length
+    L resolves in ⌈log2 L⌉ rounds. Each round is ONE equi-join of the
+    jump table against itself on the target key plus a bounded driver
+    count for early exit — at web scale that is log-many hash joins on
+    a table with one row per redirect, never a row-at-a-time walk (the
+    recursive-CTE oracle mirror does the naive walk; the result is
+    identical because the fixture graph is acyclic).
+    """
+    edges = redirect_edges(docs)
+    jump = edges.select(
+        "src",
+        F.col("tgt").alias("dst"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    # redirect source set, reused every round to test for terminality
+    srcs = edges.select(F.col("src").alias("dst")).distinct()
+    for _ in range(REDIR_ROUNDS_MAX):
+        unresolved = jump.join(srcs, "dst", "left_semi")
+        if unresolved.isEmpty():
+            break
+        nxt = jump.select(
+            F.col("src").alias("j_src"),
+            F.col("dst").alias("j_dst"),
+            F.col("hops").alias("j_hops"),
+        )
+        jump = (
+            jump.join(nxt, jump["dst"] == nxt["j_src"], "left")
+            .select(
+                "src",
+                F.coalesce("j_dst", "dst").alias("dst"),
+                (
+                    F.col("hops") + F.coalesce("j_hops", F.lit(0))
+                ).alias("hops"),
+            )
+        )
+    return jump.select(
+        F.col("src").alias("src_doc"),
+        F.col("dst").alias("final_doc"),
+        F.col("hops"),
+    )

@@ -687,3 +687,66 @@ def search_span_not(
         .orderBy(F.col("kept_tf").desc(), F.col("doc_id").asc())
         .limit(int(k))
     )
+
+
+def span_or_near_match(
+    positional: DataFrame,
+    anchor: str,
+    alternatives: list[str],
+    slop: int = 2,
+) -> DataFrame:
+    """(doc_id, or_tf) — Lucene SpanNearQuery(inOrder=false) over
+    [anchor, SpanOrQuery(alternatives)]: count the anchor-term
+    occurrences that have at least one occurrence of ANY alternative
+    term within `slop` positions (either side). The span_or clause is
+    what multi-variant proximity queries compile to ("data near (fast
+    OR merge)") — the OR collapses into one isin slice instead of
+    unioning per-term subqueries.
+
+    Plan: both sides term-prune FIRST (anchor slice + ONE isin slice
+    for the whole alternative set), then a doc_id-equi left_semi join
+    with the band predicate — per-doc work is tf_anchor · tf_alts
+    within a doc only, and the join shuffles the two pruned slices,
+    never the positional table (the span_not shape, positively)."""
+    alts = sorted(set(alternatives))
+    if not alts:
+        raise ValueError("span_or needs at least one alternative term")
+    a = positional.filter(F.col("term") == anchor).select("doc_id", "pos")
+    b = positional.filter(F.col("term").isin(alts)).select(
+        F.col("doc_id").alias("b_doc"), F.col("pos").alias("bpos")
+    )
+    kept = a.join(
+        b,
+        (F.col("doc_id") == F.col("b_doc"))
+        & (F.col("bpos") >= F.col("pos") - int(slop))
+        & (F.col("bpos") <= F.col("pos") + int(slop)),
+        "left_semi",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("or_tf")
+    )
+
+
+def search_span_or(
+    docs: DataFrame,
+    anchor: str,
+    alternatives: list[str],
+    slop: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k SpanNear[anchor, SpanOr(alternatives)] — or_tf desc,
+    doc_id asc. Anchor and every alternative are analyzed like any
+    query text (each must analyze to exactly one term)."""
+    anc = analyze_phrase(anchor)
+    if len(anc) != 1:
+        raise ValueError("span_or anchor must analyze to one term")
+    alts: list[str] = []
+    for alt in alternatives:
+        t = analyze_phrase(alt)
+        if len(t) != 1:
+            raise ValueError("span_or alternatives must analyze to one term")
+        alts.append(t[0])
+    hits = span_or_near_match(build_positional(docs), anc[0], alts, slop)
+    return hits.orderBy(F.col("or_tf").desc(), F.col("doc_id").asc()).limit(
+        int(k)
+    )

@@ -934,3 +934,106 @@ def frequent_item_sets(
         )
         .limit(k)
     )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# fingerprint selector): token k-gram hashes, leftmost-minimum per
+# sliding window. Frozen parameters, mirrored in the oracle SQL.
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # shingle hashes per selection window
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, fp) — winnowing document fingerprints: hash every
+    k-token shingle of the lowercased whitespace token stream, slide a
+    w-wide window over the shingle-hash sequence, and select the
+    LEFTMOST minimal hash of each window (dropping duplicates — the same
+    shingle selected by overlapping windows emits once). Guarantees of
+    the scheme (the reason MOSS uses it over "every i-th hash"): at
+    least one fingerprint per w consecutive shingles, and any shingle
+    match of length ≥ w+k−1 tokens between two documents is caught by a
+    shared fingerprint. `pos` is the 0-based shingle index, `fp` the
+    60-bit portable shingle hash (hashing.h60 — the oracle recomputes it
+    with DuckDB's md5).
+
+    Distinct from `fingerprints` (whole-doc identity hash — exact dedup)
+    and from `minhash` (set-similarity sketch): winnowing yields
+    POSITIONED substring fingerprints, the unit of plagiarism-style
+    local-overlap detection between documents.
+
+    Plan shape: one narrow (doc_id, text) scan; shingling, hashing and
+    window selection are per-row array expressions (transform /
+    array_min / slice — JVM codegen, zero UDFs, zero shuffle). Docs
+    shorter than k tokens emit nothing; docs with fewer than w shingles
+    form a single truncated window (slice clamps identically in both
+    engines)."""
+    from ..hashing import h60_col
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
+    base = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= int(k))
+    )
+    n_sh = F.size("toks") - int(k) + 1
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, int(k))),
+    )
+    hashes = F.transform(shingles, lambda g: h60_col(g))
+    n_win = F.greatest(F.size(F.col("hs")) - int(w) + 1, F.lit(1))
+    win = lambda p: F.slice("hs", p + 1, int(w))  # noqa: E731
+    picks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda p: F.struct(
+            (
+                p + F.array_position(win(p), F.array_min(win(p))) - 1
+            ).alias("pos"),
+            F.array_min(win(p)).alias("fp"),
+        ),
+    )
+    return (
+        base.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(picks)).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.pos").cast("long").alias("pos"),
+            F.col("z.fp").cast("long").alias("fp"),
+        )
+    )
+
+
+def mad_agg(docs: DataFrame) -> DataFrame:
+    """ES `median_absolute_deviation` (exact tier) per language over
+    token counts → (lang, median_n, mad): MAD = median(|n − median(n)|),
+    the robust dispersion measure ES pairs with its median metric (ES
+    computes both approximately via TDigest; the pinned spec here is the
+    EXACT interpolated median, which the DuckDB quantile_cont mirror
+    reproduces bit-for-bit).
+
+    Plan: per-language exact percentile (language cardinality is tiny,
+    so the sort-based percentile buffer is per-group bounded), broadcast
+    the ≤|langs| medians back, second percentile over the absolute
+    deviations. Two language-keyed aggregations, no corpus window; at
+    10^12 docs swap both for approx_percentile and drop the oracle
+    pairing (the same documented trade as length_quantiles)."""
+    n_tok = (
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), WS_SPLIT)))
+        .cast("long")
+    )
+    n = docs.select("lang", n_tok.alias("n"))
+    med = n.groupBy("lang").agg(F.percentile("n", 0.5).alias("median_n"))
+    return (
+        n.join(F.broadcast(med), "lang")
+        .select(
+            "lang",
+            "median_n",
+            F.abs(F.col("n") - F.col("median_n")).alias("dev"),
+        )
+        .groupBy("lang", "median_n")
+        .agg(F.round(F.percentile("dev", 0.5), 4).alias("mad"))
+        .select("lang", F.round("median_n", 4).alias("median_n"), "mad")
+    )

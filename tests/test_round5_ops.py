@@ -1,0 +1,225 @@
+"""Unit tests for the round-5 session-2 operators: winnowing
+fingerprints, median-absolute-deviation, ip_prefix, redirect-chain
+resolution, and SpanOr proximity. Oracle parity at fixture scale is
+covered by the sweep (oracle_sweep.py); these pin the semantics on
+crafted inputs with hand-derivable expectations.
+"""
+
+import pytest
+
+from search_engine_spark.hashing import h60_py
+from search_engine_spark.operators.events import (
+    IP_PREFIX_BITS,
+    IP_SALT,
+    ip_prefix_agg,
+)
+from search_engine_spark.operators.graph import (
+    REDIR_MOD,
+    redirect_edges,
+    redirect_resolve,
+)
+from search_engine_spark.operators.positional import search_span_or
+from search_engine_spark.operators.textstats import (
+    WINNOW_K,
+    WINNOW_W,
+    mad_agg,
+    winnowing_fingerprints,
+)
+
+# ------------------------------------------------------------- winnowing
+
+
+def _doc(spark, text, doc_id=1, lang="en"):
+    return spark.createDataFrame(
+        [(doc_id, text, lang)], "doc_id long, text string, lang string"
+    )
+
+
+def _winnow_py(tokens, k=WINNOW_K, w=WINNOW_W):
+    """Reference winnowing: leftmost minimal shingle hash per window."""
+    shingles = [
+        " ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)
+    ]
+    hs = [h60_py(s) for s in shingles]
+    n_win = max(len(hs) - w + 1, 1)
+    picks = set()
+    for p in range(n_win):
+        win = hs[p : p + w]
+        mh = min(win)
+        picks.add((p + win.index(mh), mh))
+    return picks
+
+
+def test_winnowing_matches_python_reference(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    got = {
+        (r["pos"], r["fp"])
+        for r in winnowing_fingerprints(_doc(spark, text)).collect()
+    }
+    assert got == _winnow_py(text.lower().split())
+
+
+def test_winnowing_window_guarantee(spark):
+    """Every w consecutive shingles contain >= 1 selected fingerprint."""
+    text = " ".join(f"tok{(i * 7) % 13}" for i in range(40))
+    rows = winnowing_fingerprints(_doc(spark, text)).collect()
+    positions = sorted(r["pos"] for r in rows)
+    n_sh = 40 - WINNOW_K + 1
+    for p in range(max(n_sh - WINNOW_W + 1, 1)):
+        assert any(p <= q < p + WINNOW_W for q in positions), p
+
+
+def test_winnowing_short_doc_single_window(spark):
+    # k tokens -> exactly one shingle -> one truncated window, one pick
+    rows = winnowing_fingerprints(_doc(spark, "alpha beta gamma")).collect()
+    assert len(rows) == 1 and rows[0]["pos"] == 0
+    # fewer than k tokens -> nothing
+    assert winnowing_fingerprints(_doc(spark, "alpha beta")).count() == 0
+
+
+def test_winnowing_shared_fingerprint_on_overlap(spark):
+    """Two docs sharing a long token run share >= 1 fingerprint —
+    the winnowing detection guarantee (match len >= w+k-1 is caught)."""
+    shared = "one two three four five six seven eight"
+    a = _doc(spark, "xx yy " + shared, doc_id=1)
+    b = _doc(spark, shared + " zz ww", doc_id=2)
+    docs = a.unionByName(b)
+    rows = winnowing_fingerprints(docs).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]
+
+
+# --------------------------------------------------------------- mad_agg
+
+
+def test_mad_agg_hand_example(spark):
+    # en: lengths 1,3,5,9 -> median 4.0; devs 3,1,1,5 -> MAD 2.0
+    rows = [
+        (1, "a", "en"),
+        (2, "a b c", "en"),
+        (3, "a b c d e", "en"),
+        (4, "a b c d e f g h i", "en"),
+        (5, "x y z", "ru"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: (r["median_n"], r["mad"]) for r in mad_agg(df).collect()}
+    assert got["en"] == (4.0, 2.0)
+    assert got["ru"] == (3.0, 0.0)
+
+
+def test_mad_agg_interpolated_median(spark):
+    # lengths 1,2 -> median 1.5; devs 0.5,0.5 -> MAD 0.5
+    df = spark.createDataFrame(
+        [(1, "a", "en"), (2, "a b", "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = mad_agg(df).collect()[0]
+    assert (r["median_n"], r["mad"]) == (1.5, 0.5)
+
+
+# ------------------------------------------------------------- ip_prefix
+
+
+def test_ip_prefix_agg_deterministic_and_conserving(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = ip_prefix_agg(events).collect()
+    total = events.count()
+    assert sum(r["n_events"] for r in out) == total
+    for r in out:
+        assert r["prefix"].endswith(f"/{IP_PREFIX_BITS}")
+        a, b, c, d = r["prefix"].split("/")[0].split(".")
+        # /16 network: low octets zero, high octets in range
+        assert (c, d) == ("0", "0")
+        assert 0 <= int(a) <= 255 and 0 <= int(b) <= 255
+        assert 1 <= r["n_users"] <= r["n_events"]
+
+
+def test_ip_prefix_matches_python_hash(spark):
+    events = spark.createDataFrame(
+        [(1, 42), (2, 42)], "event_id long, user_id long"
+    )
+    r = ip_prefix_agg(events).collect()[0]
+    ip = h60_py(f"{IP_SALT}42") % 2**32
+    net = (ip >> 16) << 16
+    want = f"{net >> 24}.{(net >> 16) % 256}.0.0/16"
+    assert r["prefix"] == want
+    assert (r["n_events"], r["n_users"]) == (2, 1)
+
+
+# ------------------------------------------------------ redirect_resolve
+
+
+def _py_resolve(n):
+    """Reference chain walk over the fixture successor map."""
+
+    def tgt(s):
+        return max(s - 4, 0) if s % 3 else max(s - 1 - (s % 7), 0)
+
+    srcs = {s for s in range(n) if s % REDIR_MOD == 1 and s > 0}
+    out = {}
+    for s in srcs:
+        cur, hops = tgt(s), 1
+        while cur in srcs:
+            cur, hops = tgt(cur), hops + 1
+        out[s] = (cur, hops)
+    return out
+
+
+def test_redirect_resolve_matches_python_walk(spark):
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    n = docs.count()
+    got = {
+        r["src_doc"]: (r["final_doc"], r["hops"])
+        for r in redirect_resolve(docs).collect()
+    }
+    assert got == _py_resolve(n)
+    # multi-hop chains exist and terminate off the redirect set
+    assert max(h for _, h in got.values()) >= 3
+    srcs = {r["src"] for r in redirect_edges(docs).collect()}
+    for final, _ in got.values():
+        assert final not in srcs
+
+
+def test_redirect_resolve_deep_chain(spark):
+    # 53 -> 49 -> 45 -> 41 -> 37 -> 33 -> 27: six hops
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    ).selectExpr("doc_id", "'' as text", "'en' as lang")
+    got = {
+        r["src_doc"]: (r["final_doc"], r["hops"])
+        for r in redirect_resolve(docs).collect()
+    }
+    assert got[53] == (27, 6)
+
+
+# --------------------------------------------------------- search_span_or
+
+
+def test_span_or_semantics(spark):
+    rows = [
+        (1, "data is fast here", "en"),  # data adjacent to fast
+        (2, "data x x x x merge", "en"),  # merge 5 away > slop 3
+        (3, "merge near data data", "en"),  # both occurrences within 3
+        (4, "data only appears alone", "en"),  # no alternative
+        (5, "fast merge no anchor", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["or_tf"]
+        for r in search_span_or(
+            docs, "data", ["fast", "merge"], slop=3
+        ).collect()
+    }
+    assert got == {1: 1, 3: 2}
+
+
+def test_span_or_requires_single_term_clauses(spark):
+    docs = _doc(spark, "data fast")
+    with pytest.raises(ValueError):
+        search_span_or(docs, "data fast", ["merge"])
+    with pytest.raises(ValueError):
+        search_span_or(docs, "data", ["fast merge"])
