@@ -2975,6 +2975,29 @@ def _q_search_span_or(spark, sf_dir):
     )
 
 
+def _q_geohash_grid(spark, sf_dir):
+    """ES geohash_grid: base32 cells over the derived geo_point."""
+    from search_engine_spark.operators.geo import geohash_grid
+
+    return geohash_grid(load_documents(spark, sf_dir))
+
+
+def _q_meta_robots(spark, sf_dir):
+    """Page-level robots META directive parsed from the html bytes
+    (noindex/nofollow compliance gate)."""
+    from search_engine_spark.operators.graph import meta_robots
+
+    return meta_robots(load_documents(spark, sf_dir))
+
+
+def _q_sitemap_extract(spark, sf_dir):
+    """Sitemap-protocol roundtrip: build per-site XML, parse back the
+    (site, url, lastmod) crawl-seed relation."""
+    from search_engine_spark.operators.graph import sitemap_extract
+
+    return sitemap_extract(load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -3079,6 +3102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_prefix": _q_ip_prefix,
         "redirect_resolve": _q_redirect_resolve,
         "search_span_or": _q_search_span_or,
+        "geohash_grid": _q_geohash_grid,
+        "meta_robots": _q_meta_robots,
+        "sitemap_extract": _q_sitemap_extract,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -3401,6 +3427,9 @@ def oracle_sql() -> dict[str, str]:
         "search_span_or": ora.search_span_or_sql(
             "data", ["fast", "merge"], slop=3
         ),
+        "geohash_grid": ora.geohash_grid_sql(),
+        "meta_robots": pipe.meta_robots_sql(),
+        "sitemap_extract": pipe.sitemap_extract_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

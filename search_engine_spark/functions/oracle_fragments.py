@@ -3454,3 +3454,51 @@ GROUP BY a.doc_id
 ORDER BY or_tf DESC, doc_id ASC
 LIMIT {int(k)}
 """
+
+
+def geohash_grid_sql(precision: int = 4, size: int = 20,
+                     table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geohash_grid — base32 geohash cells,
+    top `size` by count. The bit interleave and base32 digits are the
+    same unrolled integer expressions the Spark plan builds, generated
+    here from the one GEOHASH_ALPHABET/precision source of truth.
+    Returns (geohash, doc_count)."""
+    from ..operators import geo as g
+
+    p = int(precision)
+    total = 5 * p
+    latbits = total // 2
+    lonbits = total - latbits
+    size = min(int(size), 32**p if p < 4 else 65536, 65536)
+    terms = []
+    for i in range(total):
+        if i % 2 == 0:
+            src, nb, idx = "lon_q", lonbits, i // 2
+        else:
+            src, nb, idx = "lat_q", latbits, i // 2
+        terms.append(f"(({src} >> {nb - 1 - idx}) % 2) * {1 << (total - 1 - i)}")
+    combined = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{g.GEOHASH_ALPHABET}',"
+        f" ((combined >> {5 * (p - 1 - c)}) % 32 + 1)::INT, 1)"
+        for c in range(p)
+    )
+    return f"""
+WITH {_geo_cte(table)},
+q AS (
+  SELECT doc_id,
+    CAST(greatest(0.0, least(floor(round((lat + 90.0) / 180.0
+      * {float(1 << latbits)!r}, 9)), {float((1 << latbits) - 1)!r}))
+      AS BIGINT) AS lat_q,
+    CAST(greatest(0.0, least(floor(round((lon + 180.0) / 360.0
+      * {float(1 << lonbits)!r}, 9)), {float((1 << lonbits) - 1)!r}))
+      AS BIGINT) AS lon_q
+  FROM geo
+),
+c AS (SELECT doc_id, ({combined})::BIGINT AS combined FROM q),
+k AS (SELECT doc_id, {chars} AS geohash FROM c)
+SELECT geohash, count(*)::BIGINT AS doc_count
+FROM k GROUP BY geohash
+ORDER BY doc_count DESC, geohash ASC
+LIMIT {size}
+"""

@@ -4200,3 +4200,38 @@ walk AS (
 SELECT src_doc, cur AS final_doc, hops FROM walk w
 WHERE NOT EXISTS (SELECT 1 FROM redir r WHERE r.src = w.cur)
 """
+
+
+def meta_robots_sql(table: str = "documents") -> str:
+    """Robots-meta directive — mirrors graph.py::meta_robots. The Spark
+    side regex-parses the head-injected tag out of the html bytes; this
+    mirror re-derives the directive from the fixture arithmetic, so a
+    lossy or spoofable parse cannot hash-match."""
+    mod = gr.META_ROBOTS_MOD
+    ninf, ni, nf = (
+        gr.META_NOINDEX_NOFOLLOW,
+        gr.META_NOINDEX,
+        gr.META_NOFOLLOW,
+    )
+    return f"""
+SELECT doc_id,
+       (doc_id % {mod} = {ninf} OR doc_id % {mod} = {ni}) AS noindex,
+       (doc_id % {mod} = {ninf} OR doc_id % {mod} = {nf}) AS nofollow
+FROM {table}
+"""
+
+
+def sitemap_extract_sql(table: str = "documents") -> str:
+    """Sitemap roundtrip — mirrors graph.py::sitemap_extract. The Spark
+    side BUILDS the per-site sitemap XML and regex-parses it back; the
+    oracle derives the expected (site, url, lastmod) relation directly
+    from the doc arithmetic, pinning the parse losslessly."""
+    from .oracle_fragments import URL_SQL
+
+    return f"""
+SELECT 'site-' || chr(97 + (doc_id % 3)::INT) || '.example' AS site,
+       {URL_SQL} AS url,
+       (DATE '{gr.SITEMAP_EPOCH}'
+        + ((doc_id % {gr.SITEMAP_DAY_MOD})::INT))::VARCHAR AS lastmod
+FROM {table}
+"""

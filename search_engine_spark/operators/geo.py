@@ -283,3 +283,79 @@ def distance_feature(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(k))
     )
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 4  # chars → 20 bits (10 lon + 10 lat)
+
+
+def geohash_grid(
+    docs: DataFrame, precision: int = GEOHASH_PRECISION, size: int = 20
+) -> DataFrame:
+    """ES `geohash_grid` aggregation → (geohash, doc_count): classic
+    base32 geohash cells at `precision` chars, top `size` buckets by
+    count desc (tie: hash asc — pinned where ES leaves ties
+    unspecified). The sibling of geotile_grid with the geodesy swapped:
+    equirectangular lat/lon quantization + bit interleave (lon takes the
+    even bit positions from the MSB) instead of web-mercator z/x/y.
+
+    The quantization is EXACT FP arithmetic on the e4-grid inputs
+    ((lat+90)/180·2^bits has no tan/ln in the path — unlike the geotile
+    y axis no libm guard is needed; the round-9 is kept for symmetry
+    with geotile_grid's documented knife-edge policy). The interleave
+    and base32 digits are integer shift/mod expressions unrolled at plan
+    build (5·precision terms — whole-stage codegen folds them), so both
+    engines compute the identical cell id bit-for-bit. groupBy
+    cardinality ≤ 32^precision, map-side combinable; `size` clamped by
+    the cell space and ES's 65536 max-buckets guard."""
+    p = int(precision)
+    total = 5 * p
+    latbits = total // 2
+    lonbits = total - latbits
+    size = min(int(size), 32**p if p < 4 else 65536, 65536)
+    g = with_geo(docs)
+    lat_q = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.floor(
+                    F.round((F.col("lat") + 90.0) / 180.0 * float(1 << latbits), 9)
+                ).cast("double"),
+                F.lit(float((1 << latbits) - 1)),
+            ),
+        )
+    ).cast("long")
+    lon_q = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.floor(
+                    F.round((F.col("lon") + 180.0) / 360.0 * float(1 << lonbits), 9)
+                ).cast("double"),
+                F.lit(float((1 << lonbits) - 1)),
+            ),
+        )
+    ).cast("long")
+    combined = F.lit(0).cast("long")
+    for i in range(total):  # i = 0 is the MSB; even positions take lon
+        if i % 2 == 0:
+            src, nb, idx = lon_q, lonbits, i // 2
+        else:
+            src, nb, idx = lat_q, latbits, i // 2
+        bit = F.shiftright(src, nb - 1 - idx) % 2
+        combined = combined + bit * F.lit(1 << (total - 1 - i)).cast("long")
+    alpha = F.array(*[F.lit(ch) for ch in GEOHASH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (F.shiftright(combined, 5 * (p - 1 - c)) % 32 + 1).cast("int"),
+        )
+        for c in range(p)
+    ]
+    gh = F.concat(*chars)
+    return (
+        g.groupBy(gh.alias("geohash"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("geohash").asc())
+        .limit(size)
+    )

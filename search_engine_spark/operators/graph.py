@@ -678,3 +678,133 @@ def redirect_resolve(docs: DataFrame) -> DataFrame:
         F.col("dst").alias("final_doc"),
         F.col("hops"),
     )
+
+
+# Robots-meta fixture: selected pages carry a <meta name="robots"> tag
+# in their head (inserted AFTER <head> so the empty-text extraction
+# invariant holds — meta contributes no visible text). Membership is
+# doc_id arithmetic, the FIXTURES pattern (http_code / geo / redirects).
+META_ROBOTS_MOD = 17
+META_NOINDEX_NOFOLLOW = 5
+META_NOINDEX = 9
+META_NOFOLLOW = 12
+
+
+def robots_meta_html(docs: DataFrame) -> DataFrame:
+    """documents with the fixture <meta name="robots"> tag spliced into
+    the head of the selected pages."""
+    d = F.col("doc_id")
+    content = (
+        F.when(d % META_ROBOTS_MOD == META_NOINDEX_NOFOLLOW,
+               F.lit("noindex,nofollow"))
+        .when(d % META_ROBOTS_MOD == META_NOINDEX, F.lit("noindex"))
+        .when(d % META_ROBOTS_MOD == META_NOFOLLOW, F.lit("nofollow"))
+    )
+    tag = F.when(
+        content.isNotNull(),
+        F.concat(
+            F.lit('<meta name="robots" content="'), content, F.lit('">')
+        ),
+    ).otherwise(F.lit(""))
+    html = F.decode(F.col("html"), "utf-8")
+    return docs.withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.lit("<html><head>"),
+                tag,
+                F.regexp_replace(html, "^<html><head>", ""),
+            ),
+            "utf-8",
+        ),
+    )
+
+
+def meta_robots(docs: DataFrame) -> DataFrame:
+    """(doc_id, noindex, nofollow) — parse the robots META directive out
+    of each page's html: the crawl-compliance gate every indexer must
+    honor (a `noindex` page is fetched and its links may still be
+    followed, but it must NOT enter the index; `nofollow` cuts its
+    outlinks from the frontier and the link graph). Complements the
+    host-level robots.txt operators (parse_robots / crawl_delays) with
+    the page-level directive.
+
+    The DIRECTIVE is genuinely parsed from the html bytes (codegen
+    lower+regexp — no UDF, no shuffle; at 100 TB this rides the same
+    scan as extraction); the oracle mirror re-derives the expected
+    directive from the fixture arithmetic, pinning the parse."""
+    with_tag = robots_meta_html(docs)
+    html = F.lower(F.decode(F.col("html"), "utf-8"))
+    # anchored at the exact insertion point so body TEXT that happens to
+    # contain a meta-tag string (adversarial corpora do) cannot spoof
+    # the directive — only the head-injected tag parses
+    content = F.regexp_extract(
+        html, '^<html><head><meta name="robots" content="([^"]*)"', 1
+    )
+    toks = F.split(content, ",")
+    return with_tag.select(
+        "doc_id",
+        F.array_contains(toks, "noindex").alias("noindex"),
+        F.array_contains(toks, "nofollow").alias("nofollow"),
+    )
+
+
+# Sitemap fixture: each site publishes a sitemap listing its pages with
+# a deterministic lastmod date; the operator builds the XML and parses
+# it back (roundtrip — the oracle derives the expected relation from
+# the doc arithmetic directly, so a lossy parse cannot hash-match).
+SITEMAP_EPOCH = "2025-01-01"
+SITEMAP_DAY_MOD = 365
+
+
+def _lastmod_col(d):
+    return F.date_add(
+        F.lit(SITEMAP_EPOCH).cast("date"), (d % SITEMAP_DAY_MOD).cast("int")
+    ).cast("string")
+
+
+def sitemap_xml(docs: DataFrame) -> DataFrame:
+    """(site, xml) — one sitemap-protocol document per site, url entries
+    in doc_id order. One groupBy(site); per-site entry lists are
+    array-built JVM-side (collect_list of structs → sort → join), never
+    a driver collect."""
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        _url_of(d),
+        F.lit("</loc><lastmod>"),
+        _lastmod_col(d),
+        F.lit("</lastmod></url>"),
+    )
+    site = F.concat(F.lit("site-"), F.char(d % 3 + 97), F.lit(".example"))
+    per_site = (
+        docs.select(site.alias("site"), F.struct(d.alias("doc_id"), entry.alias("e")).alias("z"))
+        .groupBy("site")
+        .agg(F.array_sort(F.collect_list("z")).alias("zs"))
+    )
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(F.transform("zs", lambda z: z.getField("e")), ""),
+        F.lit("</urlset>"),
+    )
+    return per_site.select("site", xml.alias("xml"))
+
+
+def sitemap_extract(docs: DataFrame) -> DataFrame:
+    """(site, url, lastmod) — parse the per-site sitemap XML back into
+    the url relation: the crawl-seed source that complements anchor-
+    based discovery (extract_links) — production frontiers merge both.
+    The parse is two codegen regex stages (entry split → field extract),
+    exploding one row per <url> entry; no UDF, no XML library."""
+    sm = sitemap_xml(docs)
+    entries = F.regexp_extract_all(
+        F.col("xml"), F.lit("(<url>.*?</url>)"), 1
+    )
+    one = sm.select("site", F.explode(entries).alias("e"))
+    return one.select(
+        "site",
+        F.regexp_extract("e", "<loc>([^<]*)</loc>", 1).alias("url"),
+        F.regexp_extract("e", "<lastmod>([^<]*)</lastmod>", 1).alias(
+            "lastmod"
+        ),
+    )

@@ -223,3 +223,119 @@ def test_span_or_requires_single_term_clauses(spark):
         search_span_or(docs, "data fast", ["merge"])
     with pytest.raises(ValueError):
         search_span_or(docs, "data", ["fast merge"])
+
+
+# ---------------------------------------------------------- geohash_grid
+
+
+def _geohash_py(lat, lon, p=4):
+    """Reference base32 geohash (textbook interleave, lon first)."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    total = 5 * p
+    latbits, lonbits = total // 2, total - total // 2
+    import math
+
+    lat_q = min(
+        max(int(math.floor(round((lat + 90.0) / 180.0 * (1 << latbits), 9))), 0),
+        (1 << latbits) - 1,
+    )
+    lon_q = min(
+        max(int(math.floor(round((lon + 180.0) / 360.0 * (1 << lonbits), 9))), 0),
+        (1 << lonbits) - 1,
+    )
+    combined = 0
+    for i in range(total):
+        if i % 2 == 0:
+            bit = (lon_q >> (lonbits - 1 - i // 2)) & 1
+        else:
+            bit = (lat_q >> (latbits - 1 - i // 2)) & 1
+        combined = (combined << 1) | bit
+    return "".join(
+        alpha[(combined >> (5 * (p - 1 - c))) & 31] for c in range(p)
+    )
+
+
+def test_geohash_grid_matches_python_reference(spark):
+    from search_engine_spark.operators.geo import geohash_grid, with_geo
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    got = {
+        r["geohash"]: r["doc_count"]
+        for r in geohash_grid(docs, size=10_000).collect()
+    }
+    from collections import Counter
+
+    pts = with_geo(docs).select("doc_id", "lat", "lon").collect()
+    want = Counter(_geohash_py(r["lat"], r["lon"]) for r in pts)
+    assert got == dict(want)
+    # sanity vs the canonical algorithm: every cell is 4 base32 chars
+    assert all(len(k) == 4 for k in got)
+
+
+def test_geohash_known_point(spark):
+    # 57.64911,10.40744 -> 'u4pr...' (the classic geohash.org example)
+    assert _geohash_py(57.64911, 10.40744, 4) == "u4pr"
+
+
+# ----------------------------------------------------------- meta_robots
+
+
+def test_meta_robots_directives(spark):
+    from search_engine_spark.operators.graph import (
+        META_NOFOLLOW,
+        META_NOINDEX,
+        META_NOINDEX_NOFOLLOW,
+        META_ROBOTS_MOD,
+        meta_robots,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    for r in meta_robots(docs).collect():
+        m = r["doc_id"] % META_ROBOTS_MOD
+        assert r["noindex"] == (m in (META_NOINDEX_NOFOLLOW, META_NOINDEX))
+        assert r["nofollow"] == (m in (META_NOINDEX_NOFOLLOW, META_NOFOLLOW))
+
+
+def test_meta_robots_not_spoofable_from_text(spark):
+    """Body text containing a meta-tag string must not flip the
+    directive: the parse is anchored at the head insertion point."""
+    from search_engine_spark.operators.graph import meta_robots
+    from search_engine_spark.sources.documents import html_col
+
+    evil = 'x <meta name="robots" content="noindex,nofollow"> y'
+    docs = spark.createDataFrame(
+        [(2, evil, "en")], "doc_id long, text string, lang string"
+    ).withColumn("html", html_col())
+    r = meta_robots(docs).collect()[0]
+    assert (r["noindex"], r["nofollow"]) == (False, False)
+
+
+# ------------------------------------------------------- sitemap roundtrip
+
+
+def test_sitemap_roundtrip(spark):
+    from search_engine_spark.operators.graph import (
+        sitemap_extract,
+        sitemap_xml,
+    )
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    n = docs.count()
+    out = sitemap_extract(docs).collect()
+    assert len(out) == n  # lossless parse: one row per doc
+    by_site = {}
+    for r in out:
+        by_site.setdefault(r["site"], []).append(r)
+        assert r["url"].startswith(f"https://{r['site']}/docs/")
+        assert len(r["lastmod"]) == 10 and r["lastmod"][:3] == "202"
+    assert set(by_site) == {
+        "site-a.example", "site-b.example", "site-c.example"
+    }
+    xml_rows = sitemap_xml(docs).collect()
+    assert len(xml_rows) == 3
+    for r in xml_rows:
+        assert r["xml"].startswith("<urlset")
+        assert r["xml"].endswith("</urlset>")
