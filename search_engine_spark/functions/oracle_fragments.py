@@ -3469,7 +3469,7 @@ def geohash_grid_sql(precision: int = 4, size: int = 20,
     total = 5 * p
     latbits = total // 2
     lonbits = total - latbits
-    size = min(int(size), 32**p if p < 4 else 65536, 65536)
+    size = min(int(size), 32**p, 65536)
     terms = []
     for i in range(total):
         if i % 2 == 0:

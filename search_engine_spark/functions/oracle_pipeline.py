@@ -4186,9 +4186,7 @@ def redirect_resolve_sql(table: str = "documents") -> str:
     mod = gr.REDIR_MOD
     return f"""
 WITH RECURSIVE redir AS (
-  SELECT doc_id AS src,
-         (CASE WHEN doc_id % 3 <> 0 THEN greatest(doc_id - 4, 0)
-               ELSE greatest(doc_id - 1 - (doc_id % 7), 0) END)::BIGINT AS tgt
+  SELECT doc_id AS src, {gr.redirect_tgt_sql("doc_id")}::BIGINT AS tgt
   FROM {table} WHERE doc_id % {mod} = 1 AND doc_id > 0
 ),
 walk AS (

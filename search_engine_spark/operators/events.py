@@ -689,23 +689,29 @@ def ip_prefix_agg(events: DataFrame, bits: int = IP_PREFIX_BITS) -> DataFrame:
     the partial-agg property via Spark's two-phase distinct rewrite."""
     shift = 32 - int(bits)
     ip = client_ip_col(F.col("user_id"))
+    # group on the 8-byte numeric network, NOT the formatted string —
+    # the string concat then runs once per ≤2^bits output groups
+    # instead of once per event, and the shuffle carries longs
     net = F.shiftleft(F.shiftright(ip, shift), shift)
-    prefix = F.concat(
-        F.shiftright(net, 24).cast("string"),
-        F.lit("."),
-        (F.shiftright(net, 16) % 256).cast("string"),
-        F.lit("."),
-        (F.shiftright(net, 8) % 256).cast("string"),
-        F.lit("."),
-        (net % 256).cast("string"),
-        F.lit("/"),
-        F.lit(int(bits)).cast("string"),
-    )
-    return (
-        events.select(prefix.alias("prefix"), "user_id")
-        .groupBy("prefix")
+    grouped = (
+        events.select(net.alias("net"), "user_id")
+        .groupBy("net")
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
         )
+    )
+    prefix = F.concat(
+        F.shiftright("net", 24).cast("string"),
+        F.lit("."),
+        (F.shiftright("net", 16) % 256).cast("string"),
+        F.lit("."),
+        (F.shiftright("net", 8) % 256).cast("string"),
+        F.lit("."),
+        (F.col("net") % 256).cast("string"),
+        F.lit("/"),
+        F.lit(int(bits)).cast("string"),
+    )
+    return grouped.select(
+        prefix.alias("prefix"), "n_events", "n_users"
     )

@@ -312,7 +312,7 @@ def geohash_grid(
     total = 5 * p
     latbits = total // 2
     lonbits = total - latbits
-    size = min(int(size), 32**p if p < 4 else 65536, 65536)
+    size = min(int(size), 32**p, 65536)
     g = with_geo(docs)
     lat_q = (
         F.greatest(

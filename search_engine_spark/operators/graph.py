@@ -628,6 +628,17 @@ def redirect_edges(docs: DataFrame) -> DataFrame:
     )
 
 
+def redirect_tgt_sql(d: str = "doc_id") -> str:
+    """DuckDB fragment of the fixture successor map — kept HERE next to
+    the Spark expression it mirrors so the two copies sit in one diff
+    hunk (the oracle imports this; the unit test keeps an independent
+    hand-written walk on purpose, as its reference)."""
+    return (
+        f"(CASE WHEN {d} % 3 <> 0 THEN greatest({d} - 4, 0)"
+        f" ELSE greatest({d} - 1 - ({d} % 7), 0) END)"
+    )
+
+
 def redirect_resolve(docs: DataFrame) -> DataFrame:
     """(src_doc, final_doc, hops) — resolve every redirect chain to its
     terminal document. The web-crawl canonicalization step: 3xx chains
@@ -645,6 +656,15 @@ def redirect_resolve(docs: DataFrame) -> DataFrame:
     a table with one row per redirect, never a row-at-a-time walk (the
     recursive-CTE oracle mirror does the naive walk; the result is
     identical because the fixture graph is acyclic).
+
+    Each round's result is localCheckpoint-ed (the bpe.py merge-loop
+    pattern): the self-join embeds the prior round's plan TWICE and the
+    per-round early-exit action would otherwise re-execute the whole
+    uncached lineage — 2^rounds embedded scans by round r, the exact
+    hazard the HITS iteration documents. Raises if the chains have not
+    converged after REDIR_ROUNDS_MAX doublings (> 2^20 hops): a
+    silently partial resolution would surface only as an opaque oracle
+    hash mismatch, or worse, index an intermediate hop.
     """
     edges = redirect_edges(docs)
     jump = edges.select(
@@ -655,8 +675,7 @@ def redirect_resolve(docs: DataFrame) -> DataFrame:
     # redirect source set, reused every round to test for terminality
     srcs = edges.select(F.col("src").alias("dst")).distinct()
     for _ in range(REDIR_ROUNDS_MAX):
-        unresolved = jump.join(srcs, "dst", "left_semi")
-        if unresolved.isEmpty():
+        if jump.join(srcs, "dst", "left_semi").isEmpty():
             break
         nxt = jump.select(
             F.col("src").alias("j_src"),
@@ -672,7 +691,15 @@ def redirect_resolve(docs: DataFrame) -> DataFrame:
                     F.col("hops") + F.coalesce("j_hops", F.lit(0))
                 ).alias("hops"),
             )
+            .localCheckpoint(eager=True)
         )
+    else:
+        if not jump.join(srcs, "dst", "left_semi").isEmpty():
+            raise RuntimeError(
+                "redirect_resolve: chains unresolved after "
+                f"{REDIR_ROUNDS_MAX} doubling rounds (> 2^"
+                f"{REDIR_ROUNDS_MAX} hops — cycle or fixture change?)"
+            )
     return jump.select(
         F.col("src").alias("src_doc"),
         F.col("dst").alias("final_doc"),
@@ -690,9 +717,11 @@ META_NOINDEX = 9
 META_NOFOLLOW = 12
 
 
-def robots_meta_html(docs: DataFrame) -> DataFrame:
-    """documents with the fixture <meta name="robots"> tag spliced into
-    the head of the selected pages."""
+def _robots_tagged_html_str():
+    """Decoded html STRING with the fixture tag spliced in — shared so
+    meta_robots parses the string directly without an encode→decode
+    roundtrip per page (r05 review), while robots_meta_html encodes it
+    once for callers that need the binary html column."""
     d = F.col("doc_id")
     content = (
         F.when(d % META_ROBOTS_MOD == META_NOINDEX_NOFOLLOW,
@@ -707,16 +736,18 @@ def robots_meta_html(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
     html = F.decode(F.col("html"), "utf-8")
+    return F.concat(
+        F.lit("<html><head>"),
+        tag,
+        F.regexp_replace(html, "^<html><head>", ""),
+    )
+
+
+def robots_meta_html(docs: DataFrame) -> DataFrame:
+    """documents with the fixture <meta name="robots"> tag spliced into
+    the head of the selected pages."""
     return docs.withColumn(
-        "html",
-        F.encode(
-            F.concat(
-                F.lit("<html><head>"),
-                tag,
-                F.regexp_replace(html, "^<html><head>", ""),
-            ),
-            "utf-8",
-        ),
+        "html", F.encode(_robots_tagged_html_str(), "utf-8")
     )
 
 
@@ -729,12 +760,11 @@ def meta_robots(docs: DataFrame) -> DataFrame:
     host-level robots.txt operators (parse_robots / crawl_delays) with
     the page-level directive.
 
-    The DIRECTIVE is genuinely parsed from the html bytes (codegen
+    The DIRECTIVE is genuinely parsed from the html (codegen
     lower+regexp — no UDF, no shuffle; at 100 TB this rides the same
     scan as extraction); the oracle mirror re-derives the expected
     directive from the fixture arithmetic, pinning the parse."""
-    with_tag = robots_meta_html(docs)
-    html = F.lower(F.decode(F.col("html"), "utf-8"))
+    html = F.lower(_robots_tagged_html_str())
     # anchored at the exact insertion point so body TEXT that happens to
     # contain a meta-tag string (adversarial corpora do) cannot spoof
     # the directive — only the head-injected tag parses
@@ -742,7 +772,7 @@ def meta_robots(docs: DataFrame) -> DataFrame:
         html, '^<html><head><meta name="robots" content="([^"]*)"', 1
     )
     toks = F.split(content, ",")
-    return with_tag.select(
+    return docs.select(
         "doc_id",
         F.array_contains(toks, "noindex").alias("noindex"),
         F.array_contains(toks, "nofollow").alias("nofollow"),
@@ -767,16 +797,17 @@ def sitemap_xml(docs: DataFrame) -> DataFrame:
     """(site, xml) — one sitemap-protocol document per site, url entries
     in doc_id order. One groupBy(site); per-site entry lists are
     array-built JVM-side (collect_list of structs → sort → join), never
-    a driver collect."""
+    a driver collect. Reuses the site_key/url columns load_documents
+    already attaches (r05 review: no third copy of the url layout)."""
     d = F.col("doc_id")
     entry = F.concat(
         F.lit("<url><loc>"),
-        _url_of(d),
+        F.col("url"),
         F.lit("</loc><lastmod>"),
         _lastmod_col(d),
         F.lit("</lastmod></url>"),
     )
-    site = F.concat(F.lit("site-"), F.char(d % 3 + 97), F.lit(".example"))
+    site = F.concat(F.col("site_key"), F.lit(".example"))
     per_site = (
         docs.select(site.alias("site"), F.struct(d.alias("doc_id"), entry.alias("e")).alias("z"))
         .groupBy("site")
