@@ -339,3 +339,70 @@ def test_sitemap_roundtrip(spark):
     for r in xml_rows:
         assert r["xml"].startswith("<urlset")
         assert r["xml"].endswith("</urlset>")
+
+
+# -------------------------------------------------- property-based suites
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TOKS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_TEXT = st.lists(_TOKS, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=4))
+def test_winnowing_properties(spark, texts):
+    """Random corpora: Spark output == the Python reference selector,
+    and the per-window coverage guarantee holds."""
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    rows = winnowing_fingerprints(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        toks = t.lower().split() if t.strip() else []
+        if len(toks) < WINNOW_K:
+            assert i not in got
+            continue
+        assert got.get(i, set()) == _winnow_py(toks)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.lists(st.integers(min_value=0, max_value=400),
+                    min_size=1, max_size=60, unique=True))
+def test_redirect_resolve_arbitrary_id_sets(spark, ids):
+    """The corpus need not be contiguous: resolve on an arbitrary doc_id
+    subset must equal the Python walk restricted to the SAME subset
+    (redirect membership is per-doc arithmetic; targets may fall outside
+    the corpus and then count as terminal)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).selectExpr("doc_id", "'' as text", "'en' as lang")
+
+    def tgt(s):
+        return max(s - 4, 0) if s % 3 else max(s - 1 - (s % 7), 0)
+
+    srcs = {s for s in ids if s % REDIR_MOD == 1 and s > 0}
+    want = {}
+    for s in srcs:
+        cur, hops = tgt(s), 1
+        while cur in srcs:
+            cur, hops = tgt(cur), hops + 1
+        want[s] = (cur, hops)
+    got = {
+        r["src_doc"]: (r["final_doc"], r["hops"])
+        for r in redirect_resolve(docs).collect()
+    }
+    assert got == want
