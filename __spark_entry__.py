@@ -2998,6 +2998,24 @@ def _q_sitemap_extract(spark, sf_dir):
     return sitemap_extract(load_documents(spark, sf_dir))
 
 
+def _q_geo_bounds(spark, sf_dir):
+    """ES geo_bounds: per-site enclosing box from integer micro-degree
+    min/max."""
+    from search_engine_spark.operators.geo import geo_bounds
+
+    return geo_bounds(load_documents(spark, sf_dir))
+
+
+def _q_moving_percentiles(spark, sf_dir):
+    """ES moving_percentiles: exact interpolated p50/p90 of the trailing
+    4-day daily counts."""
+    from search_engine_spark.operators.events import moving_percentiles
+
+    return moving_percentiles(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -3105,6 +3123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_grid": _q_geohash_grid,
         "meta_robots": _q_meta_robots,
         "sitemap_extract": _q_sitemap_extract,
+        "geo_bounds": _q_geo_bounds,
+        "moving_percentiles": _q_moving_percentiles,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -3430,6 +3450,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash_grid": ora.geohash_grid_sql(),
         "meta_robots": pipe.meta_robots_sql(),
         "sitemap_extract": pipe.sitemap_extract_sql(),
+        "geo_bounds": ora.geo_bounds_sql(),
+        "moving_percentiles": pipe.moving_percentiles_sql(),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

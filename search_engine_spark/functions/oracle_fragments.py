@@ -3502,3 +3502,22 @@ FROM k GROUP BY geohash
 ORDER BY doc_count DESC, geohash ASC
 LIMIT {size}
 """
+
+
+def geo_bounds_sql(table: str = "documents") -> str:
+    """Mirrors operators/geo.py::geo_bounds — per-site enclosing box
+    from integer micro-degree min/max (exact; the /1e4 division is the
+    identical double op in both engines, no rounding needed)."""
+    return f"""
+WITH g AS (
+  SELECT {SITE_KEY_SQL} AS site_key,
+         {GEO_LAT_E4_SQL} AS lat_e4, {GEO_LON_E4_SQL} AS lon_e4
+  FROM {table}
+)
+SELECT site_key, count(*)::BIGINT AS n,
+       max(lat_e4) / 10000.0 AS top,
+       min(lon_e4) / 10000.0 AS "left",
+       min(lat_e4) / 10000.0 AS bottom,
+       max(lon_e4) / 10000.0 AS "right"
+FROM g GROUP BY site_key ORDER BY site_key
+"""

@@ -4233,3 +4233,27 @@ SELECT 'site-' || chr(97 + (doc_id % 3)::INT) || '.example' AS site,
         + ((doc_id % {gr.SITEMAP_DAY_MOD})::INT))::VARCHAR AS lastmod
 FROM {table}
 """
+
+
+def moving_percentiles_sql(table: str = "events") -> str:
+    """ES moving_percentiles — mirrors events.py::moving_percentiles.
+    DuckDB's quantile_cont over a trailing ROWS window IS the pinned
+    sort-plus-linear-interpolation definition the Spark side spells out
+    as element arithmetic."""
+    from ..operators import events as ev
+
+    w = ev.MOVPCT_WINDOW
+    cols = ",\n       ".join(
+        f"round(quantile_cont(n, {q!r}) OVER (ORDER BY day ROWS BETWEEN "
+        f"{w - 1} PRECEDING AND CURRENT ROW), 4) AS p{int(q * 100)}"
+        for q in ev.MOVPCT_QS
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM {table} GROUP BY 1
+)
+SELECT day, n,
+       {cols}
+FROM daily
+"""

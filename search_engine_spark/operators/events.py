@@ -715,3 +715,66 @@ def ip_prefix_agg(events: DataFrame, bits: int = IP_PREFIX_BITS) -> DataFrame:
     return grouped.select(
         prefix.alias("prefix"), "n_events", "n_users"
     )
+
+
+MOVPCT_WINDOW = 4  # trailing days per moving-percentile window
+MOVPCT_QS = (0.5, 0.9)
+
+
+def moving_percentiles(
+    events: DataFrame, window: int = MOVPCT_WINDOW
+) -> DataFrame:
+    """ES `moving_percentiles` pipeline agg → (day, n, p50, p90):
+    interpolated percentiles of the trailing `window` DAILY COUNTS
+    ending at each day (shorter head windows take what exists) — the
+    smoothed-latency/traffic band a search-ops dashboard draws around
+    the rate line. ES computes this over TDigest states; the pinned
+    spec here is the EXACT sort-based linear interpolation (the same
+    definition as Spark percentile / DuckDB quantile_cont), spelled
+    out as element arithmetic so both engines evaluate the identical
+    formula: idx = (len−1)·q, v = x[⌊idx⌋] + (x[⌈idx⌉] − x[⌊idx⌋]) ·
+    (idx − ⌊idx⌋) over the sorted window.
+
+    Plan: the datehist_pipeline shape — the corpus collapses through
+    ONE map-side-combinable daily count first, the bounded daily series
+    collects into one sorted array, and every window metric is
+    slice/array_sort/element_at arithmetic on exploded positions. No
+    corpus Window, no second pass."""
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    xs = F.array_sort(
+        F.collect_list(F.struct(F.col("day").alias("d"), F.col("n").alias("h")))
+    )
+    w = int(window)
+    rows = daily.agg(xs.alias("xs")).select(
+        F.col("xs"), F.posexplode("xs").alias("_pos", "_x")
+    )
+    trail = F.array_sort(
+        F.transform(
+            F.slice(
+                F.col("xs"),
+                F.greatest(F.lit(1), F.col("_pos") + 2 - w),
+                F.least(F.lit(w), F.col("_pos") + 1),
+            ),
+            lambda z: z.getField("h").cast("double"),
+        )
+    )
+
+    def pct(q):
+        idx = (F.size(trail) - 1) * F.lit(float(q))
+        lo = F.floor(idx).cast("int")
+        hi = F.ceil(idx).cast("int")
+        vlo = F.element_at(trail, lo + 1)
+        vhi = F.element_at(trail, hi + 1)
+        return F.round(vlo + (vhi - vlo) * (idx - lo), 4)
+
+    out = rows.select(
+        F.col("_x.d").alias("day"),
+        F.col("_x.h").alias("n"),
+        *[
+            pct(q).alias(f"p{int(q * 100)}")
+            for q in MOVPCT_QS
+        ],
+    )
+    return out

@@ -359,3 +359,36 @@ def geohash_grid(
         .orderBy(F.col("doc_count").desc(), F.col("geohash").asc())
         .limit(size)
     )
+
+
+def geo_bounds(docs: DataFrame) -> DataFrame:
+    """ES `geo_bounds` aggregation per site → (site_key, n, top, left,
+    bottom, right): the smallest lat/lon box enclosing each bucket's
+    points (top = max lat, left = min lon, bottom = min lat, right =
+    max lon — ES's top_left/bottom_right envelope, without wrap_longitude
+    since the fixture never crosses the antimeridian). min/max run on
+    the INTEGER micro-degree columns (exact in every engine), divided
+    once at the end. One map-side-combinable groupBy; bucket cardinality
+    = sites."""
+    from search_engine_spark.sources.documents import site_key_col
+
+    g = with_geo(docs).withColumn("site_key", site_key_col())
+    return (
+        g.groupBy("site_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("lat_e4").alias("_top"),
+            F.min("lon_e4").alias("_left"),
+            F.min("lat_e4").alias("_bottom"),
+            F.max("lon_e4").alias("_right"),
+        )
+        .select(
+            "site_key",
+            "n",
+            (F.col("_top") / 10000.0).alias("top"),
+            (F.col("_left") / 10000.0).alias("left"),
+            (F.col("_bottom") / 10000.0).alias("bottom"),
+            (F.col("_right") / 10000.0).alias("right"),
+        )
+        .orderBy("site_key")
+    )

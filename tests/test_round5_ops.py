@@ -406,3 +406,67 @@ def test_redirect_resolve_arbitrary_id_sets(spark, ids):
         for r in redirect_resolve(docs).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- geo_bounds / moving pct
+
+
+def test_geo_bounds_envelope(spark):
+    from search_engine_spark.operators.geo import geo_bounds, with_geo
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    pts = with_geo(docs).selectExpr(
+        "concat('site-', char(doc_id % 3 + 97)) AS site_key", "lat", "lon"
+    ).collect()
+    want = {}
+    for r in pts:
+        t = want.setdefault(
+            r["site_key"], [-1e9, 1e9, 1e9, -1e9, 0]
+        )  # top, left, bottom, right, n
+        t[0] = max(t[0], r["lat"]); t[1] = min(t[1], r["lon"])
+        t[2] = min(t[2], r["lat"]); t[3] = max(t[3], r["lon"])
+        t[4] += 1
+    got = geo_bounds(docs).collect()
+    assert len(got) == len(want)
+    for r in got:
+        t = want[r["site_key"]]
+        assert (r["top"], r["left"], r["bottom"], r["right"], r["n"]) == (
+            t[0], t[1], t[2], t[3], t[4],
+        )
+        assert r["top"] >= r["bottom"] and r["right"] >= r["left"]
+
+
+def test_moving_percentiles_hand_example(spark):
+    import datetime
+
+    from search_engine_spark.operators.events import moving_percentiles
+
+    # daily counts: d1=1, d2=2, d3=3, d4=10 (one event per unit)
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 1), (2, 2), (3, 3), (4, 10)]:
+        for _ in range(cnt):
+            rows.append(
+                (eid, datetime.datetime(2025, 3, day, 12, 0, 0), 1, "view", 1.0)
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {r["day"].day: (r["n"], r["p50"], r["p90"]) for r in
+           moving_percentiles(events).collect()}
+
+    def pct(xs, q):
+        xs = sorted(xs)
+        idx = (len(xs) - 1) * q
+        lo, hi = int(idx // 1), -(-idx // 1)
+        lo, hi = int(lo), int(hi)
+        return round(xs[lo] + (xs[hi] - xs[lo]) * (idx - lo), 4)
+
+    series = {1: [1], 2: [1, 2], 3: [1, 2, 3], 4: [1, 2, 3, 10]}
+    for d, xs in series.items():
+        n = {1: 1, 2: 2, 3: 3, 4: 10}[d]
+        assert got[d] == (n, pct(xs, 0.5), pct(xs, 0.9)), d
