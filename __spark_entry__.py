@@ -3016,6 +3016,39 @@ def _q_moving_percentiles(spark, sf_dir):
     )
 
 
+def _q_ip_range(spark, sf_dir):
+    """ES ip_range: explicit half-open address ranges over the synthetic
+    client IPv4."""
+    from search_engine_spark.operators.events import ip_range_agg
+
+    return ip_range_agg(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_geo_line(spark, sf_dir):
+    """ES geo_line: first 10 track points per site by (warc_ts, doc_id),
+    exploded with seq."""
+    from search_engine_spark.operators.geo import geo_line
+
+    return geo_line(load_documents(spark, sf_dir))
+
+
+def _q_search_collapsed_inner(spark, sf_dir):
+    """ES field collapse with inner_hits: rank-1 heads joined to their
+    group's top-3."""
+    from search_engine_spark.sources.documents import site_key_col
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    hits = se.search_bm25(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
+        limit=1_000_000,
+    )
+    return se.search_collapsed_inner(
+        hits.withColumn("site_key", site_key_col())
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -3125,6 +3158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": _q_sitemap_extract,
         "geo_bounds": _q_geo_bounds,
         "moving_percentiles": _q_moving_percentiles,
+        "ip_range": _q_ip_range,
+        "geo_line": _q_geo_line,
+        "search_collapsed_inner": _q_search_collapsed_inner,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -3452,6 +3488,11 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_extract": pipe.sitemap_extract_sql(),
         "geo_bounds": ora.geo_bounds_sql(),
         "moving_percentiles": pipe.moving_percentiles_sql(),
+        "ip_range": pipe.ip_range_sql(),
+        "geo_line": ora.geo_line_sql(),
+        "search_collapsed_inner": ora.search_collapsed_inner_sql(
+            Q_BM25_COMMON
+        ),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

@@ -3521,3 +3521,47 @@ SELECT site_key, count(*)::BIGINT AS n,
        max(lon_e4) / 10000.0 AS "right"
 FROM g GROUP BY site_key ORDER BY site_key
 """
+
+
+def geo_line_sql(size: int = 10, table: str = "documents") -> str:
+    """ES geo_line — mirrors operators/geo.py::geo_line: first `size`
+    points per site ordered by (warc_ts, doc_id), exploded with seq."""
+    return f"""
+WITH {_geo_cte(table)},
+r AS (
+  SELECT {SITE_KEY_SQL} AS site_key, doc_id, lat, lon,
+         row_number() OVER (PARTITION BY {SITE_KEY_SQL}
+                            ORDER BY (1704067200 + 60 * doc_id) ASC,
+                                     doc_id ASC) AS seq
+  FROM geo
+)
+SELECT site_key, seq::INT AS seq, doc_id, lat, lon
+FROM r WHERE seq <= {int(size)}
+"""
+
+
+def search_collapsed_inner_sql(query_terms: list[str], inner_size: int = 3,
+                               limit: int = 20,
+                               table: str = "documents") -> str:
+    """Field collapse with inner_hits — mirrors operators/search.py::
+    search_collapsed_inner over the full BM25 scored set: rank-1 heads
+    (global top-`limit`) joined to their group's top-`inner_size`."""
+    inner = search_bm25_sql(query_terms, limit=1_000_000, table=table)
+    return f"""
+WITH hits AS ({inner}),
+g AS (SELECT doc_id, score, {SITE_KEY_SQL} AS site_key FROM hits),
+r AS (
+  SELECT site_key, doc_id, score,
+         row_number() OVER (PARTITION BY site_key
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM g
+),
+heads AS (
+  SELECT site_key, doc_id AS head_doc FROM r WHERE rn = 1
+  ORDER BY score DESC, doc_id ASC LIMIT {int(limit)}
+)
+SELECT h.site_key, h.head_doc, r.rn::INT AS inner_rank,
+       r.doc_id AS inner_doc, r.score AS inner_score
+FROM heads h JOIN r ON r.site_key = h.site_key
+WHERE r.rn <= {int(inner_size)}
+"""

@@ -4257,3 +4257,33 @@ SELECT day, n,
        {cols}
 FROM daily
 """
+
+
+def ip_range_sql(table: str = "events") -> str:
+    """ES ip_range — mirrors events.py::ip_range_agg (same h60-derived
+    address, same half-open [from, to) bounds and '*' open-end labels)."""
+    from ..operators import events as ev
+
+    ip_str = f"'{ev.IP_SALT}' || user_id::VARCHAR"
+    ip = f"({h60_sql(ip_str)} % 4294967296)"
+    edges = [int(e) for e in ev.IP_RANGE_EDGES]
+    bounds = [(None, edges[0])]
+    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    bounds += [(edges[-1], None)]
+    cases = []
+    for lo, hi in bounds:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        conds = []
+        if lo is not None:
+            conds.append(f"{ip} >= {lo}")
+        if hi is not None:
+            conds.append(f"{ip} < {hi}")
+        pred = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {pred} THEN '{key}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+SELECT {case} AS range,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM {table} GROUP BY 1
+"""

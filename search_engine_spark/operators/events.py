@@ -778,3 +778,45 @@ def moving_percentiles(
         ],
     )
     return out
+
+
+# ES ip_range edges (half-open [from, to) over the synthetic IPv4 int
+# space; open ends '*'); frozen, mirrored in the oracle.
+IP_RANGE_EDGES = (1 << 30, 1 << 31, 3 << 30)
+
+
+def ip_range_agg(events: DataFrame) -> DataFrame:
+    """ES `ip_range` aggregation → (range, n_events, n_users): events
+    bucketed into explicit half-open [from, to) ranges of the client
+    IPv4 integer (first range open below, last open above — the
+    range-agg convention ip_range shares with `range`/`date_range`/
+    `geo_distance` rings). The sibling of ip_prefix_agg with
+    user-specified edges instead of CIDR buckets.
+
+    Plan: the range label is a codegen CASE over the hash-derived
+    address; one groupBy bounded by len(edges)+1 buckets, count_distinct
+    via the two-phase rewrite."""
+    ip = client_ip_col(F.col("user_id"))
+    edges = [int(e) for e in IP_RANGE_EDGES]
+    bounds = [(None, edges[0])]
+    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    bounds += [(edges[-1], None)]
+    label = None
+    for lo, hi in bounds:
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (ip >= lo)
+        if hi is not None:
+            cond = cond & (ip < hi)
+        label = F.when(cond, F.lit(key)) if label is None else label.when(
+            cond, F.lit(key)
+        )
+    return (
+        events.select(label.alias("range"), "user_id")
+        .groupBy("range")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        )
+    )

@@ -392,3 +392,34 @@ def geo_bounds(docs: DataFrame) -> DataFrame:
         )
         .orderBy("site_key")
     )
+
+
+GEO_LINE_SIZE = 10  # points per track (ES geo_line `size`)
+
+
+def geo_line(docs: DataFrame, size: int = GEO_LINE_SIZE) -> DataFrame:
+    """ES `geo_line` aggregation per site → (site_key, seq, doc_id, lat,
+    lon): the first `size` points of each site's track, ordered by the
+    sort field (warc_ts asc, doc_id asc tiebreak — the crawl-trajectory
+    line a monitoring map draws). ES emits one LineString per bucket;
+    the pinned relational form is the exploded ordered point list
+    (seq = 1-based position on the line), which hashes engine-neutrally.
+
+    Plan: one window partitioned by site (maximal-cardinality key is
+    sites — at web scale partition by a finer bucket key first and merge
+    heads, the top-k-per-group shape) ranked by the sort field, rank
+    filter ≤ size. No corpus sort, no collect."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.sources.documents import site_key_col
+
+    g = with_geo(docs).withColumn("site_key", site_key_col())
+    w = Window.partitionBy("site_key").orderBy(
+        F.col("warc_ts").asc(), F.col("doc_id").asc()
+    )
+    return (
+        g.withColumn("seq", F.row_number().over(w))
+        .filter(F.col("seq") <= int(size))
+        .select("site_key", F.col("seq").cast("int").alias("seq"),
+                "doc_id", "lat", "lon")
+    )

@@ -3766,3 +3766,46 @@ def search_bool_prefix(
         postings, term_dict, doc_stats, n_docs, avgdl, all_terms,
         k1=k1, b=b, limit=limit, conjunctive=False,
     )
+
+
+def search_collapsed_inner(
+    hits: DataFrame,
+    group_col: str = "site_key",
+    inner_size: int = 3,
+    limit: int = 20,
+) -> DataFrame:
+    """ES field collapse WITH `inner_hits` → (site_key, head_doc,
+    inner_rank, inner_doc, inner_score): the global result list keeps
+    one head per group (collapse_hits semantics: score desc, doc_id asc
+    per group, global top-`limit` heads) and each head carries its
+    group's top-`inner_size` hits — the "other results from this site"
+    expansion a SERP renders under the collapsed entry. ES nests the
+    inner hits in the response envelope; the pinned relational form is
+    the exploded (head, inner_rank) pair list, which hashes
+    engine-neutrally. The head itself is inner_rank 1 by construction
+    (ES includes the collapsed hit in its inner_hits unless offset).
+
+    Plan: ONE window over the bounded candidate set ranks every group
+    member; heads are the rank-1 slice (top-`limit` globally), inner
+    hits the rank ≤ inner_size slice, joined back on the group key —
+    candidate-set-sized work, never corpus-sized (hits is the scorer's
+    oversampled top-K', the collapse_hits contract)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = hits.withColumn("_rn", F.row_number().over(w))
+    heads = (
+        ranked.filter(F.col("_rn") == 1)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(limit))
+        .select(group_col, F.col("doc_id").alias("head_doc"))
+    )
+    inner = ranked.filter(F.col("_rn") <= int(inner_size)).select(
+        group_col,
+        F.col("_rn").cast("int").alias("inner_rank"),
+        F.col("doc_id").alias("inner_doc"),
+        F.col("score").alias("inner_score"),
+    )
+    return heads.join(inner, group_col)

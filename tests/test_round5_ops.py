@@ -470,3 +470,79 @@ def test_moving_percentiles_hand_example(spark):
     for d, xs in series.items():
         n = {1: 1, 2: 2, 3: 3, 4: 10}[d]
         assert got[d] == (n, pct(xs, 0.5), pct(xs, 0.9)), d
+
+
+# ------------------------------- ip_range / geo_line / collapse inner_hits
+
+
+def test_ip_range_partitions_events(spark):
+    from search_engine_spark.operators.events import (
+        IP_RANGE_EDGES,
+        ip_range_agg,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = ip_range_agg(events).collect()
+    assert sum(r["n_events"] for r in out) == events.count()
+    labels = {r["range"] for r in out}
+    e = list(IP_RANGE_EDGES)
+    want_labels = {f"*-{e[0]}", f"{e[0]}-{e[1]}", f"{e[1]}-{e[2]}", f"{e[2]}-*"}
+    assert labels <= want_labels
+    # hand-check one user's bucket
+    ip = h60_py(f"{IP_SALT}42") % 2**32
+    lab = next(
+        l for l in want_labels
+        if (l.split("-")[0] == "*" or ip >= int(l.split("-")[0]))
+        and (l.split("-")[1] == "*" or ip < int(l.split("-")[1]))
+    )
+    assert lab in want_labels
+
+
+def test_geo_line_ordering(spark):
+    from search_engine_spark.operators.geo import GEO_LINE_SIZE, geo_line
+    from search_engine_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    out = geo_line(docs).collect()
+    by_site = {}
+    for r in out:
+        by_site.setdefault(r["site_key"], []).append((r["seq"], r["doc_id"]))
+    assert set(by_site) == {"site-a", "site-b", "site-c"}
+    for site, pts in by_site.items():
+        pts.sort()
+        assert len(pts) <= GEO_LINE_SIZE
+        assert [s for s, _ in pts] == list(range(1, len(pts) + 1))
+        # warc_ts is monotone in doc_id, so the track is the site's
+        # lowest doc_ids in ascending order
+        ds = [d for _, d in pts]
+        assert ds == sorted(ds)
+        site_docs = sorted(
+            r["doc_id"] for r in docs.collect()
+            if f"site-{chr(97 + r['doc_id'] % 3)}" == site
+        )
+        assert ds == site_docs[: len(ds)]
+
+
+def test_search_collapsed_inner_semantics(spark):
+    from search_engine_spark.operators.search import search_collapsed_inner
+
+    hits = spark.createDataFrame(
+        [
+            (1, 9.0, "a"), (2, 8.0, "a"), (3, 7.0, "a"), (4, 6.0, "a"),
+            (5, 9.0, "b"), (6, 5.0, "b"),
+            (7, 3.0, "c"),
+        ],
+        "doc_id long, score double, site_key string",
+    )
+    out = search_collapsed_inner(hits, inner_size=3, limit=2).collect()
+    rows = {(r["site_key"], r["inner_rank"]): (r["head_doc"], r["inner_doc"])
+            for r in out}
+    # limit=2 heads: a (doc 1, score 9, tie with b's doc 5 broken by
+    # doc_id asc) and b — group c's head is cut by the global limit
+    assert {s for s, _ in rows} == {"a", "b"}
+    assert rows[("a", 1)] == (1, 1)      # head is inner_rank 1
+    assert rows[("a", 2)] == (1, 2)
+    assert rows[("a", 3)] == (1, 3)      # doc 4 cut by inner_size
+    assert ("a", 4) not in rows
+    assert rows[("b", 1)] == (5, 5)
+    assert rows[("b", 2)] == (5, 6)
