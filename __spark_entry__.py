@@ -3049,6 +3049,24 @@ def _q_search_collapsed_inner(spark, sf_dir):
     )
 
 
+def _q_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket: exact interpolated p25/p50/p75 over the
+    daily-count bucket series."""
+    from search_engine_spark.operators.events import percentiles_bucket
+
+    return percentiles_bucket(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _q_reverse_nested(spark, sf_dir):
+    """ES reverse_nested: matching chunks stepped back to parent scope,
+    bucketed by site."""
+    from search_engine_spark.operators.nested import reverse_nested_agg
+
+    return reverse_nested_agg(load_documents(spark, sf_dir), Q_AND2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "postings": _q_postings,
@@ -3161,6 +3179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_range": _q_ip_range,
         "geo_line": _q_geo_line,
         "search_collapsed_inner": _q_search_collapsed_inner,
+        "percentiles_bucket": _q_percentiles_bucket,
+        "reverse_nested": _q_reverse_nested,
         "statistics": _q_statistics,
         "titles": _q_titles,
         "search_results": _q_search_results,
@@ -3493,6 +3513,8 @@ def oracle_sql() -> dict[str, str]:
         "search_collapsed_inner": ora.search_collapsed_inner_sql(
             Q_BM25_COMMON
         ),
+        "percentiles_bucket": pipe.percentiles_bucket_sql(),
+        "reverse_nested": pipe.reverse_nested_sql(Q_AND2),
         "statistics": ora.statistics_sql(),
         # title extraction runs the real regex extractor over html; the
         # oracle knows the fixture titles are 'Doc <id>' by construction

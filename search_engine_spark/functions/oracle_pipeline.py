@@ -4287,3 +4287,49 @@ SELECT {case} AS range,
        count(DISTINCT user_id)::BIGINT AS n_users
 FROM {table} GROUP BY 1
 """
+
+
+def percentiles_bucket_sql(table: str = "events") -> str:
+    """ES percentiles_bucket — mirrors events.py::percentiles_bucket
+    (quantile_cont over the bounded daily-count series)."""
+    from ..operators import events as ev
+
+    cols = ", ".join(
+        f"round(quantile_cont(n, {q!r}), 4) AS p{int(q * 100)}"
+        for q in ev.PCT_BUCKET_QS
+    )
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+  FROM {table} GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets, {cols} FROM daily
+"""
+
+
+def reverse_nested_sql(query_terms: list[str],
+                       chunk_size: int | None = None,
+                       table: str = "documents") -> str:
+    """ES reverse_nested — mirrors operators/nested.py::
+    reverse_nested_agg: matching chunks stepped back to parent scope,
+    bucketed by site, chunk count beside the parent count."""
+    from ..operators.nested import NESTED_CHUNK_SIZE
+    from .oracle_fragments import SITE_KEY_SQL, _terms_in
+
+    if chunk_size is None:
+        chunk_size = NESTED_CHUNK_SIZE
+    q = sorted(set(query_terms))
+    in_pred = f"term IN {_terms_in(q)}" if q else "FALSE"
+    return f"""
+WITH {_nested_terms_ctes(chunk_size, table)},
+per_chunk AS (
+  SELECT doc_id, chunk_id, count(DISTINCT term) AS nt
+  FROM terms WHERE {in_pred}
+  GROUP BY doc_id, chunk_id
+),
+matched AS (SELECT doc_id, chunk_id FROM per_chunk WHERE nt = {len(q)})
+SELECT {SITE_KEY_SQL} AS site_key,
+       count(DISTINCT doc_id)::BIGINT AS n_parents,
+       count(*)::BIGINT AS n_chunks
+FROM matched GROUP BY 1
+"""

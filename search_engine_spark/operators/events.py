@@ -820,3 +820,34 @@ def ip_range_agg(events: DataFrame) -> DataFrame:
             F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
         )
     )
+
+
+PCT_BUCKET_QS = (0.25, 0.5, 0.75)
+
+
+def percentiles_bucket(events: DataFrame) -> DataFrame:
+    """ES `percentiles_bucket` pipeline agg → ONE summary row (n_buckets,
+    p25, p50, p75): exact interpolated percentiles OVER the sibling
+    date-histogram's daily-count series — the stats_bucket family member
+    ES computes with TDigest, pinned here to the exact sort-based
+    interpolation (the boxplot/MAD exactness upgrade applied to the
+    bucket series). The series is bounded by the time span, so the exact
+    percentile buffer is trivially small — the coordinator-side fold
+    shape."""
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    qs = list(PCT_BUCKET_QS)
+    agg = daily.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.percentile("n", F.array(*[F.lit(q) for q in qs])).alias("ps"),
+    )
+    return agg.select(
+        "n_buckets",
+        *[
+            F.round(F.element_at("ps", i + 1), 4).alias(
+                f"p{int(q * 100)}"
+            )
+            for i, q in enumerate(qs)
+        ],
+    )

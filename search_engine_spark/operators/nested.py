@@ -126,3 +126,47 @@ def flat_vs_nested(
         )
         .orderBy("doc_id")
     )
+
+
+def reverse_nested_agg(
+    docs: DataFrame,
+    terms: list[str],
+    chunk_size: int = NESTED_CHUNK_SIZE,
+) -> DataFrame:
+    """ES `reverse_nested` aggregation → (site_key, n_parents,
+    n_chunks): inside a nested agg over the matching CHUNKS, step back
+    to the PARENT document level and bucket by a parent field — "how
+    many documents (not sections) per site contain a section matching
+    the query". Without reverse_nested a terms agg under a nested agg
+    counts chunks, overweighting long documents; this is the ES
+    mapping's escape hatch back to parent scope, and the two counts are
+    emitted side by side to pin exactly that distinction.
+
+    Plan: the nested_match chunk relation (conjunctive inside ONE
+    chunk), then one groupBy(site) with count(distinct doc_id) for the
+    parent step-back and count(*) for the chunk scope — the same
+    one-extra-aggregation-level cost as the nested query itself."""
+    from search_engine_spark.sources.documents import site_key_col
+
+    q = sorted(set(terms))
+    chunks = chunk_documents(docs, chunk_size=chunk_size, overlap=0)
+    toks = explode_terms(
+        chunks.select(
+            "doc_id", "chunk_id", F.col("chunk_text").alias("text")
+        ),
+        keep=["doc_id", "chunk_id"],
+    )
+    matched = (
+        toks.filter(F.col("term").isin(q))
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .filter(F.col("_nt") == len(q))
+    )
+    return (
+        matched.withColumn("site_key", site_key_col())
+        .groupBy("site_key")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_parents"),
+            F.count("*").cast("long").alias("n_chunks"),
+        )
+    )

@@ -546,3 +546,53 @@ def test_search_collapsed_inner_semantics(spark):
     assert ("a", 4) not in rows
     assert rows[("b", 1)] == (5, 5)
     assert rows[("b", 2)] == (5, 6)
+
+
+# -------------------------------- percentiles_bucket / reverse_nested
+
+
+def test_percentiles_bucket_hand_example(spark):
+    import datetime
+
+    from search_engine_spark.operators.events import percentiles_bucket
+
+    rows, eid = [], 0
+    for day, cnt in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        for _ in range(cnt):
+            rows.append(
+                (eid, datetime.datetime(2025, 4, day), 1, "view", 1.0)
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    r = percentiles_bucket(events).collect()[0]
+    # series [1,2,3,4]: p25 = 1.75, p50 = 2.5, p75 = 3.25
+    assert (r["n_buckets"], r["p25"], r["p50"], r["p75"]) == (
+        4, 1.75, 2.5, 3.25,
+    )
+
+
+def test_reverse_nested_parent_vs_chunk_scope(spark):
+    from search_engine_spark.operators.nested import reverse_nested_agg
+
+    # doc 0 (site-a): TWO chunks each containing both terms -> 1 parent,
+    # 2 chunks; doc 3 (site-a): terms split across chunks -> no match;
+    # doc 1 (site-b): one matching chunk
+    filler = " ".join(["pad"] * 32)  # > chunk_size gap splits the terms
+    rows = [
+        (0, f"data fast {filler} data fast", "en"),
+        (3, f"data {filler} fast", "en"),
+        (1, "fast data", "en"),
+        (2, "nothing here", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = {
+        r["site_key"]: (r["n_parents"], r["n_chunks"])
+        for r in reverse_nested_agg(docs, ["data", "fast"]).collect()
+    }
+    assert got == {"site-a": (1, 2), "site-b": (1, 1)}
