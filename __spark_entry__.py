@@ -3040,9 +3040,12 @@ def _q_search_collapsed_inner(spark, sf_dir):
     docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
         spark, sf_dir
     )
-    hits = se.search_bm25(
-        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON,
-        limit=1_000_000,
+    # bm25_scored = the UNPAGINATED scored set — no TakeOrdered heap or
+    # global sort that the collapse window would immediately re-shuffle
+    # (r05 review; the oracle's LIMIT 1e6 twin is value-identical since
+    # the scored set is corpus-bounded)
+    hits = se.bm25_scored(
+        postings, term_dict, doc_stats, n_docs, avgdl, Q_BM25_COMMON
     )
     return se.search_collapsed_inner(
         hits.withColumn("site_key", site_key_col())

@@ -4260,32 +4260,30 @@ FROM daily
 
 
 def ip_range_sql(table: str = "events") -> str:
-    """ES ip_range — mirrors events.py::ip_range_agg (same h60-derived
-    address, same half-open [from, to) bounds and '*' open-end labels)."""
+    """ES ip_range — mirrors events.py::ip_range_agg. The bounds/label
+    assembly is imported from the operator (single source of truth);
+    the hash-derived address computes ONCE in a CTE (the ip_prefix_sql
+    precedent), not per CASE arm."""
     from ..operators import events as ev
 
     ip_str = f"'{ev.IP_SALT}' || user_id::VARCHAR"
     ip = f"({h60_sql(ip_str)} % 4294967296)"
-    edges = [int(e) for e in ev.IP_RANGE_EDGES]
-    bounds = [(None, edges[0])]
-    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-    bounds += [(edges[-1], None)]
     cases = []
-    for lo, hi in bounds:
-        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+    for lo, hi, key in ev.ip_range_bounds():
         conds = []
         if lo is not None:
-            conds.append(f"{ip} >= {lo}")
+            conds.append(f"ip >= {lo}")
         if hi is not None:
-            conds.append(f"{ip} < {hi}")
+            conds.append(f"ip < {hi}")
         pred = " AND ".join(conds) if conds else "TRUE"
         cases.append(f"WHEN {pred} THEN '{key}'")
     case = "CASE " + " ".join(cases) + " END"
     return f"""
+WITH i AS (SELECT {ip} AS ip, user_id FROM {table})
 SELECT {case} AS range,
        count(*)::BIGINT AS n_events,
        count(DISTINCT user_id)::BIGINT AS n_users
-FROM {table} GROUP BY 1
+FROM i GROUP BY 1
 """
 
 

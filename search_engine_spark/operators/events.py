@@ -785,6 +785,20 @@ def moving_percentiles(
 IP_RANGE_EDGES = (1 << 30, 1 << 31, 3 << 30)
 
 
+def ip_range_bounds() -> list[tuple[int | None, int | None, str]]:
+    """(lo, hi, label) per range — the ONE bounds/label assembly, shared
+    by the Spark CASE and the oracle SQL (r05 review: the label format
+    cannot drift between engines)."""
+    edges = [int(e) for e in IP_RANGE_EDGES]
+    bounds = [(None, edges[0])]
+    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+    bounds += [(edges[-1], None)]
+    return [
+        (lo, hi, f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
+        for lo, hi in bounds
+    ]
+
+
 def ip_range_agg(events: DataFrame) -> DataFrame:
     """ES `ip_range` aggregation → (range, n_events, n_users): events
     bucketed into explicit half-open [from, to) ranges of the client
@@ -797,13 +811,8 @@ def ip_range_agg(events: DataFrame) -> DataFrame:
     address; one groupBy bounded by len(edges)+1 buckets, count_distinct
     via the two-phase rewrite."""
     ip = client_ip_col(F.col("user_id"))
-    edges = [int(e) for e in IP_RANGE_EDGES]
-    bounds = [(None, edges[0])]
-    bounds += [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
-    bounds += [(edges[-1], None)]
     label = None
-    for lo, hi in bounds:
-        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+    for lo, hi, key in ip_range_bounds():
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (ip >= lo)

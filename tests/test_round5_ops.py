@@ -476,26 +476,32 @@ def test_moving_percentiles_hand_example(spark):
 
 
 def test_ip_range_partitions_events(spark):
-    from search_engine_spark.operators.events import (
-        IP_RANGE_EDGES,
-        ip_range_agg,
-    )
+    from search_engine_spark.operators.events import ip_range_agg
+
+    from collections import defaultdict
+
+    from search_engine_spark.operators.events import ip_range_bounds
 
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    out = ip_range_agg(events).collect()
-    assert sum(r["n_events"] for r in out) == events.count()
-    labels = {r["range"] for r in out}
-    e = list(IP_RANGE_EDGES)
-    want_labels = {f"*-{e[0]}", f"{e[0]}-{e[1]}", f"{e[1]}-{e[2]}", f"{e[2]}-*"}
-    assert labels <= want_labels
-    # hand-check one user's bucket
-    ip = h60_py(f"{IP_SALT}42") % 2**32
-    lab = next(
-        l for l in want_labels
-        if (l.split("-")[0] == "*" or ip >= int(l.split("-")[0]))
-        and (l.split("-")[1] == "*" or ip < int(l.split("-")[1]))
-    )
-    assert lab in want_labels
+    out = {
+        r["range"]: (r["n_events"], r["n_users"])
+        for r in ip_range_agg(events).collect()
+    }
+    # full Python mirror of the aggregation (r05 review: the previous
+    # hand-check never consulted the operator's output)
+    ev_counts = defaultdict(int)
+    users = defaultdict(set)
+    for r in events.select("user_id").collect():
+        ip = h60_py(f"{IP_SALT}{r['user_id']}") % 2**32
+        lab = next(
+            key for lo, hi, key in ip_range_bounds()
+            if (lo is None or ip >= lo) and (hi is None or ip < hi)
+        )
+        ev_counts[lab] += 1
+        users[lab].add(r["user_id"])
+    want = {lab: (ev_counts[lab], len(users[lab])) for lab in ev_counts}
+    assert out == want
+    assert sum(n for n, _ in out.values()) == events.count()
 
 
 def test_geo_line_ordering(spark):
