@@ -707,11 +707,23 @@ class SearchEngine:
         from .operators.blocks import decode_blocks
 
         terms = se.analyze_query(query)
+        impacts = self._cached_impacts()
+        champs = self._cached_champions(budget_per_bucket)
+        fn = imp.search_two_tier if op != "or" else imp.search_two_tier_or
+        return fn(impacts, champs, terms, k=k, n_buckets=self.n_buckets)
+
+    CHAMPION_CACHE_MAX = 4
+
+    def _cached_impacts(self) -> DataFrame:
+        """The corpus-scale quantized-impact relation, session-cached.
+        Budget-INDEPENDENT (one relation serves every champion budget —
+        r04 review finding), decoded from the cached blocks so no corpus
+        re-scan; exempt from the LRU cap below."""
+        from .operators import impact as imp
+        from .operators.blocks import decode_blocks
+
         if not hasattr(self, "_impact_cache"):
             self._impact_cache: dict = {}
-        # impacts are budget-INDEPENDENT (one corpus-scale relation):
-        # cache them once under their own key; only the vocabulary-bound
-        # champion table varies per budget (r04 review finding)
         if "impacts" not in self._impact_cache:
             self._impact_cache["impacts"] = imp.quantized_impacts(
                 decode_blocks(self.blocks).select("term", "doc_id", "tf"),
@@ -720,6 +732,20 @@ class SearchEngine:
                 self.n_docs,
                 self.avgdl,
             ).persist()
+        return self._impact_cache["impacts"]
+
+    def _cached_champions(self, budget_per_bucket: int) -> DataFrame:
+        """The vocabulary-bound champion table for one budget, session-
+        cached under an LRU cap (r04 ADVICE): a session sweeping budgets
+        would otherwise accumulate pinned frames without bound — the
+        leak class evict_ctx was added to close in the driver context
+        cache. Built in one pass over the cached blocks
+        (champion_lists_fused), sharing the engine's doc_bucket
+        sharding."""
+        from .operators import impact as imp
+
+        if not hasattr(self, "_impact_cache"):
+            self._impact_cache = {}
         key = ("champs", int(budget_per_bucket))
         if key not in self._impact_cache:
             self._impact_cache[key] = imp.champion_lists_fused(
@@ -731,11 +757,6 @@ class SearchEngine:
                 n_buckets=self.n_buckets,
                 store_n_buckets=self.n_buckets,
             ).persist()
-        # LRU cap on the budget-keyed champion tables (r04 ADVICE): a
-        # session sweeping budgets would otherwise accumulate pinned
-        # frames without bound — the leak class evict_ctx was added to
-        # close in the driver context cache. `impacts` is exempt (one
-        # budget-independent relation).
         order = self._impact_cache.setdefault("_lru", [])
         if key in order:
             order.remove(key)
@@ -743,12 +764,64 @@ class SearchEngine:
         while len(order) > self.CHAMPION_CACHE_MAX:
             old = order.pop(0)
             self._impact_cache.pop(old).unpersist()
-        impacts = self._impact_cache["impacts"]
-        champs = self._impact_cache[key]
-        fn = imp.search_two_tier if op != "or" else imp.search_two_tier_or
-        return fn(impacts, champs, terms, k=k, n_buckets=self.n_buckets)
+        return self._impact_cache[key]
 
-    CHAMPION_CACHE_MAX = 4
+    def search_batch(
+        self,
+        queries: dict[str, str],
+        k: int = 20,
+        serving: str = "champions",
+        budget_per_bucket: int = 128,
+    ) -> DataFrame:
+        """Serve a whole query WORKLOAD in one pass (r04-verdict #8, the
+        dashboard facade over the batch operators). ``queries`` maps
+        query_id → raw query string; each is analyzed by the same
+        pipeline as `search` (tokenize → stop-POS filter → lemmatize).
+
+        serving="champions" (default): one scan of the session-cached
+        vocabulary-bound champion table for ALL queries
+        (operators/impact.py::search_champions_batch) — returns
+        (query_id, doc_id, score_q, error_ub) with the bounded-error
+        semantics of `search_champions`, top-k per query via a
+        query-keyed WindowGroupLimit (never a global sort).
+
+        serving="exact": one pass over the decoded postings scoring
+        every query's union term set together
+        (operators/search.py::search_bm25_batch) — returns (query_id,
+        doc_id, score), exact conjunctive BM25, value-identical per
+        query to `search_bm25` (pinned by test).
+
+        Queries whose analyzed term set is empty (stopword-only) are
+        dropped before the plan is built, matching the per-query
+        facade's empty-result contract."""
+        self._require_built()
+        from .operators import impact as imp
+        from .operators.blocks import decode_blocks
+
+        analyzed = {
+            qid: terms
+            for qid, terms in (
+                (qid, se.analyze_query(q)) for qid, q in queries.items()
+            )
+            if terms
+        }
+        if serving == "champions":
+            champs = self._cached_champions(budget_per_bucket)
+            return imp.search_champions_batch(
+                self.spark, champs, analyzed, k=k
+            )
+        if serving == "exact":
+            return se.search_bm25_batch(
+                self.spark,
+                decode_blocks(self.blocks).select("term", "doc_id", "tf"),
+                self.term_dict,
+                self.doc_stats.select("doc_id", "dl"),
+                self.n_docs,
+                self.avgdl,
+                analyzed,
+                limit=k,
+            )
+        raise ValueError(f"unknown serving tier: {serving!r}")
 
     def evict_impact_cache(self) -> None:
         """Unpersist and drop every frame `search_two_tier` session-

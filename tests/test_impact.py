@@ -1096,3 +1096,75 @@ def test_two_tier_randomized_equivalence(spark):
         assert got_or == want_or, (trial, q)
         ch.unpersist()
         imp.unpersist()
+
+
+def test_engine_search_batch_facade(spark):
+    """engine.search_batch == the per-query operator results on both
+    serving tiers (r04-verdict #8: the dashboard facade).
+
+    champions: each query's slice of the batch result equals
+    search_champions over the SAME session-cached champion table
+    (identical (doc_id, score_q, error_ub) triples in rank order).
+    exact: each slice equals search_bm25 over the engine's decoded
+    postings. Stopword-only queries are dropped from the workload, and
+    an all-stopword workload returns an empty frame with the batch
+    schema."""
+    from search_engine_spark.engine import SearchEngine
+    from search_engine_spark.operators.impact import search_champions
+    from search_engine_spark.operators.search import analyze_query, search_bm25
+
+    eng = SearchEngine(spark, sf_dir=SF_TEST, n_buckets=8).build()
+    workload = {
+        "q_common": "data",
+        "q_and2": "data fast",
+        "q_and3": "data fast join",
+        "q_stop": "the and of",  # analyzer-empty → dropped
+    }
+    # --- champions tier ---
+    got = eng.search_batch(workload, k=10, budget_per_bucket=4)
+    by_q: dict = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_q"], r["error_ub"])
+        )
+    assert "q_stop" not in by_q
+    champs = eng._cached_champions(4)
+    for qid, q in workload.items():
+        terms = analyze_query(q)
+        if not terms:
+            continue
+        want = [
+            (r["doc_id"], r["score_q"], r["error_ub"])
+            for r in search_champions(champs, terms, k=10).collect()
+        ]
+        assert by_q.get(qid, []) == want and len(want) > 0, qid
+    # --- exact tier ---
+    got_x = eng.search_batch(workload, k=10, serving="exact")
+    by_qx: dict = {}
+    for r in got_x.collect():
+        by_qx.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = (
+        entrymod._bm25_ctx(spark, SF_TEST)
+    )
+    for qid, q in workload.items():
+        terms = analyze_query(q)
+        if not terms:
+            continue
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search_bm25(
+                postings, term_dict, doc_stats, n_docs, avgdl, terms,
+                limit=10,
+            ).collect()
+        ]
+        assert by_qx.get(qid, []) == want and len(want) > 0, qid
+    assert "q_stop" not in by_qx
+    # --- degenerate workloads ---
+    empty = eng.search_batch({"s": "the of"}, k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "score_q", "error_ub"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.search_batch(workload, serving="wand")
+    eng.evict_impact_cache()
