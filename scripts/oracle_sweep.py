@@ -16,6 +16,11 @@ symlinked sf0.001 side tables) into a temp dir and sweeps against it.
 driver samples its per-round CORRECTNESS queries (seeded shuffle of the
 sorted names) — a fresh-seed attestation for queries the driver has not
 hashed yet, without the full-sweep wall time.
+--prefer-unhashed (with --sample) biases the pick toward names that NO
+recorded hash run has covered yet: it reads every CORRECTNESS_r*.json
+and BENCH/SAMPLE_SWEEP_r*.json, fills the sample from never-hashed
+names first (seeded shuffle within the tier), then tops up from the
+already-hashed pool — the r04-verdict #6 rotation ask.
 """
 import datetime
 import decimal
@@ -63,6 +68,9 @@ def main():
         i = args.index("--seed")
         seed = int(args[i + 1])
         del args[i : i + 2]
+    prefer_unhashed = "--prefer-unhashed" in args
+    if prefer_unhashed:
+        args.remove("--prefer-unhashed")
     adversarial = "--adversarial" in args
     if adversarial:
         args.remove("--adversarial")
@@ -98,8 +106,52 @@ def main():
         import random
 
         names = sorted(queries)
-        random.Random(seed).shuffle(names)
-        picked = set(names[:sample_n])
+        rng = random.Random(seed)
+        if prefer_unhashed:
+            import glob
+            import os
+
+            import re
+
+            hashed: set = set()
+            for path in sorted(
+                glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            ):
+                try:
+                    with open(path) as fh:
+                        rec = json.load(fh)
+                except (OSError, ValueError):
+                    continue
+                if isinstance(rec, dict):
+                    hashed.update(rec.keys())
+            # attestation files are sweep LOGS ("<name> ok" lines + a
+            # trailing {"bad": …} summary), not JSON result maps
+            line_re = re.compile(r"^([a-z0-9_]+) (ok|rows_only|MISMATCH)")
+            for path in sorted(
+                glob.glob(os.path.join(REPO, "BENCH", "SAMPLE_SWEEP_r*.json"))
+            ):
+                try:
+                    with open(path) as fh:
+                        for line in fh:
+                            mm = line_re.match(line.strip())
+                            if mm:
+                                hashed.add(mm.group(1))
+                except OSError:
+                    continue
+            fresh = [n for n in names if n not in hashed]
+            rest = [n for n in names if n in hashed]
+            rng.shuffle(fresh)
+            rng.shuffle(rest)
+            ordered = fresh + rest
+            print(
+                f"prefer-unhashed: {len(fresh)} never-hashed of "
+                f"{len(names)} total",
+                flush=True,
+            )
+        else:
+            ordered = names[:]
+            rng.shuffle(ordered)
+        picked = set(ordered[:sample_n])
         queries = {k: v for k, v in queries.items() if k in picked}
         print(f"sampled {len(queries)}/{len(names)} (seed={seed})",
               flush=True)

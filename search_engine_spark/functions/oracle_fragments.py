@@ -2269,39 +2269,69 @@ LIMIT {int(k)}
 """
 
 
+def _champion_kept_ctes(terms_in: str, budget: int, n_buckets: int) -> str:
+    """The shared champion-pruning CTE chain (ranked → bound → sized →
+    kept) — mirrors operators/impact.py::champion_lists' LEVEL-ALIGNED
+    cut (r04-verdict #2): per (doc_bucket, term) run, v = the budget-th
+    impact of an overflowing run; when the boundary level's full extent
+    (n_ge rows with impact ≥ v) fits within LEVEL_CAP_FACTOR·budget the
+    whole level is kept and cutoff = max(1, v−1) (0 if that exhausts the
+    run); a fatter level keeps the top-budget prefix with cutoff
+    max(1, v); a run that fits the budget is complete (cutoff 0)."""
+    from ..operators import impact as imp
+
+    cap = int(imp.LEVEL_CAP_FACTOR * budget)
+    return f"""ranked AS (
+  SELECT (doc_id % {int(n_buckets)}) AS doc_bucket, term, doc_id, impact,
+         row_number() OVER (PARTITION BY doc_id % {int(n_buckets)}, term
+                            ORDER BY impact DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id % {int(n_buckets)}, term) AS n_run
+  FROM impacts
+  WHERE term IN {terms_in}
+),
+bound AS (
+  SELECT doc_bucket, term, max(impact) AS v
+  FROM ranked WHERE rn = {int(budget)} AND n_run > {int(budget)}
+  GROUP BY doc_bucket, term
+),
+sized AS (
+  SELECT r.*, b3.v,
+         sum(CASE WHEN b3.v IS NOT NULL AND r.impact >= b3.v
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY r.doc_bucket, r.term) AS n_ge
+  FROM ranked r LEFT JOIN bound b3 USING (doc_bucket, term)
+),
+kept AS (
+  SELECT doc_bucket, term, doc_id, impact,
+         (CASE
+            WHEN v IS NULL THEN 0
+            WHEN n_ge <= {cap} AND n_ge = n_run THEN 0
+            WHEN n_ge <= {cap} THEN greatest(1, v - 1)
+            ELSE greatest(1, v)
+          END)::INT AS cutoff
+  FROM sized
+  WHERE v IS NULL
+     OR (n_ge <= {cap} AND impact >= v)
+     OR (n_ge > {cap} AND rn <= {int(budget)})
+)"""
+
+
 def search_champions_sql(query_terms: list[str], k: int = 20,
                          budget: int = 8, n_buckets: int = 16,
                          k1: float = 1.2, b: float = 0.75,
                          table: str = "documents") -> str:
     """Bounded-error top-k over persisted champion lists — mirrors
     operators/impact.py::champion_lists + search_champions (Anh-Moffat
-    pruned index): per (doc_bucket, term) keep the `budget` highest
-    impacts (desc, doc_id asc), carry the tail cutoff, and report
-    error_ub = Σ_q cutoffs − Σ_seen cutoffs per doc. Filtering to the
-    query terms before the window is equivalent to probing the
+    pruned index): per (doc_bucket, term) keep the level-aligned
+    champion prefix (_champion_kept_ctes), carry the tail cutoff, and
+    report error_ub = Σ_q cutoffs − Σ_seen cutoffs per doc. Filtering
+    to the query terms before the window is equivalent to probing the
     persisted table (runs are per-term independent)."""
     uniq = sorted(set(query_terms))
     return f"""
 WITH {terms_cte(table)},
 {_impact_ctes(k1, b, table)},
-ranked AS (
-  SELECT (doc_id % {n_buckets}) AS doc_bucket, term, doc_id, impact,
-         row_number() OVER (PARTITION BY doc_id % {n_buckets}, term
-                            ORDER BY impact DESC, doc_id ASC) AS rn,
-         count(*) OVER (PARTITION BY doc_id % {n_buckets}, term) AS n_run
-  FROM impacts
-  WHERE term IN {_terms_in(uniq)}
-),
-cuts AS (
-  SELECT doc_bucket, term, greatest(1, impact) AS cutoff FROM ranked
-  WHERE rn = {int(budget)} AND n_run > {int(budget)}
-),
-kept AS (
-  SELECT r.doc_bucket, r.term, r.doc_id, r.impact,
-         coalesce(c.cutoff, 0) AS cutoff
-  FROM ranked r LEFT JOIN cuts c USING (doc_bucket, term)
-  WHERE r.rn <= {int(budget)}
-),
+{_champion_kept_ctes(_terms_in(uniq), budget, n_buckets)},
 btot AS (
   SELECT doc_bucket, sum(cutoff) AS tot
   FROM (SELECT DISTINCT doc_bucket, term, cutoff FROM kept)
@@ -2338,24 +2368,7 @@ def search_champions_batch_sql(queries: dict[str, list[str]], k: int = 20,
 WITH {terms_cte(table)},
 {_impact_ctes(k1, b, table)},
 qt(query_id, qterm) AS (VALUES {qt_values}),
-ranked AS (
-  SELECT (doc_id % {n_buckets}) AS doc_bucket, term, doc_id, impact,
-         row_number() OVER (PARTITION BY doc_id % {n_buckets}, term
-                            ORDER BY impact DESC, doc_id ASC) AS rn,
-         count(*) OVER (PARTITION BY doc_id % {n_buckets}, term) AS n_run
-  FROM impacts
-  WHERE term IN {_terms_in(union_terms)}
-),
-cuts AS (
-  SELECT doc_bucket, term, greatest(1, impact) AS cutoff FROM ranked
-  WHERE rn = {int(budget)} AND n_run > {int(budget)}
-),
-kept AS (
-  SELECT r.doc_bucket, r.term, r.doc_id, r.impact,
-         coalesce(c.cutoff, 0) AS cutoff
-  FROM ranked r LEFT JOIN cuts c USING (doc_bucket, term)
-  WHERE r.rn <= {int(budget)}
-),
+{_champion_kept_ctes(_terms_in(union_terms), budget, n_buckets)},
 cand AS (
   SELECT q.query_id, kp.doc_bucket, kp.term, kp.doc_id, kp.impact,
          kp.cutoff
@@ -2393,24 +2406,7 @@ def search_champions_and_sql(query_terms: list[str], k: int = 20,
     return f"""
 WITH {terms_cte(table)},
 {_impact_ctes(k1, b, table)},
-ranked AS (
-  SELECT (doc_id % {n_buckets}) AS doc_bucket, term, doc_id, impact,
-         row_number() OVER (PARTITION BY doc_id % {n_buckets}, term
-                            ORDER BY impact DESC, doc_id ASC) AS rn,
-         count(*) OVER (PARTITION BY doc_id % {n_buckets}, term) AS n_run
-  FROM impacts
-  WHERE term IN {_terms_in(uniq)}
-),
-cuts AS (
-  SELECT doc_bucket, term, greatest(1, impact) AS cutoff FROM ranked
-  WHERE rn = {int(budget)} AND n_run > {int(budget)}
-),
-kept AS (
-  SELECT r.doc_bucket, r.term, r.doc_id, r.impact,
-         coalesce(c.cutoff, 0) AS cutoff
-  FROM ranked r LEFT JOIN cuts c USING (doc_bucket, term)
-  WHERE r.rn <= {int(budget)}
-),
+{_champion_kept_ctes(_terms_in(uniq), budget, n_buckets)},
 census AS (
   SELECT doc_bucket, count(*) AS n_runs,
          sum(CASE WHEN cutoff = 0 THEN 1 ELSE 0 END) AS n_complete,

@@ -154,11 +154,14 @@ def search_impact_anytime(
     The budget cut is per (doc_bucket, term) — the SAME bounded window
     key the block builder and the static pruner use, never a
     term-partitioned window (a head term's full posting list through one
-    partition is the round-1 scale-killer shape). A (bucket, term) run
-    whose postings all fit the budget contributes cutoff 0; otherwise
-    its cutoff is the smallest impact it DID evaluate, and a doc missing
-    term t in the prefix can gain at most cutoff(bucket(doc), t) from
-    the tail:
+    partition is the round-1 scale-killer shape), and it is
+    LEVEL-ALIGNED exactly like champion_lists (pinned equal by test):
+    a run whose postings all fit the budget contributes cutoff 0;
+    an overflowing run whose boundary quantization level fits within
+    LEVEL_CAP_FACTOR·budget rows keeps the whole level with cutoff
+    max(1, v−1); a fatter level keeps the top-budget prefix with
+    cutoff max(1, v). Either way a doc missing term t in the evaluated
+    prefix can gain at most cutoff(bucket(doc), t) from the tail:
 
         true_score(d) ∈ [score_q(d), score_q(d) + error_ub(d)]
 
@@ -183,23 +186,61 @@ def search_impact_anytime(
     w = Window.partitionBy("doc_bucket", "term").orderBy(
         F.col("impact").desc(), F.col("doc_id").asc()
     )
-    ranked = pq.select(
-        "doc_bucket", "term", "doc_id", "impact",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(
-            Window.partitionBy("doc_bucket", "term")
-        ).alias("n_run"),
-    ).persist()
-    kept = ranked.filter(F.col("rn") <= budget_per_bucket)
+    w_run = Window.partitionBy("doc_bucket", "term")
+    cap_rows = int(LEVEL_CAP_FACTOR * budget_per_bucket)
+    ranked = (
+        pq.select(
+            "doc_bucket", "term", "doc_id", "impact",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(w_run).alias("n_run"),
+        )
+        # level-aligned cut — the SAME rule as champion_lists (pinned
+        # equal by test): v = budget-th impact of an overflowing run,
+        # n_ge = full extent of the boundary level
+        .withColumn(
+            "v",
+            F.max(
+                F.when(
+                    (F.col("rn") == budget_per_bucket)
+                    & (F.col("n_run") > budget_per_bucket),
+                    F.col("impact"),
+                )
+            ).over(w_run),
+        )
+        .withColumn(
+            "n_ge",
+            F.sum(
+                F.when(F.col("impact") >= F.col("v"), 1).otherwise(0)
+            ).over(w_run),
+        )
+        .persist()
+    )
+    kept = ranked.filter(
+        F.col("v").isNull()
+        | ((F.col("n_ge") <= cap_rows) & (F.col("impact") >= F.col("v")))
+        | ((F.col("n_ge") > cap_rows) & (F.col("rn") <= budget_per_bucket))
+    )
+    cut_expr = (
+        F.when(
+            (F.col("n_ge") <= cap_rows) & (F.col("n_ge") == F.col("n_run")),
+            F.lit(0),
+        )
+        .when(
+            F.col("n_ge") <= cap_rows, F.greatest(F.lit(1), F.col("v") - 1)
+        )
+        .otherwise(F.greatest(F.lit(1), F.col("v")))
+    )
     cut_rows = (
         ranked.filter(F.col("rn") == budget_per_bucket)
         .filter(F.col("n_run") > budget_per_bucket)
-        .select(
-            "doc_bucket", "term", F.col("impact").alias("cutoff")
-        )
+        .select("doc_bucket", "term", cut_expr.alias("cutoff"))
         .collect()
     )
-    cutoff = {(r["doc_bucket"], r["term"]): r["cutoff"] for r in cut_rows}
+    cutoff = {
+        (r["doc_bucket"], r["term"]): r["cutoff"]
+        for r in cut_rows
+        if r["cutoff"] > 0
+    }
     if not cutoff:
         # every (bucket, term) run fit the budget: the evaluation was
         # exhaustive and the bound collapses to zero
@@ -267,18 +308,45 @@ def search_impact_anytime(
 
 CHAMPION_BUDGET = 128  # postings kept per (doc_bucket, term) run
 
+# Level-aligned cut (r04-verdict #2): when the budget boundary lands
+# inside a quantization level whose full extent fits within
+# LEVEL_CAP_FACTOR × budget rows, the run keeps the WHOLE level and the
+# tail bound drops to level − 1. Rationale: the mid-level cut stores
+# cutoff = boundary level v, and on tie-heavy corpora the certain top-k
+# θ equals Σ v_t exactly, so every bucket's hidden-doc bound crosses θ
+# and the two-tier serve rescopes everything (measured 32/32,
+# BENCH/QUERIES.md). Completing the level makes every θ-tying doc a
+# tier-1 CANDIDATE (no longer hidden), so the hidden bound is Σ(v_t−1)
+# < θ and the bucket settles without rescope. Per-run growth is bounded
+# by the cap; a fatter boundary level falls back to the mid-level cut
+# (sound, just loose — the all-rescope fallback then serves exact).
+# The 1.2 default bounds champion-table growth at ≤1.2× the strict
+# top-budget table BY CONSTRUCTION (the r04-verdict #2 size bar): the
+# level completes only when its full extent fits in 0.2·budget extra
+# rows — the thin-boundary case where completion actually tightens the
+# bound. Measured A/B at 1.28M docs in BENCH/QUERIES.md; factor 0
+# exactly reproduces the pre-r05 mid-level cut (used by the A/B tests).
+LEVEL_CAP_FACTOR = 1.2
+
 
 def champion_lists(
     impacts: DataFrame,
     budget_per_bucket: int = CHAMPION_BUDGET,
     n_buckets: int = ANYTIME_BUCKETS,
+    level_cap_factor: float = LEVEL_CAP_FACTOR,
 ) -> DataFrame:
     """(doc_bucket, term, doc_id, impact, cutoff) — the PERSISTED pruned
     impact index: per (doc_bucket, term), only the `budget_per_bucket`
     highest-impact postings survive (impact desc, doc_id asc — the
     deterministic champion prefix), and every kept row carries the run's
-    tail CUTOFF: the smallest evaluated impact when the run overflowed
-    the budget, else 0. Anh & Moffat's pruned index (CIKM'06) /
+    tail CUTOFF: an upper bound on any pruned posting's impact when the
+    run overflowed the budget, else 0. The cut is LEVEL-ALIGNED
+    (r04-verdict #2, see LEVEL_CAP_FACTOR): when the boundary
+    quantization level's full extent fits within cap·budget rows the
+    run keeps the whole level and cutoff = max(1, v−1) — strictly below
+    every kept impact, so tie-heavy corpora stop hiding θ-tying docs
+    below the cut; a fatter level falls back to the mid-level cut with
+    cutoff = max(1, v). Anh & Moffat's pruned index (CIKM'06) /
     champion lists — `search_champions` serves bounded-error top-k from
     this table ALONE, with no full-index access and no driver-side
     state, which is what makes head-term queries latency-bound by the
@@ -311,27 +379,54 @@ def champion_lists(
         F.row_number().over(w).alias("rn"),
         F.count("*").over(w_run).alias("n_run"),
     )
+    # Level-aligned cut (see LEVEL_CAP_FACTOR): v = the budget-th
+    # impact of an overflowing run (null ⟺ the run fits the budget).
+    # n_ge = the run's rows with impact ≥ v (the full extent of the
+    # boundary level). Three chained selects share ONE (doc_bucket,
+    # term) exchange — each later window consumes the prior's column.
+    cap_rows = int(level_cap_factor * budget_per_bucket)
+    with_v = ranked.withColumn(
+        "v",
+        F.max(
+            F.when(
+                (F.col("rn") == budget_per_bucket)
+                & (F.col("n_run") > budget_per_bucket),
+                F.col("impact"),
+            )
+        ).over(w_run),
+    )
+    with_nge = with_v.withColumn(
+        "n_ge",
+        F.sum(
+            F.when(F.col("impact") >= F.col("v"), 1).otherwise(0)
+        ).over(w_run),
+    )
     # the FLOOR at 1 keeps `cutoff == 0 ⟺ run complete` an exact
-    # equivalence: a truncated run whose budget-th impact quantizes to 0
+    # equivalence: a truncated run whose tail bound quantizes to 0
     # would otherwise masquerade as complete, and the conjunctive
     # certainty algebra would wrongly ELIMINATE below-prefix docs that
     # do hold the term (with contribution 0) — r04 review finding. The
-    # inflated bound stays sound: hidden impacts ≤ boundary ≤ max(1, ·).
-    boundary = F.max(
-        F.when(
-            (F.col("rn") == budget_per_bucket)
-            & (F.col("n_run") > budget_per_bucket),
-            F.col("impact"),
+    # inflated bound stays sound: hidden impacts ≤ bound ≤ max(1, ·).
+    cutoff = (
+        F.when(F.col("v").isNull(), F.lit(0))
+        .when(
+            (F.col("n_ge") <= cap_rows) & (F.col("n_ge") == F.col("n_run")),
+            F.lit(0),
         )
-    ).over(w_run)
+        .when(
+            F.col("n_ge") <= cap_rows,
+            F.greatest(F.lit(1), F.col("v") - 1),
+        )
+        .otherwise(F.greatest(F.lit(1), F.col("v")))
+    )
+    keep = (
+        F.col("v").isNull()
+        | ((F.col("n_ge") <= cap_rows) & (F.col("impact") >= F.col("v")))
+        | ((F.col("n_ge") > cap_rows) & (F.col("rn") <= budget_per_bucket))
+    )
     return (
-        ranked.withColumn(
-            "cutoff",
-            F.when(boundary.isNull(), F.lit(0))
-            .otherwise(F.greatest(F.lit(1), boundary))
-            .cast("int"),
-        )
-        .filter(F.col("rn") <= budget_per_bucket)
+        with_nge.withColumn("cutoff", cutoff.cast("int"))
+        .filter(keep)
         .select("doc_bucket", "term", "doc_id", "impact", "cutoff")
     )
 
@@ -803,6 +898,7 @@ def champion_lists_fused(
     store_n_buckets: int | None = None,
     k1: float = K1_DEFAULT,
     b: float = B_DEFAULT,
+    level_cap_factor: float = LEVEL_CAP_FACTOR,
 ) -> DataFrame:
     """Champion build as ONE pass over the compressed block store — the
     r03-verdict #3 fold, final form: no posting explode, no corpus-scale
@@ -844,6 +940,7 @@ def champion_lists_fused(
     one_minus_b = 1.0 - b
     avg = float(avgdl)
     budget = int(budget_per_bucket)
+    cap_rows = int(level_cap_factor * budget)
     nb = int(n_buckets)
 
     out_schema = T.StructType(
@@ -882,10 +979,19 @@ def champion_lists_fused(
             cids, cimp = ids[m], imp[m]
             order = np.lexsort((cids, -cimp))
             if order.size > budget:
-                kept = order[:budget]
-                # floor 1: cutoff==0 must mean COMPLETE (see
-                # champion_lists) — a 0-impact boundary still truncates
-                cut = max(1, int(cimp[order[budget - 1]]))
+                # level-aligned cut — identical rule to champion_lists
+                # (see LEVEL_CAP_FACTOR): v = budget-th impact; keep the
+                # whole boundary level when its extent fits the cap
+                v = int(cimp[order[budget - 1]])
+                n_ge = int((cimp >= v).sum())
+                if n_ge <= cap_rows:
+                    kept = order[:n_ge]
+                    # floor 1: cutoff==0 must mean COMPLETE (see
+                    # champion_lists)
+                    cut = 0 if n_ge == order.size else max(1, v - 1)
+                else:
+                    kept = order[:budget]
+                    cut = max(1, v)
             else:
                 kept = order
                 cut = 0

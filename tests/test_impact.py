@@ -242,9 +242,10 @@ def test_champions_matches_anytime_semantics(spark):
 
 
 def test_champions_crafted_cutoff_rows(spark):
-    """Crafted single run, budget 1: the kept row is the highest impact,
-    its stored cutoff is its own impact (the run overflowed), and an
-    unmatched query term contributes nothing."""
+    """Crafted single run, budget 1, level-aligned cut: the kept row is
+    the highest impact; the boundary level {9} is thin (1 row ≤ cap 2)
+    so the stored cutoff is v−1 = 8 — strictly below every kept impact
+    — and an unmatched query term contributes nothing."""
     from search_engine_spark.operators.impact import (
         champion_lists,
         search_champions,
@@ -256,13 +257,70 @@ def test_champions_crafted_cutoff_rows(spark):
     )
     ch = champion_lists(imp, budget_per_bucket=1, n_buckets=16).collect()
     assert [(r["doc_bucket"], r["term"], r["doc_id"], r["impact"], r["cutoff"])
-            for r in ch] == [(0, "a", 0, 9, 9)]
+            for r in ch] == [(0, "a", 0, 9, 8)]
     rows = search_champions(
         champion_lists(imp, budget_per_bucket=1, n_buckets=16),
         ["a", "zz"],
     ).collect()
     assert [(r["doc_id"], r["score_q"], r["error_ub"]) for r in rows] == [
         (0, 9, 0)
+    ]
+
+
+def test_champions_level_aligned_cut_branches(spark):
+    """The three branches of the level-aligned cut (r04-verdict #2),
+    budget 1 / cap 2, each on its own crafted run:
+
+      * thin boundary level, tail below → keep the level, cutoff v−1;
+      * boundary level exhausts the run → COMPLETE (cutoff 0) even
+        though n_run > budget;
+      * fat boundary level (> cap rows) → mid-level fallback: top-budget
+        prefix kept, cutoff = v (the old sound-but-loose bound);
+      * v == 1 floors at 1 (cutoff 0 must still mean complete)."""
+    from search_engine_spark.operators.impact import champion_lists
+
+    imp = spark.createDataFrame(
+        [
+            # bucket 0: impacts [9, 9, 3] — level {9} has 2 rows ≤ cap,
+            # tail 3 exists → keep BOTH 9s (beyond budget 1), cutoff 8
+            ("a", 0, 9), ("a", 16, 9), ("a", 32, 3),
+            # bucket 1: impacts [5, 5] — level {5} exhausts the run →
+            # complete, cutoff 0, both rows kept
+            ("a", 1, 5), ("a", 17, 5),
+            # bucket 2: impacts [7, 7, 7, 2] — level {7} has 3 rows >
+            # cap 2 → mid-level fallback: keep top-1, cutoff 7
+            ("a", 2, 7), ("a", 18, 7), ("a", 34, 7), ("a", 50, 2),
+            # bucket 3: impacts [1, 1, 0] — level {1} thin (2 ≤ cap),
+            # tail 0 exists → cutoff max(1, 1-1) = 1 (floor keeps
+            # truncated ≠ complete)
+            ("a", 3, 1), ("a", 19, 1), ("a", 35, 0),
+        ],
+        "term string, doc_id long, impact int",
+    )
+    ch = sorted(
+        (r["doc_bucket"], r["doc_id"], r["impact"], r["cutoff"])
+        for r in champion_lists(
+            imp, budget_per_bucket=1, n_buckets=16, level_cap_factor=2.0
+        ).collect()
+    )
+    assert ch == [
+        (0, 0, 9, 8), (0, 16, 9, 8),
+        (1, 1, 5, 0), (1, 17, 5, 0),
+        (2, 2, 7, 7),
+        (3, 3, 1, 1), (3, 19, 1, 1),
+    ]
+    # factor 0 reproduces the pre-r05 strict top-budget mid-level cut
+    old = sorted(
+        (r["doc_bucket"], r["doc_id"], r["impact"], r["cutoff"])
+        for r in champion_lists(
+            imp, budget_per_bucket=1, n_buckets=16, level_cap_factor=0.0
+        ).collect()
+    )
+    assert old == [
+        (0, 0, 9, 9),
+        (1, 1, 5, 5),
+        (2, 2, 7, 7),
+        (3, 3, 1, 1),
     ]
 
 
@@ -1168,3 +1226,65 @@ def test_engine_search_batch_facade(spark):
     with _pytest.raises(ValueError):
         eng.search_batch(workload, serving="wand")
     eng.evict_impact_cache()
+
+
+def test_level_aligned_cut_settles_thin_level_corpus(spark):
+    """The r04-verdict #2 mechanism, isolated: on a corpus whose
+    quantization levels near the champion cut are THIN (distinct
+    impacts), the pre-r05 mid-level cut stores cutoff = boundary level
+    v, the k-th certain score ties Σ v_t, and EVERY bucket rescopes;
+    the level-aligned cut keeps the same rows but bounds the tail at
+    v−1, so every bucket settles WITHOUT rescope — same exact result,
+    no tier-2 scan. (On tie-heavy corpora the hidden tail genuinely
+    attains the bound and rescoping is REQUIRED for exactness — see
+    BENCH/QUERIES.md — so this pin is on the thin-level shape the cut
+    exists for.)"""
+    from search_engine_spark.operators.impact import (
+        champion_lists,
+        search_impact_and,
+        search_two_tier,
+    )
+
+    rows = []
+    for b in range(4):  # doc_id % 4 buckets, identical structure
+        for t in ("a", "b"):
+            for i, imp_v in enumerate((10, 9, 3, 2, 1)):
+                rows.append((t, b + 4 * i, imp_v))
+    imp = spark.createDataFrame(
+        rows, "term string, doc_id long, impact int"
+    )
+    q = ["a", "b"]
+    want = [
+        (r["doc_id"], r["score_q"])
+        for r in search_impact_and(imp, q, k=6).collect()
+    ]
+
+    # NEW rule (default cap): boundary level {9} is thin → cutoff 8,
+    # Σ cutoffs 16 < θ 18 → zero rescope, tier-1-only serve
+    ch_new = champion_lists(imp, budget_per_bucket=2, n_buckets=4)
+    d_new: dict = {}
+    got_new = [
+        (r["doc_id"], r["score_q"])
+        for r in search_two_tier(
+            imp, ch_new, q, k=6, n_buckets=4, diag=d_new
+        ).collect()
+    ]
+    assert got_new == want and len(want) == 6
+    assert d_new["rescope_buckets"] == [] and d_new["fallback"] is False
+    assert d_new["theta"] == 18
+
+    # OLD rule (cap 0 = strict top-budget): cutoff 9, Σ cutoffs 18 ≥ θ
+    # → every bucket rescopes and the serve takes the exact fallback
+    ch_old = champion_lists(
+        imp, budget_per_bucket=2, n_buckets=4, level_cap_factor=0.0
+    )
+    d_old: dict = {}
+    got_old = [
+        (r["doc_id"], r["score_q"])
+        for r in search_two_tier(
+            imp, ch_old, q, k=6, n_buckets=4, diag=d_old
+        ).collect()
+    ]
+    assert got_old == want
+    assert d_old["rescope_buckets"] == [0, 1, 2, 3]
+    assert d_old["fallback"] is True
