@@ -124,20 +124,30 @@ def main():
                     continue
                 if isinstance(rec, dict):
                     hashed.update(rec.keys())
-            # attestation files are sweep LOGS ("<name> ok" lines + a
-            # trailing {"bad": …} summary), not JSON result maps
+            # attestation files come in two shapes: a JSON summary with
+            # a "queries" name list (r04) or a sweep LOG ("<name> ok"
+            # lines + a trailing {"bad": …} summary) (r05+) — try JSON
+            # first, fall back to line-parsing
             line_re = re.compile(r"^([a-z0-9_]+) (ok|rows_only|MISMATCH)")
             for path in sorted(
                 glob.glob(os.path.join(REPO, "BENCH", "SAMPLE_SWEEP_r*.json"))
             ):
                 try:
                     with open(path) as fh:
-                        for line in fh:
-                            mm = line_re.match(line.strip())
-                            if mm:
-                                hashed.add(mm.group(1))
+                        text = fh.read()
                 except OSError:
                     continue
+                try:
+                    rec = json.loads(text)
+                    if isinstance(rec, dict):
+                        hashed.update(rec.get("queries", []))
+                        continue
+                except ValueError:
+                    pass
+                for line in text.splitlines():
+                    mm = line_re.match(line.strip())
+                    if mm:
+                        hashed.add(mm.group(1))
             fresh = [n for n in names if n not in hashed]
             rest = [n for n in names if n in hashed]
             rng.shuffle(fresh)

@@ -704,7 +704,6 @@ class SearchEngine:
         engine's doc_bucket sharding."""
         self._require_built()
         from .operators import impact as imp
-        from .operators.blocks import decode_blocks
 
         terms = se.analyze_query(query)
         impacts = self._cached_impacts()
@@ -798,6 +797,8 @@ class SearchEngine:
         from .operators import impact as imp
         from .operators.blocks import decode_blocks
 
+        if serving not in ("champions", "exact"):
+            raise ValueError(f"unknown serving tier: {serving!r}")
         analyzed = {
             qid: terms
             for qid, terms in (
@@ -805,23 +806,31 @@ class SearchEngine:
             )
             if terms
         }
+        if not analyzed:
+            # an all-stopword workload must not trigger a champion
+            # build / block decode just to return nothing (r05 review)
+            schema = (
+                "query_id string, doc_id long, score_q bigint, "
+                "error_ub bigint"
+                if serving == "champions"
+                else "query_id string, doc_id long, score double"
+            )
+            return self.spark.createDataFrame([], schema)
         if serving == "champions":
             champs = self._cached_champions(budget_per_bucket)
             return imp.search_champions_batch(
                 self.spark, champs, analyzed, k=k
             )
-        if serving == "exact":
-            return se.search_bm25_batch(
-                self.spark,
-                decode_blocks(self.blocks).select("term", "doc_id", "tf"),
-                self.term_dict,
-                self.doc_stats.select("doc_id", "dl"),
-                self.n_docs,
-                self.avgdl,
-                analyzed,
-                limit=k,
-            )
-        raise ValueError(f"unknown serving tier: {serving!r}")
+        return se.search_bm25_batch(
+            self.spark,
+            decode_blocks(self.blocks).select("term", "doc_id", "tf"),
+            self.term_dict,
+            self.doc_stats.select("doc_id", "dl"),
+            self.n_docs,
+            self.avgdl,
+            analyzed,
+            limit=k,
+        )
 
     def evict_impact_cache(self) -> None:
         """Unpersist and drop every frame `search_two_tier` session-

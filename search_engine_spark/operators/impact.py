@@ -136,6 +136,83 @@ def search_impact(
 
 ANYTIME_BUCKETS = 16
 
+# Level-aligned cut (r04-verdict #2): when the budget boundary lands
+# inside a quantization level whose full extent fits within
+# LEVEL_CAP_FACTOR × budget rows, the run keeps the WHOLE level and the
+# tail bound drops to level − 1. Rationale: the mid-level cut stores
+# cutoff = boundary level v, and on tie-heavy corpora the certain top-k
+# θ equals Σ v_t exactly, so every bucket's hidden-doc bound crosses θ
+# and the two-tier serve rescopes everything (measured 32/32,
+# BENCH/QUERIES.md). Completing the level makes every θ-tying doc a
+# tier-1 CANDIDATE (no longer hidden), so the hidden bound is Σ(v_t−1)
+# < θ and the bucket settles without rescope. Per-run growth is bounded
+# by the cap; a fatter boundary level falls back to the mid-level cut
+# (sound, just loose — the all-rescope fallback then serves exact).
+# The 1.2 default bounds champion-table growth at ≤1.2× the strict
+# top-budget table BY CONSTRUCTION (the r04-verdict #2 size bar): the
+# level completes only when its full extent fits in 0.2·budget extra
+# rows — the thin-boundary case where completion actually tightens the
+# bound. Measured A/B at 1.28M docs in BENCH/QUERIES.md; factor 0
+# exactly reproduces the pre-r05 mid-level cut (used by the A/B tests).
+LEVEL_CAP_FACTOR = 1.2
+
+
+def _level_cut(ranked: DataFrame, budget: int, cap_rows: int, w_run):
+    """Attach the level-aligned cut columns to a ranked run relation —
+    THE one statement of the rule, shared by `search_impact_anytime`
+    and `champion_lists` (pinned equal by test; the fused numpy twin
+    and the DuckDB `_champion_kept_ctes` mirror it and are pinned
+    bit-identical / value-equal).
+
+    `ranked` must carry (impact, rn, n_run) with rn ordered impact
+    desc / doc_id asc within `w_run`'s partitioning. Returns
+    (with_nge, keep_predicate, cutoff_expr): v = the budget-th impact
+    of an overflowing run (null ⟺ the run fits the budget); n_ge = the
+    run's rows with impact ≥ v (the boundary level's full extent);
+    keep/cutoff implement the three branches — complete (cutoff 0),
+    level-keep within the cap (cutoff max(1, v−1), 0 if that exhausts
+    the run), fat-level fallback (top-budget prefix, cutoff
+    max(1, v))."""
+    with_v = ranked.withColumn(
+        "v",
+        F.max(
+            F.when(
+                (F.col("rn") == budget) & (F.col("n_run") > budget),
+                F.col("impact"),
+            )
+        ).over(w_run),
+    )
+    with_nge = with_v.withColumn(
+        "n_ge",
+        F.sum(
+            F.when(F.col("impact") >= F.col("v"), 1).otherwise(0)
+        ).over(w_run),
+    )
+    keep = (
+        F.col("v").isNull()
+        | ((F.col("n_ge") <= cap_rows) & (F.col("impact") >= F.col("v")))
+        | ((F.col("n_ge") > cap_rows) & (F.col("rn") <= budget))
+    )
+    # the FLOOR at 1 keeps `cutoff == 0 ⟺ run complete` an exact
+    # equivalence: a truncated run whose tail bound quantizes to 0
+    # would otherwise masquerade as complete, and the conjunctive
+    # certainty algebra would wrongly ELIMINATE below-prefix docs that
+    # do hold the term (with contribution 0) — r04 review finding. The
+    # inflated bound stays sound: hidden impacts ≤ bound ≤ max(1, ·).
+    cutoff = (
+        F.when(F.col("v").isNull(), F.lit(0))
+        .when(
+            (F.col("n_ge") <= cap_rows) & (F.col("n_ge") == F.col("n_run")),
+            F.lit(0),
+        )
+        .when(
+            F.col("n_ge") <= cap_rows,
+            F.greatest(F.lit(1), F.col("v") - 1),
+        )
+        .otherwise(F.greatest(F.lit(1), F.col("v")))
+    )
+    return with_nge, keep, cutoff
+
 
 def search_impact_anytime(
     impacts: DataFrame,
@@ -143,6 +220,7 @@ def search_impact_anytime(
     k: int = 20,
     budget_per_bucket: int = 8,
     n_buckets: int = ANYTIME_BUCKETS,
+    level_cap_factor: float = LEVEL_CAP_FACTOR,
 ) -> DataFrame:
     """Anytime top-k over impact-ORDERED postings → (doc_id, score_q,
     error_ub): evaluate only the `budget_per_bucket` highest-impact
@@ -187,49 +265,17 @@ def search_impact_anytime(
         F.col("impact").desc(), F.col("doc_id").asc()
     )
     w_run = Window.partitionBy("doc_bucket", "term")
-    cap_rows = int(LEVEL_CAP_FACTOR * budget_per_bucket)
-    ranked = (
-        pq.select(
-            "doc_bucket", "term", "doc_id", "impact",
-            F.row_number().over(w).alias("rn"),
-            F.count("*").over(w_run).alias("n_run"),
-        )
-        # level-aligned cut — the SAME rule as champion_lists (pinned
-        # equal by test): v = budget-th impact of an overflowing run,
-        # n_ge = full extent of the boundary level
-        .withColumn(
-            "v",
-            F.max(
-                F.when(
-                    (F.col("rn") == budget_per_bucket)
-                    & (F.col("n_run") > budget_per_bucket),
-                    F.col("impact"),
-                )
-            ).over(w_run),
-        )
-        .withColumn(
-            "n_ge",
-            F.sum(
-                F.when(F.col("impact") >= F.col("v"), 1).otherwise(0)
-            ).over(w_run),
-        )
-        .persist()
+    cap_rows = int(level_cap_factor * budget_per_bucket)
+    base = pq.select(
+        "doc_bucket", "term", "doc_id", "impact",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_run).alias("n_run"),
     )
-    kept = ranked.filter(
-        F.col("v").isNull()
-        | ((F.col("n_ge") <= cap_rows) & (F.col("impact") >= F.col("v")))
-        | ((F.col("n_ge") > cap_rows) & (F.col("rn") <= budget_per_bucket))
+    with_nge, keep, cut_expr = _level_cut(
+        base, budget_per_bucket, cap_rows, w_run
     )
-    cut_expr = (
-        F.when(
-            (F.col("n_ge") <= cap_rows) & (F.col("n_ge") == F.col("n_run")),
-            F.lit(0),
-        )
-        .when(
-            F.col("n_ge") <= cap_rows, F.greatest(F.lit(1), F.col("v") - 1)
-        )
-        .otherwise(F.greatest(F.lit(1), F.col("v")))
-    )
+    ranked = with_nge.persist()
+    kept = ranked.filter(keep)
     cut_rows = (
         ranked.filter(F.col("rn") == budget_per_bucket)
         .filter(F.col("n_run") > budget_per_bucket)
@@ -308,26 +354,6 @@ def search_impact_anytime(
 
 CHAMPION_BUDGET = 128  # postings kept per (doc_bucket, term) run
 
-# Level-aligned cut (r04-verdict #2): when the budget boundary lands
-# inside a quantization level whose full extent fits within
-# LEVEL_CAP_FACTOR × budget rows, the run keeps the WHOLE level and the
-# tail bound drops to level − 1. Rationale: the mid-level cut stores
-# cutoff = boundary level v, and on tie-heavy corpora the certain top-k
-# θ equals Σ v_t exactly, so every bucket's hidden-doc bound crosses θ
-# and the two-tier serve rescopes everything (measured 32/32,
-# BENCH/QUERIES.md). Completing the level makes every θ-tying doc a
-# tier-1 CANDIDATE (no longer hidden), so the hidden bound is Σ(v_t−1)
-# < θ and the bucket settles without rescope. Per-run growth is bounded
-# by the cap; a fatter boundary level falls back to the mid-level cut
-# (sound, just loose — the all-rescope fallback then serves exact).
-# The 1.2 default bounds champion-table growth at ≤1.2× the strict
-# top-budget table BY CONSTRUCTION (the r04-verdict #2 size bar): the
-# level completes only when its full extent fits in 0.2·budget extra
-# rows — the thin-boundary case where completion actually tightens the
-# bound. Measured A/B at 1.28M docs in BENCH/QUERIES.md; factor 0
-# exactly reproduces the pre-r05 mid-level cut (used by the A/B tests).
-LEVEL_CAP_FACTOR = 1.2
-
 
 def champion_lists(
     impacts: DataFrame,
@@ -379,50 +405,12 @@ def champion_lists(
         F.row_number().over(w).alias("rn"),
         F.count("*").over(w_run).alias("n_run"),
     )
-    # Level-aligned cut (see LEVEL_CAP_FACTOR): v = the budget-th
-    # impact of an overflowing run (null ⟺ the run fits the budget).
-    # n_ge = the run's rows with impact ≥ v (the full extent of the
-    # boundary level). Three chained selects share ONE (doc_bucket,
-    # term) exchange — each later window consumes the prior's column.
+    # _level_cut states the rule ONCE for this window form and the
+    # anytime twin. The chained selects share ONE (doc_bucket, term)
+    # exchange — each later window consumes the prior's column.
     cap_rows = int(level_cap_factor * budget_per_bucket)
-    with_v = ranked.withColumn(
-        "v",
-        F.max(
-            F.when(
-                (F.col("rn") == budget_per_bucket)
-                & (F.col("n_run") > budget_per_bucket),
-                F.col("impact"),
-            )
-        ).over(w_run),
-    )
-    with_nge = with_v.withColumn(
-        "n_ge",
-        F.sum(
-            F.when(F.col("impact") >= F.col("v"), 1).otherwise(0)
-        ).over(w_run),
-    )
-    # the FLOOR at 1 keeps `cutoff == 0 ⟺ run complete` an exact
-    # equivalence: a truncated run whose tail bound quantizes to 0
-    # would otherwise masquerade as complete, and the conjunctive
-    # certainty algebra would wrongly ELIMINATE below-prefix docs that
-    # do hold the term (with contribution 0) — r04 review finding. The
-    # inflated bound stays sound: hidden impacts ≤ bound ≤ max(1, ·).
-    cutoff = (
-        F.when(F.col("v").isNull(), F.lit(0))
-        .when(
-            (F.col("n_ge") <= cap_rows) & (F.col("n_ge") == F.col("n_run")),
-            F.lit(0),
-        )
-        .when(
-            F.col("n_ge") <= cap_rows,
-            F.greatest(F.lit(1), F.col("v") - 1),
-        )
-        .otherwise(F.greatest(F.lit(1), F.col("v")))
-    )
-    keep = (
-        F.col("v").isNull()
-        | ((F.col("n_ge") <= cap_rows) & (F.col("impact") >= F.col("v")))
-        | ((F.col("n_ge") > cap_rows) & (F.col("rn") <= budget_per_bucket))
+    with_nge, keep, cutoff = _level_cut(
+        ranked, budget_per_bucket, cap_rows, w_run
     )
     return (
         with_nge.withColumn("cutoff", cutoff.cast("int"))
@@ -1319,6 +1307,12 @@ def build_champions_persistent(
         "budget_per_bucket": int(budget_per_bucket),
         "n_buckets": int(nb),
         "store_n_buckets": int(store.n_buckets),
+        # the cut rule IS part of the epoch: a dir built under a
+        # different pruning rule (pre-r05 strict top-budget, or a
+        # different cap) must invalidate rather than resume into a
+        # mixed-rule table (r05 review finding)
+        "cut_rule": "level_aligned",
+        "level_cap_factor": LEVEL_CAP_FACTOR,
     }
     meta_path = f"{champions_dir}/meta.json"
     if os.path.exists(meta_path):
