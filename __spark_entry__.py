@@ -231,6 +231,7 @@ PHRASE = "fast table"
 BOOLEAN_QUERY = "data fast -merge"  # AND(data, fast) NOT merge
 PROX_PHRASE = "fast table"
 PROX_SLOP = 2
+Q_SDM = ["fast", "table", "data"]  # ordered — SDM pairs are sequential
 MLT_SEED_DOC = 42
 SYN_QUERY = ["join", "fast", "data"]  # expands via textproc/synonyms.py
 
@@ -2208,6 +2209,21 @@ def _q_search_dismax(spark, sf_dir):
     )
 
 
+def _q_search_sdm(spark, sf_dir):
+    """Sequential dependence model (Metzler-Croft MRF): Dirichlet LM
+    over unigram + ordered-bigram + unordered-uw8 features from the
+    positional stream."""
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_sdm,
+    )
+
+    docs, postings, term_dict, doc_stats, n_docs, avgdl = _bm25_ctx(
+        spark, sf_dir
+    )
+    return search_sdm(build_positional(docs), doc_stats, Q_SDM)
+
+
 def _q_search_prox_boost(spark, sf_dir):
     """Tao-Zhai MinDist proximity-boosted conjunctive BM25."""
     from search_engine_spark.operators.positional import (
@@ -3123,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_reorder": _q_url_reorder,
         "search_dismax": _q_search_dismax,
         "search_prox_boost": _q_search_prox_boost,
+        "search_sdm": _q_search_sdm,
         "search_vsm": _q_search_vsm,
         "impact_postings": _q_impact_postings,
         "search_impact": _q_search_impact,
@@ -3434,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
         "url_reorder": ora.url_reorder_sql(),
         "search_dismax": pipe.search_dismax_sql(Q_BM25F),
         "search_prox_boost": ora.search_prox_boost_sql(Q_AND2),
+        "search_sdm": ora.search_sdm_sql(Q_SDM),
         "search_vsm": ora.search_vsm_sql(Q_BM25),
         "impact_postings": ora.impact_postings_sql(),
         "search_impact": ora.search_impact_sql(Q_BM25),

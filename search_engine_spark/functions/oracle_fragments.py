@@ -2431,6 +2431,77 @@ LIMIT {int(k)}
 """
 
 
+def search_sdm_sql(query_terms: list[str], mu: float = 2000.0,
+                   uw: int = 8, k: int = 20,
+                   table: str = "documents") -> str:
+    """Sequential dependence model top-k — mirrors
+    operators/positional.py::search_sdm (Metzler & Croft 2005): the
+    LM-Dirichlet arithmetic of search_lmd generalized to the MRF
+    feature relation (unigrams λ=0.85, ordered exact-bigram windows
+    λ=0.10, unordered |Δpos|<uw windows λ=0.05), features built from
+    the same positional stream the Spark operator uses."""
+    uniq = sorted(set(query_terms))
+    pairs = list(dict.fromkeys(
+        (a, b) for a, b in zip(query_terms, query_terms[1:]) if a != b
+    ))
+    pair_ctes, pair_unions = [], []
+    for i, (a, b) in enumerate(pairs):
+        pair_ctes.append(f"""op{i} AS (
+  SELECT a.doc_id, 'o:{a} {b}' AS feat, count(*)::DOUBLE AS tf,
+         0.10 AS weight
+  FROM pos_terms a JOIN pos_terms b
+    ON b.doc_id = a.doc_id AND a.term = '{a}' AND b.term = '{b}'
+   AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+up{i} AS (
+  SELECT a.doc_id, 'u:{a} {b}' AS feat, count(*)::DOUBLE AS tf,
+         0.05 AS weight
+  FROM pos_terms a JOIN pos_terms b
+    ON b.doc_id = a.doc_id AND a.term = '{a}' AND b.term = '{b}'
+   AND abs(b.pos - a.pos) < {int(uw)}
+  GROUP BY a.doc_id
+)""")
+        pair_unions.append(f"SELECT * FROM op{i}")
+        pair_unions.append(f"SELECT * FROM up{i}")
+    pair_cte_sql = ",\n".join(pair_ctes)
+    if pair_cte_sql:
+        pair_cte_sql += ","
+    union_sql = "".join(
+        f"  UNION ALL {u}\n" for u in pair_unions
+    )
+    return f"""
+WITH {positional_terms_cte(table)},
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM pos_terms
+       GROUP BY doc_id),
+stats AS (SELECT sum(dl) AS total_tokens FROM dl),
+uni AS (
+  SELECT doc_id, 't:' || term AS feat, count(*)::DOUBLE AS tf,
+         0.85 AS weight
+  FROM pos_terms WHERE term IN {_terms_in(uniq)}
+  GROUP BY doc_id, term
+),
+{pair_cte_sql}
+feats AS (
+  SELECT * FROM uni
+{union_sql}),
+cf AS (SELECT feat, sum(tf) AS cf FROM feats GROUP BY feat),
+scored AS (
+  SELECT f.doc_id,
+         sum(f.weight * ( ln(1 + f.tf / ({float(mu)} * c.cf / s.total_tokens))
+                          + ln({float(mu)} / (d.dl + {float(mu)})) )) AS raw
+  FROM feats f
+  JOIN cf c USING (feat)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY f.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {int(k)}
+"""
+
+
 def search_prox_boost_sql(query_terms: list[str], k1: float = 1.2,
                           b: float = 0.75, prox_weight: float = 1.0,
                           alpha: float = 1.0, limit: int = 20,

@@ -750,3 +750,155 @@ def search_span_or(
     return hits.orderBy(F.col("or_tf").desc(), F.col("doc_id").asc()).limit(
         int(k)
     )
+
+
+# ---------------------------------------------------------------- SDM
+
+SDM_LAMBDA_T = 0.85  # unigram feature weight (Metzler & Croft 2005)
+SDM_LAMBDA_O = 0.10  # ordered-window (exact bigram) feature weight
+SDM_LAMBDA_U = 0.05  # unordered-window feature weight
+SDM_UW = 8           # unordered window size (the classic uw8)
+
+
+def sdm_features(
+    positional: DataFrame, terms: list[str], uw: int = SDM_UW
+) -> DataFrame:
+    """(doc_id, feat, tf, weight) — the Markov-random-field feature
+    relation of the sequential dependence model (Metzler & Croft,
+    SIGIR 2005 "A Markov random field model for term dependencies"):
+
+      * one `t:<term>` row per (doc, distinct query term) with the
+        term's tf — the full-independence features;
+      * one `o:<a> <b>` row per (doc, adjacent query pair) counting
+        EXACT adjacency occurrences (b directly follows a) — the
+        sequential-dependence ordered-window #1(a b) features;
+      * one `u:<a> <b>` row per (doc, adjacent query pair) counting
+        position pairs with |pos_a − pos_b| < uw — the unordered
+        #uw8(a b) co-occurrence features.
+
+    Pairs come from the query IN ORDER (dependence is sequential);
+    self-pairs (a == b) are skipped. Every feature relation is a join
+    of per-term scan-pruned slices of the positional relation keyed on
+    doc_id — the same bounded shape as phrase_match, so feature cost
+    follows the query terms' posting mass, never the corpus."""
+    uniq = sorted(set(terms))
+    uni = (
+        positional.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .select(
+            "doc_id",
+            F.concat(F.lit("t:"), F.col("term")).alias("feat"),
+            "tf",
+            F.lit(SDM_LAMBDA_T).alias("weight"),
+        )
+    )
+    out = uni
+    pairs = [
+        (a, b) for a, b in zip(terms, terms[1:]) if a != b
+    ]
+    for a, b in dict.fromkeys(pairs):  # de-dup, keep query order
+        pa = positional.filter(F.col("term") == a).select(
+            "doc_id", F.col("pos").alias("pa")
+        )
+        pb = positional.filter(F.col("term") == b).select(
+            F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+        )
+        ordered = (
+            pa.join(
+                pb,
+                (F.col("doc_id") == F.col("doc_b"))
+                & (F.col("pb") == F.col("pa") + 1),
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("double").alias("tf"))
+            .select(
+                "doc_id",
+                F.lit(f"o:{a} {b}").alias("feat"),
+                "tf",
+                F.lit(SDM_LAMBDA_O).alias("weight"),
+            )
+        )
+        unordered = (
+            pa.join(
+                pb,
+                (F.col("doc_id") == F.col("doc_b"))
+                & (F.abs(F.col("pb") - F.col("pa")) < int(uw)),
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("double").alias("tf"))
+            .select(
+                "doc_id",
+                F.lit(f"u:{a} {b}").alias("feat"),
+                "tf",
+                F.lit(SDM_LAMBDA_U).alias("weight"),
+            )
+        )
+        out = out.unionByName(ordered).unionByName(unordered)
+    return out
+
+
+def search_sdm(
+    positional: DataFrame,
+    doc_stats: DataFrame,
+    terms: list[str],
+    mu: float = 2000.0,
+    uw: int = SDM_UW,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k (doc_id, score) under the SEQUENTIAL DEPENDENCE MODEL —
+    Metzler & Croft's MRF ranking (SIGIR 2005), the classic
+    term-dependence upgrade over bag-of-words retrieval that Indri/
+    Galago ship as their default strong baseline. Each feature f of
+    `sdm_features` (unigrams λ=0.85, ordered bigram windows λ=0.10,
+    unordered uw8 windows λ=0.05) scores with the SAME Dirichlet
+    arithmetic as `search_lmd` generalized from terms to features:
+
+        part_f(D) = λ_f · [ ln(1 + tf_f,D / (μ · cf_f / T))
+                            + ln(μ / (dl_D + μ)) ]
+
+    where cf_f is the feature's COLLECTION frequency and T the corpus
+    retained-token total — i.e. SDM ≡ LM-Dirichlet over a generalized
+    feature-postings relation, which is exactly how it is built here
+    (a single-term query degenerates to 0.85 × search_lmd, pinned by
+    test). Disjunctive over feature hits, ties doc_id asc.
+
+    Plan shape: per-term scan-pruned positional slices → bounded pair
+    joins (sdm_features); cf rides a broadcast join of the ≤ 3|q|-row
+    per-feature aggregate; T folds in as a 1-row broadcast scalar; one
+    map-side-combinable groupBy(doc_id) scores. No UDFs, no corpus
+    window."""
+    empty = doc_stats.select(
+        F.col("doc_id"), F.lit(0.0).alias("score")
+    ).limit(0)
+    if not terms:
+        return empty
+    feats = sdm_features(positional, terms, uw=uw)
+    cf = feats.groupBy("feat").agg(F.sum("tf").alias("cf"))
+    t_row = doc_stats.agg(
+        F.sum("dl").cast("double").alias("total_tokens")
+    )
+    scored = (
+        feats.join(F.broadcast(cf), "feat")
+        .join(doc_stats.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(t_row))
+        .withColumn(
+            "part",
+            F.col("weight")
+            * (
+                F.log(
+                    1.0
+                    + F.col("tf")
+                    / (float(mu) * F.col("cf") / F.col("total_tokens"))
+                )
+                + F.log(
+                    F.lit(float(mu)) / (F.col("dl").cast("double") + float(mu))
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(int(k))

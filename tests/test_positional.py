@@ -499,3 +499,119 @@ def test_span_not_zero_window_keeps_all(spark):
     )
     got = search_span_not(docs, "data", "fast", pre=0, post=0).collect()
     assert [(r["doc_id"], r["kept_tf"]) for r in got] == [(1, 2)]
+
+
+def test_sdm_features_counts(spark):
+    """Crafted corpus: the MRF feature relation carries exactly the
+    hand-counted unigram / ordered-adjacency / unordered-window tfs."""
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        sdm_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast table fast table"),
+            (2, "table data"),
+            (3, "fast data fast"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sdm_features(
+        build_positional(docs), ["fast", "table"]
+    ).collect()
+    got = {(r["doc_id"], r["feat"]): (r["tf"], r["weight"]) for r in rows}
+    assert got[(1, "t:fast")] == (2.0, 0.85)
+    assert got[(1, "t:table")] == (2.0, 0.85)
+    assert got[(2, "t:table")] == (1.0, 0.85)
+    assert got[(3, "t:fast")] == (2.0, 0.85)
+    # ordered "fast table": doc1 has two adjacencies (pos 0→1, 2→3)
+    assert got[(1, "o:fast table")] == (2.0, 0.10)
+    assert (2, "o:fast table") not in got
+    assert (3, "o:fast table") not in got
+    # unordered |Δ|<8: doc1 all 2×2 fast/table pairs
+    assert got[(1, "u:fast table")] == (4.0, 0.05)
+    assert (3, "u:fast table") not in got  # no 'table' in doc 3
+
+
+def test_sdm_matches_python_mirror(spark):
+    """search_sdm == a first-principles pure-Python SDM over the same
+    crafted corpus (Dirichlet feature smoothing, λ=(0.85,0.10,0.05),
+    uw8), and a single-term query degenerates to 0.85 × the LMD part."""
+    import math
+
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_sdm,
+    )
+
+    texts = {
+        1: "fast table fast table",
+        2: "table data",
+        3: "fast data fast",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    pos = build_positional(docs)
+    doc_stats = pos.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+    # pure-Python mirror from the raw token streams
+    toks = {d: t.split() for d, t in texts.items()}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    total = float(sum(dl.values()))
+    mu = 2000.0
+
+    def feats_for(q):
+        out = {}  # (doc, feat) -> (tf, w)
+        for d, ts in toks.items():
+            for t in set(q):
+                c = ts.count(t)
+                if c:
+                    out[(d, f"t:{t}")] = (c, 0.85)
+            for a, b in dict.fromkeys(
+                (x, y) for x, y in zip(q, q[1:]) if x != y
+            ):
+                o = sum(
+                    1
+                    for i in range(len(ts) - 1)
+                    if ts[i] == a and ts[i + 1] == b
+                )
+                u = sum(
+                    1
+                    for i, x in enumerate(ts)
+                    for j, y in enumerate(ts)
+                    if x == a and y == b and abs(j - i) < 8
+                )
+                if o:
+                    out[(d, f"o:{a} {b}")] = (o, 0.10)
+                if u:
+                    out[(d, f"u:{a} {b}")] = (u, 0.05)
+        return out
+
+    def py_sdm(q, k=20):
+        fe = feats_for(q)
+        cf = {}
+        for (d, f), (tf, w) in fe.items():
+            cf[f] = cf.get(f, 0.0) + tf
+        score = {}
+        for (d, f), (tf, w) in fe.items():
+            part = w * (
+                math.log(1.0 + tf / (mu * cf[f] / total))
+                + math.log(mu / (dl[d] + mu))
+            )
+            score[d] = score.get(d, 0.0) + part
+        ranked = sorted(
+            ((round(s, 4), d) for d, s in score.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [(d, s) for s, d in ranked[:k]]
+
+    for q in (["fast", "table"], ["fast", "table", "data"], ["data"]):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sdm(pos, doc_stats, q).collect()
+        ]
+        assert got == py_sdm(q), q
