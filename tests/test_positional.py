@@ -615,3 +615,89 @@ def test_sdm_matches_python_mirror(spark):
             for r in search_sdm(pos, doc_stats, q).collect()
         ]
         assert got == py_sdm(q), q
+
+
+def test_sdm_random_corpora_match_python_mirror(spark):
+    """Hypothesis twin of test_sdm_matches_python_mirror: random small
+    corpora over a 4-token alphabet (so adjacency and window overlaps
+    genuinely occur), random 2-3-term queries — the Spark SDM ranking
+    must equal the first-principles mirror exactly (4 dp)."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.positional import (
+        build_positional,
+        search_sdm,
+    )
+
+    TOK = st.sampled_from(["alpha", "beta", "gamma", "delta"])
+    TEXT = st.lists(TOK, min_size=1, max_size=12).map(" ".join)
+    CORPUS = st.lists(TEXT, min_size=1, max_size=5)
+    QUERY = st.lists(TOK, min_size=2, max_size=3)
+
+    def py_sdm(texts, q, k=20):
+        toks = {d: t.split() for d, t in enumerate(texts)}
+        dl = {d: len(ts) for d, ts in toks.items()}
+        total = float(sum(dl.values()))
+        mu = 2000.0
+        fe = {}
+        for d, ts in toks.items():
+            for t in set(q):
+                c = ts.count(t)
+                if c:
+                    fe[(d, f"t:{t}")] = (c, 0.85)
+            for a, b in dict.fromkeys(
+                (x, y) for x, y in zip(q, q[1:]) if x != y
+            ):
+                o = sum(
+                    1 for i in range(len(ts) - 1)
+                    if ts[i] == a and ts[i + 1] == b
+                )
+                u = sum(
+                    1
+                    for i, x in enumerate(ts)
+                    for j, y in enumerate(ts)
+                    if x == a and y == b and abs(j - i) < 8
+                )
+                if o:
+                    fe[(d, f"o:{a} {b}")] = (o, 0.10)
+                if u:
+                    fe[(d, f"u:{a} {b}")] = (u, 0.05)
+        cf = {}
+        for (d, f_), (tf, w) in fe.items():
+            cf[f_] = cf.get(f_, 0.0) + tf
+        score = {}
+        for (d, f_), (tf, w) in fe.items():
+            score[d] = score.get(d, 0.0) + w * (
+                math.log(1.0 + tf / (mu * cf[f_] / total))
+                + math.log(mu / (dl[d] + mu))
+            )
+        ranked = sorted(
+            ((round(s, 4), d) for d, s in score.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return [(d, s) for s, d in ranked[:k]]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=CORPUS, q=QUERY)
+    def _inner(texts, q):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pos = build_positional(docs)
+        doc_stats = pos.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sdm(pos, doc_stats, q).collect()
+        ]
+        assert got == py_sdm(texts, q), (texts, q)
+
+    _inner()
